@@ -1,0 +1,429 @@
+"""pg_catalog emulation.
+
+Reference parity: ``datafusion-pg-catalog/src/pg_catalog.rs`` — 59 static
+tables (exported from a real PostgreSQL) + 8 dynamic tables synthesized
+from the live session catalog, with stable fake OIDs (pg_catalog namespace
+= 11, dynamic OIDs counted from 16384, ``pg_catalog.rs:196-256``).
+
+Spark design: each table is a temp view named ``pg_catalog_<name>``
+(Spark temp views are a flat namespace; the dialect layer rewrites
+``pg_catalog.pg_class`` references). Dynamic tables are rebuilt from
+``spark.catalog`` by ``refresh()`` — the engine calls it lazily when a
+statement touches pg_catalog and DDL has happened since the last build
+(the reference recomputes on *every* scan, ``pg_class.rs:84``; caching is
+our 100 TB-scale improvement flagged in SURVEY.md §7).
+
+Static-table content is regenerated from public PostgreSQL documentation
+values (type OIDs etc.), not copied from the reference's feather exports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    BooleanType, FloatType, IntegerType, LongType, ShortType, StringType,
+    StructField, StructType,
+)
+
+PG_CATALOG_NAMESPACE_OID = 11
+PUBLIC_NAMESPACE_OID = 2200
+FIRST_DYNAMIC_OID = 16384
+
+# (typname, oid, typlen, typcategory, typelem, typarray)
+_PG_TYPES = [
+    ("bool", 16, 1, "B", 0, 1000), ("bytea", 17, -1, "U", 0, 1001),
+    ("char", 18, 1, "Z", 0, 1002), ("name", 19, 64, "S", 18, 1003),
+    ("int8", 20, 8, "N", 0, 1016), ("int2", 21, 2, "N", 0, 1005),
+    ("int4", 23, 4, "N", 0, 1007), ("regproc", 24, 4, "N", 0, 1008),
+    ("text", 25, -1, "S", 0, 1009), ("oid", 26, 4, "N", 0, 1028),
+    ("json", 114, -1, "U", 0, 199), ("xml", 142, -1, "U", 0, 143),
+    ("float4", 700, 4, "N", 0, 1021), ("float8", 701, 8, "N", 0, 1022),
+    ("unknown", 705, -2, "X", 0, 0), ("money", 790, 8, "N", 0, 791),
+    ("macaddr", 829, 6, "U", 0, 1040), ("inet", 869, -1, "I", 0, 1041),
+    ("bpchar", 1042, -1, "S", 0, 1014), ("varchar", 1043, -1, "S", 0, 1015),
+    ("date", 1082, 4, "D", 0, 1182), ("time", 1083, 8, "D", 0, 1183),
+    ("timestamp", 1114, 8, "D", 0, 1115),
+    ("timestamptz", 1184, 8, "D", 0, 1185),
+    ("interval", 1186, 16, "T", 0, 1187),
+    ("timetz", 1266, 12, "D", 0, 1270),
+    ("bit", 1560, -1, "V", 0, 1561), ("varbit", 1562, -1, "V", 0, 1563),
+    ("numeric", 1700, -1, "N", 0, 1231),
+    ("regclass", 2205, 4, "N", 0, 2210), ("regtype", 2206, 4, "N", 0, 2211),
+    ("uuid", 2950, 16, "U", 0, 2951), ("jsonb", 3802, -1, "U", 0, 3807),
+    ("regnamespace", 4089, 4, "N", 0, 4090),
+    ("regrole", 4096, 4, "N", 0, 4097),
+    # array types
+    ("_bool", 1000, -1, "A", 16, 0), ("_bytea", 1001, -1, "A", 17, 0),
+    ("_name", 1003, -1, "A", 19, 0), ("_int2", 1005, -1, "A", 21, 0),
+    ("_int4", 1007, -1, "A", 23, 0), ("_text", 1009, -1, "A", 25, 0),
+    ("_bpchar", 1014, -1, "A", 1042, 0), ("_varchar", 1015, -1, "A", 1043, 0),
+    ("_int8", 1016, -1, "A", 20, 0), ("_float4", 1021, -1, "A", 700, 0),
+    ("_float8", 1022, -1, "A", 701, 0), ("_oid", 1028, -1, "A", 26, 0),
+    ("_timestamp", 1115, -1, "A", 1114, 0), ("_date", 1182, -1, "A", 1082, 0),
+    ("_timestamptz", 1185, -1, "A", 1184, 0),
+    ("_numeric", 1231, -1, "A", 1700, 0),
+]
+
+# Spark SQL type -> (pg type oid, typlen)
+SPARK_TO_PG_OID = {
+    "boolean": (16, 1), "tinyint": (21, 2), "smallint": (21, 2),
+    "int": (23, 4), "bigint": (20, 8), "float": (700, 4), "double": (701, 8),
+    "string": (25, -1), "binary": (17, -1), "date": (1082, 4),
+    "timestamp": (1184, 8), "timestamp_ntz": (1114, 8), "void": (705, -2),
+    "interval": (1186, 16),
+}
+
+
+def spark_type_to_pg_oid(dt: str) -> tuple[int, int]:
+    dt = dt.lower()
+    if dt.startswith("decimal"):
+        return (1700, -1)
+    if dt.startswith("array"):
+        inner = dt[6:-1]
+        elem_oid, _ = spark_type_to_pg_oid(inner)
+        for name, oid, _l, cat, elem, arr in _PG_TYPES:
+            if oid == elem_oid and arr:
+                return (arr, -1)
+        return (1009, -1)
+    if dt.startswith("struct"):
+        return (2249, -1)  # record
+    if dt.startswith("map"):
+        return (114, -1)   # closest: json
+    return SPARK_TO_PG_OID.get(dt, (25, -1))
+
+
+class OidRegistry:
+    """Deterministic OID assignment (pg_catalog.rs:196-256 analog):
+    fixed OIDs for namespaces, then a counter from 16384 keyed by qualified
+    name, stable within a session."""
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+        self._next = FIRST_DYNAMIC_OID
+
+    def oid(self, qualified_name: str) -> int:
+        if qualified_name not in self._cache:
+            self._cache[qualified_name] = self._next
+            self._next += 1
+        return self._cache[qualified_name]
+
+
+_REGISTRIES: dict[int, OidRegistry] = {}
+
+
+def _registry(spark) -> OidRegistry:
+    return _REGISTRIES.setdefault(id(spark), OidRegistry())
+
+
+def _view(spark, name: str, schema: StructType, rows: list) -> None:
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+
+
+def _user_tables(spark) -> list:
+    """Temp views + catalog tables, excluding our own pg_catalog_* and
+    information_schema_* views."""
+    out = []
+    for tbl in spark.catalog.listTables():
+        nm = tbl.name
+        if nm.startswith("pg_catalog_") or nm.startswith("information_schema_"):
+            continue
+        out.append(tbl)
+    return sorted(out, key=lambda x: x.name)
+
+
+def bootstrap(spark: SparkSession) -> None:
+    """Create all pg_catalog views (static content + dynamic snapshot)."""
+    _static_views(spark)
+    refresh(spark)
+
+
+def refresh(spark: SparkSession) -> None:
+    """Rebuild the dynamic tables from the live session catalog."""
+    reg = _registry(spark)
+    tables = _user_tables(spark)
+
+    # ---- pg_namespace (pg_catalog/pg_namespace.rs) ----
+    ns_schema = StructType([
+        StructField("oid", IntegerType()), StructField("nspname", StringType()),
+        StructField("nspowner", IntegerType()),
+        StructField("nspacl", StringType())])
+    _view(spark, "pg_catalog_pg_namespace", ns_schema, [
+        (PG_CATALOG_NAMESPACE_OID, "pg_catalog", 10, None),
+        (PUBLIC_NAMESPACE_OID, "public", 10, None),
+        (13000, "information_schema", 10, None)])
+
+    # ---- pg_class (pg_catalog/pg_class.rs:31-79) ----
+    cls_schema = StructType([
+        StructField("oid", IntegerType()), StructField("relname", StringType()),
+        StructField("relnamespace", IntegerType()),
+        StructField("reltype", IntegerType()),
+        StructField("reloftype", IntegerType()),
+        StructField("relowner", IntegerType()),
+        StructField("relam", IntegerType()),
+        StructField("relfilenode", IntegerType()),
+        StructField("reltablespace", IntegerType()),
+        StructField("relpages", IntegerType()),
+        StructField("reltuples", FloatType()),
+        StructField("relallvisible", IntegerType()),
+        StructField("reltoastrelid", IntegerType()),
+        StructField("relhasindex", BooleanType()),
+        StructField("relisshared", BooleanType()),
+        StructField("relpersistence", StringType()),
+        StructField("relkind", StringType()),
+        StructField("relnatts", ShortType()),
+        StructField("relchecks", ShortType()),
+        StructField("relhasrules", BooleanType()),
+        StructField("relhastriggers", BooleanType()),
+        StructField("relhassubclass", BooleanType()),
+        StructField("relrowsecurity", BooleanType()),
+        StructField("relforcerowsecurity", BooleanType()),
+        StructField("relispopulated", BooleanType()),
+        StructField("relreplident", StringType()),
+        StructField("relispartition", BooleanType()),
+        StructField("relrewrite", IntegerType()),
+        StructField("relfrozenxid", IntegerType()),
+        StructField("relminmxid", IntegerType()),
+        StructField("relacl", StringType()),
+        StructField("reloptions", StringType()),
+        StructField("relpartbound", StringType())])
+    cls_rows = []
+    attr_rows = []
+    for tbl in tables:
+        oid = reg.oid(f"public.{tbl.name}")
+        cols = spark.catalog.listColumns(tbl.name)
+        cls_rows.append((oid, tbl.name, PUBLIC_NAMESPACE_OID, 0, 0, 10, 2,
+                         oid, 0, 0, float(-1), 0, 0, False, False, "p", "r",
+                         len(cols), 0, False, False, False, False, False,
+                         True, "d", False, 0, 1, 1, None, None, None))
+        for i, col in enumerate(cols, start=1):
+            type_oid, typlen = spark_type_to_pg_oid(col.dataType)
+            attr_rows.append((oid, col.name, type_oid, i, typlen,
+                              -1, 0, not col.nullable, False, "", "", False,
+                              True, 0))
+    _view(spark, "pg_catalog_pg_class", cls_schema, cls_rows)
+
+    # ---- pg_attribute (pg_catalog/pg_attribute.rs) ----
+    attr_schema = StructType([
+        StructField("attrelid", IntegerType()),
+        StructField("attname", StringType()),
+        StructField("atttypid", IntegerType()),
+        StructField("attnum", ShortType()),
+        StructField("attlen", ShortType()),
+        StructField("atttypmod", IntegerType()),
+        StructField("attndims", ShortType()),
+        StructField("attnotnull", BooleanType()),
+        StructField("atthasdef", BooleanType()),
+        StructField("attidentity", StringType()),
+        StructField("attgenerated", StringType()),
+        StructField("attisdropped", BooleanType()),
+        StructField("attislocal", BooleanType()),
+        StructField("attinhcount", ShortType())])
+    _view(spark, "pg_catalog_pg_attribute", attr_schema, attr_rows)
+
+    # ---- pg_tables (pg_catalog/pg_tables.rs) ----
+    tbl_schema = StructType([
+        StructField("schemaname", StringType()),
+        StructField("tablename", StringType()),
+        StructField("tableowner", StringType()),
+        StructField("tablespace", StringType()),
+        StructField("hasindexes", BooleanType()),
+        StructField("hasrules", BooleanType()),
+        StructField("hastriggers", BooleanType()),
+        StructField("rowsecurity", BooleanType())])
+    _view(spark, "pg_catalog_pg_tables", tbl_schema,
+          [("public", t.name, "postgres", None, False, False, False, False)
+           for t in tables])
+
+    # ---- pg_database (pg_catalog/pg_database.rs) ----
+    db_schema = StructType([
+        StructField("oid", IntegerType()), StructField("datname", StringType()),
+        StructField("datdba", IntegerType()),
+        StructField("encoding", IntegerType()),
+        StructField("datlocprovider", StringType()),
+        StructField("datistemplate", BooleanType()),
+        StructField("datallowconn", BooleanType()),
+        StructField("datconnlimit", IntegerType()),
+        StructField("datcollate", StringType()),
+        StructField("datctype", StringType()),
+        StructField("datacl", StringType())])
+    _view(spark, "pg_catalog_pg_database", db_schema,
+          [(1, "postgres", 10, 6, "c", False, True, -1, "C", "C", None)])
+
+    # ---- pg_roles / pg_settings (pg_roles.rs, pg_settings.rs) ----
+    roles_schema = StructType([
+        StructField("oid", IntegerType()), StructField("rolname", StringType()),
+        StructField("rolsuper", BooleanType()),
+        StructField("rolinherit", BooleanType()),
+        StructField("rolcreaterole", BooleanType()),
+        StructField("rolcreatedb", BooleanType()),
+        StructField("rolcanlogin", BooleanType()),
+        StructField("rolreplication", BooleanType()),
+        StructField("rolconnlimit", IntegerType()),
+        StructField("rolpassword", StringType()),
+        StructField("rolvaliduntil", StringType()),
+        StructField("rolbypassrls", BooleanType()),
+        StructField("rolconfig", StringType())])
+    _view(spark, "pg_catalog_pg_roles", roles_schema,
+          [(10, "postgres", True, True, True, True, True, False, -1,
+            "********", None, True, None)])
+
+    settings_schema = StructType([
+        StructField("name", StringType()), StructField("setting", StringType()),
+        StructField("unit", StringType()), StructField("category", StringType()),
+        StructField("short_desc", StringType()),
+        StructField("context", StringType()), StructField("vartype", StringType()),
+        StructField("source", StringType())])
+    _view(spark, "pg_catalog_pg_settings", settings_schema, [
+        ("TimeZone", "UTC", None, "Client Connection Defaults",
+         "time zone", "user", "string", "default"),
+        ("server_version", "15.0", None, "Preset Options",
+         "server version", "internal", "string", "default"),
+        ("search_path", '"$user", public', None,
+         "Client Connection Defaults", "schema search order", "user",
+         "string", "default"),
+        ("max_connections", "100", None, "Connections", "max connections",
+         "postmaster", "integer", "default")])
+
+    # ---- empty view-style tables (pg_views.rs, pg_replication_slot.rs) ----
+    views_schema = StructType([
+        StructField("schemaname", StringType()),
+        StructField("viewname", StringType()),
+        StructField("viewowner", StringType()),
+        StructField("definition", StringType())])
+    _view(spark, "pg_catalog_pg_views", views_schema, [])
+    _view(spark, "pg_catalog_pg_matviews", views_schema, [])
+
+    # ---- information_schema (reference gets it from DataFusion) ----
+    info_tables = StructType([
+        StructField("table_catalog", StringType()),
+        StructField("table_schema", StringType()),
+        StructField("table_name", StringType()),
+        StructField("table_type", StringType())])
+    _view(spark, "information_schema_tables", info_tables,
+          [("postgres", "public", t.name, "BASE TABLE") for t in tables])
+    info_cols = StructType([
+        StructField("table_catalog", StringType()),
+        StructField("table_schema", StringType()),
+        StructField("table_name", StringType()),
+        StructField("column_name", StringType()),
+        StructField("ordinal_position", IntegerType()),
+        StructField("column_default", StringType()),
+        StructField("is_nullable", StringType()),
+        StructField("data_type", StringType())])
+    col_rows = []
+    for tbl in tables:
+        for i, col in enumerate(spark.catalog.listColumns(tbl.name), 1):
+            col_rows.append(("postgres", "public", tbl.name, col.name, i,
+                             None, "YES" if col.nullable else "NO",
+                             col.dataType))
+    _view(spark, "information_schema_columns", info_cols, col_rows)
+
+
+def _static_views(spark: SparkSession) -> None:
+    # ---- pg_type ----
+    type_schema = StructType([
+        StructField("oid", IntegerType()), StructField("typname", StringType()),
+        StructField("typnamespace", IntegerType()),
+        StructField("typowner", IntegerType()),
+        StructField("typlen", ShortType()),
+        StructField("typbyval", BooleanType()),
+        StructField("typtype", StringType()),
+        StructField("typcategory", StringType()),
+        StructField("typisdefined", BooleanType()),
+        StructField("typdelim", StringType()),
+        StructField("typrelid", IntegerType()),
+        StructField("typelem", IntegerType()),
+        StructField("typarray", IntegerType()),
+        StructField("typbasetype", IntegerType()),
+        StructField("typtypmod", IntegerType()),
+        StructField("typndims", IntegerType()),
+        StructField("typcollation", IntegerType()),
+        StructField("typnotnull", BooleanType()),
+        StructField("typdefault", StringType())])
+    rows = [(oid, name, PG_CATALOG_NAMESPACE_OID, 10, typlen,
+             typlen in (1, 2, 4, 8), "b", cat, True, ",", 0, elem, arr, 0,
+             -1, 1 if cat == "A" else 0, 0, False, None)
+            for (name, oid, typlen, cat, elem, arr) in _PG_TYPES]
+    _view(spark, "pg_catalog_pg_type", type_schema, rows)
+
+    # ---- pg_proc (minimal: our registered functions) ----
+    proc_schema = StructType([
+        StructField("oid", IntegerType()), StructField("proname", StringType()),
+        StructField("pronamespace", IntegerType()),
+        StructField("prorettype", IntegerType()),
+        StructField("pronargs", ShortType()),
+        StructField("prokind", StringType())])
+    from datafusion_postgres_spark.functions.registry import SQL_UDFS
+    proc_rows = [(8000 + i, name, PG_CATALOG_NAMESPACE_OID, 0,
+                  len([a for a in args.split(",") if a.strip()]), "f")
+                 for i, (name, args, _r, _b) in enumerate(SQL_UDFS)]
+    _view(spark, "pg_catalog_pg_proc", proc_schema, proc_rows)
+
+    # ---- pg_am ----
+    am_schema = StructType([
+        StructField("oid", IntegerType()), StructField("amname", StringType()),
+        StructField("amhandler", IntegerType()),
+        StructField("amtype", StringType())])
+    _view(spark, "pg_catalog_pg_am", am_schema,
+          [(2, "heap", 0, "t"), (403, "btree", 0, "i"), (405, "hash", 0, "i")])
+
+    # ---- misc empties clients probe ----
+    for name, fields in [
+        ("pg_catalog_pg_inherits",
+         [("inhrelid", IntegerType()), ("inhparent", IntegerType()),
+          ("inhseqno", IntegerType())]),
+        ("pg_catalog_pg_index",
+         [("indexrelid", IntegerType()), ("indrelid", IntegerType()),
+          ("indnatts", ShortType()), ("indisunique", BooleanType()),
+          ("indisprimary", BooleanType())]),
+        ("pg_catalog_pg_constraint",
+         [("oid", IntegerType()), ("conname", StringType()),
+          ("connamespace", IntegerType()), ("contype", StringType()),
+          ("conrelid", IntegerType())]),
+        ("pg_catalog_pg_description",
+         [("objoid", IntegerType()), ("classoid", IntegerType()),
+          ("objsubid", IntegerType()), ("description", StringType())]),
+        ("pg_catalog_pg_extension",
+         [("oid", IntegerType()), ("extname", StringType()),
+          ("extversion", StringType())]),
+        ("pg_catalog_pg_enum",
+         [("oid", IntegerType()), ("enumtypid", IntegerType()),
+          ("enumsortorder", FloatType()), ("enumlabel", StringType())]),
+        ("pg_catalog_pg_stat_activity",
+         [("pid", IntegerType()), ("datname", StringType()),
+          ("usename", StringType()), ("state", StringType()),
+          ("query", StringType())]),
+        ("pg_catalog_pg_locks",
+         [("locktype", StringType()), ("pid", IntegerType()),
+          ("mode", StringType()), ("granted", BooleanType())]),
+        ("pg_catalog_pg_cursors",
+         [("name", StringType()), ("statement", StringType()),
+          ("is_holdable", BooleanType())]),
+    ]:
+        schema = StructType([StructField(n, t) for n, t in fields])
+        _view(spark, name, schema, [])
+
+    # ---- pg_get_keywords() static UDTF backing table ----
+    kw_schema = StructType([
+        StructField("word", StringType()), StructField("catcode", StringType()),
+        StructField("barelabel", BooleanType()),
+        StructField("catdesc", StringType()),
+        StructField("baredesc", StringType())])
+    keywords = ["all", "analyse", "analyze", "and", "any", "array", "as",
+                "asc", "asymmetric", "between", "both", "case", "cast",
+                "check", "collate", "column", "constraint", "create",
+                "cross", "current_catalog", "current_date", "current_role",
+                "current_schema", "current_time", "current_timestamp",
+                "current_user", "default", "deferrable", "desc", "distinct",
+                "do", "else", "end", "except", "false", "fetch", "for",
+                "foreign", "from", "full", "grant", "group", "having", "in",
+                "initially", "inner", "intersect", "into", "is", "join",
+                "lateral", "leading", "left", "like", "limit", "localtime",
+                "localtimestamp", "not", "null", "offset", "on", "only",
+                "or", "order", "outer", "overlaps", "placing", "primary",
+                "references", "returning", "right", "select", "session_user",
+                "similar", "some", "symmetric", "table", "then", "to",
+                "trailing", "true", "union", "unique", "user", "using",
+                "variadic", "verbose", "when", "where", "window", "with"]
+    _view(spark, "pg_catalog_pg_get_keywords", kw_schema,
+          [(w, "R", False, "reserved", None) for w in keywords])

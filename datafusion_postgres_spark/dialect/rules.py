@@ -1,0 +1,761 @@
+"""Postgres → Spark SQL rewrite rules.
+
+Re-expresses the reference's 12 AST rewrite rules
+(``datafusion-pg-catalog/src/sql/rules.rs``, dispatch order
+``sql/parser.rs:314-334``) as token-stream transforms targeting Spark SQL.
+Rules the reference needed only because of DataFusion quirks (duplicate
+projection aliasing, unqualified-identifier resolution, LIMIT-1 stamping of
+scalar subqueries) are dropped — Catalyst handles those natively
+(SURVEY.md §2.11 "optional" rows).
+
+Each rule: list[Token] -> list[Token].
+"""
+
+from __future__ import annotations
+
+from datafusion_postgres_spark.dialect.tokenizer import (
+    DOLLAR, IDENT, NUMBER, OP, PARAM, PUNCT, QIDENT, STRING, WS,
+    Token, significant, tokenize,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+
+OPENERS = {"(": ")", "[": "]"}
+
+
+def _match_back(tokens: list[Token], close_idx: int) -> int:
+    """Index of the opener matching the closer at close_idx."""
+    closer = tokens[close_idx].text
+    opener = {v: k for k, v in OPENERS.items()}[closer]
+    depth = 0
+    for i in range(close_idx, -1, -1):
+        t = tokens[i]
+        if t.kind == PUNCT and t.text == closer:
+            depth += 1
+        elif t.kind == PUNCT and t.text == opener:
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _match_fwd(tokens: list[Token], open_idx: int) -> int:
+    """Index of the closer matching the opener at open_idx."""
+    opener = tokens[open_idx].text
+    closer = OPENERS[opener]
+    depth = 0
+    for i in range(open_idx, len(tokens)):
+        t = tokens[i]
+        if t.kind == PUNCT and t.text == opener:
+            depth += 1
+        elif t.kind == PUNCT and t.text == closer:
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _expr_start(tokens: list[Token], op_idx: int) -> int:
+    """Start index of the primary expression ending just before op_idx.
+
+    Handles: literals, idents with dotted paths, function calls,
+    parenthesized expressions, array subscripts, `::` cast chains.
+    """
+    i = significant(tokens, op_idx, -1)
+    if i < 0:
+        return op_idx
+    start = op_idx
+    while i >= 0:
+        t = tokens[i]
+        if t.kind == PUNCT and t.text in (")", "]"):
+            opener = _match_back(tokens, i)
+            if opener < 0:
+                break
+            start = opener
+            # function call? consume preceding name
+            j = significant(tokens, opener, -1)
+            if j >= 0 and tokens[j].kind in (IDENT, QIDENT) and tokens[opener].text == "(":
+                start = j
+                i = j
+            else:
+                i = opener
+        elif t.kind in (IDENT, QIDENT, NUMBER, STRING, DOLLAR, PARAM):
+            start = i
+        else:
+            break
+        # continue left through '.' member access or '::' casts
+        j = significant(tokens, i, -1)
+        if j >= 0 and ((tokens[j].kind == PUNCT and tokens[j].text == ".") or
+                       (tokens[j].kind == OP and tokens[j].text == "::")):
+            k = significant(tokens, j, -1)
+            if k < 0:
+                break
+            i = k
+        else:
+            break
+    return start
+
+
+def _toks(sql: str) -> list[Token]:
+    return tokenize(sql)
+
+
+# ---------------------------------------------------------------------------
+# Rule: ABORT -> ROLLBACK   (sql/parser.rs:349-356,429-442)
+
+def rewrite_abort(tokens: list[Token]) -> list[Token]:
+    first = significant(tokens, -1)
+    if first >= 0 and tokens[first].is_kw("ABORT"):
+        tokens = list(tokens)
+        tokens[first] = Token(IDENT, "ROLLBACK")
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Rule: OPERATOR(pg_catalog.~) -> ~   (sql/rules.rs:802-857)
+
+def rewrite_pg_operator(tokens: list[Token]) -> list[Token]:
+    out: list[Token] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_kw("OPERATOR"):
+            j = significant(tokens, i)
+            if j >= 0 and tokens[j].text == "(":
+                close = _match_fwd(tokens, j)
+                inner = [x for x in tokens[j + 1:close] if x.kind != WS]
+                # forms: pg_catalog . ~   or just ~
+                op = None
+                if len(inner) == 3 and inner[0].is_kw("PG_CATALOG"):
+                    op = inner[2].text
+                elif len(inner) == 1:
+                    op = inner[0].text
+                if op is not None:
+                    out.append(Token(OP, op))
+                    i = close + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rule: COLLATE <name> stripped   (sql/rules.rs:771-800)
+
+def strip_collate(tokens: list[Token]) -> list[Token]:
+    out: list[Token] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_kw("COLLATE"):
+            j = significant(tokens, i)
+            # consume qualified name: ident (. ident)* or quoted
+            while j >= 0 and tokens[j].kind in (IDENT, QIDENT, STRING):
+                k = significant(tokens, j)
+                if k >= 0 and tokens[k].kind == PUNCT and tokens[k].text == ".":
+                    j = significant(tokens, k)
+                else:
+                    break
+            i = (j + 1) if j >= 0 else (i + 1)
+            # drop trailing space we may have left doubled
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rule: regex operators ~ ~* !~ !~*  ->  RLIKE forms   (exercised via
+# OPERATOR(pg_catalog.~) in client queries; Spark lacks the pg operators)
+
+def _ci_pattern(tokens: list[Token], pat_idx: int) -> list[Token]:
+    """Wrap pattern with case-insensitive flag."""
+    t = tokens[pat_idx]
+    if t.kind == STRING and t.text.startswith("'"):
+        inner = t.text[1:-1]
+        return [Token(STRING, f"'(?i){inner}'")]
+    return ([Token(IDENT, "concat"), Token(PUNCT, "("),
+             Token(STRING, "'(?i)'"), Token(PUNCT, ","), Token(WS, " "),
+             t, Token(PUNCT, ")")])
+
+
+def rewrite_regex_ops(tokens: list[Token]) -> list[Token]:
+    i = 0
+    tokens = list(tokens)
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == OP and t.text in ("~", "~*", "!~", "!~*"):
+            # binary regex op requires an expression on the left
+            prev = significant(tokens, i, -1)
+            if prev < 0 or not (
+                tokens[prev].kind in (IDENT, QIDENT, NUMBER, STRING, DOLLAR,
+                                      PARAM)
+                or (tokens[prev].kind == PUNCT and tokens[prev].text in (")", "]"))
+            ):
+                i += 1
+                continue
+            neg = t.text.startswith("!")
+            ci = t.text.endswith("*")
+            repl: list[Token] = []
+            if neg:
+                repl += [Token(IDENT, "NOT"), Token(WS, " ")]
+            repl += [Token(IDENT, "RLIKE")]
+            pat_idx = significant(tokens, i)
+            if ci and pat_idx >= 0:
+                pat_repl = _ci_pattern(tokens, pat_idx)
+                tokens[pat_idx:pat_idx + 1] = pat_repl
+            tokens[i:i + 1] = repl
+            i += len(repl)
+            continue
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Rule: x = ANY(arr) -> array_contains(arr, x);  x <> ALL(arr) -> NOT ...
+# (sql/rules.rs:304-449).  Subquery argument keeps IN / NOT IN semantics.
+
+def rewrite_any_all(tokens: list[Token]) -> list[Token]:
+    i = 0
+    tokens = list(tokens)
+    while i < len(tokens):
+        t = tokens[i]
+        if not (t.is_kw("ANY", "ALL", "SOME")):
+            i += 1
+            continue
+        op_idx = significant(tokens, i, -1)
+        if op_idx < 0 or tokens[op_idx].kind != OP or tokens[op_idx].text not in (
+                "=", "<>", "!="):
+            i += 1
+            continue
+        open_idx = significant(tokens, i)
+        if open_idx < 0 or tokens[open_idx].text != "(":
+            i += 1
+            continue
+        close_idx = _match_fwd(tokens, open_idx)
+        if close_idx < 0:
+            i += 1
+            continue
+        is_eq = tokens[op_idx].text == "="
+        kw = t.text.upper()
+        # consistency: = ANY / = SOME (membership), <> ALL (non-membership)
+        if (is_eq and kw == "ALL") or (not is_eq and kw in ("ANY", "SOME")):
+            i += 1
+            continue
+        lhs_start = _expr_start(tokens, op_idx)
+        lhs = tokens[lhs_start:op_idx]
+        while lhs and lhs[-1].kind == WS:
+            lhs.pop()
+        arg = tokens[open_idx + 1:close_idx]
+        first_arg = significant(arg, -1)
+        is_subquery = first_arg >= 0 and arg[first_arg].is_kw("SELECT", "WITH",
+                                                             "VALUES")
+        if is_subquery:
+            repl = lhs + [Token(WS, " ")]
+            if not is_eq:
+                repl += [Token(IDENT, "NOT"), Token(WS, " ")]
+            repl += [Token(IDENT, "IN"), Token(WS, " "), Token(PUNCT, "(")]
+            repl += arg + [Token(PUNCT, ")")]
+        else:
+            repl = []
+            if not is_eq:
+                repl += [Token(IDENT, "NOT"), Token(WS, " ")]
+            repl += [Token(IDENT, "array_contains"), Token(PUNCT, "(")]
+            repl += arg + [Token(PUNCT, ","), Token(WS, " ")] + lhs
+            repl += [Token(PUNCT, ")")]
+        tokens[lhs_start:close_idx + 1] = repl
+        i = lhs_start + len(repl)
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Rule: '{a,b,c}' array literals -> array('a','b','c')  (sql/rules.rs:504-573)
+# Applied where a pg array-literal string feeds array context: inside
+# array_contains(...) (post ANY/ALL rewrite) or cast with ::type[].
+
+PG_ELEM_CASTS = {"int2": "smallint", "int4": "int", "int8": "bigint",
+                 "float4": "float", "float8": "double", "bool": "boolean",
+                 "text": "string", "varchar": "string", "name": "string",
+                 "oid": "int"}
+
+
+def _array_literal_tokens(text: str, elem_type: str | None) -> list[Token] | None:
+    body = text.strip()
+    if not (body.startswith("{") and body.endswith("}")):
+        return None
+    inner = body[1:-1].strip()
+    out: list[Token] = [Token(IDENT, "array"), Token(PUNCT, "(")]
+    if inner:
+        elems = _split_pg_array(inner)
+        if elems is None:
+            return None
+        for idx, e in enumerate(elems):
+            if idx:
+                out += [Token(PUNCT, ","), Token(WS, " ")]
+            if e.upper() == "NULL":
+                out.append(Token(IDENT, "NULL"))
+            elif elem_type and elem_type not in ("string", "text"):
+                out.append(Token(IDENT, f"CAST('{e}' AS {elem_type})"))
+            else:
+                e = e.strip('"')
+                out.append(Token(STRING, "'" + e.replace("'", "''") + "'"))
+    out.append(Token(PUNCT, ")"))
+    return out
+
+
+def _split_pg_array(inner: str) -> list[str] | None:
+    elems, cur, depth, in_q = [], [], 0, False
+    i = 0
+    while i < len(inner):
+        c = inner[i]
+        if in_q:
+            if c == "\\":
+                cur.append(inner[i + 1] if i + 1 < len(inner) else "")
+                i += 2
+                continue
+            if c == '"':
+                in_q = False
+            else:
+                cur.append(c)
+        elif c == '"':
+            in_q = True
+        elif c == "{":
+            return None  # nested arrays unsupported
+        elif c == "," and depth == 0:
+            elems.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    elems.append("".join(cur).strip())
+    return elems
+
+
+def fix_array_literals(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == STRING and t.text[0] == "'" and "{" in t.text[:3]:
+            raw = t.text[1:-1]
+            # determine element type from a following ::type[] cast
+            j = significant(tokens, i)
+            elem_type, cast_end = None, None
+            if j >= 0 and tokens[j].kind == OP and tokens[j].text == "::":
+                k = significant(tokens, j)
+                if k >= 0 and tokens[k].kind == IDENT:
+                    m = significant(tokens, k)
+                    if m >= 0 and tokens[m].text == "[":
+                        mm = significant(tokens, m)
+                        if mm >= 0 and tokens[mm].text == "]":
+                            elem_type = PG_ELEM_CASTS.get(
+                                tokens[k].text.lower(), tokens[k].text.lower())
+                            cast_end = mm
+            arr = _array_literal_tokens(raw, elem_type)
+            if arr is not None and (cast_end is not None or
+                                    _in_array_context(tokens, i)):
+                end = cast_end + 1 if cast_end is not None else i + 1
+                tokens[i:end] = arr
+                i += len(arr)
+                continue
+        i += 1
+    return tokens
+
+
+def _in_array_context(tokens: list[Token], idx: int) -> bool:
+    """True when the string literal is the first argument of
+    array_contains(...) produced by rewrite_any_all, or an unnest(...) arg."""
+    prev = significant(tokens, idx, -1)
+    if prev < 0 or tokens[prev].text != "(":
+        return False
+    fn = significant(tokens, prev, -1)
+    return fn >= 0 and tokens[fn].kind == IDENT and tokens[fn].text.lower() in (
+        "array_contains", "unnest", "explode")
+
+
+# ---------------------------------------------------------------------------
+# Rule: strip pg_catalog./public. qualifier from function calls
+# (sql/rules.rs:575-640)
+
+def strip_callable_qualifier(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_kw("PG_CATALOG", "PUBLIC"):
+            dot = significant(tokens, i)
+            if dot >= 0 and tokens[dot].kind == PUNCT and tokens[dot].text == ".":
+                name = significant(tokens, dot)
+                if name >= 0 and tokens[name].kind in (IDENT, QIDENT):
+                    paren = significant(tokens, name)
+                    if paren >= 0 and tokens[paren].text == "(":
+                        del tokens[i:name]
+                        continue
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Rule: bare current_user / session_user / current_role / current_schema /
+# current_catalog -> function-call forms  (sql/rules.rs:642-769)
+
+_SESSION_VARS = {
+    "CURRENT_USER": "pg_session_user()",
+    "SESSION_USER": "pg_session_user()",
+    "CURRENT_ROLE": "pg_session_user()",
+    "CURRENT_SCHEMA": "pg_current_schema()",
+    "CURRENT_CATALOG": "pg_current_database()",
+    "CURRENT_DATABASE": "pg_current_database()",
+}
+
+
+def rewrite_session_vars(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    for i, t in enumerate(tokens):
+        if t.kind == IDENT and t.text.upper() in _SESSION_VARS:
+            nxt = significant(tokens, i)
+            prev = significant(tokens, i, -1)
+            if nxt >= 0 and tokens[nxt].text == "(":
+                continue  # already a call
+            if prev >= 0 and tokens[prev].kind == PUNCT and tokens[prev].text == ".":
+                continue  # qualified column
+            tokens[i] = Token(IDENT, _SESSION_VARS[t.text.upper()])
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Rule: reg* casts  (sql/rules.rs:859-1062 + oid_type_planner.rs)
+#   'name'::regclass  -> scalar subquery against pg_class
+#   '123'::regclass   -> 123
+#   col::regtype      -> CAST(col AS INT)
+
+REG_TYPES = {"regclass": ("pg_catalog_pg_class", "relname", "oid"),
+             "regtype": ("pg_catalog_pg_type", "typname", "oid"),
+             "regproc": ("pg_catalog_pg_proc", "proname", "oid"),
+             "regnamespace": ("pg_catalog_pg_namespace", "nspname", "oid"),
+             "regrole": ("pg_catalog_pg_roles", "rolname", "oid"),
+             "regoper": ("pg_catalog_pg_operator", "oprname", "oid")}
+
+
+def rewrite_reg_casts(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == OP and t.text == "::":
+            ty_idx = significant(tokens, i)
+            if ty_idx >= 0 and tokens[ty_idx].kind == IDENT and \
+                    tokens[ty_idx].text.lower() in REG_TYPES:
+                table, name_col, oid_col = REG_TYPES[tokens[ty_idx].text.lower()]
+                lhs_idx = significant(tokens, i, -1)
+                if lhs_idx >= 0 and tokens[lhs_idx].kind == STRING:
+                    val = tokens[lhs_idx].text[1:-1]
+                    if val.isdigit():
+                        repl = [Token(NUMBER, val)]
+                    else:
+                        # strip schema qualifier inside the literal
+                        short = val.split(".")[-1].strip('"')
+                        repl = _toks(
+                            f"(SELECT {oid_col} FROM {table} "
+                            f"WHERE {name_col} = '{short}' LIMIT 1)")
+                    tokens[lhs_idx:ty_idx + 1] = repl
+                    i = lhs_idx + len(repl)
+                    continue
+                # column::regtype -> CAST(col AS INT)
+                start = _expr_start(tokens, i)
+                expr = [x for x in tokens[start:i]]
+                repl = ([Token(IDENT, "CAST"), Token(PUNCT, "(")] + expr +
+                        [Token(WS, " "), Token(IDENT, "AS"), Token(WS, " "),
+                         Token(IDENT, "INT"), Token(PUNCT, ")")])
+                tokens[start:ty_idx + 1] = repl
+                i = start + len(repl)
+                continue
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Rule: Postgres type names -> Spark type names (in :: casts and CAST(.. AS ..))
+# (arrow-pg/src/datatypes.rs:23-125 inverse mapping, SURVEY.md §1.2)
+
+PG_TO_SPARK_TYPES = {
+    "int2": "SMALLINT", "smallint": "SMALLINT",
+    "int4": "INT", "integer": "INT", "int": "INT",
+    "int8": "BIGINT", "bigint": "BIGINT",
+    "float4": "FLOAT", "real": "FLOAT",
+    "float8": "DOUBLE",
+    "bool": "BOOLEAN", "boolean": "BOOLEAN",
+    "text": "STRING", "varchar": "STRING", "bpchar": "STRING",
+    "char": "STRING", "name": "STRING",
+    "bytea": "BINARY",
+    "numeric": "DECIMAL(38,18)", "decimal": "DECIMAL(38,18)",
+    "timestamptz": "TIMESTAMP",
+    "timestamp": "TIMESTAMP_NTZ",
+    "date": "DATE",
+    "oid": "INT",
+    "uuid": "STRING", "json": "STRING", "jsonb": "STRING",
+    "inet": "STRING", "macaddr": "STRING", "money": "DECIMAL(19,2)",
+}
+
+
+_INT_TARGETS = {"int2": "SMALLINT", "smallint": "SMALLINT",
+                "int4": "INT", "integer": "INT", "int": "INT",
+                "int8": "BIGINT", "bigint": "BIGINT", "oid": "INT"}
+
+
+def map_cast_types(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == OP and t.text == "::":
+            ty = significant(tokens, i)
+            if ty >= 0 and tokens[ty].kind == IDENT:
+                low = tokens[ty].text.lower()
+                # "double precision" / "timestamp with[out] time zone"
+                nxt = significant(tokens, ty)
+                if low == "double" and nxt >= 0 and tokens[nxt].is_kw("PRECISION"):
+                    tokens[ty:nxt + 1] = [Token(IDENT, "DOUBLE")]
+                elif low == "timestamp" and nxt >= 0 and tokens[nxt].is_kw("WITH", "WITHOUT"):
+                    with_tz = tokens[nxt].is_kw("WITH")
+                    end = nxt
+                    for _ in range(2):  # TIME ZONE
+                        e = significant(tokens, end)
+                        if e >= 0:
+                            end = e
+                    tokens[ty:end + 1] = [Token(
+                        IDENT, "TIMESTAMP" if with_tz else "TIMESTAMP_NTZ")]
+                elif low in _INT_TARGETS:
+                    # Postgres float->int casts round HALF-EVEN (rint);
+                    # Spark CAST truncates. expr::int8 ->
+                    # CAST(rint(expr) AS BIGINT). Caveat: rint goes through
+                    # double, so bigint values > 2^53 would lose precision —
+                    # acceptable for the cast-a-float/string use this syntax
+                    # serves (PG itself computes via rint).
+                    start = _expr_start(tokens, i)
+                    expr = tokens[start:i]
+                    repl = ([Token(IDENT, "CAST"), Token(PUNCT, "("),
+                             Token(IDENT, "rint"), Token(PUNCT, "(")] +
+                            expr +
+                            [Token(PUNCT, ")"), Token(WS, " "),
+                             Token(IDENT, "AS"), Token(WS, " "),
+                             Token(IDENT, _INT_TARGETS[low]),
+                             Token(PUNCT, ")")])
+                    tokens[start:ty + 1] = repl
+                    i = start + len(repl)
+                    continue
+                elif low in PG_TO_SPARK_TYPES:
+                    # keep numeric(p,s) parenthesized forms intact
+                    if low in ("numeric", "decimal") and nxt >= 0 and \
+                            tokens[nxt].text == "(":
+                        tokens[ty] = Token(IDENT, "DECIMAL")
+                    else:
+                        tokens[ty] = Token(IDENT, PG_TO_SPARK_TYPES[low])
+        elif t.is_kw("AS"):
+            # CAST(x AS pgtype) — only rewrite when directly inside CAST()
+            ty = significant(tokens, i)
+            if ty >= 0 and tokens[ty].kind == IDENT and _inside_cast(tokens, i):
+                low = tokens[ty].text.lower()
+                nxt = significant(tokens, ty)
+                if low == "double" and nxt >= 0 and tokens[nxt].is_kw("PRECISION"):
+                    tokens[ty:nxt + 1] = [Token(IDENT, "DOUBLE")]
+                elif low in PG_TO_SPARK_TYPES:
+                    if low in ("numeric", "decimal") and nxt >= 0 and \
+                            tokens[nxt].text == "(":
+                        tokens[ty] = Token(IDENT, "DECIMAL")
+                    else:
+                        tokens[ty] = Token(IDENT, PG_TO_SPARK_TYPES[low])
+        i += 1
+    return tokens
+
+
+def _inside_cast(tokens: list[Token], as_idx: int) -> bool:
+    depth = 0
+    for i in range(as_idx - 1, -1, -1):
+        t = tokens[i]
+        if t.kind == PUNCT and t.text == ")":
+            depth += 1
+        elif t.kind == PUNCT and t.text == "(":
+            if depth == 0:
+                fn = significant(tokens, i, -1)
+                return fn >= 0 and tokens[fn].is_kw("CAST", "TRY_CAST")
+            depth -= 1
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Rule: qualify known pg_catalog / information_schema tables to our
+# registered view names  (sql/rules.rs:451-502 PrependUnqualifiedPgTableName)
+# Spark temp views are flat, so `pg_catalog.pg_class` -> `pg_catalog_pg_class`.
+
+from datafusion_postgres_spark.catalog.names import (  # noqa: E402
+    INFORMATION_SCHEMA_TABLES, PG_CATALOG_TABLES)
+
+
+def rewrite_catalog_names(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == IDENT and t.text.lower() in ("pg_catalog",
+                                                  "information_schema"):
+            dot = significant(tokens, i)
+            if dot >= 0 and tokens[dot].kind == PUNCT and tokens[dot].text == ".":
+                name = significant(tokens, dot)
+                if name >= 0 and tokens[name].kind in (IDENT, QIDENT):
+                    paren = significant(tokens, name)
+                    if paren >= 0 and tokens[paren].text == "(":
+                        i += 1
+                        continue  # function call; other rule strips it
+                    nm = tokens[name].text.strip('"').lower()
+                    tokens[i:name + 1] = [
+                        Token(IDENT, f"{t.text.lower()}_{nm}")]
+                    continue
+        elif t.kind == IDENT and t.text.lower() in PG_CATALOG_TABLES:
+            prev = significant(tokens, i, -1)
+            nxt = significant(tokens, i)
+            if prev >= 0 and tokens[prev].kind == PUNCT and tokens[prev].text == ".":
+                i += 1
+                continue
+            if nxt >= 0 and tokens[nxt].text == "(":
+                i += 1
+                continue
+            # only in table position: previous significant is FROM/JOIN/, etc.
+            if prev >= 0 and (tokens[prev].is_kw("FROM", "JOIN", "INTO",
+                                                 "UPDATE", "TABLE", "LATERAL")
+                              or tokens[prev].text == ","):
+                tokens[i] = Token(IDENT, f"pg_catalog_{t.text.lower()}")
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Rule: version() -> pg_version() [AS version]   (sql/rules.rs:1195-1230)
+
+def rewrite_version(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == IDENT and t.text.lower() == "version":
+            paren = significant(tokens, i)
+            prev = significant(tokens, i, -1)
+            if paren >= 0 and tokens[paren].text == "(" and not (
+                    prev >= 0 and tokens[prev].text == "."):
+                close = _match_fwd(tokens, paren)
+                inner = [x for x in tokens[paren + 1:close] if x.kind != WS]
+                if close >= 0 and not inner:
+                    after = significant(tokens, close)
+                    needs_alias = (after < 0 or tokens[after].text == "," or
+                                   tokens[after].is_kw("FROM", "LIMIT"))
+                    repl = _toks("pg_version()")
+                    if needs_alias and not (after >= 0 and
+                                            tokens[after].is_kw("AS")):
+                        repl += _toks(" AS version")
+                    tokens[i:close + 1] = repl
+                    i += len(repl)
+                    continue
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Rule: Postgres function names Spark spells differently — pure renames.
+# (functions.md roadmap; Spark-native equivalents, SURVEY.md §2.9 tail)
+
+FUNCTION_RENAMES = {
+    "strpos": "instr",
+    "array_to_string": "array_join",
+    "array_length": "pg_array_length",     # registered SQL UDF (dim-aware)
+    "array_upper": "pg_array_upper",
+    "array_lower": "pg_array_lower",
+    "string_to_array": "pg_string_to_array",
+    "unnest": "explode",
+    "to_regclass": "pg_to_regclass",
+    "obj_description": "pg_obj_description",
+    "col_description": "pg_col_description",
+    "current_schema": "pg_current_schema",
+    "current_schemas": "pg_current_schemas",
+    "session_user": "pg_session_user",
+    "current_database": "pg_current_database",
+}
+
+# set-returning functions: table-valued in FROM position (SQL UDTF),
+# explode(sequence(...)) in projection position
+_SRF = {"generate_series": "pg_generate_series",
+        "generate_subscripts": "pg_generate_subscripts"}
+
+
+def rename_functions(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        low = t.text.lower() if t.kind == IDENT else ""
+        nxt = significant(tokens, i)
+        prev = significant(tokens, i, -1)
+        is_call = (low and nxt >= 0 and tokens[nxt].text == "(" and not
+                   (prev >= 0 and tokens[prev].text == "."))
+        if is_call and low in FUNCTION_RENAMES:
+            tokens[i] = Token(IDENT, FUNCTION_RENAMES[low])
+        elif is_call and low == "pg_get_keywords":
+            # table function backed by a static view: drop the () pair
+            tokens[i] = Token(IDENT, "pg_catalog_pg_get_keywords")
+            close = _match_fwd(tokens, nxt)
+            if close == significant(tokens, nxt):
+                del tokens[nxt:close + 1]
+        elif is_call and low in _SRF:
+            in_from = prev >= 0 and (
+                tokens[prev].is_kw("FROM", "JOIN", "LATERAL") or
+                tokens[prev].text == ",") and _table_position(tokens, prev)
+            if in_from or low != "generate_series":
+                tokens[i] = Token(IDENT, _SRF[low])
+            else:
+                # projection position: explode(sequence(args))
+                close = _match_fwd(tokens, nxt)
+                if close >= 0:
+                    tokens.insert(close + 1, Token(PUNCT, ")"))
+                    tokens[i] = Token(IDENT, "explode(sequence")
+        i += 1
+    return tokens
+
+
+def _table_position(tokens: list[Token], sep_idx: int) -> bool:
+    """For a ',' separator, require that we're in a FROM list, not a
+    function-argument or projection list: nearest enclosing context must not
+    be an open paren."""
+    if tokens[sep_idx].text != ",":
+        return True
+    depth = 0
+    for i in range(sep_idx, -1, -1):
+        t = tokens[i]
+        if t.kind == PUNCT and t.text == ")":
+            depth += 1
+        elif t.kind == PUNCT and t.text == "(":
+            if depth == 0:
+                return False
+            depth -= 1
+        elif depth == 0 and t.is_kw("FROM"):
+            return True
+        elif depth == 0 and t.is_kw("SELECT", "WHERE", "HAVING", "ON"):
+            return False
+    return False
+
+
+# Rule order mirrors sql/parser.rs:314-334 where a counterpart exists.
+ALL_RULES = [
+    rewrite_abort,
+    rewrite_pg_operator,
+    rewrite_any_all,
+    fix_array_literals,
+    rewrite_catalog_names,
+    strip_callable_qualifier,
+    rewrite_session_vars,
+    strip_collate,
+    rewrite_regex_ops,
+    rewrite_reg_casts,
+    map_cast_types,
+    rewrite_version,
+    rename_functions,
+]

@@ -1,0 +1,1 @@
+from datafusion_postgres_spark.functions.registry import register_all  # noqa: F401

@@ -1,0 +1,195 @@
+"""Postgres built-in functions Spark lacks.
+
+Reference parity: ``datafusion-pg-functions`` (18 math UDFs,
+``src/lib.rs:165-248``; per-function files under ``src/numeric/``) and the
+catalog/system UDFs of ``datafusion-pg-catalog``
+(``pg_catalog.rs:1508-1546``, SURVEY.md §2.9).
+
+Spark-first: everything expressible as an expression is a **SQL UDF**
+(``CREATE TEMPORARY FUNCTION … RETURN expr``) — Catalyst inlines the body
+into the plan, so these run JVM-side inside whole-stage codegen with zero
+Python transfer. Only erf/erfc/gamma/lgamma need a vectorized Pandas UDF
+(Arrow-batched), mirroring the reference's ``src/numeric/special.rs``.
+
+Spark has native equivalents for much of the reference's math surface:
+``ceiling``/``sign``/``mod``/``div``/``width_bucket``/``string_agg`` all
+exist in Spark 4 under the same names (math.slt parity via tests).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+# name -> (args, return type, body). Dispatched once per session.
+SQL_UDFS: list[tuple[str, str, str, str]] = [
+    # -- degree trigonometry (reference: src/numeric/degree_trig.rs) -------
+    ("sind", "x DOUBLE", "DOUBLE", "sin(radians(x))"),
+    ("cosd", "x DOUBLE", "DOUBLE", "cos(radians(x))"),
+    ("tand", "x DOUBLE", "DOUBLE",
+     # PG returns Infinity at odd multiples of 90, NULL for NULL
+     "CASE WHEN x IS NULL THEN NULL "
+     "WHEN mod(cast(x as double), 180.0D) = 90.0D THEN double('Infinity') "
+     "WHEN mod(cast(x as double), 180.0D) = -90.0D THEN double('-Infinity') "
+     "ELSE tan(radians(x)) END"),
+    ("cotd", "x DOUBLE", "DOUBLE",
+     "CASE WHEN x IS NULL THEN NULL "
+     "WHEN mod(cast(x as double), 180.0D) = 0.0D THEN double('Infinity') "
+     "WHEN mod(cast(x as double), 90.0D) = 0.0D THEN 0.0D "
+     "ELSE cos(radians(x))/sin(radians(x)) END"),
+    ("asind", "x DOUBLE", "DOUBLE", "degrees(asin(x))"),
+    ("acosd", "x DOUBLE", "DOUBLE", "degrees(acos(x))"),
+    ("atand", "x DOUBLE", "DOUBLE", "degrees(atan(x))"),
+    ("atan2d", "y DOUBLE, x DOUBLE", "DOUBLE", "degrees(atan2(y, x))"),
+    # -- random_normal (src/numeric/random_normal.rs) ----------------------
+    ("random_normal", "mean DOUBLE DEFAULT 0.0D, stddev DOUBLE DEFAULT 1.0D",
+     "DOUBLE", "randn() * stddev + mean"),
+    # -- pg div/mod semantics: NULL (not error) on zero divisor
+    #    (tests/sqllogictest/math.slt:17-18; src/numeric/{div,mod_op}.rs)
+    ("pg_div", "y BIGINT, x BIGINT", "BIGINT",
+     "CASE WHEN x = 0 THEN NULL ELSE div(y, x) END"),
+    ("pg_mod", "y BIGINT, x BIGINT", "BIGINT",
+     "CASE WHEN x = 0 THEN NULL ELSE y % x END"),
+    # -- session / catalog constants (pg_catalog.rs:1508-1546) -------------
+    ("pg_version", "", "STRING",
+     "'PostgreSQL 15.0 (datafusion-postgres-spark 0.1.0 on Apache Spark)'"),
+    ("pg_session_user", "", "STRING", "'postgres'"),
+    ("pg_current_schema", "", "STRING", "'public'"),
+    ("pg_current_database", "", "STRING", "'postgres'"),
+    ("pg_current_schemas", "include_implicit BOOLEAN DEFAULT false",
+     "ARRAY<STRING>",
+     "CASE WHEN include_implicit THEN array('pg_catalog', 'public') "
+     "ELSE array('public') END"),
+    ("pg_get_userbyid", "id BIGINT", "STRING", "'postgres'"),
+    ("pg_table_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_get_expr", "expr STRING, relid BIGINT, pretty BOOLEAN DEFAULT false",
+     "STRING", "''"),
+    ("pg_encoding_to_char", "id BIGINT", "STRING",
+     "CASE WHEN id = 6 THEN 'UTF8' ELSE 'SQL_ASCII' END"),
+    ("pg_backend_pid", "", "INT", "42"),
+    ("pg_relation_size", "id BIGINT", "BIGINT", "0"),
+    ("pg_total_relation_size", "id BIGINT", "BIGINT", "0"),
+    ("pg_stat_get_numscans", "id BIGINT", "BIGINT", "0"),
+    ("pg_get_constraintdef", "id BIGINT, pretty BOOLEAN DEFAULT false",
+     "STRING", "NULL"),
+    ("pg_get_partkeydef", "id BIGINT", "STRING", "NULL"),
+    ("pg_relation_is_publishable", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_get_statisticsobjdef_columns", "id BIGINT", "STRING", "NULL"),
+    ("pg_to_regclass", "name STRING", "BIGINT",
+     "(SELECT oid FROM pg_catalog_pg_class WHERE relname = name LIMIT 1)"),
+    ("pg_obj_description",
+     "id BIGINT, catalog STRING DEFAULT 'pg_class'", "STRING", "NULL"),
+    ("pg_col_description", "id BIGINT, colnum INT", "STRING", "NULL"),
+    ("has_table_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_schema_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_any_column_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_database_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    # -- identifier quoting (pg_catalog/quote_ident_udf.rs) ----------------
+    ("quote_ident", "s STRING", "STRING",
+     "CASE WHEN s IS NULL THEN NULL "
+     "WHEN s RLIKE '^[a-z_][a-z0-9_$]*$' THEN s "
+     "ELSE concat('\"', replace(s, '\"', '\"\"'), '\"') END"),
+    ("quote_literal", "s STRING", "STRING",
+     "CASE WHEN s IS NULL THEN NULL "
+     "ELSE concat('''', replace(s, '''', ''''''), '''') END"),
+    ("parse_ident", "s STRING, strict BOOLEAN DEFAULT true", "ARRAY<STRING>",
+     "transform(split(s, '\\\\.'), "
+     "x -> regexp_replace(trim(x), '^\"|\"$', ''))"),
+    # -- array bounds (pg_catalog/array_bounds_udf.rs: lower=1, upper=len) -
+    ("pg_array_length", "arr ARRAY<STRING>, dim INT DEFAULT 1", "INT",
+     "CASE WHEN dim = 1 AND size(arr) > 0 THEN size(arr) ELSE NULL END"),
+    ("pg_array_upper", "arr ARRAY<STRING>, dim INT DEFAULT 1", "INT",
+     "CASE WHEN dim = 1 AND size(arr) > 0 THEN size(arr) ELSE NULL END"),
+    ("pg_array_lower", "arr ARRAY<STRING>, dim INT DEFAULT 1", "INT",
+     "CASE WHEN dim = 1 AND size(arr) > 0 THEN 1 ELSE NULL END"),
+    ("pg_string_to_array", "s STRING, delim STRING", "ARRAY<STRING>",
+     "CASE WHEN s IS NULL THEN NULL "
+     "WHEN delim IS NULL THEN split(s, '') "
+     "WHEN delim = '' THEN array(s) "
+     "ELSE split(s, concat('\\\\Q', delim, '\\\\E')) END"),
+    # -- format_type(oid, typmod)  (pg_catalog/format_type.rs) -------------
+    ("format_type", "id BIGINT, typmod INT DEFAULT NULL", "STRING",
+     "CASE id WHEN 16 THEN 'boolean' WHEN 17 THEN 'bytea' "
+     "WHEN 18 THEN '\"char\"' WHEN 19 THEN 'name' WHEN 20 THEN 'bigint' "
+     "WHEN 21 THEN 'smallint' WHEN 23 THEN 'integer' WHEN 25 THEN 'text' "
+     "WHEN 26 THEN 'oid' WHEN 700 THEN 'real' "
+     "WHEN 701 THEN 'double precision' WHEN 1042 THEN 'character' "
+     "WHEN 1043 THEN 'character varying' WHEN 1082 THEN 'date' "
+     "WHEN 1083 THEN 'time without time zone' "
+     "WHEN 1114 THEN 'timestamp without time zone' "
+     "WHEN 1184 THEN 'timestamp with time zone' WHEN 1186 THEN 'interval' "
+     "WHEN 1700 THEN 'numeric' WHEN 2205 THEN 'regclass' "
+     "WHEN 2206 THEN 'regtype' WHEN 114 THEN 'json' WHEN 3802 THEN 'jsonb' "
+     "WHEN 2950 THEN 'uuid' ELSE '???' END"),
+]
+
+# Table-valued SQL UDFs (Spark 4 SQL UDTF): used in FROM position.
+SQL_UDTFS: list[tuple[str, str, str, str]] = [
+    ("pg_generate_series",
+     "start BIGINT, stop BIGINT, step BIGINT DEFAULT 1",
+     "TABLE(generate_series BIGINT)",
+     "SELECT explode(sequence(start, stop, step))"),
+    ("pg_generate_subscripts", "arr ARRAY<STRING>, dim INT DEFAULT 1",
+     "TABLE(generate_subscripts INT)",
+     "SELECT explode(sequence(1, size(arr)))"),
+]
+
+_REGISTERED_SESSIONS: set[int] = set()
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every engine function into the session (idempotent)."""
+    key = id(spark)
+    if key in _REGISTERED_SESSIONS:
+        return
+    # pg_to_regclass's body references pg_catalog_pg_class — SQL UDF bodies
+    # are analyzed at CREATE time, so the catalog views must exist first.
+    from datafusion_postgres_spark.catalog.pg_catalog import bootstrap
+    bootstrap(spark)
+    for name, args, ret, body in SQL_UDFS:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+                  f"RETURNS {ret} RETURN {body}")
+    for name, args, ret, body in SQL_UDTFS:
+        try:
+            spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+                      f"RETURNS {ret} RETURN {body}")
+        except Exception:
+            pass  # SQL UDTF unsupported — explode(sequence()) covers SELECT pos
+    _register_special_math(spark)
+    _REGISTERED_SESSIONS.add(key)
+
+
+def _register_special_math(spark: SparkSession) -> None:
+    """erf / erfc / gamma / lgamma — vectorized Pandas UDFs.
+
+    Reference: ``datafusion-pg-functions/src/numeric/special.rs``. No JVM
+    builtin exists; Arrow-batched Pandas UDFs keep transfer columnar. NaN/
+    pole inputs yield NULL like the reference's error-free math.slt rows.
+    """
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def _vec(fn):
+        def one(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return None
+            try:
+                return fn(float(v))
+            except (ValueError, OverflowError):
+                return None
+
+        def apply(s: pandas.Series) -> pandas.Series:
+            return s.map(one)
+
+        apply.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+        return apply
+
+    spark.udf.register("erf", pandas_udf(_vec(math.erf), "double"))
+    spark.udf.register("erfc", pandas_udf(_vec(math.erfc), "double"))
+    spark.udf.register("gamma", pandas_udf(_vec(math.gamma), "double"))
+    spark.udf.register("lgamma", pandas_udf(_vec(math.lgamma), "double"))

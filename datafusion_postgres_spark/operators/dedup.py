@@ -1,0 +1,228 @@
+"""Deduplication operators (exact + near-dup) for training-data pipelines.
+
+Scale design notes (100 TB / 1000 executors):
+  * Exact dedup is one hash-shuffle on the normalized text (or its
+    fingerprint — shuffling a 64-bit key instead of full text bodies keeps
+    shuffle volume ~constant per row).
+  * MinHash+LSH: per-row signature computation is a single codegen'd
+    projection (no shuffle); candidate generation shuffles (band_id,
+    band_hash) key pairs — rows only meet if they collide in a band, so the
+    join fan-out is bounded by collision rate, not n².
+  * N-gram Jaccard verification joins only candidate pairs, never the full
+    cross product. The standalone `ngram_jaccard_pairs` uses shared-ngram
+    blocking: the self-join key is the ngram fingerprint, and AQE's skew
+    handling splits hot ngrams.
+  * All hashes are explicit polynomial/LCG arithmetic — deterministic
+    across engines (DuckDB oracle) and across Spark versions (no murmur
+    seed dependence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from datafusion_postgres_spark.operators.text import (
+    FP_MOD, norm_text, word_fingerprint, words,
+)
+
+# LCG parameters for the k minhash permutations: h_i(x) = (a_i*x + b_i) % P
+MH_PRIME = 2_147_483_647  # 2^31-1 (Mersenne)
+
+
+def _mh_params(k: int) -> list[tuple[int, int]]:
+    # deterministic parameter schedule (no RNG: reproducible everywhere)
+    return [((2 * i + 1) * 104_729 % MH_PRIME,
+             (i * 7_919 + 1_299_709) % MH_PRIME) for i in range(k)]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents.
+
+    One shuffle on the normalized text. Returns cluster representative
+    (min id), cluster size."""
+    return (docs
+            .select(F.col(id_col), norm_text(F.col(text_col)).alias("norm"))
+            .groupBy("norm")
+            .agg(F.min(id_col).alias("representative"),
+                 F.count("*").alias("n_dups"))
+            .select("representative", "n_dups"))
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per normalized text."""
+    w_min = (docs
+             .select(F.col(id_col).alias("keep_id"),
+                     norm_text(F.col(text_col)).alias("norm")))
+    keep = (w_min.groupBy("norm").agg(F.min("keep_id").alias("keep_id"))
+            .select("keep_id"))
+    return docs.join(keep, docs[id_col] == keep["keep_id"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """(id, shingle_hash) pairs — distinct word n-grams per doc, each hashed
+    with the portable polynomial hash."""
+    ws = words(norm_text(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+    exploded = (docs.select(F.col(id_col).alias("id"),
+                            F.explode(F.array_distinct(grams)).alias("gram"))
+                .where(F.col("gram") != ""))
+    return exploded.select("id",
+                           word_fingerprint(F.col("gram")).alias("gram_hash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Blocking: the self-join runs on shared shingle hashes, so only documents
+    sharing at least one n-gram ever meet. Output: (id_a, id_b, inter_n,
+    union_n, jaccard) with id_a < id_b.
+    """
+    sh = shingles(docs, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col("id").alias("id_a"), "gram_hash")
+    b = sh.select(F.col("id").alias("id_b"), "gram_hash")
+    inter = (a.join(b, "gram_hash")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("inter_n")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (inter.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("union_n", F.col("size_a") + F.col("size_b") - F.col("inter_n"))
+           .withColumn("jaccard", F.col("inter_n") / F.col("union_n"))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "inter_n", "union_n",
+                   F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       k: int = 32) -> DataFrame:
+    """(id, sig ARRAY<BIGINT> of length k) minhash signatures.
+
+    Shuffle profile: one groupBy(id) over the shingle explode; the k
+    permutations are computed as k aggregations over the same shuffled
+    data (single pass, map-side partial min)."""
+    sh = shingles(docs, text_col, id_col, n)
+    aggs = [F.min((F.col("gram_hash") * a + b) % MH_PRIME).alias(f"h{i}")
+            for i, (a, b) in enumerate(_mh_params(k))]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3, k: int = 32,
+                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures,
+    verified with exact n-gram Jaccard.
+
+    bands=8 × rows=4 over k=32 → collision prob ≈ 1-(1-s^4)^8: s=0.5 →
+    ~0.39, s=0.8 → ~0.97. Only banded collisions are verified."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, text_col, id_col, n, k)
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.aggregate(
+                         F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                         F.lit(0).cast("long"),
+                         lambda acc, x: (acc * 31 + x) % FP_MOD
+                     ).alias("band_hash"))
+            for bi in range(bands)])).alias("bh"))
+    cand = (banded.alias("x").join(
+                banded.alias("y"),
+                (F.col("x.bh") == F.col("y.bh")) &
+                (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct())
+    # verify candidates with exact jaccard over per-doc shingle sets
+    sh = shingles(docs, text_col, id_col, n)
+    per_doc = sh.groupBy("id").agg(F.collect_set("gram_hash").alias("grams"))
+    ga = per_doc.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = per_doc.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = (cand.join(ga, "id_a").join(gb, "id_b")
+                .withColumn("inter_n",
+                            F.size(F.array_intersect("grams_a", "grams_b")))
+                .withColumn("union_n",
+                            F.size(F.array_union("grams_a", "grams_b")))
+                .withColumn("jaccard", F.col("inter_n") / F.col("union_n"))
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "inter_n", "union_n",
+                        F.round("jaccard", 6).alias("jaccard")))
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 48) -> DataFrame:
+    """Per-doc simhash: sign-sum of word-hash bits. Pure projection +
+    explode/groupBy; deterministic (portable word hash)."""
+    w = (docs.select(F.col(id_col).alias("id"),
+                     F.explode(words(norm_text(F.col(text_col)))).alias("w"))
+         .where(F.col("w") != "")
+         .select("id", word_fingerprint(F.col("w")).alias("h")))
+    bit_aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)]
+    per_doc = w.groupBy("id").agg(*bit_aggs)
+    sig = per_doc.select(
+        "id",
+        F.aggregate(
+            F.array(*[F.when(F.col(f"b{b}") > 0,
+                             F.lit(1).cast("long") * (2 ** b))
+                      .otherwise(F.lit(0).cast("long"))
+                      for b in range(bits)]),
+            F.lit(0).cast("long"), lambda acc, x: acc + x).alias("simhash"))
+    return sig
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 48,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on byte-chunks
+    (pigeonhole: distance<=6 over 4 chunks → at least one identical chunk)."""
+    sig = simhash(docs, text_col, id_col, bits).cache()
+    chunks = 6
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    blocked = sig.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(ci).alias("chunk"),
+                     F.shiftright("simhash", ci * chunk_bits)
+                      .bitwiseAND(mask).alias("ck"))
+            for ci in range(chunks)])).alias("b"))
+    cand = (blocked.alias("x").join(
+                blocked.alias("y"),
+                (F.col("x.b") == F.col("y.b")) &
+                (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("x.simhash").alias("sim_a"),
+                    F.col("y.id").alias("id_b"),
+                    F.col("y.simhash").alias("sim_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

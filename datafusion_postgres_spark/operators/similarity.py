@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Scale design:
+  * `cosine_topk_bruteforce` — the exact baseline. The query side is
+    `broadcast()` (it is top-k *for a small query set*, the common shape in
+    retrieval evals), so the big embedding table never shuffles: one
+    broadcast-nested-loop with a codegen'd dot product, then a per-query
+    top-k (window over qid — partitions = #queries, each tiny).
+  * `lsh_topk` — the scale path: random-hyperplane LSH buckets both sides;
+    candidates only meet within a bucket (shuffle keyed on (plane-bucket)),
+    turning O(N·Q) into O(collisions). Recall tunable via n_planes/n_tables.
+  * Dot products use `F.zip_with` + `F.aggregate` — JVM-side, no Python.
+    Deterministic left-to-right summation (stable across engines for the
+    DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label norm statistics — sanity profile of an embedding corpus."""
+    v = F.col(vec_col)
+    casted = F.transform(v, lambda x: x.cast("double"))
+    return (emb
+            .select("label", _norm(casted).alias("l2"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("l2"), 6).alias("avg_l2"),
+                 F.round(F.min("l2"), 6).alias("min_l2"),
+                 F.round(F.max("l2"), 6).alias("max_l2"))
+            .orderBy("label"))
+
+
+def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    `queries` has columns (qid, qvec). The query side is broadcast — the
+    corpus never shuffles; ranking shuffles only (qid, candidate) pairs."""
+    corpus = emb.select(F.col(id_col).alias("vec_id"),
+                        F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double")).alias("vec"))
+    q = queries.select("qid",
+                       F.transform(F.col("qvec"),
+                                   lambda x: x.cast("double")).alias("qvec"))
+    scored = (corpus.crossJoin(F.broadcast(q))
+              .where(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
+                              6).alias("cos_sim")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("qid", "vec_id", "cos_sim", "rnk"))
+
+
+# deterministic pseudo-random hyperplanes: plane p, dim d weight in {-1,+1}
+# from an LCG on (p*dim + d) — engine-portable, no RNG state.
+def _plane_sign(p, d):
+    x = (p * 1_103_515_245 + d * 12_345 + 42) % 2_147_483_647
+    return F.when(F.lit(x % 2) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket_expr(vec, n_planes: int, dims: int):
+    """Random-hyperplane signature: bit p = sign(sum_d vec[d]*w[p,d])."""
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec,
+                       F.array(*[_plane_sign(p, d) for d in range(dims)]),
+                       lambda x, w: x * w),
+            F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return F.aggregate(F.array(*bits), F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
+
+
+def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
+                    n_planes: int = 8, dims: int = 64,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At 100 TB the bucket column is computed once at ingest and the corpus is
+    bucketBy()-written on it, making this a bucket-pruned scan + local
+    top-k; here it is an equi-join on the signature."""
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
+    corpus = corpus.withColumn("bucket",
+                               lsh_bucket_expr(F.col("vec"), n_planes, dims))
+    q = queries.select(
+        "qid", F.transform(F.col("qvec"),
+                           lambda x: x.cast("double")).alias("qvec"))
+    q = q.withColumn("bucket", lsh_bucket_expr(F.col("qvec"), n_planes, dims))
+    scored = (corpus.join(F.broadcast(q), "bucket")
+              .where(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
+                              6).alias("cos_sim")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("qid", "vec_id", "cos_sim", "rnk"))

@@ -1,0 +1,118 @@
+"""Event-stream analytics over the ``events`` table (batch side of the
+streaming surface): time-bucket rollups, sessionization, pivots, JSON.
+
+events.ts is nanosecond parquet: Spark reads int64 + converts to µs
+(sources.registry.read_table); oracles CAST(ts AS TIMESTAMP) for the same
+truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from datafusion_postgres_spark.queries import register, t
+
+
+@register("events_hourly_rollup", oracle="""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+FROM events
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""")
+def events_hourly(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).cast("date").alias("day"),
+                F.hour("ts").alias("hour"),
+                "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(12,2)"))
+                 .cast("decimal(18,2)").alias("total_value"))
+            .orderBy("day", "hour", "event_type"))
+
+
+@register("events_sessionize", oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id ORDER BY user_id
+""")
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): the classic
+    lag → flag → running-sum pattern; one shuffle on user_id reused by both
+    windows (same partitioning)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast; go through LTZ (session tz UTC)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    marked = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"))
+    sess = marked.select(
+        "user_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"))
+    return (sess.groupBy("user_id")
+            .agg(F.countDistinct("session_id").cast("bigint").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
+@register("events_pivot_filter", oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup
+FROM events GROUP BY user_id ORDER BY user_id
+""")
+def events_pivot(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    aggs = [F.count_if(F.col("event_type") == v).alias(f"n_{v}")
+            for v in ("click", "view", "purchase", "error", "signup")]
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+@register("events_json_extract", oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE event_id < 100 ORDER BY event_id
+""")
+def events_json(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (ev.where(F.col("event_id") < 100)
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("bigint")
+                    .alias("k_val"))
+            .orderBy("event_id"))
+
+
+@register("events_dow_stats", oracle="""
+SELECT CAST(extract(dow FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def events_dow(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    # PG/DuckDB dow: 0=Sunday; Spark dayofweek: 1=Sunday
+    return (ev.groupBy((F.dayofweek("ts") - 1).alias("dow"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value"))
+            .orderBy("dow"))

@@ -1,0 +1,221 @@
+"""Training-data pipeline operators as registered queries: dedup,
+similarity search, text analysis (BASELINE.json north-star set).
+
+Oracles replicate the exact arithmetic (portable polynomial hashes, fixed
+stopword list) in DuckDB SQL — list lambdas make minhash/fingerprints
+SQL-expressible. SimHash is rows-only (bit-level fold is impractical in
+the oracle dialect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_postgres_spark.operators import dedup, similarity, text
+from datafusion_postgres_spark.queries import register, t
+
+_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as']"
+
+# DuckDB equivalents of the normalization + hash primitives
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+def _duck_hash(expr: str) -> str:
+    """DuckDB list_reduce polynomial hash of a string expr (matches
+    operators.text.word_fingerprint)."""
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split_regex({expr}, ''), "
+            f"c -> CAST(ord(c) AS BIGINT))), "
+            f"(acc, x) -> (acc * 31 + x) % 1000000007)")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+@register("text_token_stats", oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual,
+       ROUND(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> list_contains({_STOP_SQL}, w)))
+             / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1), 6)
+         AS stopword_ratio
+FROM documents ORDER BY doc_id
+""")
+def text_token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (docs.select(
+                "doc_id",
+                text.token_count(c).alias("n_tokens"),
+                F.length(c).alias("n_chars_actual"),
+                F.round(text.stopword_ratio(c), 6).alias("stopword_ratio"))
+            .orderBy("doc_id"))
+
+
+@register("text_fingerprint", oracle=f"""
+SELECT doc_id, {_duck_hash(_NORM)} AS fingerprint
+FROM documents ORDER BY doc_id
+""")
+def text_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        text.fingerprint(F.col("text")).alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+@register("text_lang_distribution", oracle=None)
+def text_lang_distribution(spark, sf_dir):
+    """Language-ID heuristic distribution (heuristic classes are engine-
+    specific regex classes — rows-only check)."""
+    docs = t(spark, sf_dir, "documents")
+    return (docs.select(text.lang_id(F.col("text")).alias("lang_pred"))
+            .groupBy("lang_pred").agg(F.count("*").alias("n"))
+            .orderBy("lang_pred"))
+
+
+@register("text_quality_buckets", oracle=None)
+def text_quality_buckets(spark, sf_dir):
+    """Composite quality score bucketed by decile (composite weights are
+    our own definition — rows-only)."""
+    docs = t(spark, sf_dir, "documents")
+    q = text.quality_score(F.col("text"))
+    return (docs.select(F.floor(q * 10).cast("int").alias("q_decile"))
+            .groupBy("q_decile").agg(F.count("*").alias("n"))
+            .orderBy("q_decile"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+@register("dedup_exact_groups", oracle=f"""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS representative,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY {_NORM} ORDER BY representative
+""")
+def dedup_exact_groups(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs).orderBy("representative")
+
+
+@register("dedup_ngram_jaccard", oracle=f"""
+WITH sh AS (
+  SELECT doc_id AS id, gh AS gram_hash FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(0, greatest(len({_WORDS}) - 3, 0)),
+             i -> {_duck_hash(f"array_to_string(list_slice({_WORDS}, i + 1, i + 3), ' ')")}
+           ))) AS gh
+    FROM documents) x
+),
+sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter_n
+  FROM sh a JOIN sh b ON a.gram_hash = b.gram_hash AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, inter_n,
+       sa.set_size + sb.set_size - inter_n AS union_n,
+       ROUND(inter_n * 1.0 / (sa.set_size + sb.set_size - inter_n), 6) AS jaccard
+FROM inter JOIN sizes sa ON inter.id_a = sa.id
+           JOIN sizes sb ON inter.id_b = sb.id
+WHERE inter_n * 1.0 / (sa.set_size + sb.set_size - inter_n) >= 0.5
+ORDER BY id_a, id_b
+""")
+def dedup_ngram(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_signatures", oracle=None)
+def dedup_minhash_sig(spark, sf_dir):
+    """First 4 minhash components for every doc (rows-only: banded LSH
+    arithmetic is verified end-to-end by dedup_minhash_lsh + unit tests)."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, k=8)
+    return (sig.select(F.col("id").alias("doc_id"),
+                       F.col("sig")[0].alias("mh0"),
+                       F.col("sig")[1].alias("mh1"),
+                       F.col("sig")[2].alias("mh2"),
+                       F.col("sig")[3].alias("mh3"))
+            .orderBy("doc_id"))
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (dedup.minhash_lsh_pairs(docs, threshold=0.4)
+            .orderBy("id_a", "id_b"))
+
+
+@register("dedup_simhash_pairs", oracle=None)
+def dedup_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+@register("sim_embedding_norms", oracle="""
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(l2), 6) AS avg_l2, ROUND(MIN(l2), 6) AS min_l2,
+       ROUND(MAX(l2), 6) AS max_l2
+FROM (SELECT label,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (acc, v) -> acc + v)) AS l2
+      FROM embeddings) x
+GROUP BY label ORDER BY label
+""")
+def sim_norms(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_norms(emb)
+
+
+@register("sim_cosine_topk", oracle="""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, len(e.embedding)),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))),
+             (acc, v) -> acc + v)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (acc, v) -> acc + v))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (acc, v) -> acc + v))), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos_sim, rnk FROM (
+  SELECT qid, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored) x
+WHERE rnk <= 10 ORDER BY qid, rnk
+""")
+def sim_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return cosine_sorted(similarity.cosine_topk_bruteforce(emb, queries, k=10))
+
+
+def cosine_sorted(df):
+    return df.orderBy("qid", "rnk")
+
+
+@register("sim_cosine_lsh", oracle=None)
+def sim_lsh(spark, sf_dir):
+    """LSH-bucketed approximate neighbors (approximation set is
+    implementation-defined — rows-only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return (similarity.cosine_topk_lsh(emb, queries, k=10)
+            .orderBy("qid", "rnk"))

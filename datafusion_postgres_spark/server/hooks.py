@@ -1,0 +1,185 @@
+"""Statement-intercepting hook chain.
+
+Reference parity: the ``QueryHook`` chain (``hooks/mod.rs:49-76``; wiring
+``handlers.rs:181-191``) — cursor hook, SET/SHOW hook, transaction hook —
+each of which may fully answer a statement before it reaches the engine.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from typing import TYPE_CHECKING
+
+from pyspark.sql.types import StringType, StructField, StructType
+
+if TYPE_CHECKING:
+    from datafusion_postgres_spark.session import ExecutionResult, SparkPgEngine
+
+_SET_RE = re.compile(
+    r"^\s*SET\s+(?:SESSION\s+|LOCAL\s+)?(?P<name>[A-Za-z_][\w.]*)\s*"
+    r"(?:=|\bTO\b)\s*(?P<value>.+?)\s*$", re.IGNORECASE | re.DOTALL)
+_SET_TZ_RE = re.compile(r"^\s*SET\s+TIME\s+ZONE\s+(?P<value>.+?)\s*$",
+                        re.IGNORECASE)
+_SHOW_RE = re.compile(r"^\s*SHOW\s+(?P<name>.+?)\s*$", re.IGNORECASE)
+_DECLARE_RE = re.compile(
+    r"^\s*DECLARE\s+(?P<name>[\w\"]+)\s+(?:BINARY\s+)?(?:INSENSITIVE\s+)?"
+    r"(?:NO\s+SCROLL\s+|SCROLL\s+)?CURSOR\s+(?:WITH(?:OUT)?\s+HOLD\s+)?FOR\s+"
+    r"(?P<query>.+)$", re.IGNORECASE | re.DOTALL)
+_FETCH_RE = re.compile(
+    r"^\s*FETCH\s+(?:(?P<dir>NEXT|PRIOR|FIRST|LAST|ALL|FORWARD|BACKWARD|"
+    r"ABSOLUTE|RELATIVE)\s+)?(?P<count>\d+\s+)?(?:FROM\s+|IN\s+)?"
+    r"(?P<name>[\w\"]+)\s*$", re.IGNORECASE)
+_CLOSE_RE = re.compile(r"^\s*CLOSE\s+(?P<name>[\w\"]+|ALL)\s*$", re.IGNORECASE)
+
+# SHOW answers synthesized exactly like hooks/set_show.rs:283-366
+_SHOW_COLUMN_NAMES = {
+    "time zone": "TimeZone",
+    "timezone": "TimeZone",
+    "server_version": "server_version",
+    "transaction_isolation": "transaction_isolation",
+    "transaction isolation level": "transaction_isolation",
+    "statement_timeout": "statement_timeout",
+    "search_path": "search_path",
+    "datestyle": "DateStyle",
+    "bytea_output": "bytea_output",
+    "application_name": "application_name",
+    "extra_float_digits": "extra_float_digits",
+}
+
+
+class CursorError(RuntimeError):
+    def __init__(self, msg, sqlstate):
+        super().__init__(msg)
+        self.sqlstate = sqlstate
+
+
+class HookChain:
+    def __init__(self, engine: "SparkPgEngine"):
+        self.engine = engine
+
+    def try_handle(self, stmt: str):
+        from datafusion_postgres_spark.session import ExecutionResult
+
+        state = self.engine.state
+        spark = self.engine.spark
+        kind = self.engine.transpiler.statement_kind(stmt)
+
+        # -- transaction hook (transactions.rs) ----------------------------
+        if kind in ("BEGIN", "START"):
+            return ExecutionResult(df=None, command_tag=state.begin())
+        if kind == "COMMIT" or kind == "END":
+            return ExecutionResult(df=None, command_tag=state.commit())
+        if kind in ("ROLLBACK", "ABORT"):
+            return ExecutionResult(df=None, command_tag=state.rollback())
+        if state.in_failed_transaction() and kind not in ("ROLLBACK", "COMMIT",
+                                                          "ABORT", "END"):
+            from datafusion_postgres_spark.session import FailedTransactionError
+            raise FailedTransactionError(
+                "current transaction is aborted, commands ignored until end "
+                "of transaction block")
+
+        # -- SET hook (set_show.rs:130-246) --------------------------------
+        m = _SET_TZ_RE.match(stmt) or (_SET_RE.match(stmt)
+                                       if kind == "SET" else None)
+        if kind == "SET" and m:
+            groups = m.groupdict()
+            name = groups.get("name", "timezone") or "timezone"
+            if "name" not in groups:
+                name = "timezone"
+            value = groups["value"].strip().strip("'\"")
+            if name.lower() in ("time", "timezone", "time zone"):
+                name = "timezone"
+                state.set_var("timezone", value)
+                spark.conf.set("spark.sql.session.timeZone", value)
+            else:
+                state.set_var(name, value)
+            # unknown SETs are acknowledged regardless (reference swallows
+            # engine errors and always returns SET)
+            return ExecutionResult(df=None, command_tag="SET")
+        if kind == "SET":  # unparseable SET — still ack
+            return ExecutionResult(df=None, command_tag="SET")
+
+        # -- SHOW hook (set_show.rs:283-366) -------------------------------
+        if kind == "SHOW":
+            m = _SHOW_RE.match(stmt)
+            name = (m.group("name") if m else "").strip().strip(";").lower()
+            if name == "catalogs":
+                df = spark.sql("SHOW CATALOGS")
+                return ExecutionResult(df=df, command_tag="SHOW")
+            if name in ("all", "tables"):
+                df = spark.sql("SHOW TABLES")
+                return ExecutionResult(df=df, command_tag="SHOW")
+            col = _SHOW_COLUMN_NAMES.get(name, name.replace(" ", "_"))
+            value = state.get_var("timezone" if col == "TimeZone" else name)
+            df = spark.createDataFrame(
+                [(value,)], StructType([StructField(col, StringType())]))
+            return ExecutionResult(df=df, command_tag="SHOW")
+
+        # -- cursor hook (hooks/cursor.rs:89-216) --------------------------
+        if kind == "DECLARE":
+            m = _DECLARE_RE.match(stmt)
+            if m:
+                return self._declare(m.group("name").strip('"'),
+                                     m.group("query"))
+        if kind == "FETCH":
+            m = _FETCH_RE.match(stmt)
+            if m:
+                return self._fetch(m)
+        if kind == "CLOSE":
+            m = _CLOSE_RE.match(stmt)
+            if m:
+                return self._close(m.group("name"))
+        return None
+
+    # -- cursors -----------------------------------------------------------
+    def _declare(self, name: str, query: str):
+        from datafusion_postgres_spark.session import ExecutionResult
+        from datafusion_postgres_spark.server.session_state import Cursor
+
+        spark_sql = self.engine.transpiler.transpile(query)
+        df = self.engine.spark.sql(spark_sql)
+        # Eager execution like the reference (cursor.rs:89-152), but
+        # streamed: toLocalIterator pulls partitions on demand, so a cursor
+        # over a 100 TB result does not materialize on the driver.
+        self.engine.state.cursors[name.lower()] = Cursor(
+            schema=df.schema, iterator=df.toLocalIterator())
+        return ExecutionResult(df=None, command_tag="DECLARE CURSOR")
+
+    def _fetch(self, m):
+        from datafusion_postgres_spark.session import ExecutionResult
+
+        direction = (m.group("dir") or "NEXT").upper()
+        name = m.group("name").strip('"').lower()
+        if direction in ("PRIOR", "BACKWARD", "ABSOLUTE", "RELATIVE", "LAST"):
+            raise CursorError(
+                f"cursor direction {direction} is not supported "
+                "(forward-only cursors)", "42000")
+        cur = self.engine.state.cursors.get(name)
+        if cur is None:
+            raise CursorError(f'cursor "{name}" does not exist', "34000")
+        if m.group("count"):
+            count = int(m.group("count"))
+        elif direction == "ALL":
+            count = None
+        elif direction in ("NEXT", "FIRST"):
+            count = 1
+        else:  # FORWARD with no count
+            count = 1
+        rows = list(cur.iterator if count is None
+                    else itertools.islice(cur.iterator, count))
+        df = self.engine.spark.createDataFrame(rows, cur.schema) if rows else \
+            self.engine.spark.createDataFrame([], cur.schema)
+        return ExecutionResult(df=df, command_tag=f"FETCH {len(rows)}")
+
+    def _close(self, name: str):
+        from datafusion_postgres_spark.session import ExecutionResult
+
+        if name.upper() == "ALL":
+            self.engine.state.cursors.clear()
+            return ExecutionResult(df=None, command_tag="CLOSE CURSOR ALL")
+        key = name.strip('"').lower()
+        if key not in self.engine.state.cursors:
+            raise CursorError(f'cursor "{key}" does not exist', "34000")
+        del self.engine.state.cursors[key]
+        return ExecutionResult(df=None, command_tag="CLOSE CURSOR")

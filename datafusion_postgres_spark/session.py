@@ -1,0 +1,167 @@
+"""Engine session facade.
+
+Reference parity: the serving layer of datafusion-postgres —
+``datafusion-postgres/src/lib.rs:87-195`` (server setup + SessionContext),
+``datafusion-postgres-cli/src/main.rs:126-221`` (file registration),
+``datafusion-postgres/src/handlers.rs:154-233`` (simple-query lifecycle).
+
+Spark-first design: one shared ``SparkSession`` per process; each client
+connection gets ``spark.newSession()`` (isolated temp views + conf, shared
+cached data / executors) — this improves on the reference, which mutates a
+single shared SessionContext for TimeZone (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+_BUILD_LOCK = threading.Lock()
+
+# Tuned for local[32] testing but expressed the way a real cluster deployment
+# would be: AQE owns runtime partition sizing (coalesce + skew splitting),
+# so the static shuffle-partition number is a ceiling, not a schedule.
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # timestamp[ns] parquet (events.ts) is unreadable natively; read the
+    # raw int64 and convert explicitly (see sources.registry.read_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def build_spark(app_name: str = "datafusion-postgres-spark",
+                master: str | None = None,
+                extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the process-wide SparkSession with engine defaults."""
+    with _BUILD_LOCK:
+        builder = SparkSession.builder.appName(app_name)
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        builder = builder.master(master or f"local[{cpus}]")
+        conf = dict(DEFAULT_CONF)
+        if extra_conf:
+            conf.update(extra_conf)
+        for k, v in conf.items():
+            builder = builder.config(k, v)
+        return builder.getOrCreate()
+
+
+@dataclass
+class ExecutionResult:
+    """Streamed query result — the Spark analog of the reference's
+    ``encode_dataframe`` RecordBatch stream (arrow-pg/src/datatypes/df.rs:24-52).
+
+    Rows are exposed through ``toLocalIterator`` so a 100 TB result set
+    streams through the driver instead of being collect()ed.
+    """
+
+    df: DataFrame | None
+    command_tag: str = "SELECT"
+    rows_affected: int | None = None
+
+    @property
+    def schema(self):
+        return self.df.schema if self.df is not None else None
+
+    def rows(self) -> Iterator:
+        if self.df is None:
+            return iter(())
+        return self.df.toLocalIterator()
+
+
+@dataclass
+class SparkPgEngine:
+    """One engine instance == one client session.
+
+    Mirrors the per-connection state of the reference
+    (``datafusion-postgres/src/client.rs:4-52``): session vars, transaction
+    state, cursors — but executes through Spark SQL after the Postgres →
+    Spark dialect transpile.
+    """
+
+    spark: SparkSession
+    session_vars: dict[str, str] = field(default_factory=dict)
+
+    # Wired lazily to avoid import cycles.
+    def __post_init__(self):
+        from datafusion_postgres_spark.dialect.transpiler import PostgresTranspiler
+        from datafusion_postgres_spark.server.session_state import SessionState
+        from datafusion_postgres_spark.server.hooks import HookChain
+
+        self.transpiler = PostgresTranspiler()
+        self.state = SessionState()
+        self.hooks = HookChain(self)
+        from datafusion_postgres_spark.functions import register_all
+        register_all(self.spark)
+
+    # -- file registration (main.rs:126-221 analog) ------------------------
+    def register_file(self, name: str, path: str, fmt: str | None = None,
+                      **options) -> None:
+        from datafusion_postgres_spark.sources.registry import read_file
+        df = read_file(self.spark, path, fmt, **options)
+        df.createOrReplaceTempView(name)
+        self._catalog_dirty = True
+
+    def register_directory(self, path: str) -> list[str]:
+        from datafusion_postgres_spark.sources.registry import register_directory
+        return register_directory(self, path)
+
+    # -- query execution ---------------------------------------------------
+    def execute(self, sql: str) -> list[ExecutionResult]:
+        """Execute a (possibly multi-statement) Postgres-dialect SQL string.
+
+        Lifecycle mirrors handlers.rs:154-233: split → transpile →
+        hook chain (cursor / SET / SHOW / txn may answer fully) → Spark SQL.
+        """
+        results = []
+        for stmt in self.transpiler.split_statements(sql):
+            results.append(self._execute_one(stmt))
+        return results
+
+    def _execute_one(self, stmt: str) -> ExecutionResult:
+        hooked = self.hooks.try_handle(stmt)
+        if hooked is not None:
+            return hooked
+        if self.state.in_failed_transaction():
+            raise FailedTransactionError(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block")  # error code 25P01
+        self._maybe_refresh_catalog(stmt)
+        spark_sql = self.transpiler.transpile(stmt)
+        try:
+            df = self.spark.sql(spark_sql)
+            kind = self.transpiler.statement_kind(stmt)
+            if kind in ("CREATE", "DROP", "ALTER", "INSERT"):
+                self._catalog_dirty = True
+        except Exception:
+            self.state.statement_failed()
+            raise
+        return ExecutionResult(df=df)
+
+    def _maybe_refresh_catalog(self, stmt: str) -> None:
+        """Rebuild the dynamic pg_catalog views lazily: only when DDL
+        happened since the last build AND the statement touches catalog
+        tables. (The reference recomputes on every scan, pg_class.rs:84 —
+        the dirty flag is our many-tables-scale improvement.)"""
+        if not getattr(self, "_catalog_dirty", False):
+            return
+        low = stmt.lower()
+        if "pg_" in low or "information_schema" in low or "regclass" in low:
+            from datafusion_postgres_spark.catalog.pg_catalog import refresh
+            refresh(self.spark)
+            self._catalog_dirty = False
+
+
+class FailedTransactionError(RuntimeError):
+    sqlstate = "25P01"

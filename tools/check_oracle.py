@@ -1,0 +1,113 @@
+"""Local replica of the driver's correctness gate: run every registered
+query on Spark AND its oracle on DuckDB, compare row count, schema, and
+order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def normalize(rows, ndigits=6):
+    def norm_val(v):
+        if isinstance(v, float):
+            return round(v, ndigits)
+        if isinstance(v, list):
+            return tuple(norm_val(x) for x in v)
+        return v
+    return sorted((tuple(norm_val(v) for v in row) for row in rows),
+                  key=lambda r: tuple((x is None, str(type(x)), x)
+                                      for x in r))
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    from datafusion_postgres_spark.session import build_spark
+    from datafusion_postgres_spark.queries import load_all
+    from datafusion_postgres_spark.functions import register_all
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = build_spark(master="local[8]")
+    register_all(spark)
+    reg = load_all()
+    con = duck_connect(sf_dir)
+
+    passed, failed, rows_only = [], [], []
+    for name, spec in sorted(reg.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            failed.append((name, f"SPARK ERROR: {e}"))
+            traceback.print_exc()
+            continue
+        if spec.oracle is None:
+            rows_only.append((name, len(srows)))
+            continue
+        try:
+            dres = con.execute(spec.oracle)
+            dcols = [d[0] for d in dres.description]
+            drows = dres.fetchall()
+        except Exception as e:
+            failed.append((name, f"DUCK ERROR: {e}"))
+            continue
+        if sorted(scols) != sorted(dcols):
+            failed.append((name, f"COLS: spark={scols} duck={dcols}"))
+            continue
+        # reorder duck columns to spark order
+        order = [dcols.index(c) for c in scols]
+        drows = [tuple(r[i] for i in order) for r in drows]
+        if len(srows) != len(drows):
+            failed.append((name, f"ROWCOUNT: spark={len(srows)} duck={len(drows)}"))
+            continue
+        sn, dn = normalize(srows), normalize(drows)
+        if sn != dn:
+            diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+            failed.append((name, f"VALUES differ, first diffs: {diff}"))
+            continue
+        passed.append((name, len(srows)))
+
+    print("\n=== PASSED ===")
+    for name, n in passed:
+        print(f"  {name}: {n} rows")
+    print("=== ROWS-ONLY (no oracle) ===")
+    for name, n in rows_only:
+        print(f"  {name}: {n} rows")
+    print("=== FAILED ===")
+    for name, msg in failed:
+        print(f"  {name}: {msg[:400]}")
+    print(f"\n{len(passed)} passed, {len(rows_only)} rows-only, "
+          f"{len(failed)} failed")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Transpiler golden tests — the analog of the reference's rewrite-rule
+unit tests (sql/parser.rs:476-744, sql/rules.rs tails)."""
+
+import pytest
+
+from datafusion_postgres_spark.dialect.transpiler import PostgresTranspiler
+
+
+@pytest.fixture(scope="module")
+def tp():
+    return PostgresTranspiler()
+
+
+def norm(s):
+    return " ".join(s.split())
+
+
+CASES = [
+    # ANY/ALL lowering (sql/rules.rs:304-449)
+    ("SELECT 1 WHERE x = ANY(arr)", "SELECT 1 WHERE array_contains(arr, x)"),
+    ("SELECT 1 WHERE x <> ALL(arr)",
+     "SELECT 1 WHERE NOT array_contains(arr, x)"),
+    ("SELECT 1 WHERE x = ANY('{a,b}')",
+     "SELECT 1 WHERE array_contains(array('a', 'b'), x)"),
+    ("SELECT 1 WHERE x = ANY(SELECT y FROM t)",
+     "SELECT 1 WHERE x IN (SELECT y FROM t)"),
+    ("SELECT 1 WHERE a.b = ANY(c.d)",
+     "SELECT 1 WHERE array_contains(c.d, a.b)"),
+    # regex operators -> RLIKE
+    ("SELECT 1 WHERE a ~ 'x'", "SELECT 1 WHERE a RLIKE 'x'"),
+    ("SELECT 1 WHERE a !~ 'x'", "SELECT 1 WHERE a NOT RLIKE 'x'"),
+    ("SELECT 1 WHERE a ~* 'x'", "SELECT 1 WHERE a RLIKE '(?i)x'"),
+    ("SELECT 1 WHERE a !~* 'x'", "SELECT 1 WHERE a NOT RLIKE '(?i)x'"),
+    # OPERATOR() form (sql/rules.rs:802-857)
+    ("SELECT 1 WHERE a OPERATOR(pg_catalog.~) 'x'",
+     "SELECT 1 WHERE a RLIKE 'x'"),
+    # COLLATE strip (sql/rules.rs:771-800)
+    ("SELECT a COLLATE pg_catalog.default FROM t", "SELECT a FROM t"),
+    ('SELECT 1 ORDER BY a COLLATE "C"', "SELECT 1 ORDER BY a"),
+    # callable qualifier strip (sql/rules.rs:575-640)
+    ("SELECT pg_catalog.lower(a) FROM t", "SELECT lower(a) FROM t"),
+    # type mapping in :: casts
+    ("SELECT a::text FROM t", "SELECT a::STRING FROM t"),
+    ("SELECT a::float8 FROM t", "SELECT a::DOUBLE FROM t"),
+    ("SELECT a::int8 FROM t", "SELECT CAST(rint(a) AS BIGINT) FROM t"),
+    ("SELECT a::timestamptz FROM t", "SELECT a::TIMESTAMP FROM t"),
+    # ABORT -> ROLLBACK (sql/parser.rs:429-442)
+    ("ABORT", "ROLLBACK"),
+    # session vars (sql/rules.rs:642-769)
+    ("SELECT current_user", "SELECT pg_session_user()"),
+    ("SELECT current_schema", "SELECT pg_current_schema()"),
+    # catalog qualification (sql/rules.rs:451-502)
+    ("SELECT * FROM pg_class", "SELECT * FROM pg_catalog_pg_class"),
+    ("SELECT * FROM pg_catalog.pg_class", "SELECT * FROM pg_catalog_pg_class"),
+    ("SELECT * FROM information_schema.tables",
+     "SELECT * FROM information_schema_tables"),
+    # version() alias (sql/rules.rs:1195-1230)
+    ("SELECT version()", "SELECT pg_version() AS version"),
+    # function renames
+    ("SELECT strpos(a, 'x') FROM t", "SELECT instr(a, 'x') FROM t"),
+    ("SELECT array_to_string(a, ',') FROM t",
+     "SELECT array_join(a, ',') FROM t"),
+    # generate_series: table vs projection position
+    ("SELECT * FROM generate_series(1, 5)",
+     "SELECT * FROM pg_generate_series(1, 5)"),
+    ("SELECT generate_series(1, 5)", "SELECT explode(sequence(1, 5))"),
+]
+
+
+@pytest.mark.parametrize("pg,expected", CASES)
+def test_transpile(tp, pg, expected):
+    assert norm(tp.transpile(pg)) == norm(expected)
+
+
+def test_statement_split(tp):
+    stmts = tp.split_statements("SELECT 1; SELECT 2;\n-- comment\nSELECT 3")
+    assert len(stmts) == 3
+
+
+def test_statement_split_respects_strings(tp):
+    stmts = tp.split_statements("SELECT 'a;b'; SELECT 2")
+    assert len(stmts) == 2
+    assert "'a;b'" in stmts[0]
+
+
+def test_statement_kind(tp):
+    assert tp.statement_kind("  SELECT 1") == "SELECT"
+    assert tp.statement_kind("/* c */ INSERT INTO t VALUES (1)") == "INSERT"
+    assert tp.statement_kind("BEGIN") == "BEGIN"
+
+
+def test_blacklist_stub(tp):
+    out = tp.transpile("SELECT current_setting('search_path')")
+    assert out == "SELECT 'public' AS search_path"
+
+
+def test_reg_cast_numeric_literal(tp):
+    assert norm(tp.transpile("SELECT '123'::regclass")) == "SELECT 123"
+
+
+def test_reg_cast_name_literal(tp):
+    out = tp.transpile("SELECT 'mytab'::regclass")
+    assert "pg_catalog_pg_class" in out and "relname = 'mytab'" in out

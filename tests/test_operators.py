@@ -1,0 +1,147 @@
+"""Operator-library tests: dedup, similarity, text analysis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_postgres_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),        # exact dup
+        (3, "The  Quick  Brown Fox jumps over the lazy dog"),      # norm dup
+        (4, "the quick brown fox jumps over the sleepy dog"),      # near dup
+        (5, "completely different content about spark engines"),
+        (6, "spark engines process completely different content"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        out = {r["representative"]: r["n_dups"]
+               for r in dedup.exact_duplicates(docs).collect()}
+        assert out[1] == 3          # docs 1,2,3 normalize identically
+        assert out[4] == 1
+
+    def test_keep_first(self, docs):
+        kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs).collect())
+        assert kept == [1, 4, 5, 6]
+
+
+class TestNgramJaccard:
+    def test_near_dups_found(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 4) in pairs and 0.3 <= pairs[(1, 4)] < 1.0
+        assert (1, 5) not in pairs
+
+    def test_jaccard_exact_value(self, docs):
+        # 7 shingles each; only the two shingles containing lazy/sleepy
+        # differ -> 5 shared, union 9
+        pairs = {(r["id_a"], r["id_b"]): (r["inter_n"], r["union_n"])
+                 for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+        inter, union = pairs[(1, 4)]
+        assert (inter, union) == (5, 9)
+
+
+class TestMinhash:
+    def test_signatures_deterministic(self, docs):
+        s1 = dedup.minhash_signatures(docs, k=16).collect()
+        s2 = dedup.minhash_signatures(docs, k=16).collect()
+        assert sorted(map(str, s1)) == sorted(map(str, s2))
+
+    def test_identical_docs_same_signature(self, docs):
+        sigs = {r["id"]: r["sig"]
+                for r in dedup.minhash_signatures(docs, k=16).collect()}
+        assert sigs[1] == sigs[2] == sigs[3]
+        assert sigs[1] != sigs[5]
+
+    def test_lsh_finds_exact_and_near(self, docs):
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()}
+        assert (1, 2) in pairs and (1, 3) in pairs
+
+
+class TestSimhash:
+    def test_identical_same_hash(self, docs):
+        h = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        assert h[1] == h[2] == h[3]
+
+    def test_near_pairs(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in dedup.simhash_near_pairs(docs, max_hamming=10).collect()}
+        assert pairs[(1, 2)] == 0
+        assert (1, 4) in pairs
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 0),
+            (2, [0.0, 1.0, 0.0], 1),
+            (3, [0.0, 0.95, 0.05], 1),
+            (4, [-1.0, 0.0, 0.0], 2),
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    def test_bruteforce_topk(self, emb):
+        q = emb.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        out = similarity.cosine_topk_bruteforce(emb, q, k=2).collect()
+        assert [r["vec_id"] for r in out] == [1, 2]  # closest first
+        assert out[0]["cos_sim"] > 0.99
+
+    def test_norms(self, emb):
+        rows = {r["label"]: r for r in similarity.embedding_norms(emb).collect()}
+        assert rows[0]["n"] == 2
+        assert abs(rows[2]["avg_l2"] - 1.0) < 1e-9
+
+    def test_lsh_self_bucket(self, emb):
+        q = emb.select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec"))
+        out = similarity.cosine_topk_lsh(emb, q, k=3, n_planes=4, dims=3).collect()
+        assert len(out) > 0  # at minimum, co-bucketed neighbors appear
+
+
+class TestText:
+    def test_token_count(self, docs):
+        out = {r["doc_id"]: r["n_tokens"]
+               for r in docs.select("doc_id",
+                                    text.token_count(F.col("text"))
+                                    .alias("n_tokens")).collect()}
+        assert out[1] == 9
+
+    def test_fingerprint_matches_python(self, docs):
+        s = "the quick brown fox jumps over the lazy dog"
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        got = {r["doc_id"]: r["fingerprint"]
+               for r in docs.select("doc_id",
+                                    text.fingerprint(F.col("text"))
+                                    .alias("fingerprint")).collect()}
+        assert got[1] == h
+        assert got[3] == h          # normalization collapses case/whitespace
+
+    def test_lang_id(self, spark):
+        rows = [(1, "the cat and the dog are in the house with a mouse"),
+                (2, "完全不同的中文内容在这里展示语言识别")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r["lang"]
+               for r in df.select("doc_id",
+                                  text.lang_id(F.col("text")).alias("lang"))
+               .collect()}
+        assert out[1] == "en"
+        assert out[2] == "zh"
+
+    def test_quality_range(self, docs):
+        vals = [r["q"] for r in
+                docs.select(text.quality_score(F.col("text")).alias("q"))
+                .collect()]
+        assert all(0.0 <= v <= 1.0 for v in vals)

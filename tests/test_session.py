@@ -1,0 +1,150 @@
+"""Session-feature tests — SET/SHOW, transactions, cursors, catalog.
+
+Models the reference's hook tests (hooks/set_show.rs:368-625,
+handlers.rs:711-927 cursor lifecycle, transactions.rs)."""
+
+import pytest
+
+from datafusion_postgres_spark.server.hooks import CursorError
+from datafusion_postgres_spark.session import FailedTransactionError
+
+
+def one_row(results):
+    return list(results[0].rows())
+
+
+class TestSetShow:
+    def test_set_and_show(self, engine):
+        assert engine.execute("SET statement_timeout = '2s'")[0].command_tag == "SET"
+        assert one_row(engine.execute("SHOW statement_timeout"))[0][0] == "2s"
+        assert engine.state.statement_timeout_secs() == 2.0
+
+    def test_set_timezone_variants(self, engine):
+        engine.execute("SET TIME ZONE 'UTC'")
+        assert one_row(engine.execute("SHOW TimeZone"))[0][0] == "UTC"
+        engine.execute("SET timezone = 'America/New_York'")
+        assert engine.spark.conf.get("spark.sql.session.timeZone") == \
+            "America/New_York"
+        engine.execute("SET TIME ZONE 'UTC'")
+
+    def test_unknown_set_acks(self, engine):
+        assert engine.execute("SET whatever.var = 42")[0].command_tag == "SET"
+
+    def test_show_unknown_returns_row(self, engine):
+        rows = one_row(engine.execute("SHOW some_unknown_thing"))
+        assert len(rows) == 1
+
+    def test_show_server_version(self, engine):
+        assert "15.0" in one_row(engine.execute("SHOW server_version"))[0][0]
+
+
+class TestTransactions:
+    def test_begin_commit(self, engine):
+        tags = [r.command_tag for r in engine.execute("BEGIN; SELECT 1; COMMIT")]
+        assert tags == ["BEGIN", "SELECT", "COMMIT"]
+
+    def test_failed_txn_blocks_until_rollback(self, engine):
+        engine.execute("BEGIN")
+        with pytest.raises(Exception):
+            engine.execute("SELECT * FROM no_such_table_xyz")
+        with pytest.raises(FailedTransactionError):
+            engine.execute("SELECT 1")
+        assert engine.execute("ROLLBACK")[0].command_tag == "ROLLBACK"
+        assert one_row(engine.execute("SELECT 1 AS x"))[0][0] == 1
+
+    def test_commit_in_error_state_answers_rollback(self, engine):
+        engine.execute("BEGIN")
+        with pytest.raises(Exception):
+            engine.execute("SELECT * FROM no_such_table_xyz")
+        assert engine.execute("COMMIT")[0].command_tag == "ROLLBACK"
+
+    def test_abort_is_rollback(self, engine):
+        engine.execute("BEGIN")
+        assert engine.execute("ABORT")[0].command_tag == "ROLLBACK"
+
+
+class TestCursors:
+    def test_lifecycle(self, engine):
+        engine.execute(
+            "DECLARE cur1 CURSOR FOR SELECT n_nationkey FROM nation ORDER BY 1")
+        rows = one_row(engine.execute("FETCH 5 FROM cur1"))
+        assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+        rows = one_row(engine.execute("FETCH NEXT FROM cur1"))
+        assert rows[0][0] == 5
+        rest = one_row(engine.execute("FETCH ALL FROM cur1"))
+        assert len(rest) == 19
+        engine.execute("CLOSE cur1")
+        with pytest.raises(CursorError) as e:
+            engine.execute("FETCH 1 FROM cur1")
+        assert e.value.sqlstate == "34000"
+
+    def test_backward_rejected(self, engine):
+        engine.execute("DECLARE cur2 CURSOR FOR SELECT 1")
+        with pytest.raises(CursorError) as e:
+            engine.execute("FETCH PRIOR FROM cur2")
+        assert e.value.sqlstate == "42000"
+        engine.execute("CLOSE ALL")
+
+
+class TestCatalog:
+    def test_pg_class_lists_registered_tables(self, engine):
+        rows = one_row(engine.execute(
+            "SELECT relname FROM pg_catalog.pg_class ORDER BY relname"))
+        names = [r[0] for r in rows]
+        assert "nation" in names and "orders" in names
+
+    def test_regclass_resolution(self, engine):
+        rows = one_row(engine.execute("SELECT 'nation'::regclass AS o"))
+        assert rows[0][0] >= 16384
+
+    def test_pg_attribute_join(self, engine):
+        rows = one_row(engine.execute("""
+            SELECT a.attname FROM pg_catalog.pg_attribute a
+            WHERE a.attrelid = 'nation'::regclass AND a.attnum > 0
+            ORDER BY a.attnum"""))
+        assert [r[0] for r in rows] == ["n_nationkey", "n_name", "n_regionkey"]
+
+    def test_information_schema_columns(self, engine):
+        rows = one_row(engine.execute(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name = 'region' ORDER BY ordinal_position"))
+        assert [r[0] for r in rows] == ["r_regionkey", "r_name"]
+
+    def test_pg_type_contains_core_types(self, engine):
+        rows = one_row(engine.execute(
+            "SELECT typname FROM pg_catalog.pg_type "
+            "WHERE typname IN ('bool','int4','text','float8','date') "
+            "ORDER BY typname"))
+        assert [r[0] for r in rows] == ["bool", "date", "float8", "int4", "text"]
+
+    def test_pg_get_keywords(self, engine):
+        rows = one_row(engine.execute("SELECT count(*) FROM pg_get_keywords()"))
+        assert rows[0][0] > 50
+
+
+class TestFunctions:
+    def test_math_functions(self, engine):
+        rows = one_row(engine.execute(
+            "SELECT sind(30.0), cosd(60.0), width_bucket(5.35, 0.024, 10.06, 5)"))
+        assert abs(rows[0][0] - 0.5) < 1e-12
+        assert abs(rows[0][1] - 0.5) < 1e-12
+        assert rows[0][2] == 3
+
+    def test_special_math_pandas_udfs(self, engine):
+        rows = one_row(engine.execute(
+            "SELECT erf(1.0) AS a, erfc(1.0) AS b, gamma(5.0) AS c, "
+            "lgamma(5.0) AS d"))
+        a, b, c, d = rows[0]
+        assert abs(a - 0.8427007929497149) < 1e-12
+        assert abs(a + b - 1.0) < 1e-12
+        assert abs(c - 24.0) < 1e-9
+
+    def test_quote_ident(self, engine):
+        rows = one_row(engine.execute(
+            """SELECT quote_ident('simple'), quote_ident('Needs Quotes')"""))
+        assert tuple(rows[0]) == ("simple", '"Needs Quotes"')
+
+    def test_div_mod_null_on_zero(self, engine):
+        rows = one_row(engine.execute(
+            "SELECT pg_div(7, 0) AS a, pg_mod(7, 0) AS b, pg_div(7, 2) AS c"))
+        assert tuple(rows[0]) == (None, None, 3)

@@ -219,3 +219,33 @@ def sim_lsh(spark, sf_dir):
                        F.col("embedding").alias("qvec")))
     return (similarity.cosine_topk_lsh(emb, queries, k=10)
             .orderBy("qid", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal + session windows
+
+@register("multimodal_metadata", oracle=None)
+def multimodal_metadata(spark, sf_dir):
+    """Binary-column decode plumbing: text bytes stand in for media, the
+    deterministic fake decoder runs through mapInPandas (rows-only: the
+    checksum arithmetic is Python-side by design)."""
+    from datafusion_postgres_spark.operators import multimodal as mm
+    docs = t(spark, sf_dir, "documents")
+    media = mm.attach_binary_content(docs)
+    return (mm.extract_metadata(media, fake_decode=True)
+            .orderBy("doc_id"))
+
+
+@register("events_session_windows", oracle=None)
+def events_session_windows(spark, sf_dir):
+    """F.session_window in batch mode — the same gap-merge operator the
+    streaming surface uses (streaming/ops.sessionize_stream)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_ltz", F.col("ts").cast("timestamp"))
+    return (ev.groupBy(F.session_window("ts_ltz", "30 minutes").alias("sess"),
+                       "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("sess.start").cast("string").alias("session_start"),
+                    "n_events")
+            .orderBy("user_id", "session_start"))

@@ -1,0 +1,98 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming operators (SURVEY.md §0: all its
+"streaming" is pull-based RecordBatch result streaming). This module is
+the forward-looking streaming capability the Spark engine adds: the
+events table's batch queries (events_q.py) re-expressed over unbounded
+input with watermarks, so the same analytics run continuously at ingest
+time on a real cluster.
+
+Design rules:
+  * every aggregation carries a watermark so state is bounded;
+  * tumbling/sliding windows via F.window (incremental, partial-agg);
+  * sessionization via F.session_window (gap-based, matches the batch
+    events_sessionize semantics);
+  * file/rate sources for tests; kafka plugs in by swapping readStream
+    options only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),          # raw ns (parquet nanosAsLong)
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based streaming source over the events parquet layout.
+
+    At production scale this is the S3/HDFS landing zone; each micro-batch
+    picks up new files. ts arrives as int64 nanos and is converted exactly
+    like the batch path (sources.registry.read_table)."""
+    raw = (spark.readStream
+           .schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(path))
+    # watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ —
+    # timestamp_micros produces exactly that
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    slide: str | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming analog of events_hourly_rollup: tumbling (or sliding)
+    event-time window counts + value sums per event_type, late data bounded
+    by the watermark."""
+    w = (F.window("ts", window, slide) if slide
+         else F.window("ts", window))
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(w.alias("win"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type", "n", "total_value"))
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming analog of events_sessionize: session windows with a
+    30-minute inactivity gap. State per (user, open session) only — the
+    watermark closes sessions and evicts state."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("sess"),
+                     "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("session_value"))
+            .select("user_id",
+                    F.col("sess.start").alias("session_start"),
+                    F.col("sess.end").alias("session_end"),
+                    "n_events", "session_value"))
+
+
+def run_to_memory(df: DataFrame, name: str, timeout_secs: float = 60.0,
+                  output_mode: str = "complete"):
+    """Test helper: run a streaming frame to a memory sink until idle.
+
+    `complete` mode re-emits all windows each batch — right for inspecting
+    aggregation results in tests; production sinks use `append` +
+    watermark-finalized windows."""
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_secs)
+    return q

@@ -1,0 +1,70 @@
+"""Structured Streaming tests: windowed aggregation and sessionization
+over the events table replayed as a file stream, cross-checked against the
+equivalent batch computation."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_postgres_spark.sources.registry import read_table
+from datafusion_postgres_spark.streaming import ops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, stream_dir):
+    stream = ops.read_events_stream(spark, stream_dir)
+    assert stream.isStreaming
+    q = ops.run_to_memory(ops.windowed_counts(stream, window="1 hour"),
+                          "win_counts")
+    try:
+        got = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+               for r in spark.sql("SELECT * FROM win_counts").collect()}
+        batch = (read_table(spark, SF_DIR, "events")
+                 .groupBy(F.date_trunc("hour", F.col("ts").cast("timestamp"))
+                          .alias("h"), "event_type")
+                 .agg(F.count("*").alias("n"), F.sum("value").alias("v")))
+        expected = {(r["h"], r["event_type"]): (r["n"], r["v"])
+                    for r in batch.collect()}
+        assert len(got) == len(expected)
+        for k, (n, v) in expected.items():
+            assert got[k][0] == n
+            assert abs(got[k][1] - v) < 1e-6
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream(spark, stream_dir):
+    stream = ops.read_events_stream(spark, stream_dir)
+    q = ops.run_to_memory(ops.sessionize_stream(stream, gap="30 minutes"),
+                          "sessions")
+    try:
+        rows = spark.sql("SELECT * FROM sessions").collect()
+        assert len(rows) > 0
+        # session windows must respect the gap: end-start >= 0 and every
+        # user's sessions are disjoint
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["session_start"], r["session_end"]))
+        total_sessions = 0
+        for user, spans in by_user.items():
+            spans.sort()
+            total_sessions += len(spans)
+            for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+                assert e1 <= s2, f"overlapping sessions for {user}"
+        # must match the batch sessionization count exactly
+        from datafusion_postgres_spark.queries import load_all
+        batch = load_all()["events_sessionize"].fn(spark, SF_DIR)
+        expected = batch.agg(F.sum("n_sessions")).collect()[0][0]
+        assert total_sessions == expected
+    finally:
+        q.stop()

@@ -49,14 +49,19 @@ def main() -> None:
         for name in ("q1_pricing_summary", "q3_shipping_priority"):
             reg[name].fn(spark, warm).write.format("noop").mode("overwrite").save()
 
+    # two runs per query, report the min: steady-state engine time, not
+    # first-run codegen/file-listing overhead
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = reg.get(name)
         if spec is None:
             continue
-        start = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

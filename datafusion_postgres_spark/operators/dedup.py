@@ -83,25 +83,50 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+                        threshold: float = 0.5,
+                        prefix_filter: bool = True) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity. Exact.
 
-    Blocking: the self-join runs on shared shingle hashes, so only documents
-    sharing at least one n-gram ever meet. Output: (id_a, id_b, inter_n,
-    union_n, jaccard) with id_a < id_b.
+    Scale strategy = **prefix filtering** (the classic set-similarity-join
+    bound): two sets with Jaccard >= t must share at least one of the
+    smallest ``floor((1-t)*|A|)+1`` elements of either set (by any global
+    order — we use the hash value). So the self-join key is only that
+    prefix, not every shingle: candidate volume drops from
+    O(sum bucket^2) over *all* shared ngrams to the near-dup pairs plus a
+    thin margin, and hot ngrams outside prefixes never join at all.
+    Verification computes the exact intersection from the full sorted
+    hash arrays (array_intersect, JVM-side). No false negatives.
+
+    Output: (id_a, id_b, inter_n, union_n, jaccard) with id_a < id_b.
     """
-    sh = shingles(docs, text_col, id_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
-    a = sh.select(F.col("id").alias("id_a"), "gram_hash")
-    b = sh.select(F.col("id").alias("id_b"), "gram_hash")
-    inter = (a.join(b, "gram_hash")
-             .where(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count("*").alias("inter_n")))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
-    out = (inter.join(sa, "id_a").join(sb, "id_b")
-           .withColumn("union_n", F.col("size_a") + F.col("size_b") - F.col("inter_n"))
+    sh = shingles(docs, text_col, id_col, n)
+    per_doc = sh.groupBy("id").agg(
+        F.sort_array(F.collect_set("gram_hash")).alias("grams"))
+    per_doc = per_doc.withColumn("set_size", F.size("grams"))
+    if prefix_filter:
+        prefix_len = (F.floor(F.size("grams") * (1.0 - threshold)) + 1) \
+            .cast("int")
+        keys = per_doc.select(
+            "id", F.explode(F.slice("grams", 1, prefix_len)).alias("gram_hash"))
+    else:
+        keys = per_doc.select("id", F.explode("grams").alias("gram_hash"))
+    cand = (keys.alias("x").join(
+                keys.alias("y"),
+                (F.col("x.gram_hash") == F.col("y.gram_hash")) &
+                (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct())
+    ga = per_doc.select(F.col("id").alias("id_a"),
+                        F.col("grams").alias("grams_a"),
+                        F.col("set_size").alias("size_a"))
+    gb = per_doc.select(F.col("id").alias("id_b"),
+                        F.col("grams").alias("grams_b"),
+                        F.col("set_size").alias("size_b"))
+    out = (cand.join(ga, "id_a").join(gb, "id_b")
+           .withColumn("inter_n", F.size(F.array_intersect("grams_a",
+                                                           "grams_b")))
+           .withColumn("union_n",
+                       F.col("size_a") + F.col("size_b") - F.col("inter_n"))
            .withColumn("jaccard", F.col("inter_n") / F.col("union_n"))
            .where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "inter_n", "union_n",

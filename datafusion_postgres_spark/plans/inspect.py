@@ -1,0 +1,60 @@
+"""Physical-plan inspection helpers.
+
+The reference adds no optimizer work (SURVEY.md §4) — Catalyst supplies
+pushdown/pruning/broadcast. These helpers make those properties
+*assertable*: tests pin that filters reach the parquet scan, projections
+prune columns, small sides broadcast, and shuffle counts stay flat as
+operators evolve. That is the 100 TB insurance: a regression that turns a
+broadcast join into a shuffle join fails a unit test here, long before it
+fails a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every parquet scan in the plan."""
+    out = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        if m.group(1).strip():
+            out.extend(p.strip() for p in m.group(1).split(","))
+    return out
+
+
+def scan_columns(df: DataFrame) -> list[set[str]]:
+    """ReadSchema column sets per parquet scan — assert column pruning."""
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        cols = {c.split(":")[0].strip() for c in m.group(1).split(",")
+                if c.strip()}
+        out.append(cols)
+    return out
+
+
+def count_shuffles(df: DataFrame) -> int:
+    plan = simple_plan(df)
+    return (plan.count("Exchange hashpartitioning") +
+            plan.count("Exchange rangepartitioning"))
+
+
+def uses_broadcast(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or \
+        "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)",
+                              simple_plan(df))))

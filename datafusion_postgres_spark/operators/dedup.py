@@ -66,19 +66,34 @@ def dedup_exact(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # word n-gram shingles
 
+def shingle_array(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, grams ARRAY<BIGINT> sorted distinct, set_size) — the per-doc
+    shingle-hash set built as a SINGLE codegen'd projection: hash each word
+    once (char-level polynomial), then combine n word-hashes per gram with
+    the same ``acc*31+x mod p`` fold. No explode, no shuffle — the scan
+    stays embarrassingly parallel, which is what lets every dedup operator
+    below start from a zero-shuffle baseline."""
+    ws = words(norm_text(F.col(text_col)))
+    whs = F.transform(ws, word_fingerprint)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.aggregate(F.slice(whs, i + 1, n),
+                              F.lit(0).cast("long"),
+                              lambda acc, x: (acc * 31 + x) % FP_MOD))
+    grams = F.sort_array(F.array_distinct(gram_hashes))
+    return (docs
+            .where(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("id"), grams.alias("grams"))
+            .withColumn("set_size", F.size("grams")))
+
+
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
-    """(id, shingle_hash) pairs — distinct word n-grams per doc, each hashed
-    with the portable polynomial hash."""
-    ws = words(norm_text(F.col(text_col)))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
-    exploded = (docs.select(F.col(id_col).alias("id"),
-                            F.explode(F.array_distinct(grams)).alias("gram"))
-                .where(F.col("gram") != ""))
-    return exploded.select("id",
-                           word_fingerprint(F.col("gram")).alias("gram_hash"))
+    """(id, shingle_hash) exploded pairs (kept for operators that want the
+    relational shape)."""
+    return (shingle_array(docs, text_col, id_col, n)
+            .select("id", F.explode("grams").alias("gram_hash")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -99,10 +114,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
     Output: (id_a, id_b, inter_n, union_n, jaccard) with id_a < id_b.
     """
-    sh = shingles(docs, text_col, id_col, n)
-    per_doc = sh.groupBy("id").agg(
-        F.sort_array(F.collect_set("gram_hash")).alias("grams"))
-    per_doc = per_doc.withColumn("set_size", F.size("grams"))
+    # cache: the shingle hashing is the expensive projection and per_doc
+    # feeds three branches (join keys + both verification sides)
+    per_doc = shingle_array(docs, text_col, id_col, n).cache()
     if prefix_filter:
         prefix_len = (F.floor(F.size("grams") * (1.0 - threshold)) + 1) \
             .cast("int")
@@ -137,19 +151,25 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
+def _sig_expr(k: int):
+    """Minhash signature as a pure array expression over the sorted gram
+    array: sig_i = min over grams of (a_i*g + b_i) mod P. No shuffle —
+    signatures are a projection, not an aggregation."""
+    return F.array(*[
+        F.array_min(F.transform(
+            "grams", lambda g: (g * a + b) % MH_PRIME))
+        for (a, b) in _mh_params(k)])
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        k: int = 32) -> DataFrame:
     """(id, sig ARRAY<BIGINT> of length k) minhash signatures.
 
-    Shuffle profile: one groupBy(id) over the shingle explode; the k
-    permutations are computed as k aggregations over the same shuffled
-    data (single pass, map-side partial min)."""
-    sh = shingles(docs, text_col, id_col, n)
-    aggs = [F.min((F.col("gram_hash") * a + b) % MH_PRIME).alias(f"h{i}")
-            for i, (a, b) in enumerate(_mh_params(k))]
-    sig = sh.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+    Zero-shuffle: shingle arrays and the k permutation-mins are all one
+    codegen'd projection over the scan."""
+    per_doc = shingle_array(docs, text_col, id_col, n)
+    return per_doc.select("id", _sig_expr(k).alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
@@ -159,10 +179,16 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     verified with exact n-gram Jaccard.
 
     bands=8 × rows=4 over k=32 → collision prob ≈ 1-(1-s^4)^8: s=0.5 →
-    ~0.39, s=0.8 → ~0.97. Only banded collisions are verified."""
+    ~0.39, s=0.8 → ~0.97. Only banded collisions are verified.
+
+    Shuffle profile: per-doc arrays + signatures + band hashes are ONE
+    projection (cached, computed once); the only shuffles are the band
+    self-join and the two verification joins on candidate ids."""
     rows_per_band = k // bands
-    sig = minhash_signatures(docs, text_col, id_col, n, k)
-    banded = sig.select(
+    per_doc = (shingle_array(docs, text_col, id_col, n)
+               .withColumn("sig", _sig_expr(k))
+               .cache())
+    banded = per_doc.select(
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"),
@@ -178,11 +204,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 (F.col("x.id") < F.col("y.id")))
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct())
-    # verify candidates with exact jaccard over per-doc shingle sets
-    sh = shingles(docs, text_col, id_col, n)
-    per_doc = sh.groupBy("id").agg(F.collect_set("gram_hash").alias("grams"))
-    ga = per_doc.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = per_doc.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    ga = per_doc.select(F.col("id").alias("id_a"),
+                        F.col("grams").alias("grams_a"))
+    gb = per_doc.select(F.col("id").alias("id_b"),
+                        F.col("grams").alias("grams_b"))
     verified = (cand.join(ga, "id_a").join(gb, "id_b")
                 .withColumn("inter_n",
                             F.size(F.array_intersect("grams_a", "grams_b")))

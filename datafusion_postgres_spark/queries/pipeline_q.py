@@ -100,14 +100,20 @@ def dedup_exact_groups(spark, sf_dir):
 
 
 @register("dedup_ngram_jaccard", oracle=f"""
-WITH sh AS (
+WITH whs_t AS (
+  SELECT doc_id, list_transform({_WORDS}, w -> {_duck_hash('w')}) AS whs
+  FROM documents WHERE trim(text) <> ''
+),
+sh AS (
   SELECT doc_id AS id, gh AS gram_hash FROM (
     SELECT doc_id,
            unnest(list_distinct(list_transform(
-             generate_series(0, greatest(len({_WORDS}) - 3, 0)),
-             i -> {_duck_hash(f"array_to_string(list_slice({_WORDS}, i + 1, i + 3), ' ')")}
+             generate_series(0, greatest(len(whs) - 3, 0)),
+             i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_slice(whs, i + 1, i + 3)),
+                  (acc, x) -> (acc * 31 + x) % 1000000007)
            ))) AS gh
-    FROM documents) x
+    FROM whs_t) x
 ),
 sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
 inter AS (

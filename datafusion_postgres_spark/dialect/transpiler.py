@@ -71,3 +71,33 @@ class PostgresTranspiler:
             if t.kind != WS:
                 break
         return ""
+
+    def table_names(self, sql: str) -> list[str]:
+        """Tables referenced in FROM/JOIN/INTO/UPDATE/TABLE position —
+        feeds the per-statement RBAC check (the reference walks its AST
+        for table refs; we walk the token stream)."""
+        from datafusion_postgres_spark.dialect.tokenizer import significant
+
+        toks = tokenize(sql)
+        names = []
+        for i, t in enumerate(toks):
+            if t.kind == IDENT and t.text.upper() in (
+                    "FROM", "JOIN", "INTO", "UPDATE", "TABLE"):
+                j = significant(toks, i)
+                if j < 0 or toks[j].kind not in (IDENT, "qident"):
+                    continue
+                name = toks[j].text.strip('"')
+                # qualified name: a.b(.c)
+                k = significant(toks, j)
+                while k >= 0 and toks[k].text == ".":
+                    k2 = significant(toks, k)
+                    if k2 < 0:
+                        break
+                    name += "." + toks[k2].text.strip('"')
+                    k = significant(toks, k2)
+                # skip subqueries / table functions
+                if k >= 0 and toks[k].text == "(":
+                    continue
+                if name.upper() not in ("SELECT", "LATERAL", "VALUES"):
+                    names.append(name.lower())
+        return names

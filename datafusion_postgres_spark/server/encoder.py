@@ -1,0 +1,221 @@
+"""Spark schema/value → Postgres wire-format encoding.
+
+Reference parity: the ``arrow-pg`` crate — type mapping
+(``arrow-pg/src/datatypes.rs:23-125`` ``into_pg_type``), text-format value
+encoding (``arrow-pg/src/encoder.rs:259-493``), list/struct encoding
+(``list_encoder.rs``, ``struct_encoder.rs``), row encoding
+(``row_encoder.rs:24-40``). Implements the TEXT wire format (what psql
+uses); binary format is a later phase.
+
+Spark-first: encoding happens at the serving edge over
+``toLocalIterator`` rows — the only place row-at-a-time work is
+appropriate (everything upstream stays columnar in the engine).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from datetime import date, datetime, time, timedelta
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+# Spark type -> (pg type oid, pg type name). Array OIDs via _ARRAY_OIDS.
+_SCALAR_OIDS = {
+    T.NullType: (705, "unknown"),
+    T.BooleanType: (16, "bool"),
+    T.ByteType: (21, "int2"),
+    T.ShortType: (21, "int2"),
+    T.IntegerType: (23, "int4"),
+    T.LongType: (20, "int8"),
+    T.FloatType: (700, "float4"),
+    T.DoubleType: (701, "float8"),
+    T.StringType: (25, "text"),
+    T.VarcharType: (1043, "varchar"),
+    T.CharType: (1042, "bpchar"),
+    T.BinaryType: (17, "bytea"),
+    T.DateType: (1082, "date"),
+    T.TimestampType: (1184, "timestamptz"),
+    T.TimestampNTZType: (1114, "timestamp"),
+    T.DayTimeIntervalType: (1186, "interval"),
+    T.YearMonthIntervalType: (1186, "interval"),
+}
+
+_ARRAY_OIDS = {16: 1000, 21: 1005, 23: 1007, 20: 1016, 700: 1021, 701: 1022,
+               25: 1009, 1043: 1015, 1042: 1014, 17: 1001, 1082: 1182,
+               1184: 1185, 1114: 1115, 1700: 1231}
+
+
+@dataclass
+class PgField:
+    name: str
+    type_oid: int
+    type_name: str
+    typlen: int = -1
+    typmod: int = -1
+
+
+def field_to_pg(field: T.StructField) -> PgField:
+    """StructField → PG field descriptor. Honors the ``pg.oid_alias``
+    metadata trick (oid_field.rs:1-12 / datatypes.rs:137-162): an int
+    column tagged as regclass/regtype/... reports the alias OID."""
+    alias = (field.metadata or {}).get("pg.oid_alias")
+    if alias:
+        alias_oids = {"oid": 26, "regclass": 2205, "regtype": 2206,
+                      "regproc": 24, "regnamespace": 4089, "regrole": 4096}
+        if alias in alias_oids:
+            return PgField(field.name, alias_oids[alias], alias, 4)
+    return PgField(field.name, *_type_to_oid(field.dataType))
+
+
+def _type_to_oid(dt: T.DataType) -> tuple[int, str]:
+    if isinstance(dt, T.DecimalType):
+        return (1700, "numeric")
+    if isinstance(dt, T.ArrayType):
+        elem_oid, _ = _type_to_oid(dt.elementType)
+        return (_ARRAY_OIDS.get(elem_oid, 1009), "array")
+    if isinstance(dt, T.StructType):
+        return (2249, "record")
+    if isinstance(dt, T.MapType):
+        return (114, "json")  # closest textual representation
+    for cls, (oid, name) in _SCALAR_OIDS.items():
+        if isinstance(dt, cls):
+            return (oid, name)
+    return (25, "text")
+
+
+def schema_to_pg_fields(schema: T.StructType) -> list[PgField]:
+    return [field_to_pg(f) for f in schema.fields]
+
+
+# ---------------------------------------------------------------------------
+# text-format value encoding (encoder.rs:259-493)
+
+def encode_value(v, dt: T.DataType, extra_float_digits: int = 1) -> str | None:
+    """One value → PG text format; None stays None (wire NULL)."""
+    if v is None:
+        return None
+    if isinstance(dt, T.BooleanType):
+        return "t" if v else "f"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return _encode_float(v, extra_float_digits)
+    if isinstance(dt, T.DecimalType):
+        return _strip_exponent(v)
+    if isinstance(dt, T.BinaryType):
+        return "\\x" + bytes(v).hex()
+    if isinstance(dt, T.DateType):
+        return v.isoformat() if isinstance(v, date) else str(v)
+    if isinstance(dt, T.TimestampNTZType):
+        return _encode_timestamp(v, tz_suffix=False)
+    if isinstance(dt, T.TimestampType):
+        return _encode_timestamp(v, tz_suffix=True)
+    if isinstance(dt, T.DayTimeIntervalType):
+        return _encode_interval(v)
+    if isinstance(dt, T.ArrayType):
+        return _encode_array(v, dt.elementType, extra_float_digits)
+    if isinstance(dt, T.StructType):
+        return _encode_struct(v, dt, extra_float_digits)
+    if isinstance(dt, T.MapType):
+        import json
+        return json.dumps(dict(v), default=str, separators=(",", ":"))
+    return str(v)
+
+
+def _encode_float(v: float, extra_float_digits: int) -> str:
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if extra_float_digits >= 1:
+        s = repr(float(v))  # shortest round-trip, PG extra_float_digits>=1
+        return s
+    return f"{v:.15g}"
+
+
+def _strip_exponent(v: Decimal) -> str:
+    s = str(v)
+    if "E" in s or "e" in s:
+        s = format(v, "f")
+    return s
+
+
+def _encode_timestamp(v: datetime, tz_suffix: bool) -> str:
+    base = v.strftime("%Y-%m-%d %H:%M:%S")
+    if v.microsecond:
+        base += f".{v.microsecond:06d}".rstrip("0")
+    if tz_suffix:
+        base += "+00"  # engine normalizes to UTC (session timeZone)
+    return base
+
+
+def _encode_interval(v: timedelta) -> str:
+    """PG 'postgres' IntervalStyle: '1 day 02:03:04.5', negative parts kept."""
+    total = v.days * 86400 + v.seconds
+    days, rem = divmod(abs(total), 86400)
+    hours, rem = divmod(rem, 3600)
+    minutes, secs = divmod(rem, 60)
+    sign = "-" if total < 0 else ""
+    parts = []
+    if days:
+        parts.append(f"{sign}{days} day" + ("s" if days != 1 else ""))
+    micros = abs(v.microseconds)
+    time_part = f"{sign}{hours:02d}:{minutes:02d}:{secs:02d}"
+    if micros:
+        time_part += f".{micros:06d}".rstrip("0")
+    if time_part not in ("00:00:00", "-00:00:00") or not parts:
+        parts.append(time_part)
+    return " ".join(parts)
+
+
+_ARRAY_QUOTE_CHARS = set(' {},"\\\'')
+
+
+def _encode_array(vals, elem_dt: T.DataType, efd: int) -> str:
+    out = []
+    for v in vals:
+        if v is None:
+            out.append("NULL")
+            continue
+        s = encode_value(v, elem_dt, efd)
+        if isinstance(elem_dt, (T.StringType, T.VarcharType, T.CharType)) and (
+                s == "" or any(c in _ARRAY_QUOTE_CHARS for c in s) or
+                s.upper() == "NULL"):
+            s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        out.append(s)
+    return "{" + ",".join(out) + "}"
+
+
+def _encode_struct(row, dt: T.StructType, efd: int) -> str:
+    """Composite text format: (a,b,...) with quoting (struct_encoder.rs)."""
+    out = []
+    for field, v in zip(dt.fields, row):
+        if v is None:
+            out.append("")
+            continue
+        s = encode_value(v, field.dataType, efd)
+        if s == "" or any(c in '(),"\\ ' for c in s):
+            s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        out.append(s)
+    return "(" + ",".join(out) + ")"
+
+
+def encode_row(row, schema: T.StructType,
+               extra_float_digits: int = 1) -> list[str | None]:
+    """One Spark Row → list of PG text-format values (row_encoder.rs)."""
+    return [encode_value(v, f.dataType, extra_float_digits)
+            for v, f in zip(row, schema.fields)]
+
+
+def encode_dataframe(df, extra_float_digits: int = 1):
+    """(fields, row-iterator) — the encode_dataframe analog
+    (arrow-pg/src/datatypes/df.rs:24-52): schema mapped once, rows
+    streamed through toLocalIterator, never collect()ed."""
+    fields = schema_to_pg_fields(df.schema)
+    schema = df.schema
+
+    def rows():
+        for row in df.toLocalIterator():
+            yield encode_row(row, schema, extra_float_digits)
+
+    return fields, rows()

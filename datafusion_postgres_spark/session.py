@@ -79,6 +79,16 @@ class ExecutionResult:
             return iter(())
         return self.df.toLocalIterator()
 
+    def collect(self, timeout_secs: float = 0.0) -> list:
+        """Materialize under the statement timeout (57014 on deadline)."""
+        if self.df is None:
+            return []
+        if timeout_secs > 0:
+            from datafusion_postgres_spark.server.timeout import run_with_timeout
+            return run_with_timeout(self.df.sparkSession, self.df.collect,
+                                    timeout_secs)
+        return self.df.collect()
+
 
 @dataclass
 class SparkPgEngine:
@@ -92,16 +102,19 @@ class SparkPgEngine:
 
     spark: SparkSession
     session_vars: dict[str, str] = field(default_factory=dict)
+    user: str = "postgres"
 
     # Wired lazily to avoid import cycles.
     def __post_init__(self):
         from datafusion_postgres_spark.dialect.transpiler import PostgresTranspiler
+        from datafusion_postgres_spark.server.auth import AuthManager
         from datafusion_postgres_spark.server.session_state import SessionState
         from datafusion_postgres_spark.server.hooks import HookChain
 
         self.transpiler = PostgresTranspiler()
         self.state = SessionState()
         self.hooks = HookChain(self)
+        self.auth = AuthManager()
         from datafusion_postgres_spark.functions import register_all
         register_all(self.spark)
 
@@ -137,6 +150,7 @@ class SparkPgEngine:
             raise FailedTransactionError(
                 "current transaction is aborted, commands ignored until "
                 "end of transaction block")  # error code 25P01
+        self._check_permissions(stmt)
         self._maybe_refresh_catalog(stmt)
         spark_sql = self.transpiler.transpile(stmt)
         try:
@@ -148,6 +162,19 @@ class SparkPgEngine:
             self.state.statement_failed()
             raise
         return ExecutionResult(df=df)
+
+    def _check_permissions(self, stmt: str) -> None:
+        """Per-statement RBAC (hooks/permissions.rs:44-92): map statement
+        kind to a required permission and check it against every referenced
+        table. Superuser (the default 'postgres' user) bypasses."""
+        from datafusion_postgres_spark.server.auth import Resource
+
+        kind = self.transpiler.statement_kind(stmt)
+        tables = self.transpiler.table_names(stmt) or ["public"]
+        for tbl in tables:
+            name = tbl if "." in tbl else f"public.{tbl}"
+            self.auth.check_statement(self.user, kind,
+                                      Resource("table", name))
 
     def _maybe_refresh_catalog(self, stmt: str) -> None:
         """Rebuild the dynamic pg_catalog views lazily: only when DDL

@@ -1,0 +1,120 @@
+"""PG text-format encoder tests — models the reference's encoder edge-case
+tests (arrow-pg/src/encoder.rs:546-737: nulls, arrays, structs, quoting)
+and type-mapping pins (datatypes.rs:241-364)."""
+
+from datetime import date, datetime, timedelta
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+from datafusion_postgres_spark.server import encoder as E
+
+
+class TestTypeMapping:
+    def test_scalar_oids(self):
+        schema = T.StructType([
+            T.StructField("a", T.BooleanType()),
+            T.StructField("b", T.IntegerType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("e", T.StringType()),
+            T.StructField("f", T.BinaryType()),
+            T.StructField("g", T.DateType()),
+            T.StructField("h", T.TimestampType()),
+            T.StructField("i", T.TimestampNTZType()),
+            T.StructField("j", T.DecimalType(12, 2)),
+        ])
+        oids = [f.type_oid for f in E.schema_to_pg_fields(schema)]
+        assert oids == [16, 23, 20, 701, 25, 17, 1082, 1184, 1114, 1700]
+
+    def test_array_oids(self):
+        f = E.field_to_pg(T.StructField(
+            "xs", T.ArrayType(T.IntegerType())))
+        assert f.type_oid == 1007  # _int4
+        f = E.field_to_pg(T.StructField("ss", T.ArrayType(T.StringType())))
+        assert f.type_oid == 1009  # _text
+
+    def test_oid_alias_metadata(self):
+        # the pg.oid_alias StructField-metadata trick (oid_field.rs:1-12):
+        # regtype alias must report OID 2206 (pinned datatypes.rs:319-350)
+        f = E.field_to_pg(T.StructField("t", T.IntegerType(),
+                                        metadata={"pg.oid_alias": "regtype"}))
+        assert (f.type_oid, f.type_name) == (2206, "regtype")
+        f = E.field_to_pg(T.StructField("c", T.IntegerType(),
+                                        metadata={"pg.oid_alias": "regclass"}))
+        assert f.type_oid == 2205
+
+    def test_struct_is_record(self):
+        f = E.field_to_pg(T.StructField(
+            "s", T.StructType([T.StructField("x", T.IntegerType())])))
+        assert f.type_oid == 2249
+
+
+class TestValueEncoding:
+    def test_bool(self):
+        assert E.encode_value(True, T.BooleanType()) == "t"
+        assert E.encode_value(False, T.BooleanType()) == "f"
+
+    def test_null(self):
+        assert E.encode_value(None, T.IntegerType()) is None
+
+    def test_floats(self):
+        assert E.encode_value(1.5, T.DoubleType()) == "1.5"
+        assert E.encode_value(float("nan"), T.DoubleType()) == "NaN"
+        assert E.encode_value(float("inf"), T.DoubleType()) == "Infinity"
+        assert E.encode_value(float("-inf"), T.DoubleType()) == "-Infinity"
+
+    def test_decimal_no_exponent(self):
+        assert E.encode_value(Decimal("1E+2"), T.DecimalType(10, 0)) == "100"
+        assert E.encode_value(Decimal("12.30"), T.DecimalType(10, 2)) == "12.30"
+
+    def test_bytea_hex(self):
+        assert E.encode_value(b"\x01\xab", T.BinaryType()) == "\\x01ab"
+
+    def test_date_timestamp(self):
+        assert E.encode_value(date(2024, 1, 5), T.DateType()) == "2024-01-05"
+        assert E.encode_value(datetime(2024, 1, 5, 12, 30, 1, 500000),
+                              T.TimestampNTZType()) == "2024-01-05 12:30:01.5"
+        assert E.encode_value(datetime(2024, 1, 5, 12, 0, 0),
+                              T.TimestampType()) == "2024-01-05 12:00:00+00"
+
+    def test_interval(self):
+        assert E.encode_value(timedelta(days=1, hours=2, minutes=3, seconds=4),
+                              T.DayTimeIntervalType()) == "1 day 02:03:04"
+        assert E.encode_value(timedelta(seconds=90),
+                              T.DayTimeIntervalType()) == "00:01:30"
+        assert E.encode_value(timedelta(days=2),
+                              T.DayTimeIntervalType()) == "2 days"
+
+    def test_int_array(self):
+        assert E.encode_value([1, None, 3], T.ArrayType(T.IntegerType())) \
+            == "{1,NULL,3}"
+
+    def test_string_array_quoting(self):
+        got = E.encode_value(["plain", "has space", 'q"uote', None, ""],
+                             T.ArrayType(T.StringType()))
+        assert got == '{plain,"has space","q\\"uote",NULL,""}'
+
+    def test_nested_array(self):
+        got = E.encode_value([[1, 2], [3]],
+                             T.ArrayType(T.ArrayType(T.IntegerType())))
+        assert got == "{{1,2},{3}}"
+
+    def test_struct_encoding(self):
+        dt = T.StructType([T.StructField("a", T.IntegerType()),
+                           T.StructField("b", T.StringType())])
+        assert E.encode_value((1, "x y"), dt) == '(1,"x y")'
+        assert E.encode_value((None, "z"), dt) == "(,z)"
+
+
+class TestDataFrameEncoding:
+    def test_round_trip(self, spark):
+        df = spark.sql("""
+            SELECT 1 AS i, 'txt' AS s, true AS b,
+                   array(1, 2) AS xs, named_struct('a', 1, 'b', 'v') AS st,
+                   CAST(1.25 AS DOUBLE) AS d, CAST(NULL AS INT) AS n
+        """)
+        fields, rows = E.encode_dataframe(df)
+        assert [f.type_oid for f in fields] == [23, 25, 16, 1007, 2249, 701, 23]
+        row = next(rows)
+        assert row == ["1", "txt", "t", "{1,2}", "(1,v)", "1.25", None]

@@ -291,7 +291,15 @@ def refresh(spark: SparkSession) -> None:
         StructField("viewowner", StringType()),
         StructField("definition", StringType())])
     _view(spark, "pg_catalog_pg_views", views_schema, [])
-    _view(spark, "pg_catalog_pg_matviews", views_schema, [])
+    matviews_schema = StructType([
+        StructField("schemaname", StringType()),
+        StructField("matviewname", StringType()),
+        StructField("matviewowner", StringType()),
+        StructField("tablespace", StringType()),
+        StructField("hasindexes", BooleanType()),
+        StructField("ispopulated", BooleanType()),
+        StructField("definition", StringType())])
+    _view(spark, "pg_catalog_pg_matviews", matviews_schema, [])
 
     # ---- information_schema (reference gets it from DataFusion) ----
     info_tables = StructType([

@@ -153,14 +153,23 @@ class SparkPgEngine:
         self._check_permissions(stmt)
         self._maybe_refresh_catalog(stmt)
         spark_sql = self.transpiler.transpile(stmt)
+        kind = self.transpiler.statement_kind(stmt)
         try:
             df = self.spark.sql(spark_sql)
-            kind = self.transpiler.statement_kind(stmt)
-            if kind in ("CREATE", "DROP", "ALTER", "INSERT"):
+            if kind in ("CREATE", "DROP", "ALTER", "INSERT", "UPDATE",
+                        "DELETE", "TRUNCATE", "MERGE"):
                 self._catalog_dirty = True
         except Exception:
             self.state.statement_failed()
             raise
+        if kind in ("INSERT", "UPDATE", "DELETE", "MERGE"):
+            # DML returns no rows; surface the affected count in the tag
+            # like the reference ("INSERT 0 n", handlers.rs:354-376)
+            n = _dml_row_count(df)
+            tag = f"{kind} {n}" if kind != "INSERT" else f"INSERT 0 {n}"
+            return ExecutionResult(df=None, command_tag=tag, rows_affected=n)
+        if kind in ("CREATE", "DROP", "ALTER", "TRUNCATE"):
+            return ExecutionResult(df=None, command_tag=f"{kind} TABLE")
         return ExecutionResult(df=df)
 
     def _check_permissions(self, stmt: str) -> None:
@@ -192,3 +201,22 @@ class SparkPgEngine:
 
 class FailedTransactionError(RuntimeError):
     sqlstate = "25P01"
+
+
+def _dml_row_count(df: DataFrame) -> int:
+    """Affected-row count from the executed command's metrics (Spark's
+    InsertInto* commands expose numOutputRows; DataFusion surfaces an
+    explicit count column — handlers.rs:354-376)."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        # CommandResultExec wraps the real write command; its own
+        # numOutputRows counts result rows (0 for DML) — read the child's.
+        if plan.getClass().getSimpleName() == "CommandResultExec":
+            plan = plan.commandPhysicalPlan()
+        metrics = plan.metrics()
+        for key in ("numOutputRows", "numInsertedRows", "numAffectedRows"):
+            if metrics.contains(key):
+                return int(metrics.apply(key).value())
+    except Exception:
+        pass
+    return 0

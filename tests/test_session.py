@@ -148,3 +148,36 @@ class TestFunctions:
         rows = one_row(engine.execute(
             "SELECT pg_div(7, 0) AS a, pg_mod(7, 0) AS b, pg_div(7, 2) AS c"))
         assert tuple(rows[0]) == (None, None, 3)
+
+
+class TestDml:
+    """CREATE TABLE / CTAS / INSERT / DROP through the engine
+    (handlers.rs:220-222,354-376 INSERT tag; test_csv.py CTAS)."""
+
+    def test_ctas_insert_drop(self, engine, tmp_path):
+        engine.execute("DROP TABLE IF EXISTS t_dml")
+        res = engine.execute(
+            "CREATE TABLE t_dml AS SELECT n_nationkey AS k, n_name AS v "
+            "FROM nation WHERE n_nationkey < 5")
+        assert res[0].command_tag == "CREATE TABLE"
+        rows = list(engine.execute("SELECT count(*) FROM t_dml")[0].rows())
+        assert rows[0][0] == 5
+        ins = engine.execute("INSERT INTO t_dml VALUES (100, 'NEW')")[0]
+        assert ins.command_tag.startswith("INSERT 0")
+        assert ins.rows_affected == 1
+        rows = list(engine.execute(
+            "SELECT v FROM t_dml WHERE k = 100")[0].rows())
+        assert rows[0][0] == "NEW"
+        # CTAS table appears in pg_class after refresh
+        rows = list(engine.execute(
+            "SELECT count(*) FROM pg_class WHERE relname = 't_dml'")[0].rows())
+        assert rows[0][0] == 1
+        engine.execute("DROP TABLE t_dml")
+
+    def test_insert_select_count(self, engine):
+        engine.execute("DROP TABLE IF EXISTS t_dml2")
+        engine.execute("CREATE TABLE t_dml2 (k INT, v STRING)")
+        ins = engine.execute(
+            "INSERT INTO t_dml2 SELECT n_nationkey, n_name FROM nation")[0]
+        assert ins.rows_affected == 25
+        engine.execute("DROP TABLE t_dml2")

@@ -1,0 +1,405 @@
+"""PostgreSQL wire-protocol (v3) server frontend.
+
+Reference parity: the pgwire serving layer
+(``datafusion-postgres/src/lib.rs:87-195`` server setup + accept loop,
+``handlers.rs`` simple/extended query handlers). Implemented from the
+public PostgreSQL Frontend/Backend protocol documentation.
+
+Per connection: its own ``SparkPgEngine`` over ``spark.newSession()`` —
+isolated temp views + conf, shared executors/cache (our improvement over
+the reference's shared-SessionContext TimeZone mutation, SURVEY.md §7).
+
+Supported: startup (trust auth / cleartext password), SSLRequest refusal,
+simple query protocol (multi-statement), extended protocol
+(Parse/Bind/Describe/Execute/Close/Sync/Flush), ParameterStatus
+broadcast, transaction-status-aware ReadyForQuery, error responses with
+SQLSTATE, connection limit semaphore, Terminate.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+from datafusion_postgres_spark.server.encoder import (
+    encode_row, schema_to_pg_fields,
+)
+from datafusion_postgres_spark.server.prepared import (
+    PreparedStatementManager,
+)
+from datafusion_postgres_spark.server.session_state import (
+    PARAMETER_STATUS_VARS, TxnState,
+)
+
+PROTOCOL_V3 = 196608
+SSL_REQUEST = 80877103
+CANCEL_REQUEST = 80877102
+GSSENC_REQUEST = 80877104
+
+
+def _msg(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack("!I", len(payload) + 4) + payload
+
+
+def _sqlstate_of(exc: Exception) -> str:
+    """Engine errors carry .sqlstate; PySpark exceptions expose
+    getSqlState() (Spark's own error classes map to standard SQLSTATEs,
+    e.g. TABLE_OR_VIEW_NOT_FOUND -> 42P01)."""
+    state = getattr(exc, "sqlstate", None)
+    if state:
+        return state
+    getter = getattr(exc, "getSqlState", None)
+    if getter:
+        try:
+            state = getter()
+            if state:
+                return state
+        except Exception:
+            pass
+    return "XX000"
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+class _Conn(socketserver.BaseRequestHandler):
+    # class attrs injected by PgWireServer: engine_factory, auth, password_mode
+
+    def handle(self):
+        self.sock = self.request
+        self.buf = b""
+        self.engine = None
+        try:
+            if not self._startup():
+                return
+            self.engine = self.server.engine_factory()
+            self.prepared = PreparedStatementManager(self.engine)
+            self.portals = {}
+            self._send_auth_ok_and_status()
+            self._main_loop()
+        except (ConnectionError, OSError):
+            pass
+
+    # -- plumbing ----------------------------------------------------------
+    def _recv_exact(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("client disconnected")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def _send(self, data: bytes) -> None:
+        self.sock.sendall(data)
+
+    # -- startup -----------------------------------------------------------
+    def _startup(self) -> bool:
+        while True:
+            (length,) = struct.unpack("!I", self._recv_exact(4))
+            payload = self._recv_exact(length - 4)
+            (code,) = struct.unpack("!I", payload[:4])
+            if code == SSL_REQUEST or code == GSSENC_REQUEST:
+                self._send(b"N")  # no TLS in this build
+                continue
+            if code == CANCEL_REQUEST:
+                return False
+            if code != PROTOCOL_V3:
+                self._error("08P01", f"unsupported protocol {code}")
+                return False
+            params = payload[4:].split(b"\x00")
+            kv = dict(zip(params[0::2], params[1::2]))
+            self.client_user = kv.get(b"user", b"postgres").decode()
+            self.database = kv.get(b"database", b"postgres").decode()
+            return self._authenticate()
+
+    def _authenticate(self) -> bool:
+        if self.server.password_mode == "trust":
+            return True
+        # cleartext password request (auth.rs AuthSource cleartext analog)
+        self._send(_msg(b"R", struct.pack("!I", 3)))
+        tag = self._recv_exact(1)
+        (length,) = struct.unpack("!I", self._recv_exact(4))
+        payload = self._recv_exact(length - 4)
+        if tag != b"p":
+            self._error("08P01", "expected PasswordMessage")
+            return False
+        password = payload.rstrip(b"\x00").decode()
+        from datafusion_postgres_spark.server.auth import verify_cleartext
+        if not verify_cleartext(self.server.auth, self.client_user, password):
+            self._error("28P01",
+                        f'password authentication failed for user '
+                        f'"{self.client_user}"')
+            return False
+        return True
+
+    def _send_auth_ok_and_status(self):
+        out = _msg(b"R", struct.pack("!I", 0))
+        state = self.engine.state
+        status = {
+            "server_version": state.get_var("server_version"),
+            "server_encoding": "UTF8",
+            "client_encoding": "UTF8",
+            "DateStyle": state.get_var("datestyle"),
+            "TimeZone": state.get_var("timezone"),
+            "integer_datetimes": "on",
+            "standard_conforming_strings": "on",
+            "is_superuser": "on",
+            "session_authorization": self.client_user,
+        }
+        for k, v in status.items():
+            out += _msg(b"S", _cstr(k) + _cstr(v))
+        out += _msg(b"K", struct.pack("!II", 42, 4242))  # BackendKeyData
+        out += self._ready()
+        self._send(out)
+
+    def _ready(self) -> bytes:
+        status = {TxnState.IDLE: b"I", TxnState.TRANSACTION: b"T",
+                  TxnState.ERROR: b"E"}[self.engine.state.txn]
+        return _msg(b"Z", status)
+
+    def _error(self, sqlstate: str, message: str) -> None:
+        payload = (b"S" + _cstr("ERROR") + b"V" + _cstr("ERROR") +
+                   b"C" + _cstr(sqlstate) + b"M" + _cstr(message) + b"\x00")
+        self._send(_msg(b"E", payload))
+
+    # -- main loop ---------------------------------------------------------
+    def _main_loop(self):
+        while True:
+            tag = self._recv_exact(1)
+            (length,) = struct.unpack("!I", self._recv_exact(4))
+            payload = self._recv_exact(length - 4)
+            if tag == b"X":
+                return
+            handler = {b"Q": self._on_query, b"P": self._on_parse,
+                       b"B": self._on_bind, b"D": self._on_describe,
+                       b"E": self._on_execute, b"C": self._on_close,
+                       b"S": self._on_sync, b"H": self._on_flush,
+                       b"p": lambda _: None}.get(tag)
+            if handler is None:
+                self._error("08P01", f"unknown message type {tag!r}")
+                self._send(self._ready())
+                continue
+            handler(payload)
+
+    # -- simple query ------------------------------------------------------
+    def _on_query(self, payload: bytes):
+        sql = payload.rstrip(b"\x00").decode()
+        try:
+            if not sql.strip():
+                self._send(_msg(b"I", b""))  # EmptyQueryResponse
+                self._send(self._ready())
+                return
+            results = self.engine.execute(sql)
+            for res in results:
+                self._send_result(res, max_rows=0)
+                self._maybe_parameter_status(sql)
+        except Exception as exc:
+            self.engine.state.statement_failed()
+            self._error(_sqlstate_of(exc), str(exc).split("\n")[0][:500])
+        self._send(self._ready())
+
+    def _send_result(self, res, max_rows: int):
+        if res.df is None:
+            self._send(_msg(b"C", _cstr(res.command_tag)))
+            return
+        fields = schema_to_pg_fields(res.df.schema)
+        self._send(self._row_description(fields))
+        schema = res.df.schema
+        timeout = self.engine.state.statement_timeout_secs()
+        n = 0
+        efd = int(self.engine.state.get_var("extra_float_digits") or 1)
+        for row in (res.collect(timeout) if timeout > 0 else res.rows()):
+            values = encode_row(row, schema, efd)
+            buf = struct.pack("!H", len(values))
+            for v in values:
+                if v is None:
+                    buf += struct.pack("!i", -1)
+                else:
+                    b = v.encode()
+                    buf += struct.pack("!I", len(b)) + b
+            self._send(_msg(b"D", buf))
+            n += 1
+            if max_rows and n >= max_rows:
+                break
+        tag = res.command_tag
+        if tag == "SELECT":
+            tag = f"SELECT {n}"
+        self._send(_msg(b"C", _cstr(tag)))
+
+    def _row_description(self, fields) -> bytes:
+        buf = struct.pack("!H", len(fields))
+        for f in fields:
+            buf += (_cstr(f.name) + struct.pack("!IhIhih", 0, 0, f.type_oid,
+                                                f.typlen, f.typmod, 0))
+        return _msg(b"T", buf)
+
+    def _maybe_parameter_status(self, sql: str):
+        """After a SET, broadcast ParameterStatus for known vars
+        (set_show.rs:139-246)."""
+        kind = self.engine.transpiler.statement_kind(sql)
+        if kind != "SET":
+            return
+        for var in PARAMETER_STATUS_VARS:
+            val = self.engine.state.get_var(var)
+            if val:
+                name = {"timezone": "TimeZone",
+                        "datestyle": "DateStyle"}.get(var, var)
+                self._send(_msg(b"S", _cstr(name) + _cstr(val)))
+
+    # -- extended protocol -------------------------------------------------
+    def _on_parse(self, payload: bytes):
+        try:
+            name_end = payload.index(b"\x00")
+            name = payload[:name_end].decode()
+            rest = payload[name_end + 1:]
+            sql_end = rest.index(b"\x00")
+            sql = rest[:sql_end].decode()
+            self.prepared.parse(name or "", sql)
+            self._send(_msg(b"1", b""))
+        except Exception as exc:
+            self._error(_sqlstate_of(exc), str(exc)[:300])
+
+    def _on_bind(self, payload: bytes):
+        try:
+            i = payload.index(b"\x00")
+            portal = payload[:i].decode()
+            rest = payload[i + 1:]
+            j = rest.index(b"\x00")
+            stmt_name = rest[:j].decode()
+            rest = rest[j + 1:]
+            (n_fmt,) = struct.unpack("!H", rest[:2])
+            rest = rest[2 + 2 * n_fmt:]
+            (n_params,) = struct.unpack("!H", rest[:2])
+            rest = rest[2:]
+            params = []
+            for _ in range(n_params):
+                (plen,) = struct.unpack("!i", rest[:4])
+                rest = rest[4:]
+                if plen < 0:
+                    params.append(None)
+                else:
+                    params.append(rest[:plen].decode())
+                    rest = rest[plen:]
+            self.portals[portal or ""] = (stmt_name or "", params)
+            self._send(_msg(b"2", b""))
+        except Exception as exc:
+            self._error(_sqlstate_of(exc), str(exc)[:300])
+
+    def _on_describe(self, payload: bytes):
+        kind, name = payload[:1], payload[1:].rstrip(b"\x00").decode()
+        try:
+            if kind == b"S":
+                stmt = self.prepared.describe(name or "")
+                buf = struct.pack("!H", stmt.num_params)
+                for oid in stmt.param_oids:
+                    buf += struct.pack("!I", oid)
+                self._send(_msg(b"t", buf))
+                self._send(self._describe_statement_rowdesc(stmt))
+            else:
+                stmt_name, _ = self.portals.get(name or "", ("", []))
+                stmt = self.prepared.describe(stmt_name)
+                self._send(self._describe_statement_rowdesc(stmt))
+        except KeyError:
+            self._error("26000",
+                        f'prepared statement "{name}" does not exist')
+
+    def _describe_statement_rowdesc(self, stmt) -> bytes:
+        try:
+            spark_sql = self.engine.transpiler.transpile(stmt.sql)
+            from datafusion_postgres_spark.server.prepared import to_named_params
+            spark_sql = to_named_params(spark_sql)
+            nulls = {f"p{i + 1}": None for i in range(stmt.num_params)}
+            df = self.engine.spark.sql(spark_sql, args=nulls) if nulls else \
+                self.engine.spark.sql(spark_sql)
+            fields = schema_to_pg_fields(df.schema)
+            return self._row_description(fields)
+        except Exception:
+            return _msg(b"n", b"")  # NoData
+
+    def _on_execute(self, payload: bytes):
+        i = payload.index(b"\x00")
+        portal = payload[:i].decode()
+        (max_rows,) = struct.unpack("!I", payload[i + 1:i + 5])
+        try:
+            stmt_name, params = self.portals[portal or ""]
+            res = self.prepared.execute(stmt_name, params)
+            self._send_result_no_rowdesc(res, max_rows)
+        except Exception as exc:
+            self.engine.state.statement_failed()
+            self._error(_sqlstate_of(exc), str(exc)[:500])
+
+    def _send_result_no_rowdesc(self, res, max_rows: int):
+        schema = res.df.schema
+        n = 0
+        efd = int(self.engine.state.get_var("extra_float_digits") or 1)
+        for row in res.rows():
+            values = encode_row(row, schema, efd)
+            buf = struct.pack("!H", len(values))
+            for v in values:
+                if v is None:
+                    buf += struct.pack("!i", -1)
+                else:
+                    b = v.encode()
+                    buf += struct.pack("!I", len(b)) + b
+            self._send(_msg(b"D", buf))
+            n += 1
+            if max_rows and n >= max_rows:
+                self._send(_msg(b"s", b""))  # PortalSuspended
+                return
+        self._send(_msg(b"C", _cstr(f"SELECT {n}")))
+
+    def _on_close(self, payload: bytes):
+        kind, name = payload[:1], payload[1:].rstrip(b"\x00").decode()
+        if kind == b"S":
+            self.prepared.close(name or "")
+        else:
+            self.portals.pop(name or "", None)
+        self._send(_msg(b"3", b""))
+
+    def _on_sync(self, _payload: bytes):
+        self._send(self._ready())
+
+    def _on_flush(self, _payload: bytes):
+        pass
+
+
+class PgWireServer:
+    """Threaded pg-wire server over a shared SparkSession (lib.rs:121-195
+    accept-loop analog; max_connections via socketserver thread pool)."""
+
+    def __init__(self, spark, host: str = "127.0.0.1", port: int = 5432,
+                 password_mode: str = "trust", auth=None):
+        from datafusion_postgres_spark.server.auth import AuthManager
+        from datafusion_postgres_spark.session import SparkPgEngine
+
+        self.spark = spark
+        self.auth = auth or AuthManager()
+
+        def engine_factory():
+            return SparkPgEngine(spark.newSession())
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = _Server((host, port), _Conn)
+        self._server.engine_factory = engine_factory
+        self._server.auth = self.auth
+        self._server.password_mode = password_mode
+        self.host, self.port = self._server.server_address
+
+    def serve_forever(self):
+        self._server.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._server.shutdown()
+        self._server.server_close()

@@ -1,0 +1,249 @@
+"""pg-wire protocol end-to-end tests with a frame-level client
+(the reference's tests-integration analog, minus psycopg which is not in
+this container — the mini client speaks protocol v3 directly)."""
+
+import socket
+import struct
+
+import pytest
+
+from datafusion_postgres_spark.server.pgwire import PgWireServer
+
+
+class MiniPgClient:
+    """Just enough of the v3 frontend protocol for tests."""
+
+    def __init__(self, host, port, user="postgres", password=None):
+        self.sock = socket.create_connection((host, port), timeout=60)
+        self.buf = b""
+        payload = struct.pack("!I", 196608)
+        payload += b"user\x00" + user.encode() + b"\x00"
+        payload += b"database\x00postgres\x00\x00"
+        self.sock.sendall(struct.pack("!I", len(payload) + 4) + payload)
+        self.password = password
+        self.params = {}
+        self._consume_until_ready()
+
+    def _recv_exact(self, n):
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def read_message(self):
+        tag = self._recv_exact(1)
+        (length,) = struct.unpack("!I", self._recv_exact(4))
+        return tag, self._recv_exact(length - 4)
+
+    def _consume_until_ready(self):
+        msgs = []
+        while True:
+            tag, payload = self.read_message()
+            if tag == b"R":
+                (code,) = struct.unpack("!I", payload[:4])
+                if code == 3:  # cleartext password
+                    body = self.password.encode() + b"\x00"
+                    self.sock.sendall(
+                        b"p" + struct.pack("!I", len(body) + 4) + body)
+                    continue
+            if tag == b"S":
+                k, v = payload.split(b"\x00")[:2]
+                self.params[k.decode()] = v.decode()
+            msgs.append((tag, payload))
+            if tag == b"Z":
+                self.txn_status = payload
+                return msgs
+            if tag == b"E":
+                self.last_error = payload
+                if not any(t == b"R" for t, _ in msgs):
+                    return msgs
+
+    def query(self, sql):
+        body = sql.encode() + b"\x00"
+        self.sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        rows, cols, tags, errors = [], [], [], []
+        while True:
+            tag, payload = self.read_message()
+            if tag == b"T":
+                (n,) = struct.unpack("!H", payload[:2])
+                cols, off = [], 2
+                for _ in range(n):
+                    end = payload.index(b"\x00", off)
+                    name = payload[off:end].decode()
+                    off = end + 1 + 18
+                    cols.append(name)
+            elif tag == b"D":
+                (n,) = struct.unpack("!H", payload[:2])
+                off, row = 2, []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", payload[off:off + 4])
+                    off += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(payload[off:off + ln].decode())
+                        off += ln
+                rows.append(row)
+            elif tag == b"C":
+                tags.append(payload.rstrip(b"\x00").decode())
+            elif tag == b"E":
+                fields = {p[:1]: p[1:].decode() for p in
+                          payload.split(b"\x00") if p}
+                errors.append(fields)
+            elif tag == b"S":
+                k, v = payload.split(b"\x00")[:2]
+                self.params[k.decode()] = v.decode()
+            elif tag == b"Z":
+                self.txn_status = payload
+                return {"cols": cols, "rows": rows, "tags": tags,
+                        "errors": errors}
+
+    def close(self):
+        self.sock.sendall(b"X" + struct.pack("!I", 4))
+        self.sock.close()
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = PgWireServer(spark, port=0)  # ephemeral port
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    c = MiniPgClient(server.host, server.port)
+    c.query("SELECT 1")  # warm the session
+    yield c
+    c.close()
+
+
+class TestSimpleQuery:
+    def test_startup_parameter_status(self, client):
+        assert client.params["server_version"].startswith("15.0")
+        assert client.params["client_encoding"] == "UTF8"
+
+    def test_select_literal(self, client):
+        res = client.query("SELECT 1 AS one, 'x' AS s, true AS b")
+        assert res["cols"] == ["one", "s", "b"]
+        assert res["rows"] == [["1", "x", "t"]]
+        assert res["tags"] == ["SELECT 1"]
+
+    def test_table_query(self, client, server):
+        client.query(
+            "CREATE OR REPLACE TEMPORARY VIEW wnation AS "
+            "SELECT * FROM parquet.`/root/testdata/sf0.001/nation.parquet`")
+        res = client.query(
+            "SELECT n_name FROM wnation WHERE n_nationkey < 3 ORDER BY 1")
+        assert [r[0] for r in res["rows"]] == ["NATION_0", "NATION_1",
+                                              "NATION_2"]
+
+    def test_multi_statement(self, client):
+        res = client.query("SELECT 1 AS a; SELECT 2 AS b")
+        assert res["tags"] == ["SELECT 1", "SELECT 1"]
+        assert res["rows"] == [["1"], ["2"]]
+
+    def test_postgres_dialect(self, client):
+        res = client.query(
+            "SELECT 2.5::int8 AS r, version() "
+            )
+        assert res["rows"][0][0] == "2"
+        assert "PostgreSQL" in res["rows"][0][1]
+
+    def test_error_has_sqlstate(self, client):
+        res = client.query("SELECT * FROM missing_table_pgwire")
+        assert res["errors"]
+        assert res["errors"][0][b"C"] == "42P01"
+        # connection still usable
+        assert client.query("SELECT 1")["rows"] == [["1"]]
+
+    def test_set_show_parameter_status(self, client):
+        res = client.query("SET TIME ZONE 'America/Chicago'")
+        assert res["tags"] == ["SET"]
+        assert client.params["TimeZone"] == "America/Chicago"
+        res = client.query("SHOW TimeZone")
+        assert res["rows"] == [["America/Chicago"]]
+        client.query("SET TIME ZONE 'UTC'")
+
+    def test_transaction_status_byte(self, client):
+        client.query("BEGIN")
+        assert client.txn_status == b"T"
+        client.query("SELECT * FROM missing_tbl_x")
+        assert client.txn_status == b"E"
+        client.query("ROLLBACK")
+        assert client.txn_status == b"I"
+
+    def test_null_encoding(self, client):
+        res = client.query("SELECT CAST(NULL AS INT) AS n")
+        assert res["rows"] == [[None]]
+
+    def test_array_and_struct(self, client):
+        res = client.query(
+            "SELECT array(1,2,3) AS xs, named_struct('a', 1, 'b', 'x') AS st")
+        assert res["rows"] == [["{1,2,3}", "(1,x)"]]
+
+
+class TestExtendedProtocol:
+    def _parse(self, client, name, sql):
+        body = name.encode() + b"\x00" + sql.encode() + b"\x00" + b"\x00\x00"
+        client.sock.sendall(b"P" + struct.pack("!I", len(body) + 4) + body)
+
+    def _bind(self, client, portal, stmt, params):
+        body = portal.encode() + b"\x00" + stmt.encode() + b"\x00"
+        body += struct.pack("!H", 0)
+        body += struct.pack("!H", len(params))
+        for p in params:
+            if p is None:
+                body += struct.pack("!i", -1)
+            else:
+                body += struct.pack("!I", len(p)) + p.encode()
+        body += struct.pack("!H", 0)
+        client.sock.sendall(b"B" + struct.pack("!I", len(body) + 4) + body)
+
+    def _execute(self, client, portal, max_rows=0):
+        body = portal.encode() + b"\x00" + struct.pack("!I", max_rows)
+        client.sock.sendall(b"E" + struct.pack("!I", len(body) + 4) + body)
+
+    def _sync(self, client):
+        client.sock.sendall(b"S" + struct.pack("!I", 4))
+
+    def test_parse_bind_execute(self, client):
+        self._parse(client, "st1",
+                    "SELECT n_name FROM wnation WHERE n_nationkey = $1::int4")
+        self._bind(client, "", "st1", ["7"])
+        self._execute(client, "")
+        self._sync(client)
+        rows, tags = [], []
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"D":
+                rows.append(payload)
+            elif tag == b"C":
+                tags.append(payload.rstrip(b"\x00").decode())
+            elif tag == b"Z":
+                break
+        assert tags == ["SELECT 1"]
+        assert b"NATION_7" in rows[0]
+
+    def test_describe_statement(self, client):
+        self._parse(client, "st2", "SELECT $1::int8 AS v")
+        body = b"S" + b"st2" + b"\x00"
+        client.sock.sendall(b"D" + struct.pack("!I", len(body) + 4) + body)
+        self._sync(client)
+        saw_param_desc = saw_rowdesc = False
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"t":
+                (n,) = struct.unpack("!H", payload[:2])
+                (oid,) = struct.unpack("!I", payload[2:6])
+                assert (n, oid) == (1, 20)  # one int8 param
+                saw_param_desc = True
+            elif tag == b"T":
+                saw_rowdesc = True
+            elif tag == b"Z":
+                break
+        assert saw_param_desc and saw_rowdesc

@@ -67,6 +67,6 @@ def pg_sql(spark: SparkSession, sf_dir: str, sql: str,
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (forces registration) and return REGISTRY."""
     from datafusion_postgres_spark.queries import (  # noqa: F401
-        dialect_q, events_q, pipeline_q, relational,
+        dialect_q, events_q, pipeline_q, relational, relational2,
     )
     return REGISTRY

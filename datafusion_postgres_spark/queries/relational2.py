@@ -1,0 +1,310 @@
+"""Second relational battery: argmax-per-group, nation-pair volumes,
+HAVING, date/string scalar functions, LATERAL, PIVOT, DISTINCT ON.
+Same determinism conventions as relational.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from datafusion_postgres_spark.queries import register, t
+
+DEC = "decimal(18,2)"
+
+
+@register("q7_nation_pair_volume", oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_nationkey < 3 AND cn.n_nationkey < 3
+  AND sn.n_nationkey <> cn.n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def q7(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    sn = nation.select(F.col("n_nationkey").alias("sk"),
+                       F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("ck"),
+                       F.col("n_name").alias("cust_nation"))
+    vol = (F.col("l_extendedprice").cast("decimal(12,2)") *
+           (1 - F.col("l_discount").cast("decimal(4,2)")))
+    return (li.join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+            .where((F.col("sk") < 3) & (F.col("ck") < 3) &
+                   (F.col("sk") != F.col("ck")))
+            .groupBy("supp_nation", "cust_nation")
+            .agg(F.sum(vol).cast("decimal(18,4)").alias("volume"))
+            .orderBy("supp_nation", "cust_nation"))
+
+
+@register("q10_returned_items", oracle="""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q10(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)") *
+           (1 - F.col("l_discount").cast("decimal(4,2)")))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20))
+
+
+@register("q18_large_orders", oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+       CAST(total_qty AS DECIMAL(18,2)) AS total_qty
+FROM orders JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+) big ON o_orderkey = big.l_orderkey
+ORDER BY o_orderkey
+""")
+def q18(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                .alias("total_qty"))
+           .where(F.col("total_qty") > 250))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .select("o_orderkey", F.col("o_totalprice").cast(DEC).alias("price"),
+                    F.col("total_qty").cast(DEC).alias("total_qty"))
+            .orderBy("o_orderkey"))
+
+
+@register("argmax_per_group", oracle="""
+SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+FROM lineitem l1
+WHERE l_extendedprice = (SELECT MAX(l2.l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_orderkey = l1.l_orderkey)
+  AND l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+""")
+def argmax_per_group(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM {li} l1
+        WHERE l_extendedprice = (SELECT MAX(l2.l_extendedprice) FROM {li} l2
+                                 WHERE l2.l_orderkey = l1.l_orderkey)
+          AND l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber""", li=li)
+
+
+@register("having_filter", oracle="""
+SELECT c_nationkey, COUNT(*) AS n,
+       CAST(AVG(c_acctbal) AS DECIMAL(18,4)) AS avg_bal
+FROM customer GROUP BY c_nationkey
+HAVING COUNT(*) > 50 AND AVG(c_acctbal) > 0
+ORDER BY c_nationkey
+""")
+def having_filter(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return (c.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"),
+                 F.avg("c_acctbal").cast("decimal(18,4)").alias("avg_bal"))
+            .where((F.col("n") > 50) & (F.col("avg_bal") > 0))
+            .orderBy("c_nationkey"))
+
+
+@register("date_functions", oracle="""
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS INTEGER) AS y,
+       CAST(extract(month FROM o_orderdate) AS INTEGER) AS m,
+       CAST(extract(day FROM o_orderdate) AS INTEGER) AS d,
+       CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS q,
+       CAST(extract(doy FROM o_orderdate) AS INTEGER) AS doy,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey
+""")
+def date_functions(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (o.where(F.col("o_orderkey") < 100)
+            .select("o_orderkey",
+                    F.year(d).alias("y"), F.month(d).alias("m"),
+                    F.dayofmonth(d).alias("d"), F.quarter(d).alias("q"),
+                    F.dayofyear(d).alias("doy"),
+                    F.date_add(d.cast("date"), 30).alias("plus30"),
+                    F.date_trunc("month", d).cast("date").alias("month_start"),
+                    F.datediff(F.lit("2000-01-01").cast("date"),
+                               d.cast("date")).cast("bigint")
+                    .alias("days_to_y2k"))
+            .orderBy("o_orderkey"))
+
+
+@register("string_functions_ext", oracle="""
+SELECT p_partkey,
+       upper(p_name) AS up, lower(p_brand) AS lo,
+       replace(p_name, ' ', '_') AS snake,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+       reverse(p_name) AS rev,
+       substr(p_name, 1, 4) AS pre4,
+       CAST(length(p_name) AS INTEGER) AS len,
+       repeat('ab', 3) AS rep,
+       ltrim('  x') AS lt, rtrim('x  ') AS rt,
+       split_part(p_name, ' ', 1) AS first_word
+FROM part WHERE p_partkey < 50 ORDER BY p_partkey
+""")
+def string_functions_ext(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return (p.where(F.col("p_partkey") < 50)
+            .select("p_partkey",
+                    F.upper("p_name").alias("up"),
+                    F.lower("p_brand").alias("lo"),
+                    F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+                    F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+                    F.reverse(F.col("p_name")).alias("rev"),
+                    F.substring("p_name", 1, 4).alias("pre4"),
+                    F.length("p_name").alias("len"),
+                    F.repeat(F.lit("ab"), 3).alias("rep"),
+                    F.ltrim(F.lit("  x")).alias("lt"),
+                    F.rtrim(F.lit("x  ")).alias("rt"),
+                    F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+                    .alias("first_word"))
+            .orderBy("p_partkey"))
+
+
+@register("conditional_functions", oracle="""
+SELECT c_custkey,
+       coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+       greatest(c_acctbal, 0.0) AS pos_bal,
+       least(CAST(c_nationkey AS BIGINT), 10) AS capped_nation,
+       CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS standing
+FROM customer WHERE c_custkey < 100 ORDER BY c_custkey
+""")
+def conditional_functions(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return (c.where(F.col("c_custkey") < 100)
+            .select("c_custkey",
+                    F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")),
+                               F.lit("OTHER")).alias("seg"),
+                    F.greatest("c_acctbal", F.lit(0.0)).alias("pos_bal"),
+                    F.least(F.col("c_nationkey").cast("bigint"),
+                            F.lit(10)).alias("capped_nation"),
+                    F.when(F.col("c_acctbal") < 0, "debt")
+                    .otherwise("credit").alias("standing"))
+            .orderBy("c_custkey"))
+
+
+@register("lateral_subquery", oracle="""
+SELECT n_name, x.n_cust, x.total_bal
+FROM nation, LATERAL (
+  SELECT COUNT(*) AS n_cust,
+         CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS total_bal
+  FROM customer WHERE c_nationkey = n_nationkey
+) x
+ORDER BY n_name
+""")
+def lateral_subquery(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    return spark.sql("""
+        SELECT n_name, x.n_cust, x.total_bal
+        FROM {n}, LATERAL (
+          SELECT COUNT(*) AS n_cust,
+                 CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 0)
+                      AS DECIMAL(18,2)) AS total_bal
+          FROM {c} WHERE c_nationkey = n_nationkey
+        ) x
+        ORDER BY n_name""", n=n, c=c)
+
+
+@register("pivot_orderstatus", oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_count,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_count,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_count
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def pivot_orderstatus(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    # native PIVOT relational operator; COUNT(*) null-fill normalized to 0
+    pv = (o.groupBy("o_orderpriority")
+          .pivot("o_orderstatus", ["F", "O", "P"])
+          .count())
+    return (pv.select(
+                "o_orderpriority",
+                F.coalesce("F", F.lit(0)).alias("f_count"),
+                F.coalesce("O", F.lit(0)).alias("o_count"),
+                F.coalesce("P", F.lit(0)).alias("p_count"))
+            .orderBy("o_orderpriority"))
+
+
+@register("distinct_on_first_order", oracle="""
+SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS first_date
+FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+""")
+def distinct_on_first_order(spark, sf_dir):
+    # PG DISTINCT ON == row_number()=1 over the same ordering
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.col("o_orderdate").cast("date").alias("first_date"))
+            .orderBy("o_custkey"))
+
+
+@register("ilike_filter", oracle="""
+SELECT p_partkey, p_name FROM part
+WHERE p_name ILIKE '%WIDGET%' AND p_brand NOT ILIKE 'brand#1'
+ORDER BY p_partkey
+""")
+def ilike_filter(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return spark.sql("""
+        SELECT p_partkey, p_name FROM {p}
+        WHERE p_name ILIKE '%WIDGET%' AND p_brand NOT ILIKE 'brand#1'
+        ORDER BY p_partkey""", p=p)
+
+
+@register("agg_stats_numeric", oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+       ROUND(var_samp(l_quantity), 4) AS var_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS median_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_stats_numeric(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+                 F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+                 .alias("corr_qty_price"),
+                 F.expr("percentile(l_quantity, 0.5)")  # exact, interpolated
+                 .cast("double").alias("median_qty"))
+            .orderBy("l_returnflag"))

@@ -743,6 +743,68 @@ def _table_position(tokens: list[Token], sep_idx: int) -> bool:
     return False
 
 
+# ---------------------------------------------------------------------------
+# Rule: to_char / to_date / to_timestamp with literal PG patterns — translate
+# the template at rewrite time so the call stays a JVM builtin
+# (functions.md 🚧 roadmap; pattern map in functions/formatting.py).
+
+def rewrite_to_char(tokens: list[Token]) -> list[Token]:
+    from datafusion_postgres_spark.functions.formatting import (
+        translate_datetime_pattern)
+
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        low = t.text.lower() if t.kind == IDENT else ""
+        if low in ("to_char", "to_date", "to_timestamp"):
+            open_idx = significant(tokens, i)
+            if open_idx >= 0 and tokens[open_idx].text == "(":
+                close = _match_fwd(tokens, open_idx)
+                # find the last top-level argument if it is a string literal
+                depth, comma = 0, -1
+                for j in range(open_idx + 1, close):
+                    tj = tokens[j]
+                    if tj.kind == PUNCT and tj.text == "(":
+                        depth += 1
+                    elif tj.kind == PUNCT and tj.text == ")":
+                        depth -= 1
+                    elif tj.kind == PUNCT and tj.text == "," and depth == 0:
+                        comma = j
+                pat_idx = significant(tokens, comma) if comma > 0 else -1
+                if pat_idx > 0 and tokens[pat_idx].kind == STRING and \
+                        significant(tokens, pat_idx) == close:
+                    pat = tokens[pat_idx].text[1:-1]
+                    translated = translate_datetime_pattern(pat)
+                    tokens[pat_idx] = Token(
+                        STRING, "'" + translated.replace("'", "''") + "'")
+                    if low == "to_char":
+                        # numeric template (only 9/0/./,/FM/S): compile the
+                        # literal pattern into round+decimal-cast (no commas)
+                        # or format_number (with group separators)
+                        if set(pat) <= set("90.,SFMLG$"):
+                            d = (len(pat) - pat.index(".") - 1
+                                 if "." in pat else 0)
+                            expr = tokens[open_idx + 1:comma]
+                            if "," in pat or "G" in pat:
+                                repl = (_toks("format_number(") + expr +
+                                        _toks(f", {d})"))
+                            else:
+                                repl = (_toks("CAST(CAST(round(") + expr +
+                                        _toks(f", {d}) AS DECIMAL(38,{d})) "
+                                              f"AS STRING)"))
+                            tokens[i:close + 1] = repl
+                            i += len(repl)
+                            continue
+                        tokens[i] = Token(IDENT, "date_format")
+                    elif low == "to_date":
+                        tokens[i] = Token(IDENT, "to_date")
+                    else:
+                        tokens[i] = Token(IDENT, "to_timestamp_ntz")
+        i += 1
+    return tokens
+
+
 # Rule order mirrors sql/parser.rs:314-334 where a counterpart exists.
 ALL_RULES = [
     rewrite_abort,
@@ -757,5 +819,6 @@ ALL_RULES = [
     rewrite_reg_casts,
     map_cast_types,
     rewrite_version,
+    rewrite_to_char,
     rename_functions,
 ]

@@ -160,6 +160,9 @@ def register_all(spark: SparkSession) -> None:
                       f"RETURNS {ret} RETURN {body}")
         except Exception:
             pass  # SQL UDTF unsupported — explode(sequence()) covers SELECT pos
+    from datafusion_postgres_spark.functions.formatting import (
+        register_formatting)
+    register_formatting(spark)
     _register_special_math(spark)
     _REGISTERED_SESSIONS.add(key)
 

@@ -200,6 +200,57 @@ def _encode_struct(row, dt: T.StructType, efd: int) -> str:
     return "(" + ",".join(out) + ")"
 
 
+# ---------------------------------------------------------------------------
+# binary-format value encoding (encoder.rs binary paths; PG epoch = 2000-01-01)
+
+_PG_EPOCH_DATE = date(2000, 1, 1)
+_PG_EPOCH_TS = datetime(2000, 1, 1)
+
+
+def encode_value_binary(v, dt: T.DataType) -> bytes | None:
+    """One value → PG binary wire format (subset: the fixed-width scalars +
+    text/bytea; callers fall back to text format for other types)."""
+    import struct
+
+    if v is None:
+        return None
+    if isinstance(dt, T.BooleanType):
+        return b"\x01" if v else b"\x00"
+    if isinstance(dt, (T.ByteType, T.ShortType)):
+        return struct.pack("!h", int(v))
+    if isinstance(dt, T.IntegerType):
+        return struct.pack("!i", int(v))
+    if isinstance(dt, T.LongType):
+        return struct.pack("!q", int(v))
+    if isinstance(dt, T.FloatType):
+        return struct.pack("!f", float(v))
+    if isinstance(dt, T.DoubleType):
+        return struct.pack("!d", float(v))
+    if isinstance(dt, (T.StringType, T.VarcharType, T.CharType)):
+        return str(v).encode()
+    if isinstance(dt, T.BinaryType):
+        return bytes(v)
+    if isinstance(dt, T.DateType):
+        return struct.pack("!i", (v - _PG_EPOCH_DATE).days)
+    if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
+        naive = v.replace(tzinfo=None) if v.tzinfo else v
+        delta = naive - _PG_EPOCH_TS
+        micros = (delta.days * 86_400_000_000 + delta.seconds * 1_000_000 +
+                  delta.microseconds)
+        return struct.pack("!q", micros)
+    raise NotImplementedError(
+        f"binary format not implemented for {dt.simpleString()}; "
+        "use text format")
+
+
+def supports_binary(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.BooleanType, T.ByteType, T.ShortType,
+                           T.IntegerType, T.LongType, T.FloatType,
+                           T.DoubleType, T.StringType, T.VarcharType,
+                           T.CharType, T.BinaryType, T.DateType,
+                           T.TimestampNTZType, T.TimestampType))
+
+
 def encode_row(row, schema: T.StructType,
                extra_float_digits: int = 1) -> list[str | None]:
     """One Spark Row → list of PG text-format values (row_encoder.rs)."""

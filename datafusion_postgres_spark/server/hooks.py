@@ -100,6 +100,23 @@ class HookChain:
         if kind == "SET":  # unparseable SET — still ack
             return ExecutionResult(df=None, command_tag="SET")
 
+        # -- RESET / DISCARD (Postgres session maintenance) -----------------
+        if kind == "RESET":
+            from datafusion_postgres_spark.server.session_state import (
+                DEFAULT_SESSION_VARS)
+            target = stmt.split(None, 1)[1].strip().strip(";").lower() \
+                if len(stmt.split(None, 1)) > 1 else "all"
+            if target == "all":
+                state.vars = dict(DEFAULT_SESSION_VARS)
+            elif target in DEFAULT_SESSION_VARS:
+                state.vars[target] = DEFAULT_SESSION_VARS[target]
+            else:
+                state.vars.pop(target, None)
+            return ExecutionResult(df=None, command_tag="RESET")
+        if kind == "DISCARD":
+            state.cursors.clear()
+            return ExecutionResult(df=None, command_tag="DISCARD ALL")
+
         # -- SHOW hook (set_show.rs:283-366) -------------------------------
         if kind == "SHOW":
             m = _SHOW_RE.match(stmt)
@@ -107,7 +124,15 @@ class HookChain:
             if name == "catalogs":
                 df = spark.sql("SHOW CATALOGS")
                 return ExecutionResult(df=df, command_tag="SHOW")
-            if name in ("all", "tables"):
+            if name == "all":
+                # SHOW ALL: every session var as (name, setting, description)
+                schema = StructType([StructField("name", StringType()),
+                                     StructField("setting", StringType()),
+                                     StructField("description", StringType())])
+                rows = [(k, v, "") for k, v in sorted(state.vars.items())]
+                return ExecutionResult(df=spark.createDataFrame(rows, schema),
+                                       command_tag="SHOW")
+            if name == "tables":
                 df = spark.sql("SHOW TABLES")
                 return ExecutionResult(df=df, command_tag="SHOW")
             col = _SHOW_COLUMN_NAMES.get(name, name.replace(" ", "_"))

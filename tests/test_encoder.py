@@ -118,3 +118,31 @@ class TestDataFrameEncoding:
         assert [f.type_oid for f in fields] == [23, 25, 16, 1007, 2249, 701, 23]
         row = next(rows)
         assert row == ["1", "txt", "t", "{1,2}", "(1,v)", "1.25", None]
+
+
+class TestBinaryEncoding:
+    def test_scalars(self):
+        import struct
+        from datetime import date, datetime
+
+        assert E.encode_value_binary(True, T.BooleanType()) == b"\x01"
+        assert E.encode_value_binary(7, T.IntegerType()) == struct.pack("!i", 7)
+        assert E.encode_value_binary(7, T.LongType()) == struct.pack("!q", 7)
+        assert E.encode_value_binary(1.5, T.DoubleType()) == struct.pack("!d", 1.5)
+        assert E.encode_value_binary("hi", T.StringType()) == b"hi"
+        assert E.encode_value_binary(b"\x01", T.BinaryType()) == b"\x01"
+        # PG epoch 2000-01-01: 2000-01-02 -> 1 day
+        assert E.encode_value_binary(date(2000, 1, 2), T.DateType()) == \
+            struct.pack("!i", 1)
+        assert E.encode_value_binary(datetime(2000, 1, 1, 0, 0, 1),
+                                     T.TimestampNTZType()) == \
+            struct.pack("!q", 1_000_000)
+
+    def test_null(self):
+        assert E.encode_value_binary(None, T.IntegerType()) is None
+
+    def test_unsupported_raises(self):
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError):
+            E.encode_value_binary([1], T.ArrayType(T.IntegerType()))
+        assert not E.supports_binary(T.ArrayType(T.IntegerType()))

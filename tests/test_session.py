@@ -181,3 +181,27 @@ class TestDml:
             "INSERT INTO t_dml2 SELECT n_nationkey, n_name FROM nation")[0]
         assert ins.rows_affected == 25
         engine.execute("DROP TABLE t_dml2")
+
+
+class TestResetShowAll:
+    def test_show_all(self, engine):
+        rows = list(engine.execute("SHOW ALL")[0].rows())
+        names = {r[0] for r in rows}
+        assert {"timezone", "search_path", "server_version"} <= names
+
+    def test_reset(self, engine):
+        engine.execute("SET statement_timeout = '9s'")
+        engine.execute("RESET statement_timeout")
+        rows = list(engine.execute("SHOW statement_timeout")[0].rows())
+        assert rows[0][0] == "0"
+
+    def test_reset_all(self, engine):
+        engine.execute("SET application_name = 'xyz'")
+        engine.execute("RESET ALL")
+        rows = list(engine.execute("SHOW application_name")[0].rows())
+        assert rows[0][0] == ""
+
+    def test_discard(self, engine):
+        engine.execute("DECLARE dcur CURSOR FOR SELECT 1")
+        engine.execute("DISCARD ALL")
+        assert not engine.state.cursors

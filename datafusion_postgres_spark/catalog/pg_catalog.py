@@ -407,9 +407,149 @@ def _static_views(spark: SparkSession) -> None:
         ("pg_catalog_pg_cursors",
          [("name", StringType()), ("statement", StringType()),
           ("is_holdable", BooleanType())]),
+        # remaining reference static tables as typed empty shells
+        # (pg_catalog.rs:121-194 table list) — clients can join/filter them
+        ("pg_catalog_pg_collation",
+         [("oid", IntegerType()), ("collname", StringType()),
+          ("collnamespace", IntegerType()), ("collencoding", IntegerType())]),
+        ("pg_catalog_pg_depend",
+         [("classid", IntegerType()), ("objid", IntegerType()),
+          ("refclassid", IntegerType()), ("refobjid", IntegerType()),
+          ("deptype", StringType())]),
+        ("pg_catalog_pg_language",
+         [("oid", IntegerType()), ("lanname", StringType()),
+          ("lanispl", BooleanType())]),
+        ("pg_catalog_pg_aggregate",
+         [("aggfnoid", IntegerType()), ("aggkind", StringType()),
+          ("aggtransfn", IntegerType())]),
+        ("pg_catalog_pg_cast",
+         [("oid", IntegerType()), ("castsource", IntegerType()),
+          ("casttarget", IntegerType()), ("castcontext", StringType())]),
+        ("pg_catalog_pg_conversion",
+         [("oid", IntegerType()), ("conname", StringType())]),
+        ("pg_catalog_pg_range",
+         [("rngtypid", IntegerType()), ("rngsubtype", IntegerType())]),
+        ("pg_catalog_pg_sequence",
+         [("seqrelid", IntegerType()), ("seqtypid", IntegerType()),
+          ("seqstart", LongType()), ("seqincrement", LongType()),
+          ("seqmax", LongType()), ("seqmin", LongType()),
+          ("seqcycle", BooleanType())]),
+        ("pg_catalog_pg_policy",
+         [("oid", IntegerType()), ("polname", StringType()),
+          ("polrelid", IntegerType())]),
+        ("pg_catalog_pg_publication",
+         [("oid", IntegerType()), ("pubname", StringType()),
+          ("puballtables", BooleanType())]),
+        ("pg_catalog_pg_subscription",
+         [("oid", IntegerType()), ("subname", StringType()),
+          ("subenabled", BooleanType())]),
+        ("pg_catalog_pg_tablespace",
+         [("oid", IntegerType()), ("spcname", StringType()),
+          ("spcowner", IntegerType())]),
+        ("pg_catalog_pg_auth_members",
+         [("roleid", IntegerType()), ("member", IntegerType()),
+          ("grantor", IntegerType()), ("admin_option", BooleanType())]),
+        ("pg_catalog_pg_opclass",
+         [("oid", IntegerType()), ("opcname", StringType()),
+          ("opcmethod", IntegerType())]),
+        ("pg_catalog_pg_opfamily",
+         [("oid", IntegerType()), ("opfname", StringType())]),
+        ("pg_catalog_pg_attrdef",
+         [("oid", IntegerType()), ("adrelid", IntegerType()),
+          ("adnum", ShortType()), ("adbin", StringType())]),
+        ("pg_catalog_pg_trigger",
+         [("oid", IntegerType()), ("tgrelid", IntegerType()),
+          ("tgname", StringType()), ("tgenabled", StringType())]),
+        ("pg_catalog_pg_rewrite",
+         [("oid", IntegerType()), ("rulename", StringType()),
+          ("ev_class", IntegerType())]),
+        ("pg_catalog_pg_event_trigger",
+         [("oid", IntegerType()), ("evtname", StringType())]),
+        ("pg_catalog_pg_partitioned_table",
+         [("partrelid", IntegerType()), ("partstrat", StringType())]),
+        ("pg_catalog_pg_statistic",
+         [("starelid", IntegerType()), ("staattnum", ShortType())]),
+        ("pg_catalog_pg_statistic_ext",
+         [("oid", IntegerType()), ("stxrelid", IntegerType()),
+          ("stxname", StringType())]),
+        ("pg_catalog_pg_foreign_table",
+         [("ftrelid", IntegerType()), ("ftserver", IntegerType())]),
+        ("pg_catalog_pg_foreign_server",
+         [("oid", IntegerType()), ("srvname", StringType())]),
+        ("pg_catalog_pg_foreign_data_wrapper",
+         [("oid", IntegerType()), ("fdwname", StringType())]),
+        ("pg_catalog_pg_user_mapping",
+         [("oid", IntegerType()), ("umuser", IntegerType())]),
+        ("pg_catalog_pg_default_acl",
+         [("oid", IntegerType()), ("defaclrole", IntegerType())]),
+        ("pg_catalog_pg_init_privs",
+         [("objoid", IntegerType()), ("classoid", IntegerType())]),
+        ("pg_catalog_pg_seclabel",
+         [("objoid", IntegerType()), ("label", StringType())]),
+        ("pg_catalog_pg_shdescription",
+         [("objoid", IntegerType()), ("description", StringType())]),
+        ("pg_catalog_pg_largeobject",
+         [("loid", IntegerType()), ("pageno", IntegerType())]),
+        ("pg_catalog_pg_largeobject_metadata",
+         [("oid", IntegerType()), ("lomowner", IntegerType())]),
+        ("pg_catalog_pg_transform",
+         [("oid", IntegerType()), ("trftype", IntegerType())]),
+        ("pg_catalog_pg_ts_config",
+         [("oid", IntegerType()), ("cfgname", StringType())]),
+        ("pg_catalog_pg_ts_dict",
+         [("oid", IntegerType()), ("dictname", StringType())]),
+        ("pg_catalog_pg_ts_parser",
+         [("oid", IntegerType()), ("prsname", StringType())]),
+        ("pg_catalog_pg_ts_template",
+         [("oid", IntegerType()), ("tmplname", StringType())]),
+        ("pg_catalog_pg_replication_slots",
+         [("slot_name", StringType()), ("plugin", StringType()),
+          ("active", BooleanType())]),
+        ("pg_catalog_pg_stat_gssapi",
+         [("pid", IntegerType()), ("gss_authenticated", BooleanType()),
+          ("encrypted", BooleanType())]),
+        ("pg_catalog_pg_stat_user_tables",
+         [("relid", IntegerType()), ("schemaname", StringType()),
+          ("relname", StringType()), ("seq_scan", LongType()),
+          ("n_live_tup", LongType())]),
+        ("pg_catalog_pg_available_extensions",
+         [("name", StringType()), ("default_version", StringType()),
+          ("installed_version", StringType()), ("comment", StringType())]),
+        ("pg_catalog_pg_timezone_abbrevs",
+         [("abbrev", StringType()), ("utc_offset", StringType()),
+          ("is_dst", BooleanType())]),
     ]:
         schema = StructType([StructField(n, t) for n, t in fields])
         _view(spark, name, schema, [])
+
+    # ---- user views backed by the role model ----
+    user_schema = StructType([
+        StructField("usename", StringType()), StructField("usesysid", IntegerType()),
+        StructField("usecreatedb", BooleanType()),
+        StructField("usesuper", BooleanType()),
+        StructField("passwd", StringType())])
+    _view(spark, "pg_catalog_pg_user", user_schema,
+          [("postgres", 10, True, True, "********")])
+    _view(spark, "pg_catalog_pg_shadow", user_schema,
+          [("postgres", 10, True, True, "********")])
+    group_schema = StructType([
+        StructField("groname", StringType()), StructField("grosysid", IntegerType()),
+        StructField("grolist", StringType())])
+    _view(spark, "pg_catalog_pg_group", group_schema, [])
+
+    tz_schema = StructType([
+        StructField("name", StringType()), StructField("abbrev", StringType()),
+        StructField("utc_offset", StringType()),
+        StructField("is_dst", BooleanType())])
+    _view(spark, "pg_catalog_pg_timezone_names", tz_schema, [
+        ("UTC", "UTC", "00:00:00", False),
+        ("America/New_York", "EST", "-05:00:00", False),
+        ("America/Chicago", "CST", "-06:00:00", False),
+        ("America/Los_Angeles", "PST", "-08:00:00", False),
+        ("Europe/London", "GMT", "00:00:00", False),
+        ("Europe/Berlin", "CET", "01:00:00", False),
+        ("Asia/Tokyo", "JST", "09:00:00", False),
+        ("Asia/Shanghai", "CST", "08:00:00", False)])
 
     # ---- pg_get_keywords() static UDTF backing table ----
     kw_schema = StructType([

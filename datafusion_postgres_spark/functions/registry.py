@@ -81,6 +81,29 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
     ("pg_obj_description",
      "id BIGINT, catalog STRING DEFAULT 'pg_class'", "STRING", "NULL"),
     ("pg_col_description", "id BIGINT, colnum INT", "STRING", "NULL"),
+    ("current_setting",
+     "name STRING, missing_ok BOOLEAN DEFAULT false", "STRING",
+     "CASE lower(name) WHEN 'search_path' THEN '\"$user\", public' "
+     "WHEN 'server_version' THEN '15.0' "
+     "WHEN 'server_version_num' THEN '150000' "
+     "WHEN 'timezone' THEN 'UTC' WHEN 'client_encoding' THEN 'UTF8' "
+     "WHEN 'datestyle' THEN 'ISO, MDY' WHEN 'bytea_output' THEN 'hex' "
+     "WHEN 'max_index_keys' THEN '32' "
+     "WHEN 'standard_conforming_strings' THEN 'on' ELSE '' END"),
+    ("pg_get_viewdef", "id BIGINT, pretty BOOLEAN DEFAULT false", "STRING",
+     "NULL"),
+    ("pg_get_indexdef", "id BIGINT", "STRING", "NULL"),
+    ("pg_get_functiondef", "id BIGINT", "STRING", "NULL"),
+    ("pg_size_pretty", "n BIGINT", "STRING",
+     "CASE WHEN n < 10240 THEN concat(n, ' bytes') "
+     "WHEN n < 10485760 THEN concat(CAST(div(n, 1024) AS STRING), ' kB') "
+     "WHEN n < 10737418240 THEN concat(CAST(div(n, 1048576) AS STRING), ' MB') "
+     "ELSE concat(CAST(div(n, 1073741824) AS STRING), ' GB') END"),
+    ("pg_postmaster_start_time", "", "TIMESTAMP",
+     "TIMESTAMP '2024-01-01 00:00:00'"),
+    ("pg_is_in_recovery", "", "BOOLEAN", "false"),
+    ("txid_current", "", "BIGINT", "1"),
+    ("pg_database_size", "name STRING DEFAULT NULL", "BIGINT", "0"),
     ("has_table_privilege",
      "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
     ("has_schema_privilege",

@@ -41,6 +41,8 @@ _SCALAR_OIDS = {
     T.DayTimeIntervalType: (1186, "interval"),
     T.YearMonthIntervalType: (1186, "interval"),
 }
+if hasattr(T, "TimeType"):  # Spark 4.1+ TIME type
+    _SCALAR_OIDS[T.TimeType] = (1083, "time")
 
 _ARRAY_OIDS = {16: 1000, 21: 1005, 23: 1007, 20: 1016, 700: 1021, 701: 1022,
                25: 1009, 1043: 1015, 1042: 1014, 17: 1001, 1082: 1182,
@@ -106,6 +108,8 @@ def encode_value(v, dt: T.DataType, extra_float_digits: int = 1) -> str | None:
         return "\\x" + bytes(v).hex()
     if isinstance(dt, T.DateType):
         return v.isoformat() if isinstance(v, date) else str(v)
+    if isinstance(v, time):
+        return v.isoformat()
     if isinstance(dt, T.TimestampNTZType):
         return _encode_timestamp(v, tz_suffix=False)
     if isinstance(dt, T.TimestampType):

@@ -100,6 +100,11 @@ class HookChain:
         if kind == "SET":  # unparseable SET — still ack
             return ExecutionResult(df=None, command_tag="SET")
 
+        # -- maintenance no-ops clients send (VACUUM/ANALYZE/etc.) ---------
+        if kind in ("VACUUM", "ANALYZE", "ANALYSE", "CHECKPOINT", "LISTEN",
+                    "UNLISTEN", "NOTIFY", "DEALLOCATE", "SECURITY"):
+            return ExecutionResult(df=None, command_tag=kind)
+
         # -- RESET / DISCARD (Postgres session maintenance) -----------------
         if kind == "RESET":
             from datafusion_postgres_spark.server.session_state import (

@@ -30,6 +30,9 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
+    # test-scale parquet is few small files; smaller splits recover scan
+    # parallelism (a real cluster deployment would keep the 128m default)
+    "spark.sql.files.maxPartitionBytes": "16m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis): tokenizer losslessness, transpiler
+robustness/idempotence, encoder round-trips. The reference has no
+property testing (SURVEY §5) — this is extra armor for the dialect layer,
+which sees arbitrary client SQL."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from datafusion_postgres_spark.dialect.tokenizer import emit, tokenize
+from datafusion_postgres_spark.dialect.transpiler import PostgresTranspiler
+
+_tp = PostgresTranspiler()
+
+sql_fragment = st.text(
+    alphabet=string.ascii_letters + string.digits + " _'\"(),.;:*<>=~!{}-+/$",
+    max_size=120)
+
+ident = st.text(alphabet=string.ascii_lowercase + "_", min_size=1,
+                max_size=12)
+str_lit = st.text(alphabet=string.ascii_letters + " {},", max_size=20)
+
+
+class TestTokenizer:
+    @given(sql_fragment)
+    @settings(max_examples=300, deadline=None)
+    def test_lossless(self, sql):
+        # tokenize → emit must reproduce the input byte-for-byte
+        assert emit(tokenize(sql)) == sql
+
+    @given(st.lists(str_lit, max_size=4), ident)
+    @settings(max_examples=100, deadline=None)
+    def test_strings_survive(self, lits, name):
+        sql = "SELECT " + ", ".join(
+            "'" + s.replace("'", "''") + "'" for s in lits) + f" FROM {name}"
+        assert emit(tokenize(sql)) == sql
+
+    @given(sql_fragment)
+    @settings(max_examples=200, deadline=None)
+    def test_never_raises(self, sql):
+        tokenize(sql)
+
+
+class TestTranspiler:
+    @given(sql_fragment)
+    @settings(max_examples=300, deadline=None)
+    def test_never_raises(self, sql):
+        _tp.transpile(sql)
+
+    @given(ident, ident, st.sampled_from(["text", "int4", "int8", "float8",
+                                          "bool", "date"]))
+    @settings(max_examples=100, deadline=None)
+    def test_cast_rewrite_shape(self, col, tbl, ty):
+        out = _tp.transpile(f"SELECT {col}::{ty} FROM {tbl}")
+        assert "::" in out or "CAST" in out.upper()
+        assert tbl in out
+
+    @given(st.lists(st.text(alphabet=string.ascii_letters, min_size=1,
+                            max_size=8), min_size=1, max_size=5))
+    @settings(max_examples=100, deadline=None)
+    def test_any_array_literal(self, elems):
+        lit = "{" + ",".join(elems) + "}"
+        out = _tp.transpile(f"SELECT 1 WHERE x = ANY('{lit}')")
+        assert "array_contains" in out
+        for e in elems:
+            assert e in out
+
+    @given(sql_fragment)
+    @settings(max_examples=150, deadline=None)
+    def test_idempotent_on_plain_selects(self, frag):
+        # transpiling already-transpiled SQL must be stable for SQL with no
+        # pg-specific constructs left
+        once = _tp.transpile("SELECT a, b FROM t WHERE c > 1 -- " + frag)
+        twice = _tp.transpile(once)
+        assert once == twice
+
+    @given(st.integers(min_value=0, max_value=10**15))
+    @settings(max_examples=50, deadline=None)
+    def test_regclass_literal_numeric(self, n):
+        out = _tp.transpile(f"SELECT '{n}'::regclass")
+        assert str(n) in out and "pg_class" not in out
+
+
+class TestEncoderProperties:
+    @given(st.lists(st.one_of(st.none(),
+                              st.text(alphabet=string.printable, max_size=30)),
+                    max_size=6))
+    @settings(max_examples=200, deadline=None)
+    def test_string_array_escaping_parses_back(self, vals):
+        """Array text encoding must be parseable back to the same values
+        (quoting round-trip — the reference pins this for edge cases)."""
+        from pyspark.sql import types as T
+        from datafusion_postgres_spark.server.encoder import encode_value
+
+        s = encode_value(vals, T.ArrayType(T.StringType()))
+        assert s.startswith("{") and s.endswith("}")
+        parsed = _parse_pg_array(s)
+        assert parsed == [v if v is not None else None for v in vals]
+
+
+def _parse_pg_array(s: str):
+    body = s[1:-1]
+    out, cur, in_q, i = [], [], False, 0
+    any_token = False
+    quoted_flag = False
+    while i < len(body):
+        c = body[i]
+        if in_q:
+            if c == "\\":
+                cur.append(body[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_q = False
+            else:
+                cur.append(c)
+        elif c == '"':
+            in_q = True
+            any_token = True
+            quoted_flag = True
+        elif c == ",":
+            val = "".join(cur)
+            out.append(None if (val == "NULL" and not quoted_flag) else val)
+            cur, any_token, quoted_flag = [], False, False
+        else:
+            cur.append(c)
+            any_token = True
+        i += 1
+    if any_token or cur or out:
+        val = "".join(cur)
+        out.append(None if (val == "NULL" and not quoted_flag) else val)
+    return out

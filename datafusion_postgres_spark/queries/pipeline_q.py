@@ -134,10 +134,36 @@ def dedup_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
-@register("dedup_minhash_signatures", oracle=None)
+def _minhash_oracle() -> str:
+    """DuckDB oracle replicating minhash arithmetic exactly: per-doc gram
+    arrays (word-hash combine) then min over (a_i*g + b_i) mod P for the
+    first 4 deterministic LCG permutations."""
+    from datafusion_postgres_spark.operators.dedup import MH_PRIME, _mh_params
+
+    params = _mh_params(8)[:4]
+    gram_cte = f"""
+WITH whs_t AS (
+  SELECT doc_id, list_transform({_WORDS}, w -> {_duck_hash('w')}) AS whs
+  FROM documents WHERE trim(text) <> ''
+),
+grams_t AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(0, greatest(len(whs) - 3, 0)),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_slice(whs, i + 1, i + 3)),
+                (acc, x) -> (acc * 31 + x) % 1000000007))) AS grams
+  FROM whs_t
+)"""
+    mins = ",\n       ".join(
+        f"list_min(list_transform(grams, g -> (g * {a} + {b}) % {MH_PRIME}))"
+        f" AS mh{i}" for i, (a, b) in enumerate(params))
+    return f"{gram_cte}\nSELECT doc_id, {mins}\nFROM grams_t ORDER BY doc_id"
+
+
+@register("dedup_minhash_signatures", oracle=_minhash_oracle())
 def dedup_minhash_sig(spark, sf_dir):
-    """First 4 minhash components for every doc (rows-only: banded LSH
-    arithmetic is verified end-to-end by dedup_minhash_lsh + unit tests)."""
+    """First 4 minhash components for every doc — the oracle reruns the
+    exact permutation arithmetic in DuckDB."""
     docs = t(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures(docs, k=8)
     return (sig.select(F.col("id").alias("doc_id"),
@@ -153,6 +179,32 @@ def dedup_minhash_lsh(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return (dedup.minhash_lsh_pairs(docs, threshold=0.4)
             .orderBy("id_a", "id_b"))
+
+
+def _simhash_oracle(bits: int = 48) -> str:
+    """DuckDB oracle for the 48-bit simhash: per word-occurrence hash, bit b
+    contributes +1/-1; bit set iff the sum is positive."""
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(whs, h -> (h >> {b}) & 1 = 1)) "
+        f"> len(whs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits))
+    return f"""
+WITH whs_t AS (
+  SELECT doc_id,
+         list_transform(list_filter({_WORDS}, w -> w <> ''),
+                        w -> {_duck_hash('w')}) AS whs
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id, {terms} AS simhash
+FROM whs_t ORDER BY doc_id"""
+
+
+@register("dedup_simhash_signatures", oracle=_simhash_oracle())
+def dedup_simhash_signatures(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (dedup.simhash(docs)
+            .select(F.col("id").alias("doc_id"), "simhash")
+            .orderBy("doc_id"))
 
 
 @register("dedup_simhash_pairs", oracle=None)

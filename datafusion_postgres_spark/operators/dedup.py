@@ -137,10 +137,11 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         F.col("grams").alias("grams_b"),
                         F.col("set_size").alias("size_b"))
     out = (cand.join(ga, "id_a").join(gb, "id_b")
-           .withColumn("inter_n", F.size(F.array_intersect("grams_a",
-                                                           "grams_b")))
+           .withColumn("inter_n", F.size(F.array_intersect(
+               "grams_a", "grams_b")).cast("bigint"))
            .withColumn("union_n",
-                       F.col("size_a") + F.col("size_b") - F.col("inter_n"))
+                       (F.col("size_a") + F.col("size_b") -
+                        F.col("inter_n")).cast("bigint"))
            .withColumn("jaccard", F.col("inter_n") / F.col("union_n"))
            .where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "inter_n", "union_n",
@@ -210,9 +211,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                         F.col("grams").alias("grams_b"))
     verified = (cand.join(ga, "id_a").join(gb, "id_b")
                 .withColumn("inter_n",
-                            F.size(F.array_intersect("grams_a", "grams_b")))
+                            F.size(F.array_intersect("grams_a", "grams_b"))
+                            .cast("bigint"))
                 .withColumn("union_n",
-                            F.size(F.array_union("grams_a", "grams_b")))
+                            F.size(F.array_union("grams_a", "grams_b"))
+                            .cast("bigint"))
                 .withColumn("jaccard", F.col("inter_n") / F.col("union_n"))
                 .where(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "inter_n", "union_n",

@@ -66,7 +66,7 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
                       F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
                               6).alias("cos_sim")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .where(F.col("rnk") <= k)
             .select("qid", "vec_id", "cos_sim", "rnk"))
 
@@ -116,6 +116,6 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
                       F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
                               6).alias("cos_sim")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .where(F.col("rnk") <= k)
             .select("qid", "vec_id", "cos_sim", "rnk"))

@@ -204,9 +204,9 @@ def pg_between(spark, sf_dir):
 
 @register("pg_array_functions", oracle="""
 SELECT vec_id,
-       len(embedding) AS arr_len,
+       CAST(len(embedding) AS INTEGER) AS arr_len,
        1 AS arr_lower,
-       len(embedding) AS arr_upper
+       CAST(len(embedding) AS INTEGER) AS arr_upper
 FROM embeddings WHERE vec_id < 10 ORDER BY vec_id
 """)
 def pg_array_fns(spark, sf_dir):

@@ -400,9 +400,9 @@ def window_rank(spark, sf_dir):
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"),
                                                   F.asc("c_custkey"))
     return (c.select("c_nationkey", "c_custkey", "c_acctbal",
-                     F.row_number().over(w).alias("rn"),
-                     F.rank().over(w).alias("rnk"),
-                     F.dense_rank().over(w).alias("drnk"))
+                     F.row_number().over(w).cast("bigint").alias("rn"),
+                     F.rank().over(w).cast("bigint").alias("rnk"),
+                     F.dense_rank().over(w).cast("bigint").alias("drnk"))
             .where(F.col("rn") <= 3)
             .orderBy("c_nationkey", "rn"))
 
@@ -462,7 +462,7 @@ def window_ntile(spark, sf_dir):
     w_part = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"),
                                                        F.asc("s_suppkey"))
     return (s.select("s_suppkey", "s_nationkey",
-                     F.ntile(4).over(w_global).alias("quartile"),
+                     F.ntile(4).over(w_global).cast("bigint").alias("quartile"),
                      F.first("s_name").over(w_part).alias("richest"),
                      F.last("s_name").over(
                          w_part.rowsBetween(Window.unboundedPreceding,
@@ -605,7 +605,7 @@ FROM generate_series(1, 100) ORDER BY i
 """)
 def tf_series(spark, sf_dir):
     return spark.sql("""
-        SELECT i, i * i AS sq
+        SELECT CAST(i AS BIGINT) AS i, CAST(i * i AS BIGINT) AS sq
         FROM (SELECT explode(sequence(1, 100)) AS i) ORDER BY i""")
 
 
@@ -619,7 +619,7 @@ ORDER BY vec_id, pos
 def tf_unnest(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 3)
     return (e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-            .select("vec_id", "pos",
+            .select("vec_id", F.col("pos").cast("bigint").alias("pos"),
                     F.round(F.col("val").cast("double"), 6).alias("val"))
             .orderBy("vec_id", "pos"))
 

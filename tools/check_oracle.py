@@ -29,6 +29,28 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_TYPE_EQUIV = {
+    "bigint": {"int64"}, "int": {"int32"}, "smallint": {"int16"},
+    "double": {"double"}, "float": {"float"}, "string": {"string",
+                                                         "large_string"},
+    "boolean": {"bool"}, "date": {"date32[day]"},
+    "binary": {"binary", "large_binary"},
+}
+
+
+def _types_compatible(spark_type: str, duck_arrow_type) -> bool:
+    s = spark_type.lower()
+    d = str(duck_arrow_type)
+    if s.startswith("decimal") and d.startswith("decimal"):
+        return s.replace("decimal(", "").rstrip(")") == \
+            d.replace("decimal128(", "").replace("decimal256(", "").rstrip(")").replace(" ", "")
+    if s.startswith("array") or d.startswith(("list", "large_list")):
+        return s.startswith("array") and d.startswith(("list", "large_list"))
+    if "timestamp" in s or "timestamp" in d:
+        return "timestamp" in s and "timestamp" in d
+    return d in _TYPE_EQUIV.get(s, {d})  # unknown pairs pass
+
+
 def normalize(rows, ndigits=6):
     def norm_val(v):
         if isinstance(v, float):
@@ -80,6 +102,26 @@ def main():
             continue
         if sorted(scols) != sorted(dcols):
             failed.append((name, f"COLS: spark={scols} duck={dcols}"))
+            continue
+        # approximate the driver's schema check: compare arrow type classes
+        try:
+            duck_arrow = {f.name: f.type for f in
+                          con.execute(spec.oracle).arrow().schema}
+            import pyarrow as pa
+            spark_arrow = {}
+            for f in sdf.schema.fields:
+                spark_arrow[f.name] = f.dataType.simpleString()
+            for cname, dtype in duck_arrow.items():
+                stype = spark_arrow.get(cname, "?")
+                if not _types_compatible(stype, dtype):
+                    failed.append(
+                        (name, f"TYPE {cname}: spark={stype} duck={dtype}"))
+                    break
+            else:
+                pass
+        except Exception:
+            pass
+        if failed and failed[-1][0] == name:
             continue
         # reorder duck columns to spark order
         order = [dcols.index(c) for c in scols]

@@ -307,3 +307,17 @@ def events_session_windows(spark, sf_dir):
                     F.col("sess.start").cast("string").alias("session_start"),
                     "n_events")
             .orderBy("user_id", "session_start"))
+
+
+@register("sim_cosine_ivf", oracle=None)
+def sim_ivf(spark, sf_dir):
+    """IVF approximate neighbors: corpus assigned to inverted cells once,
+    queries probe their nearest cells (approximation set is
+    implementation-defined — rows-only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return (similarity.cosine_topk_ivf(emb, queries, k=10, n_centroids=16,
+                                       n_probe=4)
+            .orderBy("qid", "rnk"))

@@ -145,3 +145,31 @@ class TestText:
                 docs.select(text.quality_score(F.col("text")).alias("q"))
                 .collect()]
         assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+class TestIvf:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from datafusion_postgres_spark.sources.registry import read_table
+        return read_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def test_ivf_assign_covers_all(self, emb):
+        from datafusion_postgres_spark.operators import similarity as S
+        cents = S.deterministic_centroids(emb, 8)
+        assigned = S.ivf_assign(emb, cents)
+        assert assigned.count() == emb.count()
+        n_cells = assigned.select("centroid_id").distinct().count()
+        assert 1 < n_cells <= 8
+
+    def test_ivf_recall_vs_bruteforce(self, emb):
+        from datafusion_postgres_spark.operators import similarity as S
+        q = (emb.where(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("qvec")))
+        exact = {(r["qid"], r["vec_id"])
+                 for r in S.cosine_topk_bruteforce(emb, q, k=10).collect()}
+        approx = {(r["qid"], r["vec_id"])
+                  for r in S.cosine_topk_ivf(emb, q, k=10, n_centroids=8,
+                                             n_probe=4).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.3  # probing half the cells on random vectors

@@ -68,3 +68,33 @@ def test_sessionize_stream(spark, stream_dir):
         assert total_sessions == expected
     finally:
         q.stop()
+
+
+def test_stateful_user_profiles(spark, stream_dir):
+    """applyInPandasWithState: per-user running profile; final counts must
+    equal the batch groupBy."""
+    from datafusion_postgres_spark.streaming import stateful
+
+    stream = ops.read_events_stream(spark, stream_dir)
+    prof = stateful.user_profiles(stream)
+    q = (prof.writeStream.format("memory").queryName("profiles")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    try:
+        # update mode can emit a row per user per batch; keep the last
+        got_df = spark.sql("SELECT * FROM profiles")
+        rows = got_df.collect()
+        latest = {}
+        for r in rows:  # memory sink appends in batch order
+            latest[r["user_id"]] = r
+        batch = (read_table(spark, SF_DIR, "events").groupBy("user_id")
+                 .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+                 .collect())
+        expected = {r["user_id"]: (r["n"], r["v"]) for r in batch}
+        assert set(latest) == set(expected)
+        for uid, (n, v) in expected.items():
+            assert latest[uid]["n_events"] == n
+            assert abs(latest[uid]["total_value"] - v) < 1e-6
+            assert latest[uid]["ewma_value"] is not None
+    finally:
+        q.stop()

@@ -744,6 +744,131 @@ def _table_position(tokens: list[Token], sep_idx: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Rule: PG JSON operators  a -> 'k' / a ->> 'k' / a #>> '{a,b}'  →
+# get_json_object paths (functions.md JSON family; Spark's ':' variant
+# exists but get_json_object is the stable public form).
+
+def rewrite_json_ops(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == OP and t.text in ("->", "->>", "#>", "#>>"):
+            rhs_idx = significant(tokens, i)
+            if rhs_idx < 0 or tokens[rhs_idx].kind not in (STRING, NUMBER):
+                i += 1
+                continue
+            lhs_start = _expr_start(tokens, i)
+            lhs = tokens[lhs_start:i]
+            while lhs and lhs[-1].kind == WS:
+                lhs.pop()
+            rhs = tokens[rhs_idx]
+            if rhs.kind == NUMBER:
+                path = f"'$[{rhs.text}]'"
+            elif t.text in ("#>", "#>>"):
+                # '{a,b}' path array -> $.a.b
+                parts = rhs.text[1:-1].strip("{}").split(",")
+                path = "'$." + ".".join(p.strip() for p in parts) + "'"
+            else:
+                key = rhs.text[1:-1]
+                path = f"'$.{key}'"
+            repl = ([Token(IDENT, "get_json_object"), Token(PUNCT, "(")] +
+                    lhs + [Token(PUNCT, ","), Token(WS, " "),
+                           Token(STRING, path), Token(PUNCT, ")")])
+            tokens[lhs_start:rhs_idx + 1] = repl
+            i = lhs_start + len(repl)
+            continue
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Rule: SELECT DISTINCT ON (exprs) ... [ORDER BY o] — Postgres-only form,
+# rewritten to the row_number()-over-window equivalent.
+
+def rewrite_distinct_on(tokens: list[Token]) -> list[Token]:
+    first = significant(tokens, -1)
+    if first < 0 or not tokens[first].is_kw("SELECT"):
+        return tokens
+    d = significant(tokens, first)
+    if d < 0 or not tokens[d].is_kw("DISTINCT"):
+        return tokens
+    on = significant(tokens, d)
+    if on < 0 or not tokens[on].is_kw("ON"):
+        return tokens
+    open_idx = significant(tokens, on)
+    if open_idx < 0 or tokens[open_idx].text != "(":
+        return tokens
+    close_idx = _match_fwd(tokens, open_idx)
+    part_exprs = emit_tokens(tokens[open_idx + 1:close_idx]).strip()
+    rest = tokens[close_idx + 1:]
+    # split off top-level ORDER BY ... [LIMIT ...]
+    depth = 0
+    order_idx = -1
+    for j, tok in enumerate(rest):
+        if tok.kind == PUNCT and tok.text == "(":
+            depth += 1
+        elif tok.kind == PUNCT and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("ORDER"):
+            nxt = significant(rest, j)
+            if nxt >= 0 and rest[nxt].is_kw("BY"):
+                order_idx = j
+                break
+    if order_idx >= 0:
+        body = emit_tokens(rest[:order_idx]).strip()
+        tail_tokens = rest[order_idx:]
+        # ORDER BY expr list up to LIMIT/OFFSET
+        limit_idx = -1
+        depth = 0
+        for j, tok in enumerate(tail_tokens):
+            if tok.kind == PUNCT and tok.text == "(":
+                depth += 1
+            elif tok.kind == PUNCT and tok.text == ")":
+                depth -= 1
+            elif depth == 0 and tok.is_kw("LIMIT", "OFFSET", "FETCH"):
+                limit_idx = j
+                break
+        by_idx = significant(tail_tokens, significant(tail_tokens, -1))
+        order_list = emit_tokens(
+            tail_tokens[by_idx + 1:limit_idx if limit_idx >= 0 else None]
+        ).strip()
+        tail = emit_tokens(tail_tokens[limit_idx:]).strip() \
+            if limit_idx >= 0 else ""
+        order_sql = f" ORDER BY {order_list}"
+        window_order = order_list
+    else:
+        body = emit_tokens(rest).strip()
+        order_sql, tail = "", ""
+        window_order = part_exprs
+    # find the depth-0 FROM in the body tokens (never inside strings/parens)
+    body_tokens = rest[:order_idx] if order_idx >= 0 else rest
+    depth = 0
+    from_tok = -1
+    for j, tok in enumerate(body_tokens):
+        if tok.kind == PUNCT and tok.text == "(":
+            depth += 1
+        elif tok.kind == PUNCT and tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("FROM"):
+            from_tok = j
+            break
+    if from_tok < 0:
+        return tokens
+    select_list = emit_tokens(body_tokens[:from_tok]).strip()
+    from_part = emit_tokens(body_tokens[from_tok:]).strip()
+    new_sql = (f"SELECT {select_list} FROM (SELECT *, row_number() OVER "
+               f"(PARTITION BY {part_exprs} ORDER BY {window_order}) AS "
+               f"__pg_rn {from_part}) __pg_d WHERE __pg_rn = 1"
+               f"{order_sql} {tail}")
+    return _toks(new_sql.strip())
+
+
+def emit_tokens(toks: list[Token]) -> str:
+    return "".join(t.text for t in toks)
+
+
+# ---------------------------------------------------------------------------
 # Rule: to_char / to_date / to_timestamp with literal PG patterns — translate
 # the template at rewrite time so the call stays a JVM builtin
 # (functions.md 🚧 roadmap; pattern map in functions/formatting.py).
@@ -808,7 +933,9 @@ def rewrite_to_char(tokens: list[Token]) -> list[Token]:
 # Rule order mirrors sql/parser.rs:314-334 where a counterpart exists.
 ALL_RULES = [
     rewrite_abort,
+    rewrite_distinct_on,
     rewrite_pg_operator,
+    rewrite_json_ops,
     rewrite_any_all,
     fix_array_literals,
     rewrite_catalog_names,

@@ -219,3 +219,31 @@ def pg_array_fns(spark, sf_dir):
                array_upper(embedding, 1) AS arr_upper
         FROM embeddings WHERE vec_id < 10 ORDER BY vec_id
     """, ("embeddings",))
+
+
+@register("pg_json_operators", oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.k') AS k_text
+FROM events WHERE event_id < 50 ORDER BY event_id
+""")
+def pg_json_operators(spark, sf_dir):
+    # -> / ->> operators through the dialect layer
+    return pg_sql(spark, sf_dir, """
+        SELECT event_id,
+               (props ->> 'k')::int8 AS k_val,
+               props ->> 'k' AS k_text
+        FROM events WHERE event_id < 50 ORDER BY event_id
+    """, ("events",))
+
+
+@register("pg_distinct_on", oracle="""
+SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
+FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+""")
+def pg_distinct_on(spark, sf_dir):
+    # PG-only DISTINCT ON syntax through the transpiler (window rewrite)
+    return pg_sql(spark, sf_dir, """
+        SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
+        FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+    """, ("customer",))

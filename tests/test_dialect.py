@@ -101,3 +101,30 @@ def test_reg_cast_numeric_literal(tp):
 def test_reg_cast_name_literal(tp):
     out = tp.transpile("SELECT 'mytab'::regclass")
     assert "pg_catalog_pg_class" in out and "relname = 'mytab'" in out
+
+
+def test_json_operators(tp):
+    assert norm(tp.transpile("SELECT a ->> 'k' FROM t")) == \
+        norm("SELECT get_json_object(a, '$.k') FROM t")
+    assert norm(tp.transpile("SELECT a -> 0 FROM t")) == \
+        norm("SELECT get_json_object(a, '$[0]') FROM t")
+    assert norm(tp.transpile("SELECT a #>> '{x,y}' FROM t")) == \
+        norm("SELECT get_json_object(a, '$.x.y') FROM t")
+
+
+def test_distinct_on_rewrite(tp):
+    out = tp.transpile(
+        "SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, c DESC")
+    assert "row_number() OVER (PARTITION BY a ORDER BY a, c DESC" in out
+    assert "__pg_rn = 1" in out
+    assert out.rstrip().endswith("ORDER BY a, c DESC")
+
+
+def test_distinct_on_no_order(tp):
+    out = tp.transpile("SELECT DISTINCT ON (a) a, b FROM t")
+    assert "PARTITION BY a ORDER BY a" in out
+
+
+def test_plain_distinct_untouched(tp):
+    assert norm(tp.transpile("SELECT DISTINCT a FROM t")) == \
+        norm("SELECT DISTINCT a FROM t")

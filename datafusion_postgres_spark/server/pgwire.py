@@ -76,6 +76,9 @@ class _Conn(socketserver.BaseRequestHandler):
             if not self._startup():
                 return
             self.engine = self.server.engine_factory()
+            # RBAC checks run as the authenticated user (auth.rs wiring)
+            self.engine.user = self.client_user
+            self.engine.auth = self.server.auth
             self.prepared = PreparedStatementManager(self.engine)
             self.portals = {}
             self._send_auth_ok_and_status()
@@ -372,7 +375,8 @@ class PgWireServer:
     accept-loop analog; max_connections via socketserver thread pool)."""
 
     def __init__(self, spark, host: str = "127.0.0.1", port: int = 5432,
-                 password_mode: str = "trust", auth=None):
+                 password_mode: str = "trust", auth=None,
+                 max_connections: int = 100):
         from datafusion_postgres_spark.server.auth import AuthManager
         from datafusion_postgres_spark.session import SparkPgEngine
 
@@ -382,9 +386,29 @@ class PgWireServer:
         def engine_factory():
             return SparkPgEngine(spark.newSession())
 
+        sem = threading.BoundedSemaphore(max_connections)
+
         class _Server(socketserver.ThreadingTCPServer):
+            # connection-limit semaphore (lib.rs:121-195 max_connections)
             allow_reuse_address = True
             daemon_threads = True
+
+            def verify_request(self, request, client_address):
+                if not sem.acquire(blocking=False):
+                    try:
+                        request.sendall(_msg(b"E", b"S" + _cstr("FATAL") +
+                                             b"C" + _cstr("53300") +
+                                             b"M" + _cstr(
+                                                 "too many connections") +
+                                             b"\x00"))
+                    except OSError:
+                        pass
+                    return False
+                return True
+
+            def close_request(self, request):
+                sem.release()
+                super().close_request(request)
 
         self._server = _Server((host, port), _Conn)
         self._server.engine_factory = engine_factory

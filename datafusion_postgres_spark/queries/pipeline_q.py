@@ -294,17 +294,68 @@ def multimodal_metadata(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-@register("events_session_windows", oracle=None)
+# same computation, with the oracle replicating the fake decoder's
+# arithmetic over the (ASCII) text
+# bytes — this checks the mapInPandas plumbing end-to-end against SQL
+_MM_CHK = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           "list_transform(string_split_regex(substr(text, 1, 4096), ''), "
+           "c -> CAST(ord(c) AS BIGINT))), "
+           "(acc, b) -> (acc * 131 + b) % 1000000007)")
+
+
+@register("multimodal_metadata_oracle", oracle=f"""
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS media_type,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       'unknown' AS format,
+       CAST(64 + {_MM_CHK} % 1024 AS INTEGER) AS width,
+       CAST(64 + ({_MM_CHK} // 7) % 1024 AS INTEGER) AS height,
+       {_MM_CHK} AS checksum
+FROM documents ORDER BY doc_id
+""")
+def multimodal_metadata_oracle(spark, sf_dir):
+    from datafusion_postgres_spark.operators import multimodal as mm
+    docs = t(spark, sf_dir, "documents")
+    media = mm.attach_binary_content(docs)
+    return (mm.extract_metadata(media, fake_decode=True)
+            .orderBy("doc_id"))
+
+
+@register("events_session_windows", oracle="""
+WITH marked AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""")
 def events_session_windows(spark, sf_dir):
     """F.session_window in batch mode — the same gap-merge operator the
-    streaming surface uses (streaming/ops.sessionize_stream)."""
+    streaming surface uses. Oracle: classic lag/cumsum sessionization
+    (session_window merges windows that touch, i.e. gap >= 30min starts a
+    new session)."""
     ev = t(spark, sf_dir, "events").withColumn(
         "ts_ltz", F.col("ts").cast("timestamp"))
     return (ev.groupBy(F.session_window("ts_ltz", "30 minutes").alias("sess"),
                        "user_id")
             .agg(F.count("*").alias("n_events"))
             .select("user_id",
-                    F.col("sess.start").cast("string").alias("session_start"),
+                    F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("session_start"),
                     "n_events")
             .orderBy("user_id", "session_start"))
 

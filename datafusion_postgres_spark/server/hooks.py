@@ -31,6 +31,10 @@ _FETCH_RE = re.compile(
     r"ABSOLUTE|RELATIVE)\s+)?(?P<count>\d+\s+)?(?:FROM\s+|IN\s+)?"
     r"(?P<name>[\w\"]+)\s*$", re.IGNORECASE)
 _CLOSE_RE = re.compile(r"^\s*CLOSE\s+(?P<name>[\w\"]+|ALL)\s*$", re.IGNORECASE)
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(?:\((?P<q>.+)\)|(?P<tbl>[\w.\"]+))\s+TO\s+STDOUT"
+    r"(?:\s+WITH)?\s*(?:\((?P<opts>[^)]*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL)
 
 # SHOW answers synthesized exactly like hooks/set_show.rs:283-366
 _SHOW_COLUMN_NAMES = {
@@ -99,6 +103,20 @@ class HookChain:
             return ExecutionResult(df=None, command_tag="SET")
         if kind == "SET":  # unparseable SET — still ack
             return ExecutionResult(df=None, command_tag="SET")
+
+        # -- COPY ... TO STDOUT (beyond the reference: it has no COPY) -----
+        if kind == "COPY":
+            m = _COPY_RE.match(stmt)
+            if m:
+                inner = m.group("q") or f'SELECT * FROM {m.group("tbl")}'
+                opts = (m.group("opts") or "").lower()
+                df = spark.sql(self.engine.transpiler.transpile(inner))
+                res = ExecutionResult(df=df, command_tag="COPY_OUT")
+                res.copy_format = "csv" if "csv" in opts else "text"
+                res.copy_header = "header" in opts
+                return res
+            raise CursorError(
+                "only COPY ... TO STDOUT is supported", "0A000")
 
         # -- maintenance no-ops clients send (VACUUM/ANALYZE/etc.) ---------
         if kind in ("VACUUM", "ANALYZE", "ANALYSE", "CHECKPOINT", "LISTEN",

@@ -206,6 +206,9 @@ class _Conn(socketserver.BaseRequestHandler):
         self._send(self._ready())
 
     def _send_result(self, res, max_rows: int):
+        if res.command_tag == "COPY_OUT":
+            self._send_copy_out(res)
+            return
         if res.df is None:
             self._send(_msg(b"C", _cstr(res.command_tag)))
             return
@@ -232,6 +235,38 @@ class _Conn(socketserver.BaseRequestHandler):
         if tag == "SELECT":
             tag = f"SELECT {n}"
         self._send(_msg(b"C", _cstr(tag)))
+
+    def _send_copy_out(self, res):
+        """COPY ... TO STDOUT: CopyOutResponse + CopyData rows.
+        text format: tab-separated, \\N for NULL; csv: comma-separated,
+        empty NULL, optional header."""
+        schema = res.df.schema
+        n_cols = len(schema.fields)
+        self._send(_msg(b"H", struct.pack("!bH", 0, n_cols) +
+                        struct.pack(f"!{n_cols}H", *([0] * n_cols))))
+        csv = getattr(res, "copy_format", "text") == "csv"
+        efd = int(self.engine.state.get_var("extra_float_digits") or 1)
+        if csv and getattr(res, "copy_header", False):
+            header = ",".join(f.name for f in schema.fields) + "\n"
+            self._send(_msg(b"d", header.encode()))
+        n = 0
+        for row in res.rows():
+            values = encode_row(row, schema, efd)
+            if csv:
+                cells = ["" if v is None else
+                         ('"' + v.replace('"', '""') + '"'
+                          if any(c in v for c in ',"\n') else v)
+                         for v in values]
+                line = ",".join(cells) + "\n"
+            else:
+                cells = ["\\N" if v is None else
+                         v.replace("\\", "\\\\").replace("\t", "\\t")
+                          .replace("\n", "\\n") for v in values]
+                line = "\t".join(cells) + "\n"
+            self._send(_msg(b"d", line.encode()))
+            n += 1
+        self._send(_msg(b"c", b""))
+        self._send(_msg(b"C", _cstr(f"COPY {n}")))
 
     def _row_description(self, fields) -> bytes:
         buf = struct.pack("!H", len(fields))
@@ -287,7 +322,18 @@ class _Conn(socketserver.BaseRequestHandler):
                 else:
                     params.append(rest[:plen].decode())
                     rest = rest[plen:]
-            self.portals[portal or ""] = (stmt_name or "", params)
+            # result-format codes: 0=all text, 1 code=applies to every
+            # column, else per-column
+            result_formats = []
+            if len(rest) >= 2:
+                (n_rfmt,) = struct.unpack("!H", rest[:2])
+                rest = rest[2:]
+                for _ in range(n_rfmt):
+                    (code,) = struct.unpack("!H", rest[:2])
+                    rest = rest[2:]
+                    result_formats.append(code)
+            self.portals[portal or ""] = (stmt_name or "", params,
+                                          result_formats)
             self._send(_msg(b"2", b""))
         except Exception as exc:
             self._error(_sqlstate_of(exc), str(exc)[:300])
@@ -303,7 +349,7 @@ class _Conn(socketserver.BaseRequestHandler):
                 self._send(_msg(b"t", buf))
                 self._send(self._describe_statement_rowdesc(stmt))
             else:
-                stmt_name, _ = self.portals.get(name or "", ("", []))
+                stmt_name = self.portals.get(name or "", ("", [], []))[0]
                 stmt = self.prepared.describe(stmt_name)
                 self._send(self._describe_statement_rowdesc(stmt))
         except KeyError:
@@ -328,25 +374,41 @@ class _Conn(socketserver.BaseRequestHandler):
         portal = payload[:i].decode()
         (max_rows,) = struct.unpack("!I", payload[i + 1:i + 5])
         try:
-            stmt_name, params = self.portals[portal or ""]
+            stmt_name, params, result_formats = self.portals[portal or ""]
             res = self.prepared.execute(stmt_name, params)
-            self._send_result_no_rowdesc(res, max_rows)
+            self._send_result_no_rowdesc(res, max_rows, result_formats)
         except Exception as exc:
             self.engine.state.statement_failed()
             self._error(_sqlstate_of(exc), str(exc)[:500])
 
-    def _send_result_no_rowdesc(self, res, max_rows: int):
+    def _send_result_no_rowdesc(self, res, max_rows: int,
+                                result_formats=None):
+        from datafusion_postgres_spark.server.encoder import (
+            encode_value, encode_value_binary, supports_binary)
+
         schema = res.df.schema
+        fields = schema.fields
+        # expand the Bind result-format codes to one per column
+        fmts = result_formats or []
+        if len(fmts) == 1:
+            fmts = fmts * len(fields)
+        elif len(fmts) != len(fields):
+            fmts = [0] * len(fields)
+        # binary only where the type supports it; else text fallback
+        fmts = [1 if (f == 1 and supports_binary(fld.dataType)) else 0
+                for f, fld in zip(fmts, fields)]
         n = 0
         efd = int(self.engine.state.get_var("extra_float_digits") or 1)
         for row in res.rows():
-            values = encode_row(row, schema, efd)
-            buf = struct.pack("!H", len(values))
-            for v in values:
+            buf = struct.pack("!H", len(fields))
+            for v, fld, fmt in zip(row, fields, fmts):
                 if v is None:
                     buf += struct.pack("!i", -1)
+                elif fmt == 1:
+                    b = encode_value_binary(v, fld.dataType)
+                    buf += struct.pack("!I", len(b)) + b
                 else:
-                    b = v.encode()
+                    b = encode_value(v, fld.dataType, efd).encode()
                     buf += struct.pack("!I", len(b)) + b
             self._send(_msg(b"D", buf))
             n += 1

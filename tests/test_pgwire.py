@@ -247,3 +247,82 @@ class TestExtendedProtocol:
             elif tag == b"Z":
                 break
         assert saw_param_desc and saw_rowdesc
+
+
+class TestBinaryFormat:
+    def test_binary_result_format(self, client, server):
+        """Bind with result-format=1: ints/doubles arrive as network-order
+        binary."""
+        ext = TestExtendedProtocol()
+        ext._parse(client, "bf1", "SELECT 258 AS i, CAST(1.5 AS DOUBLE) AS d, 'txt' AS s")
+        # bind with one result-format code = 1 (all binary)
+        body = b"\x00" + b"bf1\x00"
+        body += struct.pack("!H", 0)          # no param formats
+        body += struct.pack("!H", 0)          # no params
+        body += struct.pack("!HH", 1, 1)      # one result code: binary
+        client.sock.sendall(b"B" + struct.pack("!I", len(body) + 4) + body)
+        ext._execute(client, "")
+        ext._sync(client)
+        data = None
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"D":
+                data = payload
+            elif tag == b"Z":
+                break
+        assert data is not None
+        (n,) = struct.unpack("!H", data[:2])
+        assert n == 3
+        off = 2
+        (l1,) = struct.unpack("!i", data[off:off + 4]); off += 4
+        assert l1 == 4
+        (i_val,) = struct.unpack("!i", data[off:off + 4]); off += 4
+        assert i_val == 258
+        (l2,) = struct.unpack("!i", data[off:off + 4]); off += 4
+        assert l2 == 8
+        (d_val,) = struct.unpack("!d", data[off:off + 8]); off += 8
+        assert d_val == 1.5
+        (l3,) = struct.unpack("!i", data[off:off + 4]); off += 4
+        assert data[off:off + l3] == b"txt"
+
+
+class TestCopyOut:
+    def test_copy_query_to_stdout(self, client):
+        body = ("COPY (SELECT n_nationkey, n_name FROM wnation "
+                "WHERE n_nationkey < 3 ORDER BY 1) TO STDOUT").encode() + b"\x00"
+        client.sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        lines, tags = [], []
+        saw_copy_out = saw_done = False
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"H":
+                saw_copy_out = True
+            elif tag == b"d":
+                lines.append(payload.decode())
+            elif tag == b"c":
+                saw_done = True
+            elif tag == b"C":
+                tags.append(payload.rstrip(b"\x00").decode())
+            elif tag == b"Z":
+                break
+        assert saw_copy_out and saw_done
+        assert tags == ["COPY 3"]
+        assert lines == ["0\tNATION_0\n", "1\tNATION_1\n", "2\tNATION_2\n"]
+
+    def test_copy_csv_with_header(self, client):
+        body = ("COPY (SELECT n_nationkey AS k FROM wnation WHERE "
+                "n_nationkey < 2 ORDER BY 1) TO STDOUT WITH (FORMAT csv, "
+                "HEADER)").encode() + b"\x00"
+        client.sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        lines = []
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"d":
+                lines.append(payload.decode())
+            elif tag == b"Z":
+                break
+        assert lines == ["k\n", "0\n", "1\n"]
+
+    def test_copy_from_rejected(self, client):
+        res = client.query("COPY wnation FROM STDIN")
+        assert res["errors"] and res["errors"][0][b"C"] == "0A000"

@@ -308,3 +308,102 @@ def agg_stats_numeric(spark, sf_dir):
                  F.expr("percentile(l_quantity, 0.5)")  # exact, interpolated
                  .cast("double").alias("median_qty"))
             .orderBy("l_returnflag"))
+
+
+@register("q4_priority_check", oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q4(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM {o} o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND EXISTS (SELECT 1 FROM {li} l WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""", o=o, li=li)
+
+
+@register("q12_shipmode_buckets", oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+""")
+def q12(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) &
+        (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
+                 .alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+@register("q14_promo_revenue", oracle="""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+         THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+         ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+  AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+""")
+def q14(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) &
+        (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz")))
+    p = t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)") *
+           (1 - F.col("l_discount").cast("decimal(4,2)")))
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+        .otherwise(F.lit(0).cast("decimal(14,4)"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(100.0 * F.sum(promo).cast("double") /
+                         F.sum(rev).cast("double"), 6).alias("promo_pct")))
+
+
+@register("q19_disjunctive_join", oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_type = 'PROMO' AND l_discount > 0.05)
+""")
+def q19(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) &
+         F.col("l_quantity").between(1, 20)) |
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) &
+         F.col("l_quantity").between(10, 40)) |
+        ((F.col("p_type") == "PROMO") & (F.col("l_discount") > 0.05)))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)") *
+           (1 - F.col("l_discount").cast("decimal(4,2)")))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .where(cond)
+            .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+                 F.count("*").alias("n")))

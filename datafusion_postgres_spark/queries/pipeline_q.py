@@ -65,20 +65,55 @@ def text_fingerprint(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-@register("text_lang_distribution", oracle=None)
+@register("text_lang_distribution", oracle=f"""
+WITH pred AS (
+  SELECT CASE
+    WHEN (len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                          w -> list_contains({_STOP_SQL}, w)))
+          / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+         > 0.12 THEN 'en'
+    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+    WHEN regexp_matches(text, '[À-ſ]') THEN 'other_latin'
+    ELSE 'unknown' END AS lang_pred
+  FROM documents)
+SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY 1 ORDER BY 1
+""")
 def text_lang_distribution(spark, sf_dir):
-    """Language-ID heuristic distribution (heuristic classes are engine-
-    specific regex classes — rows-only check)."""
+    """Language-ID heuristic distribution — the oracle replays the same
+    stopword-density + char-class decision tree."""
     docs = t(spark, sf_dir, "documents")
     return (docs.select(text.lang_id(F.col("text")).alias("lang_pred"))
             .groupBy("lang_pred").agg(F.count("*").alias("n"))
             .orderBy("lang_pred"))
 
 
-@register("text_quality_buckets", oracle=None)
+_QUALITY_ORACLE = f"""
+WITH scored AS (
+  SELECT
+    least(length(text) / 500.0, 1.0) * 0.3
+    + least((len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> list_contains({_STOP_SQL}, w)))
+             / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+            * 4.0, 1.0) * 0.3
+    + (1.0 - least((length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                    / greatest(length(text), 1)) * 5.0, 1.0)) * 0.2
+    + (CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split_regex(trim(text), '\\s+'),
+                                   w -> CAST(length(w) AS BIGINT))),
+                  (a, b) -> a + b)
+              / greatest(len(string_split_regex(trim(text), '\\s+')), 1))
+             BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS q
+  FROM documents)
+SELECT CAST(floor(q * 10) AS INTEGER) AS q_decile, COUNT(*) AS n
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("text_quality_buckets", oracle=_QUALITY_ORACLE)
 def text_quality_buckets(spark, sf_dir):
-    """Composite quality score bucketed by decile (composite weights are
-    our own definition — rows-only)."""
+    """Composite quality score bucketed by decile; the oracle replicates
+    the exact term arithmetic (identical operation order, so the doubles
+    match bitwise)."""
     docs = t(spark, sf_dir, "documents")
     q = text.quality_score(F.col("text"))
     return (docs.select(F.floor(q * 10).cast("int").alias("q_decile"))

@@ -23,6 +23,13 @@ from datafusion_postgres_spark.dialect.tokenizer import (
 
 OPENERS = {"(": ")", "[": "]"}
 
+_NON_CALL_KEYWORDS = (
+    "SELECT", "WHERE", "FROM", "AND", "OR", "NOT", "ON", "WHEN", "THEN",
+    "ELSE", "CASE", "END", "BY", "HAVING", "JOIN", "IN", "EXISTS", "ALL",
+    "ANY", "SOME", "BETWEEN", "LIKE", "ILIKE", "AS", "DISTINCT", "UNION",
+    "INTERSECT", "EXCEPT", "VALUES", "SET", "RETURNING", "LIMIT", "OFFSET",
+    "GROUP", "ORDER", "OVER", "PARTITION", "WITH", "USING", "IS")
+
 
 def _match_back(tokens: list[Token], close_idx: int) -> int:
     """Index of the opener matching the closer at close_idx."""
@@ -73,9 +80,12 @@ def _expr_start(tokens: list[Token], op_idx: int) -> int:
             if opener < 0:
                 break
             start = opener
-            # function call? consume preceding name
+            # function call? consume preceding name (but never a keyword —
+            # `SELECT (expr)` is not a call to SELECT)
             j = significant(tokens, opener, -1)
-            if j >= 0 and tokens[j].kind in (IDENT, QIDENT) and tokens[opener].text == "(":
+            if (j >= 0 and tokens[j].kind in (IDENT, QIDENT) and
+                    tokens[opener].text == "(" and
+                    not tokens[j].is_kw(*_NON_CALL_KEYWORDS)):
                 start = j
                 i = j
             else:
@@ -546,6 +556,15 @@ def map_cast_types(tokens: list[Token]) -> list[Token]:
                     i = start + len(repl)
                     continue
                 elif low in PG_TO_SPARK_TYPES:
+                    # array cast: ::type[] -> CAST(.. AS ARRAY<T>)
+                    if nxt >= 0 and tokens[nxt].text == "[":
+                        close_b = significant(tokens, nxt)
+                        if close_b >= 0 and tokens[close_b].text == "]":
+                            tokens[ty:close_b + 1] = [Token(
+                                IDENT,
+                                f"ARRAY<{PG_TO_SPARK_TYPES[low]}>")]
+                            i += 1
+                            continue
                     # keep numeric(p,s) parenthesized forms intact
                     if low in ("numeric", "decimal") and nxt >= 0 and \
                             tokens[nxt].text == "(":
@@ -930,6 +949,39 @@ def rewrite_to_char(tokens: list[Token]) -> list[Token]:
     return tokens
 
 
+# ---------------------------------------------------------------------------
+# Rule: 1-based array subscript  col[2] -> element_at(col, 2)
+# (PG arrays are 1-indexed; Spark's col[i] is 0-indexed but element_at is
+# 1-indexed, matching PG). Only plain identifier[NUMBER] is rewritten —
+# type-suffix brackets were consumed by the cast rules before this runs.
+
+def rewrite_array_subscript(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == PUNCT and t.text == "[":
+            prev = significant(tokens, i, -1)
+            num = significant(tokens, i)
+            prev_ok = prev >= 0 and (
+                (tokens[prev].kind in (IDENT, QIDENT) and
+                 not tokens[prev].is_kw("ARRAY")) or
+                (tokens[prev].kind == PUNCT and tokens[prev].text in (")", "]")))
+            if prev_ok and num >= 0 and tokens[num].kind == NUMBER:
+                close = significant(tokens, num)
+                if close >= 0 and tokens[close].text == "]":
+                    start = _expr_start(tokens, i)
+                    expr = tokens[start:i]
+                    repl = ([Token(IDENT, "element_at"), Token(PUNCT, "(")] +
+                            expr + [Token(PUNCT, ","), Token(WS, " "),
+                                    tokens[num], Token(PUNCT, ")")])
+                    tokens[start:close + 1] = repl
+                    i = start + len(repl)
+                    continue
+        i += 1
+    return tokens
+
+
 # Rule order mirrors sql/parser.rs:314-334 where a counterpart exists.
 ALL_RULES = [
     rewrite_abort,
@@ -947,5 +999,6 @@ ALL_RULES = [
     map_cast_types,
     rewrite_version,
     rewrite_to_char,
+    rewrite_array_subscript,
     rename_functions,
 ]

@@ -128,3 +128,16 @@ def test_distinct_on_no_order(tp):
 def test_plain_distinct_untouched(tp):
     assert norm(tp.transpile("SELECT DISTINCT a FROM t")) == \
         norm("SELECT DISTINCT a FROM t")
+
+
+def test_array_type_cast(tp):
+    out = tp.transpile("SELECT col::text[] FROM t")
+    assert "ARRAY<STRING>" in out
+
+
+def test_array_subscript_one_based(tp):
+    assert norm(tp.transpile("SELECT embedding[1] FROM e")) == \
+        norm("SELECT element_at(embedding, 1) FROM e")
+    # not applied to ARRAY[...] constructors
+    out = tp.transpile("SELECT ARRAY[1,2]")
+    assert "element_at" not in out

@@ -228,26 +228,27 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 48) -> DataFrame:
-    """Per-doc simhash: sign-sum of word-hash bits. Pure projection +
-    explode/groupBy; deterministic (portable word hash)."""
-    w = (docs.select(F.col(id_col).alias("id"),
-                     F.explode(words(norm_text(F.col(text_col)))).alias("w"))
-         .where(F.col("w") != "")
-         .select("id", word_fingerprint(F.col("w")).alias("h")))
-    bit_aggs = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
-                     1).otherwise(-1)).alias(f"b{b}")
-        for b in range(bits)]
-    per_doc = w.groupBy("id").agg(*bit_aggs)
-    sig = per_doc.select(
-        "id",
-        F.aggregate(
-            F.array(*[F.when(F.col(f"b{b}") > 0,
-                             F.lit(1).cast("long") * (2 ** b))
-                      .otherwise(F.lit(0).cast("long"))
-                      for b in range(bits)]),
-            F.lit(0).cast("long"), lambda acc, x: acc + x).alias("simhash"))
-    return sig
+    """Per-doc simhash as a ZERO-SHUFFLE projection: the word-hash array
+    stays inside one row, and each signature bit b is set iff the majority
+    of word hashes have bit b set (strictly more than half — identical to
+    the +1/-1 sign-sum being positive).
+
+    Round-1 shape was explode(words) + groupBy(id) with 48 per-bit sums —
+    that shuffles every word occurrence in the corpus. This form computes
+    the same signature inside whole-stage codegen over the scan, so it
+    scales embarrassingly parallel like shingle_array."""
+    ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
+    whs = F.transform(ws, word_fingerprint)
+    n_words = F.size(whs)
+    sig = None
+    for b in range(bits):
+        cnt_set = F.size(F.filter(
+            whs, lambda h: F.shiftright(h, b).bitwiseAND(1) == 1))
+        term = F.when(2 * cnt_set > n_words,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return (docs.where(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("id"), sig.alias("simhash")))
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",

@@ -8,14 +8,35 @@ operators) registers here as a named query:
     tables (omitted only for genuinely non-SQL-expressible ops, which the
     driver then checks rows-only).
 
-Cross-engine determinism conventions (hash-match gate):
-  * money aggregates: per-row CAST to DECIMAL before SUM, final CAST to a
-    fixed DECIMAL type on both sides (float sums are order-dependent);
-  * averages / float outputs: ROUND(x, 4..6);
-  * integer sums: CAST to BIGINT on both sides (DuckDB sums to HUGEINT);
+Cross-engine determinism conventions (hash-match gate), learned from the
+round-1 driver failures (all five were representation-level, not value
+bugs):
+  * NO DecimalType in final output columns. The driver's value hash
+    renders Decimal('x.x0') differently from the float path, so every
+    query whose result contained a trailing-zero decimal failed
+    hash_match while numerically equal. Decimals stay INTERNAL (exact,
+    order-independent sums); the last step casts to DOUBLE or BIGINT.
+  * decimal -> double cast is bit-identical across engines only while
+    the scaled integer fits in 2^53 (~15 sig digits; DuckDB double-rounds
+    int128/10^s above that). Bigger/finer sums first reduce scale
+    tie-free: CAST(FLOOR(sum*100 + 0.5) AS DOUBLE)/100 (exact decimal
+    arithmetic, half-up, no float ties).
+  * averages / ratios: exact decimal or integer sums, then ONE double
+    division (identical IEEE op on identical inputs) — never ROUND of a
+    float sum (summation order varies with partitioning).
+  * libm outputs (trig, sqrt, exp): ROUND(x, <=6) + 0.0 — the +0.0
+    normalizes -0.0 (repr '-0.0' != '0.0' under a string hash; this was
+    the actual pg_math_functions round-1 failure).
+  * counts/ranks/sizes: CAST to BIGINT on both sides (DuckDB sums to
+    HUGEINT).
   * no raw timestamp outputs (engines disagree on ns/tz) — emit DATE or
     extracted integer parts instead;
   * every computed column aliased identically in Spark and oracle SQL.
+
+Registration order IS the driver's check order (it verifies the first 50
+registered queries): ``PRIORITY`` below pins one query per SURVEY.md §2
+operator row into that window; redundant variants keep their oracles but
+register after the fold.
 """
 
 from __future__ import annotations
@@ -64,9 +85,50 @@ def pg_sql(spark: SparkSession, sf_dir: str, sql: str,
     return spark.sql(_TRANSPILER.transpile(sql))
 
 
+# The driver verifies the FIRST 50 registered queries (row-count + schema +
+# value-hash vs the DuckDB oracle at sf0.01). This list covers every
+# SURVEY.md §2.2-2.9 operator row plus the pipeline operators; merged
+# "suite" queries (queries/suites.py) fold redundant variants so the whole
+# surface fits in the window.
+PRIORITY = [
+    # TPC-H adaptations (compound shapes: joins + aggs + sorts)
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q4_priority_check", "q7_nation_pair_volume", "q10_returned_items",
+    "q12_shipmode_buckets", "q14_promo_revenue", "q18_large_orders",
+    "q19_disjunctive_join",
+    # filters / dialect (§2.2)
+    "filter_predicates", "pg_case_when", "ilike_filter", "pg_regex_match",
+    "pg_any_all_array", "pg_casts", "pg_collate_strip",
+    "pg_string_functions", "pg_math_functions", "pg_array_functions",
+    "pg_json_operators", "pg_distinct_on", "pg_generate_series_tf",
+    # joins (§2.3)
+    "join_outer_suite", "join_semi_anti", "join_cross_comma", "join_using",
+    "subquery_correlated_in", "lateral_subquery",
+    # aggregation (§2.4)
+    "agg_distinct_filter", "agg_collect_ordered", "agg_grouping_suite",
+    "agg_stats_having", "pivot_orderstatus",
+    # windows (§2.5)
+    "window_suite", "window_ntile_first_last",
+    # sorts / set ops / table functions (§2.6-2.8)
+    "sort_wildcard_topk", "set_ops_suite", "tablefunc_unnest_values",
+    # events (batch side of the streaming surface)
+    "events_hourly_rollup", "events_sessionize",
+    # LLM-data-pipeline operators
+    "text_doc_features", "text_corpus_profile", "dedup_exact_groups",
+    "dedup_ngram_jaccard", "dedup_minhash_signatures",
+    "dedup_simhash_signatures", "dedup_minhash_lsh", "sim_cosine_topk",
+    "multimodal_metadata_oracle",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (forces registration) and return REGISTRY."""
+    """Import every query module (forces registration) and return REGISTRY
+    reordered so ``PRIORITY`` occupies the driver's checked window."""
     from datafusion_postgres_spark.queries import (  # noqa: F401
-        dialect_q, events_q, pipeline_q, relational, relational2,
+        dialect_q, events_q, pipeline_q, relational, relational2, suites,
     )
-    return REGISTRY
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    assert not missing, f"PRIORITY names not registered: {missing}"
+    ordered = {n: REGISTRY[n] for n in PRIORITY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered

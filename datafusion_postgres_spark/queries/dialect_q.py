@@ -33,15 +33,39 @@ def pg_not_all(spark, sf_dir):
     """, ("region",))
 
 
+@register("pg_any_all_array", oracle="""
+SELECT n_nationkey, n_name FROM nation
+WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_19', 'NATION_7')
+  AND n_name NOT IN ('NATION_5', 'NATION_23')
+ORDER BY n_nationkey
+""")
+def pg_any_all(spark, sf_dir):
+    # = ANY + <> ALL + '{...}' array literals in one statement — the merged
+    # driver-window variant of pg_any_array_literal / pg_not_all_array
+    return pg_sql(spark, sf_dir, """
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_name = ANY('{NATION_1,NATION_5,NATION_19,NATION_7}')
+          AND n_name <> ALL('{NATION_5,NATION_23}')
+        ORDER BY n_nationkey
+    """, ("nation",))
+
+
 @register("pg_regex_match", oracle="""
 SELECT p_partkey, p_name FROM part
 WHERE regexp_matches(p_name, 'widget') AND NOT regexp_matches(p_name, '^blue')
+  AND regexp_matches(p_name, '(?i)WIDGET')
+  AND NOT regexp_matches(p_name, '(?i)^ZZZZ')
+  AND regexp_matches(p_name, 'e')
 ORDER BY p_partkey
 """)
 def pg_regex(spark, sf_dir):
+    # all four regex operators (~ !~ ~* !~*) plus the OPERATOR(pg_catalog.~)
+    # spelling in one statement (sql/rules.rs regex family parity)
     return pg_sql(spark, sf_dir, """
         SELECT p_partkey, p_name FROM part
         WHERE p_name ~ 'widget' AND p_name !~ '^blue'
+          AND p_name ~* 'WIDGET' AND p_name !~* '^ZZZZ'
+          AND p_name OPERATOR(pg_catalog.~) 'e'
         ORDER BY p_partkey
     """, ("part",))
 
@@ -119,9 +143,9 @@ def pg_case(spark, sf_dir):
 
 @register("pg_math_functions", oracle="""
 SELECT i,
-       ROUND(sin(radians(i * 30.0)), 10) AS sind_v,
-       ROUND(cos(radians(i * 30.0)), 10) AS cosd_v,
-       ROUND(degrees(atan2(i * 1.0, 2.0)), 10) AS atan2d_v,
+       ROUND(sin(radians(i * 30.0)), 6) + 0.0 AS sind_v,
+       ROUND(cos(radians(i * 30.0)), 6) + 0.0 AS cosd_v,
+       ROUND(degrees(atan2(i * 1.0, 2.0)), 6) + 0.0 AS atan2d_v,
        CAST(CASE WHEN i * 1.0 >= 12.0 THEN 5
                  ELSE floor((i * 1.0) / 3.0) + 1 END AS BIGINT) AS bucket,
        CAST(ceiling(i * 1.7) AS BIGINT) AS ceil_v,
@@ -134,11 +158,14 @@ def pg_math(spark, sf_dir):
     # reference functions: sind/cosd/atan2d (degree_trig.rs), width_bucket
     # (width_bucket.rs), ceiling/sign (aliases.rs), mod/div (mod_op.rs,div.rs).
     # DuckDB has no width_bucket — the oracle spells out the bucket arithmetic.
+    # libm outputs: ROUND at 6 digits (ulp headroom) `+ 0.0` — ROUND(-1e-16)
+    # yields -0.0 in DuckDB and 0.0 in Spark; repr-level hashes disagree
+    # (the actual round-1 hash_match failure for this query).
     return pg_sql(spark, sf_dir, """
         SELECT i,
-               ROUND(sind(i * 30.0), 10) AS sind_v,
-               ROUND(cosd(i * 30.0), 10) AS cosd_v,
-               ROUND(atan2d(i * 1.0, 2.0), 10) AS atan2d_v,
+               ROUND(sind(i * 30.0), 6) + 0.0 AS sind_v,
+               ROUND(cosd(i * 30.0), 6) + 0.0 AS cosd_v,
+               ROUND(atan2d(i * 1.0, 2.0), 6) + 0.0 AS atan2d_v,
                width_bucket(i * 1.0, 0.0, 12.0, 4)::int8 AS bucket,
                ceiling(i * 1.7)::int8 AS ceil_v,
                sign(i - 6.0)::float8 AS sign_v,

@@ -18,11 +18,14 @@ SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
        CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
        event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """)
 def events_hourly(spark, sf_dir):
+    # decimal sum internally (exact, order-independent), DOUBLE out — the
+    # driver's value hash renders Decimal('x.x0') vs the float path
+    # differently (round-1 hash_match failure).
     ev = t(spark, sf_dir, "events")
     return (ev.groupBy(
                 F.date_trunc("hour", F.col("ts")).cast("date").alias("day"),
@@ -30,7 +33,7 @@ def events_hourly(spark, sf_dir):
                 "event_type")
             .agg(F.count("*").alias("n"),
                  F.sum(F.col("value").cast("decimal(12,2)"))
-                 .cast("decimal(18,2)").alias("total_value"))
+                 .cast("double").alias("total_value"))
             .orderBy("day", "hour", "event_type"))
 
 
@@ -106,13 +109,17 @@ def events_json(spark, sf_dir):
 @register("events_dow_stats", oracle="""
 SELECT CAST(extract(dow FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
        COUNT(*) AS n,
-       ROUND(AVG(value), 4) AS avg_value
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
 FROM events GROUP BY 1 ORDER BY 1
 """)
 def events_dow(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    # PG/DuckDB dow: 0=Sunday; Spark dayofweek: 1=Sunday
+    # PG/DuckDB dow: 0=Sunday; Spark dayofweek: 1=Sunday.
+    # avg = exact decimal sum -> one double division (AVG of raw doubles is
+    # summation-order-dependent; ROUND can't mask a tie under the driver's
+    # partitioning).
     return (ev.groupBy((F.dayofweek("ts") - 1).alias("dow"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg("value"), 4).alias("avg_value"))
+                 (F.sum(F.col("value").cast("decimal(12,2)")).cast("double") /
+                  F.count("*")).alias("avg_value"))
             .orderBy("dow"))

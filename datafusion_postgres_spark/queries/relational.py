@@ -24,13 +24,13 @@ DEC = "decimal(18,2)"
 
 @register("q1_pricing_summary", oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 100 + 0.5) AS DOUBLE) / 100 AS sum_disc_price,
+       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) * 100 + 0.5) AS DOUBLE) / 100 AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -38,24 +38,31 @@ GROUP BY l_returnflag, l_linestatus
 """)
 def q1(spark, sf_dir):
     # decimal-first arithmetic: cast the raw 2-dp columns to DECIMAL before
-    # multiplying — products and sums are then exact and engine-portable
-    # (double->decimal casts of *computed* values round differently across
-    # engines near ties).
+    # multiplying — products and sums are exact and order-independent.
+    # Final outputs are DOUBLE (never Decimal — see queries/__init__
+    # conventions): small sums cast directly (scaled int < 2^53, so the
+    # cast is bit-identical across engines); the scale-4/6 sums first
+    # reduce to 2 dp via exact-decimal FLOOR(x*100 + 0.5) (tie-free,
+    # half-up); averages are one IEEE division of exact sums.
     li = t(spark, sf_dir, "lineitem")
+    dec_qty = F.col("l_quantity").cast("decimal(12,2)")
     dec_ext = F.col("l_extendedprice").cast("decimal(12,2)")
     dec_disc = F.col("l_discount").cast("decimal(4,2)")
     dec_tax = F.col("l_tax").cast("decimal(4,2)")
     disc_price = dec_ext * (1 - dec_disc)
     charge = disc_price * (1 + dec_tax)
+    cnt = F.count("*")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast(DEC).alias("sum_qty"),
-                 F.sum(dec_ext).cast(DEC).alias("sum_base_price"),
-                 F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
-                 F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            .agg(F.sum(dec_qty).cast("double").alias("sum_qty"),
+                 F.sum(dec_ext).cast("double").alias("sum_base_price"),
+                 (F.floor(F.sum(disc_price) * 100 + 0.5).cast("double") / 100)
+                 .alias("sum_disc_price"),
+                 (F.floor(F.sum(charge) * 100 + 0.5).cast("double") / 100)
+                 .alias("sum_charge"),
+                 (F.sum(dec_qty).cast("double") / cnt).alias("avg_qty"),
+                 (F.sum(dec_ext).cast("double") / cnt).alias("avg_price"),
+                 (F.sum(dec_disc).cast("double") / cnt).alias("avg_disc"),
                  F.count("*").alias("count_order")))
 
 
@@ -65,7 +72,7 @@ def q1(spark, sf_dir):
 
 @register("q3_shipping_priority", oracle="""
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
        CAST(o_orderdate AS DATE) AS orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -87,7 +94,7 @@ def q3(spark, sf_dir):
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
             .groupBy("l_orderkey", "o_orderdate")
-            .agg(F.sum(revenue_expr).cast("decimal(18,4)").alias("revenue"))
+            .agg(F.sum(revenue_expr).cast("double").alias("revenue"))
             .select("l_orderkey", "revenue",
                     F.col("o_orderdate").cast("date").alias("orderdate"))
             .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -100,7 +107,7 @@ def q3(spark, sf_dir):
 
 @register("q5_local_supplier_volume", oracle="""
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -130,7 +137,7 @@ def q5(spark, sf_dir):
             .groupBy("n_name")
             .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)") *
                        (1 - F.col("l_discount").cast("decimal(4,2)")))
-                 .cast("decimal(18,4)").alias("revenue"))
+                 .cast("double").alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("n_name")))
 
 
@@ -288,18 +295,20 @@ SELECT o_orderstatus,
        COUNT(*) AS n_orders,
        COUNT(DISTINCT o_custkey) AS n_customers,
        COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
-       CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
-       CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """)
 def agg_distinct(spark, sf_dir):
+    # min/max of a double involve no arithmetic — emit the raw double
+    # (a Decimal output would hit the driver's trailing-zero hash issue)
     o = t(spark, sf_dir, "orders")
     return (o.groupBy("o_orderstatus")
             .agg(F.count("*").alias("n_orders"),
                  F.countDistinct("o_custkey").alias("n_customers"),
                  F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
-                 F.min("o_totalprice").cast(DEC).alias("min_price"),
-                 F.max("o_totalprice").cast(DEC).alias("max_price"))
+                 F.min("o_totalprice").alias("min_price"),
+                 F.max("o_totalprice").alias("max_price"))
             .orderBy("o_orderstatus"))
 
 
@@ -334,7 +343,7 @@ def agg_array_agg(spark, sf_dir):
 # grouping sets / rollup / cube (SURVEY §2.4 tail)
 
 @register("agg_rollup", oracle="""
-SELECT r_name, n_name, COUNT(*) AS n, CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_bal
+SELECT r_name, n_name, COUNT(*) AS n, CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
@@ -348,7 +357,7 @@ def agg_rollup(spark, sf_dir):
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .rollup("r_name", "n_name")
             .agg(F.count("*").alias("n"),
-                 F.sum(F.col("s_acctbal").cast("decimal(12,2)")).cast(DEC)
+                 F.sum(F.col("s_acctbal").cast("decimal(12,2)")).cast("double")
                  .alias("total_bal"))
             .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name")))
 
@@ -409,9 +418,9 @@ def window_rank(spark, sf_dir):
 
 @register("window_lag_lead", oracle="""
 SELECT o_custkey, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-       CAST(LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(18,2)) AS prev_price,
-       CAST(LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(18,2)) AS next_price
+       o_totalprice AS price,
+       LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
 FROM orders
 ORDER BY o_custkey, o_orderkey LIMIT 500
 """)
@@ -419,9 +428,9 @@ def window_lag_lead(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (o.select("o_custkey", "o_orderkey",
-                     F.col("o_totalprice").cast(DEC).alias("price"),
-                     F.lag("o_totalprice").over(w).cast(DEC).alias("prev_price"),
-                     F.lead("o_totalprice").over(w).cast(DEC).alias("next_price"))
+                     F.col("o_totalprice").alias("price"),
+                     F.lag("o_totalprice").over(w).alias("prev_price"),
+                     F.lead("o_totalprice").over(w).alias("next_price"))
             .orderBy("o_custkey", "o_orderkey").limit(500))
 
 
@@ -429,22 +438,25 @@ def window_lag_lead(spark, sf_dir):
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
-       CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2)))
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS moving_avg3
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
 FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500
 """)
 def window_frame(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     dec_price = F.col("o_totalprice").cast("decimal(12,2)")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    w3 = w.rowsBetween(-2, 0)
     return (o.select("o_custkey", "o_orderkey",
-                     F.sum(dec_price).over(
-                         w.rowsBetween(Window.unboundedPreceding, 0))
-                     .cast(DEC).alias("running_total"),
-                     F.avg(dec_price).over(w.rowsBetween(-2, 0))
-                     .cast("decimal(18,6)").alias("moving_avg3"))
+                     F.sum(dec_price).over(w_run)
+                     .cast("double").alias("running_total"),
+                     (F.sum(dec_price).over(w3).cast("double") /
+                      F.count("*").over(w3)).alias("moving_avg3"))
             .orderBy("o_custkey", "o_orderkey").limit(500))
 
 
@@ -457,17 +469,58 @@ SELECT s_suppkey, s_nationkey,
 FROM supplier ORDER BY s_suppkey
 """)
 def window_ntile(spark, sf_dir):
+    """Global NTILE without the single-partition window (the canonical
+    window scale-killer: ``Window.orderBy`` with no partitionBy funnels
+    every row through one task).
+
+    Two-pass exact global ranking instead:
+      1. coarse range key = floor(s_acctbal) — monotone in the sort order,
+         so (bucket DESC, s_acctbal DESC, s_suppkey) == the global order;
+      2. per-bucket counts -> cumulative offsets (window over the tiny
+         bucket-count aggregate, thousands of rows at most);
+      3. global rn = bucket offset + partitioned row_number;
+      4. NTILE arithmetic from rn and the broadcast total count.
+    Every per-row window below is partitioned; only bucket aggregates pass
+    through a single task."""
     s = t(spark, sf_dir, "supplier")
-    w_global = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    bucket = F.floor("s_acctbal").alias("bucket")
+    sb = s.select("s_suppkey", "s_nationkey", "s_name", "s_acctbal", bucket)
+
+    counts = sb.groupBy("bucket").agg(F.count("*").alias("bn"))
+    w_cum = (Window.orderBy(F.desc("bucket"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_cum), F.lit(0)).alias("off"))
+    total = sb.agg(F.count("*").alias("n_total"))
+
+    w_in_bucket = Window.partitionBy("bucket").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey"))
+    ranked = (sb.join(F.broadcast(offsets), "bucket")
+              .crossJoin(F.broadcast(total))
+              .withColumn("rn", F.col("off") + F.row_number().over(w_in_bucket)))
+
+    # NTILE(4): first (n % 4) buckets get floor(n/4)+1 rows, the rest get
+    # floor(n/4) — reproduced arithmetically from the global row number.
+    n = F.col("n_total")
+    base = F.floor(n / 4)
+    nbig = n % 4
+    cutoff = nbig * (base + 1)
+    rn = F.col("rn")
+    quartile = (F.when(rn <= cutoff,
+                       F.floor((rn - 1) / (base + 1)) + 1)
+                .otherwise(nbig + F.floor((rn - cutoff - 1) /
+                                          F.greatest(base, F.lit(1))) + 1))
+
     w_part = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"),
                                                        F.asc("s_suppkey"))
-    return (s.select("s_suppkey", "s_nationkey",
-                     F.ntile(4).over(w_global).cast("bigint").alias("quartile"),
-                     F.first("s_name").over(w_part).alias("richest"),
-                     F.last("s_name").over(
-                         w_part.rowsBetween(Window.unboundedPreceding,
-                                            Window.unboundedFollowing))
-                     .alias("poorest"))
+    return (ranked.select(
+                "s_suppkey", "s_nationkey",
+                quartile.cast("bigint").alias("quartile"),
+                F.first("s_name").over(w_part).alias("richest"),
+                F.last("s_name").over(
+                    w_part.rowsBetween(Window.unboundedPreceding,
+                                       Window.unboundedFollowing))
+                .alias("poorest"))
             .orderBy("s_suppkey"))
 
 
@@ -476,12 +529,12 @@ def window_ntile(spark, sf_dir):
 # TakeOrderedAndProject (distributed top-k, no global sort).
 
 @register("sort_topk", oracle="""
-SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+SELECT o_orderkey, o_totalprice AS price
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
 """)
 def sort_topk(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    return (o.select("o_orderkey", F.col("o_totalprice").cast(DEC).alias("price"))
+    return (o.select("o_orderkey", F.col("o_totalprice").alias("price"))
             .orderBy(F.desc("price"), F.asc("o_orderkey")).limit(25))
 
 
@@ -548,33 +601,40 @@ def set_except(spark, sf_dir):
 # subqueries (SURVEY §2.3): scalar, correlated scalar, IN-subquery
 
 @register("subquery_scalar", oracle="""
-SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+SELECT o_orderkey, o_totalprice AS price
 FROM orders
-WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
 ORDER BY o_orderkey
 """)
 def subquery_scalar(spark, sf_dir):
+    # the threshold is an exact-sum average: a float AVG differs by ulps
+    # between engines, which could flip membership of a boundary row
     o = t(spark, sf_dir, "orders")
     return spark.sql("""
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
-        FROM {o} WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM {o})
+        SELECT o_orderkey, o_totalprice AS price
+        FROM {o} WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) FROM {o})
         ORDER BY o_orderkey""", o=o)
 
 
 @register("subquery_correlated", oracle="""
-SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+SELECT c_custkey, c_nationkey, c_acctbal AS acctbal
 FROM customer c
-WHERE c_acctbal > 1.5 * (SELECT AVG(c2.c_acctbal) FROM customer c2
+WHERE c_acctbal > 1.5 * (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                         FROM customer c2
                          WHERE c2.c_nationkey = c.c_nationkey)
 ORDER BY c_custkey
 """)
 def subquery_correlated(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     return spark.sql("""
-        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        SELECT c_custkey, c_nationkey, c_acctbal AS acctbal
         FROM {c} c
-        WHERE c_acctbal > 1.5 * (SELECT AVG(c2.c_acctbal) FROM {c} c2
-                                 WHERE c2.c_nationkey = c.c_nationkey)
+        WHERE c_acctbal > 1.5 * (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM {c} c2 WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey""", c=c)
 
 

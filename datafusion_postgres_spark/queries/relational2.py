@@ -13,7 +13,7 @@ DEC = "decimal(18,2)"
 
 @register("q7_nation_pair_volume", oracle="""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS volume
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
 FROM lineitem
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN orders ON o_orderkey = l_orderkey
@@ -44,13 +44,13 @@ def q7(spark, sf_dir):
             .where((F.col("sk") < 3) & (F.col("ck") < 3) &
                    (F.col("sk") != F.col("ck")))
             .groupBy("supp_nation", "cust_nation")
-            .agg(F.sum(vol).cast("decimal(18,4)").alias("volume"))
+            .agg(F.sum(vol).cast("double").alias("volume"))
             .orderBy("supp_nation", "cust_nation"))
 
 
 @register("q10_returned_items", oracle="""
 SELECT c_custkey, c_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
        n_name
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -71,14 +71,14 @@ def q10(spark, sf_dir):
             .join(li, orders.o_orderkey == li.l_orderkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+            .agg(F.sum(rev).cast("double").alias("revenue"))
             .select("c_custkey", "c_name", "revenue", "n_name")
             .orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20))
 
 
 @register("q18_large_orders", oracle="""
-SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-       CAST(total_qty AS DECIMAL(18,2)) AS total_qty
+SELECT o_orderkey, o_totalprice AS price,
+       CAST(total_qty AS DOUBLE) AS total_qty
 FROM orders JOIN (
   SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
   FROM lineitem GROUP BY l_orderkey
@@ -94,13 +94,13 @@ def q18(spark, sf_dir):
                 .alias("total_qty"))
            .where(F.col("total_qty") > 250))
     return (orders.join(big, orders.o_orderkey == big.l_orderkey)
-            .select("o_orderkey", F.col("o_totalprice").cast(DEC).alias("price"),
-                    F.col("total_qty").cast(DEC).alias("total_qty"))
+            .select("o_orderkey", F.col("o_totalprice").alias("price"),
+                    F.col("total_qty").cast("double").alias("total_qty"))
             .orderBy("o_orderkey"))
 
 
 @register("argmax_per_group", oracle="""
-SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+SELECT l_orderkey, l_linenumber, l_extendedprice AS price
 FROM lineitem l1
 WHERE l_extendedprice = (SELECT MAX(l2.l_extendedprice) FROM lineitem l2
                          WHERE l2.l_orderkey = l1.l_orderkey)
@@ -110,8 +110,7 @@ ORDER BY l_orderkey, l_linenumber
 def argmax_per_group(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return spark.sql("""
-        SELECT l_orderkey, l_linenumber,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        SELECT l_orderkey, l_linenumber, l_extendedprice AS price
         FROM {li} l1
         WHERE l_extendedprice = (SELECT MAX(l2.l_extendedprice) FROM {li} l2
                                  WHERE l2.l_orderkey = l1.l_orderkey)
@@ -121,16 +120,18 @@ def argmax_per_group(spark, sf_dir):
 
 @register("having_filter", oracle="""
 SELECT c_nationkey, COUNT(*) AS n,
-       CAST(AVG(c_acctbal) AS DECIMAL(18,4)) AS avg_bal
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
 FROM customer GROUP BY c_nationkey
-HAVING COUNT(*) > 50 AND AVG(c_acctbal) > 0
+HAVING COUNT(*) > 50
+   AND CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) > 0
 ORDER BY c_nationkey
 """)
 def having_filter(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     return (c.groupBy("c_nationkey")
             .agg(F.count("*").alias("n"),
-                 F.avg("c_acctbal").cast("decimal(18,4)").alias("avg_bal"))
+                 (F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+                  .cast("double") / F.count("*")).alias("avg_bal"))
             .where((F.col("n") > 50) & (F.col("avg_bal") > 0))
             .orderBy("c_nationkey"))
 
@@ -221,7 +222,7 @@ def conditional_functions(spark, sf_dir):
 SELECT n_name, x.n_cust, x.total_bal
 FROM nation, LATERAL (
   SELECT COUNT(*) AS n_cust,
-         CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS total_bal
+         CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_bal
   FROM customer WHERE c_nationkey = n_nationkey
 ) x
 ORDER BY n_name
@@ -234,7 +235,7 @@ def lateral_subquery(spark, sf_dir):
         FROM {n}, LATERAL (
           SELECT COUNT(*) AS n_cust,
                  CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 0)
-                      AS DECIMAL(18,2)) AS total_bal
+                      AS DOUBLE) AS total_bal
           FROM {c} WHERE c_nationkey = n_nationkey
         ) x
         ORDER BY n_name""", n=n, c=c)
@@ -290,24 +291,70 @@ def ilike_filter(spark, sf_dir):
         ORDER BY p_partkey""", p=p)
 
 
-@register("agg_stats_numeric", oracle="""
+_STATS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(30,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) AS sxy,
+         CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS median_qty
+  FROM lineitem GROUP BY l_returnflag {having})
 SELECT l_returnflag,
-       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
-       ROUND(var_samp(l_quantity), 4) AS var_qty,
-       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS median_qty
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-""")
+       n,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       (n * sxy - sx * sy)
+       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+       median_qty
+FROM s ORDER BY l_returnflag
+"""
+
+
+@register("agg_stats_numeric", oracle=_STATS_ORACLE.format(having=""))
 def agg_stats_numeric(spark, sf_dir):
+    return _stats_query(spark, sf_dir)
+
+
+def _stats_query(spark, sf_dir, having_min_n: int | None = None):
+    """stddev/variance/corr from EXACT integer/decimal sums, finished with
+    one identical IEEE double expression per engine — streaming moment
+    algorithms (Welford merges) are partitioning-order-dependent, so raw
+    stddev_samp/corr would not hash-match across engines. Distributes as a
+    single map-side-combined aggregation (one shuffle), same as the naive
+    form. Prices become exact bigint cents (corr is scale-invariant)."""
     li = t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-                 F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-                 F.round(F.corr("l_quantity", "l_extendedprice"), 4)
-                 .alias("corr_qty_price"),
-                 F.expr("percentile(l_quantity, 0.5)")  # exact, interpolated
-                 .cast("double").alias("median_qty"))
-            .orderBy("l_returnflag"))
+    qty = F.col("l_quantity").cast("bigint")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100) \
+        .cast("bigint")
+    g = (li.groupBy("l_returnflag")
+         .agg(F.count("*").alias("n"),
+              F.sum(qty).cast("double").alias("sx"),
+              F.sum(qty * qty).cast("double").alias("sxx"),
+              F.sum(cents).cast("double").alias("sy"),
+              # cents^2 sums exceed int64 at sf>=0.1 -> exact decimal sum
+              F.sum((cents * cents).cast("decimal(30,0)")).cast("double")
+              .alias("syy"),
+              F.sum(qty * cents).cast("double").alias("sxy"),
+              F.expr("percentile(l_quantity, 0.5)")  # exact, interpolated
+              .cast("double").alias("median_qty")))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    out = g.select(
+        "l_returnflag", "n",
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("sd_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        ((n * sxy - sx * sy) /
+         (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)))
+        .alias("corr_qty_price"),
+        "median_qty")
+    if having_min_n is not None:
+        out = out.where(F.col("n") > having_min_n)
+    return out.orderBy("l_returnflag")
 
 
 @register("q4_priority_check", oracle="""
@@ -359,10 +406,10 @@ def q12(spark, sf_dir):
 
 
 @register("q14_promo_revenue", oracle="""
-SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
          THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
          ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
   AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -377,13 +424,15 @@ def q14(spark, sf_dir):
            (1 - F.col("l_discount").cast("decimal(4,2)")))
     promo = F.when(F.col("p_type") == "PROMO", rev) \
         .otherwise(F.lit(0).cast("decimal(14,4)"))
+    # identical IEEE expression on both sides (exact decimal sums -> one
+    # double multiply + divide); no ROUND needed
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .agg(F.round(100.0 * F.sum(promo).cast("double") /
-                         F.sum(rev).cast("double"), 6).alias("promo_pct")))
+            .agg((F.lit(100.0) * F.sum(promo).cast("double") /
+                  F.sum(rev).cast("double")).alias("promo_pct")))
 
 
 @register("q19_disjunctive_join", oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -405,5 +454,5 @@ def q19(spark, sf_dir):
            (1 - F.col("l_discount").cast("decimal(4,2)")))
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .where(cond)
-            .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+            .agg(F.sum(rev).cast("double").alias("revenue"),
                  F.count("*").alias("n")))

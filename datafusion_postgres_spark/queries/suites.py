@@ -1,0 +1,420 @@
+"""Merged "suite" queries for the driver's checked window.
+
+The driver verifies the first 50 registered queries, so each suite folds
+several SURVEY.md §2 operator rows that round 1 registered as separate
+(and therefore unchecked) variants into one oracled query:
+
+  * join_outer_suite      — LEFT / RIGHT / FULL OUTER      (§2.3)
+  * join_semi_anti        — EXISTS / NOT EXISTS            (§2.3)
+  * subquery_correlated_in— correlated scalar + IN subquery(§2.3)
+  * agg_collect_ordered   — ordered string_agg + array_agg (§2.4)
+  * agg_grouping_suite    — ROLLUP + CUBE + GROUPING SETS  (§2.4)
+  * agg_stats_having      — stddev/var/corr + HAVING       (§2.4)
+  * window_suite          — row_number/rank/dense_rank, lag/lead,
+                            ROWS frames                    (§2.5)
+  * sort_wildcard_topk    — top-k + ordinal ORDER BY + qualified
+                            wildcard                       (§2.2/2.6)
+  * set_ops_suite         — UNION / UNION ALL / INTERSECT / EXCEPT (§2.7)
+  * tablefunc_unnest_values — VALUES + posexplode/unnest   (§2.8)
+  * text_doc_features / text_corpus_profile — per-doc metrics and
+    lang × quality profile (pipeline operators)
+
+The single-operator variants stay registered (after the fold) and remain
+covered by the local exact gate (tools/check_oracle.py) and pytest.
+Determinism conventions: queries/__init__.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from datafusion_postgres_spark.operators import text
+from datafusion_postgres_spark.queries import register, t
+from datafusion_postgres_spark.queries.pipeline_q import _STOP_SQL, _NORM, _duck_hash
+from datafusion_postgres_spark.queries.relational2 import _STATS_ORACLE, _stats_query
+
+
+# ---------------------------------------------------------------------------
+# joins (§2.3): outer-join family in one result
+
+@register("join_outer_suite", oracle="""
+SELECT 'left' AS kind, n_name AS name, COUNT(c_custkey) AS n
+FROM nation LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9900) rich
+     ON n_nationkey = c_nationkey
+GROUP BY n_name
+UNION ALL
+SELECT 'right' AS kind, COALESCE(n_name, '(none)') AS name, COUNT(*) AS n
+FROM (SELECT * FROM nation WHERE n_regionkey = 0) n0
+     RIGHT JOIN supplier ON n_nationkey = s_nationkey
+GROUP BY COALESCE(n_name, '(none)')
+UNION ALL
+SELECT 'full' AS kind, CAST(COALESCE(c_nationkey, s_nationkey) AS VARCHAR) AS name,
+       COALESCE(nc, 0) + COALESCE(ns, 0) AS n
+FROM (SELECT c_nationkey, COUNT(*) AS nc FROM customer
+      WHERE c_nationkey < 16 GROUP BY c_nationkey) bc
+FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS ns FROM supplier
+                 WHERE s_nationkey >= 10 GROUP BY s_nationkey) bs
+     ON c_nationkey = s_nationkey
+ORDER BY kind, name
+""")
+def join_outer_suite(spark, sf_dir):
+    """LEFT (null-extending dim side), RIGHT (probe side preserved), FULL
+    OUTER (disjoint key ranges force unmatched rows on both sides) — each
+    a broadcastable dim join at scale; outputs unified as (kind, name, n)."""
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+
+    rich = cust.where(F.col("c_acctbal") > 9900)
+    left = (nation.join(rich, nation.n_nationkey == rich.c_nationkey, "left")
+            .groupBy("n_name")
+            .agg(F.count("c_custkey").alias("n"))
+            .select(F.lit("left").alias("kind"),
+                    F.col("n_name").alias("name"), "n"))
+
+    n0 = nation.where(F.col("n_regionkey") == 0)
+    right = (n0.join(supp, n0.n_nationkey == supp.s_nationkey, "right")
+             .groupBy(F.coalesce("n_name", F.lit("(none)")).alias("name"))
+             .agg(F.count("*").alias("n"))
+             .select(F.lit("right").alias("kind"), "name", "n"))
+
+    bc = (cust.where(F.col("c_nationkey") < 16)
+          .groupBy("c_nationkey").agg(F.count("*").alias("nc")))
+    bs = (supp.where(F.col("s_nationkey") >= 10)
+          .groupBy("s_nationkey").agg(F.count("*").alias("ns")))
+    full = (bc.join(bs, bc.c_nationkey == bs.s_nationkey, "full_outer")
+            .select(F.lit("full").alias("kind"),
+                    F.coalesce("c_nationkey", "s_nationkey").cast("string")
+                    .alias("name"),
+                    (F.coalesce("nc", F.lit(0)) + F.coalesce("ns", F.lit(0)))
+                    .alias("n")))
+    return (left.unionByName(right).unionByName(full)
+            .orderBy("kind", "name"))
+
+
+@register("join_semi_anti", oracle="""
+SELECT 'semi' AS kind, c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 200000)
+UNION ALL
+SELECT 'anti' AS kind, c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000)
+ORDER BY kind, c_custkey
+""")
+def join_semi_anti(spark, sf_dir):
+    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti: neither shuffles probe-
+    side payload columns."""
+    cust = t(spark, sf_dir, "customer")
+    o200 = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    o300 = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    semi = (cust.join(o200, cust.c_custkey == o200.o_custkey, "left_semi")
+            .select(F.lit("semi").alias("kind"), "c_custkey", "c_name"))
+    anti = (cust.join(o300, cust.c_custkey == o300.o_custkey, "left_anti")
+            .select(F.lit("anti").alias("kind"), "c_custkey", "c_name"))
+    return semi.unionByName(anti).orderBy("kind", "c_custkey")
+
+
+@register("subquery_correlated_in", oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal AS acctbal
+FROM customer c
+WHERE c_acctbal > 1.5 * (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                         FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation JOIN region
+                      ON n_regionkey = r_regionkey
+                      WHERE r_name IN ('EUROPE', 'ASIA'))
+ORDER BY c_custkey
+""")
+def subquery_correlated_in(spark, sf_dir):
+    """Correlated scalar subquery (exact-sum average threshold — float AVG
+    is summation-order-dependent) + IN-subquery in one predicate. Catalyst
+    decorrelates the scalar into an aggregate join and plans IN as a
+    LeftSemi over the broadcast nation/region dims."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal AS acctbal
+        FROM {c} c
+        WHERE c_acctbal > 1.5 * (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM {c} c2 WHERE c2.c_nationkey = c.c_nationkey)
+          AND c_nationkey IN (SELECT n_nationkey FROM {n} JOIN {r}
+                              ON n_regionkey = r_regionkey
+                              WHERE r_name IN ('EUROPE', 'ASIA'))
+        ORDER BY c_custkey""", c=c, n=n, r=r)
+
+
+# ---------------------------------------------------------------------------
+# aggregation (§2.4)
+
+@register("agg_collect_ordered", oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       array_agg(n_name ORDER BY n_name) AS nation_list,
+       COUNT(*) AS n_nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name ORDER BY r_name
+""")
+def agg_collect_ordered(spark, sf_dir):
+    """Ordered string_agg == array_join(array_sort(collect_list)); ordered
+    array_agg == array_sort(collect_list) — collect order is partition-
+    dependent, sorting restores determinism."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    ordered = F.array_sort(F.collect_list("n_name"))
+    return (r.join(n, r.r_regionkey == n.n_regionkey)
+            .groupBy("r_name")
+            .agg(F.array_join(ordered, ",").alias("nations"),
+                 ordered.alias("nation_list"),
+                 F.count("*").alias("n_nations"))
+            .orderBy("r_name"))
+
+
+@register("agg_grouping_suite", oracle="""
+SELECT 'rollup' AS mode, COALESCE(r_name, '(all)') AS k1,
+       COALESCE(n_name, '(all)') AS k2, COUNT(*) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+UNION ALL
+SELECT 'cube' AS mode, COALESCE(o_orderstatus, '(all)') AS k1,
+       COALESCE(o_orderpriority, '(all)') AS k2, COUNT(*) AS n,
+       CAST(NULL AS DOUBLE) AS total_bal
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'gsets' AS mode, COALESCE(c_mktsegment, '(all)') AS k1,
+       COALESCE(CAST(c_nationkey AS VARCHAR), '(all)') AS k2, COUNT(*) AS n,
+       CAST(NULL AS DOUBLE) AS total_bal
+FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+ORDER BY mode, k1, k2
+""")
+def agg_grouping_suite(spark, sf_dir):
+    """ROLLUP, CUBE, and GROUPING SETS (all Expand-based single-shuffle
+    plans) unified as (mode, k1, k2, n, total_bal)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    rollup = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .rollup("r_name", "n_name")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("s_acctbal").cast("decimal(12,2)"))
+                   .cast("double").alias("total_bal"))
+              .select(F.lit("rollup").alias("mode"),
+                      F.coalesce("r_name", F.lit("(all)")).alias("k1"),
+                      F.coalesce("n_name", F.lit("(all)")).alias("k2"),
+                      "n", "total_bal"))
+    cube = (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("cube").alias("mode"),
+                    F.coalesce("o_orderstatus", F.lit("(all)")).alias("k1"),
+                    F.coalesce("o_orderpriority", F.lit("(all)")).alias("k2"),
+                    "n", F.lit(None).cast("double").alias("total_bal")))
+    gsets = (spark.sql(
+        """SELECT 'gsets' AS mode,
+                  COALESCE(c_mktsegment, '(all)') AS k1,
+                  COALESCE(CAST(c_nationkey AS STRING), '(all)') AS k2,
+                  COUNT(*) AS n, CAST(NULL AS DOUBLE) AS total_bal
+           FROM {c} GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))""",
+        c=c))
+    return (rollup.unionByName(cube).unionByName(gsets)
+            .orderBy("mode", "k1", "k2"))
+
+
+@register("agg_stats_having",
+          oracle=_STATS_ORACLE.format(having="HAVING COUNT(*) > 10000"))
+def agg_stats_having(spark, sf_dir):
+    """Exact-sum stddev/variance/correlation/median with a HAVING filter on
+    the group count (see relational2._stats_query for the determinism
+    derivation)."""
+    return _stats_query(spark, sf_dir, having_min_n=10000)
+
+
+# ---------------------------------------------------------------------------
+# windows (§2.5): ranking family + lag/lead + ROWS frames in one pass
+
+@register("window_suite", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice AS price,
+       ROW_NUMBER() OVER w AS rn,
+       RANK()       OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""")
+def window_suite(spark, sf_dir):
+    """All §2.5 per-row window families over ONE partitioned ordering
+    (o_custkey — high-cardinality, so no straggler partition at scale;
+    Catalyst evaluates all eight functions in a single Window node,
+    one shuffle)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    w3 = w.rowsBetween(-2, 0)
+    dec_price = F.col("o_totalprice").cast("decimal(12,2)")
+    return (o.select(
+                "o_custkey", "o_orderkey",
+                F.col("o_totalprice").alias("price"),
+                F.row_number().over(w).cast("bigint").alias("rn"),
+                F.rank().over(w).cast("bigint").alias("rnk"),
+                F.dense_rank().over(w).cast("bigint").alias("drnk"),
+                F.lag("o_totalprice").over(w).alias("prev_price"),
+                F.lead("o_totalprice").over(w).alias("next_price"),
+                F.sum(dec_price).over(w_run).cast("double")
+                .alias("running_total"),
+                (F.sum(dec_price).over(w3).cast("double") /
+                 F.count("*").over(w3)).alias("moving_avg3"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# sorts + wildcard (§2.2/§2.6)
+
+@register("sort_wildcard_topk", oracle="""
+SELECT c.* FROM customer c ORDER BY 4 DESC, 1 LIMIT 25
+""")
+def sort_wildcard_topk(spark, sf_dir):
+    """Qualified wildcard + ordinal ORDER BY + top-k LIMIT: Catalyst plans
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    c = t(spark, sf_dir, "customer")
+    return spark.sql("SELECT c.* FROM {c} c ORDER BY 4 DESC, 1 LIMIT 25", c=c)
+
+
+# ---------------------------------------------------------------------------
+# set operations (§2.7): all four in one tagged result
+
+@register("set_ops_suite", oracle="""
+WITH a AS (SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000),
+     b AS (SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000)
+SELECT 'union' AS kind, nationkey FROM (SELECT nationkey FROM a UNION SELECT nationkey FROM b) u
+UNION ALL
+SELECT 'union_all' AS kind, nationkey FROM (SELECT nationkey FROM a UNION ALL SELECT nationkey FROM b) ua
+UNION ALL
+SELECT 'intersect' AS kind, nationkey FROM (SELECT nationkey FROM a INTERSECT SELECT nationkey FROM b) i
+UNION ALL
+SELECT 'except' AS kind, nationkey FROM (SELECT nationkey FROM a EXCEPT SELECT nationkey FROM b) e
+ORDER BY kind, nationkey
+""")
+def set_ops_suite(spark, sf_dir):
+    """UNION (distinct), UNION ALL (multiset — duplicates retained),
+    INTERSECT, EXCEPT over the same two inputs, tagged."""
+    a = (t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+         .select(F.col("c_nationkey").alias("nationkey")))
+    b = (t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9000)
+         .select(F.col("s_nationkey").alias("nationkey")))
+    parts = [
+        a.union(b).distinct().select(F.lit("union").alias("kind"), "nationkey"),
+        a.union(b).select(F.lit("union_all").alias("kind"), "nationkey"),
+        a.intersect(b).select(F.lit("intersect").alias("kind"), "nationkey"),
+        a.subtract(b).select(F.lit("except").alias("kind"), "nationkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("kind", "nationkey")
+
+
+# ---------------------------------------------------------------------------
+# table functions (§2.8): VALUES + unnest/posexplode
+
+@register("tablefunc_unnest_values", oracle="""
+SELECT id, name, CAST(u.i - 1 AS BIGINT) AS pos, CAST(arr[u.i] AS BIGINT) AS val
+FROM (VALUES (1, 'one', [10, 20, 30]), (2, 'two', [40, 50]),
+             (3, 'three', [60])) v(id, name, arr)
+CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) u
+ORDER BY id, pos
+""")
+def tablefunc_unnest_values(spark, sf_dir):
+    return spark.sql("""
+        SELECT v.id, v.name, CAST(p.pos AS BIGINT) AS pos,
+               CAST(p.val AS BIGINT) AS val
+        FROM VALUES (1, 'one', array(10, 20, 30)), (2, 'two', array(40, 50)),
+                    (3, 'three', array(60)) AS v(id, name, arr)
+        LATERAL VIEW POSEXPLODE(v.arr) p AS pos, val
+        ORDER BY id, pos""")
+
+
+# ---------------------------------------------------------------------------
+# pipeline text operators, merged (token/quality/lang/fingerprint rows)
+
+@register("text_doc_features", oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual,
+       ROUND(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> list_contains({_STOP_SQL}, w)))
+             / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1), 6)
+         AS stopword_ratio,
+       {_duck_hash(_NORM)} AS fingerprint
+FROM documents ORDER BY doc_id
+""")
+def text_doc_features(spark, sf_dir):
+    """Per-document token stats + rolling-hash fingerprint in one
+    zero-shuffle codegen projection."""
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (docs.select(
+                "doc_id",
+                text.token_count(c).alias("n_tokens"),
+                F.length(c).alias("n_chars_actual"),
+                F.round(text.stopword_ratio(c), 6).alias("stopword_ratio"),
+                text.fingerprint(c).alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+@register("text_corpus_profile", oracle=f"""
+WITH scored AS (
+  SELECT CASE
+    WHEN (len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                          w -> list_contains({_STOP_SQL}, w)))
+          / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+         > 0.12 THEN 'en'
+    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+    WHEN regexp_matches(text, '[À-ſ]') THEN 'other_latin'
+    ELSE 'unknown' END AS lang_pred,
+    least(length(text) / 500.0, 1.0) * 0.3
+    + least((len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             w -> list_contains({_STOP_SQL}, w)))
+             / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+            * 4.0, 1.0) * 0.3
+    + (1.0 - least((length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                    / greatest(length(text), 1)) * 5.0, 1.0)) * 0.2
+    + (CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split_regex(trim(text), '\\s+'),
+                                   w -> CAST(length(w) AS BIGINT))),
+                  (a, b) -> a + b)
+              / greatest(len(string_split_regex(trim(text), '\\s+')), 1))
+             BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2 AS q
+  FROM documents)
+SELECT lang_pred, CAST(floor(q * 10) AS INTEGER) AS q_decile, COUNT(*) AS n
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def text_corpus_profile(spark, sf_dir):
+    """Language-ID × quality-decile corpus profile — the heuristics from
+    operators.text replayed term-for-term by the oracle (identical float
+    op order, so the doubles match bitwise before the floor)."""
+    docs = t(spark, sf_dir, "documents")
+    return (docs.select(text.lang_id(F.col("text")).alias("lang_pred"),
+                        F.floor(text.quality_score(F.col("text")) * 10)
+                        .cast("int").alias("q_decile"))
+            .groupBy("lang_pred", "q_decile")
+            .agg(F.count("*").alias("n"))
+            .orderBy("lang_pred", "q_decile"))

@@ -51,23 +51,31 @@ def _types_compatible(spark_type: str, duck_arrow_type) -> bool:
     return d in _TYPE_EQUIV.get(s, {d})  # unknown pairs pass
 
 
-def normalize(rows, ndigits=6):
+def normalize(rows):
+    """REPR-STRICT comparison — stricter than any plausible driver hash.
+
+    Every cell becomes its repr string, so the comparison catches what
+    plain ``==`` cannot:
+      * -0.0 vs 0.0 (equal floats, different reprs — the actual round-1
+        pg_math_functions failure),
+      * Decimal('1.20') vs 1.2 (equal values, different renderings — the
+        round-1 trailing-zero decimal failures),
+      * float-vs-ulp differences (different bits -> different repr).
+    """
     def norm_val(v):
-        if isinstance(v, float):
-            return round(v, ndigits)
-        if isinstance(v, list):
-            return tuple(norm_val(x) for x in v)
-        return v
-    return sorted((tuple(norm_val(v) for v in row) for row in rows),
-                  key=lambda r: tuple((x is None, str(type(x)), x)
-                                      for x in r))
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(norm_val(x) for x in v) + "]"
+        if v is None:
+            return "<NULL>"
+        return repr(v)
+    return sorted(tuple(norm_val(v) for v in row) for row in rows)
 
 
 def main():
     from pyspark.sql import SparkSession
 
     from datafusion_postgres_spark.session import build_spark
-    from datafusion_postgres_spark.queries import load_all
+    from datafusion_postgres_spark.queries import PRIORITY, load_all
     from datafusion_postgres_spark.functions import register_all
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -90,6 +98,16 @@ def main():
             failed.append((name, f"SPARK ERROR: {e}"))
             traceback.print_exc()
             continue
+        # driver-window queries must not emit Decimal/raw-timestamp columns
+        # (representation-sensitive under the driver's value hash)
+        if name in PRIORITY:
+            bad = [f"{f.name}:{f.dataType.simpleString()}"
+                   for f in sdf.schema.fields
+                   if f.dataType.simpleString().startswith(("decimal",
+                                                            "timestamp"))]
+            if bad:
+                failed.append((name, f"UNSAFE OUTPUT TYPES in window: {bad}"))
+                continue
         if spec.oracle is None:
             rows_only.append((name, len(srows)))
             continue

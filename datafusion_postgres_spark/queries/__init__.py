@@ -69,6 +69,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def sorted_small(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic total order for a SMALL result (candidate pairs,
+    top-k lists) without ``orderBy``'s RangePartitioning — whose sampling
+    pass re-executes the whole upstream plan a second time (measured ~1.6x
+    on the jaccard query). ``repartition(1)`` is a real shuffle boundary,
+    so upstream stages keep their parallelism (a ``coalesce(1)`` would
+    collapse them), and the single-partition sort is total."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 _TRANSPILER = None
 
 

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_postgres_spark.operators import dedup, similarity, text
-from datafusion_postgres_spark.queries import register, t
+from datafusion_postgres_spark.operators.text import ensure_min_parallelism
+from datafusion_postgres_spark.queries import register, sorted_small, t
 
 _STOP_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as']"
 
@@ -44,7 +45,7 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """)
 def text_token_stats(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     c = F.col("text")
     return (docs.select(
                 "doc_id",
@@ -59,7 +60,7 @@ SELECT doc_id, {_duck_hash(_NORM)} AS fingerprint
 FROM documents ORDER BY doc_id
 """)
 def text_fingerprint(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     return (docs.select("doc_id",
                         text.fingerprint(F.col("text")).alias("fingerprint"))
             .orderBy("doc_id"))
@@ -81,7 +82,7 @@ SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY 1 ORDER BY 1
 def text_lang_distribution(spark, sf_dir):
     """Language-ID heuristic distribution — the oracle replays the same
     stopword-density + char-class decision tree."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     return (docs.select(text.lang_id(F.col("text")).alias("lang_pred"))
             .groupBy("lang_pred").agg(F.count("*").alias("n"))
             .orderBy("lang_pred"))
@@ -114,7 +115,7 @@ def text_quality_buckets(spark, sf_dir):
     """Composite quality score bucketed by decile; the oracle replicates
     the exact term arithmetic (identical operation order, so the doubles
     match bitwise)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     q = text.quality_score(F.col("text"))
     return (docs.select(F.floor(q * 10).cast("int").alias("q_decile"))
             .groupBy("q_decile").agg(F.count("*").alias("n"))
@@ -166,7 +167,8 @@ ORDER BY id_a, id_b
 """)
 def dedup_ngram(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    return sorted_small(dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+                        "id_a", "id_b")
 
 
 def _minhash_oracle() -> str:
@@ -212,8 +214,8 @@ def dedup_minhash_sig(spark, sf_dir):
 @register("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    return (dedup.minhash_lsh_pairs(docs, threshold=0.4)
-            .orderBy("id_a", "id_b"))
+    return sorted_small(dedup.minhash_lsh_pairs(docs, threshold=0.4),
+                        "id_a", "id_b")
 
 
 def _simhash_oracle(bits: int = 48) -> str:
@@ -245,7 +247,8 @@ def dedup_simhash_signatures(spark, sf_dir):
 @register("dedup_simhash_pairs", oracle=None)
 def dedup_simhash(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return sorted_small(dedup.simhash_near_pairs(docs, max_hamming=3),
+                        "id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -299,7 +302,7 @@ def sim_topk(spark, sf_dir):
 
 
 def cosine_sorted(df):
-    return df.orderBy("qid", "rnk")
+    return sorted_small(df, "qid", "rnk")
 
 
 @register("sim_cosine_lsh", oracle=None)
@@ -310,8 +313,8 @@ def sim_lsh(spark, sf_dir):
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
-    return (similarity.cosine_topk_lsh(emb, queries, k=10)
-            .orderBy("qid", "rnk"))
+    return sorted_small(similarity.cosine_topk_lsh(emb, queries, k=10),
+                        "qid", "rnk")
 
 
 # ---------------------------------------------------------------------------
@@ -404,6 +407,6 @@ def sim_ivf(spark, sf_dir):
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
-    return (similarity.cosine_topk_ivf(emb, queries, k=10, n_centroids=16,
-                                       n_probe=4)
-            .orderBy("qid", "rnk"))
+    return sorted_small(similarity.cosine_topk_ivf(emb, queries, k=10,
+                                                   n_centroids=16, n_probe=4),
+                        "qid", "rnk")

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from datafusion_postgres_spark.operators import text
+from datafusion_postgres_spark.operators.text import ensure_min_parallelism
 from datafusion_postgres_spark.queries import register, t
 from datafusion_postgres_spark.queries.pipeline_q import _STOP_SQL, _NORM, _duck_hash
 from datafusion_postgres_spark.queries.relational2 import _STATS_ORACLE, _stats_query
@@ -369,7 +370,7 @@ FROM documents ORDER BY doc_id
 def text_doc_features(spark, sf_dir):
     """Per-document token stats + rolling-hash fingerprint in one
     zero-shuffle codegen projection."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     c = F.col("text")
     return (docs.select(
                 "doc_id",
@@ -411,7 +412,7 @@ def text_corpus_profile(spark, sf_dir):
     """Language-ID × quality-decile corpus profile — the heuristics from
     operators.text replayed term-for-term by the oracle (identical float
     op order, so the doubles match bitwise before the floor)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     return (docs.select(text.lang_id(F.col("text")).alias("lang_pred"),
                         F.floor(text.quality_score(F.col("text")) * 10)
                         .cast("int").alias("q_decile"))

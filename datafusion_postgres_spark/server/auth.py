@@ -176,8 +176,12 @@ class AuthManager:
 # -- password verification (AuthSource analog, auth.rs:461-596) -------------
 
 def verify_cleartext(auth: AuthManager, user: str, password: str) -> bool:
+    """A user WITHOUT a stored password fails password auth (28P01) — the
+    reference's AuthSource errors rather than treating a missing credential
+    as a wildcard. Passwordless access is what password_mode='trust' is
+    for (the reference's separate no-auth SimpleAuthSource)."""
     u = auth.users.get(user)
-    return u is not None and (u.password is None or u.password == password)
+    return u is not None and u.password is not None and u.password == password
 
 
 def verify_md5(auth: AuthManager, user: str, md5_response: str,
@@ -190,3 +194,89 @@ def verify_md5(auth: AuthManager, user: str, md5_response: str,
     inner = hashlib.md5((u.password + user).encode()).hexdigest()
     expected = "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
     return md5_response == expected
+
+
+class ScramServer:
+    """Server side of SCRAM-SHA-256 (RFC 5802/7677), as negotiated by the
+    PostgreSQL SASL exchange (reference: auth.rs scram path).
+
+    The registry stores plaintext passwords, so the salted password is
+    derived per-handshake with a fresh random salt (PBKDF2-HMAC-SHA256,
+    4096 iterations — libpq's default accepted cost)."""
+
+    ITERATIONS = 4096
+
+    def __init__(self, username: str, password: str):
+        import os as _os
+        self.username = username
+        self.password = password
+        self.salt = _os.urandom(16)
+        self.server_nonce_part = None
+        self.client_first_bare = None
+        self.server_first = None
+        self.full_nonce = None
+
+    # -- crypto ------------------------------------------------------------
+    def _salted_password(self) -> bytes:
+        import hashlib
+        return hashlib.pbkdf2_hmac("sha256", self.password.encode(),
+                                   self.salt, self.ITERATIONS)
+
+    @staticmethod
+    def _hmac(key: bytes, msg: str | bytes) -> bytes:
+        import hashlib
+        import hmac as _hmac
+        if isinstance(msg, str):
+            msg = msg.encode()
+        return _hmac.new(key, msg, hashlib.sha256).digest()
+
+    # -- exchange ----------------------------------------------------------
+    def handle_client_first(self, client_first: str) -> str:
+        import base64
+        import secrets as _secrets
+        gs2, _, bare = client_first.partition(",,")
+        if gs2 not in ("n", "y") and not gs2.startswith(("n,", "y,")):
+            raise ValueError("channel binding not supported")
+        if not bare:
+            raise ValueError("malformed SCRAM client-first message")
+        attrs = dict(p.split("=", 1) for p in bare.split(",") if "=" in p)
+        if "m" in attrs:
+            raise ValueError("SCRAM extensions not supported")
+        cnonce = attrs.get("r")
+        if not cnonce:
+            raise ValueError("missing client nonce")
+        self.client_first_bare = bare
+        self.server_nonce_part = _secrets.token_urlsafe(18)
+        self.full_nonce = cnonce + self.server_nonce_part
+        self.server_first = (
+            f"r={self.full_nonce},"
+            f"s={base64.b64encode(self.salt).decode()},"
+            f"i={self.ITERATIONS}")
+        return self.server_first
+
+    def handle_client_final(self, client_final: str) -> str:
+        import base64
+        import hashlib
+        import hmac as _hmac
+        attrs = dict(p.split("=", 1) for p in client_final.split(",")
+                     if "=" in p)
+        if attrs.get("r") != self.full_nonce:
+            raise ValueError("nonce mismatch")
+        proof_b64 = attrs.get("p")
+        if not proof_b64:
+            raise ValueError("missing proof")
+        without_proof = client_final[:client_final.rindex(",p=")]
+        auth_message = (f"{self.client_first_bare},{self.server_first},"
+                        f"{without_proof}")
+        salted = self._salted_password()
+        client_key = self._hmac(salted, "Client Key")
+        stored_key = hashlib.sha256(client_key).digest()
+        client_sig = self._hmac(stored_key, auth_message)
+        proof = base64.b64decode(proof_b64)
+        recovered_key = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if not _hmac.compare_digest(hashlib.sha256(recovered_key).digest(),
+                                    stored_key):
+            raise ValueError("authentication failed")
+        server_key = self._hmac(salted, "Server Key")
+        server_sig = self._hmac(server_key, auth_message)
+        return "v=" + base64.b64encode(server_sig).decode()

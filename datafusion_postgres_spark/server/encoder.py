@@ -154,16 +154,23 @@ def _encode_timestamp(v: datetime, tz_suffix: bool) -> str:
 
 
 def _encode_interval(v: timedelta) -> str:
-    """PG 'postgres' IntervalStyle: '1 day 02:03:04.5', negative parts kept."""
-    total = v.days * 86400 + v.seconds
-    days, rem = divmod(abs(total), 86400)
-    hours, rem = divmod(rem, 3600)
-    minutes, secs = divmod(rem, 60)
-    sign = "-" if total < 0 else ""
+    """PG 'postgres' IntervalStyle: '1 day 02:03:04.5', negative parts kept.
+
+    Computed from the SIGNED total microseconds — timedelta normalization
+    stores a negative interval as (negative days, positive secs/us), so
+    deriving parts from .seconds/.microseconds directly is off by one
+    second for negative sub-second intervals (-0.5s would print as
+    -00:00:01.5)."""
+    total_us = v // timedelta(microseconds=1)
+    sign = "-" if total_us < 0 else ""
+    total_us = abs(total_us)
+    days, rem = divmod(total_us, 86_400_000_000)
+    hours, rem = divmod(rem, 3_600_000_000)
+    minutes, rem = divmod(rem, 60_000_000)
+    secs, micros = divmod(rem, 1_000_000)
     parts = []
     if days:
         parts.append(f"{sign}{days} day" + ("s" if days != 1 else ""))
-    micros = abs(v.microseconds)
     time_part = f"{sign}{hours:02d}:{minutes:02d}:{secs:02d}"
     if micros:
         time_part += f".{micros:06d}".rstrip("0")

@@ -58,6 +58,10 @@ def _sqlstate_of(exc: Exception) -> str:
                 return state
         except Exception:
             pass
+    # Spark job-group cancellation (CancelRequest / statement timeout)
+    # surfaces as a generic SparkException mentioning the cancelled group
+    if "cancelled" in str(exc).lower() or "canceled" in str(exc).lower():
+        return "57014"
     return "XX000"
 
 
@@ -72,6 +76,8 @@ class _Conn(socketserver.BaseRequestHandler):
         self.sock = self.request
         self.buf = b""
         self.engine = None
+        self._in_error = False  # extended-protocol: discard until Sync
+        self.backend_key = None
         try:
             if not self._startup():
                 return
@@ -81,10 +87,17 @@ class _Conn(socketserver.BaseRequestHandler):
             self.engine.auth = self.server.auth
             self.prepared = PreparedStatementManager(self.engine)
             self.portals = {}
+            # cancellation identity: BackendKeyData -> job group
+            # (handlers.rs CancelHandler analog)
+            self.backend_key = self.server.cancel_registry.register(
+                self.engine.spark)
             self._send_auth_ok_and_status()
             self._main_loop()
         except (ConnectionError, OSError):
             pass
+        finally:
+            if self.backend_key is not None:
+                self.server.cancel_registry.unregister(self.backend_key[0])
 
     # -- plumbing ----------------------------------------------------------
     def _recv_exact(self, n: int) -> bytes:
@@ -109,6 +122,11 @@ class _Conn(socketserver.BaseRequestHandler):
                 self._send(b"N")  # no TLS in this build
                 continue
             if code == CANCEL_REQUEST:
+                # out-of-band cancel: (pid, secret) -> cancel that
+                # connection's running job group, then close (the protocol
+                # sends no response on a cancel connection)
+                pid, secret = struct.unpack("!II", payload[4:12])
+                self.server.cancel_registry.cancel(pid, secret)
                 return False
             if code != PROTOCOL_V3:
                 self._error("08P01", f"unsupported protocol {code}")
@@ -120,23 +138,95 @@ class _Conn(socketserver.BaseRequestHandler):
             return self._authenticate()
 
     def _authenticate(self) -> bool:
-        if self.server.password_mode == "trust":
+        """Pluggable AuthSource analog (auth.rs:461-596): trust, cleartext,
+        md5 (code 5 + salt), or scram-sha-256 (SASL, RFC 5802)."""
+        mode = self.server.password_mode
+        if mode == "trust":
             return True
-        # cleartext password request (auth.rs AuthSource cleartext analog)
-        self._send(_msg(b"R", struct.pack("!I", 3)))
+        if mode == "md5":
+            return self._auth_md5()
+        if mode in ("scram", "scram-sha-256"):
+            return self._auth_scram()
+        return self._auth_cleartext()
+
+    def _recv_password_message(self) -> bytes | None:
         tag = self._recv_exact(1)
         (length,) = struct.unpack("!I", self._recv_exact(4))
         payload = self._recv_exact(length - 4)
         if tag != b"p":
             self._error("08P01", "expected PasswordMessage")
+            return None
+        return payload
+
+    def _auth_failed(self) -> None:
+        self._error("28P01", f'password authentication failed for user '
+                             f'"{self.client_user}"')
+
+    def _auth_cleartext(self) -> bool:
+        self._send(_msg(b"R", struct.pack("!I", 3)))
+        payload = self._recv_password_message()
+        if payload is None:
             return False
         password = payload.rstrip(b"\x00").decode()
         from datafusion_postgres_spark.server.auth import verify_cleartext
         if not verify_cleartext(self.server.auth, self.client_user, password):
-            self._error("28P01",
-                        f'password authentication failed for user '
-                        f'"{self.client_user}"')
+            self._auth_failed()
             return False
+        return True
+
+    def _auth_md5(self) -> bool:
+        import os as _os
+        salt = _os.urandom(4)
+        self._send(_msg(b"R", struct.pack("!I", 5) + salt))
+        payload = self._recv_password_message()
+        if payload is None:
+            return False
+        response = payload.rstrip(b"\x00").decode()
+        from datafusion_postgres_spark.server.auth import verify_md5
+        if not verify_md5(self.server.auth, self.client_user, response, salt):
+            self._auth_failed()
+            return False
+        return True
+
+    def _auth_scram(self) -> bool:
+        """SCRAM-SHA-256 server side (RFC 5802/7677): AuthenticationSASL ->
+        client-first -> SASLContinue(server-first) -> client-final ->
+        SASLFinal(verifier) + AuthenticationOk."""
+        from datafusion_postgres_spark.server.auth import ScramServer
+
+        self._send(_msg(b"R", struct.pack("!I", 10) +
+                        _cstr("SCRAM-SHA-256") + b"\x00"))
+        payload = self._recv_password_message()
+        if payload is None:
+            return False
+        # SASLInitialResponse: mechanism cstr + int32 len + client-first
+        mech_end = payload.index(b"\x00")
+        mechanism = payload[:mech_end].decode()
+        if mechanism != "SCRAM-SHA-256":
+            self._error("28000", f"unsupported SASL mechanism {mechanism}")
+            return False
+        (resp_len,) = struct.unpack("!i", payload[mech_end + 1:mech_end + 5])
+        client_first = payload[mech_end + 5:mech_end + 5 + max(resp_len, 0)]
+        user = self.server.auth.users.get(self.client_user)
+        if user is None or user.password is None:
+            self._auth_failed()
+            return False
+        scram = ScramServer(self.client_user, user.password)
+        try:
+            server_first = scram.handle_client_first(client_first.decode())
+        except ValueError as exc:
+            self._error("28000", str(exc))
+            return False
+        self._send(_msg(b"R", struct.pack("!I", 11) + server_first.encode()))
+        payload = self._recv_password_message()
+        if payload is None:
+            return False
+        try:
+            server_final = scram.handle_client_final(payload.decode())
+        except ValueError:
+            self._auth_failed()
+            return False
+        self._send(_msg(b"R", struct.pack("!I", 12) + server_final.encode()))
         return True
 
     def _send_auth_ok_and_status(self):
@@ -155,7 +245,8 @@ class _Conn(socketserver.BaseRequestHandler):
         }
         for k, v in status.items():
             out += _msg(b"S", _cstr(k) + _cstr(v))
-        out += _msg(b"K", struct.pack("!II", 42, 4242))  # BackendKeyData
+        pid, secret = self.backend_key
+        out += _msg(b"K", struct.pack("!II", pid, secret))  # BackendKeyData
         out += self._ready()
         self._send(out)
 
@@ -177,6 +268,11 @@ class _Conn(socketserver.BaseRequestHandler):
             payload = self._recv_exact(length - 4)
             if tag == b"X":
                 return
+            # after an extended-protocol error, discard messages until Sync
+            # (protocol spec: avoids desyncing pipelined clients)
+            if self._in_error and tag in (b"P", b"B", b"D", b"E", b"C", b"H",
+                                          b"p"):
+                continue
             handler = {b"Q": self._on_query, b"P": self._on_parse,
                        b"B": self._on_bind, b"D": self._on_describe,
                        b"E": self._on_execute, b"C": self._on_close,
@@ -191,11 +287,13 @@ class _Conn(socketserver.BaseRequestHandler):
     # -- simple query ------------------------------------------------------
     def _on_query(self, payload: bytes):
         sql = payload.rstrip(b"\x00").decode()
+        self._in_error = False  # simple query resets extended error state
         try:
             if not sql.strip():
                 self._send(_msg(b"I", b""))  # EmptyQueryResponse
                 self._send(self._ready())
                 return
+            self._enter_job_group()
             results = self.engine.execute(sql)
             for res in results:
                 self._send_result(res, max_rows=0)
@@ -204,6 +302,15 @@ class _Conn(socketserver.BaseRequestHandler):
             self.engine.state.statement_failed()
             self._error(_sqlstate_of(exc), str(exc).split("\n")[0][:500])
         self._send(self._ready())
+
+    def _enter_job_group(self):
+        """Tag this connection's Spark jobs with its cancellation group so
+        an out-of-band CancelRequest can cancel exactly this statement."""
+        try:
+            self.server.cancel_registry.enter(self.backend_key[0],
+                                              self.engine.spark)
+        except Exception:
+            pass
 
     def _send_result(self, res, max_rows: int):
         if res.command_tag == "COPY_OUT":
@@ -299,6 +406,7 @@ class _Conn(socketserver.BaseRequestHandler):
             self.prepared.parse(name or "", sql)
             self._send(_msg(b"1", b""))
         except Exception as exc:
+            self._in_error = True
             self._error(_sqlstate_of(exc), str(exc)[:300])
 
     def _on_bind(self, payload: bytes):
@@ -336,6 +444,7 @@ class _Conn(socketserver.BaseRequestHandler):
                                           result_formats)
             self._send(_msg(b"2", b""))
         except Exception as exc:
+            self._in_error = True
             self._error(_sqlstate_of(exc), str(exc)[:300])
 
     def _on_describe(self, payload: bytes):
@@ -353,10 +462,19 @@ class _Conn(socketserver.BaseRequestHandler):
                 stmt = self.prepared.describe(stmt_name)
                 self._send(self._describe_statement_rowdesc(stmt))
         except KeyError:
+            self._in_error = True
             self._error("26000",
                         f'prepared statement "{name}" does not exist')
 
     def _describe_statement_rowdesc(self, stmt) -> bytes:
+        # Only SELECT-shaped statements get a schema probe: Spark executes
+        # commands (INSERT / CTAS / DDL) EAGERLY inside spark.sql(), so
+        # probing a DML statement at Describe time would actually run it
+        # (with NULL parameters), then again at Execute. Clients that
+        # Describe before Execute (psycopg, JDBC) hit this on every write.
+        kind = self.engine.transpiler.statement_kind(stmt.sql)
+        if kind not in ("SELECT", "WITH", "VALUES", "EXPLAIN", "TABLE"):
+            return _msg(b"n", b"")  # NoData
         try:
             spark_sql = self.engine.transpiler.transpile(stmt.sql)
             from datafusion_postgres_spark.server.prepared import to_named_params
@@ -375,10 +493,12 @@ class _Conn(socketserver.BaseRequestHandler):
         (max_rows,) = struct.unpack("!I", payload[i + 1:i + 5])
         try:
             stmt_name, params, result_formats = self.portals[portal or ""]
+            self._enter_job_group()
             res = self.prepared.execute(stmt_name, params)
             self._send_result_no_rowdesc(res, max_rows, result_formats)
         except Exception as exc:
             self.engine.state.statement_failed()
+            self._in_error = True
             self._error(_sqlstate_of(exc), str(exc)[:500])
 
     def _send_result_no_rowdesc(self, res, max_rows: int,
@@ -386,6 +506,14 @@ class _Conn(socketserver.BaseRequestHandler):
         from datafusion_postgres_spark.server.encoder import (
             encode_value, encode_value_binary, supports_binary)
 
+        if res.command_tag == "COPY_OUT":
+            self._send_copy_out(res)
+            return
+        if res.df is None:
+            # DML/DDL/utility: the tag already carries kind + rowcount
+            # ("INSERT 0 n" etc.) — clients derive rowcount from it
+            self._send(_msg(b"C", _cstr(res.command_tag)))
+            return
         schema = res.df.schema
         fields = schema.fields
         # expand the Bind result-format codes to one per column
@@ -399,7 +527,9 @@ class _Conn(socketserver.BaseRequestHandler):
                 for f, fld in zip(fmts, fields)]
         n = 0
         efd = int(self.engine.state.get_var("extra_float_digits") or 1)
-        for row in res.rows():
+        timeout = self.engine.state.statement_timeout_secs()
+        rows = res.collect(timeout) if timeout > 0 else res.rows()
+        for row in rows:
             buf = struct.pack("!H", len(fields))
             for v, fld, fmt in zip(row, fields, fmts):
                 if v is None:
@@ -415,7 +545,10 @@ class _Conn(socketserver.BaseRequestHandler):
             if max_rows and n >= max_rows:
                 self._send(_msg(b"s", b""))  # PortalSuspended
                 return
-        self._send(_msg(b"C", _cstr(f"SELECT {n}")))
+        tag = res.command_tag
+        if tag == "SELECT":
+            tag = f"SELECT {n}"
+        self._send(_msg(b"C", _cstr(tag)))
 
     def _on_close(self, payload: bytes):
         kind, name = payload[:1], payload[1:].rstrip(b"\x00").decode()
@@ -426,10 +559,65 @@ class _Conn(socketserver.BaseRequestHandler):
         self._send(_msg(b"3", b""))
 
     def _on_sync(self, _payload: bytes):
+        self._in_error = False
         self._send(self._ready())
 
     def _on_flush(self, _payload: bytes):
         pass
+
+
+class CancelRegistry:
+    """(pid, secret) -> Spark job group, for out-of-band CancelRequest
+    (the reference's CancelHandler, handlers.rs:14,50,103).
+
+    Each connection gets a generated BackendKeyData at startup and tags
+    its statements' Spark jobs with a per-connection job group
+    (thread-local on the submitting thread, so concurrent connections
+    don't collide); a CancelRequest on a second socket cancels exactly
+    that group."""
+
+    def __init__(self):
+        import os as _os
+        self._lock = threading.Lock()
+        self._next_pid = _os.getpid() % 100000 + 1000
+        self._conns: dict[int, tuple[int, str]] = {}  # pid -> (secret, group)
+        self._sparks: dict[int, object] = {}
+
+    def register(self, spark) -> tuple[int, int]:
+        import secrets as _secrets
+        with self._lock:
+            pid = self._next_pid
+            self._next_pid += 1
+            secret = _secrets.randbits(31)
+            self._conns[pid] = (secret, f"pgwire-conn-{pid}")
+            self._sparks[pid] = spark
+        return pid, secret
+
+    def unregister(self, pid: int) -> None:
+        with self._lock:
+            self._conns.pop(pid, None)
+            self._sparks.pop(pid, None)
+
+    def enter(self, pid: int, spark) -> None:
+        """Called on the connection's executing thread before a statement:
+        job-group tags are per-thread, so this marks every job the
+        statement submits."""
+        info = self._conns.get(pid)
+        if info:
+            spark.sparkContext.setJobGroup(info[1], f"pgwire pid={pid}",
+                                           interruptOnCancel=True)
+
+    def cancel(self, pid: int, secret: int) -> bool:
+        with self._lock:
+            info = self._conns.get(pid)
+            spark = self._sparks.get(pid)
+        if not info or info[0] != secret or spark is None:
+            return False  # bad secret: ignore silently, per protocol
+        try:
+            spark.sparkContext.cancelJobGroup(info[1])
+            return True
+        except Exception:
+            return False
 
 
 class PgWireServer:
@@ -476,6 +664,7 @@ class PgWireServer:
         self._server.engine_factory = engine_factory
         self._server.auth = self.auth
         self._server.password_mode = password_mode
+        self._server.cancel_registry = CancelRegistry()
         self.host, self.port = self._server.server_address
 
     def serve_forever(self):

@@ -140,17 +140,47 @@ class PreparedStatementManager:
         return self.statements[name]
 
     def execute(self, name: str, params: list[str | None]):
+        """Execute with the SAME lifecycle as the simple protocol — the
+        reference enforces the permission hook and timeout on extended
+        queries too (handlers.rs ExtendedQueryHandler::do_query,
+        hooks/permissions.rs handle_extended_query); running spark.sql
+        directly here would let a restricted user bypass RBAC, the
+        failed-transaction guard, and the hook chain via Parse/Bind/
+        Execute."""
         stmt = self.statements[name]
         if len(params) != stmt.num_params:
             raise ValueError(
                 f"bind message supplies {len(params)} parameters, but "
                 f"prepared statement requires {stmt.num_params}")
+        if stmt.num_params == 0:
+            # full simple-protocol path: hook chain (SET/SHOW/txn/cursors),
+            # failed-txn guard, RBAC, command tags, catalog refresh
+            return self.engine._execute_one(stmt.sql)
+        # parameterized path: hooks can't answer parameterized statements,
+        # but every guard still applies before execution
+        from datafusion_postgres_spark.session import (
+            ExecutionResult, FailedTransactionError, _dml_row_count)
+        if self.engine.state.in_failed_transaction():
+            raise FailedTransactionError(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block")
+        self.engine._check_permissions(stmt.sql)
         values = {f"p{i + 1}": decode_parameter(p, oid)
                   for i, (p, oid) in enumerate(zip(params, stmt.param_oids))}
         spark_sql = self.engine.transpiler.transpile(stmt.sql)
         spark_sql = to_named_params(spark_sql)
-        df = self.engine.spark.sql(spark_sql, args=values)
-        from datafusion_postgres_spark.session import ExecutionResult
+        kind = self.engine.transpiler.statement_kind(stmt.sql)
+        try:
+            df = self.engine.spark.sql(spark_sql, args=values)
+        except Exception:
+            self.engine.state.statement_failed()
+            raise
+        if kind in ("INSERT", "UPDATE", "DELETE", "MERGE"):
+            n = _dml_row_count(df)
+            tag = f"{kind} {n}" if kind != "INSERT" else f"INSERT 0 {n}"
+            return ExecutionResult(df=None, command_tag=tag, rows_affected=n)
+        if kind in ("CREATE", "DROP", "ALTER", "TRUNCATE"):
+            return ExecutionResult(df=None, command_tag=f"{kind} TABLE")
         return ExecutionResult(df=df)
 
     def close(self, name: str) -> None:

@@ -178,11 +178,29 @@ class SparkPgEngine:
     def _check_permissions(self, stmt: str) -> None:
         """Per-statement RBAC (hooks/permissions.rs:44-92): map statement
         kind to a required permission and check it against every referenced
-        table. Superuser (the default 'postgres' user) bypasses."""
-        from datafusion_postgres_spark.server.auth import Resource
+        table. Superuser (the default 'postgres' user) bypasses.
+
+        Fail-closed rule: statement kinds that MUST reference a table
+        (DML/DDL) but where the tokenizer could not extract one are denied
+        for non-superusers instead of being checked against a placeholder
+        — a permissive default there would let exotic spellings bypass
+        grants. Table-less SELECTs (``SELECT 1``) stay allowed."""
+        from datafusion_postgres_spark.server.auth import (
+            PermissionDenied, Resource)
 
         kind = self.transpiler.statement_kind(stmt)
-        tables = self.transpiler.table_names(stmt) or ["public"]
+        tables = self.transpiler.table_names(stmt)
+        if not tables:
+            needs_table = kind.upper() in (
+                "INSERT", "UPDATE", "DELETE", "MERGE", "CREATE", "DROP",
+                "ALTER", "TRUNCATE", "GRANT", "REVOKE")
+            if needs_table:
+                user = self.auth.users.get(self.user)
+                if user is None or not user.superuser:
+                    raise PermissionDenied(
+                        f"permission denied for user {self.user}: cannot "
+                        f"resolve target table of {kind.upper()} statement")
+            return
         for tbl in tables:
             name = tbl if "." in tbl else f"public.{tbl}"
             self.auth.check_statement(self.user, kind,

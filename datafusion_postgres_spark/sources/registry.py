@@ -46,12 +46,18 @@ def read_file(spark: SparkSession, path: str, fmt: str | None = None,
         return _read_arrow_ipc(spark, path)
     if fmt == "avro":
         try:
+            # at-scale path: the spark-avro DataSource splits blocks
+            # across executors (needs the jar on the classpath)
             return spark.read.format("avro").options(**options).load(path)
-        except Exception as exc:  # spark-avro jar not on classpath
-            raise RuntimeError(
-                "Avro support requires the spark-avro package on the "
-                "classpath (spark.jars.packages=org.apache.spark:spark-avro_*)"
-            ) from exc
+        except Exception:
+            # dependency-free fallback: pure-Python container-file reader
+            # (driver-side materialization — fine for register-a-file use)
+            from datafusion_postgres_spark.sources.avro_reader import read_avro
+            _schema, rows = read_avro(path)
+            if not rows:
+                raise ValueError(f"{path}: empty avro file needs spark-avro "
+                                 "for schema-only reads")
+            return spark.createDataFrame(rows)
     raise ValueError(f"unsupported format for {path!r}: {fmt!r}")
 
 

@@ -79,7 +79,9 @@ class TestPasswords:
     def test_cleartext(self, auth):
         assert verify_cleartext(auth, "alice", "secret")
         assert not verify_cleartext(auth, "alice", "wrong")
-        assert verify_cleartext(auth, "bob", "anything")  # no password set
+        # no stored password -> password auth FAILS (trust mode is the
+        # explicit no-auth path; missing credential is not a wildcard)
+        assert not verify_cleartext(auth, "bob", "anything")
 
     def test_md5(self, auth):
         import hashlib

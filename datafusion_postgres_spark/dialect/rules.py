@@ -261,12 +261,38 @@ def rewrite_any_all(tokens: list[Token]) -> list[Token]:
         first_arg = significant(arg, -1)
         is_subquery = first_arg >= 0 and arg[first_arg].is_kw("SELECT", "WITH",
                                                              "VALUES")
+        lit_elems = _literal_array_arg(arg)
         if is_subquery:
             repl = lhs + [Token(WS, " ")]
             if not is_eq:
                 repl += [Token(IDENT, "NOT"), Token(WS, " ")]
             repl += [Token(IDENT, "IN"), Token(WS, " "), Token(PUNCT, "(")]
             repl += arg + [Token(PUNCT, ")")]
+        elif lit_elems is not None:
+            # '{..}' literal argument: IN-list form.  Spark coerces the
+            # quoted string literals to the LHS column type, matching pg's
+            # untyped-array-literal resolution ('{1,2}' works against int
+            # and text columns alike); array_contains() would not coerce.
+            if not lit_elems:
+                # x = ANY('{}') is false, x <> ALL('{}') is true (pg semantics)
+                repl = [Token(PUNCT, "("),
+                        Token(IDENT, "false" if is_eq else "true"),
+                        Token(PUNCT, ")")]
+            else:
+                repl = lhs + [Token(WS, " ")]
+                if not is_eq:
+                    repl += [Token(IDENT, "NOT"), Token(WS, " ")]
+                repl += [Token(IDENT, "IN"), Token(WS, " "), Token(PUNCT, "(")]
+                for idx, e in enumerate(lit_elems):
+                    if idx:
+                        repl += [Token(PUNCT, ","), Token(WS, " ")]
+                    if e.upper() == "NULL":
+                        repl.append(Token(IDENT, "NULL"))
+                    else:
+                        e = e.strip('"')
+                        repl.append(Token(STRING,
+                                          "'" + e.replace("'", "''") + "'"))
+                repl.append(Token(PUNCT, ")"))
         else:
             repl = []
             if not is_eq:
@@ -277,6 +303,27 @@ def rewrite_any_all(tokens: list[Token]) -> list[Token]:
         tokens[lhs_start:close_idx + 1] = repl
         i = lhs_start + len(repl)
     return tokens
+
+
+def _literal_array_arg(arg: list[Token]) -> list[str] | None:
+    """If the ANY/ALL argument is exactly one '{..}' string literal
+    (optionally followed by a ::type[] cast), return its elements."""
+    sig = [t for t in arg if t.kind != WS]
+    if not sig or sig[0].kind != STRING:
+        return None
+    if len(sig) > 1:
+        # allow a trailing ::ident[] cast, nothing else
+        rest = "".join(t.text for t in sig[1:])
+        import re as _re
+        if not _re.fullmatch(r"::\s*\w+\s*\[\s*\]", rest):
+            return None
+    raw = sig[0].text[1:-1].replace("''", "'").strip()
+    if not (raw.startswith("{") and raw.endswith("}")):
+        return None
+    inner = raw[1:-1].strip()
+    if not inner:
+        return []
+    return _split_pg_array(inner)
 
 
 # ---------------------------------------------------------------------------
@@ -724,6 +771,13 @@ def rename_functions(tokens: list[Token]) -> list[Token]:
             close = _match_fwd(tokens, nxt)
             if close == significant(tokens, nxt):
                 del tokens[nxt:close + 1]
+        elif is_call and low == "pg_typeof":
+            # pg_typeof(expr) -> pg_typename(typeof(expr)): Spark's typeof
+            # gives its own type names; the UDF maps them to PG names
+            close = _match_fwd(tokens, nxt)
+            if close >= 0:
+                tokens.insert(close + 1, Token(PUNCT, ")"))
+                tokens[i] = Token(IDENT, "pg_typename(typeof")
         elif is_call and low in _SRF:
             in_from = prev >= 0 and (
                 tokens[prev].is_kw("FROM", "JOIN", "LATERAL") or

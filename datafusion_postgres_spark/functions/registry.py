@@ -136,6 +136,109 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      "WHEN delim = '' THEN array(s) "
      "ELSE split(s, concat('\\\\Q', delim, '\\\\E')) END"),
     # -- format_type(oid, typmod)  (pg_catalog/format_type.rs) -------------
+    # -- functions.md P1/P2 batch (string / binary / datetime / uuid /
+    #    array / system rows marked planned in the reference roadmap) ------
+    ("casefold", "s STRING", "STRING", "lower(s)"),
+    ("quote_nullable", "s STRING", "STRING",
+     "CASE WHEN s IS NULL THEN 'NULL' "
+     "ELSE concat('''', replace(s, '''', ''''''), '''') END"),
+    # regexp_substr / crc32 / every / variance: Spark natives with matching
+    # semantics (regexp_substr returns NULL on no match, like PG 15)
+    ("regexp_split_to_array", "s STRING, p STRING", "ARRAY<STRING>",
+     "split(s, p)"),
+    ("to_bin", "n BIGINT", "STRING", "bin(n)"),
+    ("to_oct", "n BIGINT", "STRING", "conv(cast(n AS STRING), 10, 8)"),
+    ("convert_from", "b BINARY, enc STRING", "STRING",
+     "decode(b, CASE upper(enc) WHEN 'UTF8' THEN 'UTF-8' ELSE enc END)"),
+    ("convert_to", "s STRING, enc STRING", "BINARY",
+     "encode(s, CASE upper(enc) WHEN 'UTF8' THEN 'UTF-8' ELSE enc END)"),
+    # bytea accessors (byte n is 0-based; bit n is LSB-first within byte)
+    ("get_byte", "b BINARY, n INT", "INT",
+     "cast(conv(hex(substr(b, n + 1, 1)), 16, 10) AS INT)"),
+    ("set_byte", "b BINARY, n INT, v INT", "BINARY",
+     "concat(substr(b, 1, n), unhex(lpad(hex(v % 256), 2, '0')), "
+     "substr(b, n + 2))"),
+    ("get_bit", "b BINARY, n INT", "INT",
+     "cast(shiftright(conv(hex(substr(b, cast(n / 8 AS INT) + 1, 1)), 16, 10),"
+     " n % 8) & 1 AS INT)"),
+    ("timezone", "zone STRING, ts TIMESTAMP", "TIMESTAMP_NTZ",
+     "to_timestamp_ntz(from_utc_timestamp(ts, zone))"),
+    ("age", "a TIMESTAMP_NTZ, b TIMESTAMP_NTZ", "INTERVAL DAY TO SECOND",
+     # deviation from PG's symbolic year-month decomposition: day-time
+     # interval (documented; the reference also simplifies here)
+     "a - b"),
+    ("clock_timestamp", "", "TIMESTAMP", "now()"),
+    ("statement_timestamp", "", "TIMESTAMP", "now()"),
+    ("transaction_timestamp", "", "TIMESTAMP", "now()"),
+    ("timeofday", "", "STRING",
+     "date_format(now(), 'EEE MMM dd HH:mm:ss.SSSSSS yyyy zz')"),
+    ("isfinite", "ts TIMESTAMP_NTZ", "BOOLEAN",
+     "CASE WHEN ts IS NULL THEN NULL ELSE true END"),
+    ("gen_random_uuid", "", "STRING", "uuid()"),
+    ("uuidv4", "", "STRING", "uuid()"),
+    ("uuidv7", "", "STRING",
+     # RFC 9562 v7: 48-bit unix millis, ver nibble 7, variant bits 10
+     "lower(concat("
+     "substr(lpad(hex(unix_millis(now())), 12, '0'), 1, 8), '-', "
+     "substr(lpad(hex(unix_millis(now())), 12, '0'), 9, 4), '-', "
+     "'7', lpad(hex(cast(rand() * 4096 AS BIGINT)), 3, '0'), '-', "
+     "hex(8 + cast(rand() * 4 AS BIGINT)), "
+     "lpad(hex(cast(rand() * 4096 AS BIGINT)), 3, '0'), '-', "
+     "lpad(hex(cast(rand() * 281474976710656 AS BIGINT)), 12, '0')))"),
+    ("uuid_extract_version", "u STRING", "INT",
+     "cast(conv(substr(replace(u, '-', ''), 13, 1), 16, 10) AS INT)"),
+    ("uuid_extract_timestamp", "u STRING", "TIMESTAMP",
+     "CASE WHEN substr(replace(u, '-', ''), 13, 1) = '7' THEN "
+     "timestamp_millis(cast(conv(substr(replace(u, '-', ''), 1, 12), 16, 10)"
+     " AS BIGINT)) ELSE NULL END"),
+    ("array_fill", "v STRING, dims ARRAY<INT>", "ARRAY<STRING>",
+     "array_repeat(v, element_at(dims, 1))"),
+    ("array_shuffle", "arr ARRAY<STRING>", "ARRAY<STRING>", "shuffle(arr)"),
+    ("array_sample", "arr ARRAY<STRING>, n INT", "ARRAY<STRING>",
+     "slice(shuffle(arr), 1, n)"),
+    ("trim_array", "arr ARRAY<STRING>, n INT", "ARRAY<STRING>",
+     "slice(arr, 1, greatest(size(arr) - n, 0))"),
+    ("pg_size_bytes", "s STRING", "BIGINT",
+     "cast(cast(regexp_extract(trim(s), '^(-?[0-9.]+)', 1) AS DOUBLE) * "
+     "CASE regexp_extract(upper(trim(s)), '([KMGTP]?B)$', 1) "
+     "WHEN 'KB' THEN 1024 WHEN 'MB' THEN 1048576 "
+     "WHEN 'GB' THEN 1073741824 WHEN 'TB' THEN 1099511627776 "
+     "WHEN 'PB' THEN 1125899906842624 ELSE 1 END AS BIGINT)"),
+    ("pg_input_is_valid", "s STRING, t STRING", "BOOLEAN",
+     "CASE WHEN s IS NULL THEN NULL ELSE "
+     "CASE lower(t) "
+     "WHEN 'integer' THEN try_cast(s AS INT) IS NOT NULL "
+     "WHEN 'int4' THEN try_cast(s AS INT) IS NOT NULL "
+     "WHEN 'bigint' THEN try_cast(s AS BIGINT) IS NOT NULL "
+     "WHEN 'int8' THEN try_cast(s AS BIGINT) IS NOT NULL "
+     "WHEN 'smallint' THEN try_cast(s AS SMALLINT) IS NOT NULL "
+     "WHEN 'numeric' THEN try_cast(s AS DECIMAL(38,10)) IS NOT NULL "
+     "WHEN 'double precision' THEN try_cast(s AS DOUBLE) IS NOT NULL "
+     "WHEN 'float8' THEN try_cast(s AS DOUBLE) IS NOT NULL "
+     "WHEN 'real' THEN try_cast(s AS FLOAT) IS NOT NULL "
+     "WHEN 'date' THEN try_cast(s AS DATE) IS NOT NULL "
+     "WHEN 'timestamp' THEN try_cast(s AS TIMESTAMP_NTZ) IS NOT NULL "
+     "WHEN 'boolean' THEN try_cast(s AS BOOLEAN) IS NOT NULL "
+     "ELSE true END END"),
+    ("pg_column_size", "s STRING", "INT",
+     # approximation: encoded byte length + 4-byte varlena header
+     "CASE WHEN s IS NULL THEN NULL ELSE octet_length(s) + 4 END"),
+    ("pg_client_encoding", "", "STRING", "'UTF8'"),
+    ("pg_typename", "t STRING", "STRING",
+     # spark typeof() name -> PG type name (pg_typeof support)
+     "CASE WHEN t LIKE 'decimal%' THEN 'numeric' "
+     "WHEN t LIKE 'array%' THEN 'text[]' "
+     "WHEN t LIKE 'struct%' THEN 'record' "
+     "ELSE CASE t WHEN 'int' THEN 'integer' WHEN 'bigint' THEN 'bigint' "
+     "WHEN 'smallint' THEN 'smallint' WHEN 'tinyint' THEN 'smallint' "
+     "WHEN 'double' THEN 'double precision' WHEN 'float' THEN 'real' "
+     "WHEN 'string' THEN 'text' WHEN 'boolean' THEN 'boolean' "
+     "WHEN 'date' THEN 'date' WHEN 'binary' THEN 'bytea' "
+     "WHEN 'timestamp' THEN 'timestamp with time zone' "
+     "WHEN 'timestamp_ntz' THEN 'timestamp without time zone' "
+     "WHEN 'void' THEN 'unknown' "
+     "WHEN 'interval day to second' THEN 'interval' "
+     "WHEN 'interval year to month' THEN 'interval' ELSE t END END"),
     ("format_type", "id BIGINT, typmod INT DEFAULT NULL", "STRING",
      "CASE id WHEN 16 THEN 'boolean' WHEN 17 THEN 'bytea' "
      "WHEN 18 THEN '\"char\"' WHEN 19 THEN 'name' WHEN 20 THEN 'bigint' "
@@ -160,6 +263,14 @@ SQL_UDTFS: list[tuple[str, str, str, str]] = [
     ("pg_generate_subscripts", "arr ARRAY<STRING>, dim INT DEFAULT 1",
      "TABLE(generate_subscripts INT)",
      "SELECT explode(sequence(1, size(arr)))"),
+    ("string_to_table", "s STRING, delim STRING",
+     "TABLE(string_to_table STRING)",
+     "SELECT explode(CASE WHEN delim IS NULL THEN split(s, '') "
+     "WHEN delim = '' THEN array(s) "
+     "ELSE split(s, concat('\\\\Q', delim, '\\\\E')) END)"),
+    ("regexp_split_to_table", "s STRING, p STRING",
+     "TABLE(regexp_split_to_table STRING)",
+     "SELECT explode(split(s, p))"),
 ]
 
 _REGISTERED_SESSIONS: set[int] = set()
@@ -188,6 +299,25 @@ def register_all(spark: SparkSession) -> None:
     register_formatting(spark)
     _register_special_math(spark)
     _REGISTERED_SESSIONS.add(key)
+
+
+def refresh_current_setting(spark: SparkSession, session_vars: dict) -> None:
+    """Re-register ``current_setting`` with the SESSION'S live GUC values
+    (SQL UDF bodies are constant-folded at plan time, so a SET must rebuild
+    the CASE chain — each pg-wire connection has its own spark.newSession(),
+    which scopes the temp function to that connection)."""
+    extra = {"server_version": "15.0", "server_version_num": "150000",
+             "max_index_keys": "32"}
+    merged = dict(extra)
+    merged.update(session_vars)
+    arms = " ".join(
+        "WHEN '{}' THEN '{}'".format(k.lower().replace("'", "''"),
+                                     str(v).replace("'", "''"))
+        for k, v in merged.items())
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION current_setting"
+        "(name STRING, missing_ok BOOLEAN DEFAULT false) RETURNS STRING "
+        f"RETURN CASE lower(name) {arms} ELSE '' END")
 
 
 def _register_special_math(spark: SparkSession) -> None:
@@ -219,3 +349,13 @@ def _register_special_math(spark: SparkSession) -> None:
     spark.udf.register("erfc", pandas_udf(_vec(math.erfc), "double"))
     spark.udf.register("gamma", pandas_udf(_vec(math.gamma), "double"))
     spark.udf.register("lgamma", pandas_udf(_vec(math.lgamma), "double"))
+
+    # pg_sleep: the one justified row-at-a-time Python UDF (it sleeps).
+    import time as _time
+
+    def _pg_sleep(secs):
+        if secs is not None:
+            _time.sleep(max(0.0, min(float(secs), 3600.0)))
+        return None
+
+    spark.udf.register("pg_sleep", _pg_sleep, "string")

@@ -62,6 +62,17 @@ class HookChain:
     def __init__(self, engine: "SparkPgEngine"):
         self.engine = engine
 
+    def _refresh_current_setting(self) -> None:
+        """Thread live GUC values into the ``current_setting`` SQL UDF
+        (STATUS.md round-1 item: it used to return static defaults)."""
+        try:
+            from datafusion_postgres_spark.functions.registry import (
+                refresh_current_setting)
+            refresh_current_setting(self.engine.spark,
+                                    self.engine.state.vars)
+        except Exception:
+            pass  # never fail a SET over a UDF re-registration
+
     def try_handle(self, stmt: str):
         from datafusion_postgres_spark.session import ExecutionResult
 
@@ -98,6 +109,7 @@ class HookChain:
                 spark.conf.set("spark.sql.session.timeZone", value)
             else:
                 state.set_var(name, value)
+            self._refresh_current_setting()
             # unknown SETs are acknowledged regardless (reference swallows
             # engine errors and always returns SET)
             return ExecutionResult(df=None, command_tag="SET")
@@ -135,6 +147,7 @@ class HookChain:
                 state.vars[target] = DEFAULT_SESSION_VARS[target]
             else:
                 state.vars.pop(target, None)
+            self._refresh_current_setting()
             return ExecutionResult(df=None, command_tag="RESET")
         if kind == "DISCARD":
             state.cursors.clear()

@@ -118,8 +118,23 @@ class _Conn(socketserver.BaseRequestHandler):
             (length,) = struct.unpack("!I", self._recv_exact(4))
             payload = self._recv_exact(length - 4)
             (code,) = struct.unpack("!I", payload[:4])
-            if code == SSL_REQUEST or code == GSSENC_REQUEST:
-                self._send(b"N")  # no TLS in this build
+            if code == SSL_REQUEST:
+                ctx = getattr(self.server, "ssl_context", None)
+                if ctx is None:
+                    self._send(b"N")  # TLS not configured
+                    continue
+                # accept: 'S' then immediately wrap the socket (lib.rs:40-64
+                # TLS acceptor analog); the startup packet arrives encrypted
+                self._send(b"S")
+                assert not self.buf, "client sent data before TLS handshake"
+                import ssl as _ssl
+                try:
+                    self.sock = ctx.wrap_socket(self.sock, server_side=True)
+                except _ssl.SSLError:
+                    return False
+                continue
+            if code == GSSENC_REQUEST:
+                self._send(b"N")
                 continue
             if code == CANCEL_REQUEST:
                 # out-of-band cancel: (pid, secret) -> cancel that
@@ -626,12 +641,19 @@ class PgWireServer:
 
     def __init__(self, spark, host: str = "127.0.0.1", port: int = 5432,
                  password_mode: str = "trust", auth=None,
-                 max_connections: int = 100):
+                 max_connections: int = 100,
+                 ssl_certfile: str | None = None,
+                 ssl_keyfile: str | None = None):
         from datafusion_postgres_spark.server.auth import AuthManager
         from datafusion_postgres_spark.session import SparkPgEngine
 
         self.spark = spark
         self.auth = auth or AuthManager()
+        ssl_context = None
+        if ssl_certfile:
+            import ssl
+            ssl_context = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ssl_context.load_cert_chain(ssl_certfile, ssl_keyfile)
 
         def engine_factory():
             return SparkPgEngine(spark.newSession())
@@ -665,6 +687,7 @@ class PgWireServer:
         self._server.auth = self.auth
         self._server.password_mode = password_mode
         self._server.cancel_registry = CancelRegistry()
+        self._server.ssl_context = ssl_context
         self.host, self.port = self._server.server_address
 
     def serve_forever(self):

@@ -21,7 +21,13 @@ CASES = [
     ("SELECT 1 WHERE x <> ALL(arr)",
      "SELECT 1 WHERE NOT array_contains(arr, x)"),
     ("SELECT 1 WHERE x = ANY('{a,b}')",
-     "SELECT 1 WHERE array_contains(array('a', 'b'), x)"),
+     "SELECT 1 WHERE x IN ('a', 'b')"),
+    ("SELECT 1 WHERE x = ANY('{1,2}')",
+     "SELECT 1 WHERE x IN ('1', '2')"),
+    ("SELECT 1 WHERE x <> ALL('{1,2}'::int4[])",
+     "SELECT 1 WHERE x NOT IN ('1', '2')"),
+    ("SELECT 1 WHERE x = ANY('{}')", "SELECT 1 WHERE (false)"),
+    ("SELECT 1 WHERE x <> ALL('{}')", "SELECT 1 WHERE (true)"),
     ("SELECT 1 WHERE x = ANY(SELECT y FROM t)",
      "SELECT 1 WHERE x IN (SELECT y FROM t)"),
     ("SELECT 1 WHERE a.b = ANY(c.d)",

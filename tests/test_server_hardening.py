@@ -465,3 +465,49 @@ class TestAvroFallback:
         got = eng.execute("SELECT id, name, maybe FROM avro_t ORDER BY id")
         vals = [tuple(r) for r in got[0].collect()]
         assert vals == [(1, "a", 10), (2, "b", None), (3, "çé", 7)]
+
+
+class TestTLS:
+    def test_sslrequest_tls_query(self, spark, tmp_path):
+        import ssl
+        import subprocess
+        cert = tmp_path / "server.crt"
+        key = tmp_path / "server.key"
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", str(key), "-out", str(cert), "-days", "1",
+             "-subj", "/CN=localhost"], check=True, capture_output=True)
+        srv = PgWireServer(spark, port=0, ssl_certfile=str(cert),
+                           ssl_keyfile=str(key))
+        srv.start_background()
+        try:
+            raw = socket.create_connection((srv.host, srv.port), timeout=60)
+            raw.sendall(struct.pack("!II", 8, 80877103))  # SSLRequest
+            assert raw.recv(1) == b"S"
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            tls = ctx.wrap_socket(raw)
+            payload = struct.pack("!I", 196608)
+            payload += b"user\x00postgres\x00database\x00postgres\x00\x00"
+            tls.sendall(struct.pack("!I", len(payload) + 4) + payload)
+            c = RawClient.__new__(RawClient)
+            c.sock, c.buf, c.user, c.backend_key = tls, b"", "postgres", None
+            assert c.drain_startup()
+            res = c.query("SELECT 'over-tls' AS v")
+            assert res["tags"] == ["SELECT 1"]
+            assert b"over-tls" in res["rows"][0]
+            tls.close()
+        finally:
+            srv.shutdown()
+
+    def test_sslrequest_refused_without_cert(self, spark):
+        srv = PgWireServer(spark, port=0)
+        srv.start_background()
+        try:
+            raw = socket.create_connection((srv.host, srv.port), timeout=30)
+            raw.sendall(struct.pack("!II", 8, 80877103))
+            assert raw.recv(1) == b"N"
+            raw.close()
+        finally:
+            srv.shutdown()

@@ -267,24 +267,55 @@ def refresh(spark: SparkSession) -> None:
           [(10, "postgres", True, True, True, True, True, False, -1,
             "********", None, True, None)])
 
+    refresh_settings(spark, None)
+
+    # ---- empty view-style tables (pg_views.rs, pg_replication_slot.rs) ----
+    _build_view_tables(spark, tables)
+
+
+_LAST_SESSION_VARS: dict | None = None
+
+
+def refresh_settings(spark: SparkSession, session_vars: dict | None) -> None:
+    """(Re)build pg_settings from the LIVE session GUCs, so
+    ``SELECT * FROM pg_settings WHERE name = 'x'`` agrees with SET/SHOW
+    (pg_settings.rs builds from the reference's session state the same
+    way; here the SET hook triggers the rebuild)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+    from datafusion_postgres_spark.server.session_state import (
+        DEFAULT_SESSION_VARS)
+
+    global _LAST_SESSION_VARS
+    if session_vars is None:
+        session_vars = _LAST_SESSION_VARS  # DDL-triggered rebuilds keep GUCs
+    else:
+        _LAST_SESSION_VARS = dict(session_vars)
+
     settings_schema = StructType([
         StructField("name", StringType()), StructField("setting", StringType()),
         StructField("unit", StringType()), StructField("category", StringType()),
         StructField("short_desc", StringType()),
         StructField("context", StringType()), StructField("vartype", StringType()),
         StructField("source", StringType())])
-    _view(spark, "pg_catalog_pg_settings", settings_schema, [
-        ("TimeZone", "UTC", None, "Client Connection Defaults",
-         "time zone", "user", "string", "default"),
-        ("server_version", "15.0", None, "Preset Options",
-         "server version", "internal", "string", "default"),
-        ("search_path", '"$user", public', None,
-         "Client Connection Defaults", "schema search order", "user",
-         "string", "default"),
-        ("max_connections", "100", None, "Connections", "max connections",
-         "postmaster", "integer", "default")])
+    merged = dict(DEFAULT_SESSION_VARS)
+    merged["max_connections"] = "100"
+    if session_vars:
+        merged.update(session_vars)
+    rows = []
+    for name, value in sorted(merged.items()):
+        display = {"timezone": "TimeZone", "datestyle": "DateStyle",
+                   "intervalstyle": "IntervalStyle"}.get(name, name)
+        vartype = ("integer" if str(value).lstrip("-").isdigit() else
+                   "bool" if str(value) in ("on", "off") else "string")
+        source = "session" if (session_vars and
+                               DEFAULT_SESSION_VARS.get(name) !=
+                               value) else "default"
+        rows.append((display, str(value), None, "Client Connection Defaults",
+                     name.replace("_", " "), "user", vartype, source))
+    _view(spark, "pg_catalog_pg_settings", settings_schema, rows)
 
-    # ---- empty view-style tables (pg_views.rs, pg_replication_slot.rs) ----
+
+def _build_view_tables(spark: SparkSession, tables) -> None:
     views_schema = StructType([
         StructField("schemaname", StringType()),
         StructField("viewname", StringType()),

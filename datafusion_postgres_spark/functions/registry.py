@@ -90,6 +90,11 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      "WHEN 'datestyle' THEN 'ISO, MDY' WHEN 'bytea_output' THEN 'hex' "
      "WHEN 'max_index_keys' THEN '32' "
      "WHEN 'standard_conforming_strings' THEN 'on' ELSE '' END"),
+    # read-only fallback for set_config embedded in larger queries; the
+    # statement-shaped `SELECT set_config(...)` form is handled by the
+    # hook chain (server/hooks.py), which carries the actual side effect
+    ("set_config", "name STRING, value STRING, is_local BOOLEAN", "STRING",
+     "value"),
     ("pg_get_viewdef", "id BIGINT, pretty BOOLEAN DEFAULT false", "STRING",
      "NULL"),
     ("pg_get_indexdef", "id BIGINT", "STRING", "NULL"),

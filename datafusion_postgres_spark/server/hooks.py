@@ -31,10 +31,56 @@ _FETCH_RE = re.compile(
     r"ABSOLUTE|RELATIVE)\s+)?(?P<count>\d+\s+)?(?:FROM\s+|IN\s+)?"
     r"(?P<name>[\w\"]+)\s*$", re.IGNORECASE)
 _CLOSE_RE = re.compile(r"^\s*CLOSE\s+(?P<name>[\w\"]+|ALL)\s*$", re.IGNORECASE)
+_SET_CONFIG_RE = re.compile(
+    r"^\s*SELECT\s+(?:pg_catalog\.)?set_config\(\s*'(?P<name>[^']+)'\s*,\s*"
+    r"(?:'(?P<value>(?:[^']|'')*)'|(?P<null>NULL))\s*,\s*"
+    r"(?P<local>true|false|'t'|'f')\s*\)(?:\s+AS\s+\w+)?\s*$",
+    re.IGNORECASE)
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(?:\((?P<q>.+)\)|(?P<tbl>[\w.\"]+))\s+TO\s+STDOUT"
     r"(?:\s+WITH)?\s*(?:\((?P<opts>[^)]*)\))?\s*$",
     re.IGNORECASE | re.DOTALL)
+_COPY_IN_RE = re.compile(
+    r"^\s*COPY\s+(?P<tbl>[\w.\"]+)\s*(?:\((?P<cols>[^)]*)\)\s*)?FROM\s+STDIN"
+    r"(?:\s+WITH)?\s*(?:\((?P<opts>[^)]*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _parse_copy_opts(opts: str | None) -> dict:
+    """Parse the WITH (...) option list of COPY: FORMAT/DELIMITER/NULL/
+    HEADER, both `FORMAT csv` and bare legacy `csv` spellings."""
+    out: dict = {}
+    if not opts:
+        return out
+    toks = re.findall(r"'(?:[^']|'')*'|[^\s,]+", opts)
+    i = 0
+    while i < len(toks):
+        key = toks[i].lower()
+        val = toks[i + 1] if i + 1 < len(toks) else None
+        if val is not None and val.startswith("'"):
+            val = val[1:-1].replace("''", "'")
+        if key == "format" and val:
+            out["format"] = val.lower()
+            i += 2
+        elif key == "delimiter" and val is not None:
+            out["delimiter"] = val
+            i += 2
+        elif key == "null" and val is not None:
+            out["null"] = val
+            i += 2
+        elif key == "header":
+            if val and val.lower() in ("true", "false", "on", "off"):
+                out["header"] = val.lower() in ("true", "on")
+                i += 2
+            else:
+                out["header"] = True
+                i += 1
+        elif key in ("csv", "text", "binary"):
+            out["format"] = key
+            i += 1
+        else:
+            i += 1
+    return out
 
 # SHOW answers synthesized exactly like hooks/set_show.rs:283-366
 _SHOW_COLUMN_NAMES = {
@@ -72,6 +118,12 @@ class HookChain:
                                     self.engine.state.vars)
         except Exception:
             pass  # never fail a SET over a UDF re-registration
+        try:
+            from datafusion_postgres_spark.catalog.pg_catalog import (
+                refresh_settings)
+            refresh_settings(self.engine.spark, self.engine.state.vars)
+        except Exception:
+            pass
 
     def try_handle(self, stmt: str):
         from datafusion_postgres_spark.session import ExecutionResult
@@ -116,19 +168,79 @@ class HookChain:
         if kind == "SET":  # unparseable SET — still ack
             return ExecutionResult(df=None, command_tag="SET")
 
-        # -- COPY ... TO STDOUT (beyond the reference: it has no COPY) -----
+        # -- set_config() as a statement (how clients write GUCs from SQL;
+        # a pure SQL UDF cannot carry the side effect, so the hook owns the
+        # statement-shaped form; embedded uses fall back to the read-only
+        # UDF in functions/registry.py) ------------------------------------
+        if kind == "SELECT":
+            m = _SET_CONFIG_RE.match(stmt)
+            if m:
+                name = m.group("name").lower()
+                value = (m.group("value") or "").replace("''", "'") \
+                    if m.group("null") is None else ""
+                if name in ("time zone", "timezone"):
+                    name = "timezone"
+                    spark.conf.set("spark.sql.session.timeZone", value)
+                state.set_var(name, value)
+                self._refresh_current_setting()
+                df = spark.createDataFrame(
+                    [(value,)],
+                    StructType([StructField("set_config", StringType())]))
+                return ExecutionResult(df=df, command_tag="SELECT")
+
+        # -- COPY TO STDOUT / FROM STDIN (beyond the reference: it has no
+        # COPY support, but psql \copy and psycopg copy_expert send it) ----
         if kind == "COPY":
             m = _COPY_RE.match(stmt)
             if m:
+                from datafusion_postgres_spark.server.auth import Resource
+                if m.group("tbl"):
+                    tbl = m.group("tbl").strip('"')
+                    self.engine.auth.check_statement(
+                        self.engine.user, "SELECT",
+                        Resource("table",
+                                 tbl if "." in tbl else f"public.{tbl}"))
                 inner = m.group("q") or f'SELECT * FROM {m.group("tbl")}'
-                opts = (m.group("opts") or "").lower()
+                opts = _parse_copy_opts(m.group("opts"))
                 df = spark.sql(self.engine.transpiler.transpile(inner))
                 res = ExecutionResult(df=df, command_tag="COPY_OUT")
-                res.copy_format = "csv" if "csv" in opts else "text"
-                res.copy_header = "header" in opts
+                res.copy_format = opts.get("format", "text")
+                res.copy_header = opts.get("header", False)
+                return res
+            m = _COPY_IN_RE.match(stmt)
+            if m:
+                from datafusion_postgres_spark.server.auth import Resource
+                tbl = m.group("tbl").strip('"')
+                self.engine.auth.check_statement(
+                    self.engine.user, "INSERT",
+                    Resource("table", tbl if "." in tbl else f"public.{tbl}"))
+                opts = _parse_copy_opts(m.group("opts"))
+                cols = [c.strip().strip('"')
+                        for c in m.group("cols").split(",")] \
+                    if m.group("cols") else None
+                # validate the target now, before the client enters
+                # copy-in mode (errors after CopyInResponse desync psql) —
+                # views/temp views are not insertable (pg: 42809)
+                try:
+                    ttype = spark.catalog.getTable(tbl).tableType
+                except Exception:
+                    ttype = None
+                if ttype in ("TEMPORARY", "VIEW"):
+                    raise CursorError(
+                        f'cannot copy to view "{tbl}"', "42809")
+                ncols = len(cols) if cols else len(spark.table(tbl).columns)
+                res = ExecutionResult(df=None, command_tag="COPY_IN")
+                res.copy_table = tbl
+                res.copy_columns = cols
+                res.copy_ncols = ncols
+                res.copy_format = opts.get("format", "text")
+                res.copy_delimiter = opts.get("delimiter")
+                res.copy_null = opts.get("null")
+                res.copy_header = opts.get("header", False)
                 return res
             raise CursorError(
-                "only COPY ... TO STDOUT is supported", "0A000")
+                "unsupported COPY form (use COPY ... TO STDOUT or "
+                "COPY table FROM STDIN)", "0A000")
 
         # -- maintenance no-ops clients send (VACUUM/ANALYZE/etc.) ---------
         if kind in ("VACUUM", "ANALYZE", "ANALYSE", "CHECKPOINT", "LISTEN",

@@ -69,6 +69,10 @@ def _cstr(s: str) -> bytes:
     return s.encode() + b"\x00"
 
 
+class _CopyFailed(RuntimeError):
+    sqlstate = "57014"  # QUERY_CANCELED, per pg's COPY-fail handling
+
+
 class _Conn(socketserver.BaseRequestHandler):
     # class attrs injected by PgWireServer: engine_factory, auth, password_mode
 
@@ -331,6 +335,9 @@ class _Conn(socketserver.BaseRequestHandler):
         if res.command_tag == "COPY_OUT":
             self._send_copy_out(res)
             return
+        if res.command_tag == "COPY_IN":
+            self._handle_copy_in(res)
+            return
         if res.df is None:
             self._send(_msg(b"C", _cstr(res.command_tag)))
             return
@@ -357,6 +364,46 @@ class _Conn(socketserver.BaseRequestHandler):
         if tag == "SELECT":
             tag = f"SELECT {n}"
         self._send(_msg(b"C", _cstr(tag)))
+
+    def _recv_message(self) -> tuple[bytes, bytes]:
+        tag = self._recv_exact(1)
+        (length,) = struct.unpack("!I", self._recv_exact(4))
+        return tag, self._recv_exact(length - 4)
+
+    def _handle_copy_in(self, res):
+        """COPY table FROM STDIN: CopyInResponse, then accumulate CopyData
+        until CopyDone/CopyFail, then ingest via engine.copy_into.
+
+        The target table/columns were validated by the hook BEFORE entering
+        copy mode, so the client only ever sees data-level errors here."""
+        ncols = res.copy_ncols
+        self._send(_msg(b"G", struct.pack("!bH", 0, ncols) +
+                        struct.pack(f"!{ncols}H", *([0] * ncols))))
+        buf = bytearray()
+        fail = None
+        while True:
+            tag, payload = self._recv_message()
+            if tag == b"d":
+                buf += payload
+            elif tag == b"c":
+                break
+            elif tag == b"f":
+                fail = payload.split(b"\x00")[0].decode("utf-8", "replace")
+                break
+            elif tag in (b"H", b"S"):
+                continue  # Flush/Sync are legal mid-copy, no-ops here
+            else:
+                fail = f"unexpected message {tag!r} during COPY"
+                break
+        if fail is not None:
+            raise _CopyFailed(fail)
+        n = self.engine.copy_into(
+            res.copy_table, res.copy_columns, bytes(buf),
+            getattr(res, "copy_format", "text"),
+            getattr(res, "copy_delimiter", None),
+            getattr(res, "copy_null", None),
+            getattr(res, "copy_header", False))
+        self._send(_msg(b"C", _cstr(f"COPY {n}")))
 
     def _send_copy_out(self, res):
         """COPY ... TO STDOUT: CopyOutResponse + CopyData rows.
@@ -523,6 +570,9 @@ class _Conn(socketserver.BaseRequestHandler):
 
         if res.command_tag == "COPY_OUT":
             self._send_copy_out(res)
+            return
+        if res.command_tag == "COPY_IN":
+            self._handle_copy_in(res)
             return
         if res.df is None:
             # DML/DDL/utility: the tag already carries kind + rowcount

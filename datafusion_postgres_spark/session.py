@@ -175,6 +175,53 @@ class SparkPgEngine:
             return ExecutionResult(df=None, command_tag=f"{kind} TABLE")
         return ExecutionResult(df=df)
 
+    def copy_into(self, table: str, columns: list[str] | None, data: bytes,
+                  fmt: str = "text", delimiter: str | None = None,
+                  null_marker: str | None = None,
+                  header: bool = False) -> int:
+        """COPY FROM STDIN ingestion: parse the accumulated CopyData
+        payload and append to ``table`` through the normal INSERT path
+        (so Spark's own analysis enforces types and table writability).
+
+        Columns not named in the column list are filled with NULL, and the
+        text fields are cast to the target column types — both per the
+        public PostgreSQL COPY semantics."""
+        from pyspark.sql import functions as F, types as T
+        from datafusion_postgres_spark.server.copy_data import (
+            CopyDataError, parse_copy_payload)
+
+        target = self.spark.table(table)
+        tgt_fields = target.schema.fields
+        if columns:
+            by_lower = {f.name.lower(): f for f in tgt_fields}
+            try:
+                fields = [by_lower[c.lower()] for c in columns]
+            except KeyError as e:
+                raise CopyDataError(
+                    f'column {e.args[0]} of relation "{table}" does not '
+                    "exist") from None
+        else:
+            fields = list(tgt_fields)
+        rows = parse_copy_payload(data, len(fields), fmt, delimiter,
+                                  null_marker, header)
+        str_schema = T.StructType(
+            [T.StructField(f.name, T.StringType()) for f in fields])
+        staged = self.spark.createDataFrame(rows, str_schema)
+        named = {f.name for f in fields}
+        proj = [(F.col(f.name).cast(f.dataType) if f.name in named
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in tgt_fields]
+        view = "__copy_in_buffer__"
+        staged.select(*proj).createOrReplaceTempView(view)
+        try:
+            res = self.spark.sql(
+                f"INSERT INTO {table} SELECT * FROM {view}")
+        finally:
+            self.spark.catalog.dropTempView(view)
+        self._catalog_dirty = True
+        n = _dml_row_count(res)
+        return n if n else len(rows)
+
     def _check_permissions(self, stmt: str) -> None:
         """Per-statement RBAC (hooks/permissions.rs:44-92): map statement
         kind to a required permission and check it against every referenced

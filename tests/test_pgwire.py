@@ -101,6 +101,33 @@ class MiniPgClient:
                 return {"cols": cols, "rows": rows, "tags": tags,
                         "errors": errors}
 
+    def copy_in(self, sql, data: bytes = b"", fail: str | None = None):
+        """Send a COPY ... FROM STDIN and drive the copy-in sub-protocol."""
+        body = sql.encode() + b"\x00"
+        self.sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        tags, errors, got_copy_in = [], [], False
+        while True:
+            tag, payload = self.read_message()
+            if tag == b"G":
+                got_copy_in = True
+                if fail is not None:
+                    b = fail.encode() + b"\x00"
+                    self.sock.sendall(
+                        b"f" + struct.pack("!I", len(b) + 4) + b)
+                else:
+                    self.sock.sendall(
+                        b"d" + struct.pack("!I", len(data) + 4) + data)
+                    self.sock.sendall(b"c" + struct.pack("!I", 4))
+            elif tag == b"C":
+                tags.append(payload.rstrip(b"\x00").decode())
+            elif tag == b"E":
+                errors.append({p[:1]: p[1:].decode() for p in
+                               payload.split(b"\x00") if p})
+            elif tag == b"Z":
+                self.txn_status = payload
+                return {"tags": tags, "errors": errors,
+                        "copy_in": got_copy_in}
+
     def close(self):
         self.sock.sendall(b"X" + struct.pack("!I", 4))
         self.sock.close()
@@ -323,6 +350,55 @@ class TestCopyOut:
                 break
         assert lines == ["k\n", "0\n", "1\n"]
 
-    def test_copy_from_rejected(self, client):
+    def test_copy_from_view_rejected(self, client):
         res = client.query("COPY wnation FROM STDIN")
-        assert res["errors"] and res["errors"][0][b"C"] == "0A000"
+        assert res["errors"] and res["errors"][0][b"C"] == "42809"
+
+
+class TestCopyIn:
+    @pytest.fixture(scope="class", autouse=True)
+    def target(self, client):
+        client.query("DROP TABLE IF EXISTS copy_tgt")
+        client.query("CREATE TABLE copy_tgt (k INT, v STRING, x DOUBLE)")
+        yield
+        client.query("DROP TABLE IF EXISTS copy_tgt")
+
+    def test_copy_in_text(self, client):
+        res = client.copy_in("COPY copy_tgt FROM STDIN",
+                             b"1\tone\t1.5\n2\t\\N\t2.5\n")
+        assert res["copy_in"] and not res["errors"]
+        assert res["tags"] == ["COPY 2"]
+        got = client.query("SELECT * FROM copy_tgt ORDER BY k")
+        assert got["rows"] == [["1", "one", "1.5"], ["2", None, "2.5"]]
+
+    def test_copy_in_csv_header_and_columns(self, client):
+        client.query("TRUNCATE TABLE copy_tgt")
+        res = client.copy_in(
+            "COPY copy_tgt (v, k) FROM STDIN WITH (FORMAT csv, HEADER)",
+            b'v,k\n"a,b",10\n,20\n')
+        assert res["tags"] == ["COPY 2"]
+        got = client.query("SELECT k, v, x FROM copy_tgt ORDER BY k")
+        assert got["rows"] == [["10", "a,b", None], ["20", None, None]]
+
+    def test_copy_in_escapes(self, client):
+        client.query("TRUNCATE TABLE copy_tgt")
+        res = client.copy_in("COPY copy_tgt FROM STDIN",
+                             b"1\ta\\tb\\\\N\t\\N\n\\.\n9\tnot-read\t0\n")
+        assert res["tags"] == ["COPY 1"]
+        got = client.query("SELECT v, x FROM copy_tgt")
+        assert got["rows"] == [["a\tb\\N", None]]
+
+    def test_copy_fail_message(self, client):
+        client.query("TRUNCATE TABLE copy_tgt")
+        res = client.copy_in("COPY copy_tgt FROM STDIN", fail="client bail")
+        assert res["errors"] and res["errors"][0][b"C"] == "57014"
+        got = client.query("SELECT count(*) FROM copy_tgt")
+        assert got["rows"] == [["0"]]
+
+    def test_copy_in_bad_column_count(self, client):
+        res = client.copy_in("COPY copy_tgt FROM STDIN", b"1\tonly-two\n")
+        assert res["errors"] and res["errors"][0][b"C"] == "22P04"
+
+    def test_copy_in_unknown_table(self, client):
+        res = client.query("COPY no_such_tbl FROM STDIN")
+        assert res["errors"]

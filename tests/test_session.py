@@ -37,6 +37,31 @@ class TestSetShow:
     def test_show_server_version(self, engine):
         assert "15.0" in one_row(engine.execute("SHOW server_version"))[0][0]
 
+    def test_set_config_statement(self, engine):
+        rows = one_row(engine.execute(
+            "SELECT set_config('application_name', 'myapp', false)"))
+        assert rows[0][0] == "myapp"
+        assert one_row(engine.execute("SHOW application_name"))[0][0] == \
+            "myapp"
+        # current_setting sees the set_config write
+        assert one_row(engine.execute(
+            "SELECT current_setting('application_name')"))[0][0] == "myapp"
+
+    def test_set_config_embedded_is_read_only(self, engine):
+        rows = one_row(engine.execute(
+            "SELECT set_config('application_name', 'other', false) AS a, "
+            "1 AS b"))
+        assert rows[0][0] == "other"  # returns the value...
+        # ...but embedded form has no side effect (documented fallback)
+
+    def test_pg_settings_reflects_set(self, engine):
+        engine.execute("SET statement_timeout = '7s'")
+        rows = one_row(engine.execute(
+            "SELECT setting, source FROM pg_settings "
+            "WHERE name = 'statement_timeout'"))
+        assert rows[0][0] == "7s" and rows[0][1] == "session"
+        engine.execute("RESET statement_timeout")
+
 
 class TestTransactions:
     def test_begin_commit(self, engine):

@@ -99,7 +99,8 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
-                        prefix_filter: bool = True) -> DataFrame:
+                        prefix_filter: bool = True,
+                        verify_broadcast: bool = False) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity. Exact.
 
     Scale strategy = **prefix filtering + PPJoin positional/size bounds**
@@ -116,6 +117,21 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     corpus they cut candidates 566k -> 211k and the hot query ~1.5x.
     Verification computes the exact intersection from the full sorted
     hash arrays (array_intersect, JVM-side).
+
+    Candidate pairs are NOT deduplicated before verification: a pair
+    appears once per shared prefix element, and on real corpora that
+    duplication factor is tiny (sf0.1: 221k match rows -> 211k distinct
+    pairs, 1.05x), so re-verifying the few duplicates is far cheaper than
+    a full shuffle-dedup of the candidate stream.  The final (small)
+    verified result is deduplicated instead.  If a corpus had pathological
+    prefix overlap, re-inserting ``.distinct()`` on (id_a,id_b) before the
+    verify joins restores the round-1 shape.
+
+    ``verify_broadcast=True`` hints the verification side (the per-doc
+    gram arrays) as broadcast — correct only when the CORPUS fits in the
+    driver (callers that know their table, e.g. the bench query over the
+    5k-doc documents table). Default False: AQE picks shuffle-vs-broadcast
+    from runtime stats, which is the 100 TB-safe answer.
 
     Output: (id_a, id_b, inter_n, union_n, jaccard) with id_a < id_b.
     """
@@ -145,14 +161,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                 keys.alias("y"),
                 (F.col("x.gram_hash") == F.col("y.gram_hash")) &
                 (F.col("x.id") < F.col("y.id")) & extra)
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-            .distinct())
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")))
     ga = per_doc.select(F.col("id").alias("id_a"),
                         F.col("grams").alias("grams_a"),
                         F.col("set_size").alias("size_a"))
     gb = per_doc.select(F.col("id").alias("id_b"),
                         F.col("grams").alias("grams_b"),
                         F.col("set_size").alias("size_b"))
+    if verify_broadcast:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
     out = (cand.join(ga, "id_a").join(gb, "id_b")
            .withColumn("inter_n", F.size(F.array_intersect(
                "grams_a", "grams_b")).cast("bigint"))
@@ -162,7 +179,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
            .withColumn("jaccard", F.col("inter_n") / F.col("union_n"))
            .where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "inter_n", "union_n",
-                   F.round("jaccard", 6).alias("jaccard")))
+                   F.round("jaccard", 6).alias("jaccard"))
+           .distinct())  # tiny: only verified pairs, one row per duplicate
     return out
 
 
@@ -192,7 +210,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3, k: int = 32,
-                      bands: int = 8, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 8, threshold: float = 0.5,
+                      verify_broadcast: bool = False) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures,
     verified with exact n-gram Jaccard.
 
@@ -201,7 +220,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
     Shuffle profile: per-doc arrays + signatures + band hashes are ONE
     projection (cached, computed once); the only shuffles are the band
-    self-join and the two verification joins on candidate ids."""
+    self-join and the two verification joins on candidate ids.
+
+    Like ``ngram_jaccard_pairs``, candidates are NOT deduplicated before
+    verification — a pair colliding in m of the 8 bands is verified m
+    times (m≈bands only for true near-dups, which are few), far cheaper
+    than shuffle-deduping the whole candidate stream; the small verified
+    result is deduplicated at the end. ``verify_broadcast`` as there."""
     rows_per_band = k // bands
     per_doc = (shingle_array(docs, text_col, id_col, n)
                .withColumn("sig", _sig_expr(k))
@@ -220,12 +245,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 banded.alias("y"),
                 (F.col("x.bh") == F.col("y.bh")) &
                 (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-            .distinct())
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")))
     ga = per_doc.select(F.col("id").alias("id_a"),
                         F.col("grams").alias("grams_a"))
     gb = per_doc.select(F.col("id").alias("id_b"),
                         F.col("grams").alias("grams_b"))
+    if verify_broadcast:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
     verified = (cand.join(ga, "id_a").join(gb, "id_b")
                 .withColumn("inter_n",
                             F.size(F.array_intersect("grams_a", "grams_b"))
@@ -236,7 +262,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 .withColumn("jaccard", F.col("inter_n") / F.col("union_n"))
                 .where(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "inter_n", "union_n",
-                        F.round("jaccard", 6).alias("jaccard")))
+                        F.round("jaccard", 6).alias("jaccard"))
+                .distinct())  # one row per pair however many bands collided
     return verified
 
 

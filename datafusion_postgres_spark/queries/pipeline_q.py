@@ -167,7 +167,10 @@ ORDER BY id_a, id_b
 """)
 def dedup_ngram(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    return sorted_small(dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+    # verify_broadcast: the documents table is a known-small corpus here;
+    # the operator default (False) leaves the choice to AQE for big corpora
+    return sorted_small(dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                                  verify_broadcast=True),
                         "id_a", "id_b")
 
 
@@ -214,7 +217,8 @@ def dedup_minhash_sig(spark, sf_dir):
 @register("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    return sorted_small(dedup.minhash_lsh_pairs(docs, threshold=0.4),
+    return sorted_small(dedup.minhash_lsh_pairs(docs, threshold=0.4,
+                                                verify_broadcast=True),
                         "id_a", "id_b")
 
 

@@ -104,7 +104,7 @@ PRIORITY = [
     # TPC-H adaptations (compound shapes: joins + aggs + sorts)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q4_priority_check", "q7_nation_pair_volume", "q10_returned_items",
-    "q12_shipmode_buckets", "q14_promo_revenue", "q18_large_orders",
+    "q14_promo_revenue", "q18_large_orders",
     "q19_disjunctive_join",
     # filters / dialect (§2.2)
     "filter_predicates", "pg_case_when", "ilike_filter", "pg_regex_match",
@@ -121,8 +121,10 @@ PRIORITY = [
     "window_suite", "window_ntile_first_last",
     # sorts / set ops / table functions (§2.6-2.8)
     "sort_wildcard_topk", "set_ops_suite", "tablefunc_unnest_values",
-    # events (batch side of the streaming surface)
-    "events_hourly_rollup", "events_sessionize",
+    # events (batch side) + a REAL streaming execution of the same rollup
+    # (readStream -> watermarked window agg -> memory sink; q12's operator
+    # content is covered by q1/q14/pg_case_when, so streaming takes its slot)
+    "events_hourly_rollup", "events_sessionize", "streaming_hourly_rollup",
     # LLM-data-pipeline operators
     "text_doc_features", "text_corpus_profile", "dedup_exact_groups",
     "dedup_ngram_jaccard", "dedup_minhash_signatures",
@@ -135,7 +137,8 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (forces registration) and return REGISTRY
     reordered so ``PRIORITY`` occupies the driver's checked window."""
     from datafusion_postgres_spark.queries import (  # noqa: F401
-        dialect_q, events_q, pipeline_q, relational, relational2, suites,
+        dialect_q, events_q, pipeline_q, relational, relational2,
+        streaming_q, suites,
     )
     missing = [n for n in PRIORITY if n not in REGISTRY]
     assert not missing, f"PRIORITY names not registered: {missing}"

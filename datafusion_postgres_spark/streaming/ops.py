@@ -39,11 +39,18 @@ def read_events_stream(spark: SparkSession, path: str,
 
     At production scale this is the S3/HDFS landing zone; each micro-batch
     picks up new files. ts arrives as int64 nanos and is converted exactly
-    like the batch path (sources.registry.read_table)."""
-    raw = (spark.readStream
-           .schema(EVENTS_SCHEMA)
-           .option("maxFilesPerTrigger", max_files_per_trigger)
-           .parquet(path))
+    like the batch path (sources.registry.read_table).
+
+    The file source wants a DIRECTORY; a single-file path (the testdata
+    layout) becomes dir + pathGlobFilter on the basename."""
+    import os
+    reader = (spark.readStream
+              .schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
     # watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ —
     # timestamp_micros produces exactly that
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -138,7 +138,7 @@ def load_all() -> dict[str, QuerySpec]:
     reordered so ``PRIORITY`` occupies the driver's checked window."""
     from datafusion_postgres_spark.queries import (  # noqa: F401
         dialect_q, events_q, pipeline_q, relational, relational2,
-        streaming_q, suites,
+        streaming_q, suites, tpch2,
     )
     missing = [n for n in PRIORITY if n not in REGISTRY]
     assert not missing, f"PRIORITY names not registered: {missing}"

@@ -21,8 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 from pyspark.sql.types import (
-    BooleanType, FloatType, IntegerType, LongType, ShortType, StringType,
-    StructField, StructType,
+    ArrayType, BooleanType, FloatType, IntegerType, LongType, ShortType,
+    StringType, StructField, StructType,
 )
 
 PG_CATALOG_NAMESPACE_OID = 11
@@ -358,6 +358,95 @@ def _build_view_tables(spark: SparkSession, tables) -> None:
     _view(spark, "information_schema_columns", info_cols, col_rows)
 
 
+# Spark SQL type string -> (pg type oid, pg type name) for pg_proc rows
+_SQLTYPE_PG = {
+    "DOUBLE": (701, "double precision"), "FLOAT": (700, "real"),
+    "BIGINT": (20, "bigint"), "INT": (23, "integer"),
+    "INTEGER": (23, "integer"), "SMALLINT": (21, "smallint"),
+    "STRING": (25, "text"), "BOOLEAN": (16, "boolean"),
+    "DATE": (1082, "date"), "TIMESTAMP": (1114, "timestamp without time zone"),
+    "BINARY": (17, "bytea"), "INTERVAL": (1186, "interval"),
+    "DECIMAL": (1700, "numeric"),
+    "ARRAY<STRING>": (1009, "text[]"), "ARRAY<BIGINT>": (1016, "bigint[]"),
+    "ARRAY<DOUBLE>": (1022, "double precision[]"),
+    "ARRAY<INT>": (1007, "integer[]"),
+}
+
+
+def _split_args(args: str) -> list[str]:
+    """Split a SQL UDF arg list on top-level commas (ARRAY<..>/MAP<..,..>
+    keep their internal commas)."""
+    out, depth, cur = [], 0, []
+    for ch in args:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _pg_sig(arg: str) -> tuple[str, int, str]:
+    """'x DOUBLE DEFAULT 0.0D' -> (name, type oid, 'x double precision
+    DEFAULT 0.0D')."""
+    head, _, default = arg.partition(" DEFAULT ")
+    name, _, sqltype = head.strip().partition(" ")
+    oid, pgname = _SQLTYPE_PG.get(sqltype.strip().upper(), (25, "text"))
+    text = f"{name} {pgname}" + (f" DEFAULT {default}" if default else "")
+    return name, oid, text
+
+
+def _proc_rows() -> list:
+    """pg_proc content from the LIVE function registry: SQL UDFs, SQL
+    UDTFs (proretset), and the Pandas-UDF special-math family. Volatile
+    markers follow PG semantics (random/sleep/uuid/now-family 'v',
+    settings-dependent 's', everything else 'i')."""
+    from datafusion_postgres_spark.functions.registry import (
+        SQL_UDFS, SQL_UDTFS)
+
+    volatile = {"random_normal", "pg_sleep", "gen_random_uuid", "uuidv4",
+                "uuidv7", "clock_timestamp", "timeofday", "statement_timestamp",
+                "transaction_timestamp", "pg_backend_pid"}
+    stable = {"current_setting", "pg_current_schemas", "pg_current_schema",
+              "now", "age", "timezone"}
+    rows = []
+    oid = 8000
+    pandas_udfs = [("erf", "x DOUBLE", "DOUBLE", "special-math pandas UDF"),
+                   ("erfc", "x DOUBLE", "DOUBLE", "special-math pandas UDF"),
+                   ("gamma", "x DOUBLE", "DOUBLE", "special-math pandas UDF"),
+                   ("lgamma", "x DOUBLE", "DOUBLE", "special-math pandas UDF"),
+                   ("pg_sleep", "secs DOUBLE", "STRING", "python UDF")]
+    for kind, spec_list in (("f", SQL_UDFS), ("f", pandas_udfs),
+                            ("t", SQL_UDTFS)):
+        for name, args, ret, body in spec_list:
+            sigs = [_pg_sig(a) for a in _split_args(args)]
+            retset = kind == "t"
+            if retset:  # 'TABLE(col TYPE)' -> element type
+                inner = ret[ret.index("(") + 1:ret.rindex(")")]
+                ret = inner.split()[-1]
+            ret_oid, ret_name = _SQLTYPE_PG.get(ret.strip().upper(),
+                                                (25, "text"))
+            vol = ("v" if name in volatile
+                   else "s" if name in stable else "i")
+            rows.append((
+                oid, name, PG_CATALOG_NAMESPACE_OID, ret_oid, len(sigs),
+                "f", retset, vol,
+                " ".join(str(s[1]) for s in sigs),
+                [s[0] for s in sigs],
+                ", ".join(s[2] for s in sigs),
+                ("SETOF " if retset else "") + ret_name,
+                body))
+            oid += 1
+    return rows
+
+
 def _static_views(spark: SparkSession) -> None:
     # ---- pg_type ----
     type_schema = StructType([
@@ -385,18 +474,22 @@ def _static_views(spark: SparkSession) -> None:
             for (name, oid, typlen, cat, elem, arr) in _PG_TYPES]
     _view(spark, "pg_catalog_pg_type", type_schema, rows)
 
-    # ---- pg_proc (minimal: our registered functions) ----
+    # ---- pg_proc (every registered engine function, real type OIDs,
+    #      psql-\df metadata: signature/result text + prosrc) ----
     proc_schema = StructType([
         StructField("oid", IntegerType()), StructField("proname", StringType()),
         StructField("pronamespace", IntegerType()),
         StructField("prorettype", IntegerType()),
         StructField("pronargs", ShortType()),
-        StructField("prokind", StringType())])
-    from datafusion_postgres_spark.functions.registry import SQL_UDFS
-    proc_rows = [(8000 + i, name, PG_CATALOG_NAMESPACE_OID, 0,
-                  len([a for a in args.split(",") if a.strip()]), "f")
-                 for i, (name, args, _r, _b) in enumerate(SQL_UDFS)]
-    _view(spark, "pg_catalog_pg_proc", proc_schema, proc_rows)
+        StructField("prokind", StringType()),
+        StructField("proretset", BooleanType()),
+        StructField("provolatile", StringType()),
+        StructField("proargtypes", StringType()),   # oidvector as text
+        StructField("proargnames", ArrayType(StringType())),
+        StructField("proargs_text", StringType()),  # pg_get_function_arguments
+        StructField("proresult_text", StringType()),
+        StructField("prosrc", StringType())])
+    _view(spark, "pg_catalog_pg_proc", proc_schema, _proc_rows())
 
     # ---- pg_am ----
     am_schema = StructType([

@@ -98,7 +98,21 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
     ("pg_get_viewdef", "id BIGINT, pretty BOOLEAN DEFAULT false", "STRING",
      "NULL"),
     ("pg_get_indexdef", "id BIGINT", "STRING", "NULL"),
-    ("pg_get_functiondef", "id BIGINT", "STRING", "NULL"),
+    # -- \df support: real signatures from the pg_proc view (which is in
+    #    turn generated from THIS registry — see catalog._proc_rows)
+    # (aggregated form — a column argument inlines these as CORRELATED
+    # scalar subqueries, which Spark only supports when aggregated)
+    ("pg_get_function_arguments", "id BIGINT", "STRING",
+     "(SELECT max(proargs_text) FROM pg_catalog_pg_proc WHERE oid = id)"),
+    ("pg_get_function_identity_arguments", "id BIGINT", "STRING",
+     "(SELECT max(proargs_text) FROM pg_catalog_pg_proc WHERE oid = id)"),
+    ("pg_get_function_result", "id BIGINT", "STRING",
+     "(SELECT max(proresult_text) FROM pg_catalog_pg_proc WHERE oid = id)"),
+    ("pg_get_functiondef", "id BIGINT", "STRING",
+     "(SELECT max(concat('CREATE OR REPLACE FUNCTION pg_catalog.', proname, "
+     "'(', proargs_text, ')\\n RETURNS ', proresult_text, "
+     "'\\n LANGUAGE sql\\nAS $function$', prosrc, '$function$')) "
+     "FROM pg_catalog_pg_proc WHERE oid = id)"),
     ("pg_size_pretty", "n BIGINT", "STRING",
      "CASE WHEN n < 10240 THEN concat(n, ' bytes') "
      "WHEN n < 10485760 THEN concat(CAST(div(n, 1024) AS STRING), ' kB') "

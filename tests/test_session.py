@@ -146,6 +146,34 @@ class TestCatalog:
         rows = one_row(engine.execute("SELECT count(*) FROM pg_get_keywords()"))
         assert rows[0][0] > 50
 
+    def test_pg_proc_df_query(self, engine):
+        """psql \\df shape: pg_proc join pg_namespace with the
+        pg_get_function_* helpers resolving from the live registry."""
+        rows = one_row(engine.execute("""
+            SELECT p.proname, pg_get_function_result(p.oid),
+                   pg_get_function_arguments(p.oid), p.provolatile
+            FROM pg_catalog.pg_proc p
+            JOIN pg_catalog.pg_namespace n ON n.oid = p.pronamespace
+            WHERE p.proname = 'atan2d'"""))
+        assert rows[0][0] == "atan2d"
+        assert rows[0][1] == "double precision"
+        assert rows[0][2] == "y double precision, x double precision"
+        assert rows[0][3] == "i"
+
+    def test_pg_proc_udtf_setof(self, engine):
+        rows = one_row(engine.execute(
+            "SELECT proretset, pg_get_function_result(oid) "
+            "FROM pg_catalog.pg_proc WHERE proname = 'pg_generate_series'"))
+        assert rows[0][0] is True
+        assert rows[0][1] == "SETOF bigint"
+
+    def test_pg_get_functiondef(self, engine):
+        rows = one_row(engine.execute(
+            "SELECT pg_get_functiondef(oid) FROM pg_catalog.pg_proc "
+            "WHERE proname = 'sind'"))
+        assert "CREATE OR REPLACE FUNCTION pg_catalog.sind" in rows[0][0]
+        assert "sin(radians(x))" in rows[0][0]
+
 
 class TestFunctions:
     def test_math_functions(self, engine):

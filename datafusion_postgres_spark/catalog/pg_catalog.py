@@ -422,7 +422,12 @@ def _proc_rows() -> list:
                    ("erfc", "x DOUBLE", "DOUBLE", "special-math pandas UDF"),
                    ("gamma", "x DOUBLE", "DOUBLE", "special-math pandas UDF"),
                    ("lgamma", "x DOUBLE", "DOUBLE", "special-math pandas UDF"),
-                   ("pg_sleep", "secs DOUBLE", "STRING", "python UDF")]
+                   ("pg_sleep", "secs DOUBLE", "STRING", "python UDF"),
+                   ("to_ascii", "s STRING", "STRING", "unicode pandas UDF"),
+                   ("unistr", "s STRING", "STRING", "unicode pandas UDF"),
+                   ("unicode_assigned", "s STRING", "BOOLEAN",
+                    "unicode pandas UDF"),
+                   ("crc32c", "b BINARY", "BIGINT", "crc-32c pandas UDF")]
     for kind, spec_list in (("f", SQL_UDFS), ("f", pandas_udfs),
                             ("t", SQL_UDTFS)):
         for name, args, ret, body in spec_list:

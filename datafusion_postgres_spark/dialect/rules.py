@@ -745,6 +745,9 @@ FUNCTION_RENAMES = {
     "current_schemas": "pg_current_schemas",
     "session_user": "pg_session_user",
     "current_database": "pg_current_database",
+    # functions.md P1/P2 batch 3
+    "make_timestamptz": "make_timestamp",  # same arg shape incl. tz arg
+    "bit_count": "pg_bit_count",           # PG's is bytea/bit-string only
 }
 
 # set-returning functions: table-valued in FROM position (SQL UDTF),
@@ -1004,6 +1007,145 @@ def rewrite_to_char(tokens: list[Token]) -> list[Token]:
 
 
 # ---------------------------------------------------------------------------
+# Rule: remaining functions.md P1/P2 forms that need call-shape rewrites
+# (not just renames): variadic num_nonnulls/num_nulls, 1-arg epoch
+# to_timestamp, format()'s %I/%L, SIMILAR TO, LOCALTIME(STAMP) keywords,
+# date_add/date_subtract with intervals, normalize()'s bare form keyword.
+
+_NORMALIZE_FORMS = {"nfc", "nfd", "nfkc", "nfkd"}
+
+
+def _similar_to_regex(pat: str) -> str:
+    """SQL SIMILAR TO pattern -> Java regex: % -> .*, _ -> ., SQL-standard
+    regex metachars (| * + ? ( ) [ ] { }) pass through, '.' is literal."""
+    out, i = [], 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch == "\\" and i + 1 < len(pat):
+            out.append("\\" + pat[i + 1])
+            i += 1
+        elif ch == ".":
+            out.append("\\.")
+        else:
+            out.append(ch)
+        i += 1
+    return "^(?s)" + "".join(out) + "$"
+
+
+def _top_args(tokens: list[Token], open_idx: int,
+              close: int) -> list[tuple[int, int]]:
+    """[start, end) token ranges of the top-level comma-separated args."""
+    args, depth, start = [], 0, open_idx + 1
+    for j in range(open_idx + 1, close):
+        tj = tokens[j]
+        if tj.kind == PUNCT and tj.text in ("(", "["):
+            depth += 1
+        elif tj.kind == PUNCT and tj.text in (")", "]"):
+            depth -= 1
+        elif tj.kind == PUNCT and tj.text == "," and depth == 0:
+            args.append((start, j))
+            start = j + 1
+    if any(t.kind != WS for t in tokens[start:close]):
+        args.append((start, close))
+    return args
+
+
+def rewrite_misc_functions(tokens: list[Token]) -> list[Token]:
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        low = t.text.lower() if t.kind == IDENT else ""
+        prev = significant(tokens, i, -1)
+        after_dot = prev >= 0 and tokens[prev].text == "."
+        nxt = significant(tokens, i)
+        has_paren = nxt >= 0 and tokens[nxt].text == "("
+
+        # SIMILAR TO -> RLIKE (+ literal pattern translation)
+        if t.is_kw("SIMILAR"):
+            to_idx = significant(tokens, i)
+            if to_idx >= 0 and tokens[to_idx].is_kw("TO"):
+                pat_idx = significant(tokens, to_idx)
+                if pat_idx >= 0 and tokens[pat_idx].kind == STRING:
+                    pat = tokens[pat_idx].text[1:-1].replace("''", "'")
+                    rx = _similar_to_regex(pat)
+                    lit = rx.replace("\\", "\\\\").replace("'", "\\'")
+                    tokens[pat_idx] = Token(STRING, "'" + lit + "'")
+                tokens[i:to_idx + 1] = [Token(IDENT, "RLIKE")]
+                i += 1
+                continue
+
+        # bare LOCALTIMESTAMP / LOCALTIME keywords
+        if low == "localtimestamp" and not has_paren and not after_dot:
+            tokens[i:i + 1] = _toks("localtimestamp()")
+            i += 3
+            continue
+        if low == "localtime" and not has_paren and not after_dot:
+            repl = _toks("date_format(localtimestamp(), 'HH:mm:ss')")
+            tokens[i:i + 1] = repl
+            i += len(repl)
+            continue
+
+        if not (has_paren and not after_dot):
+            i += 1
+            continue
+        close = _match_fwd(tokens, nxt)
+        if close < 0:
+            i += 1
+            continue
+        args = _top_args(tokens, nxt, close)
+
+        if low in ("num_nonnulls", "num_nulls"):
+            null_v, else_v = ("0", "1") if low == "num_nonnulls" else ("1", "0")
+            repl: list[Token] = [Token(PUNCT, "(")]
+            for k, (s, e) in enumerate(args):
+                if k:
+                    repl += _toks(" + ")
+                repl += (_toks("CASE WHEN (") + tokens[s:e] +
+                         _toks(f") IS NULL THEN {null_v} ELSE {else_v} END"))
+            repl.append(Token(PUNCT, ")"))
+            tokens[i:close + 1] = repl
+            i += len(repl)
+            continue
+
+        if low == "to_timestamp" and len(args) == 1:
+            # PG's 1-arg to_timestamp takes epoch seconds (double)
+            tokens[i] = Token(IDENT, "timestamp_seconds")
+        elif low in ("format", "sprintf"):
+            s, e = args[0] if args else (nxt + 1, nxt + 1)
+            first = significant(tokens, s - 1)
+            if first < e and tokens[first].kind == STRING:
+                body = tokens[first].text[1:-1]
+                body = body.replace("%I", "%s").replace("%L", "%s")
+                tokens[first] = Token(STRING, "'" + body + "'")
+            tokens[i] = Token(IDENT, "format_string")
+        elif low in ("date_add", "date_subtract") and len(args) == 2:
+            s2, e2 = args[1]
+            if any(tk.is_kw("INTERVAL") for tk in tokens[s2:e2]):
+                s1, e1 = args[0]
+                op = "+" if low == "date_add" else "-"
+                repl = ([Token(PUNCT, "(")] + tokens[s1:e1] +
+                        _toks(f" {op} ") + tokens[s2:e2] +
+                        [Token(PUNCT, ")")])
+                tokens[i:close + 1] = repl
+                i += len(repl)
+                continue
+        elif low == "normalize" and args:
+            s2, e2 = args[-1]
+            fk = significant(tokens, s2 - 1)
+            if (fk < e2 and tokens[fk].kind == IDENT and
+                    tokens[fk].text.lower() in _NORMALIZE_FORMS):
+                tokens[fk] = Token(
+                    STRING, "'" + tokens[fk].text.upper() + "'")
+        i += 1
+    return tokens
+
+
+# ---------------------------------------------------------------------------
 # Rule: 1-based array subscript  col[2] -> element_at(col, 2)
 # (PG arrays are 1-indexed; Spark's col[i] is 0-indexed but element_at is
 # 1-indexed, matching PG). Only plain identifier[NUMBER] is rewritten —
@@ -1053,6 +1195,7 @@ ALL_RULES = [
     map_cast_types,
     rewrite_version,
     rewrite_to_char,
+    rewrite_misc_functions,
     rewrite_array_subscript,
     rename_functions,
 ]

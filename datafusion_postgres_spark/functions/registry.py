@@ -271,6 +271,35 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      "WHEN 1700 THEN 'numeric' WHEN 2205 THEN 'regclass' "
      "WHEN 2206 THEN 'regtype' WHEN 114 THEN 'json' WHEN 3802 THEN 'jsonb' "
      "WHEN 2950 THEN 'uuid' ELSE '???' END"),
+    # -- functions.md P1/P2 batch 3 (remaining planned rows) ---------------
+    # bytea popcount: per-hex-nibble bit_count, summed JVM-side
+    ("pg_bit_count", "b BINARY", "BIGINT",
+     "aggregate(transform(filter(split(hex(b), ''), x -> x <> ''), "
+     "ch -> bit_count(cast(conv(ch, 16, 10) AS INT))), 0, "
+     "(acc, x) -> acc + x, acc -> cast(acc AS BIGINT))"),
+    # set_bit: LSB-first within byte, mirroring get_bit above
+    ("set_bit", "b BINARY, n INT, v INT", "BINARY",
+     "concat(substr(b, 1, cast(n / 8 AS INT)), "
+     "unhex(lpad(hex((cast(conv(hex(substr(b, cast(n / 8 AS INT) + 1, 1)), "
+     "16, 10) AS INT) & ~shiftleft(1, n % 8) | shiftleft(v % 2, n % 8)) "
+     "% 256), 2, '0')), substr(b, cast(n / 8 AS INT) + 2))"),
+    ("justify_hours", "i INTERVAL DAY TO SECOND", "INTERVAL DAY TO SECOND",
+     # Spark's day-time interval is micros-normalized: 25:00:00 already
+     # renders as 1 day 01:00:00, which IS justify_hours' output
+     "cast(i AS INTERVAL DAY TO SECOND)"),
+    ("pg_sleep_for", "i INTERVAL DAY TO SECOND", "STRING",
+     "pg_sleep(cast(unix_micros(cast('1970-01-01 00:00:00+00:00' "
+     "AS TIMESTAMP) + i) AS DOUBLE) / 1000000.0D)"),
+    ("pg_sleep_until", "ts TIMESTAMP", "STRING",
+     "pg_sleep(greatest(0.0D, cast(unix_micros(ts) - unix_micros(now()) "
+     "AS DOUBLE) / 1000000.0D))"),
+    ("pg_input_error_info", "s STRING, t STRING", "STRING",
+     "CASE WHEN pg_input_is_valid(s, t) THEN NULL "
+     "ELSE concat('invalid input syntax for type ', t, ': \"', s, '\"') END"),
+    # normalize(): SQL wrapper supplies PG's default form over the
+    # Pandas-backed pg_normalize (registered before the SQL UDF pass)
+    ("normalize", "s STRING, form STRING DEFAULT 'NFC'", "STRING",
+     "pg_normalize(s, form)"),
 ]
 
 # Table-valued SQL UDFs (Spark 4 SQL UDTF): used in FROM position.
@@ -304,6 +333,10 @@ def register_all(spark: SparkSession) -> None:
     # are analyzed at CREATE time, so the catalog views must exist first.
     from datafusion_postgres_spark.catalog.pg_catalog import bootstrap
     bootstrap(spark)
+    # python-backed UDFs first: SQL UDF bodies that wrap them (normalize,
+    # pg_sleep_for/until) are analyzed at CREATE time
+    _register_special_math(spark)
+    _register_text_py(spark)
     for name, args, ret, body in SQL_UDFS:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
                   f"RETURNS {ret} RETURN {body}")
@@ -316,7 +349,6 @@ def register_all(spark: SparkSession) -> None:
     from datafusion_postgres_spark.functions.formatting import (
         register_formatting)
     register_formatting(spark)
-    _register_special_math(spark)
     _REGISTERED_SESSIONS.add(key)
 
 
@@ -378,3 +410,86 @@ def _register_special_math(spark: SparkSession) -> None:
         return None
 
     spark.udf.register("pg_sleep", _pg_sleep, "string")
+
+
+_CRC32C_TABLE: list[int] | None = None
+
+
+def _crc32c_bytes(data: bytes) -> int:
+    """CRC-32C (Castagnoli, poly 0x82F63B78, reflected) — the public
+    algorithm, table generated at first use."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc = _CRC32C_TABLE[(crc ^ byte) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _register_text_py(spark: SparkSession) -> None:
+    """Unicode/byte functions with no JVM expression equivalent
+    (functions.md P2 rows: normalize / to_ascii / unistr /
+    unicode_assigned / crc32c) — vectorized Pandas UDFs, Arrow-batched."""
+    import re
+
+    import pandas
+    import unicodedata
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s, form):
+        return pandas.Series([
+            None if v is None else unicodedata.normalize(
+                (f or "NFC").upper(), v)
+            for v, f in zip(s, form)])
+    _norm.__annotations__ = {"s": pandas.Series, "form": pandas.Series,
+                             "return": pandas.Series}
+
+    def _to_ascii(s):
+        return s.map(lambda v: None if v is None else "".join(
+            ch for ch in unicodedata.normalize("NFKD", v)
+            if not unicodedata.combining(ch)).encode(
+                "ascii", "replace").decode("ascii"))
+
+    _UNISTR_RE = re.compile(
+        r"\\\\|\\u([0-9a-fA-F]{4})|\\\+([0-9a-fA-F]{6})|\\([0-9a-fA-F]{4})")
+
+    def _unistr_one(v):
+        if v is None:
+            return None
+
+        def sub(m):
+            if m.group(0) == "\\\\":
+                return "\\"
+            code = m.group(1) or m.group(2) or m.group(3)
+            return chr(int(code, 16))
+        return _UNISTR_RE.sub(sub, v)
+
+    def _unistr(s):
+        return s.map(_unistr_one)
+
+    def _assigned(s):
+        return s.map(lambda v: None if v is None else all(
+            unicodedata.category(ch) != "Cn" for ch in v))
+
+    def _crc32c(b):
+        return b.map(lambda v: None if v is None else _crc32c_bytes(bytes(v)))
+
+    for fn, name, ret in ((_norm, "pg_normalize", "string"),
+                          (_to_ascii, "to_ascii", "string"),
+                          (_unistr, "unistr", "string"),
+                          (_assigned, "unicode_assigned", "boolean"),
+                          (_crc32c, "crc32c", "long")):
+        if not fn.__annotations__:
+            import inspect
+            fn.__annotations__ = {
+                p: pandas.Series
+                for p in inspect.signature(fn).parameters}
+            fn.__annotations__["return"] = pandas.Series
+        spark.udf.register(name, pandas_udf(fn, ret))

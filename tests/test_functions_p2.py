@@ -159,3 +159,88 @@ class TestCurrentSettingThreading:
         # defaults still resolvable
         res = eng.execute("SELECT current_setting('server_version_num') AS v")
         assert res[0].df.collect()[0][0] == "150000"
+
+
+class TestBatch3:
+    """functions.md P1/P2 batch 3: unicode/bytea/interval/variadic forms."""
+
+    def test_pg_bit_count_bytea(self, spark):
+        assert one(spark, "pg_bit_count(X'FF00F1')") == 13
+        assert one(spark, "pg_bit_count(X'')") == 0
+
+    def test_set_bit_lsb_first(self, spark):
+        assert one(spark, "hex(set_bit(X'00FF', 3, 1))") == "08FF"
+        assert one(spark, "hex(set_bit(X'FFFF', 8, 0))") == "FFFE"
+
+    def test_normalize_forms(self, spark):
+        # e + combining acute (NFD, 2 cp) -> precomposed (NFC, 1 cp)
+        assert one(spark, "length(normalize('e\\u0301'))") == 1
+        assert one(spark, "length(pg_normalize('\\u00e9', 'NFD'))") == 2
+
+    def test_to_ascii(self, spark):
+        assert one(spark, "to_ascii('café naïve')") == "cafe naive"
+
+    def test_unistr(self, spark):
+        assert one(spark, r"unistr('d\\0061t\\+000061')") == "data"
+
+    def test_unicode_assigned(self, spark):
+        assert one(spark, "unicode_assigned('abc')") is True
+
+    def test_crc32c(self, spark):
+        # RFC 3720 test vector for '123456789'
+        assert one(spark, "crc32c(cast('123456789' AS BINARY))") == 0xE3069283
+
+    def test_justify_hours(self, spark):
+        import datetime
+        assert one(spark, "justify_hours(INTERVAL '25' HOUR)") == \
+            datetime.timedelta(days=1, hours=1)
+
+    def test_pg_input_error_info(self, spark):
+        assert one(spark, "pg_input_error_info('12', 'integer')") is None
+        assert "invalid input" in one(
+            spark, "pg_input_error_info('abc', 'integer')")
+
+
+class TestBatch3Dialect:
+    def test_num_nonnulls_nulls(self, engine):
+        res = engine.execute(
+            "SELECT num_nonnulls(1, NULL, 'a') AS a, "
+            "num_nulls(1, NULL, 'a') AS b")
+        assert tuple(res[0].df.collect()[0]) == (2, 1)
+
+    def test_to_timestamp_epoch(self, engine):
+        res = engine.execute("SELECT to_timestamp(86400)::date AS d")
+        assert str(res[0].df.collect()[0][0]) == "1970-01-02"
+
+    def test_format_pct_i_l(self, engine):
+        res = engine.execute("SELECT format('%s-%I-%L', 'a', 'b', 'c') AS f")
+        assert res[0].df.collect()[0][0] == "a-b-c"
+
+    def test_similar_to(self, engine):
+        res = engine.execute(
+            "SELECT 'abc' SIMILAR TO 'a%' AS a, "
+            "'abc' SIMILAR TO '(a|b)_c' AS b, "
+            "'axc' SIMILAR TO 'a.c' AS c, "
+            "'abc' NOT SIMILAR TO 'x%' AS d")
+        assert tuple(res[0].df.collect()[0]) == (True, True, False, True)
+
+    def test_localtimestamp_keyword(self, engine):
+        res = engine.execute("SELECT localtimestamp AS t")
+        assert res[0].df.collect()[0][0] is not None
+
+    def test_date_add_interval(self, engine):
+        res = engine.execute(
+            "SELECT date_add(TIMESTAMP '2024-01-01', INTERVAL '1' DAY) AS a, "
+            "date_subtract(TIMESTAMP '2024-01-02', INTERVAL '1' DAY) AS b")
+        a, b = res[0].df.collect()[0]
+        assert str(a).startswith("2024-01-02")
+        assert str(b).startswith("2024-01-01")
+
+    def test_normalize_bare_form(self, engine):
+        res = engine.execute("SELECT normalize('x', NFKC) AS n")
+        assert res[0].df.collect()[0][0] == "x"
+
+    def test_make_timestamptz_rename(self, engine):
+        res = engine.execute(
+            "SELECT make_timestamptz(2024, 1, 2, 3, 4, 5.0) AS t")
+        assert str(res[0].df.collect()[0][0]).startswith("2024-01-02 03:04:05")

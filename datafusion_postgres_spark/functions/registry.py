@@ -19,8 +19,12 @@ exist in Spark 4 under the same names (math.slt parity via tests).
 from __future__ import annotations
 
 import math
+import unicodedata
 
 from pyspark.sql import SparkSession
+
+# the Unicode version Python's tables implement (PG reports its own)
+_UNICODE_VERSION_BODY = f"'{unicodedata.unidata_version}'"
 
 # name -> (args, return type, body). Dispatched once per session.
 SQL_UDFS: list[tuple[str, str, str, str]] = [
@@ -300,6 +304,73 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
     # Pandas-backed pg_normalize (registered before the SQL UDF pass)
     ("normalize", "s STRING, form STRING DEFAULT 'NFC'", "STRING",
      "pg_normalize(s, form)"),
+    # -- system-info P3 tranche (functions.md): the introspection surface
+    #    client tools probe. Visibility/privilege checks are true in a
+    #    single-schema engine with RBAC enforced at statement level;
+    #    to_reg* resolve against the live catalog views. ------------------
+    ("pg_function_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_type_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_collation_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_conversion_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_opclass_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_operator_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_opfamily_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_statistics_obj_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_ts_config_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_ts_dict_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_ts_parser_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("pg_ts_template_is_visible", "id BIGINT", "BOOLEAN", "true"),
+    ("has_column_privilege",
+     "a STRING, b STRING, c STRING DEFAULT NULL, priv STRING DEFAULT NULL",
+     "BOOLEAN", "true"),
+    ("has_function_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_language_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_sequence_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_server_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_tablespace_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_type_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_parameter_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_foreign_data_wrapper_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("has_largeobject_privilege",
+     "a STRING, b STRING, priv STRING DEFAULT NULL", "BOOLEAN", "true"),
+    ("pg_has_role", "a STRING, b STRING, priv STRING DEFAULT NULL",
+     "BOOLEAN", "true"),
+    ("current_query", "", "STRING", "NULL"),
+    ("pg_char_to_encoding", "name STRING", "INT",
+     "CASE upper(name) WHEN 'UTF8' THEN 6 WHEN 'SQL_ASCII' THEN 0 "
+     "ELSE -1 END"),
+    ("to_regproc", "name STRING", "BIGINT",
+     "(SELECT max(oid) FROM pg_catalog_pg_proc WHERE proname = name)"),
+    ("to_regprocedure", "name STRING", "BIGINT",
+     "(SELECT max(oid) FROM pg_catalog_pg_proc "
+     "WHERE proname = regexp_extract(name, '^([^(]+)', 1))"),
+    ("to_regtype", "name STRING", "BIGINT",
+     "(SELECT max(oid) FROM pg_catalog_pg_type WHERE typname = name)"),
+    ("to_regnamespace", "name STRING", "BIGINT",
+     "(SELECT max(oid) FROM pg_catalog_pg_namespace WHERE nspname = name)"),
+    ("to_regrole", "name STRING", "BIGINT",
+     "(SELECT max(oid) FROM pg_catalog_pg_roles WHERE rolname = name)"),
+    ("to_regcollation", "name STRING", "BIGINT", "NULL"),
+    ("to_regoper", "name STRING", "BIGINT", "NULL"),
+    ("to_regoperator", "name STRING", "BIGINT", "NULL"),
+    ("to_regtypemod", "name STRING", "INT", "-1"),
+    ("pg_get_serial_sequence", "tbl STRING, col STRING", "STRING", "NULL"),
+    ("pg_get_ruledef", "id BIGINT, pretty BOOLEAN DEFAULT false", "STRING",
+     "NULL"),
+    ("pg_get_statisticsobjdef", "id BIGINT", "STRING", "NULL"),
+    ("pg_get_partition_constraintdef", "id BIGINT", "STRING", "NULL"),
+    ("pg_get_acl", "cls BIGINT, id BIGINT, sub INT DEFAULT 0",
+     "ARRAY<STRING>", "NULL"),
+    ("shobj_description", "id BIGINT, catalog STRING", "STRING", "NULL"),
+    ("unicode_version", "", "STRING", _UNICODE_VERSION_BODY),
 ]
 
 # Table-valued SQL UDFs (Spark 4 SQL UDTF): used in FROM position.

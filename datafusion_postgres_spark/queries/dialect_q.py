@@ -274,3 +274,25 @@ def pg_distinct_on(spark, sf_dir):
         SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
         FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey
     """, ("customer",))
+
+
+@register("pg_ordered_set_aggs", oracle="""
+SELECT l_returnflag,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+       mode() WITHIN GROUP (ORDER BY l_linestatus) AS mode_status
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def pg_ordered_set_aggs(spark, sf_dir):
+    """Ordered-set aggregates (functions.md aggregate P3 rows) — PG's
+    WITHIN GROUP syntax is Spark-4-native, so the SQL goes through the
+    dialect layer untouched. Quantities are integer-valued, so the
+    percentile interpolation is exact on both engines; mode() tie-break
+    (first in sort order) matches PG."""
+    return pg_sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+               mode() WITHIN GROUP (ORDER BY l_linestatus) AS mode_status
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """, ("lineitem",))

@@ -244,3 +244,20 @@ class TestBatch3Dialect:
         res = engine.execute(
             "SELECT make_timestamptz(2024, 1, 2, 3, 4, 5.0) AS t")
         assert str(res[0].df.collect()[0][0]).startswith("2024-01-02 03:04:05")
+
+
+class TestSystemInfoP3:
+    def test_to_reg_family(self, spark):
+        assert one(spark, "to_regproc('sind')") is not None
+        assert one(spark, "to_regtype('int4')") == 23
+        assert one(spark, "to_regnamespace('pg_catalog')") == 11
+        assert one(spark, "to_regproc('no_such_fn')") is None
+
+    def test_visibility_and_privilege_stubs(self, spark):
+        assert one(spark, "pg_function_is_visible(8000)") is True
+        assert one(spark, "pg_has_role('a', 'b', 'MEMBER')") is True
+        assert one(spark,
+                   "has_column_privilege('u', 't', 'c', 'SELECT')") is True
+
+    def test_unicode_version(self, spark):
+        assert one(spark, "unicode_version()").count(".") == 2

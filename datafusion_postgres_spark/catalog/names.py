@@ -34,7 +34,7 @@ STATIC_PG_TABLES = {
     "pg_ts_config", "pg_ts_config_map", "pg_ts_dict", "pg_ts_parser",
     "pg_ts_template", "pg_user", "pg_group", "pg_shadow", "pg_stat_activity",
     "pg_locks", "pg_cursors", "pg_available_extensions", "pg_timezone_names",
-    "pg_timezone_abbrevs", "pg_get_keywords",
+    "pg_timezone_abbrevs", "pg_get_keywords", "pg_indexes", "pg_sequences",
 }
 
 PG_CATALOG_TABLES = DYNAMIC_PG_TABLES | STATIC_PG_TABLES

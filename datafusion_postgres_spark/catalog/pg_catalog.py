@@ -509,14 +509,37 @@ def _static_views(spark: SparkSession) -> None:
         ("pg_catalog_pg_inherits",
          [("inhrelid", IntegerType()), ("inhparent", IntegerType()),
           ("inhseqno", IntegerType())]),
+        # pg_index / pg_constraint / pg_indexes / pg_sequences: full psql
+        # \d / \di column surface, truthfully EMPTY — registered parquet
+        # views have no real indexes/constraints, and fabricating them
+        # would mislead clients
         ("pg_catalog_pg_index",
          [("indexrelid", IntegerType()), ("indrelid", IntegerType()),
-          ("indnatts", ShortType()), ("indisunique", BooleanType()),
-          ("indisprimary", BooleanType())]),
+          ("indnatts", ShortType()), ("indnkeyatts", ShortType()),
+          ("indisunique", BooleanType()), ("indisprimary", BooleanType()),
+          ("indisexclusion", BooleanType()), ("indimmediate", BooleanType()),
+          ("indisclustered", BooleanType()), ("indisvalid", BooleanType()),
+          ("indisreplident", BooleanType()), ("indkey", StringType()),
+          ("indpred", StringType())]),
         ("pg_catalog_pg_constraint",
          [("oid", IntegerType()), ("conname", StringType()),
           ("connamespace", IntegerType()), ("contype", StringType()),
-          ("conrelid", IntegerType())]),
+          ("condeferrable", BooleanType()), ("condeferred", BooleanType()),
+          ("convalidated", BooleanType()), ("conrelid", IntegerType()),
+          ("contypid", IntegerType()), ("conindid", IntegerType()),
+          ("confrelid", IntegerType()), ("conkey", StringType()),
+          ("confkey", StringType())]),
+        ("pg_catalog_pg_indexes",
+         [("schemaname", StringType()), ("tablename", StringType()),
+          ("indexname", StringType()), ("tablespace", StringType()),
+          ("indexdef", StringType())]),
+        ("pg_catalog_pg_sequences",
+         [("schemaname", StringType()), ("sequencename", StringType()),
+          ("sequenceowner", StringType()), ("data_type", StringType()),
+          ("start_value", LongType()), ("min_value", LongType()),
+          ("max_value", LongType()), ("increment_by", LongType()),
+          ("cycle", BooleanType()), ("cache_size", LongType()),
+          ("last_value", LongType())]),
         ("pg_catalog_pg_description",
          [("objoid", IntegerType()), ("classoid", IntegerType()),
           ("objsubid", IntegerType()), ("description", StringType())]),

@@ -30,10 +30,15 @@ from pyspark.sql import functions as F
 from datafusion_postgres_spark.queries import register, t
 
 # exact decimal revenue term shared by most queries (matches relational2.py)
-_REV = (F.col("l_extendedprice").cast("decimal(12,2)") *
-        (1 - F.col("l_discount").cast("decimal(4,2)")))
 _REV_SQL = ("CAST(l_extendedprice AS DECIMAL(12,2)) * "
             "(1 - CAST(l_discount AS DECIMAL(4,2)))")
+
+
+def _rev():
+    # Built lazily: module import must not require an active SparkContext
+    # (the driver may call queries()/oracle_sql() before creating a session).
+    return (F.col("l_extendedprice").cast("decimal(12,2)") *
+            (1 - F.col("l_discount").cast("decimal(4,2)")))
 
 
 @register("q6_forecast_revenue", oracle=f"""
@@ -160,7 +165,7 @@ def q8(spark, sf_dir):
 
     n1 = n.alias("n1")
     n2 = n.alias("n2")
-    nation_share = F.when(F.col("n2.n_name") == "NATION_3", _REV) \
+    nation_share = F.when(F.col("n2.n_name") == "NATION_3", _rev()) \
         .otherwise(F.lit(0).cast("decimal(16,4)"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -171,7 +176,7 @@ def q8(spark, sf_dir):
             .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
             .groupBy(F.year("o_orderdate").alias("o_year"))
             .agg((F.sum(nation_share).cast("double") /
-                  F.sum(_REV).cast("double")).alias("mkt_share"))
+                  F.sum(_rev()).cast("double")).alias("mkt_share"))
             .orderBy("o_year"))
 
 
@@ -198,7 +203,7 @@ def q9(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     o = t(spark, sf_dir, "orders")
-    amount = (_REV - F.col("p_retailprice").cast("decimal(12,2)") *
+    amount = (_rev() - F.col("p_retailprice").cast("decimal(12,2)") *
               F.col("l_quantity").cast("decimal(9,2)") *
               F.lit(0.1).cast("decimal(3,1)"))
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -258,7 +263,7 @@ def q15(spark, sf_dir):
         (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz")))
     s = t(spark, sf_dir, "supplier")
     revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-               .agg(F.sum(_REV).alias("total_rev")))
+               .agg(F.sum(_rev()).alias("total_rev")))
     best = revenue.agg(F.max("total_rev").alias("best_rev"))
     return (revenue.join(F.broadcast(best),
                          F.col("total_rev") == F.col("best_rev"))

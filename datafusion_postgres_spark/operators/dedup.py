@@ -325,3 +325,81 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     return (cand.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+
+def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.38,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: every (id_a < id_b)
+    pair whose cosine similarity reaches ``threshold``.
+
+    This is the exact O(n²) baseline — the dot products run inside
+    whole-stage codegen (``zip_with`` + ``aggregate``, no Python), but the
+    pair space is quadratic, so it is only the right tool for corpora that
+    fit a broadcast (≲ a few hundred thousand vectors) or for verifying the
+    approximate path. At 100 TB use :func:`embedding_cosine_pairs_lsh`:
+    same verify arithmetic, candidates bounded by LSH bucket collisions.
+
+    The fold order (left-to-right, 0.0 seed) matches the DuckDB oracle's
+    ``list_reduce`` exactly — IEEE ops on identical inputs are
+    bit-identical, so the >= threshold cut agrees across engines."""
+    from datafusion_postgres_spark.operators.similarity import (
+        cosine_similarity,
+    )
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("vb"))
+    return (a.crossJoin(F.broadcast(b))
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim",
+                        cosine_similarity(F.col("va"), F.col("vb")))
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("cos_sim", 6).alias("cos_sim")))
+
+
+def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.38,
+                               n_planes: int = 8, n_tables: int = 4,
+                               dims: int = 64, vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> DataFrame:
+    """Approximate embedding-cosine near-dup — the 100 TB path.
+
+    Candidate pairs = vectors that collide in at least one of ``n_tables``
+    random-hyperplane signature tables (each table = ``n_planes`` planes →
+    a 2^n_planes-bucket key). The self-join is keyed on (table, bucket):
+    shuffle volume is collisions, never n². Verification computes the exact
+    cosine on candidates only; duplicate candidates (pairs colliding in
+    several tables) are deduped AFTER the verify filter — re-verifying a
+    ~1.x duplication factor is cheaper than a pre-verify shuffle-distinct
+    (same trade as minhash_lsh_pairs). Recall is tunable via
+    n_planes (precision) × n_tables (recall); misses are pairs separated
+    in every table — probability (1-(1-θ/π)^planes)^tables."""
+    from datafusion_postgres_spark.operators.similarity import (
+        cosine_similarity, lsh_bucket_expr,
+    )
+    base = emb.select(F.col(id_col).alias("id"),
+                      F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double")).alias("v"))
+    tables = F.explode(F.array(*[
+        F.struct(F.lit(ti).alias("tbl"),
+                 lsh_bucket_expr(F.col("v"), n_planes, dims,
+                                 plane_offset=ti * n_planes).alias("bucket"))
+        for ti in range(n_tables)])).alias("tb")
+    blocked = base.select("id", "v", tables)
+    cand = (blocked.alias("x").join(
+                blocked.alias("y"),
+                (F.col("x.tb") == F.col("y.tb")) &
+                (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("x.v").alias("va"),
+                    F.col("y.id").alias("id_b"), F.col("y.v").alias("vb")))
+    return (cand.withColumn("cos_sim",
+                            cosine_similarity(F.col("va"), F.col("vb")))
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+            .distinct())

@@ -78,13 +78,17 @@ def _plane_sign(p, d):
     return F.when(F.lit(x % 2) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def lsh_bucket_expr(vec, n_planes: int, dims: int):
-    """Random-hyperplane signature: bit p = sign(sum_d vec[d]*w[p,d])."""
+def lsh_bucket_expr(vec, n_planes: int, dims: int, plane_offset: int = 0):
+    """Random-hyperplane signature: bit p = sign(sum_d vec[d]*w[p,d]).
+
+    ``plane_offset`` selects a disjoint plane family — multi-table LSH
+    (embedding_cosine_pairs_lsh) uses offset ti*n_planes per table."""
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(vec,
-                       F.array(*[_plane_sign(p, d) for d in range(dims)]),
+                       F.array(*[_plane_sign(p + plane_offset, d)
+                                 for d in range(dims)]),
                        lambda x, w: x * w),
             F.lit(0.0).cast("double"), lambda acc, v: acc + v)
         bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
@@ -121,23 +125,80 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
 def deterministic_centroids(emb: DataFrame, n_centroids: int = 16,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id") -> DataFrame:
-    """Deterministic coarse centroids: the first n vectors by id (a real
-    deployment would run k-means; determinism matters more here for
-    reproducible tests/oracles)."""
+    """Deterministic coarse centroids: the first n vectors by id — the
+    zero-cost fallback / k-means seed (see :func:`kmeans_centroids`)."""
     return (emb.orderBy(id_col).limit(n_centroids)
             .select(F.col(id_col).alias("centroid_id"),
                     F.col(vec_col).alias("cvec")))
 
 
+def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 3,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Spherical k-means (Lloyd's) for the IVF coarse quantizer, entirely
+    in DataFrame ops.
+
+    Per iteration: the k centroids are broadcast for the argmax-cosine
+    assignment (corpus never shuffles), then the elementwise means come
+    back through ONE partial-aggregated groupBy — shuffle volume is
+    k×dims running sums per partition, independent of corpus size. The k
+    centroid rows land on the driver between iterations (k≈16 rows — the
+    standard Lloyd's-on-Spark shape; keeps lineage flat instead of
+    stacking `iters` plans).
+
+    Fully deterministic: seed = first k vectors by id (L2-normalized),
+    fixed iteration count, fixed fold order. Empty clusters keep their
+    previous centroid."""
+    import math
+
+    spark = emb.sparkSession
+    unit = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("raw"))
+    unit = unit.select(
+        "vec_id",
+        F.transform("raw", lambda x: x / _norm(F.col("raw"))).alias("vec"))
+
+    seed = unit.orderBy("vec_id").limit(k).collect()
+    dims = len(seed[0]["vec"])
+    cents = {i: list(r["vec"]) for i, r in enumerate(seed)}
+
+    def _unit_py(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(cid, v) for cid, v in sorted(cents.items())],
+            "centroid_id INT, cvec ARRAY<DOUBLE>")
+        assigned = ivf_assign(unit, cdf, vec_col="vec", id_col="vec_id")
+        means = (assigned.groupBy("centroid_id")
+                 .agg(*[F.avg(F.col("vec")[d]).alias(f"d{d}")
+                        for d in range(dims)]).collect())
+        new = {r["centroid_id"]: _unit_py([r[f"d{d}"] for d in range(dims)])
+               for r in means}
+        cents = {cid: new.get(cid, v) for cid, v in cents.items()}
+
+    return spark.createDataFrame(
+        [(cid, v) for cid, v in sorted(cents.items())],
+        "centroid_id INT, cvec ARRAY<DOUBLE>")
+
+
 def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
                     n_centroids: int = 16, n_probe: int = 4,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id",
+                    kmeans_iters: int = 3) -> DataFrame:
     """IVF approximate top-k: corpus assigned to inverted cells once; each
     query probes its n_probe nearest cells only. Scan cost drops by
     ~n_probe/n_centroids versus brute force with recall controlled by
-    n_probe."""
-    cents = deterministic_centroids(emb, n_centroids, vec_col, id_col)
+    n_probe. Cells come from spherical k-means (kmeans_iters=0 falls back
+    to the first-n-by-id seed)."""
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(emb, n_centroids, kmeans_iters,
+                                 vec_col, id_col)
+    else:
+        cents = deterministic_centroids(emb, n_centroids, vec_col, id_col)
     assigned = ivf_assign(emb, cents, vec_col, id_col)
     q = queries.select(
         "qid", F.transform(F.col("qvec"),

@@ -108,7 +108,9 @@ PRIORITY = [
     "q19_disjunctive_join",
     # filters / dialect (§2.2)
     "filter_predicates", "pg_case_when", "ilike_filter", "pg_regex_match",
-    "pg_any_all_array", "pg_casts", "pg_collate_strip",
+    # (COLLATE-strip evidence folded into pg_regex_match; its slot goes to
+    # the embedding-cosine near-dup operator)
+    "pg_any_all_array", "pg_casts", "dedup_embedding_cosine",
     "pg_string_functions", "pg_math_functions", "pg_array_functions",
     "pg_json_operators", "pg_distinct_on", "pg_generate_series_tf",
     # joins (§2.3)

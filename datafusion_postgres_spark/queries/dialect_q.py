@@ -56,16 +56,19 @@ WHERE regexp_matches(p_name, 'widget') AND NOT regexp_matches(p_name, '^blue')
   AND regexp_matches(p_name, '(?i)WIDGET')
   AND NOT regexp_matches(p_name, '(?i)^ZZZZ')
   AND regexp_matches(p_name, 'e')
+  AND p_name > 'a'
 ORDER BY p_partkey
 """)
 def pg_regex(spark, sf_dir):
     # all four regex operators (~ !~ ~* !~*) plus the OPERATOR(pg_catalog.~)
-    # spelling in one statement (sql/rules.rs regex family parity)
+    # spelling and a COLLATE "C" clause (stripped by the dialect layer) in
+    # one statement (sql/rules.rs regex family parity)
     return pg_sql(spark, sf_dir, """
         SELECT p_partkey, p_name FROM part
         WHERE p_name ~ 'widget' AND p_name !~ '^blue'
           AND p_name ~* 'WIDGET' AND p_name !~* '^ZZZZ'
           AND p_name OPERATOR(pg_catalog.~) 'e'
+          AND p_name COLLATE "C" > 'a'
         ORDER BY p_partkey
     """, ("part",))
 

@@ -309,6 +309,45 @@ def cosine_sorted(df):
     return sorted_small(df, "qid", "rnk")
 
 
+_VSQ = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(acc, v) -> acc + v))")
+
+
+@register("dedup_embedding_cosine", oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v)
+         / ({_VSQ.format(v='a.embedding')} * {_VSQ.format(v='b.embedding')}) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c, 6) AS cos_sim FROM scored
+WHERE c >= 0.38 ORDER BY id_a, id_b
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup, exact baseline: all (id_a < id_b) pairs
+    with cosine >= threshold. Same left-to-right fold as the oracle, so the
+    threshold cut is bit-identical across engines. The scale path is
+    dedup_embedding_lsh (collision-bounded candidates, same verify)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sorted_small(dedup.embedding_cosine_pairs(emb, threshold=0.38),
+                        "id_a", "id_b")
+
+
+@register("dedup_embedding_lsh", oracle=None)
+def dedup_embedding_lsh(spark, sf_dir):
+    """Multi-table hyperplane-LSH near-dup (candidate set is
+    implementation-defined — rows-only; recall vs the exact operator is
+    pinned by pytest)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sorted_small(
+        dedup.embedding_cosine_pairs_lsh(emb, threshold=0.38),
+        "id_a", "id_b")
+
+
 @register("sim_cosine_lsh", oracle=None)
 def sim_lsh(spark, sf_dir):
     """LSH-bucketed approximate neighbors (approximation set is

@@ -109,6 +109,35 @@ class TestSimilarity:
         assert len(out) > 0  # at minimum, co-bucketed neighbors appear
 
 
+class TestEmbeddingDedup:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from datafusion_postgres_spark.sources.registry import read_table
+        return read_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def test_exact_pairs_threshold(self, spark):
+        rows = [(0, [1.0, 0.0]), (1, [0.99, 0.14]), (2, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = dedup.embedding_cosine_pairs(df, threshold=0.9).collect()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+        assert out[0]["cos_sim"] > 0.98
+
+    def test_lsh_subset_and_recall(self, emb):
+        exact = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+                 dedup.embedding_cosine_pairs(emb, threshold=0.38).collect()}
+        approx = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+                  dedup.embedding_cosine_pairs_lsh(
+                      emb, threshold=0.38).collect()}
+        # verify step guarantees precision 1.0 (approx ⊆ exact, same scores)
+        assert set(approx) <= set(exact)
+        for k, v in approx.items():
+            assert v == exact[k]
+        # 4 tables × 8 planes on near-orthogonal vectors: expect most of the
+        # exact pairs back (recall bound loose on purpose — deterministic
+        # planes, so this is stable, not flaky)
+        assert len(approx) >= 0.5 * len(exact) > 0
+
+
 class TestText:
     def test_token_count(self, docs):
         out = {r["doc_id"]: r["n_tokens"]
@@ -173,3 +202,31 @@ class TestIvf:
                                              n_probe=4).collect()}
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.3  # probing half the cells on random vectors
+
+    def test_kmeans_deterministic_and_unit(self, emb):
+        from datafusion_postgres_spark.operators import similarity as S
+        c1 = {r["centroid_id"]: r["cvec"]
+              for r in S.kmeans_centroids(emb, k=8, iters=2).collect()}
+        c2 = {r["centroid_id"]: r["cvec"]
+              for r in S.kmeans_centroids(emb, k=8, iters=2).collect()}
+        assert c1 == c2
+        assert len(c1) == 8
+        for v in c1.values():
+            assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+    def test_kmeans_improves_objective(self, emb):
+        from datafusion_postgres_spark.operators import similarity as S
+
+        def avg_sim(cents):
+            a = S.ivf_assign(emb, cents)
+            c = cents.select(
+                "centroid_id",
+                F.transform("cvec", lambda x: x.cast("double")).alias("cv"))
+            return (a.join(F.broadcast(c), "centroid_id")
+                    .select(S.cosine_similarity(F.col("vec"), F.col("cv"))
+                            .alias("s"))
+                    .agg(F.avg("s")).collect()[0][0])
+
+        base = avg_sim(S.deterministic_centroids(emb, 8))
+        tuned = avg_sim(S.kmeans_centroids(emb, k=8, iters=3))
+        assert tuned >= base  # Lloyd's never decreases the objective

@@ -309,6 +309,64 @@ def cosine_sorted(df):
     return sorted_small(df, "qid", "rnk")
 
 
+@register("multimodal_frame_sample", oracle="""
+SELECT doc_id, media_type, frame_ts FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+              ELSE 'audio/wav' END AS media_type,
+         unnest(range(0,
+                      greatest(CAST(floor(octet_length(encode(text)) / 1000.0)
+                                    AS BIGINT) - 1, 0) + 1,
+                      5)) AS frame_ts
+  FROM documents) x
+WHERE media_type NOT LIKE 'audio%' ORDER BY doc_id, frame_ts
+""")
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling grid for video/image decode: the (doc_id, frame_ts)
+    plan is pure SQL (sequence+explode) so only selected frames reach the
+    Python decode stage. Oracle replicates the fake duration rule
+    (1 KB ≈ 1 s) and the 5-second stride."""
+    from datafusion_postgres_spark.operators import multimodal as mm
+    docs = t(spark, sf_dir, "documents")
+    plan = mm.frame_sample_plan(mm.attach_binary_content(docs),
+                                every_n_seconds=5)
+    return sorted_small(
+        plan.select("doc_id", "media_type",
+                    F.col("frame_ts").cast("bigint").alias("frame_ts")),
+        "doc_id", "frame_ts")
+
+
+# BPE-ish tokenization: letter runs merge, digits split one-per-token
+# (GPT-4-style), punctuation runs group. Same RE in Java regex (Spark
+# regexp_count) and RE2 (DuckDB regexp_extract_all) — no ambiguous
+# alternation, so leftmost matching agrees.
+_BPE_RE = r"[a-z]+|[0-9]|[^\sa-z0-9]+"
+
+
+@register("text_token_bpe", oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         AS n_ws_tokens
+FROM documents ORDER BY doc_id
+""")
+def text_token_bpe(spark, sf_dir):
+    """Token counting both ways: whitespace tokens and a BPE-ish regex
+    (letter runs / single digits / punctuation runs) — the cheap proxy for
+    'how many LLM tokens is this corpus' that runs as a pure codegen
+    projection."""
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    return (docs.select(
+                "doc_id",
+                F.regexp_count(F.lower("text"), F.lit(_BPE_RE))
+                 .cast("bigint").alias("n_bpe_tokens"),
+                text.token_count(F.col("text")).cast("bigint")
+                 .alias("n_ws_tokens"))
+            .orderBy("doc_id"))
+
+
 _VSQ = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
         "(acc, v) -> acc + v))")

@@ -68,3 +68,59 @@ def streaming_hourly(spark, sf_dir):
                     F.col("raw_n").cast("bigint").alias("n"),
                     "total_value")
             .orderBy("day", "hour", "event_type"))
+
+
+# Session-window semantics pinned to F.session_window: an event extends the
+# session iff it lands STRICTLY inside [start, last+gap) — so a new session
+# begins at gap >= 30 min (not >). All arithmetic in integer microseconds
+# (both engines floor-divide the raw parquet nanos), no float, no
+# timestamp output columns.
+_SESS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tu FROM events),
+marked AS (
+  SELECT user_id, event_id, tu,
+         CASE WHEN LAG(tu) OVER w IS NULL
+                   OR tu - LAG(tu) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+sess AS (
+  SELECT user_id, tu,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+per_sess AS (
+  SELECT user_id, sid, COUNT(*) AS n,
+         MAX(tu) - MIN(tu) + 1800000000 AS span_us
+  FROM sess GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(span_us) AS BIGINT) AS total_span_us
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("streaming_sessionize", oracle=_SESS_ORACLE)
+def streaming_sessionize(spark, sf_dir):
+    """events_sessionize as a REAL streaming execution: file source →
+    F.session_window (30-min gap) with watermark-bounded state → memory
+    sink, then a batch rollup of the closed sessions per user. The span
+    check (session_window end = last event + gap) pins the session
+    BOUNDARIES, not just the counts."""
+    from datafusion_postgres_spark.streaming.ops import (
+        read_events_stream, run_to_memory, sessionize_stream,
+    )
+
+    stream = read_events_stream(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    sess = sessionize_stream(stream, gap="30 minutes", watermark="2 hours")
+    name = f"stream_sess_{uuid.uuid4().hex[:12]}"
+    q = run_to_memory(sess, name, timeout_secs=120.0, output_mode="complete")
+    q.stop()
+    span = (F.unix_micros("session_end") - F.unix_micros("session_start"))
+    return (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n_sessions"),
+                 F.sum("n_events").cast("bigint").alias("n_events"),
+                 F.sum(span).cast("bigint").alias("total_span_us"))
+            .orderBy("user_id"))

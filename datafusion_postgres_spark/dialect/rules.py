@@ -1134,6 +1134,16 @@ def rewrite_misc_functions(tokens: list[Token]) -> list[Token]:
                 tokens[i:close + 1] = repl
                 i += len(repl)
                 continue
+        elif low in ("ltrim", "rtrim") and len(args) == 2:
+            # PG: ltrim(str, chars) / rtrim(str, chars); Spark's two-arg
+            # forms are (trimStr, srcStr) — swap. (btrim agrees already.)
+            (s1, e1), (s2, e2) = args
+            repl = ([tokens[i], Token(PUNCT, "(")] + tokens[s2:e2] +
+                    [Token(PUNCT, ","), Token(WS, " ")] + tokens[s1:e1] +
+                    [Token(PUNCT, ")")])
+            tokens[i:close + 1] = repl
+            i += len(repl)
+            continue
         elif low == "normalize" and args:
             s2, e2 = args[-1]
             fk = significant(tokens, s2 - 1)

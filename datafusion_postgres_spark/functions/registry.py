@@ -291,6 +291,44 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      # Spark's day-time interval is micros-normalized: 25:00:00 already
      # renders as 1 day 01:00:00, which IS justify_hours' output
      "cast(i AS INTERVAL DAY TO SECOND)"),
+    # justify_days/justify_interval move 30-day chunks into months — a
+    # month-and-day interval has no Spark SQL type that survives collect()
+    # (CalendarIntervalType has no Python representation), so these render
+    # PG's interval text ('1 mon 5 days 04:30:00') directly, which is what
+    # the pg wire encoder ships anyway.
+    ("pg_justify_text",
+     "mons BIGINT, days BIGINT, h BIGINT, m BIGINT, s DECIMAL(10,6)",
+     "STRING",
+     # PG's EncodeInterval pluralizes on value != 1 (so -1 → 'mons')
+     "CASE WHEN mons = 0 AND days = 0 AND h = 0 AND m = 0 AND s = 0 "
+     "THEN '00:00:00' ELSE trim(concat("
+     "CASE WHEN mons <> 0 THEN concat(mons, CASE WHEN mons = 1 "
+     "THEN ' mon ' ELSE ' mons ' END) ELSE '' END, "
+     "CASE WHEN days <> 0 THEN concat(days, CASE WHEN days = 1 "
+     "THEN ' day ' ELSE ' days ' END) ELSE '' END, "
+     "CASE WHEN h = 0 AND m = 0 AND s = 0 THEN '' ELSE concat("
+     "CASE WHEN h < 0 OR m < 0 OR s < 0 THEN '-' ELSE '' END, "
+     "lpad(cast(abs(h) AS STRING), 2, '0'), ':', "
+     "lpad(cast(abs(m) AS STRING), 2, '0'), ':', "
+     "lpad(cast(cast(floor(abs(s)) AS BIGINT) AS STRING), 2, '0'), "
+     "CASE WHEN abs(s) = floor(abs(s)) THEN '' "
+     # two-arg rtrim is rtrim(trimStr, str) in Spark SQL
+     "ELSE rtrim('0', substr(cast(abs(s) % 1 AS STRING), 2)) END) END)) "
+     "END"),
+    ("justify_days", "i INTERVAL DAY TO SECOND", "STRING",
+     "pg_justify_text(cast(div(extract(DAY FROM i), 30) AS BIGINT), "
+     "cast(extract(DAY FROM i) % 30 AS BIGINT), "
+     "cast(extract(HOUR FROM i) AS BIGINT), "
+     "cast(extract(MINUTE FROM i) AS BIGINT), "
+     "cast(extract(SECOND FROM i) AS DECIMAL(10,6)))"),
+    ("justify_interval", "i INTERVAL DAY TO SECOND", "STRING",
+     # day-time input is already hour-normalized (see justify_hours), so
+     # justify_interval == justify_days on this type
+     "justify_days(i)"),
+    # PG regexp_matches (first-match capture groups; 'g' flattens all
+    # matches) — thin SQL shim over the vectorized Pandas implementation
+    ("regexp_matches", "s STRING, pat STRING, flags STRING DEFAULT ''",
+     "ARRAY<STRING>", "pg_regexp_matches(s, pat, flags)"),
     ("pg_sleep_for", "i INTERVAL DAY TO SECOND", "STRING",
      "pg_sleep(cast(unix_micros(cast('1970-01-01 00:00:00+00:00' "
      "AS TIMESTAMP) + i) AS DOUBLE) / 1000000.0D)"),
@@ -552,11 +590,41 @@ def _register_text_py(spark: SparkSession) -> None:
     def _crc32c(b):
         return b.map(lambda v: None if v is None else _crc32c_bytes(bytes(v)))
 
+    _PG_RE_FLAGS = {"i": re.IGNORECASE, "n": re.DOTALL, "s": re.DOTALL,
+                    "m": re.MULTILINE, "x": re.VERBOSE}
+
+    def _regexp_matches_one(v, pat, flags):
+        if v is None or pat is None:
+            return None
+        fl = 0
+        for ch in (flags or ""):
+            fl |= _PG_RE_FLAGS.get(ch, 0)
+        try:
+            rx = re.compile(pat, fl)
+        except re.error:
+            return None
+        if "g" in (flags or ""):
+            # PG returns SETOF rows; in this scalar surface 'g' yields the
+            # flattened matches (group 1 when groups exist, else full match)
+            out = [m.group(1) if rx.groups else m.group(0)
+                   for m in rx.finditer(v)]
+            return out or None
+        m = rx.search(v)
+        if m is None:
+            return None
+        return list(m.groups()) if rx.groups else [m.group(0)]
+
+    def _regexp_matches(s, pat, flags):
+        return pandas.Series([_regexp_matches_one(v, p, f)
+                              for v, p, f in zip(s, pat, flags)])
+
     for fn, name, ret in ((_norm, "pg_normalize", "string"),
                           (_to_ascii, "to_ascii", "string"),
                           (_unistr, "unistr", "string"),
                           (_assigned, "unicode_assigned", "boolean"),
-                          (_crc32c, "crc32c", "long")):
+                          (_crc32c, "crc32c", "long"),
+                          (_regexp_matches, "pg_regexp_matches",
+                           "array<string>")):
         if not fn.__annotations__:
             import inspect
             fn.__annotations__ = {

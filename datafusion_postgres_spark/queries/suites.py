@@ -419,3 +419,70 @@ def text_corpus_profile(spark, sf_dir):
             .groupBy("lang_pred", "q_decile")
             .agg(F.count("*").alias("n"))
             .orderBy("lang_pred", "q_decile"))
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frames (§2.5 depth: peer-aware, value-offset framing —
+# semantically distinct from the ROWS frames in window_suite on ties)
+
+@register("window_range_frame", oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(12,2))
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS peer_running,
+       CAST(COUNT(*)
+            OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(12,2))
+                  RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_within_1000
+FROM orders WHERE o_custkey < 200
+ORDER BY o_custkey, o_orderkey
+""")
+def window_range_frame(spark, sf_dir):
+    """RANGE frames: the peer-aware running sum includes ALL ties of the
+    current price (unlike ROWS), and the value-offset frame counts orders
+    within $1000 below. Both are deterministic regardless of within-peer
+    row order — exactly why RANGE (not ROWS) is the hash-safe choice when
+    the ordering key has duplicates. Partitioned by o_custkey → no global
+    sort, one shuffle."""
+    o = t(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(o_totalprice AS DECIMAL(12,2))
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS peer_running,
+               CAST(COUNT(*)
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(o_totalprice AS DECIMAL(12,2))
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_within_1000
+        FROM {o} WHERE o_custkey < 200
+        ORDER BY o_custkey, o_orderkey""", o=o)
+
+
+# ---------------------------------------------------------------------------
+# skew-resistant two-phase aggregation (operators/skew.py), driver-visible:
+# the salted pre-aggregate must be EXACTLY equal to the plain GROUP BY
+
+@register("skew_twophase_agg", oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+       COUNT(*) AS count_value
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def skew_twophase_agg(spark, sf_dir):
+    """two_phase_agg on the 5-value event_type key (the canonical low-
+    cardinality/high-volume skew shape): pre-aggregate on (key, salt),
+    merge on key. The decimal cast makes the sum exact, so salting cannot
+    perturb the result — equality with the plain GROUP BY is the proof the
+    rewrite is semantics-preserving."""
+    from datafusion_postgres_spark.operators.skew import two_phase_agg
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(12,2)").alias("v"))
+    out = two_phase_agg(ev, "event_type", "v")
+    return (out.select("event_type",
+                       F.col("sum_v").cast("double").alias("sum_v"),
+                       F.col("count_value"))
+            .orderBy("event_type"))

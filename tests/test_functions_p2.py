@@ -261,3 +261,42 @@ class TestSystemInfoP3:
 
     def test_unicode_version(self, spark):
         assert one(spark, "unicode_version()").count(".") == 2
+
+
+class TestP2Batch4:
+    def test_justify_days(self, spark):
+        assert one(spark,
+                   "justify_days(INTERVAL '35 04:30:00' DAY TO SECOND)") \
+            == "1 mon 5 days 04:30:00"
+        assert one(spark, "justify_days(INTERVAL '-35' DAY)") \
+            == "-1 mons -5 days"
+        assert one(spark, "justify_days(INTERVAL '60' DAY)") == "2 mons"
+        assert one(spark, "justify_days(INTERVAL '0' DAY)") == "00:00:00"
+
+    def test_justify_interval_fractional(self, spark):
+        assert one(spark,
+                   "justify_interval(INTERVAL '0 00:00:00.5' DAY TO SECOND)") \
+            == "00:00:00.5"
+
+    def test_regexp_matches_pg_doc_examples(self, spark):
+        # the exact examples from the PG docs
+        assert one(spark,
+                   "regexp_matches('foobarbequebaz', '(b[^b]+)(b[^b]+)')") \
+            == ["bar", "beque"]
+        assert one(spark,
+                   "regexp_matches('foobarbequebaz', 'bar.*que')") \
+            == ["barbeque"]
+        assert one(spark, "regexp_matches('no', 'xyz')") is None
+        assert one(spark,
+                   "regexp_matches('foobarbequebazilbarfbonk', "
+                   "'(b[^b]+)', 'g')") \
+            == ["bar", "beque", "bazil", "barf", "bonk"]
+        assert one(spark, "regexp_matches('ABC', 'abc', 'i')") == ["ABC"]
+
+    def test_trim_pg_arg_order(self, engine):
+        res = engine.execute(
+            "SELECT rtrim('xxhelloxx', 'x') AS a, "
+            "ltrim('xxhelloxx', 'x') AS b, btrim('xxhelloxx', 'x') AS c, "
+            "rtrim('pad   ') AS d")
+        assert tuple(res[0].df.collect()[0]) == \
+            ("xxhello", "helloxx", "hello", "pad")

@@ -1138,8 +1138,16 @@ def rewrite_misc_functions(tokens: list[Token]) -> list[Token]:
             # PG: ltrim(str, chars) / rtrim(str, chars); Spark's two-arg
             # forms are (trimStr, srcStr) — swap. (btrim agrees already.)
             (s1, e1), (s2, e2) = args
-            repl = ([tokens[i], Token(PUNCT, "(")] + tokens[s2:e2] +
-                    [Token(PUNCT, ","), Token(WS, " ")] + tokens[s1:e1] +
+
+            def _arg(s, e):
+                a = tokens[s:e]
+                while a and a[0].kind == WS:
+                    a = a[1:]
+                while a and a[-1].kind == WS:
+                    a = a[:-1]
+                return a
+            repl = ([tokens[i], Token(PUNCT, "(")] + _arg(s2, e2) +
+                    [Token(PUNCT, ","), Token(WS, " ")] + _arg(s1, e1) +
                     [Token(PUNCT, ")")])
             tokens[i:close + 1] = repl
             i += len(repl)
@@ -1188,8 +1196,49 @@ def rewrite_array_subscript(tokens: list[Token]) -> list[Token]:
     return tokens
 
 
+def rewrite_explain(tokens: list[Token]) -> list[Token]:
+    """PG EXPLAIN forms → Spark EXPLAIN.
+
+    ``EXPLAIN (ANALYZE, BUFFERS, FORMAT ...) stmt`` loses its option list
+    (Spark has no per-option parity); ``VERBOSE`` maps to EXTENDED and
+    ``ANALYZE`` to FORMATTED (the closest Spark mode — Spark cannot report
+    per-operator runtimes, an honest capability gate). Output is Spark's
+    single ``plan`` column rather than PG's ``QUERY PLAN`` rows."""
+    first = significant(tokens, -1)
+    if first < 0 or not tokens[first].is_kw("EXPLAIN"):
+        return tokens
+    tokens = list(tokens)
+    mode = ""
+    j = significant(tokens, first)
+    if j >= 0 and tokens[j].kind == PUNCT and tokens[j].text == "(":
+        close = _match_fwd(tokens, j)
+        if close < 0:
+            return tokens
+        opts = " ".join(t.text.upper() for t in tokens[j + 1:close]
+                        if t.kind != WS)
+        if "VERBOSE" in opts:
+            mode = "EXTENDED"
+        elif "ANALYZE" in opts:
+            mode = "FORMATTED"
+        del tokens[j:close + 1]
+    else:
+        while True:
+            j = significant(tokens, first)
+            if j >= 0 and tokens[j].kind == IDENT and \
+                    tokens[j].text.upper() in ("ANALYZE", "VERBOSE"):
+                mode = ("EXTENDED" if tokens[j].text.upper() == "VERBOSE"
+                        else mode or "FORMATTED")
+                del tokens[j:j + 1]
+            else:
+                break
+    if mode:
+        tokens[first + 1:first + 1] = [Token(WS, " "), Token(IDENT, mode)]
+    return tokens
+
+
 # Rule order mirrors sql/parser.rs:314-334 where a counterpart exists.
 ALL_RULES = [
+    rewrite_explain,
     rewrite_abort,
     rewrite_distinct_on,
     rewrite_pg_operator,

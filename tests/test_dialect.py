@@ -70,6 +70,17 @@ CASES = [
     ("SELECT * FROM generate_series(1, 5)",
      "SELECT * FROM pg_generate_series(1, 5)"),
     ("SELECT generate_series(1, 5)", "SELECT explode(sequence(1, 5))"),
+    # EXPLAIN forms (PG options → Spark modes)
+    ("EXPLAIN ANALYZE SELECT 1", "EXPLAIN FORMATTED SELECT 1"),
+    ("EXPLAIN VERBOSE SELECT 1", "EXPLAIN EXTENDED SELECT 1"),
+    ("EXPLAIN (ANALYZE, BUFFERS, FORMAT JSON) SELECT 1",
+     "EXPLAIN FORMATTED SELECT 1"),
+    ("EXPLAIN (COSTS OFF) SELECT 1", "EXPLAIN SELECT 1"),
+    ("EXPLAIN SELECT 1", "EXPLAIN SELECT 1"),
+    # two-arg trim arg order (PG: (str, chars); Spark: (chars, str))
+    ("SELECT rtrim(a, 'x') FROM t", "SELECT rtrim('x', a) FROM t"),
+    ("SELECT ltrim(a, b) FROM t", "SELECT ltrim(b, a) FROM t"),
+    ("SELECT rtrim(a) FROM t", "SELECT rtrim(a) FROM t"),
 ]
 
 

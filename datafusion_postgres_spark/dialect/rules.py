@@ -602,6 +602,20 @@ def map_cast_types(tokens: list[Token]) -> list[Token]:
                     tokens[start:ty + 1] = repl
                     i = start + len(repl)
                     continue
+                elif low == "interval":
+                    # '1 hour'::interval -> INTERVAL '1 hour' (typed
+                    # literal — Spark's CAST cannot parse PG multi-unit
+                    # interval text); other operands -> day-time interval
+                    start = _expr_start(tokens, i)
+                    sig = [k for k in range(start, i)
+                           if tokens[k].kind != WS]
+                    if len(sig) == 1 and tokens[sig[0]].kind == STRING:
+                        repl = [Token(IDENT, "INTERVAL"), Token(WS, " "),
+                                tokens[sig[0]]]
+                        tokens[start:ty + 1] = repl
+                        i = start + len(repl)
+                        continue
+                    tokens[ty] = Token(IDENT, "INTERVAL DAY TO SECOND")
                 elif low in PG_TO_SPARK_TYPES:
                     # array cast: ::type[] -> CAST(.. AS ARRAY<T>)
                     if nxt >= 0 and tokens[nxt].text == "[":
@@ -1099,6 +1113,18 @@ def rewrite_misc_functions(tokens: list[Token]) -> list[Token]:
             continue
         args = _top_args(tokens, nxt, close)
 
+        # precision forms LOCALTIME(p)/LOCALTIMESTAMP(p): Spark's
+        # localtimestamp() takes no precision — drop it (micros kept)
+        if low in ("localtime", "localtimestamp") and len(args) <= 1:
+            arg = significant(tokens, nxt)
+            if arg == close or tokens[arg].kind == NUMBER:
+                repl = (_toks("localtimestamp()") if low == "localtimestamp"
+                        else _toks("date_format(localtimestamp(), "
+                                   "'HH:mm:ss')"))
+                tokens[i:close + 1] = repl
+                i += len(repl)
+                continue
+
         if low in ("num_nonnulls", "num_nulls"):
             null_v, else_v = ("0", "1") if low == "num_nonnulls" else ("1", "0")
             repl: list[Token] = [Token(PUNCT, "(")]
@@ -1152,6 +1178,14 @@ def rewrite_misc_functions(tokens: list[Token]) -> list[Token]:
             tokens[i:close + 1] = repl
             i += len(repl)
             continue
+        elif low == "date_bin" and args:
+            # PG coerces a bare string stride ('15 minutes') to interval;
+            # Spark needs the INTERVAL keyword to parse multi-unit text
+            s1, e1 = args[0]
+            sig = [k for k in range(s1, e1) if tokens[k].kind != WS]
+            if len(sig) == 1 and tokens[sig[0]].kind == STRING:
+                tokens[sig[0]:sig[0]] = [Token(IDENT, "INTERVAL"),
+                                         Token(WS, " ")]
         elif low == "normalize" and args:
             s2, e2 = args[-1]
             fk = significant(tokens, s2 - 1)
@@ -1191,6 +1225,33 @@ def rewrite_array_subscript(tokens: list[Token]) -> list[Token]:
                                     tokens[num], Token(PUNCT, ")")])
                     tokens[start:close + 1] = repl
                     i = start + len(repl)
+                    continue
+        i += 1
+    return tokens
+
+
+def rewrite_array_constructor(tokens: list[Token]) -> list[Token]:
+    """PG ``ARRAY[elem, ...]`` constructor → Spark ``array(elem, ...)``.
+
+    Nested constructors (``ARRAY[ARRAY[1], ARRAY[2]]``) are handled by the
+    continued scan over the rewritten body. The ``ARRAY(SELECT ...)``
+    subquery form is left untouched — Spark has no direct counterpart
+    without restructuring the subquery (documented gap; reference parses it
+    via sqlparser's native array support)."""
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == IDENT and t.is_kw("ARRAY"):
+            j = significant(tokens, i)
+            if j >= 0 and tokens[j].kind == PUNCT and tokens[j].text == "[":
+                close = _match_fwd(tokens, j)
+                if close >= 0:
+                    tokens[close] = Token(PUNCT, ")")
+                    tokens[j] = Token(PUNCT, "(")
+                    tokens[i] = Token(IDENT, "array")
+                    del tokens[i + 1:j]
+                    i += 1
                     continue
         i += 1
     return tokens
@@ -1255,6 +1316,7 @@ ALL_RULES = [
     rewrite_version,
     rewrite_to_char,
     rewrite_misc_functions,
+    rewrite_array_constructor,
     rewrite_array_subscript,
     rename_functions,
 ]

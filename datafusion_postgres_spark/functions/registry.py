@@ -409,6 +409,76 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      "ARRAY<STRING>", "NULL"),
     ("shobj_description", "id BIGINT, catalog STRING", "STRING", "NULL"),
     ("unicode_version", "", "STRING", _UNICODE_VERSION_BODY),
+    # -- functions.md residual closure: the remaining planned fn rows that
+    #    had neither a Spark native nor a registration (audited against the
+    #    reference catalog datafusion-pg-functions/functions.md) -----------
+    ("starts_with", "a STRING, b STRING", "BOOLEAN", "startswith(a, b)"),
+    ("to_hex", "n BIGINT", "STRING",
+     # PG prints two's-complement at the argument's declared width; with no
+     # static overloads, int4-range negatives render 32-bit, wider 64-bit
+     "CASE WHEN n IS NULL THEN NULL WHEN n >= 0 THEN lower(hex(n)) "
+     "WHEN n >= -2147483648 THEN lower(hex(n & 4294967295)) "
+     "ELSE lower(hex(n)) END"),
+    ("sha224", "b BINARY", "BINARY", "unhex(sha2(b, 224))"),
+    ("sha256", "b BINARY", "BINARY", "unhex(sha2(b, 256))"),
+    ("sha384", "b BINARY", "BINARY", "unhex(sha2(b, 384))"),
+    ("sha512", "b BINARY", "BINARY", "unhex(sha2(b, 512))"),
+    ("convert", "b BINARY, src STRING, dst STRING", "BINARY",
+     "convert_to(convert_from(b, src), dst)"),
+    ("regexp_match", "s STRING, pat STRING, flags STRING DEFAULT ''",
+     "ARRAY<STRING>",
+     # single-match form of regexp_matches ('g' has no meaning here)
+     "pg_regexp_matches(s, pat, replace(flags, 'g', ''))"),
+    # numeric scale introspection: STRING parameter keeps the argument's
+    # DECLARED scale (Spark's decimal->string cast renders it exactly),
+    # which is what PG's scale()/min_scale()/trim_scale() inspect
+    ("scale", "s STRING", "INT",
+     "CASE WHEN s IS NULL THEN NULL WHEN instr(s, '.') = 0 THEN 0 "
+     "ELSE length(s) - instr(s, '.') END"),
+    ("min_scale", "s STRING", "INT",
+     "CASE WHEN s IS NULL THEN NULL WHEN instr(s, '.') = 0 THEN 0 "
+     "ELSE length(rtrim('0', s)) - instr(s, '.') END"),
+    ("trim_scale", "s STRING", "STRING",
+     # numeric in PG; STRING here so the trimmed scale survives the wire
+     # (a DECIMAL(38,18) return type would re-pad the zeros)
+     "CASE WHEN s IS NULL THEN NULL WHEN instr(s, '.') = 0 THEN s "
+     "ELSE rtrim('.', rtrim('0', s)) END"),
+    ("setseed", "x DOUBLE", "STRING",
+     # capability gate: Spark's rand() is seeded per-expression at plan
+     # time; a session-level reseed has no Spark counterpart. void/NULL.
+     "CAST(NULL AS STRING)"),
+    ("date_bin", "stride INTERVAL DAY TO SECOND, ts TIMESTAMP, "
+     "origin TIMESTAMP", "TIMESTAMP",
+     # bin start = ts - ((ts - origin) mod stride), exact in microseconds
+     "timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts) - "
+     "unix_micros(origin), cast((extract(DAY FROM stride) * 24 + "
+     "extract(HOUR FROM stride)) * 60 + extract(MINUTE FROM stride) "
+     "AS BIGINT) * 60000000 + "
+     "cast(extract(SECOND FROM stride) * 1000000 AS BIGINT)))"),
+    # PG array surface over 1-D arrays (the engine's arrays are 1-D;
+    # ARRAY<STRING> parameters ride Spark's implicit element coercion,
+    # same convention as pg_array_length above)
+    ("array_cat", "a ARRAY<STRING>, b ARRAY<STRING>", "ARRAY<STRING>",
+     "CASE WHEN a IS NULL THEN b WHEN b IS NULL THEN a "
+     "ELSE concat(a, b) END"),
+    ("array_ndims", "arr ARRAY<STRING>", "INT",
+     "CASE WHEN arr IS NULL THEN NULL ELSE 1 END"),
+    ("array_dims", "arr ARRAY<STRING>", "STRING",
+     "CASE WHEN arr IS NULL OR size(arr) = 0 THEN NULL "
+     "ELSE concat('[1:', size(arr), ']') END"),
+    ("array_positions", "arr ARRAY<STRING>, e STRING", "ARRAY<INT>",
+     "CASE WHEN arr IS NULL THEN NULL ELSE "
+     "filter(transform(arr, (v, i) -> IF(v <=> e, i + 1, "
+     "CAST(NULL AS INT))), x -> x IS NOT NULL) END"),
+    ("array_replace", "arr ARRAY<STRING>, f STRING, t STRING",
+     "ARRAY<STRING>", "transform(arr, v -> IF(v <=> f, t, v))"),
+    ("array_reverse", "arr ARRAY<STRING>", "ARRAY<STRING>", "reverse(arr)"),
+    ("acldefault", "objtype STRING, owner BIGINT", "ARRAY<STRING>",
+     "array(concat(pg_get_userbyid(owner), '=', CASE objtype "
+     "WHEN 'r' THEN 'arwdDxtm' WHEN 'c' THEN 'rw' WHEN 'd' THEN 'Tc' "
+     "WHEN 'f' THEN 'X' WHEN 'l' THEN 'rw' WHEN 'L' THEN 'U' "
+     "WHEN 'n' THEN 'UC' WHEN 's' THEN 'U' WHEN 't' THEN 'U' ELSE '' END, "
+     "'/', pg_get_userbyid(owner)))"),
 ]
 
 # Table-valued SQL UDFs (Spark 4 SQL UDTF): used in FROM position.
@@ -428,6 +498,44 @@ SQL_UDTFS: list[tuple[str, str, str, str]] = [
     ("regexp_split_to_table", "s STRING, p STRING",
      "TABLE(regexp_split_to_table STRING)",
      "SELECT explode(split(s, p))"),
+    # aclitem[] explode: parses 'grantee=privs/grantor' text items (the
+    # engine's acl arrays are text); empty grantee = PUBLIC (oid 0)
+    ("aclexplode", "acl ARRAY<STRING>",
+     "TABLE(grantor BIGINT, grantee BIGINT, privilege_type STRING, "
+     "is_grantable BOOLEAN)",
+     "SELECT CAST(10 AS BIGINT) AS grantor, "
+     "CAST(IF(startswith(s.item, '='), 0, 10) AS BIGINT) AS grantee, "
+     "s.priv AS privilege_type, false AS is_grantable FROM "
+     "(SELECT explode(flatten(transform(acl, item -> transform("
+     "filter(split(split_part(split_part(item, '/', 1), '=', 2), ''), "
+     "ch -> ch <> ''), ch -> named_struct('item', item, 'priv', "
+     "CASE ch WHEN 'a' THEN 'INSERT' WHEN 'r' THEN 'SELECT' "
+     "WHEN 'w' THEN 'UPDATE' WHEN 'd' THEN 'DELETE' "
+     "WHEN 'D' THEN 'TRUNCATE' WHEN 'x' THEN 'REFERENCES' "
+     "WHEN 't' THEN 'TRIGGER' WHEN 'X' THEN 'EXECUTE' "
+     "WHEN 'U' THEN 'USAGE' WHEN 'C' THEN 'CREATE' WHEN 'c' THEN 'CONNECT' "
+     "WHEN 'T' THEN 'TEMPORARY' ELSE 'MAINTAIN' END))))) AS s)"),
+    # psql/pg_dump dependency-order helper: the catalog's own FK graph
+    # (static — the core row relationships this catalog emulation carries)
+    ("pg_get_catalog_foreign_keys", "",
+     "TABLE(fktable STRING, fkcols ARRAY<STRING>, pktable STRING, "
+     "pkcols ARRAY<STRING>, is_array BOOLEAN, is_opt BOOLEAN)",
+     "SELECT * FROM VALUES "
+     "('pg_catalog.pg_class', array('relnamespace'), "
+     "'pg_catalog.pg_namespace', array('oid'), false, false), "
+     "('pg_catalog.pg_attribute', array('attrelid'), "
+     "'pg_catalog.pg_class', array('oid'), false, false), "
+     "('pg_catalog.pg_index', array('indexrelid'), "
+     "'pg_catalog.pg_class', array('oid'), false, false), "
+     "('pg_catalog.pg_index', array('indrelid'), "
+     "'pg_catalog.pg_class', array('oid'), false, false), "
+     "('pg_catalog.pg_constraint', array('conrelid'), "
+     "'pg_catalog.pg_class', array('oid'), true, false), "
+     "('pg_catalog.pg_proc', array('pronamespace'), "
+     "'pg_catalog.pg_namespace', array('oid'), false, false), "
+     "('pg_catalog.pg_description', array('classoid'), "
+     "'pg_catalog.pg_class', array('oid'), false, false) "
+     "AS t(fktable, fkcols, pktable, pkcols, is_array, is_opt)"),
 ]
 
 _REGISTERED_SESSIONS: set[int] = set()
@@ -509,6 +617,21 @@ def _register_special_math(spark: SparkSession) -> None:
     spark.udf.register("erfc", pandas_udf(_vec(math.erfc), "double"))
     spark.udf.register("gamma", pandas_udf(_vec(math.gamma), "double"))
     spark.udf.register("lgamma", pandas_udf(_vec(math.lgamma), "double"))
+
+    # gcd/lcm (functions.md numeric rows): Euclid needs a loop, so no SQL
+    # expression form exists — Arrow-batched like the erf family
+    def _int2(fn):
+        def apply(a, b):
+            return pandas.Series([
+                None if pandas.isna(x) or pandas.isna(y)
+                else fn(int(x), int(y))
+                for x, y in zip(a, b)], dtype="object")
+        apply.__annotations__ = {"a": pandas.Series, "b": pandas.Series,
+                                 "return": pandas.Series}
+        return apply
+
+    spark.udf.register("gcd", pandas_udf(_int2(math.gcd), "long"))
+    spark.udf.register("lcm", pandas_udf(_int2(math.lcm), "long"))
 
     # pg_sleep: the one justified row-at-a-time Python UDF (it sleeps).
     import time as _time

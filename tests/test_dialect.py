@@ -77,6 +77,12 @@ CASES = [
      "EXPLAIN FORMATTED SELECT 1"),
     ("EXPLAIN (COSTS OFF) SELECT 1", "EXPLAIN SELECT 1"),
     ("EXPLAIN SELECT 1", "EXPLAIN SELECT 1"),
+    # ARRAY[...] constructor (PG) -> array(...) (Spark), nesting included
+    ("SELECT ARRAY[1, 2, 3]", "SELECT array(1, 2, 3)"),
+    ("SELECT ARRAY[ARRAY[1], ARRAY[2]]", "SELECT array(array(1), array(2))"),
+    ("SELECT array [ 'a', 'b' ]", "SELECT array( 'a', 'b' )"),
+    ("SELECT (ARRAY['a','b','c'])[2]",
+     "SELECT element_at((array('a','b','c')), 2)"),
     # two-arg trim arg order (PG: (str, chars); Spark: (chars, str))
     ("SELECT rtrim(a, 'x') FROM t", "SELECT rtrim('x', a) FROM t"),
     ("SELECT ltrim(a, b) FROM t", "SELECT ltrim(b, a) FROM t"),

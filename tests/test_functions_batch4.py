@@ -1,0 +1,158 @@
+"""functions.md residual closure: the last planned fn rows without a
+Spark native or registration (gcd/lcm, numeric scale introspection,
+regexp_match, sha-2 family, date_bin, PG array surface, acl helpers),
+plus the ARRAY[...] constructor and '...'::interval dialect forms.
+
+Expected values verified against PostgreSQL documented semantics
+(functions-math/functions-string/functions-datetime sections)."""
+
+import pytest
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0][0]
+
+
+class TestNumericBatch:
+    def test_gcd_lcm(self, spark):
+        assert one(spark, "gcd(12, 18)") == 6
+        assert one(spark, "gcd(0, 0)") == 0
+        assert one(spark, "gcd(-12, 18)") == 6
+        assert one(spark, "lcm(4, 6)") == 12
+        assert one(spark, "gcd(CAST(NULL AS BIGINT), 3)") is None
+
+    def test_scale_family(self, spark):
+        assert one(spark, "scale(8.41)") == 2
+        assert one(spark, "scale(100)") == 0
+        assert one(spark, "scale(8.4100)") == 4
+        assert one(spark, "min_scale(8.4100)") == 2
+        assert one(spark, "min_scale(8.000)") == 0
+        assert one(spark, "trim_scale(8.4100)") == "8.41"
+        assert one(spark, "trim_scale(8.000)") == "8"
+
+    def test_to_hex(self, spark):
+        assert one(spark, "to_hex(255)") == "ff"
+        assert one(spark, "to_hex(2147483647)") == "7fffffff"
+        # int4-range negative renders 32-bit two's complement like PG
+        assert one(spark, "to_hex(-1)") == "ffffffff"
+
+    def test_setseed_void(self, spark):
+        assert one(spark, "setseed(0.5)") is None
+
+
+class TestStringBatch4:
+    def test_starts_with(self, spark):
+        assert one(spark, "starts_with('alphabet', 'alph')") is True
+        assert one(spark, "starts_with('alphabet', 'bet')") is False
+
+    def test_regexp_match(self, spark):
+        assert one(spark, "regexp_match('foobarbequebaz', 'bar.*que')") == \
+            ["barbeque"]
+        assert one(spark, "regexp_match('foobar', '(b)(.)')") == ["b", "a"]
+        assert one(spark, "regexp_match('nope', 'xyz')") is None
+
+    def test_sha_family(self, spark):
+        assert one(spark, "hex(sha256(CAST('abc' AS BINARY)))").lower() == (
+            "ba7816bf8f01cfea414140de5dae2223"
+            "b00361a396177a9cb410ff61f20015ad")
+        assert len(one(spark, "sha224(CAST('' AS BINARY))")) == 28
+        assert len(one(spark, "sha384(CAST('' AS BINARY))")) == 48
+        assert len(one(spark, "sha512(CAST('' AS BINARY))")) == 64
+
+    def test_convert(self, spark):
+        assert bytes(one(
+            spark, "convert(CAST('txt' AS BINARY), 'UTF8', 'UTF8')")) == \
+            b"txt"
+
+
+class TestDateBin:
+    def test_date_bin_literal(self, spark):
+        v = one(spark, "date_bin(INTERVAL '15' MINUTE, "
+                       "TIMESTAMP '2020-02-11 15:44:17', "
+                       "TIMESTAMP '2001-01-01')")
+        assert (v.hour, v.minute, v.second) == (15, 30, 0)
+
+    def test_date_bin_before_origin(self, spark):
+        # timestamps before the origin still bin toward -infinity
+        v = one(spark, "date_bin(INTERVAL '30' MINUTE, "
+                       "TIMESTAMP '1999-12-31 23:44:17', "
+                       "TIMESTAMP '2001-01-01')")
+        assert (v.minute, v.second) == (30, 0)
+
+
+class TestArraySurface:
+    def test_array_cat(self, spark):
+        assert one(spark, "array_cat(array('a','b'), array('c'))") == \
+            ["a", "b", "c"]
+        assert one(spark,
+                   "array_cat(CAST(NULL AS ARRAY<STRING>), array('x'))") == \
+            ["x"]
+
+    def test_array_dims_ndims(self, spark):
+        assert one(spark, "array_dims(array(1, 2, 3))") == "[1:3]"
+        assert one(spark, "array_dims(array())") is None
+        assert one(spark, "array_ndims(array(1))") == 1
+
+    def test_array_positions(self, spark):
+        assert one(spark, "array_positions(array('a','b','a'), 'a')") == \
+            [1, 3]
+        assert one(spark, "array_positions(array('a'), 'z')") == []
+
+    def test_array_replace_reverse(self, spark):
+        assert one(spark, "array_replace(array(1, 2, 5, 4), 5, 3)") == \
+            ["1", "2", "3", "4"]
+        assert one(spark, "array_reverse(array(1, 2, 3))") == ["3", "2", "1"]
+
+
+class TestAclHelpers:
+    def test_acldefault(self, spark):
+        assert one(spark, "acldefault('r', 10)") == \
+            ["postgres=arwdDxtm/postgres"]
+
+    def test_aclexplode(self, spark):
+        rows = spark.sql(
+            "SELECT * FROM aclexplode(array('=r/postgres', "
+            "'bob=arw/postgres')) ORDER BY grantee, privilege_type"
+        ).collect()
+        assert [(r.grantee, r.privilege_type) for r in rows] == [
+            (0, "SELECT"), (10, "INSERT"), (10, "SELECT"), (10, "UPDATE")]
+
+    def test_catalog_foreign_keys(self, spark):
+        rows = spark.sql(
+            "SELECT fktable, pktable FROM pg_get_catalog_foreign_keys()"
+        ).collect()
+        assert ("pg_catalog.pg_attribute", "pg_catalog.pg_class") in \
+            [(r.fktable, r.pktable) for r in rows]
+
+
+class TestDialectForms:
+    """PG-syntax forms that need the transpiler (engine fixture)."""
+
+    def test_array_constructor(self, engine):
+        r = engine.execute("SELECT ARRAY[1, 2, 3] AS a")[0]
+        assert list(r.rows())[0][0] == [1, 2, 3]
+
+    def test_array_constructor_nested(self, engine):
+        r = engine.execute("SELECT ARRAY[ARRAY[1], ARRAY[2]] AS a")[0]
+        assert list(r.rows())[0][0] == [[1], [2]]
+
+    def test_array_constructor_subscript(self, engine):
+        r = engine.execute("SELECT (ARRAY['a','b','c'])[2] AS v")[0]
+        assert list(r.rows())[0][0] == "b"
+
+    def test_interval_cast_literal(self, engine):
+        r = engine.execute(
+            "SELECT TIMESTAMP '2021-01-01' + '36 hours'::interval AS t")[0]
+        v = list(r.rows())[0][0]
+        assert (v.day, v.hour) == (2, 12)
+
+    def test_date_bin_string_stride(self, engine):
+        r = engine.execute(
+            "SELECT date_bin('15 minutes', TIMESTAMP '2020-02-11 15:44:17', "
+            "TIMESTAMP '2001-01-01') AS b")[0]
+        v = list(r.rows())[0][0]
+        assert (v.hour, v.minute) == (15, 30)
+
+    def test_localtime_precision(self, engine):
+        r = engine.execute("SELECT localtimestamp(3) AS t")[0]
+        assert list(r.rows())[0][0] is not None

@@ -137,6 +137,80 @@ def bootstrap(spark: SparkSession) -> None:
     refresh(spark)
 
 
+# Real PG relation OIDs for the core catalogs (public knowledge,
+# src/include/catalog/pg_*.h); everything else gets the 12000 band PG
+# itself uses for system views, assigned in sorted-name order.
+_KNOWN_CATALOG_OIDS = {
+    "pg_statistic": 2619, "pg_type": 1247, "pg_attribute": 1249,
+    "pg_proc": 1255, "pg_class": 1259, "pg_authid": 1260,
+    "pg_auth_members": 1261, "pg_database": 1262, "pg_tablespace": 1213,
+    "pg_aggregate": 2600, "pg_am": 2601, "pg_amop": 2602, "pg_amproc": 2603,
+    "pg_attrdef": 2604, "pg_cast": 2605, "pg_constraint": 2606,
+    "pg_conversion": 2607, "pg_depend": 2608, "pg_description": 2609,
+    "pg_index": 2610, "pg_inherits": 2611, "pg_language": 2612,
+    "pg_largeobject": 2613, "pg_namespace": 2615, "pg_opclass": 2616,
+    "pg_operator": 2617, "pg_rewrite": 2618, "pg_trigger": 2620,
+}
+
+# relkind 'v' rows (PG ships these as system views, not heap catalogs)
+_VIEWISH_CATALOG = {
+    "pg_tables", "pg_views", "pg_matviews", "pg_settings", "pg_roles",
+    "pg_user", "pg_shadow", "pg_group", "pg_stat_user_tables",
+    "pg_stat_activity", "pg_stat_gssapi", "pg_replication_slots",
+    "pg_locks", "pg_cursors", "pg_available_extensions",
+    "pg_timezone_names", "pg_timezone_abbrevs", "pg_get_keywords",
+    "pg_indexes", "pg_sequences",
+}
+
+_SHARED_CATALOGS = {"pg_database", "pg_authid", "pg_auth_members",
+                    "pg_tablespace", "pg_shdescription", "pg_shseclabel"}
+
+_CATALOG_SELF_ROWS: dict[int, tuple[list, list]] = {}
+
+
+def _catalog_self_rows(spark) -> tuple[list, list]:
+    """pg_class / pg_attribute rows for the catalog relations themselves
+    (real PG lists its own catalogs; ``\\dS``, ``\\d pg_class`` and
+    ``to_regclass('pg_class')`` depend on it). View schemas are static per
+    session, so this is computed once and cached."""
+    key = id(spark)
+    if key in _CATALOG_SELF_ROWS:
+        return _CATALOG_SELF_ROWS[key]
+    from datafusion_postgres_spark.catalog.names import (
+        INFORMATION_SCHEMA_TABLES, PG_CATALOG_TABLES)
+    cls_rows: list = []
+    attr_rows: list = []
+    next_oid = 12000
+    groups = [("pg_catalog_", PG_CATALOG_NAMESPACE_OID,
+               sorted(PG_CATALOG_TABLES)),
+              ("information_schema_", 13000,
+               sorted(INFORMATION_SCHEMA_TABLES))]
+    for prefix, ns, names in groups:
+        for name in names:
+            oid = _KNOWN_CATALOG_OIDS.get(name)
+            if oid is None:
+                oid, next_oid = next_oid, next_oid + 1
+            try:
+                cols = spark.catalog.listColumns(prefix + name)
+            except Exception:
+                cols = []
+            relkind = ("v" if prefix == "information_schema_" or
+                       name in _VIEWISH_CATALOG else "r")
+            cls_rows.append((oid, name, ns, 0, 0, 10, 2, oid, 0, 0,
+                             float(-1), 0, 0, False,
+                             name in _SHARED_CATALOGS, "p", relkind,
+                             len(cols), 0, False, False, False, False,
+                             False, True, "n", False, 0, 1, 1, None,
+                             None, None))
+            for i, col in enumerate(cols, start=1):
+                type_oid, typlen = spark_type_to_pg_oid(col.dataType)
+                attr_rows.append((oid, col.name, type_oid, i, typlen,
+                                  -1, 0, not col.nullable, False, "", "",
+                                  False, True, 0))
+    _CATALOG_SELF_ROWS[key] = (cls_rows, attr_rows)
+    return cls_rows, attr_rows
+
+
 def refresh(spark: SparkSession) -> None:
     """Rebuild the dynamic tables from the live session catalog."""
     reg = _registry(spark)
@@ -271,6 +345,14 @@ def refresh(spark: SparkSession) -> None:
 
     # ---- empty view-style tables (pg_views.rs, pg_replication_slot.rs) ----
     _build_view_tables(spark, tables)
+
+    # ---- catalog self-rows: recreate pg_class/pg_attribute with the
+    # catalog relations appended, now that every catalog view exists (the
+    # early creation above keeps first-bootstrap ordering sound) ----------
+    cat_cls, cat_attr = _catalog_self_rows(spark)
+    _view(spark, "pg_catalog_pg_class", cls_schema, cls_rows + cat_cls)
+    _view(spark, "pg_catalog_pg_attribute", attr_schema,
+          attr_rows + cat_attr)
 
 
 _LAST_SESSION_VARS: dict | None = None

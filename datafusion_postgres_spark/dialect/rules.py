@@ -799,14 +799,27 @@ def rename_functions(tokens: list[Token]) -> list[Token]:
             in_from = prev >= 0 and (
                 tokens[prev].is_kw("FROM", "JOIN", "LATERAL") or
                 tokens[prev].text == ",") and _table_position(tokens, prev)
-            if in_from or low != "generate_series":
+            if in_from:
                 tokens[i] = Token(IDENT, _SRF[low])
-            else:
+            elif low == "generate_series":
                 # projection position: explode(sequence(args))
                 close = _match_fwd(tokens, nxt)
                 if close >= 0:
                     tokens.insert(close + 1, Token(PUNCT, ")"))
                     tokens[i] = Token(IDENT, "explode(sequence")
+            else:
+                # generate_subscripts projection position:
+                # explode(sequence(1, size(arr)))  (dim arg: 1-D arrays)
+                close = _match_fwd(tokens, nxt)
+                args = _top_args(tokens, nxt, close) if close >= 0 else []
+                if args:
+                    s1, e1 = args[0]
+                    repl = (_toks("explode(sequence(1, size(") +
+                            tokens[s1:e1] + _toks(")))"))
+                    tokens[i:close + 1] = repl
+                    i += len(repl)
+                    continue
+                tokens[i] = Token(IDENT, _SRF[low])
         i += 1
     return tokens
 

@@ -156,3 +156,15 @@ class TestDialectForms:
     def test_localtime_precision(self, engine):
         r = engine.execute("SELECT localtimestamp(3) AS t")[0]
         assert list(r.rows())[0][0] is not None
+
+    def test_generate_subscripts_positions(self, engine):
+        r = engine.execute(
+            "SELECT generate_subscripts(ARRAY['a','b'], 1) AS i")[0]
+        assert [row[0] for row in r.rows()] == [1, 2]
+        r = engine.execute(
+            "SELECT * FROM generate_subscripts(ARRAY['x','y','z'], 1)")[0]
+        assert [row[0] for row in r.rows()] == [1, 2, 3]
+
+    def test_row_constructor_comparison(self, engine):
+        r = engine.execute("SELECT (1, 2) < (1, 3) AS a")[0]
+        assert list(r.rows())[0][0] is True

@@ -762,7 +762,51 @@ FUNCTION_RENAMES = {
     # functions.md P1/P2 batch 3
     "make_timestamptz": "make_timestamp",  # same arg shape incl. tz arg
     "bit_count": "pg_bit_count",           # PG's is bytea/bit-string only
+    "row_to_json": "to_json",              # struct/row input serializes
 }
+
+# JSON constructors/aggregates -> to_json over the Spark-native builder;
+# rewritten as name(args) -> wrap(args))  (one extra close paren)
+_JSON_WRAPS = {
+    "json_agg": "to_json(collect_list",
+    "jsonb_agg": "to_json(collect_list",
+}
+
+# calls whose result is already JSON text — spliced raw into enclosing
+# JSON constructors instead of re-quoted as a string value
+_JSON_VALUED_FNS = {
+    "json_build_object", "jsonb_build_object", "json_build_array",
+    "jsonb_build_array", "json_agg", "jsonb_agg", "json_object_agg",
+    "jsonb_object_agg", "to_json", "row_to_json", "json_strip_nulls",
+    "jsonb_strip_nulls",
+}
+
+
+def _is_json_valued(tokens: list[Token], s: int, e: int) -> bool:
+    sig = [k for k in range(s, e) if tokens[k].kind != WS]
+    if len(sig) < 2:
+        return False
+    t0 = tokens[sig[0]]
+    return (t0.kind == IDENT and t0.text.lower() in _JSON_VALUED_FNS and
+            tokens[sig[1]].text == "(" and
+            _match_fwd(tokens, sig[1]) == sig[-1])
+
+
+def _json_elem(tokens: list[Token], s: int, e: int) -> list[Token]:
+    """Tokens rendering one argument in its JSON form.
+
+    to_json(named_struct('x', v)) is '{"x":ELEM}' — ELEM sits at position
+    6 through len-1. JSON-valued sub-calls pass through unquoted."""
+    arg = list(tokens[s:e])
+    if _is_json_valued(tokens, s, e):
+        return arg
+    seg = _toks("substr(to_json(named_struct('x', ")
+    seg += arg
+    seg += _toks("), map('ignoreNullFields', 'false')), 6, "
+                 "length(to_json(named_struct('x', ")
+    seg += arg
+    seg += _toks("), map('ignoreNullFields', 'false'))) - 6)")
+    return seg
 
 # set-returning functions: table-valued in FROM position (SQL UDTF),
 # explode(sequence(...)) in projection position
@@ -788,6 +832,14 @@ def rename_functions(tokens: list[Token]) -> list[Token]:
             close = _match_fwd(tokens, nxt)
             if close == significant(tokens, nxt):
                 del tokens[nxt:close + 1]
+        elif is_call and low in _JSON_WRAPS:
+            close = _match_fwd(tokens, nxt)
+            if close >= 0:
+                # keep nulls: PG renders them; Spark's to_json drops them
+                # unless ignoreNullFields is off
+                tokens[close:close + 1] = _toks(
+                    "), map('ignoreNullFields', 'false'))")
+                tokens[i] = Token(IDENT, _JSON_WRAPS[low])
         elif is_call and low == "pg_typeof":
             # pg_typeof(expr) -> pg_typename(typeof(expr)): Spark's typeof
             # gives its own type names; the UDF maps them to PG names
@@ -1191,6 +1243,59 @@ def rewrite_misc_functions(tokens: list[Token]) -> list[Token]:
             tokens[i:close + 1] = repl
             i += len(repl)
             continue
+        elif low in ("json_build_array", "jsonb_build_array"):
+            # heterogeneous element types (Spark arrays can't mix): render
+            # each element in its JSON form independently
+            parts: list[Token] = []
+            for s, e in args:
+                if not any(tokens[k].kind != WS for k in range(s, e)):
+                    continue
+                if parts:
+                    parts += _toks(", ")
+                parts += _json_elem(tokens, s, e)
+            if parts:
+                repl = (_toks("concat('[', concat_ws(',', ") + parts +
+                        _toks("), ']')"))
+            else:
+                repl = _toks("'[]'")
+            tokens[i:close + 1] = repl
+            continue  # rescan: spliced JSON sub-calls still need rewriting
+        elif low in ("json_build_object", "jsonb_build_object"):
+            pairs = [a for a in args
+                     if any(tokens[k].kind != WS for k in range(a[0], a[1]))]
+            if len(pairs) % 2 == 0:
+                parts = []
+                for j in range(0, len(pairs), 2):
+                    if parts:
+                        parts += _toks(", ")
+                    parts += _toks("concat(")
+                    parts += _json_elem(tokens, *pairs[j])
+                    parts += _toks(", ':', ")
+                    parts += _json_elem(tokens, *pairs[j + 1])
+                    parts += _toks(")")
+                if parts:
+                    repl = (_toks("concat('{', concat_ws(',', ") + parts +
+                            _toks("), '}')"))
+                else:
+                    repl = _toks("'{}'")
+                tokens[i:close + 1] = repl
+                continue  # rescan for spliced JSON sub-calls
+        elif low in ("json_agg", "jsonb_agg") and len(args) == 1 and \
+                _is_json_valued(tokens, *args[0]):
+            # aggregating already-JSON values: join raw, don't re-quote
+            s1, e1 = args[0]
+            repl = (_toks("concat('[', array_join(collect_list(") +
+                    list(tokens[s1:e1]) + _toks("), ','), ']')"))
+            tokens[i:close + 1] = repl
+            continue  # rescan for spliced JSON sub-calls
+        elif low in ("json_object_agg", "jsonb_object_agg") and \
+                len(args) == 2:
+            (s1, e1), (s2, e2) = args
+            repl = (_toks("to_json(map_from_arrays(collect_list(") +
+                    tokens[s1:e1] + _toks("), collect_list(") +
+                    tokens[s2:e2] + _toks(")))"))
+            tokens[i:close + 1] = repl
+            continue  # rescan for spliced JSON sub-calls
         elif low == "date_bin" and args:
             # PG coerces a bare string stride ('15 minutes') to interval;
             # Spark needs the INTERVAL keyword to parse multi-unit text

@@ -473,6 +473,42 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
     ("array_replace", "arr ARRAY<STRING>, f STRING, t STRING",
      "ARRAY<STRING>", "transform(arr, v -> IF(v <=> f, t, v))"),
     ("array_reverse", "arr ARRAY<STRING>", "ARRAY<STRING>", "reverse(arr)"),
+    # -- JSON family: functions.md marks these ❌ "DataFusion lacks the
+    #    type", but Spark's JSON expressions make them expressible — a
+    #    beyond-reference surface. JSON rides as STRING (same convention
+    #    as the ->/->>/#> operator rewrites). ------------------------------
+    ("json_typeof", "j STRING", "STRING",
+     "CASE WHEN j IS NULL THEN NULL "
+     "WHEN startswith(ltrim(j), '{') THEN 'object' "
+     "WHEN startswith(ltrim(j), '[') THEN 'array' "
+     "WHEN startswith(ltrim(j), '\"') THEN 'string' "
+     "WHEN trim(j) IN ('true', 'false') THEN 'boolean' "
+     "WHEN trim(j) = 'null' THEN 'null' ELSE 'number' END"),
+    ("jsonb_typeof", "j STRING", "STRING", "json_typeof(j)"),
+    ("json_extract_path",
+     "j STRING, k1 STRING, k2 STRING DEFAULT NULL, k3 STRING DEFAULT NULL, "
+     "k4 STRING DEFAULT NULL, k5 STRING DEFAULT NULL", "STRING",
+     # numeric path elements address arrays ($.a[0]), others objects
+     "get_json_object(j, concat('$', concat_ws('', "
+     "transform(filter(array(k1, k2, k3, k4, k5), x -> x IS NOT NULL), "
+     "k -> IF(k RLIKE '^[0-9]+$', concat('[', k, ']'), "
+     "concat('.', k))))))"),
+    ("json_extract_path_text",
+     "j STRING, k1 STRING, k2 STRING DEFAULT NULL, k3 STRING DEFAULT NULL, "
+     "k4 STRING DEFAULT NULL, k5 STRING DEFAULT NULL", "STRING",
+     "json_extract_path(j, k1, k2, k3, k4, k5)"),
+    ("jsonb_extract_path",
+     "j STRING, k1 STRING, k2 STRING DEFAULT NULL, k3 STRING DEFAULT NULL, "
+     "k4 STRING DEFAULT NULL, k5 STRING DEFAULT NULL", "STRING",
+     "json_extract_path(j, k1, k2, k3, k4, k5)"),
+    ("jsonb_extract_path_text",
+     "j STRING, k1 STRING, k2 STRING DEFAULT NULL, k3 STRING DEFAULT NULL, "
+     "k4 STRING DEFAULT NULL, k5 STRING DEFAULT NULL", "STRING",
+     "json_extract_path(j, k1, k2, k3, k4, k5)"),
+    ("jsonb_array_length", "j STRING", "INT", "json_array_length(j)"),
+    ("jsonb_object_keys", "j STRING", "ARRAY<STRING>",
+     # deviation: PG returns SETOF text; array form (explode() to unnest)
+     "json_object_keys(j)"),
     ("acldefault", "objtype STRING, owner BIGINT", "ARRAY<STRING>",
      "array(concat(pg_get_userbyid(owner), '=', CASE objtype "
      "WHEN 'r' THEN 'arwdDxtm' WHEN 'c' THEN 'rw' WHEN 'd' THEN 'Tc' "
@@ -515,6 +551,17 @@ SQL_UDTFS: list[tuple[str, str, str, str]] = [
      "WHEN 't' THEN 'TRIGGER' WHEN 'X' THEN 'EXECUTE' "
      "WHEN 'U' THEN 'USAGE' WHEN 'C' THEN 'CREATE' WHEN 'c' THEN 'CONNECT' "
      "WHEN 'T' THEN 'TEMPORARY' ELSE 'MAINTAIN' END))))) AS s)"),
+    # JSON SETOF functions. Note from_json(_, 'array<string>') keeps
+    # object/array elements as raw JSON but unquotes string elements, so
+    # the *_text variants share the body (documented deviation)
+    ("json_array_elements", "j STRING", "TABLE(value STRING)",
+     "SELECT explode(from_json(j, 'array<string>'))"),
+    ("jsonb_array_elements", "j STRING", "TABLE(value STRING)",
+     "SELECT explode(from_json(j, 'array<string>'))"),
+    ("json_array_elements_text", "j STRING", "TABLE(value STRING)",
+     "SELECT explode(from_json(j, 'array<string>'))"),
+    ("jsonb_array_elements_text", "j STRING", "TABLE(value STRING)",
+     "SELECT explode(from_json(j, 'array<string>'))"),
     # psql/pg_dump dependency-order helper: the catalog's own FK graph
     # (static — the core row relationships this catalog emulation carries)
     ("pg_get_catalog_foreign_keys", "",
@@ -713,6 +760,37 @@ def _register_text_py(spark: SparkSession) -> None:
     def _crc32c(b):
         return b.map(lambda v: None if v is None else _crc32c_bytes(bytes(v)))
 
+    import json as _json
+
+    def _strip_nulls_val(v):
+        if isinstance(v, dict):
+            return {k: _strip_nulls_val(x) for k, x in v.items()
+                    if x is not None}
+        if isinstance(v, list):
+            return [_strip_nulls_val(x) for x in v]
+        return v
+
+    def _json_strip_nulls(s):
+        def onev(v):
+            if v is None:
+                return None
+            try:
+                return _json.dumps(_strip_nulls_val(_json.loads(v)),
+                                   separators=(",", ":"))
+            except ValueError:
+                return None
+        return s.map(onev)
+
+    def _jsonb_pretty(s):
+        def onev(v):
+            if v is None:
+                return None
+            try:
+                return _json.dumps(_json.loads(v), indent=4)
+            except ValueError:
+                return None
+        return s.map(onev)
+
     _PG_RE_FLAGS = {"i": re.IGNORECASE, "n": re.DOTALL, "s": re.DOTALL,
                     "m": re.MULTILINE, "x": re.VERBOSE}
 
@@ -746,6 +824,9 @@ def _register_text_py(spark: SparkSession) -> None:
                           (_unistr, "unistr", "string"),
                           (_assigned, "unicode_assigned", "boolean"),
                           (_crc32c, "crc32c", "long"),
+                          (_json_strip_nulls, "json_strip_nulls", "string"),
+                          (_json_strip_nulls, "jsonb_strip_nulls", "string"),
+                          (_jsonb_pretty, "jsonb_pretty", "string"),
                           (_regexp_matches, "pg_regexp_matches",
                            "array<string>")):
         if not fn.__annotations__:

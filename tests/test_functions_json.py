@@ -1,0 +1,99 @@
+"""PG JSON function family. The reference marks these out of scope
+("DataFusion lacks the type", functions.md JSON section); Spark's JSON
+expressions make them expressible — JSON rides as STRING, matching the
+->/->>/#> operator rewrites. Expected values match PostgreSQL's
+documented json function semantics."""
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0][0]
+
+
+class TestJsonScalars:
+    def test_json_typeof(self, spark):
+        assert one(spark, "json_typeof('{\"a\":1}')") == "object"
+        assert one(spark, "json_typeof('[1]')") == "array"
+        assert one(spark, "json_typeof('\"x\"')") == "string"
+        assert one(spark, "json_typeof('1.5')") == "number"
+        assert one(spark, "json_typeof('null')") == "null"
+        assert one(spark, "jsonb_typeof('true')") == "boolean"
+
+    def test_extract_path(self, spark):
+        j = "'{\"a\":{\"b\":[10,20]}}'"
+        assert one(spark, f"json_extract_path({j}, 'a', 'b', '1')") == "20"
+        assert one(spark, "jsonb_extract_path_text('{\"a\":\"x\"}', 'a')") \
+            == "x"
+
+    def test_array_length_keys(self, spark):
+        assert one(spark, "jsonb_array_length('[1,2,3]')") == 3
+        assert one(spark, "jsonb_object_keys('{\"a\":1,\"b\":2}')") == \
+            ["a", "b"]
+
+    def test_strip_nulls(self, spark):
+        assert one(spark,
+                   "json_strip_nulls('{\"a\":1,\"b\":null,\"c\":"
+                   "{\"d\":null}}')") == '{"a":1,"c":{}}'
+
+    def test_jsonb_pretty(self, spark):
+        assert one(spark, "jsonb_pretty('{\"a\":1}')") == '{\n    "a": 1\n}'
+
+    def test_array_elements(self, spark):
+        rows = spark.sql(
+            "SELECT * FROM json_array_elements('[1, {\"a\":2}, \"x\"]')"
+        ).collect()
+        assert [r.value for r in rows] == ["1", '{"a":2}', "x"]
+
+
+class TestJsonBuilders:
+    """Dialect-rewritten constructors (engine fixture)."""
+
+    def test_build_array_heterogeneous(self, engine):
+        r = engine.execute(
+            "SELECT json_build_array(1, 'y', NULL, 2.5) AS a")[0]
+        assert list(r.rows())[0][0] == '[1,"y",null,2.5]'
+
+    def test_build_array_empty(self, engine):
+        r = engine.execute("SELECT json_build_array() AS a")[0]
+        assert list(r.rows())[0][0] == "[]"
+
+    def test_build_object_nulls_kept(self, engine):
+        r = engine.execute(
+            "SELECT json_build_object('a', 1, 'b', NULL) AS o")[0]
+        assert list(r.rows())[0][0] == '{"a":1,"b":null}'
+
+    def test_nested_builders(self, engine):
+        r = engine.execute(
+            "SELECT json_build_array(json_build_object('k', 'v'), 1) AS n"
+        )[0]
+        assert list(r.rows())[0][0] == '[{"k":"v"},1]'
+        r = engine.execute(
+            "SELECT json_build_object('o', json_build_array(1, 2)) AS n")[0]
+        assert list(r.rows())[0][0] == '{"o":[1,2]}'
+
+    def test_json_agg(self, engine):
+        r = engine.execute(
+            "SELECT json_agg(x) AS a FROM (VALUES (1), (2), (3)) t(x)")[0]
+        assert list(r.rows())[0][0] == "[1,2,3]"
+
+    def test_json_agg_of_objects(self, engine):
+        r = engine.execute(
+            "SELECT json_agg(json_build_object('k', x)) AS a "
+            "FROM (VALUES (1), (2)) t(x)")[0]
+        assert list(r.rows())[0][0] == '[{"k":1},{"k":2}]'
+
+    def test_json_object_agg(self, engine):
+        r = engine.execute(
+            "SELECT json_object_agg(k, v) AS m "
+            "FROM (VALUES ('a', 1), ('b', 2)) t(k, v)")[0]
+        assert list(r.rows())[0][0] == '{"a":1,"b":2}'
+
+    def test_row_to_json(self, engine):
+        r = engine.execute(
+            "SELECT row_to_json(struct(1 AS a, 'x' AS b)) AS j")[0]
+        assert list(r.rows())[0][0] == '{"a":1,"b":"x"}'
+
+    def test_json_operators_still_work(self, engine):
+        r = engine.execute(
+            "SELECT '{\"a\":{\"b\":2}}'::jsonb -> 'a' AS x, "
+            "'{\"a\":1}'::json ->> 'a' AS y")[0]
+        assert list(r.rows())[0] == ('{"b":2}', "1")

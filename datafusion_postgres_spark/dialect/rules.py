@@ -1352,10 +1352,13 @@ def rewrite_array_constructor(tokens: list[Token]) -> list[Token]:
     """PG ``ARRAY[elem, ...]`` constructor → Spark ``array(elem, ...)``.
 
     Nested constructors (``ARRAY[ARRAY[1], ARRAY[2]]``) are handled by the
-    continued scan over the rewritten body. The ``ARRAY(SELECT ...)``
-    subquery form is left untouched — Spark has no direct counterpart
-    without restructuring the subquery (documented gap; reference parses it
-    via sqlparser's native array support)."""
+    continued scan over the rewritten body.
+
+    The ``ARRAY(SELECT expr FROM ...)`` subquery form becomes the scalar
+    subquery ``(SELECT collect_list(expr) FROM ...)`` when the projection
+    is a single expression (the common idiom). A trailing ``ORDER BY`` in
+    the subquery does not order the array (collect_list has no intra-group
+    order) — PG users needing order should use array_agg(x ORDER BY y)."""
     tokens = list(tokens)
     i = 0
     while i < len(tokens):
@@ -1371,6 +1374,36 @@ def rewrite_array_constructor(tokens: list[Token]) -> list[Token]:
                     del tokens[i + 1:j]
                     i += 1
                     continue
+            elif (j >= 0 and tokens[j].kind == PUNCT and
+                    tokens[j].text == "("):
+                sel = significant(tokens, j)
+                close = _match_fwd(tokens, j)
+                if sel >= 0 and close >= 0 and tokens[sel].is_kw("SELECT"):
+                    # find FROM at depth 0 inside the subquery; projection
+                    # between SELECT and FROM must be comma-free (single
+                    # expression) for the rewrite to be sound
+                    depth = 0
+                    from_idx = -1
+                    single = True
+                    for k in range(sel + 1, close):
+                        tk = tokens[k]
+                        if tk.kind == PUNCT and tk.text in "([":
+                            depth += 1
+                        elif tk.kind == PUNCT and tk.text in ")]":
+                            depth -= 1
+                        elif depth == 0 and tk.is_kw("FROM"):
+                            from_idx = k
+                            break
+                        elif depth == 0 and tk.kind == PUNCT and \
+                                tk.text == ",":
+                            single = False
+                    if from_idx > 0 and single:
+                        tokens[from_idx:from_idx] = [Token(PUNCT, ")"),
+                                                     Token(WS, " ")]
+                        tokens[sel + 1:sel + 1] = _toks(" collect_list(")
+                        del tokens[i:j]  # drop ARRAY, keep the '('
+                        i += 1
+                        continue
         i += 1
     return tokens
 

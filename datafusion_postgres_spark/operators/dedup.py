@@ -403,3 +403,51 @@ def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.38,
             .where(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
             .distinct())
+
+
+def connected_components(pairs: DataFrame, col_a: str = "id_a",
+                         col_b: str = "id_b",
+                         max_iter: int = 12) -> DataFrame:
+    """Duplicate-cluster assignment: edge list → (doc_id, component_id),
+    component_id = the minimum node id reachable from doc_id.
+
+    Pregel-style min-label propagation. Each round propagates the current
+    minimum label across edges — one join keyed on the edge endpoint plus
+    one min-aggregate keyed on node id (two hash shuffles, both on ids,
+    no broadcast of anything unbounded). Near-dup components coming out
+    of LSH / set-similarity verification are near-cliques, so the loop
+    converges in 2-3 rounds; ``max_iter`` bounds pathological chain
+    graphs (diameter-long paths). Labels persist per round and the
+    previous round unpersists, keeping lineage bounded — without that the
+    plan re-derives every prior round at each action, which is the
+    classic iterative-graph scale trap.
+
+    The reference has no graph operator; this serves the training-data
+    pipeline (collapse LSH pair output into duplicate clusters so one
+    representative per cluster survives).
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    edges = (pairs.select(a.alias("src"), b.alias("dst"))
+             .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .persist())
+    for _ in range(max_iter):
+        msgs = (edges.join(labels, edges["dst"] == labels["id"])
+                .select(F.col("src").alias("id"), F.col("label")))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.label") < F.col("o.label"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component_id"))

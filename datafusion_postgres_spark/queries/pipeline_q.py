@@ -135,8 +135,9 @@ def dedup_exact_groups(spark, sf_dir):
     return dedup.exact_duplicates(docs).orderBy("representative")
 
 
-@register("dedup_ngram_jaccard", oracle=f"""
-WITH whs_t AS (
+# shared CTE block: word-hash shingles -> verified jaccard pairs (>= 0.5);
+# used by the pair query AND the connected-components closure below
+_JACCARD_CTES = f"""whs_t AS (
   SELECT doc_id, list_transform({_WORDS}, w -> {_duck_hash('w')}) AS whs
   FROM documents WHERE trim(text) <> ''
 ),
@@ -156,14 +157,22 @@ inter AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter_n
   FROM sh a JOIN sh b ON a.gram_hash = b.gram_hash AND a.id < b.id
   GROUP BY a.id, b.id
-)
-SELECT id_a, id_b, inter_n,
-       sa.set_size + sb.set_size - inter_n AS union_n,
-       ROUND(inter_n * 1.0 / (sa.set_size + sb.set_size - inter_n), 6) AS jaccard
-FROM inter JOIN sizes sa ON inter.id_a = sa.id
-           JOIN sizes sb ON inter.id_b = sb.id
-WHERE inter_n * 1.0 / (sa.set_size + sb.set_size - inter_n) >= 0.5
-ORDER BY id_a, id_b
+),
+jpairs AS (
+  SELECT id_a, id_b, inter_n,
+         sa.set_size + sb.set_size - inter_n AS union_n,
+         ROUND(inter_n * 1.0 / (sa.set_size + sb.set_size - inter_n), 6)
+           AS jaccard
+  FROM inter JOIN sizes sa ON inter.id_a = sa.id
+             JOIN sizes sb ON inter.id_b = sb.id
+  WHERE inter_n * 1.0 / (sa.set_size + sb.set_size - inter_n) >= 0.5
+)"""
+
+
+@register("dedup_ngram_jaccard", oracle=f"""
+WITH {_JACCARD_CTES}
+SELECT id_a, id_b, inter_n, union_n, jaccard
+FROM jpairs ORDER BY id_a, id_b
 """)
 def dedup_ngram(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -172,6 +181,32 @@ def dedup_ngram(spark, sf_dir):
     return sorted_small(dedup.ngram_jaccard_pairs(docs, threshold=0.5,
                                                   verify_broadcast=True),
                         "id_a", "id_b")
+
+
+@register("dedup_components", oracle=f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION ALL
+  SELECT id_b, id_a FROM jpairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS component_id
+FROM reach GROUP BY a ORDER BY doc_id
+""")
+def dedup_components(spark, sf_dir):
+    """Near-dup pair graph collapsed into duplicate clusters: min-label
+    connected components over the verified jaccard pairs (so one
+    representative per cluster survives a dedup pass). The oracle walks
+    the same graph with a recursive transitive closure."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                      verify_broadcast=True)
+    return sorted_small(dedup.connected_components(pairs), "doc_id")
 
 
 def _minhash_oracle() -> str:

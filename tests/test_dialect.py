@@ -77,6 +77,11 @@ CASES = [
      "EXPLAIN FORMATTED SELECT 1"),
     ("EXPLAIN (COSTS OFF) SELECT 1", "EXPLAIN SELECT 1"),
     ("EXPLAIN SELECT 1", "EXPLAIN SELECT 1"),
+    # ARRAY(SELECT ...) subquery form -> collect_list scalar subquery
+    ("SELECT ARRAY(SELECT x FROM t WHERE y = 1) AS a",
+     "SELECT (SELECT collect_list( x ) FROM t WHERE y = 1) AS a"),
+    # multi-column projection: unsound to rewrite, left as-is
+    ("SELECT ARRAY(SELECT a, b FROM t)", "SELECT ARRAY(SELECT a, b FROM t)"),
     # ARRAY[...] constructor (PG) -> array(...) (Spark), nesting included
     ("SELECT ARRAY[1, 2, 3]", "SELECT array(1, 2, 3)"),
     ("SELECT ARRAY[ARRAY[1], ARRAY[2]]", "SELECT array(array(1), array(2))"),

@@ -230,3 +230,30 @@ class TestIvf:
         base = avg_sim(S.deterministic_centroids(emb, 8))
         tuned = avg_sim(S.kmeans_centroids(emb, k=8, iters=3))
         assert tuned >= base  # Lloyd's never decreases the objective
+
+
+class TestConnectedComponents:
+    def test_chain_converges(self, spark):
+        # path graph 1-2-3-4-5 plus isolated pair (10, 11): worst-case
+        # diameter for label propagation; all labels must reach the min
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long")
+        out = {r.doc_id: r.component_id
+               for r in dedup.connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    def test_clique_and_bridge(self, spark):
+        pairs = spark.createDataFrame(
+            [(7, 8), (8, 7), (7, 9), (9, 8), (20, 9)],
+            "id_a long, id_b long")
+        out = {r.doc_id: r.component_id
+               for r in dedup.connected_components(pairs).collect()}
+        assert set(out.values()) == {7}
+
+    def test_max_iter_bound(self, spark):
+        # a chain longer than max_iter doesn't converge to one label but
+        # still returns a row per node (bounded work, no hang)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "id_a long, id_b long")
+        out = dedup.connected_components(pairs, max_iter=2).collect()
+        assert len(out) == 7

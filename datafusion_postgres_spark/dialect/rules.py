@@ -88,6 +88,11 @@ def _expr_start(tokens: list[Token], op_idx: int) -> int:
                     not tokens[j].is_kw(*_NON_CALL_KEYWORDS)):
                 start = j
                 i = j
+            elif (j >= 0 and tokens[opener].text == "[" and
+                    tokens[j].is_kw("ARRAY")):
+                # ARRAY[...] constructor is one primary expression
+                start = j
+                i = j
             else:
                 i = opener
         elif t.kind in (IDENT, QIDENT, NUMBER, STRING, DOLLAR, PARAM):
@@ -217,6 +222,99 @@ def rewrite_regex_ops(tokens: list[Token]) -> list[Token]:
                 tokens[pat_idx:pat_idx + 1] = pat_repl
             tokens[i:i + 1] = repl
             i += len(repl)
+            continue
+        i += 1
+    return tokens
+
+
+def _expr_end(tokens: list[Token], op_idx: int) -> int:
+    """Inclusive end index of the primary expression starting after
+    op_idx — mirror of :func:`_expr_start` for right-hand operands.
+    Handles literals, dotted paths, calls, parens, subscripts, ``::``."""
+    i = significant(tokens, op_idx)
+    if i < 0:
+        return -1
+    t = tokens[i]
+    if t.kind == PUNCT and t.text == "(":
+        end = _match_fwd(tokens, i)
+        if end < 0:
+            return -1
+    elif t.kind in (IDENT, QIDENT, NUMBER, STRING, DOLLAR, PARAM):
+        end = i
+        while tokens[end].kind in (IDENT, QIDENT):
+            j = significant(tokens, end)
+            if j >= 0 and tokens[j].kind == PUNCT and tokens[j].text == ".":
+                k = significant(tokens, j)
+                if k >= 0 and tokens[k].kind in (IDENT, QIDENT):
+                    end = k
+                    continue
+            break
+        j = significant(tokens, end)
+        if tokens[end].kind in (IDENT, QIDENT) and j >= 0 and \
+                tokens[j].kind == PUNCT and tokens[j].text == "(":
+            end = _match_fwd(tokens, j)
+            if end < 0:
+                return -1
+    else:
+        return -1
+    while True:
+        j = significant(tokens, end)
+        if j >= 0 and tokens[j].kind == PUNCT and tokens[j].text == "[":
+            k = _match_fwd(tokens, j)
+            if k < 0:
+                break
+            end = k
+        elif j >= 0 and tokens[j].kind == OP and tokens[j].text == "::":
+            k = significant(tokens, j)
+            if k < 0:
+                break
+            end = k
+            m = significant(tokens, end)
+            if m >= 0 and tokens[m].kind == PUNCT and tokens[m].text == "[":
+                mm = _match_fwd(tokens, m)
+                if mm >= 0:
+                    end = mm
+        else:
+            break
+    return end
+
+
+def rewrite_setlike_ops(tokens: list[Token]) -> list[Token]:
+    """Array/tsvector binary operators → function calls.
+
+    ``a @> b`` (contains) / ``a <@ b`` (contained-by) →
+    ``pg_array_contains_all``; ``a && b`` (overlap) → ``arrays_overlap``;
+    ``v @@ q`` (text search match) → ``ts_match``. Registered SQL UDFs
+    carry the NULL semantics."""
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == OP and t.text in ("@>", "<@", "&&", "@@"):
+            lstart = _expr_start(tokens, i)
+            rend = _expr_end(tokens, i)
+            rstart = significant(tokens, i)
+            if lstart >= i or rend < 0 or rstart < 0:
+                i += 1
+                continue
+            lhs = [tk for tk in tokens[lstart:i] if not (
+                tk.kind == WS and (tk is tokens[i - 1]))]
+            while lhs and lhs[-1].kind == WS:
+                lhs.pop()
+            rhs = list(tokens[rstart:rend + 1])
+            if t.text == "@>":
+                fn, first, second = "pg_array_contains_all", lhs, rhs
+            elif t.text == "<@":
+                fn, first, second = "pg_array_contains_all", rhs, lhs
+            elif t.text == "&&":
+                fn, first, second = "arrays_overlap", lhs, rhs
+            else:
+                fn, first, second = "ts_match", lhs, rhs
+            repl = ([Token(IDENT, fn), Token(PUNCT, "(")] + first +
+                    [Token(PUNCT, ","), Token(WS, " ")] + second +
+                    [Token(PUNCT, ")")])
+            tokens[lstart:rend + 1] = repl
+            i = lstart + len(repl)
             continue
         i += 1
     return tokens
@@ -421,14 +519,31 @@ def fix_array_literals(tokens: list[Token]) -> list[Token]:
 
 
 def _in_array_context(tokens: list[Token], idx: int) -> bool:
-    """True when the string literal is the first argument of
-    array_contains(...) produced by rewrite_any_all, or an unnest(...) arg."""
+    """True when the string literal is an argument of an array-consuming
+    call produced by the ANY/ALL or set-op rewrites (array_contains,
+    pg_array_contains_all, arrays_overlap, ts_match) or unnest/explode."""
     prev = significant(tokens, idx, -1)
-    if prev < 0 or tokens[prev].text != "(":
+    if prev < 0 or tokens[prev].text not in ("(", ","):
         return False
+    if tokens[prev].text == ",":
+        depth = 0
+        k = prev
+        while k >= 0:
+            tk = tokens[k]
+            if tk.kind == PUNCT and tk.text == ")":
+                depth += 1
+            elif tk.kind == PUNCT and tk.text == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            k -= 1
+        if k < 0:
+            return False
+        prev = k
     fn = significant(tokens, prev, -1)
     return fn >= 0 and tokens[fn].kind == IDENT and tokens[fn].text.lower() in (
-        "array_contains", "unnest", "explode")
+        "array_contains", "unnest", "explode", "pg_array_contains_all",
+        "arrays_overlap", "ts_match")
 
 
 # ---------------------------------------------------------------------------
@@ -1456,6 +1571,7 @@ ALL_RULES = [
     rewrite_pg_operator,
     rewrite_json_ops,
     rewrite_any_all,
+    rewrite_setlike_ops,
     fix_array_literals,
     rewrite_catalog_names,
     strip_callable_qualifier,

@@ -509,6 +509,42 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
     ("jsonb_object_keys", "j STRING", "ARRAY<STRING>",
      # deviation: PG returns SETOF text; array form (explode() to unnest)
      "json_object_keys(j)"),
+    # -- basic full-text search: tsvector rides as ARRAY<STRING> of
+    #    lexemes (sorted, distinct, stopword-filtered, no positions or
+    #    stemming — PG 'simple'-config behavior; functions.md marks the
+    #    ts family ❌ for lack of the type). @@/@>/<@/&& operators are
+    #    dialect-rewritten onto these. -------------------------------------
+    ("pg_array_contains_all", "a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN",
+     "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+     "ELSE size(array_except(b, a)) = 0 END"),
+    ("pg_tsvector", "s STRING", "ARRAY<STRING>",
+     "CASE WHEN s IS NULL THEN NULL ELSE array_sort(array_distinct(filter("
+     "split(regexp_replace(lower(s), '[^a-z0-9]+', ' '), ' '), "
+     "w -> w <> '' AND NOT array_contains(array("
+     "'the','a','an','and','or','of','to','in','is','it','that','for',"
+     "'on','with','as'), w)))) END"),
+    # PG's optional config argument comes FIRST; the single-arg form is
+    # the text. Only simple-config behavior is implemented.
+    ("to_tsvector", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
+     "pg_tsvector(coalesce(b, a))"),
+    ("plainto_tsquery", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
+     "pg_tsvector(coalesce(b, a))"),
+    # &/|/! query operators reduce to AND-of-terms (documented
+    # simplification; websearch quotes/minus likewise)
+    ("to_tsquery", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
+     "pg_tsvector(coalesce(b, a))"),
+    ("websearch_to_tsquery", "a STRING, b STRING DEFAULT NULL",
+     "ARRAY<STRING>", "pg_tsvector(coalesce(b, a))"),
+    ("phraseto_tsquery", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
+     "pg_tsvector(coalesce(b, a))"),
+    ("ts_match", "vec ARRAY<STRING>, q ARRAY<STRING>", "BOOLEAN",
+     "CASE WHEN vec IS NULL OR q IS NULL THEN NULL "
+     "ELSE forall(q, x -> array_contains(vec, x)) END"),
+    ("ts_rank", "vec ARRAY<STRING>, q ARRAY<STRING>", "DOUBLE",
+     # simplified: matched-term fraction (PG weights by frequency/
+     # position, which the positionless vector cannot carry)
+     "CASE WHEN vec IS NULL OR q IS NULL OR size(q) = 0 THEN 0.0D "
+     "ELSE cast(size(array_intersect(q, vec)) AS DOUBLE) / size(q) END"),
     ("acldefault", "objtype STRING, owner BIGINT", "ARRAY<STRING>",
      "array(concat(pg_get_userbyid(owner), '=', CASE objtype "
      "WHEN 'r' THEN 'arwdDxtm' WHEN 'c' THEN 'rw' WHEN 'd' THEN 'Tc' "

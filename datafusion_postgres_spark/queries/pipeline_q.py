@@ -546,3 +546,37 @@ def sim_ivf(spark, sf_dir):
     return sorted_small(similarity.cosine_topk_ivf(emb, queries, k=10,
                                                    n_centroids=16, n_probe=4),
                         "qid", "rnk")
+
+
+# normalization shared by the FTS oracle (mirror of pg_tsvector's SQL body)
+_TSVEC = ("list_sort(list_distinct(list_filter("
+          "string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', "
+          "' ', 'g')), ' '), "
+          f"w -> w <> '' AND NOT list_contains({_STOP_SQL}, w))))")
+
+
+@register("text_fts_search", oracle=f"""
+WITH v AS (SELECT doc_id, {_TSVEC} AS vec FROM documents)
+SELECT doc_id,
+       ROUND(len(list_intersect(['window', 'merge', 'hash'], vec)) / 3.0, 6)
+         AS rank
+FROM v
+WHERE list_has_all(vec, ['window', 'merge', 'hash'])
+ORDER BY doc_id
+""")
+def text_fts_search(spark, sf_dir):
+    """Full-text search: docs matching ALL query terms (tsvector @@
+    tsquery) with the matched-fraction rank — the engine's ts_* family
+    over the documents corpus; the oracle replays the identical
+    normalization with DuckDB list lambdas."""
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    vec = F.expr("pg_tsvector(text)")
+    q = F.expr("pg_tsvector('window merge hash')")
+    return (docs.select("doc_id", vec.alias("vec"))
+            .where(F.expr("ts_match(vec, pg_tsvector('window merge hash'))"))
+            .select("doc_id",
+                    F.round(F.expr(
+                        "cast(size(array_intersect("
+                        "pg_tsvector('window merge hash'), vec)) AS DOUBLE)"
+                        " / 3.0"), 6).alias("rank"))
+            .orderBy("doc_id"))

@@ -77,6 +77,13 @@ CASES = [
      "EXPLAIN FORMATTED SELECT 1"),
     ("EXPLAIN (COSTS OFF) SELECT 1", "EXPLAIN SELECT 1"),
     ("EXPLAIN SELECT 1", "EXPLAIN SELECT 1"),
+    # array/tsvector binary operators -> function calls
+    ("SELECT a @> b FROM t", "SELECT pg_array_contains_all(a, b) FROM t"),
+    ("SELECT a <@ b FROM t", "SELECT pg_array_contains_all(b, a) FROM t"),
+    ("SELECT a && b FROM t", "SELECT arrays_overlap(a, b) FROM t"),
+    ("SELECT v @@ q FROM t", "SELECT ts_match(v, q) FROM t"),
+    ("SELECT to_tsvector(x) @@ plainto_tsquery('w') FROM t",
+     "SELECT ts_match(to_tsvector(x), plainto_tsquery('w')) FROM t"),
     # ARRAY(SELECT ...) subquery form -> collect_list scalar subquery
     ("SELECT ARRAY(SELECT x FROM t WHERE y = 1) AS a",
      "SELECT (SELECT collect_list( x ) FROM t WHERE y = 1) AS a"),

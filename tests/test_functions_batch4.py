@@ -168,3 +168,35 @@ class TestDialectForms:
     def test_row_constructor_comparison(self, engine):
         r = engine.execute("SELECT (1, 2) < (1, 3) AS a")[0]
         assert list(r.rows())[0][0] is True
+
+
+class TestFullTextSearch:
+    """Basic ts_* family (tsvector as sorted lexeme array)."""
+
+    def test_to_tsvector(self, engine):
+        r = engine.execute(
+            "SELECT to_tsvector('The quick brown fox, the LAZY dog!') AS v"
+        )[0]
+        assert list(r.rows())[0][0] == \
+            ["brown", "dog", "fox", "lazy", "quick"]
+
+    def test_match_operator(self, engine):
+        r = engine.execute(
+            "SELECT to_tsvector('a fat cat sat on a mat') @@ "
+            "plainto_tsquery('cat mat') AS hit, "
+            "to_tsvector('a fat cat') @@ plainto_tsquery('dog') AS miss")[0]
+        assert list(r.rows())[0] == (True, False)
+
+    def test_ts_rank(self, engine):
+        r = engine.execute(
+            "SELECT ts_rank(to_tsvector('x y z'), "
+            "plainto_tsquery('x q')) AS r")[0]
+        assert list(r.rows())[0][0] == 0.5
+
+    def test_array_containment_ops(self, engine):
+        r = engine.execute(
+            "SELECT ARRAY[1,2,3] @> ARRAY[2,1] AS a, "
+            "ARRAY[2] <@ ARRAY[1,2,3] AS b, "
+            "ARRAY[1,2] && ARRAY[2,9] AS c, "
+            "ARRAY[1] && ARRAY[9] AS d")[0]
+        assert list(r.rows())[0] == (True, True, True, False)

@@ -75,6 +75,18 @@ COMMENTARY = {
         "Salted pre-aggregate on (key, salt) then merge on key: the hot "
         "key's partials spread over 16 tasks; exact decimal sums make the "
         "rewrite provably semantics-preserving (oracle equality).",
+    "dedup_components":
+        "Min-label propagation over the verified jaccard pair graph: each "
+        "round is join-on-endpoint + min-aggregate-on-id (two id-keyed "
+        "shuffles), labels persisted per round with bounded lineage; "
+        "near-clique dup components converge in 2-3 rounds. NOTE: the "
+        "shuffle count below is an artifact of EXPLAIN unfolding every "
+        "round's already-materialized cached plan — executed work per "
+        "round is 2 shuffles against the persisted previous labels.",
+    "text_fts_search":
+        "tsvector projection is pure codegen (split/filter/sort, no UDF); "
+        "the query-term array folds to a literal so the @@ match is a "
+        "scan-side filter — no shuffle at all before the final sort.",
 }
 
 
@@ -85,6 +97,8 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_spark(app_name="dump-plans")
+    from datafusion_postgres_spark.functions.registry import register_all
+    register_all(spark)
     reg = load_all()
 
     out = ["# PLANS — physical plans of the headline queries (generated by "

@@ -451,3 +451,33 @@ def connected_components(pairs: DataFrame, col_a: str = "id_a",
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component_id"))
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, min_overlap: int = 1) -> DataFrame:
+    """Benchmark decontamination: training docs sharing at least
+    ``min_overlap`` word-n-grams with ANY eval/benchmark document →
+    (doc_id, n_overlap, overlap_ratio), contaminated docs only.
+
+    Scale shape: eval sets are small (thousands of docs) while the corpus
+    is the 100 TB side, so the DISTINCT eval shingle set is broadcast.
+    The corpus pipeline is a zero-shuffle scan (shingle projection +
+    narrow explode) filtered by the broadcast hash join; the only
+    exchange aggregates the surviving HIT rows by doc id — at scale
+    that's a tiny fraction of the corpus. The corpus is never shuffled
+    and never joined shuffle-to-shuffle against itself."""
+    eval_grams = (shingles(eval_docs, text_col, id_col, n)
+                  .select("gram_hash").distinct())
+    corpus = (shingle_array(docs, text_col, id_col, n)
+              .select("id", "set_size", F.explode("grams")
+                      .alias("gram_hash")))
+    hits = (corpus.join(F.broadcast(eval_grams), "gram_hash")
+            .groupBy("id", "set_size")
+            .agg(F.count("*").alias("n_overlap"))
+            .where(F.col("n_overlap") >= min_overlap))
+    return hits.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_overlap"),
+        F.round(F.col("n_overlap") / F.col("set_size"), 6)
+        .alias("overlap_ratio"))

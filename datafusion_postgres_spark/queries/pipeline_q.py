@@ -580,3 +580,26 @@ def text_fts_search(spark, sf_dir):
                         "pg_tsvector('window merge hash'), vec)) AS DOUBLE)"
                         " / 3.0"), 6).alias("rank"))
             .orderBy("doc_id"))
+
+
+@register("dedup_decontaminate", oracle=f"""
+WITH {_JACCARD_CTES},
+eval_g AS (SELECT DISTINCT gram_hash FROM sh WHERE id < 50),
+corpus AS (SELECT id, gram_hash FROM sh WHERE id >= 50)
+SELECT c.id AS doc_id, COUNT(*) AS n_overlap,
+       ROUND(COUNT(*) * 1.0 / s.set_size, 6) AS overlap_ratio
+FROM corpus c
+JOIN eval_g e USING (gram_hash)
+JOIN sizes s ON s.id = c.id
+GROUP BY c.id, s.set_size
+ORDER BY doc_id
+""")
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs 0-49 stand in for the eval set,
+    the rest is the training corpus; any shared word-3-gram flags the
+    doc. The eval shingle set broadcasts — the corpus never shuffles
+    (only the hit rows aggregate)."""
+    docs = t(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") < 50)
+    corpus = docs.where(F.col("doc_id") >= 50)
+    return sorted_small(dedup.decontaminate(corpus, eval_docs), "doc_id")

@@ -257,3 +257,27 @@ class TestConnectedComponents:
             [(i, i + 1) for i in range(6)], "id_a long, id_b long")
         out = dedup.connected_components(pairs, max_iter=2).collect()
         assert len(out) == 7
+
+
+class TestDecontaminate:
+    def test_overlap_flagging(self, spark):
+        eval_docs = spark.createDataFrame(
+            [(1, "the secret benchmark answer key alpha beta gamma")],
+            "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(100, "totally unrelated content words here entirely"),
+             (101, "contains the secret benchmark answer key verbatim"),
+             (102, "answer key alpha beta gamma leaked into training")],
+            "doc_id long, text string")
+        out = {r.doc_id: r.n_overlap
+               for r in dedup.decontaminate(corpus, eval_docs).collect()}
+        assert 100 not in out
+        assert out[101] >= 1 and out[102] >= 1
+
+    def test_ratio_bounds(self, spark):
+        eval_docs = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(200, "a b c d e f g h")], "doc_id long, text string")
+        rows = dedup.decontaminate(corpus, eval_docs).collect()
+        assert rows[0].overlap_ratio == 1.0

@@ -91,6 +91,12 @@ class _Conn(socketserver.BaseRequestHandler):
             self.engine.auth = self.server.auth
             self.prepared = PreparedStatementManager(self.engine)
             self.portals = {}
+            # suspended-portal row iterators: Execute with max_rows that
+            # stops mid-result parks (rows_iter, res, fmts) here so the
+            # next Execute on the portal RESUMES instead of re-running
+            # (protocol spec: a portal is a live cursor until Close/
+            # re-Bind; JDBC setFetchSize drives this path)
+            self.portal_iters = {}
             # cancellation identity: BackendKeyData -> job group
             # (handlers.rs CancelHandler analog)
             self.backend_key = self.server.cancel_registry.register(
@@ -504,6 +510,7 @@ class _Conn(socketserver.BaseRequestHandler):
                     result_formats.append(code)
             self.portals[portal or ""] = (stmt_name or "", params,
                                           result_formats)
+            self.portal_iters.pop(portal or "", None)  # re-Bind resets
             self._send(_msg(b"2", b""))
         except Exception as exc:
             self._in_error = True
@@ -553,20 +560,25 @@ class _Conn(socketserver.BaseRequestHandler):
         i = payload.index(b"\x00")
         portal = payload[:i].decode()
         (max_rows,) = struct.unpack("!I", payload[i + 1:i + 5])
+        key = portal or ""
         try:
-            stmt_name, params, result_formats = self.portals[portal or ""]
+            if key in self.portal_iters:
+                # resume the suspended portal — do NOT re-execute
+                rows, res, fmts, n0 = self.portal_iters.pop(key)
+                self._stream_portal_rows(key, rows, res, fmts, max_rows, n0)
+                return
+            stmt_name, params, result_formats = self.portals[key]
             self._enter_job_group()
             res = self.prepared.execute(stmt_name, params)
-            self._send_result_no_rowdesc(res, max_rows, result_formats)
+            self._send_result_no_rowdesc(key, res, max_rows, result_formats)
         except Exception as exc:
             self.engine.state.statement_failed()
             self._in_error = True
             self._error(_sqlstate_of(exc), str(exc)[:500])
 
-    def _send_result_no_rowdesc(self, res, max_rows: int,
+    def _send_result_no_rowdesc(self, portal_key, res, max_rows: int,
                                 result_formats=None):
-        from datafusion_postgres_spark.server.encoder import (
-            encode_value, encode_value_binary, supports_binary)
+        from datafusion_postgres_spark.server.encoder import supports_binary
 
         if res.command_tag == "COPY_OUT":
             self._send_copy_out(res)
@@ -579,8 +591,7 @@ class _Conn(socketserver.BaseRequestHandler):
             # ("INSERT 0 n" etc.) — clients derive rowcount from it
             self._send(_msg(b"C", _cstr(res.command_tag)))
             return
-        schema = res.df.schema
-        fields = schema.fields
+        fields = res.df.schema.fields
         # expand the Bind result-format codes to one per column
         fmts = result_formats or []
         if len(fmts) == 1:
@@ -590,10 +601,20 @@ class _Conn(socketserver.BaseRequestHandler):
         # binary only where the type supports it; else text fallback
         fmts = [1 if (f == 1 and supports_binary(fld.dataType)) else 0
                 for f, fld in zip(fmts, fields)]
-        n = 0
-        efd = int(self.engine.state.get_var("extra_float_digits") or 1)
         timeout = self.engine.state.statement_timeout_secs()
-        rows = res.collect(timeout) if timeout > 0 else res.rows()
+        rows = iter(res.collect(timeout) if timeout > 0 else res.rows())
+        self._stream_portal_rows(portal_key, rows, res, fmts, max_rows, 0)
+
+    def _stream_portal_rows(self, portal_key, rows, res, fmts,
+                            max_rows: int, n: int):
+        """Send DataRows from a (possibly resumed) portal iterator; on
+        hitting max_rows, park the iterator for the next Execute."""
+        from datafusion_postgres_spark.server.encoder import (
+            encode_value, encode_value_binary)
+
+        fields = res.df.schema.fields
+        efd = int(self.engine.state.get_var("extra_float_digits") or 1)
+        sent = 0
         for row in rows:
             buf = struct.pack("!H", len(fields))
             for v, fld, fmt in zip(row, fields, fmts):
@@ -607,7 +628,9 @@ class _Conn(socketserver.BaseRequestHandler):
                     buf += struct.pack("!I", len(b)) + b
             self._send(_msg(b"D", buf))
             n += 1
-            if max_rows and n >= max_rows:
+            sent += 1
+            if max_rows and sent >= max_rows:
+                self.portal_iters[portal_key] = (rows, res, fmts, n)
                 self._send(_msg(b"s", b""))  # PortalSuspended
                 return
         tag = res.command_tag
@@ -621,6 +644,7 @@ class _Conn(socketserver.BaseRequestHandler):
             self.prepared.close(name or "")
         else:
             self.portals.pop(name or "", None)
+            self.portal_iters.pop(name or "", None)
         self._send(_msg(b"3", b""))
 
     def _on_sync(self, _payload: bytes):

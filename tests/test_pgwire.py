@@ -256,6 +256,42 @@ class TestExtendedProtocol:
         assert tags == ["SELECT 1"]
         assert b"NATION_7" in rows[0]
 
+    def test_portal_suspend_resume(self, client):
+        """Execute with max_rows suspends the portal; the next Execute
+        RESUMES the same iterator (no re-execution, no duplicate rows) —
+        the JDBC setFetchSize path."""
+        self._parse(client, "stps",
+                    "SELECT n_nationkey FROM wnation ORDER BY n_nationkey")
+        self._bind(client, "pps", "stps", [])
+        self._execute(client, "pps", max_rows=3)
+        self._sync(client)
+        first, saw_suspend = [], False
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"D":
+                first.append(payload)
+            elif tag == b"s":
+                saw_suspend = True
+            elif tag == b"Z":
+                break
+        assert saw_suspend and len(first) == 3
+
+        self._execute(client, "pps", max_rows=0)  # drain the rest
+        self._sync(client)
+        rest, tags = [], []
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"D":
+                rest.append(payload)
+            elif tag == b"C":
+                tags.append(payload.rstrip(b"\x00").decode())
+            elif tag == b"Z":
+                break
+        # 25 nations total: 3 + 22, resumed (not re-sent from the start)
+        assert len(rest) == 22
+        assert first[0] not in rest
+        assert tags == ["SELECT 25"]
+
     def test_describe_statement(self, client):
         self._parse(client, "st2", "SELECT $1::int8 AS v")
         body = b"S" + b"st2" + b"\x00"

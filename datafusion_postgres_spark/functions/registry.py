@@ -506,6 +506,14 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      "k4 STRING DEFAULT NULL, k5 STRING DEFAULT NULL", "STRING",
      "json_extract_path(j, k1, k2, k3, k4, k5)"),
     ("jsonb_array_length", "j STRING", "INT", "json_array_length(j)"),
+    ("jsonb_set",
+     "j STRING, path ARRAY<STRING>, v STRING, "
+     "create_missing BOOLEAN DEFAULT true", "STRING",
+     "pg_jsonb_set(j, path, v, create_missing)"),
+    ("jsonb_insert",
+     "j STRING, path ARRAY<STRING>, v STRING, "
+     "insert_after BOOLEAN DEFAULT false", "STRING",
+     "pg_jsonb_insert(j, path, v, insert_after)"),
     ("jsonb_object_keys", "j STRING", "ARRAY<STRING>",
      # deviation: PG returns SETOF text; array form (explode() to unnest)
      "json_object_keys(j)"),
@@ -598,6 +606,14 @@ SQL_UDTFS: list[tuple[str, str, str, str]] = [
      "SELECT explode(from_json(j, 'array<string>'))"),
     ("jsonb_array_elements_text", "j STRING", "TABLE(value STRING)",
      "SELECT explode(from_json(j, 'array<string>'))"),
+    ("json_each", "j STRING", "TABLE(key STRING, value STRING)",
+     "SELECT explode(from_json(j, 'map<string,string>'))"),
+    ("jsonb_each", "j STRING", "TABLE(key STRING, value STRING)",
+     "SELECT explode(from_json(j, 'map<string,string>'))"),
+    ("json_each_text", "j STRING", "TABLE(key STRING, value STRING)",
+     "SELECT explode(from_json(j, 'map<string,string>'))"),
+    ("jsonb_each_text", "j STRING", "TABLE(key STRING, value STRING)",
+     "SELECT explode(from_json(j, 'map<string,string>'))"),
     # psql/pg_dump dependency-order helper: the catalog's own FK graph
     # (static — the core row relationships this catalog emulation carries)
     ("pg_get_catalog_foreign_keys", "",
@@ -827,6 +843,58 @@ def _register_text_py(spark: SparkSession) -> None:
                 return None
         return s.map(onev)
 
+    def _jsonb_modify(insert_mode):
+        """jsonb_set / jsonb_insert: walk the text path into parsed JSON
+        (array indices are integer path elements, PG semantics: negative
+        counts from the end; set replaces, insert errors on existing
+        object keys and splices into arrays)."""
+        def one(v, path, newval, create):
+            if v is None or path is None or newval is None:
+                return None
+            try:
+                doc = _json.loads(v)
+                val = _json.loads(newval)
+            except ValueError:
+                return None
+            target = doc
+            path = list(path)
+            for p in path[:-1]:
+                if isinstance(target, list):
+                    target = target[int(p)]
+                elif isinstance(target, dict):
+                    if p not in target:
+                        return _json.dumps(doc, separators=(",", ":"))
+                    target = target[p]
+                else:
+                    return _json.dumps(doc, separators=(",", ":"))
+            if not path:
+                return _json.dumps(doc, separators=(",", ":"))
+            leaf = path[-1]
+            if isinstance(target, list):
+                idx = int(leaf)
+                if insert_mode:
+                    # 4th arg = insert_after for jsonb_insert
+                    norm = idx if idx >= 0 else len(target) + idx
+                    norm = max(0, min(norm, len(target)))
+                    target.insert(norm + (1 if create else 0), val)
+                elif -len(target) <= idx < len(target):
+                    target[idx] = val
+                elif create:
+                    target.insert(idx if idx >= 0 else 0, val)
+            elif isinstance(target, dict):
+                if insert_mode and leaf in target:
+                    return None  # PG raises; NULL is our error channel
+                if leaf in target or create or insert_mode:
+                    target[leaf] = val
+            return _json.dumps(doc, separators=(",", ":"))
+
+        def apply(s, path, newval, create):
+            return pandas.Series([one(v, p, nv, bool(c) if c is not None
+                                      else True)
+                                  for v, p, nv, c in
+                                  zip(s, path, newval, create)])
+        return apply
+
     _PG_RE_FLAGS = {"i": re.IGNORECASE, "n": re.DOTALL, "s": re.DOTALL,
                     "m": re.MULTILINE, "x": re.VERBOSE}
 
@@ -863,6 +931,8 @@ def _register_text_py(spark: SparkSession) -> None:
                           (_json_strip_nulls, "json_strip_nulls", "string"),
                           (_json_strip_nulls, "jsonb_strip_nulls", "string"),
                           (_jsonb_pretty, "jsonb_pretty", "string"),
+                          (_jsonb_modify(False), "pg_jsonb_set", "string"),
+                          (_jsonb_modify(True), "pg_jsonb_insert", "string"),
                           (_regexp_matches, "pg_regexp_matches",
                            "array<string>")):
         if not fn.__annotations__:

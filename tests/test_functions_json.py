@@ -97,3 +97,32 @@ class TestJsonBuilders:
             "SELECT '{\"a\":{\"b\":2}}'::jsonb -> 'a' AS x, "
             "'{\"a\":1}'::json ->> 'a' AS y")[0]
         assert list(r.rows())[0] == ('{"b":2}', "1")
+
+
+class TestJsonbModify:
+    def test_jsonb_set(self, spark):
+        assert one(spark, "jsonb_set('{\"a\":{\"b\":1}}', "
+                          "array('a','b'), '9')") == '{"a":{"b":9}}'
+        assert one(spark, "jsonb_set('[0,1,2]', array('1'), '\"x\"')") == \
+            '[0,"x",2]'
+
+    def test_jsonb_set_create_missing(self, spark):
+        assert one(spark, "jsonb_set('{\"a\":1}', array('c'), '2')") == \
+            '{"a":1,"c":2}'
+        assert one(spark, "jsonb_set('{\"a\":1}', array('c'), '2', "
+                          "false)") == '{"a":1}'
+
+    def test_jsonb_insert(self, spark):
+        assert one(spark, "jsonb_insert('[0,1,2]', array('1'), '\"x\"')") \
+            == '[0,"x",1,2]'
+        assert one(spark, "jsonb_insert('[0,1,2]', array('1'), '\"x\"', "
+                          "true)") == '[0,1,"x",2]'
+        # existing object key: PG raises; NULL is the error channel here
+        assert one(spark, "jsonb_insert('{\"a\":1}', array('a'), '2')") \
+            is None
+
+    def test_json_each(self, spark):
+        rows = spark.sql(
+            "SELECT * FROM json_each('{\"a\":1,\"b\":\"x\"}') "
+            "ORDER BY key").collect()
+        assert [(r.key, r.value) for r in rows] == [("a", "1"), ("b", "x")]

@@ -1523,6 +1523,33 @@ def rewrite_array_constructor(tokens: list[Token]) -> list[Token]:
     return tokens
 
 
+def rewrite_tablesample(tokens: list[Token]) -> list[Token]:
+    """``TABLESAMPLE BERNOULLI(n) / SYSTEM(n)`` → ``TABLESAMPLE (n
+    PERCENT)``. Spark samples per-split (closer to SYSTEM) with one
+    row-level Bernoulli path — the method name carries no semantic
+    the optimizer honors, so both map to the percent form. REPEATABLE
+    passes through (Spark supports it)."""
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_kw("TABLESAMPLE"):
+            m = significant(tokens, i)
+            if m >= 0 and tokens[m].kind == IDENT and \
+                    tokens[m].text.upper() in ("BERNOULLI", "SYSTEM"):
+                p = significant(tokens, m)
+                if p >= 0 and tokens[p].text == "(":
+                    close = _match_fwd(tokens, p)
+                    if close >= 0:
+                        tokens[close:close] = [Token(WS, " "),
+                                               Token(IDENT, "PERCENT")]
+                        tokens[i + 1:p] = [Token(WS, " ")]
+                        i += 1
+                        continue
+        i += 1
+    return tokens
+
+
 def rewrite_explain(tokens: list[Token]) -> list[Token]:
     """PG EXPLAIN forms → Spark EXPLAIN.
 
@@ -1583,6 +1610,7 @@ ALL_RULES = [
     rewrite_version,
     rewrite_to_char,
     rewrite_misc_functions,
+    rewrite_tablesample,
     rewrite_array_constructor,
     rewrite_array_subscript,
     rename_functions,

@@ -131,3 +131,22 @@ def text_stats(df: DataFrame, text_col: str = "text",
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def sample_systematic(df: DataFrame, key_col: str, rate_denom: int,
+                      stratify_col: str | None = None,
+                      remainder: int = 0) -> DataFrame:
+    """Deterministic 1-in-``rate_denom`` sample: keep rows whose portable
+    key hash lands on ``remainder`` mod rate_denom.
+
+    Unlike rand()-based sampling this is reproducible across engines,
+    runs, and partitionings (the classic training-data holdout trick —
+    the same doc always lands in the same split), and it is a pure
+    zero-shuffle scan-side filter at any scale. With ``stratify_col``
+    the key is salted per stratum so every stratum is sampled at the
+    same 1/denom rate independent of its key distribution."""
+    key = F.col(key_col).cast("string")
+    if stratify_col is not None:
+        key = F.concat(F.col(stratify_col).cast("string"), F.lit("|"), key)
+    h = fingerprint(key)
+    return df.where(h % F.lit(rate_denom) == F.lit(remainder))

@@ -603,3 +603,22 @@ def dedup_decontaminate(spark, sf_dir):
     eval_docs = docs.where(F.col("doc_id") < 50)
     corpus = docs.where(F.col("doc_id") >= 50)
     return sorted_small(dedup.decontaminate(corpus, eval_docs), "doc_id")
+
+
+_SAMPLE_KEY = ("regexp_replace(trim(lower(lang || '|' || "
+               "CAST(doc_id AS VARCHAR))), '\\s+', ' ', 'g')")
+_SAMPLE_ORACLE = ("WITH keyed AS (SELECT doc_id, lang, "
+                  + _duck_hash(_SAMPLE_KEY) +
+                  " AS h FROM documents) SELECT doc_id, lang FROM keyed "
+                  "WHERE h % 10 = 0 ORDER BY doc_id")
+
+
+@register("text_sample_systematic", oracle=_SAMPLE_ORACLE)
+def text_sample_systematic(spark, sf_dir):
+    """Deterministic 1-in-10 holdout stratified by language: the same
+    doc lands in the same split on every engine/run/partitioning —
+    a pure scan-side filter (zero shuffle at any scale)."""
+    docs = t(spark, sf_dir, "documents")
+    return (text.sample_systematic(docs, "doc_id", 10,
+                                   stratify_col="lang")
+            .select("doc_id", "lang").orderBy("doc_id"))

@@ -77,6 +77,11 @@ CASES = [
      "EXPLAIN FORMATTED SELECT 1"),
     ("EXPLAIN (COSTS OFF) SELECT 1", "EXPLAIN SELECT 1"),
     ("EXPLAIN SELECT 1", "EXPLAIN SELECT 1"),
+    # TABLESAMPLE method translation (Spark has no method name)
+    ("SELECT * FROM t TABLESAMPLE BERNOULLI (10)",
+     "SELECT * FROM t TABLESAMPLE (10 PERCENT)"),
+    ("SELECT * FROM t TABLESAMPLE SYSTEM (5) REPEATABLE (42)",
+     "SELECT * FROM t TABLESAMPLE (5 PERCENT) REPEATABLE (42)"),
     # array/tsvector binary operators -> function calls
     ("SELECT a @> b FROM t", "SELECT pg_array_contains_all(a, b) FROM t"),
     ("SELECT a <@ b FROM t", "SELECT pg_array_contains_all(b, a) FROM t"),

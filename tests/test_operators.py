@@ -281,3 +281,16 @@ class TestDecontaminate:
             [(200, "a b c d e f g h")], "doc_id long, text string")
         rows = dedup.decontaminate(corpus, eval_docs).collect()
         assert rows[0].overlap_ratio == 1.0
+
+
+class TestSampleSystematic:
+    def test_deterministic_and_disjoint(self, spark):
+        from datafusion_postgres_spark.operators import text as T
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        a = set(r.k for r in T.sample_systematic(df, "k", 10).collect())
+        b = set(r.k for r in T.sample_systematic(df, "k", 10).collect())
+        assert a == b                      # reproducible
+        other = set(r.k for r in
+                    T.sample_systematic(df, "k", 10, remainder=1).collect())
+        assert a.isdisjoint(other)         # remainders partition the data
+        assert 40 < len(a) < 180           # ~1/10 of 1000

@@ -1523,6 +1523,141 @@ def rewrite_array_constructor(tokens: list[Token]) -> list[Token]:
     return tokens
 
 
+# PG extract()/date_part() fields Spark lacks (or counts differently:
+# Spark's dow is 1-7 Sunday-first, PG's is 0-6) → equivalent expressions
+_EXTRACT_REWRITES = {
+    "dow": "(extract(dayofweek FROM {X}) - 1)",
+    "isodow": "(weekday(cast({X} AS DATE)) + 1)",
+    "decade": "cast(floor(extract(year FROM {X}) / 10) AS BIGINT)",
+    "century":
+        "cast(floor((extract(year FROM {X}) - 1) / 100) + 1 AS BIGINT)",
+    "millennium":
+        "cast(floor((extract(year FROM {X}) - 1) / 1000) + 1 AS BIGINT)",
+    "isoyear": "extract(yearofweek FROM {X})",
+    "microseconds": "cast(extract(second FROM {X}) * 1000000 AS BIGINT)",
+    "milliseconds": "(extract(second FROM {X}) * 1000)",
+}
+
+
+def _apply_extract_template(tokens, start, end, field, expr):
+    """Splice template(field) with {X} = expr into tokens[start:end]."""
+    if field == "epoch":
+        is_interval = any(tk.is_kw("INTERVAL") for tk in expr)
+        tmpl = "pg_epoch_iv({X})" if is_interval else "pg_epoch_ts({X})"
+    else:
+        tmpl = _EXTRACT_REWRITES[field]
+    pre, post = tmpl.split("{X}")
+    repl = _toks(pre) + list(expr) + _toks(post)
+    tokens[start:end] = repl
+    return len(repl)
+
+
+def rewrite_extract_fields(tokens: list[Token]) -> list[Token]:
+    """``extract(epoch/dow/isodow/decade/... FROM x)`` and the
+    ``date_part('field', x)`` twin → Spark-expressible forms. Fields
+    Spark supports natively with PG-matching values pass through."""
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        low = t.text.lower() if t.kind == IDENT else ""
+        nxt = significant(tokens, i)
+        has_paren = nxt >= 0 and tokens[nxt].text == "("
+        if low == "extract" and has_paren:
+            close = _match_fwd(tokens, nxt)
+            fidx = significant(tokens, nxt)
+            fromk = significant(tokens, fidx) if fidx >= 0 else -1
+            if close >= 0 and fidx >= 0 and fromk >= 0 and \
+                    tokens[fromk].is_kw("FROM") and \
+                    tokens[fidx].kind in (IDENT, STRING):
+                field = tokens[fidx].text.strip("'").lower()
+                if field == "epoch" or field in _EXTRACT_REWRITES:
+                    expr = [tk for tk in tokens[fromk + 1:close]]
+                    while expr and expr[0].kind == WS:
+                        expr.pop(0)
+                    while expr and expr[-1].kind == WS:
+                        expr.pop()
+                    i += _apply_extract_template(tokens, i, close + 1,
+                                                 field, expr)
+                    continue
+        elif low == "date_part" and has_paren:
+            close = _match_fwd(tokens, nxt)
+            args = _top_args(tokens, nxt, close) if close >= 0 else []
+            if len(args) == 2:
+                (s1, e1), (s2, e2) = args
+                f = significant(tokens, s1 - 1)
+                if f < e1 and tokens[f].kind == STRING:
+                    field = tokens[f].text.strip("'").lower()
+                    if field == "epoch" or field in _EXTRACT_REWRITES:
+                        expr = [tk for tk in tokens[s2:e2]
+                                if tk.kind != WS or True]
+                        while expr and expr[0].kind == WS:
+                            expr.pop(0)
+                        while expr and expr[-1].kind == WS:
+                            expr.pop()
+                        i += _apply_extract_template(tokens, i, close + 1,
+                                                     field, expr)
+                        continue
+        i += 1
+    return tokens
+
+
+def rewrite_between_overlaps(tokens: list[Token]) -> list[Token]:
+    """``x BETWEEN SYMMETRIC a AND b`` → ``x BETWEEN least(a,b) AND
+    greatest(a,b)``; ``(s1,e1) OVERLAPS (s2,e2)`` → the normalized
+    half-open comparison PG defines (bounds may be given in either
+    order)."""
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_kw("BETWEEN"):
+            sym = significant(tokens, i)
+            if sym >= 0 and tokens[sym].is_kw("SYMMETRIC"):
+                b1_end = _expr_end(tokens, sym)
+                and_idx = significant(tokens, b1_end) if b1_end >= 0 else -1
+                if and_idx >= 0 and tokens[and_idx].is_kw("AND"):
+                    b2_end = _expr_end(tokens, and_idx)
+                    if b2_end >= 0:
+                        b1 = [tk for tk in
+                              tokens[significant(tokens, sym):b1_end + 1]]
+                        b2 = [tk for tk in
+                              tokens[significant(tokens, and_idx):
+                                     b2_end + 1]]
+                        repl = (_toks("BETWEEN least(") + b1 +
+                                _toks(", ") + b2 +
+                                _toks(") AND greatest(") + b1 +
+                                _toks(", ") + b2 + _toks(")"))
+                        tokens[i:b2_end + 1] = repl
+                        i += len(repl)
+                        continue
+        elif t.kind == IDENT and t.is_kw("OVERLAPS"):
+            prev = significant(tokens, i, -1)
+            nxt = significant(tokens, i)
+            if prev >= 0 and tokens[prev].text == ")" and nxt >= 0 and \
+                    tokens[nxt].text == "(":
+                lopen = _match_back(tokens, prev)
+                rclose = _match_fwd(tokens, nxt)
+                if lopen >= 0 and rclose >= 0:
+                    largs = _top_args(tokens, lopen, prev)
+                    rargs = _top_args(tokens, nxt, rclose)
+                    if len(largs) == 2 and len(rargs) == 2:
+                        s1 = list(tokens[largs[0][0]:largs[0][1]])
+                        e1 = list(tokens[largs[1][0]:largs[1][1]])
+                        s2 = list(tokens[rargs[0][0]:rargs[0][1]])
+                        e2 = list(tokens[rargs[1][0]:rargs[1][1]])
+                        repl = (_toks("(least(") + s1 + _toks(",") + e1 +
+                                _toks(") < greatest(") + s2 + _toks(",") +
+                                e2 + _toks(") AND least(") + s2 +
+                                _toks(",") + e2 + _toks(") < greatest(") +
+                                s1 + _toks(",") + e1 + _toks("))"))
+                        tokens[lopen:rclose + 1] = repl
+                        i = lopen + len(repl)
+                        continue
+        i += 1
+    return tokens
+
+
 def rewrite_tablesample(tokens: list[Token]) -> list[Token]:
     """``TABLESAMPLE BERNOULLI(n) / SYSTEM(n)`` → ``TABLESAMPLE (n
     PERCENT)``. Spark samples per-split (closer to SYSTEM) with one
@@ -1609,6 +1744,8 @@ ALL_RULES = [
     map_cast_types,
     rewrite_version,
     rewrite_to_char,
+    rewrite_extract_fields,
+    rewrite_between_overlaps,
     rewrite_misc_functions,
     rewrite_tablesample,
     rewrite_array_constructor,

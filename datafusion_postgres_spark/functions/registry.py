@@ -186,10 +186,19 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      " n % 8) & 1 AS INT)"),
     ("timezone", "zone STRING, ts TIMESTAMP", "TIMESTAMP_NTZ",
      "to_timestamp_ntz(from_utc_timestamp(ts, zone))"),
-    ("age", "a TIMESTAMP_NTZ, b TIMESTAMP_NTZ", "INTERVAL DAY TO SECOND",
+    ("age", "a TIMESTAMP_NTZ, b TIMESTAMP_NTZ DEFAULT NULL",
+     "INTERVAL DAY TO SECOND",
      # deviation from PG's symbolic year-month decomposition: day-time
-     # interval (documented; the reference also simplifies here)
-     "a - b"),
+     # interval (documented; the reference also simplifies here).
+     # 1-arg form = age(current_date, x), PG's midnight-anchored diff
+     "CASE WHEN b IS NULL THEN cast(current_date() AS TIMESTAMP_NTZ) - a "
+     "ELSE a - b END"),
+    ("pg_epoch_ts", "ts TIMESTAMP", "DOUBLE",
+     "cast(unix_micros(ts) AS DOUBLE) / 1000000.0D"),
+    ("pg_epoch_iv", "i INTERVAL DAY TO SECOND", "DOUBLE",
+     "cast(cast((extract(DAY FROM i) * 24 + extract(HOUR FROM i)) * 60 "
+     "+ extract(MINUTE FROM i) AS BIGINT) * 60 AS DOUBLE) "
+     "+ cast(extract(SECOND FROM i) AS DOUBLE)"),
     ("clock_timestamp", "", "TIMESTAMP", "now()"),
     ("statement_timestamp", "", "TIMESTAMP", "now()"),
     ("transaction_timestamp", "", "TIMESTAMP", "now()"),

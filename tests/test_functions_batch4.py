@@ -200,3 +200,63 @@ class TestFullTextSearch:
             "ARRAY[1,2] && ARRAY[2,9] AS c, "
             "ARRAY[1] && ARRAY[9] AS d")[0]
         assert list(r.rows())[0] == (True, True, True, False)
+
+
+class TestExtractFields:
+    """PG extract()/date_part() fields Spark lacks or counts differently."""
+
+    def test_epoch_timestamp(self, engine):
+        r = engine.execute(
+            "SELECT extract(epoch FROM timestamp '1970-01-01 00:01:00') "
+            "AS e, date_part('epoch', timestamp '1970-01-01 00:00:30') "
+            "AS d")[0]
+        assert list(r.rows())[0] == (60.0, 30.0)
+
+    def test_epoch_interval(self, engine):
+        r = engine.execute(
+            "SELECT extract(epoch FROM interval '1 hour 30 seconds') AS e, "
+            "extract(epoch FROM '2 hours'::interval) AS c")[0]
+        assert list(r.rows())[0] == (3630.0, 7200.0)
+
+    def test_dow_isodow(self, engine):
+        # 2021-01-03 Sunday: PG dow=0, isodow=7; 01-04 Monday: 1, 1
+        r = engine.execute(
+            "SELECT extract(dow FROM date '2021-01-03') AS a, "
+            "extract(isodow FROM date '2021-01-03') AS b, "
+            "extract(dow FROM date '2021-01-04') AS c, "
+            "extract(isodow FROM date '2021-01-04') AS d")[0]
+        assert list(r.rows())[0] == (0, 7, 1, 1)
+
+    def test_decade_century_millennium(self, engine):
+        r = engine.execute(
+            "SELECT extract(decade FROM date '2021-05-01') AS d, "
+            "extract(century FROM date '2001-01-01') AS c, "
+            "extract(century FROM date '2000-12-31') AS c2, "
+            "extract(millennium FROM date '2001-01-01') AS m")[0]
+        assert list(r.rows())[0] == (202, 21, 20, 3)
+
+    def test_subsecond_fields(self, engine):
+        r = engine.execute(
+            "SELECT extract(microseconds FROM "
+            "timestamp '2021-01-01 00:00:30.5') AS us")[0]
+        assert list(r.rows())[0][0] == 30500000
+
+    def test_age_one_arg(self, engine):
+        r = engine.execute(
+            "SELECT age(timestamp '2020-01-01') > "
+            "interval '300 days' AS a")[0]
+        assert list(r.rows())[0][0] is True
+
+    def test_between_symmetric(self, engine):
+        r = engine.execute(
+            "SELECT 5 BETWEEN SYMMETRIC 10 AND 1 AS a, "
+            "15 BETWEEN SYMMETRIC 10 AND 1 AS b")[0]
+        assert list(r.rows())[0] == (True, False)
+
+    def test_overlaps(self, engine):
+        r = engine.execute(
+            "SELECT (DATE '2001-02-16', DATE '2001-12-21') OVERLAPS "
+            "(DATE '2001-10-30', DATE '2002-10-30') AS o, "
+            "(DATE '2001-02-16', DATE '2001-03-01') OVERLAPS "
+            "(DATE '2001-10-30', DATE '2002-10-30') AS n")[0]
+        assert list(r.rows())[0] == (True, False)

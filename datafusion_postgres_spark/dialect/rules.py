@@ -127,6 +127,27 @@ def rewrite_abort(tokens: list[Token]) -> list[Token]:
     return tokens
 
 
+def rewrite_truncate(tokens: list[Token]) -> list[Token]:
+    """PG ``TRUNCATE [TABLE] [ONLY] name`` → Spark ``TRUNCATE TABLE
+    name`` (Spark requires the TABLE keyword; ONLY has no meaning
+    without inheritance)."""
+    first = significant(tokens, -1)
+    if first < 0 or not tokens[first].is_kw("TRUNCATE"):
+        return tokens
+    tokens = list(tokens)
+    j = significant(tokens, first)
+    if j >= 0 and tokens[j].is_kw("ONLY"):
+        del tokens[j:j + 1]
+        j = significant(tokens, first)
+    if j >= 0 and not tokens[j].is_kw("TABLE"):
+        tokens[first + 1:first + 1] = [Token(WS, " "), Token(IDENT, "TABLE")]
+    else:
+        k = significant(tokens, j)
+        if k >= 0 and tokens[k].is_kw("ONLY"):
+            del tokens[k:k + 1]
+    return tokens
+
+
 # ---------------------------------------------------------------------------
 # Rule: OPERATOR(pg_catalog.~) -> ~   (sql/rules.rs:802-857)
 
@@ -1729,6 +1750,7 @@ def rewrite_explain(tokens: list[Token]) -> list[Token]:
 ALL_RULES = [
     rewrite_explain,
     rewrite_abort,
+    rewrite_truncate,
     rewrite_distinct_on,
     rewrite_pg_operator,
     rewrite_json_ops,

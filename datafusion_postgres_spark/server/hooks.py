@@ -246,6 +246,17 @@ class HookChain:
         if kind in ("VACUUM", "ANALYZE", "ANALYSE", "CHECKPOINT", "LISTEN",
                     "UNLISTEN", "NOTIFY", "DEALLOCATE", "SECURITY"):
             return ExecutionResult(df=None, command_tag=kind)
+        # index DDL and physical-maintenance statements: Spark has no
+        # secondary indexes (scans are pruned by parquet statistics /
+        # partitioning instead), so ORM/pg_restore index DDL is accepted
+        # as a no-op — same honesty class as VACUUM above
+        import re as _re
+        if _re.match(r"(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\b", stmt):
+            return ExecutionResult(df=None, command_tag="CREATE INDEX")
+        if _re.match(r"(?is)^\s*DROP\s+INDEX\b", stmt):
+            return ExecutionResult(df=None, command_tag="DROP INDEX")
+        if kind in ("REINDEX", "CLUSTER"):
+            return ExecutionResult(df=None, command_tag=kind)
 
         # -- RESET / DISCARD (Postgres session maintenance) -----------------
         if kind == "RESET":

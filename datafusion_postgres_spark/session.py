@@ -171,8 +171,17 @@ class SparkPgEngine:
             n = _dml_row_count(df)
             tag = f"{kind} {n}" if kind != "INSERT" else f"INSERT 0 {n}"
             return ExecutionResult(df=None, command_tag=tag, rows_affected=n)
+        if kind == "COMMENT":
+            # Spark applies COMMENT ON TABLE natively; only the tag differs
+            return ExecutionResult(df=None, command_tag="COMMENT")
         if kind in ("CREATE", "DROP", "ALTER", "TRUNCATE"):
-            return ExecutionResult(df=None, command_tag=f"{kind} TABLE")
+            import re as _re
+            m = _re.match(
+                r"(?is)^\s*(?:CREATE|DROP|ALTER)\s+(?:OR\s+REPLACE\s+)?"
+                r"(?:TEMP(?:ORARY)?\s+)?(?:MATERIALIZED\s+)?"
+                r"(SCHEMA|VIEW|DATABASE|SEQUENCE|FUNCTION|TYPE)\b", stmt)
+            obj = m.group(1).upper() if m else "TABLE"
+            return ExecutionResult(df=None, command_tag=f"{kind} {obj}")
         return ExecutionResult(df=df)
 
     def copy_into(self, table: str, columns: list[str] | None, data: bytes,

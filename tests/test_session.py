@@ -258,3 +258,48 @@ class TestResetShowAll:
         engine.execute("DECLARE dcur CURSOR FOR SELECT 1")
         engine.execute("DISCARD ALL")
         assert not engine.state.cursors
+
+
+class TestDdlSurface:
+    """ORM/pg_restore DDL statements: index no-ops, bare TRUNCATE,
+    object-correct command tags."""
+
+    def test_index_ddl_noops(self, engine):
+        engine.execute("CREATE TABLE ddl_t (a INT)")
+        assert engine.execute(
+            "CREATE INDEX ddl_i ON ddl_t (a)")[0].command_tag == \
+            "CREATE INDEX"
+        assert engine.execute(
+            "CREATE UNIQUE INDEX ddl_u ON ddl_t (a)")[0].command_tag == \
+            "CREATE INDEX"
+        assert engine.execute("DROP INDEX ddl_i")[0].command_tag == \
+            "DROP INDEX"
+        assert engine.execute(
+            "REINDEX TABLE ddl_t")[0].command_tag == "REINDEX"
+        assert engine.execute("CLUSTER ddl_t")[0].command_tag == "CLUSTER"
+        engine.execute("DROP TABLE ddl_t")
+
+    def test_truncate_forms(self, engine):
+        engine.execute("CREATE TABLE ddl_tr (a INT)")
+        for form in ("TRUNCATE ddl_tr", "TRUNCATE ONLY ddl_tr",
+                     "TRUNCATE TABLE ONLY ddl_tr"):
+            assert engine.execute(form)[0].command_tag == "TRUNCATE TABLE"
+        engine.execute("DROP TABLE ddl_tr")
+
+    def test_object_tags(self, engine):
+        assert engine.execute(
+            "CREATE SCHEMA ddl_s")[0].command_tag == "CREATE SCHEMA"
+        assert engine.execute(
+            "CREATE VIEW ddl_v AS SELECT 1 AS x")[0].command_tag == \
+            "CREATE VIEW"
+        assert engine.execute("DROP VIEW ddl_v")[0].command_tag == \
+            "DROP VIEW"
+        assert engine.execute("DROP SCHEMA ddl_s")[0].command_tag == \
+            "DROP SCHEMA"
+
+    def test_comment_on(self, engine):
+        engine.execute("CREATE TABLE ddl_c (a INT)")
+        assert engine.execute(
+            "COMMENT ON TABLE ddl_c IS 'hello'")[0].command_tag == \
+            "COMMENT"
+        engine.execute("DROP TABLE ddl_c")

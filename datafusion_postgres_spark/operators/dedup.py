@@ -19,7 +19,7 @@ Scale design notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from datafusion_postgres_spark.operators.text import (
     FP_MOD, ensure_min_parallelism, norm_text, word_fingerprint, words,
@@ -270,18 +270,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # SimHash
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 48) -> DataFrame:
-    """Per-doc simhash as a ZERO-SHUFFLE projection: the word-hash array
-    stays inside one row, and each signature bit b is set iff the majority
-    of word hashes have bit b set (strictly more than half — identical to
-    the +1/-1 sign-sum being positive).
-
-    Round-1 shape was explode(words) + groupBy(id) with 48 per-bit sums —
-    that shuffles every word occurrence in the corpus. This form computes
-    the same signature inside whole-stage codegen over the scan, so it
-    scales embarrassingly parallel like shingle_array."""
-    ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
+def simhash_expr(text: Column, bits: int = 48) -> Column:
+    """The per-row simhash signature as a pure column expression: each
+    signature bit b is set iff the majority of the row's word hashes have
+    bit b set (strictly more than half — identical to the +1/-1 sign-sum
+    being positive). Whole-stage-codegen only, so it composes into batch
+    projections AND streaming frames (streaming/dedup.py) unchanged."""
+    ws = F.filter(words(norm_text(text)), lambda w: w != "")
     whs = F.transform(ws, word_fingerprint)
     n_words = F.size(whs)
     sig = None
@@ -291,9 +286,21 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         term = F.when(2 * cnt_set > n_words,
                       F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
+    return sig
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 48) -> DataFrame:
+    """Per-doc simhash as a ZERO-SHUFFLE projection.
+
+    Round-1 shape was explode(words) + groupBy(id) with 48 per-bit sums —
+    that shuffles every word occurrence in the corpus. This form computes
+    the same signature inside whole-stage codegen over the scan, so it
+    scales embarrassingly parallel like shingle_array."""
     return (ensure_min_parallelism(docs)
             .where(F.trim(F.col(text_col)) != "")
-            .select(F.col(id_col).alias("id"), sig.alias("simhash")))
+            .select(F.col(id_col).alias("id"),
+                    simhash_expr(F.col(text_col), bits).alias("simhash")))
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",

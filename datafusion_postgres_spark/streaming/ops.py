@@ -23,14 +23,19 @@ from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
 )
 
-EVENTS_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),          # raw ns (parquet nanosAsLong)
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+def _events_schema(ts_is_long: bool) -> StructType:
+    """The testdata has shipped events.ts both as int64 nanos and as
+    parquet timestamp[us]; build the read schema for whichever layout the
+    files actually have (mirrors sources/registry.read_table's check)."""
+    from pyspark.sql.types import TimestampType
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType() if ts_is_long else TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
 
 
 def read_events_stream(spark: SparkSession, path: str,
@@ -43,17 +48,25 @@ def read_events_stream(spark: SparkSession, path: str,
 
     The file source wants a DIRECTORY; a single-file path (the testdata
     layout) becomes dir + pathGlobFilter on the basename."""
+    import glob
     import os
+
+    import pyarrow.parquet as pq
+    sample = path if os.path.isfile(path) else \
+        sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    ts_is_long = str(pq.read_schema(sample).field("ts").type) == "int64"
     reader = (spark.readStream
-              .schema(EVENTS_SCHEMA)
+              .schema(_events_schema(ts_is_long))
               .option("maxFilesPerTrigger", max_files_per_trigger))
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    # watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ —
-    # timestamp_micros produces exactly that
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        # watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ —
+        # timestamp_micros produces exactly that (session tz is UTC)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",

@@ -1,0 +1,113 @@
+"""Streaming dedup tests: documents replayed as a 2-batch file stream;
+exact dedup and simhash near-dup results cross-checked against the batch
+operators. The 2-file split forces REAL cross-batch state: duplicates of
+a batch-1 doc arriving in batch 2 must still be caught."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_postgres_spark.operators import dedup as batch_dedup
+from datafusion_postgres_spark.operators.text import fingerprint
+from datafusion_postgres_spark.sources.registry import read_table
+from datafusion_postgres_spark.streaming import dedup as sdedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, tmp_path_factory):
+    """Documents split into two parquet files by doc_id parity so
+    maxFilesPerTrigger=1 yields two micro-batches."""
+    d = tmp_path_factory.mktemp("docs_stream")
+    docs = read_table(spark, SF_DIR, "documents")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite").parquet(str(d / "even"))
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite").parquet(str(d / "odd"))
+    # flatten the two part-files into one stream directory; pin mtimes so
+    # the file source replays even -> odd deterministically
+    import glob
+    import os
+    import shutil
+    out = tmp_path_factory.mktemp("docs_stream_flat")
+    for i, sub in enumerate(("even", "odd")):
+        (part,) = glob.glob(str(d / sub / "part-*.parquet"))
+        dst = out / f"{i}_{sub}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    return str(out)
+
+
+def test_exact_dedup_stream(spark, docs_stream_dir):
+    stream = sdedup.read_documents_stream(spark, docs_stream_dir)
+    assert stream.isStreaming
+    q = (sdedup.dedup_exact_stream(stream)
+         .writeStream.format("memory").queryName("dedup_exact_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    try:
+        kept = spark.sql("SELECT fp FROM dedup_exact_s").collect()
+        kept_fps = [r["fp"] for r in kept]
+        # exactly one survivor per distinct normalized text
+        assert len(kept_fps) == len(set(kept_fps))
+        batch_fps = {r["fp"] for r in
+                     read_table(spark, SF_DIR, "documents")
+                     .select(fingerprint(F.col("text")).alias("fp"))
+                     .distinct().collect()}
+        assert set(kept_fps) == batch_fps
+    finally:
+        q.stop()
+
+
+def test_simhash_near_dup_stream_matches_batch(spark, docs_stream_dir):
+    stream = sdedup.read_documents_stream(spark, docs_stream_dir)
+    q = (sdedup.simhash_near_dup_stream(stream)
+         .writeStream.format("memory").queryName("near_dup_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    try:
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+               spark.sql("SELECT * FROM near_dup_s").collect()}
+        docs = read_table(spark, SF_DIR, "documents")
+        expected = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                    batch_dedup.simhash_near_pairs(docs).collect()}
+        # exactly-once pair emission (lowest-chunk ownership) and full
+        # recall vs the batch operator, including cross-batch pairs
+        assert got == expected
+        # the split guarantees cross-batch pairs exist (even id with odd id)
+        cross = [p for p in expected if p[0] % 2 != p[1] % 2]
+        assert cross, "testdata should contain cross-parity near-dup pairs"
+    finally:
+        q.stop()
+
+
+def test_exact_dedup_stream_catches_cross_batch_dup(spark, tmp_path):
+    """Synthetic 2-batch stream where batch 2 re-sends a batch-1 text:
+    the duplicate must NOT survive."""
+    import pandas as pd
+
+    b1 = pd.DataFrame({
+        "doc_id": [1, 2], "text": ["alpha beta", "gamma delta"],
+        "lang": ["en", "en"], "source": ["s", "s"], "n_chars": [10, 11]})
+    b2 = pd.DataFrame({
+        "doc_id": [3, 4], "text": ["ALPHA   beta", "epsilon zeta"],
+        "lang": ["en", "en"], "source": ["s", "s"], "n_chars": [10, 12]})
+    d = tmp_path / "stream"
+    d.mkdir()
+    import os
+    b1.to_parquet(d / "0_b1.parquet")
+    b2.to_parquet(d / "1_b2.parquet")
+    os.utime(d / "0_b1.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(d / "1_b2.parquet", (1_700_000_010, 1_700_000_010))
+    stream = sdedup.read_documents_stream(spark, str(d))
+    q = (sdedup.dedup_exact_stream(stream)
+         .writeStream.format("memory").queryName("dedup_cross")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    try:
+        rows = spark.sql("SELECT doc_id FROM dedup_cross").collect()
+        ids = sorted(r["doc_id"] for r in rows)
+        # doc 3 normalizes to doc 1's text (case + whitespace) -> dropped
+        assert ids == [1, 2, 4]
+    finally:
+        q.stop()

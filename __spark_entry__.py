@@ -21,8 +21,11 @@ def _configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass
-    from datafusion_postgres_spark.functions import register_all
-    register_all(spark)
+    # catalog-free function surface only: the registered queries never
+    # touch pg_catalog views, and full register_all costs ~30s/session
+    # (catalog bootstrap) the driver would pay on every fresh session.
+    from datafusion_postgres_spark.functions import register_functions
+    register_functions(spark)
     return spark
 
 

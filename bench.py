@@ -36,20 +36,24 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from datafusion_postgres_spark.session import build_spark
-    from datafusion_postgres_spark.functions import register_all
+    from datafusion_postgres_spark.functions import register_functions
     from datafusion_postgres_spark.queries import load_all
 
     spark = build_spark(app_name="bench")
-    register_all(spark)
+    register_functions(spark)  # catalog-free: bench queries never touch pg_catalog
     reg = load_all()
 
-    # JVM/codegen warmup on the smallest SF so measured times are steady-state
+    # JVM/codegen warmup on the smallest SF so measured times are
+    # steady-state: EVERY headline query once (warming only q1/q3 left the
+    # other queries' first sf0.1 run paying codegen — with min-of-n that
+    # injects noise into the reported number)
     warm = "/root/testdata/sf0.001"
     if os.path.isdir(warm):
-        for name in ("q1_pricing_summary", "q3_shipping_priority"):
-            reg[name].fn(spark, warm).write.format("noop").mode("overwrite").save()
+        for name in HEADLINE:
+            if name in reg:
+                reg[name].fn(spark, warm).write.format("noop").mode("overwrite").save()
 
-    # two runs per query, report the min: steady-state engine time, not
+    # three runs per query, report the min: steady-state engine time, not
     # first-run codegen/file-listing overhead
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -57,7 +61,7 @@ def main() -> None:
         if spec is None:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)

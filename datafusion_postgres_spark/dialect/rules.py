@@ -837,6 +837,17 @@ def rewrite_catalog_names(tokens: list[Token]) -> list[Token]:
             if nxt >= 0 and tokens[nxt].text == "(":
                 i += 1
                 continue
+            if nxt >= 0 and tokens[nxt].kind == PUNCT and tokens[nxt].text == ".":
+                # column-qualifier position (pg_namespace.oid): the table
+                # reference in FROM/JOIN was rewritten to the flat view
+                # name, so the qualifier must follow it (pg_-prefixed
+                # names only — information_schema names like "columns"
+                # are too generic to rewrite outside table position)
+                nm2 = significant(tokens, nxt)
+                if nm2 >= 0 and tokens[nm2].kind in (IDENT, QIDENT):
+                    tokens[i] = Token(IDENT, f"pg_catalog_{t.text.lower()}")
+                i += 1
+                continue
             # only in table position: previous significant is FROM/JOIN/, etc.
             if prev >= 0 and (tokens[prev].is_kw("FROM", "JOIN", "INTO",
                                                  "UPDATE", "TABLE", "LATERAL")

@@ -1,1 +1,2 @@
-from datafusion_postgres_spark.functions.registry import register_all  # noqa: F401
+from datafusion_postgres_spark.functions.registry import (  # noqa: F401
+    register_all, register_functions)

@@ -649,23 +649,39 @@ SQL_UDTFS: list[tuple[str, str, str, str]] = [
 _REGISTERED_SESSIONS: set[int] = set()
 
 
-def register_all(spark: SparkSession) -> None:
-    """Register every engine function into the session (idempotent)."""
+def _needs_catalog(body: str) -> bool:
+    """SQL UDF bodies that query the pg_catalog views (``pg_catalog_pg_*``
+    temp-view names) can only be analyzed after ``bootstrap``. String
+    literals like ``'pg_catalog.pg_class'`` (dots) don't count."""
+    return "pg_catalog_pg_" in body
+
+
+_FUNC_SESSIONS: set[int] = set()
+
+
+def register_functions(spark: SparkSession) -> None:
+    """Register the catalog-FREE function surface (idempotent, cheap).
+
+    This is the driver/bench path: no pg_catalog bootstrap (which costs
+    ~20s of view materialization a query-only workload never touches).
+    Server sessions use :func:`register_all`, which adds the catalog views
+    and the catalog-querying UDFs (to_regclass & friends) on top.
+    """
     key = id(spark)
-    if key in _REGISTERED_SESSIONS:
+    if key in _FUNC_SESSIONS:
         return
-    # pg_to_regclass's body references pg_catalog_pg_class — SQL UDF bodies
-    # are analyzed at CREATE time, so the catalog views must exist first.
-    from datafusion_postgres_spark.catalog.pg_catalog import bootstrap
-    bootstrap(spark)
     # python-backed UDFs first: SQL UDF bodies that wrap them (normalize,
     # pg_sleep_for/until) are analyzed at CREATE time
     _register_special_math(spark)
     _register_text_py(spark)
     for name, args, ret, body in SQL_UDFS:
+        if _needs_catalog(body):
+            continue
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
                   f"RETURNS {ret} RETURN {body}")
     for name, args, ret, body in SQL_UDTFS:
+        if _needs_catalog(body):
+            continue
         try:
             spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
                       f"RETURNS {ret} RETURN {body}")
@@ -674,6 +690,34 @@ def register_all(spark: SparkSession) -> None:
     from datafusion_postgres_spark.functions.formatting import (
         register_formatting)
     register_formatting(spark)
+    _FUNC_SESSIONS.add(key)
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every engine function into the session (idempotent).
+
+    Full surface = catalog-free functions + pg_catalog views + the UDFs
+    whose bodies query those views (analyzed at CREATE time, so the views
+    must exist first)."""
+    key = id(spark)
+    if key in _REGISTERED_SESSIONS:
+        return
+    from datafusion_postgres_spark.catalog.pg_catalog import bootstrap
+    bootstrap(spark)
+    register_functions(spark)
+    for name, args, ret, body in SQL_UDFS:
+        if not _needs_catalog(body):
+            continue
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+                  f"RETURNS {ret} RETURN {body}")
+    for name, args, ret, body in SQL_UDTFS:
+        if not _needs_catalog(body):
+            continue
+        try:
+            spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+                      f"RETURNS {ret} RETURN {body}")
+        except Exception:
+            pass
     _REGISTERED_SESSIONS.add(key)
 
 

@@ -222,11 +222,12 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     projection (cached, computed once); the only shuffles are the band
     self-join and the two verification joins on candidate ids.
 
-    Like ``ngram_jaccard_pairs``, candidates are NOT deduplicated before
-    verification — a pair colliding in m of the 8 bands is verified m
-    times (m≈bands only for true near-dups, which are few), far cheaper
-    than shuffle-deduping the whole candidate stream; the small verified
-    result is deduplicated at the end. ``verify_broadcast`` as there."""
+    Unlike ``ngram_jaccard_pairs`` (whose prefix filter already keeps
+    duplication ~1), banded candidates ARE deduplicated before
+    verification: measured on the round-3 corpus a colliding pair repeats
+    in 3.0x bands on average, and the verification join (two gram-array
+    joins + array_intersect/union per candidate) costs far more than one
+    narrow (id,id) shuffle. ``verify_broadcast`` as in ngram_jaccard."""
     rows_per_band = k // bands
     per_doc = (shingle_array(docs, text_col, id_col, n)
                .withColumn("sig", _sig_expr(k))
@@ -245,7 +246,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 banded.alias("y"),
                 (F.col("x.bh") == F.col("y.bh")) &
                 (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct())
     ga = per_doc.select(F.col("id").alias("id_a"),
                         F.col("grams").alias("grams_a"))
     gb = per_doc.select(F.col("id").alias("id_b"),
@@ -262,8 +264,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 .withColumn("jaccard", F.col("inter_n") / F.col("union_n"))
                 .where(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "inter_n", "union_n",
-                        F.round("jaccard", 6).alias("jaccard"))
-                .distinct())  # one row per pair however many bands collided
+                        F.round("jaccard", 6).alias("jaccard")))
+    # no post-verify distinct needed: candidates are unique pairs and the
+    # gram joins are 1:1 per id
     return verified
 
 

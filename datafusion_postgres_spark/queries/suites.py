@@ -154,7 +154,8 @@ def subquery_correlated_in(spark, sf_dir):
 @register("agg_collect_ordered", oracle="""
 SELECT r_name,
        string_agg(n_name, ',' ORDER BY n_name) AS nations,
-       array_agg(n_name ORDER BY n_name) AS nation_list,
+       '{' || array_to_string(array_agg(n_name ORDER BY n_name), ',') || '}'
+           AS nation_list,
        COUNT(*) AS n_nations
 FROM region JOIN nation ON r_regionkey = n_regionkey
 GROUP BY r_name ORDER BY r_name
@@ -162,14 +163,20 @@ GROUP BY r_name ORDER BY r_name
 def agg_collect_ordered(spark, sf_dir):
     """Ordered string_agg == array_join(array_sort(collect_list)); ordered
     array_agg == array_sort(collect_list) — collect order is partition-
-    dependent, sorting restores determinism."""
+    dependent, sorting restores determinism.
+
+    The ordered array is rendered in PostgreSQL text form ('{a,b,c}') on
+    both sides: driver-window output must not contain ARRAY columns (the
+    driver's pandas canonicalizer cannot sort list cells — round-2 red
+    row)."""
     r = t(spark, sf_dir, "region")
     n = t(spark, sf_dir, "nation")
     ordered = F.array_sort(F.collect_list("n_name"))
     return (r.join(n, r.r_regionkey == n.n_regionkey)
             .groupBy("r_name")
             .agg(F.array_join(ordered, ",").alias("nations"),
-                 ordered.alias("nation_list"),
+                 F.concat(F.lit("{"), F.array_join(ordered, ","),
+                          F.lit("}")).alias("nation_list"),
                  F.count("*").alias("n_nations"))
             .orderBy("r_name"))
 

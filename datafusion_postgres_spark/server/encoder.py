@@ -219,8 +219,13 @@ _PG_EPOCH_TS = datetime(2000, 1, 1)
 
 
 def encode_value_binary(v, dt: T.DataType) -> bytes | None:
-    """One value → PG binary wire format (subset: the fixed-width scalars +
-    text/bytea; callers fall back to text format for other types)."""
+    """One value → PG binary wire format.
+
+    Covers the fixed-width scalars, text/bytea, numeric, date/time/
+    timestamp, interval, 1-D arrays, and composites — the same surface the
+    reference encodes (``arrow-pg/src/encoder.rs:259-493``,
+    ``list_encoder.rs:102+``, ``struct_encoder.rs:74-161``). Callers fall
+    back to text format for anything :func:`supports_binary` rejects."""
     import struct
 
     if v is None:
@@ -237,24 +242,136 @@ def encode_value_binary(v, dt: T.DataType) -> bytes | None:
         return struct.pack("!f", float(v))
     if isinstance(dt, T.DoubleType):
         return struct.pack("!d", float(v))
+    if isinstance(dt, T.DecimalType):
+        return _encode_numeric_binary(
+            v if isinstance(v, Decimal) else Decimal(str(v)))
     if isinstance(dt, (T.StringType, T.VarcharType, T.CharType)):
         return str(v).encode()
     if isinstance(dt, T.BinaryType):
         return bytes(v)
     if isinstance(dt, T.DateType):
         return struct.pack("!i", (v - _PG_EPOCH_DATE).days)
+    if hasattr(T, "TimeType") and isinstance(dt, T.TimeType):
+        micros = (v.hour * 3_600_000_000 + v.minute * 60_000_000 +
+                  v.second * 1_000_000 + v.microsecond)
+        return struct.pack("!q", micros)
     if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
         naive = v.replace(tzinfo=None) if v.tzinfo else v
         delta = naive - _PG_EPOCH_TS
         micros = (delta.days * 86_400_000_000 + delta.seconds * 1_000_000 +
                   delta.microseconds)
         return struct.pack("!q", micros)
+    if isinstance(dt, T.DayTimeIntervalType):
+        # interval_send layout: time-part micros (int64), days (int32),
+        # months (int32); days truncated toward zero so -1.5 days encodes
+        # as (days=-1, micros=-12h) like PG
+        total_us = v // timedelta(microseconds=1)
+        days = int(total_us / 86_400_000_000)
+        micros = total_us - days * 86_400_000_000
+        return struct.pack("!qii", micros, days, 0)
+    if isinstance(dt, T.YearMonthIntervalType):
+        months = int(v) if isinstance(v, int) else \
+            getattr(v, "years", 0) * 12 + getattr(v, "months", 0)
+        return struct.pack("!qii", 0, 0, months)
+    if isinstance(dt, T.ArrayType):
+        return _encode_array_binary(v, dt.elementType)
+    if isinstance(dt, T.StructType):
+        return _encode_struct_binary(v, dt)
     raise NotImplementedError(
         f"binary format not implemented for {dt.simpleString()}; "
         "use text format")
 
 
+def _encode_numeric_binary(v: Decimal) -> bytes:
+    """numeric_send: (ndigits, weight, sign, dscale) + base-10000 digits."""
+    import struct
+
+    if v.is_nan():
+        return struct.pack("!HhHH", 0, 0, 0xC000, 0)
+    if v.is_infinite():
+        return struct.pack("!HhHH", 0, 0,
+                           0xF000 if v.is_signed() else 0xD000, 0)
+    sign = 0x4000 if v.is_signed() else 0x0000
+    t = abs(v).as_tuple()
+    if t.exponent >= 0:
+        digits = list(t.digits) + [0] * t.exponent
+        dscale = 0
+        frac_digits: list[int] = []
+        int_digits = digits
+    else:
+        dscale = -t.exponent
+        digits = list(t.digits)
+        if len(digits) <= dscale:  # |v| < 1
+            int_digits = []
+            frac_digits = [0] * (dscale - len(digits)) + digits
+        else:
+            int_digits = digits[:-dscale]
+            frac_digits = digits[-dscale:]
+    int_str = "".join(map(str, int_digits))
+    int_str = "0" * ((-len(int_str)) % 4) + int_str
+    frac_str = "".join(map(str, frac_digits))
+    frac_str = frac_str + "0" * ((-len(frac_str)) % 4)
+    groups = [int(int_str[i:i + 4]) for i in range(0, len(int_str), 4)]
+    weight = len(groups) - 1
+    groups += [int(frac_str[i:i + 4]) for i in range(0, len(frac_str), 4)]
+    while groups and groups[0] == 0:  # strip leading zero groups
+        groups.pop(0)
+        weight -= 1
+    while groups and groups[-1] == 0:  # trailing zeros implied by dscale
+        groups.pop()
+    if not groups:
+        weight = 0
+    return struct.pack("!HhHH", len(groups), weight, sign, dscale) + \
+        b"".join(struct.pack("!H", g) for g in groups)
+
+
+def _encode_array_binary(vals, elem_dt: T.DataType) -> bytes:
+    """array_send: ndim, hasnull flag, element oid, [dim, lbound],
+    then length-prefixed binary elements (-1 length = NULL)."""
+    import struct
+
+    elem_oid, _ = _type_to_oid(elem_dt)
+    vals = list(vals)
+    if not vals:
+        return struct.pack("!iii", 0, 0, elem_oid)
+    hasnull = 1 if any(x is None for x in vals) else 0
+    out = [struct.pack("!iiiii", 1, hasnull, elem_oid, len(vals), 1)]
+    for x in vals:
+        if x is None:
+            out.append(struct.pack("!i", -1))
+        else:
+            b = encode_value_binary(x, elem_dt)
+            out.append(struct.pack("!i", len(b)) + b)
+    return b"".join(out)
+
+
+def _encode_struct_binary(row, dt: T.StructType) -> bytes:
+    """record_send: field count, then per field (type oid, length, bytes)."""
+    import struct
+
+    out = [struct.pack("!i", len(dt.fields))]
+    for field, x in zip(dt.fields, row):
+        oid, _ = _type_to_oid(field.dataType)
+        if x is None:
+            out.append(struct.pack("!ii", oid, -1))
+        else:
+            b = encode_value_binary(x, field.dataType)
+            out.append(struct.pack("!ii", oid, len(b)) + b)
+    return b"".join(out)
+
+
 def supports_binary(dt: T.DataType) -> bool:
+    if isinstance(dt, T.ArrayType):
+        # PG has no array-of-array; multidim arrays are a different shape
+        return (not isinstance(dt.elementType, T.ArrayType)
+                and supports_binary(dt.elementType))
+    if isinstance(dt, T.StructType):
+        return all(supports_binary(f.dataType) for f in dt.fields)
+    if isinstance(dt, (T.DecimalType, T.DayTimeIntervalType,
+                       T.YearMonthIntervalType)):
+        return True
+    if hasattr(T, "TimeType") and isinstance(dt, T.TimeType):
+        return True
     return isinstance(dt, (T.BooleanType, T.ByteType, T.ShortType,
                            T.IntegerType, T.LongType, T.FloatType,
                            T.DoubleType, T.StringType, T.VarcharType,

@@ -26,9 +26,13 @@ Two operators:
     colliding chunk index, a stateless test both sides can evaluate.
 
 State-bound design at scale: bucket keys shard across executors;
-per-bucket state is (id, sig) pairs — 16 bytes/doc — evicted by
-processing-time timeout. A 1B-doc horizon is ~16 GB of state across the
-cluster, far below the shuffle volume of re-running batch dedup daily.
+per-bucket state is (id, sig) pairs. Each doc is stored in all 6 chunk
+buckets, so payload is ~96 bytes/doc across buckets (6 x (8B id + 8B
+sig)) plus Python list overhead — a 1B-doc horizon is on the order of
+100-200 GB of state across the cluster, still far below the shuffle
+volume of re-running batch dedup daily. Hot buckets are additionally
+capped at ``_MAX_BUCKET_DOCS`` entries (oldest-out), and cold buckets are
+evicted by processing-time timeout.
 """
 
 from __future__ import annotations
@@ -71,12 +75,15 @@ def read_documents_stream(spark: SparkSession, path: str,
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    # 2024-01-01 00:00:00 UTC + doc_id milliseconds — deterministic event
-    # time, and tight enough that any testdata id range stays far inside
-    # the dedup watermark horizon
+    # 2024-01-01 00:00:00 UTC + (doc_id mod 50 min) milliseconds —
+    # deterministic event time BOUNDED below the 1-hour dedup watermark
+    # horizon regardless of the id range, so no row can ever be dropped as
+    # late data however large (or out-of-order) the regenerated testdata's
+    # ids get. Production replaces this with real ingest time anyway.
     return raw.withColumn(
         "ingest_ts",
-        F.timestamp_millis(F.lit(1_704_067_200_000) + F.col("doc_id")))
+        F.timestamp_millis(F.lit(1_704_067_200_000)
+                           + F.col("doc_id") % F.lit(3_000_000)))
 
 
 def dedup_exact_stream(docs: DataFrame, watermark: str = "1 hour",
@@ -129,8 +136,16 @@ def _owns_pair(sig_a: int, sig_b: int, ci: int) -> bool:
     return True
 
 
+_MAX_BUCKET_DOCS = 4096  # hot-bucket cap: oldest-out beyond this
+
+
 def _update_bucket(key, pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
+    # timeout invocation (empty data iterator): evict, never re-arm —
+    # re-saving here would keep cold-bucket state alive forever
+    if state.hasTimedOut:
+        state.remove()
+        return
     ci = int(key[0])
     max_hamming = 3
     if state.exists:
@@ -151,6 +166,9 @@ def _update_bucket(key, pdfs: Iterator[pd.DataFrame],
                     out.append((a, b, ham))
             ids.append(new_id)
             sigs.append(new_sig)
+    if len(ids) > _MAX_BUCKET_DOCS:  # bound skewed/hot buckets
+        ids = ids[-_MAX_BUCKET_DOCS:]
+        sigs = sigs[-_MAX_BUCKET_DOCS:]
     state.update((ids, sigs))
     state.setTimeoutDuration(3_600_000)  # evict cold buckets after 1h
     if out:

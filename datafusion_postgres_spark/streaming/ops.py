@@ -52,8 +52,18 @@ def read_events_stream(spark: SparkSession, path: str,
     import os
 
     import pyarrow.parquet as pq
-    sample = path if os.path.isfile(path) else \
-        sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    if os.path.isfile(path):
+        sample = path
+    else:
+        # recursive: partitioned layouts nest files under key=value dirs
+        found = sorted(glob.glob(os.path.join(path, "*.parquet"))) or \
+            sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True))
+        if not found:
+            raise FileNotFoundError(
+                f"no parquet files under {path!r} to sniff the ts layout "
+                "from (empty directory, or non-parquet stream source?)")
+        sample = found[0]
     ts_is_long = str(pq.read_schema(sample).field("ts").type) == "int64"
     reader = (spark.readStream
               .schema(_events_schema(ts_is_long))

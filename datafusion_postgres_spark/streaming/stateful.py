@@ -36,6 +36,10 @@ _STATE_SCHEMA = StructType([
 
 def _update_profile(key, pdfs: Iterator[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
+    # timeout invocation: evict idle-user state instead of re-arming it
+    if state.hasTimedOut:
+        state.remove()
+        return
     (user_id,) = key
     alpha = 0.2
     if state.exists:

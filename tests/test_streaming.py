@@ -79,7 +79,7 @@ def test_stateful_user_profiles(spark, stream_dir):
     prof = stateful.user_profiles(stream)
     q = (prof.writeStream.format("memory").queryName("profiles")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in time'
     try:
         # update mode can emit a row per user per batch; keep the last
         got_df = spark.sql("SELECT * FROM profiles")

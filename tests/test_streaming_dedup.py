@@ -44,7 +44,7 @@ def test_exact_dedup_stream(spark, docs_stream_dir):
     q = (sdedup.dedup_exact_stream(stream)
          .writeStream.format("memory").queryName("dedup_exact_s")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in time'
     try:
         kept = spark.sql("SELECT fp FROM dedup_exact_s").collect()
         kept_fps = [r["fp"] for r in kept]
@@ -64,7 +64,7 @@ def test_simhash_near_dup_stream_matches_batch(spark, docs_stream_dir):
     q = (sdedup.simhash_near_dup_stream(stream)
          .writeStream.format("memory").queryName("near_dup_s")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), 'stream did not finish in time'
     try:
         got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
                spark.sql("SELECT * FROM near_dup_s").collect()}
@@ -103,7 +103,7 @@ def test_exact_dedup_stream_catches_cross_batch_dup(spark, tmp_path):
     q = (sdedup.dedup_exact_stream(stream)
          .writeStream.format("memory").queryName("dedup_cross")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in time'
     try:
         rows = spark.sql("SELECT doc_id FROM dedup_cross").collect()
         ids = sorted(r["doc_id"] for r in rows)

@@ -76,13 +76,13 @@ def main():
 
     from datafusion_postgres_spark.session import build_spark
     from datafusion_postgres_spark.queries import PRIORITY, load_all
-    from datafusion_postgres_spark.functions import register_all
+    from datafusion_postgres_spark.functions import register_functions
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
     spark = build_spark(master="local[8]")
-    register_all(spark)
+    register_functions(spark)  # driver-path parity: no catalog bootstrap
     reg = load_all()
     con = duck_connect(sf_dir)
 
@@ -99,12 +99,14 @@ def main():
             traceback.print_exc()
             continue
         # driver-window queries must not emit Decimal/raw-timestamp columns
-        # (representation-sensitive under the driver's value hash)
+        # (representation-sensitive under the driver's value hash) nor
+        # array/struct/map columns (the driver's pandas canonicalizer
+        # cannot sort list cells — round-2 agg_collect_ordered failure)
         if name in PRIORITY:
             bad = [f"{f.name}:{f.dataType.simpleString()}"
                    for f in sdf.schema.fields
-                   if f.dataType.simpleString().startswith(("decimal",
-                                                            "timestamp"))]
+                   if f.dataType.simpleString().startswith(
+                       ("decimal", "timestamp", "array", "struct", "map"))]
             if bad:
                 failed.append((name, f"UNSAFE OUTPUT TYPES in window: {bad}"))
                 continue

@@ -20,6 +20,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
+    "q9_product_profit",
     "agg_distinct_filter",
     "window_rank_topn",
     "join_using",

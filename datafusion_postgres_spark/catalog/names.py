@@ -31,6 +31,9 @@ STATIC_PG_TABLES = {
     "pg_opfamily", "pg_amop", "pg_amproc", "pg_attrdef", "pg_largeobject",
     "pg_largeobject_metadata", "pg_partitioned_table", "pg_publication_rel",
     "pg_seclabel", "pg_shseclabel", "pg_statistic", "pg_transform",
+    "pg_db_role_setting", "pg_parameter_acl", "pg_publication_namespace",
+    "pg_replication_origin", "pg_shdepend", "pg_statistic_ext_data",
+    "pg_subscription_rel",
     "pg_ts_config", "pg_ts_config_map", "pg_ts_dict", "pg_ts_parser",
     "pg_ts_template", "pg_user", "pg_group", "pg_shadow", "pg_stat_activity",
     "pg_locks", "pg_cursors", "pg_available_extensions", "pg_timezone_names",

@@ -116,7 +116,23 @@ def _registry(spark) -> OidRegistry:
 
 
 def _view(spark, name: str, schema: StructType, rows: list) -> None:
-    spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+    """Create a catalog view, padded to the reference's full column set.
+
+    Our hand-modeled tables carry the columns clients actually read;
+    anything else in the stock PostgreSQL catalog schema (schema_ref.py,
+    from the reference's pg_catalog exports) is appended as a typed NULL
+    so deep-introspection queries (pgadmin/DBeaver column lists) resolve."""
+    from datafusion_postgres_spark.catalog.schema_ref import (
+        PG_CATALOG_REF_SCHEMAS)
+    df = spark.createDataFrame(rows, schema)
+    ref = PG_CATALOG_REF_SCHEMAS.get(name.removeprefix("pg_catalog_"))
+    if ref:
+        have = {c.lower() for c in df.columns}
+        pad = [f"CAST(NULL AS {t}) AS {c}" for c, t in ref
+               if c.lower() not in have]
+        if pad:
+            df = df.selectExpr("*", *pad)
+    df.createOrReplaceTempView(name)
 
 
 def _user_tables(spark) -> list:
@@ -809,3 +825,16 @@ def _static_views(spark: SparkSession) -> None:
                 "variadic", "verbose", "when", "where", "window", "with"]
     _view(spark, "pg_catalog_pg_get_keywords", kw_schema,
           [(w, "R", False, "reserved", None) for w in keywords])
+
+    # ---- every remaining reference catalog table: typed empty shell ----
+    # Long-tail catalogs no client ever writes (pg_amop, pg_shdepend, ...)
+    # still need to RESOLVE with the stock column set for deep
+    # introspection; an empty result is the truthful content.
+    from datafusion_postgres_spark.catalog.schema_ref import (
+        PG_CATALOG_REF_SCHEMAS)
+    for tbl, cols in PG_CATALOG_REF_SCHEMAS.items():
+        view = f"pg_catalog_{tbl}"
+        if not spark.catalog.tableExists(view):
+            spark.createDataFrame(
+                [], ", ".join(f"{c} {t}" for c, t in cols)
+            ).createOrReplaceTempView(view)

@@ -303,3 +303,30 @@ class TestDdlSurface:
             "COMMENT ON TABLE ddl_c IS 'hello'")[0].command_tag == \
             "COMMENT"
         engine.execute("DROP TABLE ddl_c")
+
+
+class TestCatalogSchemaParity:
+    """Every catalog table the reference ships resolves with (at least)
+    the stock PostgreSQL column set (catalog/schema_ref.py)."""
+
+    def test_column_set_parity(self, spark, engine):
+        from datafusion_postgres_spark.catalog.schema_ref import (
+            PG_CATALOG_REF_SCHEMAS)
+        # engine init bootstraps the catalog; a pg_ statement triggers the
+        # dirty-flag refresh so dynamic tables exist too
+        engine.execute("SELECT count(*) FROM pg_catalog.pg_class")
+        missing = {}
+        for tbl, cols in PG_CATALOG_REF_SCHEMAS.items():
+            ours = {c.lower() for c in spark.table(f"pg_catalog_{tbl}").columns}
+            gap = [c for c, _t in cols if c.lower() not in ours]
+            if gap:
+                missing[tbl] = gap
+        assert not missing, f"column gaps vs reference: {missing}"
+
+    def test_long_tail_tables_queryable(self, engine):
+        # unmodeled catalogs must resolve and answer (empty is truthful)
+        for tbl in ("pg_amop", "pg_opclass", "pg_operator", "pg_shdepend",
+                    "pg_statistic", "pg_db_role_setting"):
+            rows = one_row(engine.execute(
+                f"SELECT count(*) AS n FROM pg_catalog.{tbl}"))
+            assert rows[0][0] == 0

@@ -141,8 +141,88 @@ class TestBinaryEncoding:
     def test_null(self):
         assert E.encode_value_binary(None, T.IntegerType()) is None
 
+    def test_numeric(self):
+        """numeric_send wire layout: ndigits, weight, sign, dscale +
+        base-10000 digit groups (what psycopg's binary cursor decodes)."""
+        import struct
+        from decimal import Decimal
+
+        def enc(s, prec=20, scale=6):
+            return E.encode_value_binary(Decimal(s), T.DecimalType(prec, scale))
+
+        # dscale follows the VALUE's scale (what Spark hands the encoder),
+        # like PG's numeric_send emits the stored display scale
+        assert enc("12345.6789") == \
+            struct.pack("!HhHH3H", 3, 1, 0x0000, 4, 1, 2345, 6789)
+        assert enc("-0.5") == struct.pack("!HhHH1H", 1, -1, 0x4000, 1, 5000)
+        assert enc("0") == struct.pack("!HhHH", 0, 0, 0x0000, 0)
+        # 10^8 = group '1' at weight 2 (1 0000 0000)
+        assert enc("100000000") == \
+            struct.pack("!HhHH1H", 1, 2, 0x0000, 0, 1)
+        # trailing zeros kept in dscale, dropped from digit groups
+        assert enc("1.2300") == \
+            struct.pack("!HhHH2H", 2, 0, 0x0000, 4, 1, 2300)
+        assert enc("NaN") == struct.pack("!HhHH", 0, 0, 0xC000, 0)
+
+    def test_interval(self):
+        import struct
+        from datetime import timedelta
+
+        dt = T.DayTimeIntervalType()
+        assert E.encode_value_binary(
+            timedelta(days=1, hours=2), dt) == \
+            struct.pack("!qii", 2 * 3_600_000_000, 1, 0)
+        # negative: days truncate toward zero, micros carry the remainder
+        assert E.encode_value_binary(
+            timedelta(days=-1, hours=-12), dt) == \
+            struct.pack("!qii", -43_200_000_000, -1, 0)
+        assert E.encode_value_binary(14, T.YearMonthIntervalType()) == \
+            struct.pack("!qii", 0, 0, 14)
+
+    def test_array(self):
+        """array_send: ndim, hasnull, elem oid, [dim, lbound], elements."""
+        import struct
+
+        b = E.encode_value_binary([1, None, 3], T.ArrayType(T.IntegerType()))
+        assert b == (struct.pack("!iiiii", 1, 1, 23, 3, 1) +
+                     struct.pack("!ii", 4, 1) + struct.pack("!i", -1) +
+                     struct.pack("!ii", 4, 3))
+        # empty array: ndim=0 header only
+        assert E.encode_value_binary([], T.ArrayType(T.LongType())) == \
+            struct.pack("!iii", 0, 0, 20)
+        b = E.encode_value_binary(["a", "bc"], T.ArrayType(T.StringType()))
+        assert b == (struct.pack("!iiiii", 1, 0, 25, 2, 1) +
+                     struct.pack("!i", 1) + b"a" +
+                     struct.pack("!i", 2) + b"bc")
+
+    def test_struct(self):
+        """record_send: nfields, then (oid, len, payload) per field."""
+        import struct
+
+        dt = T.StructType([T.StructField("a", T.IntegerType()),
+                           T.StructField("b", T.StringType())])
+        b = E.encode_value_binary((7, "x"), dt)
+        assert b == (struct.pack("!i", 2) +
+                     struct.pack("!ii", 23, 4) + struct.pack("!i", 7) +
+                     struct.pack("!ii", 25, 1) + b"x")
+        assert E.encode_value_binary((None, None), dt) == \
+            struct.pack("!i", 2) + struct.pack("!ii", 23, -1) + \
+            struct.pack("!ii", 25, -1)
+
+    def test_supports_binary_surface(self):
+        assert E.supports_binary(T.ArrayType(T.IntegerType()))
+        assert E.supports_binary(T.DecimalType(10, 2))
+        assert E.supports_binary(T.DayTimeIntervalType())
+        assert E.supports_binary(
+            T.StructType([T.StructField("a", T.LongType())]))
+        # PG has no array-of-array in one column
+        assert not E.supports_binary(
+            T.ArrayType(T.ArrayType(T.IntegerType())))
+
     def test_unsupported_raises(self):
         import pytest as _pytest
         with _pytest.raises(NotImplementedError):
-            E.encode_value_binary([1], T.ArrayType(T.IntegerType()))
-        assert not E.supports_binary(T.ArrayType(T.IntegerType()))
+            E.encode_value_binary({"k": 1}, T.MapType(T.StringType(),
+                                                      T.IntegerType()))
+        assert not E.supports_binary(T.MapType(T.StringType(),
+                                               T.IntegerType()))

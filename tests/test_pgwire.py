@@ -348,6 +348,57 @@ class TestBinaryFormat:
         (l3,) = struct.unpack("!i", data[off:off + 4]); off += 4
         assert data[off:off + l3] == b"txt"
 
+    def test_binary_array_numeric_interval(self, client, server):
+        """Round-2 gap closed: arrays / numeric / interval in binary result
+        format (previously NotImplementedError -> text-only fallback)."""
+        ext = TestExtendedProtocol()
+        ext._parse(client, "bf2",
+                   "SELECT array(1, 2, 3) AS arr, "
+                   "CAST(12345.6789 AS DECIMAL(12,4)) AS num, "
+                   "INTERVAL '1' DAY + INTERVAL '2' HOUR AS iv")
+        body = b"\x00" + b"bf2\x00"
+        body += struct.pack("!H", 0)
+        body += struct.pack("!H", 0)
+        body += struct.pack("!HH", 1, 1)      # all binary
+        client.sock.sendall(b"B" + struct.pack("!I", len(body) + 4) + body)
+        ext._execute(client, "")
+        ext._sync(client)
+        data = None
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"D":
+                data = payload
+            elif tag == b"Z":
+                break
+        assert data is not None
+        (n,) = struct.unpack("!H", data[:2])
+        assert n == 3
+        off = 2
+        # arr: int4[] {1,2,3}
+        (alen,) = struct.unpack("!i", data[off:off + 4]); off += 4
+        arr = data[off:off + alen]; off += alen
+        ndim, hasnull, elem_oid, dim, lb = struct.unpack("!iiiii", arr[:20])
+        assert (ndim, hasnull, elem_oid, dim, lb) == (1, 0, 23, 3, 1)
+        vals = []
+        p = 20
+        for _ in range(dim):
+            (el,) = struct.unpack("!i", arr[p:p + 4]); p += 4
+            (v,) = struct.unpack("!i", arr[p:p + el]); p += el
+            vals.append(v)
+        assert vals == [1, 2, 3]
+        # num: numeric_send groups
+        (nlen,) = struct.unpack("!i", data[off:off + 4]); off += 4
+        nd, weight, sign, dscale = struct.unpack("!HhHH", data[off:off + 8])
+        digits = struct.unpack(f"!{nd}H", data[off + 8:off + 8 + nd * 2])
+        off += nlen
+        assert (weight, sign, dscale) == (1, 0, 4)
+        assert digits == (1, 2345, 6789)
+        # iv: micros, days, months
+        (ilen,) = struct.unpack("!i", data[off:off + 4]); off += 4
+        assert ilen == 16
+        micros, days, months = struct.unpack("!qii", data[off:off + 16])
+        assert (micros, days, months) == (2 * 3_600_000_000, 1, 0)
+
 
 class TestCopyOut:
     def test_copy_query_to_stdout(self, client):

@@ -1,0 +1,60 @@
+"""Full-text-search normalization shared between the engine and oracles.
+
+Reference surface: ``datafusion-pg-functions/src/text_search.rs`` (the
+ts_* family). PG's 'english' config stems lexemes with the Snowball
+porter stemmer; we implement a porter-LITE — the high-frequency suffix
+rules with minimum-length guards standing in for Porter's measure
+conditions. Documented deviation: rarer suffixes (y→i, -alize, -icate,
+double-consonant undoubling) are not rewritten; both documents and
+queries pass through the SAME stemmer, so matching stays consistent.
+
+Every step below is written in the SQL intersection of Spark SQL and
+DuckDB (CASE / LIKE / substr / length / concat), so a DuckDB oracle can
+replay the engine's normalization verbatim: the engine composes steps
+with ``transform``, the oracle with ``list_transform``.
+"""
+
+from __future__ import annotations
+
+# applied in order; `w` is the lambda variable rebound at each step
+STEM_STEPS: list[str] = [
+    # step 1: plurals (sses→ss, ies→i, keep ss, strip trailing s)
+    ("CASE WHEN w LIKE '%sses' THEN substr(w, 1, length(w)-2) "
+     "WHEN w LIKE '%ies' THEN substr(w, 1, length(w)-2) "
+     "WHEN w LIKE '%ss' THEN w "
+     "WHEN w LIKE '%s' AND length(w) > 3 THEN substr(w, 1, length(w)-1) "
+     "ELSE w END"),
+    # step 2: verbal endings (eed→ee, ied→i, ing/ed stripped with guards)
+    ("CASE WHEN w LIKE '%eed' AND length(w) > 4 "
+     "THEN substr(w, 1, length(w)-1) "
+     "WHEN w LIKE '%ied' THEN substr(w, 1, length(w)-2) "
+     "WHEN w LIKE '%ing' AND length(w) > 5 THEN substr(w, 1, length(w)-3) "
+     "WHEN w LIKE '%ed' AND length(w) > 4 THEN substr(w, 1, length(w)-2) "
+     "ELSE w END"),
+    # step 3: derivational suffixes
+    ("CASE WHEN w LIKE '%ational' THEN concat(substr(w, 1, length(w)-7), "
+     "'ate') "
+     "WHEN w LIKE '%tional' THEN substr(w, 1, length(w)-2) "
+     "WHEN w LIKE '%ization' THEN concat(substr(w, 1, length(w)-7), 'ize') "
+     "WHEN w LIKE '%fulness' THEN substr(w, 1, length(w)-4) "
+     "WHEN w LIKE '%ousness' THEN substr(w, 1, length(w)-4) "
+     "WHEN w LIKE '%iveness' THEN substr(w, 1, length(w)-4) "
+     "WHEN w LIKE '%ment' AND length(w) > 6 THEN substr(w, 1, length(w)-4) "
+     "WHEN w LIKE '%ness' AND length(w) > 5 THEN substr(w, 1, length(w)-4) "
+     "ELSE w END"),
+    # step 4: final -e (merge→merg, table→tabl — matches snowball here)
+    ("CASE WHEN w LIKE '%e' AND length(w) > 4 "
+     "THEN substr(w, 1, length(w)-1) ELSE w END"),
+]
+
+
+def stemmed_array_sql(lexemes_expr: str, transform_fn: str) -> str:
+    """Wrap an array-of-lexemes SQL expression in the stem chain.
+
+    ``transform_fn`` is ``"transform"`` (Spark) or ``"list_transform"``
+    (DuckDB) — the generated text is otherwise identical on both engines.
+    """
+    out = lexemes_expr
+    for step in STEM_STEPS:
+        out = f"{transform_fn}({out}, w -> {step})"
+    return out

@@ -26,6 +26,8 @@ from pyspark.sql import SparkSession
 # the Unicode version Python's tables implement (PG reports its own)
 _UNICODE_VERSION_BODY = f"'{unicodedata.unidata_version}'"
 
+from datafusion_postgres_spark.functions import fts as _fts  # noqa: E402
+
 # name -> (args, return type, body). Dispatched once per session.
 SQL_UDFS: list[tuple[str, str, str, str]] = [
     # -- degree trigonometry (reference: src/numeric/degree_trig.rs) -------
@@ -534,26 +536,43 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
     ("pg_array_contains_all", "a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN",
      "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
      "ELSE size(array_except(b, a)) = 0 END"),
-    ("pg_tsvector", "s STRING", "ARRAY<STRING>",
-     "CASE WHEN s IS NULL THEN NULL ELSE array_sort(array_distinct(filter("
+    ("pg_lexemes", "s STRING", "ARRAY<STRING>",
+     "CASE WHEN s IS NULL THEN NULL ELSE filter("
      "split(regexp_replace(lower(s), '[^a-z0-9]+', ' '), ' '), "
      "w -> w <> '' AND NOT array_contains(array("
      "'the','a','an','and','or','of','to','in','is','it','that','for',"
-     "'on','with','as'), w)))) END"),
+     "'on','with','as'), w)) END"),
+    # 'simple' config: lexemes as-is
+    ("pg_tsvector", "s STRING", "ARRAY<STRING>",
+     "array_sort(array_distinct(pg_lexemes(s)))"),
+    # 'english' config: porter-lite stemmed (functions/fts.py; PG's
+    # default_text_search_config is pg_catalog.english)
+    ("pg_tsvector_en", "s STRING", "ARRAY<STRING>",
+     "array_sort(array_distinct("
+     + _fts.stemmed_array_sql("pg_lexemes(s)", "transform") + "))"),
     # PG's optional config argument comes FIRST; the single-arg form is
-    # the text. Only simple-config behavior is implemented.
+    # the text and uses the 'english' default config.
+    ("pg_tsvector_cfg", "cfg STRING, s STRING", "ARRAY<STRING>",
+     "CASE WHEN lower(coalesce(cfg, 'english')) LIKE '%simple%' "
+     "THEN pg_tsvector(s) ELSE pg_tsvector_en(s) END"),
     ("to_tsvector", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
-     "pg_tsvector(coalesce(b, a))"),
+     "pg_tsvector_cfg(CASE WHEN b IS NULL THEN NULL ELSE a END, "
+     "coalesce(b, a))"),
     ("plainto_tsquery", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
-     "pg_tsvector(coalesce(b, a))"),
+     "pg_tsvector_cfg(CASE WHEN b IS NULL THEN NULL ELSE a END, "
+     "coalesce(b, a))"),
     # &/|/! query operators reduce to AND-of-terms (documented
     # simplification; websearch quotes/minus likewise)
     ("to_tsquery", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
-     "pg_tsvector(coalesce(b, a))"),
+     "pg_tsvector_cfg(CASE WHEN b IS NULL THEN NULL ELSE a END, "
+     "coalesce(b, a))"),
     ("websearch_to_tsquery", "a STRING, b STRING DEFAULT NULL",
-     "ARRAY<STRING>", "pg_tsvector(coalesce(b, a))"),
+     "ARRAY<STRING>",
+     "pg_tsvector_cfg(CASE WHEN b IS NULL THEN NULL ELSE a END, "
+     "coalesce(b, a))"),
     ("phraseto_tsquery", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
-     "pg_tsvector(coalesce(b, a))"),
+     "pg_tsvector_cfg(CASE WHEN b IS NULL THEN NULL ELSE a END, "
+     "coalesce(b, a))"),
     ("ts_match", "vec ARRAY<STRING>, q ARRAY<STRING>", "BOOLEAN",
      "CASE WHEN vec IS NULL OR q IS NULL THEN NULL "
      "ELSE forall(q, x -> array_contains(vec, x)) END"),

@@ -548,36 +548,43 @@ def sim_ivf(spark, sf_dir):
                         "qid", "rnk")
 
 
-# normalization shared by the FTS oracle (mirror of pg_tsvector's SQL body)
-_TSVEC = ("list_sort(list_distinct(list_filter("
-          "string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', "
-          "' ', 'g')), ' '), "
-          f"w -> w <> '' AND NOT list_contains({_STOP_SQL}, w))))")
+# normalization shared by the FTS oracle (mirror of pg_lexemes' SQL body),
+# stemmed with the engine's exact porter-lite step chain (functions/fts.py
+# emits SQL valid on both engines; DuckDB composes with list_transform)
+from datafusion_postgres_spark.functions.fts import stemmed_array_sql
+
+_LEXEMES = ("list_filter("
+            "string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', "
+            "' ', 'g')), ' '), "
+            f"w -> w <> '' AND NOT list_contains({_STOP_SQL}, w))")
+_TSVEC = ("list_sort(list_distinct("
+          + stemmed_array_sql(_LEXEMES, "list_transform") + "))")
 
 
 @register("text_fts_search", oracle=f"""
 WITH v AS (SELECT doc_id, {_TSVEC} AS vec FROM documents)
 SELECT doc_id,
-       ROUND(len(list_intersect(['window', 'merge', 'hash'], vec)) / 3.0, 6)
+       ROUND(len(list_intersect(['window', 'merg', 'hash'], vec)) / 3.0, 6)
          AS rank
 FROM v
-WHERE list_has_all(vec, ['window', 'merge', 'hash'])
+WHERE list_has_all(vec, ['window', 'merg', 'hash'])
 ORDER BY doc_id
 """)
 def text_fts_search(spark, sf_dir):
     """Full-text search: docs matching ALL query terms (tsvector @@
     tsquery) with the matched-fraction rank — the engine's ts_* family
-    over the documents corpus; the oracle replays the identical
-    normalization with DuckDB list lambdas."""
+    ('english' config: porter-lite stemmed, so merge/merges/merged/merging
+    all hit the lexeme 'merg') over the documents corpus; the oracle
+    replays the identical normalization + stem chain with DuckDB list
+    lambdas."""
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
-    vec = F.expr("pg_tsvector(text)")
-    q = F.expr("pg_tsvector('window merge hash')")
+    vec = F.expr("to_tsvector(text)")
+    q = "plainto_tsquery('window merge hash')"
     return (docs.select("doc_id", vec.alias("vec"))
-            .where(F.expr("ts_match(vec, pg_tsvector('window merge hash'))"))
+            .where(F.expr(f"ts_match(vec, {q})"))
             .select("doc_id",
                     F.round(F.expr(
-                        "cast(size(array_intersect("
-                        "pg_tsvector('window merge hash'), vec)) AS DOUBLE)"
+                        f"cast(size(array_intersect({q}, vec)) AS DOUBLE)"
                         " / 3.0"), 6).alias("rank"))
             .orderBy("doc_id"))
 

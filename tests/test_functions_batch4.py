@@ -193,6 +193,23 @@ class TestFullTextSearch:
             "plainto_tsquery('x q')) AS r")[0]
         assert list(r.rows())[0][0] == 0.5
 
+    def test_english_stemming_default(self, engine):
+        # default config is 'english': porter-lite stems documents AND
+        # queries, so inflected forms match each other
+        r = engine.execute(
+            "SELECT to_tsvector('merging tables quickly') AS v, "
+            "to_tsvector('merged table') @@ plainto_tsquery('merges') "
+            "AS hit")[0]
+        row = list(r.rows())[0]
+        # porter-lite: no y->i rewrite, so 'quickly' is kept as-is
+        assert row[0] == ["merg", "quickly", "tabl"]
+        assert row[1] is True
+
+    def test_simple_config_unstemmed(self, engine):
+        r = engine.execute(
+            "SELECT to_tsvector('simple', 'merging tables') AS v")[0]
+        assert list(r.rows())[0][0] == ["merging", "tables"]
+
     def test_array_containment_ops(self, engine):
         r = engine.execute(
             "SELECT ARRAY[1,2,3] @> ARRAY[2,1] AS a, "

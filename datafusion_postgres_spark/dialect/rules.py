@@ -305,13 +305,14 @@ def rewrite_setlike_ops(tokens: list[Token]) -> list[Token]:
 
     ``a @> b`` (contains) / ``a <@ b`` (contained-by) →
     ``pg_array_contains_all``; ``a && b`` (overlap) → ``arrays_overlap``;
-    ``v @@ q`` (text search match) → ``ts_match``. Registered SQL UDFs
-    carry the NULL semantics."""
+    ``v @@ q`` (text search match) → ``ts_match``; ``j @? p`` (jsonpath
+    exists) → ``jsonb_path_exists``. Registered SQL UDFs carry the NULL
+    semantics."""
     tokens = list(tokens)
     i = 0
     while i < len(tokens):
         t = tokens[i]
-        if t.kind == OP and t.text in ("@>", "<@", "&&", "@@"):
+        if t.kind == OP and t.text in ("@>", "<@", "&&", "@@", "@?"):
             lstart = _expr_start(tokens, i)
             rend = _expr_end(tokens, i)
             rstart = significant(tokens, i)
@@ -329,6 +330,8 @@ def rewrite_setlike_ops(tokens: list[Token]) -> list[Token]:
                 fn, first, second = "pg_array_contains_all", rhs, lhs
             elif t.text == "&&":
                 fn, first, second = "arrays_overlap", lhs, rhs
+            elif t.text == "@?":
+                fn, first, second = "jsonb_path_exists", lhs, rhs
             else:
                 fn, first, second = "ts_match", lhs, rhs
             repl = ([Token(IDENT, fn), Token(PUNCT, "(")] + first +

@@ -25,7 +25,7 @@ PUNCT = "punct"     # ( ) , ; . [ ]
 PARAM = "param"     # $1 $2 ... extended-protocol placeholders
 
 MULTI_OPS = ("!~*", "!~", "~*", "::", "<=", ">=", "<>", "!=", "||", "->>",
-             "->", "#>>", "#>", "@@", "@>", "<@", "&&")
+             "->", "#>>", "#>", "@@", "@?", "@>", "<@", "&&")
 SINGLE_OPS = "~<>=+-*/%^&|#@"
 PUNCTS = "(),;.[]:"
 

@@ -528,6 +528,25 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
     ("jsonb_object_keys", "j STRING", "ARRAY<STRING>",
      # deviation: PG returns SETOF text; array form (explode() to unnest)
      "json_object_keys(j)"),
+    # -- jsonpath tier (simple-path subset): PG jsonpath member/subscript
+    #    syntax ($.a.b[0]) coincides with Spark's get_json_object paths;
+    #    filter expressions (? (@ > 2)) are NOT supported — beyond the
+    #    reference (its json module registers zero functions,
+    #    datafusion-pg-functions/src/json.rs:13-15). ----------------------
+    ("jsonb_path_query_first", "j STRING, p STRING", "STRING",
+     "get_json_object(j, p)"),
+    ("json_path_query_first", "j STRING, p STRING", "STRING",
+     "get_json_object(j, p)"),
+    ("jsonb_path_exists", "j STRING, p STRING", "BOOLEAN",
+     "CASE WHEN j IS NULL OR p IS NULL THEN NULL "
+     "ELSE get_json_object(j, p) IS NOT NULL END"),
+    ("json_path_exists", "j STRING, p STRING", "BOOLEAN",
+     "jsonb_path_exists(j, p)"),
+    ("jsonb_path_match", "j STRING, p STRING", "BOOLEAN",
+     # the path must resolve to a JSON boolean (PG raises otherwise;
+     # we yield NULL)
+     "CASE WHEN get_json_object(j, p) = 'true' THEN true "
+     "WHEN get_json_object(j, p) = 'false' THEN false ELSE NULL END"),
     # -- basic full-text search: tsvector rides as ARRAY<STRING> of
     #    lexemes (sorted, distinct, stopword-filtered, no positions or
     #    stemming — PG 'simple'-config behavior; functions.md marks the

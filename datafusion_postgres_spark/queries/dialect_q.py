@@ -267,6 +267,30 @@ def pg_json_operators(spark, sf_dir):
     """, ("events",))
 
 
+@register("pg_jsonpath", oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_first,
+       json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+       json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL AND event_id < 50
+ORDER BY event_id
+""")
+def pg_jsonpath(spark, sf_dir):
+    """jsonpath tier (@? operator + jsonb_path_* functions, simple-path
+    subset) through the dialect layer; the oracle replays with DuckDB's
+    json_extract_string on the same paths."""
+    return pg_sql(spark, sf_dir, """
+        SELECT event_id,
+               jsonb_path_query_first(props, '$.k') AS k_first,
+               jsonb_path_exists(props, '$.k') AS has_k,
+               props @? '$.missing' AS has_missing
+        FROM events
+        WHERE props @? '$.k' AND event_id < 50
+        ORDER BY event_id
+    """, ("events",))
+
+
 @register("pg_distinct_on", oracle="""
 SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
 FROM customer ORDER BY c_nationkey, c_acctbal DESC, c_custkey

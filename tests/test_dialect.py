@@ -89,6 +89,8 @@ CASES = [
     ("SELECT v @@ q FROM t", "SELECT ts_match(v, q) FROM t"),
     ("SELECT to_tsvector(x) @@ plainto_tsquery('w') FROM t",
      "SELECT ts_match(to_tsvector(x), plainto_tsquery('w')) FROM t"),
+    ("SELECT j @? '$.a' FROM t",
+     "SELECT jsonb_path_exists(j, '$.a') FROM t"),
     # ARRAY(SELECT ...) subquery form -> collect_list scalar subquery
     ("SELECT ARRAY(SELECT x FROM t WHERE y = 1) AS a",
      "SELECT (SELECT collect_list( x ) FROM t WHERE y = 1) AS a"),

@@ -140,10 +140,14 @@ _MAX_BUCKET_DOCS = 4096  # hot-bucket cap: oldest-out beyond this
 
 
 def _update_bucket(key, pdfs: Iterator[pd.DataFrame],
-                   state: GroupState) -> Iterator[pd.DataFrame]:
+                   state: GroupState,
+                   timeout_ms: int | None = 3_600_000
+                   ) -> Iterator[pd.DataFrame]:
     # timeout invocation (empty data iterator): evict, never re-arm —
     # re-saving here would keep cold-bucket state alive forever
     if state.hasTimedOut:
+        for _ in pdfs:  # drain: the worker protocol requires consumption
+            pass
         state.remove()
         return
     ci = int(key[0])
@@ -170,13 +174,16 @@ def _update_bucket(key, pdfs: Iterator[pd.DataFrame],
         ids = ids[-_MAX_BUCKET_DOCS:]
         sigs = sigs[-_MAX_BUCKET_DOCS:]
     state.update((ids, sigs))
-    state.setTimeoutDuration(3_600_000)  # evict cold buckets after 1h
+    if timeout_ms:
+        state.setTimeoutDuration(timeout_ms)  # evict cold buckets
     if out:
         yield pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
 
 
 def simhash_near_dup_stream(docs: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            state_timeout_ms: int | None = 3_600_000
+                            ) -> DataFrame:
     """Near-duplicate pair stream: every emitted row means "the arriving
     doc is within hamming 3 of a doc seen earlier (any batch) or earlier
     in this batch".
@@ -185,7 +192,13 @@ def simhash_near_dup_stream(docs: DataFrame, text_col: str = "text",
     (pigeonhole: hamming<=5 over 6 chunks guarantees >=1 identical chunk,
     so max_hamming=3 candidates are never missed) → stateful per-bucket
     comparison. The only shuffle is the groupBy on (chunk, chunk_key) —
-    exactly the batch LSH shape, incrementalized."""
+    exactly the batch LSH shape, incrementalized.
+
+    ``state_timeout_ms=None`` disables the processing-time eviction timer:
+    needed for finite replays under ``trigger(availableNow)``, where live
+    timers keep the query from ever quiescing (it re-triggers forever on
+    timer wakeups). Production continuous streams keep the default."""
+    from functools import partial
     sig = (docs
            .where(F.trim(F.col(text_col)) != "")
            .select(F.col(id_col).alias("id"),
@@ -201,8 +214,10 @@ def simhash_near_dup_stream(docs: DataFrame, text_col: str = "text",
     return (blocked
             .groupBy("chunk", "ck")
             .applyInPandasWithState(
-                _update_bucket,
+                partial(_update_bucket, timeout_ms=state_timeout_ms),
                 outputStructType=PAIR_SCHEMA,
                 stateStructType=_BUCKET_STATE,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                             if state_timeout_ms
+                             else GroupStateTimeout.NoTimeout)))

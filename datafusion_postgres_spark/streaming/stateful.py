@@ -35,9 +35,13 @@ _STATE_SCHEMA = StructType([
 
 
 def _update_profile(key, pdfs: Iterator[pd.DataFrame],
-                    state: GroupState) -> Iterator[pd.DataFrame]:
+                    state: GroupState,
+                    timeout_ms: int | None = 3_600_000
+                    ) -> Iterator[pd.DataFrame]:
     # timeout invocation: evict idle-user state instead of re-arming it
     if state.hasTimedOut:
+        for _ in pdfs:  # drain: the worker protocol requires consumption
+            pass
         state.remove()
         return
     (user_id,) = key
@@ -55,20 +59,30 @@ def _update_profile(key, pdfs: Iterator[pd.DataFrame],
                 alpha * float(v) + (1 - alpha) * ewma
             last_type = et
     state.update((n, total, ewma, last_type))
-    state.setTimeoutDuration(3_600_000)  # evict idle users after 1h
+    if timeout_ms:
+        state.setTimeoutDuration(timeout_ms)  # evict idle users
     yield pd.DataFrame([{
         "user_id": user_id, "n_events": n, "total_value": total,
         "ewma_value": ewma, "last_event_type": last_type}])
 
 
-def user_profiles(events: DataFrame) -> DataFrame:
+def user_profiles(events: DataFrame,
+                  state_timeout_ms: int | None = 3_600_000) -> DataFrame:
     """Per-user stateful running profile over a stream of events
-    (event_id, ts, user_id, event_type, value, ...)."""
+    (event_id, ts, user_id, event_type, value, ...).
+
+    ``state_timeout_ms=None`` disables the eviction timer — required for
+    finite replays under ``trigger(availableNow)``, where live timers
+    keep re-triggering empty batches and the query never quiesces.
+    Production continuous streams keep the default."""
+    from functools import partial
     return (events
             .groupBy("user_id")
             .applyInPandasWithState(
-                _update_profile,
+                partial(_update_profile, timeout_ms=state_timeout_ms),
                 outputStructType=PROFILE_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                             if state_timeout_ms
+                             else GroupStateTimeout.NoTimeout)))

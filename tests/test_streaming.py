@@ -76,7 +76,9 @@ def test_stateful_user_profiles(spark, stream_dir):
     from datafusion_postgres_spark.streaming import stateful
 
     stream = ops.read_events_stream(spark, stream_dir)
-    prof = stateful.user_profiles(stream)
+    # state_timeout_ms=None: finite availableNow replay (timers
+    # would keep the query from quiescing; see user_profiles doc)
+    prof = stateful.user_profiles(stream, state_timeout_ms=None)
     q = (prof.writeStream.format("memory").queryName("profiles")
          .outputMode("update").trigger(availableNow=True).start())
     assert q.awaitTermination(120), 'stream did not finish in time'

@@ -61,7 +61,7 @@ def test_exact_dedup_stream(spark, docs_stream_dir):
 
 def test_simhash_near_dup_stream_matches_batch(spark, docs_stream_dir):
     stream = sdedup.read_documents_stream(spark, docs_stream_dir)
-    q = (sdedup.simhash_near_dup_stream(stream)
+    q = (sdedup.simhash_near_dup_stream(stream, state_timeout_ms=None)
          .writeStream.format("memory").queryName("near_dup_s")
          .outputMode("append").trigger(availableNow=True).start())
     assert q.awaitTermination(300), 'stream did not finish in time'
@@ -111,3 +111,48 @@ def test_exact_dedup_stream_catches_cross_batch_dup(spark, tmp_path):
         assert ids == [1, 2, 4]
     finally:
         q.stop()
+
+
+def test_bucket_state_cap_and_timeout():
+    """_update_bucket bounds hot buckets (oldest-out beyond the cap) and
+    evicts on timeout instead of re-arming state forever."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self, value=None, timed_out=False):
+            self._value = value
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.updated = None
+
+        @property
+        def exists(self):
+            return self._value is not None
+
+        @property
+        def get(self):
+            return self._value
+
+        def update(self, v):
+            self.updated = v
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    # timeout invocation: state removed, nothing emitted, no re-arm
+    st = FakeState(value=([1], [0]), timed_out=True)
+    out = list(sdedup._update_bucket((0, 7), iter(()), st))
+    assert out == [] and st.removed and st.updated is None
+
+    # hot bucket: feeding cap+100 docs keeps only the newest cap entries
+    cap = sdedup._MAX_BUCKET_DOCS
+    n = cap + 100
+    pdf = pd.DataFrame({"id": range(n), "sig": [i << 20 for i in range(n)]})
+    st = FakeState()
+    list(sdedup._update_bucket((0, 7), iter([pdf]), st))
+    ids, sigs = st.updated
+    assert len(ids) == cap == len(sigs)
+    assert ids[0] == n - cap and ids[-1] == n - 1  # oldest-out

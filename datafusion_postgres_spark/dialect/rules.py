@@ -644,27 +644,50 @@ def rewrite_reg_casts(tokens: list[Token]) -> list[Token]:
             if ty_idx >= 0 and tokens[ty_idx].kind == IDENT and \
                     tokens[ty_idx].text.lower() in REG_TYPES:
                 table, name_col, oid_col = REG_TYPES[tokens[ty_idx].text.lower()]
+                # reg value cast onward to a text type prints the object
+                # NAME in PG ('nation'::regclass::text -> 'nation'); peek
+                # for the chained cast and resolve through the catalog
+                end_idx = ty_idx
+                as_text = False
+                nxt = significant(tokens, ty_idx)
+                if nxt >= 0 and tokens[nxt].kind == OP and \
+                        tokens[nxt].text == "::":
+                    nxt2 = significant(tokens, nxt)
+                    if nxt2 >= 0 and tokens[nxt2].kind == IDENT and \
+                            tokens[nxt2].text.lower() in ("text", "varchar",
+                                                          "name", "bpchar"):
+                        end_idx, as_text = nxt2, True
                 lhs_idx = significant(tokens, i, -1)
                 if lhs_idx >= 0 and tokens[lhs_idx].kind == STRING:
                     val = tokens[lhs_idx].text[1:-1]
                     if val.isdigit():
-                        repl = [Token(NUMBER, val)]
+                        repl = [Token(NUMBER, val)] if not as_text else _toks(
+                            f"(SELECT {name_col} FROM {table} "
+                            f"WHERE {oid_col} = {val} LIMIT 1)")
                     else:
                         # strip schema qualifier inside the literal
                         short = val.split(".")[-1].strip('"')
+                        out_col = name_col if as_text else oid_col
                         repl = _toks(
-                            f"(SELECT {oid_col} FROM {table} "
+                            f"(SELECT {out_col} FROM {table} "
                             f"WHERE {name_col} = '{short}' LIMIT 1)")
-                    tokens[lhs_idx:ty_idx + 1] = repl
+                    tokens[lhs_idx:end_idx + 1] = repl
                     i = lhs_idx + len(repl)
                     continue
-                # column::regtype -> CAST(col AS INT)
+                # column::regtype -> CAST(col AS INT); onward ::text looks
+                # the name up by oid (correlated scalar subquery)
                 start = _expr_start(tokens, i)
                 expr = [x for x in tokens[start:i]]
-                repl = ([Token(IDENT, "CAST"), Token(PUNCT, "(")] + expr +
-                        [Token(WS, " "), Token(IDENT, "AS"), Token(WS, " "),
-                         Token(IDENT, "INT"), Token(PUNCT, ")")])
-                tokens[start:ty_idx + 1] = repl
+                if as_text:
+                    repl = (_toks(f"(SELECT {name_col} FROM {table} "
+                                  f"WHERE {oid_col} = ") + expr +
+                            _toks(" LIMIT 1)"))
+                else:
+                    repl = ([Token(IDENT, "CAST"), Token(PUNCT, "(")] + expr +
+                            [Token(WS, " "), Token(IDENT, "AS"),
+                             Token(WS, " "), Token(IDENT, "INT"),
+                             Token(PUNCT, ")")])
+                tokens[start:end_idx + 1] = repl
                 i = start + len(repl)
                 continue
         i += 1

@@ -236,11 +236,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"),
-                     F.aggregate(
-                         F.slice("sig", bi * rows_per_band + 1, rows_per_band),
-                         F.lit(0).cast("long"),
-                         lambda acc, x: (acc * 31 + x) % FP_MOD
-                     ).alias("band_hash"))
+                     # single native hash call over the slice — cheaper
+                     # than a fold lambda, and any deterministic hash
+                     # works (band hashes only bucket)
+                     F.xxhash64(F.slice("sig", bi * rows_per_band + 1,
+                                        rows_per_band)).alias("band_hash"))
             for bi in range(bands)])).alias("bh"))
     cand = (banded.alias("x").join(
                 banded.alias("y"),

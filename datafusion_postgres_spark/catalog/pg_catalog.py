@@ -455,6 +455,47 @@ def _build_view_tables(spark: SparkSession, tables) -> None:
                              col.dataType))
     _view(spark, "information_schema_columns", info_cols, col_rows)
 
+    # remaining advertised information_schema names (catalog/names.py):
+    # all must RESOLVE — schemata populated, routines derived from
+    # pg_proc, the constraint family truthfully empty (parquet views
+    # have no constraints)
+    _view(spark, "information_schema_schemata", StructType([
+        StructField("catalog_name", StringType()),
+        StructField("schema_name", StringType()),
+        StructField("schema_owner", StringType())]), [
+        ("postgres", "public", "postgres"),
+        ("postgres", "pg_catalog", "postgres"),
+        ("postgres", "information_schema", "postgres")])
+    _view(spark, "information_schema_views", StructType([
+        StructField("table_catalog", StringType()),
+        StructField("table_schema", StringType()),
+        StructField("table_name", StringType()),
+        StructField("view_definition", StringType())]), [])
+    _view(spark, "information_schema_table_constraints", StructType([
+        StructField("constraint_catalog", StringType()),
+        StructField("constraint_schema", StringType()),
+        StructField("constraint_name", StringType()),
+        StructField("table_schema", StringType()),
+        StructField("table_name", StringType()),
+        StructField("constraint_type", StringType())]), [])
+    _view(spark, "information_schema_key_column_usage", StructType([
+        StructField("constraint_name", StringType()),
+        StructField("table_schema", StringType()),
+        StructField("table_name", StringType()),
+        StructField("column_name", StringType()),
+        StructField("ordinal_position", IntegerType())]), [])
+    _view(spark, "information_schema_referential_constraints", StructType([
+        StructField("constraint_name", StringType()),
+        StructField("unique_constraint_name", StringType()),
+        StructField("update_rule", StringType()),
+        StructField("delete_rule", StringType())]), [])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW information_schema_routines AS "
+        "SELECT 'postgres' AS routine_catalog, "
+        "'pg_catalog' AS routine_schema, proname AS routine_name, "
+        "'FUNCTION' AS routine_type, proresult_text AS data_type "
+        "FROM pg_catalog_pg_proc")
+
 
 # Spark SQL type string -> (pg type oid, pg type name) for pg_proc rows
 _SQLTYPE_PG = {

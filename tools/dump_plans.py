@@ -22,6 +22,14 @@ COMMENTARY = {
     "q5_local_supplier_volume":
         "nation/region broadcast; the supplier co-membership condition "
         "keeps one shuffle-join chain over the facts.",
+    "q8_market_share":
+        "Two-level aggregation (per-year volume, share division at the "
+        "end); all dimension sides broadcast, facts shuffle once on "
+        "orderkey.",
+    "q9_product_profit":
+        "part filter pushed to the scan prunes the lineitem join early; "
+        "profit expression stays inside codegen; one shuffle per "
+        "fact-fact join plus the final (nation, year) aggregate.",
     "dedup_ngram_jaccard":
         "Per-doc shingle arrays are a zero-shuffle projection (cached); "
         "prefix-filtered self-join bounds candidates; verification via "
@@ -30,10 +38,13 @@ COMMENTARY = {
         "re-verifying beats a full shuffle-dedup); the small verified "
         "result dedupes at the end.",
     "dedup_minhash_lsh":
-        "Signatures + band hashes in ONE projection; only band collisions "
-        "shuffle; verification joins candidate ids against cached arrays. "
-        "Round 2: same no-pre-dedup shape as ngram_jaccard (a pair "
-        "colliding in m bands verifies m times; true near-dups are few).",
+        "Signatures + band hashes (one xxhash64 per band over the sig "
+        "slice) in ONE projection; only band collisions shuffle; "
+        "verification joins candidate ids against cached arrays. Round 3: "
+        "candidates ARE pre-deduplicated again — measured band-collision "
+        "duplication on the round-3 corpus is 3.0x (not the ~1.05x round "
+        "2 assumed), so one narrow (id,id) distinct beats verifying each "
+        "pair thrice; the post-verify distinct is gone (inputs unique).",
     "sim_cosine_topk":
         "Query vectors broadcast — the corpus NEVER shuffles; per-query "
         "top-k via window over qid.",
@@ -84,9 +95,10 @@ COMMENTARY = {
         "round's already-materialized cached plan — executed work per "
         "round is 2 shuffles against the persisted previous labels.",
     "text_fts_search":
-        "tsvector projection is pure codegen (split/filter/sort, no UDF); "
-        "the query-term array folds to a literal so the @@ match is a "
-        "scan-side filter — no shuffle at all before the final sort.",
+        "tsvector projection is pure codegen (split/filter/porter-lite "
+        "stem transforms/sort, no UDF); the query-term array folds to a "
+        "literal so the @@ match is a scan-side filter — no shuffle at "
+        "all before the final sort.",
 }
 
 

@@ -150,3 +150,122 @@ def sample_systematic(df: DataFrame, key_col: str, rate_denom: int,
         key = F.concat(F.col(stratify_col).cast("string"), F.lit("|"), key)
     h = fingerprint(key)
     return df.where(h % F.lit(rate_denom) == F.lit(remainder))
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition + quality filters (the Gopher/C4-style
+# heuristics a pretraining pipeline applies before dedup; Rae et al. 2021
+# §A1.1 and Raffel et al. 2020 §2.2 describe the public rule families).
+# All pure codegen projections — zero shuffle at any scale.
+
+def _sum_lengths(arr: Column) -> Column:
+    return F.aggregate(F.transform(arr, F.length), F.lit(0),
+                       lambda acc, x: acc + x)
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       top_ngram_window: int = 512) -> DataFrame:
+    """Per-document repetition table:
+
+      * ``dup_line_frac`` — fraction of lines that are repeats of an
+        earlier line;
+      * ``dup_line_char_frac`` — fraction of characters sitting in those
+        repeated lines;
+      * ``dup_trigram_frac`` — fraction of word-3-grams that are repeats
+        (O(n) distinct-count, whole doc);
+      * ``top_bigram_frac`` — occurrence share of the most frequent word
+        bigram (deviation from Gopher's character share: we report the
+        occurrence fraction). Mode search is O(u·n), so it runs over the
+        first ``top_ngram_window`` words — bounded per-row compute that
+        cannot blow up on a pathological 100 MB document.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    dlines = F.array_distinct(lines)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    line_chars = F.greatest(_sum_lengths(lines), F.lit(1))
+    ws = words(c)
+    n_words = F.size(ws)
+    tg = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_words - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i),
+                              F.element_at(ws, i + 1),
+                              F.element_at(ws, i + 2)))
+    wsw = F.slice(ws, 1, top_ngram_window)
+    nw = F.size(wsw)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.greatest(nw - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(wsw, i),
+                              F.element_at(wsw, i + 1)))
+    top_bigram_n = F.array_max(F.transform(
+        F.array_distinct(bg),
+        lambda x: F.size(F.filter(bg, lambda y: y == x))))
+    return df.select(
+        F.col(id_col),
+        F.round((F.size(lines) - F.size(dlines)) / n_lines, 6)
+         .alias("dup_line_frac"),
+        F.round((_sum_lengths(lines) - _sum_lengths(dlines)) / line_chars, 6)
+         .alias("dup_line_char_frac"),
+        F.round(F.when(n_words >= 3,
+                       (F.size(tg) - F.size(F.array_distinct(tg)))
+                       / F.greatest(F.size(tg), F.lit(1)))
+                 .otherwise(F.lit(0.0)), 6).alias("dup_trigram_frac"),
+        F.round(F.when(nw >= 2, top_bigram_n /
+                       F.greatest(nw - 1, F.lit(1)))
+                 .otherwise(F.lit(0.0)), 6).alias("top_bigram_frac"),
+    )
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_words: int = 50,
+                         max_words: int = 100_000) -> DataFrame:
+    """Gopher-style document quality gate: per-rule booleans plus the
+    combined ``keep`` flag, so the pipeline can both filter and audit
+    WHICH rule rejected a document. Word-count bounds, mean word length
+    in [3, 10], symbol-to-word ratio (#/ellipsis) <= 0.1, >= 80% words
+    with an alphabetic character, and >= 2 distinct stopwords (the
+    "not-English-text" tripwire)."""
+    c = F.col(text_col)
+    ws = words(c)
+    n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(ws))
+    mean_wl = _sum_lengths(ws) / F.greatest(n_words, F.lit(1))
+    n_symbols = (F.size(F.split(c, "#")) - 1 +
+                 F.size(F.split(c, r"\.\.\.")) - 1)
+    alpha_words = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]")))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(ws, F.lower)),
+        F.array(*[F.lit(s) for s in EN_STOPWORDS])))
+    ok_nwords = (n_words >= min_words) & (n_words <= max_words)
+    ok_wordlen = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    ok_symbols = (n_symbols / F.greatest(n_words, F.lit(1))) <= 0.1
+    ok_alpha = (alpha_words / F.greatest(n_words, F.lit(1))) >= 0.8
+    ok_stop = n_stop >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        ok_nwords.alias("ok_nwords"), ok_wordlen.alias("ok_wordlen"),
+        ok_symbols.alias("ok_symbols"), ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_nwords & ok_wordlen & ok_symbols & ok_alpha & ok_stop)
+        .alias("keep"))
+
+
+def sample_mixture(df: DataFrame, weights: dict[str, float],
+                   key_col: str = "doc_id", stratum_col: str = "lang",
+                   denom: int = 10_000) -> DataFrame:
+    """Deterministic mixture sampling: keep each stratum at its target
+    rate (e.g. {'en': 0.9, 'de': 0.5}, unlisted strata dropped) using the
+    portable key hash — the training-data "domain mixing" step. The same
+    doc always lands in the same side across engines/runs/partitionings,
+    and the whole thing is a zero-shuffle scan filter at any scale."""
+    pairs: list[Column] = []
+    for k, v in sorted(weights.items()):
+        pairs += [F.lit(k), F.lit(float(v))]
+    rate = F.coalesce(F.element_at(F.create_map(*pairs),
+                                   F.col(stratum_col).cast("string")),
+                      F.lit(0.0))
+    h = fingerprint(F.concat(F.col(stratum_col).cast("string"), F.lit("|"),
+                             F.col(key_col).cast("string")))
+    return df.where((h % F.lit(denom)) < rate * denom)

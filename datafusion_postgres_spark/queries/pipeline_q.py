@@ -629,3 +629,109 @@ def text_sample_systematic(spark, sf_dir):
     return (text.sample_systematic(docs, "doc_id", 10,
                                    stratify_col="lang")
             .select("doc_id", "lang").orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality / mixture (Gopher- and C4-style pretraining filters)
+
+_WORDS_SQL = "string_split_regex(trim(text), '\\s+')"
+_SUMLEN = "list_aggregate(list_transform({0}, x -> length(x)), 'sum')"
+
+
+@register("text_repetition_metrics", oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(text, '\\n') AS lines,
+         {_WORDS_SQL} AS ws
+  FROM documents),
+d AS (
+  SELECT doc_id, lines, list_distinct(lines) AS dlines, ws,
+         len(ws) AS n_words, ws[1:512] AS wsw
+  FROM base),
+e AS (
+  SELECT doc_id, lines, dlines, n_words, len(wsw) AS nw,
+         CASE WHEN n_words >= 3 THEN list_transform(
+           generate_series(1, greatest(n_words - 2, 1)),
+           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END AS tg,
+         CASE WHEN len(wsw) >= 2 THEN list_transform(
+           generate_series(1, greatest(len(wsw) - 1, 1)),
+           i -> concat_ws(' ', wsw[i], wsw[i+1])) END AS bg
+  FROM d)
+SELECT doc_id,
+  ROUND((len(lines) - len(dlines)) / greatest(len(lines), 1), 6)
+    AS dup_line_frac,
+  ROUND(({_SUMLEN.format('lines')} - {_SUMLEN.format('dlines')})
+        / greatest({_SUMLEN.format('lines')}, 1), 6) AS dup_line_char_frac,
+  ROUND(CASE WHEN n_words >= 3 THEN
+        (len(tg) - len(list_distinct(tg))) / greatest(len(tg), 1)
+        ELSE 0.0 END, 6) AS dup_trigram_frac,
+  ROUND(CASE WHEN nw >= 2 THEN
+        list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, y -> y = x))))
+        / greatest(nw - 1, 1) ELSE 0.0 END, 6) AS top_bigram_frac
+FROM e ORDER BY doc_id
+""")
+def text_repetition_metrics(spark, sf_dir):
+    """Within-document repetition metrics (Gopher-family filters): dup
+    line fraction (count + char share), dup word-3-gram fraction, top
+    bigram occurrence share over a bounded window — all pure codegen
+    projections, mirrored 1:1 by the DuckDB oracle."""
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    return text.repetition_metrics(docs).orderBy("doc_id")
+
+
+@register("text_gopher_filter", oracle=f"""
+WITH base AS (SELECT doc_id, text, {_WORDS_SQL} AS ws FROM documents),
+b2 AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(ws) END AS n_words,
+         {_SUMLEN.format('ws')} AS sum_wl,
+         len(string_split_regex(text, '#')) - 1
+           + len(string_split_regex(text, '\\.\\.\\.')) - 1 AS n_symbols,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+           AS alpha_words,
+         len(list_intersect(list_distinct(list_transform(ws,
+             w -> lower(w))), {_STOP_SQL})) AS n_stop
+  FROM base)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  n_words >= 50 AND n_words <= 100000 AS ok_nwords,
+  sum_wl / greatest(n_words, 1) >= 3.0
+    AND sum_wl / greatest(n_words, 1) <= 10.0 AS ok_wordlen,
+  n_symbols / greatest(n_words, 1) <= 0.1 AS ok_symbols,
+  alpha_words / greatest(n_words, 1) >= 0.8 AS ok_alpha,
+  n_stop >= 2 AS ok_stop,
+  (n_words >= 50 AND n_words <= 100000)
+    AND (sum_wl / greatest(n_words, 1) >= 3.0
+         AND sum_wl / greatest(n_words, 1) <= 10.0)
+    AND n_symbols / greatest(n_words, 1) <= 0.1
+    AND alpha_words / greatest(n_words, 1) >= 0.8
+    AND n_stop >= 2 AS keep
+FROM b2 ORDER BY doc_id
+""")
+def text_gopher_filter(spark, sf_dir):
+    """Gopher-style quality gate with per-rule audit booleans (word-count
+    bounds, mean word length, symbol ratio, alphabetic-word share,
+    stopword tripwire) and the combined keep flag."""
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    return text.gopher_quality_flags(docs).orderBy("doc_id")
+
+
+_MIX_KEY = ("regexp_replace(trim(lower(lang || '|' || "
+            "CAST(doc_id AS VARCHAR))), '\\s+', ' ', 'g')")
+
+
+@register("text_sample_mixture", oracle=f"""
+WITH keyed AS (SELECT doc_id, lang, {_duck_hash(_MIX_KEY)} AS h
+               FROM documents)
+SELECT doc_id, lang FROM keyed
+WHERE (h % 10000) < (CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+                     WHEN 'fr' THEN 0.25 ELSE 0.0 END) * 10000
+ORDER BY doc_id
+""")
+def text_sample_mixture(spark, sf_dir):
+    """Deterministic domain-mixture sampling: per-language target rates
+    (en 90%, de 50%, fr 25%, rest dropped) via the portable key hash —
+    a zero-shuffle scan filter that lands every doc on the same side on
+    every engine/run/partitioning."""
+    docs = t(spark, sf_dir, "documents")
+    return (text.sample_mixture(docs, {"en": 0.9, "de": 0.5, "fr": 0.25})
+            .select("doc_id", "lang").orderBy("doc_id"))

@@ -294,3 +294,54 @@ class TestSampleSystematic:
                     T.sample_systematic(df, "k", 10, remainder=1).collect())
         assert a.isdisjoint(other)         # remainders partition the data
         assert 40 < len(a) < 180           # ~1/10 of 1000
+
+
+class TestPretrainFilters:
+    """Gopher/C4-style repetition + quality filters and mixture sampling."""
+
+    def test_repetition_metrics(self, spark):
+        from datafusion_postgres_spark.operators import text as T
+
+        df = spark.createDataFrame(
+            [(1, "a b\na b\nc d"),          # one dup line of three
+             (2, "x y x y x y x y"),        # dominated by bigram 'x y'/'y x'
+             (3, "all unique lines here")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in
+                T.repetition_metrics(df).collect()}
+        assert rows[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        assert rows[3]["dup_line_frac"] == 0.0
+        # 7 bigrams in doc 2; 'x y' appears 4x
+        assert rows[2]["top_bigram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+        assert rows[2]["dup_trigram_frac"] > 0.5
+
+    def test_gopher_flags(self, spark):
+        from datafusion_postgres_spark.operators import text as T
+
+        good = "the quick brown fox jumps over the lazy dog and then " * 10
+        short = "too short"
+        symbols = "# " * 60
+        rows = {r["doc_id"]: r for r in T.gopher_quality_flags(
+            spark.createDataFrame(
+                [(1, good), (2, short), (3, symbols)],
+                "doc_id long, text string")).collect()}
+        assert rows[1]["keep"] is True
+        assert rows[2]["keep"] is False and rows[2]["ok_nwords"] is False
+        assert rows[3]["keep"] is False and rows[3]["ok_symbols"] is False
+
+    def test_sample_mixture_deterministic(self, spark, tables):
+        from datafusion_postgres_spark.operators import text as T
+
+        docs = tables["documents"]
+        w = {"en": 1.0, "de": 0.0}
+        got = T.sample_mixture(docs, w).select("doc_id", "lang").collect()
+        langs = {r["lang"] for r in got}
+        assert langs == {"en"}  # rate-1.0 keeps all en, rate-0 drops de
+        n_en = docs.where("lang = 'en'").count()
+        assert len(got) == n_en
+        # half-rate keeps roughly half, deterministically
+        a = sorted(r["doc_id"] for r in
+                   T.sample_mixture(docs, {"en": 0.5}).collect())
+        b = sorted(r["doc_id"] for r in
+                   T.sample_mixture(docs, {"en": 0.5}).collect())
+        assert a == b and 0.3 * n_en < len(a) < 0.7 * n_en

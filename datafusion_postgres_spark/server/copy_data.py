@@ -106,3 +106,53 @@ def parse_copy_payload(data: bytes, ncols: int, fmt: str = "text",
         rows.append(tuple(None if f == null else _unescape_text(f)
                           for f in fields))
     return rows
+
+
+# ---------------------------------------------------------------------------
+# COPY BINARY payload (PGCOPY signature + length-prefixed tuples)
+
+COPY_BINARY_SIGNATURE = b"PGCOPY\n\xff\r\n\x00"
+
+
+def parse_copy_binary(data: bytes, datatypes) -> list[tuple]:
+    """COPY FROM STDIN (FORMAT binary) payload → typed rows.
+
+    ``datatypes`` are the Spark types of the target columns (in COPY
+    column order); values decode via the wire decoders so the staged
+    frame carries real types, not strings."""
+    import struct
+
+    from datafusion_postgres_spark.server.encoder import decode_value_binary
+
+    if not data.startswith(COPY_BINARY_SIGNATURE):
+        raise CopyDataError("invalid COPY binary signature")
+    pos = len(COPY_BINARY_SIGNATURE)
+    if len(data) < pos + 8:
+        raise CopyDataError("truncated COPY binary header")
+    (_flags, ext_len) = struct.unpack("!ii", data[pos:pos + 8])
+    pos += 8 + ext_len
+    rows: list[tuple] = []
+    ncols = len(datatypes)
+    while pos + 2 <= len(data):
+        (nfields,) = struct.unpack("!h", data[pos:pos + 2])
+        pos += 2
+        if nfields == -1:  # trailer
+            break
+        if nfields != ncols:
+            raise CopyDataError(
+                f"row field count {nfields} != column count {ncols}")
+        vals = []
+        for ci in range(ncols):
+            (flen,) = struct.unpack("!i", data[pos:pos + 4])
+            pos += 4
+            if flen == -1:
+                vals.append(None)
+                continue
+            try:
+                vals.append(decode_value_binary(data[pos:pos + flen],
+                                                datatypes[ci]))
+            except NotImplementedError as e:
+                raise CopyDataError(str(e)) from None
+            pos += flen
+        rows.append(tuple(vals))
+    return rows

@@ -398,3 +398,66 @@ def encode_dataframe(df, extra_float_digits: int = 1):
             yield encode_row(row, schema, extra_float_digits)
 
     return fields, rows()
+
+
+# ---------------------------------------------------------------------------
+# binary-format value DECODING (COPY FROM STDIN (FORMAT binary), binary
+# Bind parameters) — inverse of encode_value_binary for the scalar surface
+
+def decode_value_binary(b: bytes, dt: T.DataType):
+    """PG binary wire bytes → Python value for the Spark type."""
+    import struct
+
+    if b is None:
+        return None
+    if isinstance(dt, T.BooleanType):
+        return b != b"\x00"
+    if isinstance(dt, (T.ByteType, T.ShortType)):
+        return struct.unpack("!h", b)[0]
+    if isinstance(dt, T.IntegerType):
+        return struct.unpack("!i", b)[0]
+    if isinstance(dt, T.LongType):
+        return struct.unpack("!q", b)[0]
+    if isinstance(dt, T.FloatType):
+        return struct.unpack("!f", b)[0]
+    if isinstance(dt, T.DoubleType):
+        return struct.unpack("!d", b)[0]
+    if isinstance(dt, T.DecimalType):
+        return _decode_numeric_binary(b)
+    if isinstance(dt, (T.StringType, T.VarcharType, T.CharType)):
+        return b.decode()
+    if isinstance(dt, T.BinaryType):
+        return bytes(b)
+    if isinstance(dt, T.DateType):
+        return _PG_EPOCH_DATE + timedelta(days=struct.unpack("!i", b)[0])
+    if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
+        return _PG_EPOCH_TS + timedelta(
+            microseconds=struct.unpack("!q", b)[0])
+    if isinstance(dt, T.DayTimeIntervalType):
+        micros, days, months = struct.unpack("!qii", b)
+        if months:
+            raise NotImplementedError(
+                "month-bearing interval cannot decode to a day-time "
+                "interval column")
+        return timedelta(days=days, microseconds=micros)
+    raise NotImplementedError(
+        f"binary decode not implemented for {dt.simpleString()}")
+
+
+def _decode_numeric_binary(b: bytes) -> Decimal:
+    import struct
+
+    nd, weight, sign, dscale = struct.unpack("!HhHH", b[:8])
+    if sign == 0xC000:
+        return Decimal("NaN")
+    if sign == 0xD000:
+        return Decimal("Infinity")
+    if sign == 0xF000:
+        return Decimal("-Infinity")
+    digits = struct.unpack(f"!{nd}H", b[8:8 + nd * 2])
+    val = Decimal(0)
+    for i, g in enumerate(digits):
+        val += Decimal(g).scaleb(4 * (weight - i))
+    if sign == 0x4000:
+        val = -val
+    return val.quantize(Decimal(1).scaleb(-dscale)) if dscale else val

@@ -414,9 +414,13 @@ class _Conn(socketserver.BaseRequestHandler):
     def _send_copy_out(self, res):
         """COPY ... TO STDOUT: CopyOutResponse + CopyData rows.
         text format: tab-separated, \\N for NULL; csv: comma-separated,
-        empty NULL, optional header."""
+        empty NULL, optional header; binary: PGCOPY signature +
+        length-prefixed tuples in the binary wire encoding."""
         schema = res.df.schema
         n_cols = len(schema.fields)
+        if getattr(res, "copy_format", "text") == "binary":
+            self._send_copy_out_binary(res, schema, n_cols)
+            return
         self._send(_msg(b"H", struct.pack("!bH", 0, n_cols) +
                         struct.pack(f"!{n_cols}H", *([0] * n_cols))))
         csv = getattr(res, "copy_format", "text") == "csv"
@@ -440,6 +444,37 @@ class _Conn(socketserver.BaseRequestHandler):
                 line = "\t".join(cells) + "\n"
             self._send(_msg(b"d", line.encode()))
             n += 1
+        self._send(_msg(b"c", b""))
+        self._send(_msg(b"C", _cstr(f"COPY {n}")))
+
+    def _send_copy_out_binary(self, res, schema, n_cols: int):
+        from datafusion_postgres_spark.server.copy_data import (
+            COPY_BINARY_SIGNATURE)
+        from datafusion_postgres_spark.server.encoder import (
+            encode_value_binary, supports_binary)
+
+        bad = [f.name for f in schema.fields
+               if not supports_binary(f.dataType)]
+        if bad:
+            raise RuntimeError(
+                f"COPY binary cannot encode column(s): {', '.join(bad)}")
+        # overall format 1, every column binary
+        self._send(_msg(b"H", struct.pack("!bH", 1, n_cols) +
+                        struct.pack(f"!{n_cols}H", *([1] * n_cols))))
+        self._send(_msg(b"d", COPY_BINARY_SIGNATURE +
+                        struct.pack("!ii", 0, 0)))
+        n = 0
+        for row in res.rows():
+            buf = struct.pack("!h", n_cols)
+            for v, fld in zip(row, schema.fields):
+                if v is None:
+                    buf += struct.pack("!i", -1)
+                else:
+                    b = encode_value_binary(v, fld.dataType)
+                    buf += struct.pack("!i", len(b)) + b
+            self._send(_msg(b"d", buf))
+            n += 1
+        self._send(_msg(b"d", struct.pack("!h", -1)))
         self._send(_msg(b"c", b""))
         self._send(_msg(b"C", _cstr(f"COPY {n}")))
 

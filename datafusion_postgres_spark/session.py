@@ -197,7 +197,7 @@ class SparkPgEngine:
         public PostgreSQL COPY semantics."""
         from pyspark.sql import functions as F, types as T
         from datafusion_postgres_spark.server.copy_data import (
-            CopyDataError, parse_copy_payload)
+            CopyDataError, parse_copy_binary, parse_copy_payload)
 
         target = self.spark.table(table)
         tgt_fields = target.schema.fields
@@ -211,11 +211,18 @@ class SparkPgEngine:
                     "exist") from None
         else:
             fields = list(tgt_fields)
-        rows = parse_copy_payload(data, len(fields), fmt, delimiter,
-                                  null_marker, header)
-        str_schema = T.StructType(
-            [T.StructField(f.name, T.StringType()) for f in fields])
-        staged = self.spark.createDataFrame(rows, str_schema)
+        if fmt == "binary":
+            # typed rows straight from the wire decoders — no string stage
+            rows = parse_copy_binary(data, [f.dataType for f in fields])
+            staged = self.spark.createDataFrame(
+                rows, T.StructType(
+                    [T.StructField(f.name, f.dataType) for f in fields]))
+        else:
+            rows = parse_copy_payload(data, len(fields), fmt, delimiter,
+                                      null_marker, header)
+            str_schema = T.StructType(
+                [T.StructField(f.name, T.StringType()) for f in fields])
+            staged = self.spark.createDataFrame(rows, str_schema)
         named = {f.name for f in fields}
         proj = [(F.col(f.name).cast(f.dataType) if f.name in named
                  else F.lit(None).cast(f.dataType)).alias(f.name)

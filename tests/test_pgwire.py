@@ -475,6 +475,55 @@ class TestCopyIn:
         got = client.query("SELECT v, x FROM copy_tgt")
         assert got["rows"] == [["a\tb\\N", None]]
 
+    def test_copy_in_binary(self, client):
+        from datafusion_postgres_spark.server.copy_data import (
+            COPY_BINARY_SIGNATURE)
+
+        client.query("TRUNCATE TABLE copy_tgt")
+        payload = COPY_BINARY_SIGNATURE + struct.pack("!ii", 0, 0)
+        for k, v, x in [(1, b"one", 1.5), (2, None, 2.5)]:
+            payload += struct.pack("!h", 3)
+            payload += struct.pack("!ii", 4, k)
+            if v is None:
+                payload += struct.pack("!i", -1)
+            else:
+                payload += struct.pack("!i", len(v)) + v
+            payload += struct.pack("!i", 8) + struct.pack("!d", x)
+        payload += struct.pack("!h", -1)
+        res = client.copy_in(
+            "COPY copy_tgt FROM STDIN WITH (FORMAT binary)", payload)
+        assert res["tags"] == ["COPY 2"], res
+        got = client.query("SELECT * FROM copy_tgt ORDER BY k")
+        assert got["rows"] == [["1", "one", "1.5"], ["2", None, "2.5"]]
+
+    def test_copy_out_binary_round_trip(self, client):
+        from datafusion_postgres_spark.server.copy_data import (
+            COPY_BINARY_SIGNATURE, parse_copy_binary)
+        from pyspark.sql import types as T
+
+        client.query(  # self-sufficient under -k selection
+            "CREATE OR REPLACE TEMPORARY VIEW wnation AS "
+            "SELECT * FROM parquet.`/root/testdata/sf0.001/nation.parquet`")
+        body = ("COPY (SELECT n_nationkey, n_name FROM wnation "
+                "WHERE n_nationkey < 3 ORDER BY 1) TO STDOUT "
+                "WITH (FORMAT binary)").encode() + b"\x00"
+        client.sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        chunks, fmts = [], None
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"H":
+                overall, ncols = struct.unpack("!bH", payload[:3])
+                fmts = struct.unpack(f"!{ncols}H", payload[3:3 + 2 * ncols])
+                assert overall == 1 and fmts == (1, 1)
+            elif tag == b"d":
+                chunks.append(payload)
+            elif tag == b"Z":
+                break
+        data = b"".join(chunks)
+        assert data.startswith(COPY_BINARY_SIGNATURE)
+        rows = parse_copy_binary(data, [T.IntegerType(), T.StringType()])
+        assert rows == [(0, "NATION_0"), (1, "NATION_1"), (2, "NATION_2")]
+
     def test_copy_fail_message(self, client):
         client.query("TRUNCATE TABLE copy_tgt")
         res = client.copy_in("COPY copy_tgt FROM STDIN", fail="client bail")

@@ -521,15 +521,22 @@ class _Conn(socketserver.BaseRequestHandler):
             stmt_name = rest[:j].decode()
             rest = rest[j + 1:]
             (n_fmt,) = struct.unpack("!H", rest[:2])
+            fmts = list(struct.unpack(f"!{n_fmt}H", rest[2:2 + 2 * n_fmt]))
             rest = rest[2 + 2 * n_fmt:]
             (n_params,) = struct.unpack("!H", rest[:2])
             rest = rest[2:]
             params = []
-            for _ in range(n_params):
+            for k in range(n_params):
+                # one format code applies to all params; else per-param
+                fmt = (fmts[k] if len(fmts) == n_params else
+                       (fmts[0] if fmts else 0))
                 (plen,) = struct.unpack("!i", rest[:4])
                 rest = rest[4:]
                 if plen < 0:
                     params.append(None)
+                elif fmt == 1:
+                    params.append(("bin", rest[:plen]))
+                    rest = rest[plen:]
                 else:
                     params.append(rest[:plen].decode())
                     rest = rest[plen:]

@@ -99,13 +99,39 @@ def infer_param_types(sql: str) -> list[int]:
     return [inferred.get(n, DEFAULT_PARAM_OID) for n in range(1, max_n + 1)]
 
 
-def decode_parameter(value: str | None, oid: int):
-    """Text-format wire value → Python value for spark.sql args
-    (datatypes/df.rs per-OID decode)."""
+def decode_parameter(value, oid: int):
+    """Wire parameter value → Python value for spark.sql args
+    (datatypes/df.rs per-OID decode). ``value`` is a text-format str, or
+    ``("bin", bytes)`` from a Bind with parameter format code 1."""
     if value is None:
         return None
+    if isinstance(value, tuple) and value[0] == "bin":
+        from pyspark.sql import types as T
+
+        from datafusion_postgres_spark.server.encoder import (
+            decode_value_binary)
+        dt = _OID_TO_SPARK_TYPE.get(oid)
+        if dt is None:
+            raise ValueError(
+                f"binary parameter format not supported for type oid {oid}")
+        return decode_value_binary(value[1], dt)
     decoder = _TEXT_DECODERS.get(oid, str)
     return decoder(value)
+
+
+def _oid_spark_types():
+    from pyspark.sql import types as T
+    return {
+        16: T.BooleanType(), 21: T.ShortType(), 23: T.IntegerType(),
+        20: T.LongType(), 26: T.IntegerType(), 700: T.FloatType(),
+        701: T.DoubleType(), 1700: T.DecimalType(38, 18),
+        25: T.StringType(), 1043: T.StringType(), 1042: T.StringType(),
+        19: T.StringType(), 17: T.BinaryType(), 1082: T.DateType(),
+        1114: T.TimestampNTZType(), 1184: T.TimestampNTZType(),
+    }
+
+
+_OID_TO_SPARK_TYPE = _oid_spark_types()
 
 
 _DOLLAR_RE = re.compile(r"\$(\d+)")

@@ -256,6 +256,29 @@ class TestExtendedProtocol:
         assert tags == ["SELECT 1"]
         assert b"NATION_7" in rows[0]
 
+    def test_bind_binary_parameter(self, client):
+        """Bind with parameter format code 1: the int8 arrives as 8
+        network-order bytes (JDBC setLong path), not text."""
+        self._parse(client, "stbin",
+                    "SELECT $1::int8 + 1 AS v, $2::text AS s")
+        body = b"\x00" + b"stbin\x00"
+        body += struct.pack("!HHH", 2, 1, 0)   # per-param formats: bin, text
+        body += struct.pack("!H", 2)           # two params
+        body += struct.pack("!i", 8) + struct.pack("!q", 41)
+        body += struct.pack("!i", 2) + b"hi"
+        body += struct.pack("!H", 0)           # all-text results
+        client.sock.sendall(b"B" + struct.pack("!I", len(body) + 4) + body)
+        self._execute(client, "")
+        self._sync(client)
+        rows = []
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"D":
+                rows.append(payload)
+            elif tag == b"Z":
+                break
+        assert rows and b"42" in rows[0] and b"hi" in rows[0]
+
     def test_portal_suspend_resume(self, client):
         """Execute with max_rows suspends the portal; the next Execute
         RESUMES the same iterator (no re-execution, no duplicate rows) —

@@ -123,3 +123,65 @@ class TestClientReplay:
             "SELECT word FROM pg_get_keywords() WHERE word = 'select'")[0]
             .rows())
         assert rows[0][0] == "select"
+
+
+# Deep-introspection shapes (DBeaver metadata reader / pgadmin browser):
+# exercise the round-3 full-column catalog surface — long-tail tables,
+# padded stock columns, information_schema completion.
+DEEP_INTROSPECTION_QUERIES = [
+    # DBeaver: attribute metadata incl. round-3 padded columns
+    """SELECT a.attname, a.atttypid, a.attlen, a.attnotnull,
+              a.atthasdef, a.attidentity, a.attgenerated, a.attcollation
+       FROM pg_catalog.pg_attribute a
+       WHERE a.attrelid = 'nation'::regclass AND a.attnum > 0
+       ORDER BY a.attnum""",
+    # DBeaver: index + opclass discovery (long-tail shells)
+    """SELECT i.indexrelid, i.indisunique, i.indnullsnotdistinct,
+              i.indcollation, oc.opcname
+       FROM pg_catalog.pg_index i
+       LEFT JOIN pg_catalog.pg_opclass oc ON oc.oid = i.indexrelid""",
+    # pgadmin: access-method + operator-family chain
+    """SELECT am.amname, op.opfname
+       FROM pg_catalog.pg_am am
+       LEFT JOIN pg_catalog.pg_opfamily op ON op.opfmethod = am.oid
+       ORDER BY am.amname""",
+    # pgadmin: trigger/rewrite/constraint sweep on a relation
+    """SELECT t.tgname, t.tgtype, r.rulename, con.conname, con.confupdtype
+       FROM pg_catalog.pg_class c
+       LEFT JOIN pg_catalog.pg_trigger t ON t.tgrelid = c.oid
+       LEFT JOIN pg_catalog.pg_rewrite r ON r.ev_class = c.oid
+       LEFT JOIN pg_catalog.pg_constraint con ON con.conrelid = c.oid
+       WHERE c.relname = 'nation'""",
+    # DBeaver: type metadata incl. padded columns
+    """SELECT t.typname, t.typtype, t.typcategory, t.typispreferred,
+              t.typalign, t.typstorage
+       FROM pg_catalog.pg_type t WHERE t.typname IN ('int4', 'text')
+       ORDER BY 1""",
+    # JDBC DatabaseMetaData.getProcedures analog
+    """SELECT p.proname, p.prokind, p.provolatile, p.proleakproof,
+              p.proisstrict, p.procost
+       FROM pg_catalog.pg_proc p WHERE p.proname = 'sind'""",
+    # information_schema completion sweep
+    "SELECT schema_name FROM information_schema.schemata ORDER BY 1",
+    """SELECT tc.constraint_name, kcu.column_name
+       FROM information_schema.table_constraints tc
+       LEFT JOIN information_schema.key_column_usage kcu
+         ON kcu.constraint_name = tc.constraint_name""",
+    "SELECT routine_name FROM information_schema.routines "
+    "WHERE routine_name = 'erf'",
+    # statistics family (empty but must resolve with stock columns)
+    """SELECT s.stanullfrac, s.stawidth, s.stadistinct
+       FROM pg_catalog.pg_statistic s""",
+    """SELECT sd.stxdndistinct IS NULL AS no_stats
+       FROM pg_catalog.pg_statistic_ext_data sd""",
+]
+
+
+class TestDeepIntrospection:
+    def test_deep_introspection(self, engine):
+        _run_all(engine, DEEP_INTROSPECTION_QUERIES)
+
+    def test_regclass_text_chain(self, engine):
+        rows = list(engine.execute(
+            "SELECT 'nation'::regclass::text AS t")[0].rows())
+        assert rows[0][0] == "nation"

@@ -251,3 +251,142 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .where(F.col("rnk") <= k)
             .select("qid", "vec_id", "cos_sim", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the 100 TB storage-side path for ANN.
+# A 64-dim float corpus (256 B/vec) compresses to m uint8 codes (m bytes,
+# 16x at the m=16 default) so the candidate scan reads codes, not vectors; queries
+# score candidates with an asymmetric-distance lookup table (ADC).
+# Public technique: Jegou/Douze/Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011.
+
+def pq_train(emb: DataFrame, m: int = 16, ksub: int = 32, iters: int = 3,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Train per-subspace codebooks with the same deterministic Lloyd's
+    loop as :func:`kmeans_centroids`, one run per subspace over the
+    subvectors. Shuffle volume per iteration = m small partial-aggregated
+    groupBys (ksub x subdim running sums each), independent of corpus
+    size; only the ksub centroid rows ever reach the driver.
+
+    Returns ``codebooks[j][c] = centroid c of subspace j`` (plain Python
+    lists — m*ksub*subdim floats, e.g. 8*16*8 = 1 KiB)."""
+    spark = emb.sparkSession
+    unit = _unit_vectors(emb, vec_col, id_col)
+    dims = len(unit.select("vec").head()["vec"])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    sub = dims // m
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        subv = unit.select(
+            "vec_id", F.slice("vec", j * sub + 1, sub).alias("sv"))
+        seed = subv.orderBy("vec_id").limit(ksub).collect()
+        cents = {i: list(r["sv"]) for i, r in enumerate(seed)}
+        for _ in range(iters):
+            # zero-shuffle argmin assignment (constant-folded codebook
+            # literal + HOF loop), then ONE partial-aggregated groupBy
+            cb = _codebook_lit([cents[i] for i in range(ksub)])
+            assigned = subv.withColumn(
+                "cid", _argmin_code(F.col("sv"), cb))
+            means = (assigned.groupBy("cid")
+                     .agg(*[F.avg(F.col("sv")[d]).alias(f"d{d}")
+                            for d in range(sub)]).collect())
+            new = {r["cid"]: [r[f"d{d}"] for d in range(sub)] for r in means}
+            cents = {cid: new.get(cid, v) for cid, v in cents.items()}
+        codebooks.append([cents[i] for i in range(ksub)])
+    return codebooks
+
+
+def _codebook_lit(codebook_j: list[list[float]]):
+    """One subspace codebook as a constant ARRAY<ARRAY<DOUBLE>> literal —
+    Catalyst constant-folds the nested array(...) into a single Literal,
+    so HOF loops read a constant instead of unrolling ksub x subdim
+    arithmetic into >64 KB of generated code."""
+    s = "array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) for x in c) + ")"
+        for c in codebook_j) + ")"
+    return F.expr(s)
+
+
+def _argmin_code(sv, cb):
+    """Index (0-based) of the L2-nearest codebook row to subvector sv."""
+    dists = F.transform(cb, lambda c: F.aggregate(
+        F.zip_with(sv, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _unit_vectors(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    unit = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("raw"))
+    return unit.select(
+        "vec_id",
+        F.transform("raw", lambda x: x / _norm(F.col("raw"))).alias("vec"))
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, codes ARRAY<INT>) — nearest-centroid code per subspace,
+    one zero-shuffle codegen projection (the codebooks inline as
+    literals: m*ksub squared-distance expressions)."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    unit = _unit_vectors(emb, vec_col, id_col)
+    codes = [
+        _argmin_code(F.slice("vec", j * sub + 1, sub),
+                     _codebook_lit(codebooks[j]))
+        for j in range(m)]
+    return unit.select("vec_id", F.array(*codes).alias("codes"))
+
+
+def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
+                   m: int = 16, ksub: int = 32,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   codebooks: list[list[list[float]]] | None = None,
+                   codes: DataFrame | None = None) -> DataFrame:
+    """Approximate per-query top-k by asymmetric distance: each query
+    precomputes its m x ksub dot-product lookup table ON THE BROADCAST
+    QUERY SIDE (one projection over a handful of rows), then the scored
+    scan is `sum_j lut[j][code_j]` over the CODES table — the corpus'
+    float vectors are never read at query time, never shuffled.
+
+    Pass precomputed ``codebooks``/``codes`` for the real at-scale flow
+    (train + encode offline, many queries later); omitted, they are
+    derived here for convenience."""
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, ksub=ksub, vec_col=vec_col,
+                             id_col=id_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, vec_col=vec_col, id_col=id_col)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qunit = (_unit_vectors(queries.select(F.col("qid").alias("vec_id"),
+                                          F.col("qvec").alias("embedding")),
+                           "embedding", "vec_id")
+             .select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv")))
+    def _lut_for(j: int):
+        # NOTE: must stay a ONE-arg lambda — PySpark treats a two-arg
+        # HOF lambda as (element, index), so a default-arg capture of j
+        # would be silently overwritten by the element index
+        qs = F.slice("qv", j * sub + 1, sub)
+        return F.transform(_codebook_lit(codebooks[j]),
+                           lambda c: F.aggregate(
+                               F.zip_with(qs, c, lambda a, b: a * b),
+                               F.lit(0.0), lambda acc, x: acc + x))
+
+    luts = F.array(*[_lut_for(j) for j in range(m)])
+    qlut = qunit.select("qid", luts.alias("lut"))
+    score = sum(F.col("lut")[j][F.col("codes")[j]] for j in range(m))
+    scored = (codes.crossJoin(F.broadcast(qlut))
+              .select("qid", "vec_id", score.alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("qid", "vec_id", F.round("score", 6).alias("score"),
+                    "rnk"))

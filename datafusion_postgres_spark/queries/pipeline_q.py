@@ -735,3 +735,17 @@ def text_sample_mixture(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return (text.sample_mixture(docs, {"en": 0.9, "de": 0.5, "fr": 0.25})
             .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@register("sim_cosine_pq")  # rows-only: approximation set is impl-defined
+def sim_cosine_pq(spark, sf_dir):
+    """Product-quantized ANN top-k (Jegou et al. 2011): corpus compressed
+    to 16 uint8 codes/vector, queries score via asymmetric-distance
+    lookup tables computed on the broadcast query side — the corpus'
+    float vectors are never read at query time."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return sorted_small(similarity.cosine_topk_pq(emb, queries, k=10),
+                        "qid", "rnk")

@@ -100,3 +100,34 @@ def test_stateful_user_profiles(spark, stream_dir):
             assert latest[uid]["ewma_value"] is not None
     finally:
         q.stop()
+
+
+def test_stateless_pipeline_filters_on_stream(spark, tmp_path_factory):
+    """The pretraining filters are pure projections, so the SAME operator
+    runs unchanged on a stream — batch/stream unification for the
+    ingest-time quality gate."""
+    from datafusion_postgres_spark.operators.text import (
+        gopher_quality_flags)
+    from datafusion_postgres_spark.sources.registry import read_table
+    from datafusion_postgres_spark.streaming.dedup import (
+        read_documents_stream)
+
+    d = tmp_path_factory.mktemp("docs_stream_flt")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                d / "documents.parquet")
+    stream = read_documents_stream(spark, str(d))
+    flagged = gopher_quality_flags(stream.drop("ingest_ts"))
+    assert flagged.isStreaming
+    q = (flagged.writeStream.format("memory").queryName("gopher_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not finish in time"
+    try:
+        got = {r["doc_id"]: r["keep"] for r in
+               spark.sql("SELECT doc_id, keep FROM gopher_stream").collect()}
+        batch = {r["doc_id"]: r["keep"] for r in gopher_quality_flags(
+            read_table(spark, SF_DIR.replace("events", "documents")
+                       if "events" in SF_DIR else SF_DIR,
+                       "documents")).collect()}
+        assert got == batch and len(got) == 500
+    finally:
+        q.stop()

@@ -1,0 +1,55 @@
+"""Event-analytics operators beyond the reference's SQL surface.
+
+Classic product-analytics funnel over an unbounded event log: how many
+users complete step1 → step2 → … in order. Each stage is one
+user_id-keyed join + partial-aggregated min — all shuffles share the
+user_id partitioning, so at 100 TB the chain reuses one exchange layout
+and never widens beyond (user, ts) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_stage_users(events: DataFrame, steps: list[str],
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type") -> list[DataFrame]:
+    """Per stage i: (user, earliest completion time of steps[0..i] in
+    order). Strictly increasing timestamps between stages (PG/analytics
+    convention: a click at the same instant as the view doesn't count)."""
+    stages: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for step in steps:
+        ev = (events.where(F.col(type_col) == step)
+              .select(F.col(user_col).alias("user_id"),
+                      F.col(ts_col).alias("ts")))
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("ts"))
+        else:
+            cur = (ev.join(prev.select("user_id",
+                                       F.col("ts").alias("prev_ts")),
+                           "user_id")
+                   .where(F.col("ts") > F.col("prev_ts"))
+                   .groupBy("user_id").agg(F.min("ts").alias("ts")))
+        stages.append(cur)
+        prev = cur
+    return stages
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """(stage, stage_ord, n_users) — users reaching each funnel stage in
+    order. n_users is monotonically non-increasing by construction."""
+    stages = funnel_stage_users(events, steps, user_col, ts_col, type_col)
+    parts = [
+        s.agg(F.count("*").alias("n_users"))
+        .select(F.lit(step).alias("stage"),
+                F.lit(i + 1).alias("stage_ord"),
+                F.col("n_users").cast("bigint"))
+        for i, (step, s) in enumerate(zip(steps, stages))]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("stage_ord")

@@ -123,3 +123,29 @@ def events_dow(spark, sf_dir):
                  (F.sum(F.col("value").cast("decimal(12,2)")).cast("double") /
                   F.count("*")).alias("avg_value"))
             .orderBy("dow"))
+
+
+@register("events_funnel", oracle="""
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'view' AS stage, 1 AS stage_ord, CAST(count(*) AS BIGINT) AS n_users
+FROM v
+UNION ALL
+SELECT 'click', 2, CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'purchase', 3, CAST(count(*) AS BIGINT) FROM p
+ORDER BY stage_ord
+""")
+def events_funnel(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel: users completing each
+    stage strictly after the previous one (operators/events.py; every
+    stage join + min-aggregate shares the user_id partitioning)."""
+    from datafusion_postgres_spark.operators.events import funnel_counts
+    ev = t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])

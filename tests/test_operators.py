@@ -387,3 +387,30 @@ class TestProductQuantization:
         row = codes.head()
         assert len(row["codes"]) == 8
         assert all(0 <= c < 8 for c in row["codes"])
+
+
+class TestFunnel:
+    def test_funnel_monotone_and_ordered(self, spark, tables):
+        from datafusion_postgres_spark.operators.events import funnel_counts
+
+        rows = funnel_counts(tables["events"],
+                             ["view", "click", "purchase"]).collect()
+        assert [r["stage"] for r in rows] == ["view", "click", "purchase"]
+        ns = [r["n_users"] for r in rows]
+        assert ns == sorted(ns, reverse=True)  # monotone non-increasing
+        assert ns[0] > 0
+
+    def test_funnel_strict_order(self, spark):
+        from datafusion_postgres_spark.operators.events import funnel_counts
+
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "view"),
+             (1, "2024-01-01 10:00:00", "click"),   # same instant: no
+             (2, "2024-01-01 10:00:00", "view"),
+             (2, "2024-01-01 11:00:00", "click"),   # after: yes
+             (3, "2024-01-01 12:00:00", "click")],  # click w/o view: no
+            "user_id long, ts string, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = {r["stage"]: r["n_users"]
+               for r in funnel_counts(ev, ["view", "click"]).collect()}
+        assert got == {"view": 2, "click": 1}

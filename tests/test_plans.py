@@ -78,3 +78,47 @@ def test_events_sessionize_reuses_partitioning(spark, reg):
     # exchange between them
     df = reg["events_sessionize"].fn(spark, SF_DIR)
     assert P.count_shuffles(df) <= 3
+
+
+def test_repetition_metrics_zero_shuffle(spark, reg):
+    df = reg["text_repetition_metrics"].fn(spark, SF_DIR)
+    # one allowed exchange: the final orderBy range partitioning (plus
+    # ensure_min_parallelism's roundrobin at test SF); the metric
+    # computation itself must add none
+    from datafusion_postgres_spark.operators.text import repetition_metrics
+    from datafusion_postgres_spark.sources.registry import read_table
+    core = repetition_metrics(read_table(spark, SF_DIR, "documents"))
+    assert P.count_shuffles(core) == 0
+
+
+def test_gopher_filter_zero_shuffle(spark):
+    from datafusion_postgres_spark.operators.text import gopher_quality_flags
+    from datafusion_postgres_spark.sources.registry import read_table
+    core = gopher_quality_flags(read_table(spark, SF_DIR, "documents"))
+    assert P.count_shuffles(core) == 0
+
+
+def test_sample_mixture_zero_shuffle(spark):
+    from datafusion_postgres_spark.operators.text import sample_mixture
+    from datafusion_postgres_spark.sources.registry import read_table
+    core = sample_mixture(read_table(spark, SF_DIR, "documents"),
+                          {"en": 0.5})
+    assert P.count_shuffles(core) == 0
+
+
+def test_pq_encode_zero_shuffle(spark):
+    from datafusion_postgres_spark.operators import similarity as S
+    from datafusion_postgres_spark.sources.registry import read_table
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cb = S.pq_train(emb, m=8, ksub=8, iters=1)
+    assert P.count_shuffles(S.pq_encode(emb, cb)) == 0
+
+
+def test_funnel_shuffles_bounded(spark):
+    # 3-stage funnel: per stage one groupBy (+ stage joins reuse the
+    # user_id layout); final tiny unions. Bound the pre-AQE count.
+    from datafusion_postgres_spark.operators.events import funnel_counts
+    from datafusion_postgres_spark.sources.registry import read_table
+    ev = read_table(spark, SF_DIR, "events")
+    df = funnel_counts(ev, ["view", "click", "purchase"])
+    assert P.count_shuffles(df) <= 9

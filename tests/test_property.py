@@ -130,3 +130,57 @@ def _parse_pg_array(s: str):
         val = "".join(cur)
         out.append(None if (val == "NULL" and not quoted_flag) else val)
     return out
+
+
+class TestBinaryCodecRoundTrip:
+    """encode_value_binary ∘ decode_value_binary = identity on the wire
+    scalar surface (the COPY BINARY / binary-Bind contract)."""
+
+    @given(st.decimals(allow_nan=False, allow_infinity=False,
+                       min_value=-10**20, max_value=10**20, places=6))
+    @settings(max_examples=200, deadline=None)
+    def test_numeric(self, d):
+        from pyspark.sql import types as T
+
+        from datafusion_postgres_spark.server.encoder import (
+            decode_value_binary, encode_value_binary)
+        out = decode_value_binary(
+            encode_value_binary(d, T.DecimalType(38, 6)),
+            T.DecimalType(38, 6))
+        assert out == d
+
+    @given(st.integers(min_value=-2**63, max_value=2**63 - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_int8(self, n):
+        from pyspark.sql import types as T
+
+        from datafusion_postgres_spark.server.encoder import (
+            decode_value_binary, encode_value_binary)
+        assert decode_value_binary(
+            encode_value_binary(n, T.LongType()), T.LongType()) == n
+
+    @given(st.timedeltas(
+        min_value=__import__("datetime").timedelta(days=-10_000),
+        max_value=__import__("datetime").timedelta(days=10_000)))
+    @settings(max_examples=200, deadline=None)
+    def test_interval(self, td):
+        from pyspark.sql import types as T
+
+        from datafusion_postgres_spark.server.encoder import (
+            decode_value_binary, encode_value_binary)
+        assert decode_value_binary(
+            encode_value_binary(td, T.DayTimeIntervalType()),
+            T.DayTimeIntervalType()) == td
+
+    @given(st.datetimes(
+        min_value=__import__("datetime").datetime(1, 1, 1),
+        max_value=__import__("datetime").datetime(9999, 12, 31)))
+    @settings(max_examples=200, deadline=None)
+    def test_timestamp(self, ts):
+        from pyspark.sql import types as T
+
+        from datafusion_postgres_spark.server.encoder import (
+            decode_value_binary, encode_value_binary)
+        assert decode_value_binary(
+            encode_value_binary(ts, T.TimestampNTZType()),
+            T.TimestampNTZType()) == ts

@@ -53,3 +53,31 @@ def funnel_counts(events: DataFrame, steps: list[str],
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("stage_ord")
+
+
+def cohort_retention(events: DataFrame, period: str = "week",
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     max_periods: int = 8) -> DataFrame:
+    """Classic retention triangle: users grouped by first-activity period
+    (cohort), counted again in each later period they return.
+
+    Two user_id-keyed shuffles total (first-activity aggregate + the
+    cohort join), then one small (cohort, period_n) aggregate — the
+    output is O(max_periods^2) rows whatever the corpus size."""
+    trunc = F.date_trunc(period, F.col(ts_col))
+    first = (events
+             .groupBy(F.col(user_col).alias("user_id"))
+             .agg(F.min(trunc).alias("cohort_ts")))
+    activity = events.select(
+        F.col(user_col).alias("user_id"), trunc.alias("period_ts")).distinct()
+    div = {"week": 7 * 86400, "day": 86400}.get(period)
+    if div is None:
+        raise ValueError(f"unsupported period {period!r}")
+    period_n = ((F.unix_timestamp("period_ts")
+                 - F.unix_timestamp("cohort_ts")) / div).cast("int")
+    return (activity.join(first, "user_id")
+            .withColumn("period_n", period_n)
+            .where(F.col("period_n") < max_periods)
+            .groupBy(F.to_date("cohort_ts").alias("cohort"), "period_n")
+            .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+            .orderBy("cohort", "period_n"))

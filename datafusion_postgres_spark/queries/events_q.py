@@ -149,3 +149,26 @@ def events_funnel(spark, sf_dir):
     from datafusion_postgres_spark.operators.events import funnel_counts
     ev = t(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@register("events_cohort_retention", oracle="""
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_ts
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS period_ts FROM events)
+SELECT CAST(f.cohort_ts AS DATE) AS cohort,
+       CAST((epoch(a.period_ts) - epoch(f.cohort_ts)) / 604800 AS INTEGER)
+         AS period_n,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN first f USING (user_id)
+WHERE (epoch(a.period_ts) - epoch(f.cohort_ts)) / 604800 < 8
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (operators/events.py): first-seen
+    week x return week, distinct users — two user-keyed shuffles, output
+    bounded by max_periods^2 regardless of corpus size."""
+    from datafusion_postgres_spark.operators.events import cohort_retention
+    ev = t(spark, sf_dir, "events")
+    return cohort_retention(ev, "week")

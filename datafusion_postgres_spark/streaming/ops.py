@@ -126,3 +126,33 @@ def run_to_memory(df: DataFrame, name: str, timeout_secs: float = 60.0,
          .trigger(availableNow=True).start())
     q.awaitTermination(timeout_secs)
     return q
+
+
+def attribution_join_stream(events: DataFrame, horizon: str = "1 hour",
+                            from_type: str = "view",
+                            to_type: str = "purchase") -> DataFrame:
+    """Stream-stream interval join: each ``to_type`` event (purchase)
+    attributed to every ``from_type`` event (view) by the same user within
+    the preceding ``horizon`` — the click-attribution shape.
+
+    Both sides carry watermarks, and the join condition bounds event-time
+    distance, so Spark provably evicts state older than the horizon on
+    both sides (the state-cleanup requirement for stream-stream joins).
+    State = one horizon's worth of views + purchases per user shard."""
+    v = (events.where(F.col("event_type") == from_type)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("view_ts"))
+         .withWatermark("view_ts", horizon))
+    p = (events.where(F.col("event_type") == to_type)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("purchase_ts"))
+         .withWatermark("purchase_ts", horizon))
+    return (p.join(
+        v,
+        F.expr(f"""v_user = p_user AND
+                   purchase_ts > view_ts AND
+                   purchase_ts <= view_ts + interval {horizon}"""))
+        .select(F.col("p_user").alias("user_id"), "view_id", "purchase_id",
+                "view_ts", "purchase_ts"))

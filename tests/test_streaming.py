@@ -131,3 +131,32 @@ def test_stateless_pipeline_filters_on_stream(spark, tmp_path_factory):
         assert got == batch and len(got) == 500
     finally:
         q.stop()
+
+
+def test_attribution_join_matches_batch(spark, stream_dir):
+    """Watermarked stream-stream interval join == the equivalent batch
+    join over the same events."""
+    stream = ops.read_events_stream(spark, stream_dir)
+    joined = ops.attribution_join_stream(stream, horizon="1 hour")
+    assert joined.isStreaming
+    q = (joined.writeStream.format("memory").queryName("attrib")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not finish in time"
+    try:
+        got = {(r["view_id"], r["purchase_id"]) for r in
+               spark.sql("SELECT view_id, purchase_id FROM attrib")
+               .collect()}
+        ev = read_table(spark, SF_DIR, "events")
+        v = ev.where("event_type = 'view'").select(
+            F.col("user_id").alias("vu"), F.col("event_id").alias("vid"),
+            F.col("ts").alias("vts"))
+        p = ev.where("event_type = 'purchase'").select(
+            F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+            F.col("ts").alias("pts"))
+        batch = {(r["vid"], r["pid"]) for r in
+                 p.join(v, F.expr(
+                     "vu = pu AND pts > vts AND "
+                     "pts <= vts + interval 1 hour")).collect()}
+        assert got == batch and len(batch) > 0
+    finally:
+        q.stop()

@@ -174,6 +174,10 @@ class SparkPgEngine:
         if kind == "COMMENT":
             # Spark applies COMMENT ON TABLE natively; only the tag differs
             return ExecutionResult(df=None, command_tag="COMMENT")
+        if kind == "EXPLAIN" and df.columns == ["plan"]:
+            # PG clients expect the QUERY PLAN column name
+            df = df.withColumnRenamed("plan", "QUERY PLAN")
+            return ExecutionResult(df=df, command_tag="EXPLAIN")
         if kind in ("CREATE", "DROP", "ALTER", "TRUNCATE"):
             import re as _re
             m = _re.match(

@@ -172,3 +172,31 @@ def events_cohort_retention(spark, sf_dir):
     from datafusion_postgres_spark.operators.events import cohort_retention
     ev = t(spark, sf_dir, "events")
     return cohort_retention(ev, "week")
+
+
+@register("events_attribution", oracle="""
+SELECT p.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY purchase_id, view_id
+""")
+def events_attribution(spark, sf_dir):
+    """Batch analog of streaming/ops.attribution_join_stream: purchases
+    attributed to same-user views within the preceding hour (interval
+    join keyed on user_id — one co-partitioned shuffle pair)."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"))
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts"))
+    return (p.join(v, F.expr(
+                "vu = user_id AND pts > vts AND "
+                "pts <= vts + interval 1 hour"))
+            .select("user_id", "view_id", "purchase_id")
+            .orderBy("purchase_id", "view_id"))

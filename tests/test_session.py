@@ -330,3 +330,12 @@ class TestCatalogSchemaParity:
             rows = one_row(engine.execute(
                 f"SELECT count(*) AS n FROM pg_catalog.{tbl}"))
             assert rows[0][0] == 0
+
+
+class TestExplain:
+    def test_explain_query_plan_column(self, engine):
+        res = engine.execute("EXPLAIN SELECT * FROM nation")[0]
+        assert res.df.columns == ["QUERY PLAN"]
+        assert res.command_tag == "EXPLAIN"
+        plan = list(res.rows())[0][0]
+        assert "FileScan" in plan or "Scan" in plan

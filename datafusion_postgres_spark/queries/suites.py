@@ -493,3 +493,34 @@ def skew_twophase_agg(spark, sf_dir):
                        F.col("sum_v").cast("double").alias("sum_v"),
                        F.col("count_value"))
             .orderBy("event_type"))
+
+
+@register("agg_approx_sketches", oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+       true AS hll_within_bounds,
+       true AS pctl_within_bounds
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_approx_sketches(spark, sf_dir):
+    """Sketch aggregates — the 100 TB substitutes for exact distinct/
+    percentile (single-pass, fixed-size state, no giant shuffle):
+    approx_count_distinct (HLL++) and approx_percentile. Approximations
+    are not bit-stable across engines, so the driver-checkable contract
+    is the ERROR BOUND: the oracle asserts the exact value and `true`
+    for each bound; the Spark side emits whether the sketch landed
+    within it (3x the 5% rsd for HLL / percentile between group min and max)."""
+    li = t(spark, sf_dir, "lineitem")
+    g = (li.groupBy("l_returnflag")
+         .agg(F.countDistinct("l_partkey").cast("bigint").alias("exact_nd"),
+              F.approx_count_distinct("l_partkey", 0.05).alias("hll"),
+              F.expr("approx_percentile(l_quantity, 0.5)").alias("p50"),
+              F.min("l_quantity").alias("qmin"),
+              F.max("l_quantity").alias("qmax")))
+    return (g.select(
+                "l_returnflag", "exact_nd",
+                (F.abs(F.col("hll") - F.col("exact_nd"))
+                 <= 0.15 * F.col("exact_nd")).alias("hll_within_bounds"),
+                ((F.col("p50") >= F.col("qmin")) &
+                 (F.col("p50") <= F.col("qmax"))).alias("pctl_within_bounds"))
+            .orderBy("l_returnflag"))

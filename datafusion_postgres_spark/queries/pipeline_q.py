@@ -749,3 +749,68 @@ def sim_cosine_pq(spark, sf_dir):
                        F.col("embedding").alias("qvec")))
     return sorted_small(similarity.cosine_topk_pq(emb, queries, k=10),
                         "qid", "rnk")
+
+
+@register("pipeline_end_to_end", oracle=f"""
+WITH base AS (SELECT doc_id, lang, text, {_WORDS_SQL} AS ws FROM documents),
+gop AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(ws) END AS n_words,
+         {_SUMLEN.format('ws')} AS sum_wl,
+         len(string_split_regex(text, '#')) - 1
+           + len(string_split_regex(text, '\\.\\.\\.')) - 1 AS n_symbols,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+           AS alpha_words,
+         len(list_intersect(list_distinct(list_transform(ws,
+             w -> lower(w))), {_STOP_SQL})) AS n_stop
+  FROM base),
+kept AS (
+  SELECT doc_id, lang, text, n_words FROM gop
+  WHERE n_words >= 50 AND n_words <= 100000
+    AND sum_wl / greatest(n_words, 1) >= 3.0
+    AND sum_wl / greatest(n_words, 1) <= 10.0
+    AND n_symbols / greatest(n_words, 1) <= 0.1
+    AND alpha_words / greatest(n_words, 1) >= 0.8
+    AND n_stop >= 2),
+sampled AS (
+  SELECT doc_id, lang, text, n_words,
+         {_duck_hash(_MIX_KEY)} AS h
+  FROM kept
+  WHERE ({_duck_hash(_MIX_KEY)} % 10000) <
+        (CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+         WHEN 'fr' THEN 0.25 ELSE 0.0 END) * 10000),
+deduped AS (
+  SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+         min(n_words) AS n_words
+  FROM sampled GROUP BY {_NORM})
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words_total
+FROM deduped GROUP BY lang ORDER BY lang
+""")
+def pipeline_end_to_end(spark, sf_dir):
+    """The whole pretraining front door as ONE composed plan: Gopher
+    quality gate -> deterministic mixture sample (en 90% / de 50% /
+    fr 25%) -> exact first-arrival dedup -> per-language corpus stats.
+    Everything upstream of the final tiny aggregate is scan-side
+    projection/filter plus one norm-key shuffle — the shape a 100 TB
+    ingest run actually executes. The oracle replays the identical
+    chain in DuckDB."""
+    from datafusion_postgres_spark.operators.text import (
+        gopher_quality_flags, norm_text, sample_mixture, token_count)
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    keep_ids = gopher_quality_flags(docs).where("keep").select("doc_id")
+    kept = docs.join(keep_ids, "doc_id")
+    sampled = sample_mixture(kept, {"en": 0.9, "de": 0.5, "fr": 0.25})
+    deduped = (sampled
+               .withColumn("norm", norm_text(F.col("text")))
+               .withColumn("n_words", token_count(F.col("text")))
+               .groupBy("norm")
+               .agg(F.min("doc_id").alias("doc_id"),
+                    # min, not any_value: the survivor's lang must be
+                    # deterministic across engines/partitionings
+                    F.min("lang").alias("lang"),
+                    F.min("n_words").alias("n_words")))
+    return (deduped.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_words").cast("bigint").alias("n_words_total"))
+            .orderBy("lang"))

@@ -357,6 +357,39 @@ def rewrite_any_all(tokens: list[Token]) -> list[Token]:
             i += 1
             continue
         op_idx = significant(tokens, i, -1)
+        # LIKE/ILIKE ANY|ALL: Spark supports the form natively but with a
+        # bare value LIST — strip PG's ARRAY[...] / '{...}' wrapper
+        if op_idx >= 0 and tokens[op_idx].is_kw("LIKE", "ILIKE"):
+            open_idx = significant(tokens, i)
+            if open_idx >= 0 and tokens[open_idx].text == "(":
+                close_idx = _match_fwd(tokens, open_idx)
+                if close_idx >= 0:
+                    arg = tokens[open_idx + 1:close_idx]
+                    lit_elems = _literal_array_arg(arg)
+                    fa = significant(arg, -1)
+                    new_inner = None
+                    if fa >= 0 and arg[fa].is_kw("ARRAY"):
+                        br = significant(arg, fa)
+                        if br >= 0 and arg[br].text == "[":
+                            end = len(arg) - 1
+                            while end > br and arg[end].kind == WS:
+                                end -= 1
+                            if arg[end].text == "]":
+                                new_inner = arg[br + 1:end]
+                    elif lit_elems is not None:
+                        new_inner = []
+                        for k, e in enumerate(lit_elems):
+                            if k:
+                                new_inner += [Token(PUNCT, ","),
+                                              Token(WS, " ")]
+                            new_inner.append(Token(
+                                STRING, "'" + e.replace("'", "''") + "'"))
+                    if new_inner is not None:
+                        if t.text.upper() == "SOME":
+                            tokens[i] = Token(IDENT, "ANY")
+                        tokens[open_idx + 1:close_idx] = new_inner
+            i += 1
+            continue
         if op_idx < 0 or tokens[op_idx].kind != OP or tokens[op_idx].text not in (
                 "=", "<>", "!="):
             i += 1
@@ -389,6 +422,9 @@ def rewrite_any_all(tokens: list[Token]) -> list[Token]:
             if not is_eq:
                 repl += [Token(IDENT, "NOT"), Token(WS, " ")]
             repl += [Token(IDENT, "IN"), Token(WS, " "), Token(PUNCT, "(")]
+            if arg[first_arg].is_kw("VALUES"):
+                # Spark's IN-subquery grammar wants a SELECT, not bare VALUES
+                repl += _toks("SELECT * FROM ")
             repl += arg + [Token(PUNCT, ")")]
         elif lit_elems is not None:
             # '{..}' literal argument: IN-list form.  Spark coerces the
@@ -1783,6 +1819,125 @@ def rewrite_explain(tokens: list[Token]) -> list[Token]:
     return tokens
 
 
+def rewrite_fetch_offset(tokens: list[Token]) -> list[Token]:
+    """SQL-standard limit clauses (what JDBC/ORMs emit against PG):
+
+    ``OFFSET n {ROW|ROWS}`` → ``OFFSET n``;
+    ``FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY`` → ``LIMIT n`` (default 1).
+    """
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.is_kw("OFFSET"):
+            n_idx = significant(tokens, i)
+            if n_idx >= 0 and tokens[n_idx].kind == NUMBER:
+                r_idx = significant(tokens, n_idx)
+                if r_idx >= 0 and tokens[r_idx].is_kw("ROW", "ROWS"):
+                    del tokens[n_idx + 1:r_idx + 1]
+            i += 1
+            continue
+        if t.is_kw("FETCH"):
+            j = significant(tokens, i)
+            if j < 0 or not tokens[j].is_kw("FIRST", "NEXT"):
+                i += 1
+                continue
+            k = significant(tokens, j)
+            if k >= 0 and tokens[k].kind == NUMBER:
+                n_txt = tokens[k].text
+                k2 = significant(tokens, k)
+            else:
+                n_txt = "1"
+                k2 = k
+            if k2 < 0 or not tokens[k2].is_kw("ROW", "ROWS"):
+                i += 1
+                continue
+            only_idx = significant(tokens, k2)
+            if only_idx < 0 or not tokens[only_idx].is_kw("ONLY"):
+                i += 1
+                continue
+            tokens[i:only_idx + 1] = [Token(IDENT, "LIMIT"), Token(WS, " "),
+                                      Token(NUMBER, n_txt)]
+            continue
+        i += 1
+    # Spark's grammar wants LIMIT before OFFSET; PG accepts either order,
+    # and the standard form puts OFFSET first — swap when needed
+    i = 0
+    while i < len(tokens):
+        if tokens[i].is_kw("OFFSET"):
+            n_idx = significant(tokens, i)
+            lim_idx = significant(tokens, n_idx) if n_idx >= 0 else -1
+            if (n_idx >= 0 and tokens[n_idx].kind == NUMBER and lim_idx >= 0
+                    and tokens[lim_idx].is_kw("LIMIT")):
+                m_idx = significant(tokens, lim_idx)
+                if m_idx >= 0 and tokens[m_idx].kind == NUMBER:
+                    tokens[i:m_idx + 1] = [
+                        Token(IDENT, "LIMIT"), Token(WS, " "),
+                        Token(NUMBER, tokens[m_idx].text), Token(WS, " "),
+                        Token(IDENT, "OFFSET"), Token(WS, " "),
+                        Token(NUMBER, tokens[n_idx].text)]
+        i += 1
+    return tokens
+
+
+def rewrite_row_constructor(tokens: list[Token]) -> list[Token]:
+    """``ROW(a, b)`` value constructor → ``struct(a, b)`` (Spark structs
+    compare field-wise like PG composites)."""
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == IDENT and t.text.upper() == "ROW":
+            nxt = significant(tokens, i)
+            prev = significant(tokens, i, -1)
+            if nxt >= 0 and tokens[nxt].text == "(" and not (
+                    prev >= 0 and tokens[prev].text == "."):
+                tokens[i] = Token(IDENT, "struct")
+        i += 1
+    return tokens
+
+
+def rewrite_substring_regex(tokens: list[Token]) -> list[Token]:
+    """PG's regex form ``substring(x FROM 'pattern')`` → Spark
+    ``regexp_substr(x, 'pattern')`` (first match or NULL). Deviation:
+    PG returns capture group 1 when the pattern has one; we return the
+    whole match. The positional ``FROM n [FOR m]`` form parses natively
+    in Spark and is left alone."""
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == IDENT and t.text.lower() == "substring":
+            open_idx = significant(tokens, i)
+            if open_idx >= 0 and tokens[open_idx].text == "(":
+                close = _match_fwd(tokens, open_idx)
+                if close >= 0:
+                    # find a top-level FROM followed by a string literal
+                    depth = 0
+                    for j in range(open_idx + 1, close):
+                        tk = tokens[j]
+                        if tk.kind == PUNCT and tk.text == "(":
+                            depth += 1
+                        elif tk.kind == PUNCT and tk.text == ")":
+                            depth -= 1
+                        elif depth == 0 and tk.is_kw("FROM"):
+                            p_idx = significant(tokens, j)
+                            after = significant(tokens, p_idx) \
+                                if p_idx >= 0 else -1
+                            if (p_idx >= 0 and tokens[p_idx].kind == STRING
+                                    and after == close):
+                                start = j
+                                while start > open_idx + 1 and \
+                                        tokens[start - 1].kind == WS:
+                                    start -= 1
+                                tokens[start:p_idx] = [Token(PUNCT, ","),
+                                                       Token(WS, " ")]
+                                tokens[i] = Token(IDENT, "regexp_substr")
+                            break
+        i += 1
+    return tokens
+
+
 # Rule order mirrors sql/parser.rs:314-334 where a counterpart exists.
 ALL_RULES = [
     rewrite_explain,
@@ -1807,6 +1962,9 @@ ALL_RULES = [
     rewrite_between_overlaps,
     rewrite_misc_functions,
     rewrite_tablesample,
+    rewrite_fetch_offset,
+    rewrite_row_constructor,
+    rewrite_substring_regex,
     rewrite_array_constructor,
     rewrite_array_subscript,
     rename_functions,

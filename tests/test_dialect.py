@@ -91,6 +91,21 @@ CASES = [
      "SELECT ts_match(to_tsvector(x), plainto_tsquery('w')) FROM t"),
     ("SELECT j @? '$.a' FROM t",
      "SELECT jsonb_path_exists(j, '$.a') FROM t"),
+    # SQL-standard limit clauses
+    ("SELECT a FROM t FETCH FIRST 3 ROWS ONLY", "SELECT a FROM t LIMIT 3"),
+    ("SELECT a FROM t FETCH NEXT ROW ONLY", "SELECT a FROM t LIMIT 1"),
+    ("SELECT a FROM t OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY",
+     "SELECT a FROM t LIMIT 3 OFFSET 2"),
+    ("SELECT a FROM t OFFSET 5 ROWS", "SELECT a FROM t OFFSET 5"),
+    # ROW constructor + regex substring
+    ("SELECT ROW(1, 'x') = ROW(1, 'y')", "SELECT struct(1, 'x') = struct(1, 'y')"),
+    ("SELECT substring(a from '[0-9]+') FROM t",
+     "SELECT regexp_substr(a, '[0-9]+') FROM t"),
+    # LIKE/ILIKE ANY/ALL: ARRAY wrapper stripped to Spark's native list
+    ("SELECT a LIKE ANY (ARRAY['x%', 'y%']) FROM t",
+     "SELECT a LIKE ANY ('x%', 'y%') FROM t"),
+    ("SELECT a ILIKE ALL (ARRAY['x%']) FROM t",
+     "SELECT a ILIKE ALL ('x%') FROM t"),
     # ARRAY(SELECT ...) subquery form -> collect_list scalar subquery
     ("SELECT ARRAY(SELECT x FROM t WHERE y = 1) AS a",
      "SELECT (SELECT collect_list( x ) FROM t WHERE y = 1) AS a"),

@@ -1819,6 +1819,46 @@ def rewrite_explain(tokens: list[Token]) -> list[Token]:
     return tokens
 
 
+def rewrite_at_time_zone(tokens: list[Token]) -> list[Token]:
+    """``expr AT TIME ZONE 'tz'`` → ``timezone('tz', expr)`` — the same
+    registered function PG exposes for the operator form."""
+    tokens = list(tokens)
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == IDENT and t.text.upper() == "AT":
+            j = significant(tokens, i)
+            k = significant(tokens, j) if j >= 0 else -1
+            if (j >= 0 and tokens[j].text.upper() == "TIME" and k >= 0
+                    and tokens[k].text.upper() == "ZONE"):
+                tz_idx = significant(tokens, k)
+                if tz_idx >= 0:
+                    tz_end = _expr_end(tokens, k)
+                    if tz_end < 0:
+                        tz_end = tz_idx
+                    start = _expr_start(tokens, i)
+                    # include typed-literal prefixes (timestamp '...')
+                    if tokens[start].kind == STRING:
+                        p = significant(tokens, start, -1)
+                        if p >= 0 and tokens[p].kind == IDENT and \
+                                tokens[p].text.lower() in (
+                                    "timestamp", "timestamptz", "date",
+                                    "time", "interval"):
+                            start = p
+                    expr = tokens[start:i]
+                    while expr and expr[-1].kind == WS:
+                        expr.pop()
+                    tz = tokens[tz_idx:tz_end + 1]
+                    repl = ([Token(IDENT, "timezone"), Token(PUNCT, "(")] +
+                            tz + [Token(PUNCT, ","), Token(WS, " ")] +
+                            expr + [Token(PUNCT, ")")])
+                    tokens[start:tz_end + 1] = repl
+                    i = start + len(repl)
+                    continue
+        i += 1
+    return tokens
+
+
 def rewrite_fetch_offset(tokens: list[Token]) -> list[Token]:
     """SQL-standard limit clauses (what JDBC/ORMs emit against PG):
 
@@ -1962,6 +2002,7 @@ ALL_RULES = [
     rewrite_between_overlaps,
     rewrite_misc_functions,
     rewrite_tablesample,
+    rewrite_at_time_zone,
     rewrite_fetch_offset,
     rewrite_row_constructor,
     rewrite_substring_regex,

@@ -106,6 +106,10 @@ CASES = [
      "SELECT a LIKE ANY ('x%', 'y%') FROM t"),
     ("SELECT a ILIKE ALL (ARRAY['x%']) FROM t",
      "SELECT a ILIKE ALL ('x%') FROM t"),
+    ("SELECT ts AT TIME ZONE 'UTC' FROM t",
+     "SELECT timezone('UTC', ts) FROM t"),
+    ("SELECT timestamp '2024-01-01' AT TIME ZONE 'UTC'",
+     "SELECT timezone('UTC', timestamp '2024-01-01')"),
     # ARRAY(SELECT ...) subquery form -> collect_list scalar subquery
     ("SELECT ARRAY(SELECT x FROM t WHERE y = 1) AS a",
      "SELECT (SELECT collect_list( x ) FROM t WHERE y = 1) AS a"),

@@ -208,10 +208,25 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return per_doc.select("id", _sig_expr(k).alias("sig"))
 
 
+def _band_hash(sig_col, bi: int, rows_per_band: int, portable: bool):
+    """Hash of one signature band. Default: a single native xxhash64 call
+    over the slice (cheapest; any deterministic hash works — band hashes
+    only bucket). Portable: the same ``acc*31+x mod FP_MOD`` polynomial
+    fold used for grams, reproducible in DuckDB via list_reduce — used by
+    the driver-registered query so the WHOLE banding chain is oracle-able
+    (round-3 verdict item #1)."""
+    sl = F.slice(sig_col, bi * rows_per_band + 1, rows_per_band)
+    if portable:
+        return F.aggregate(sl, F.lit(0).cast("long"),
+                           lambda acc, x: (acc * 31 + x) % FP_MOD)
+    return F.xxhash64(sl)
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3, k: int = 32,
                       bands: int = 8, threshold: float = 0.5,
-                      verify_broadcast: bool = False) -> DataFrame:
+                      verify_broadcast: bool = False,
+                      band_hash: str = "xxhash64") -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures,
     verified with exact n-gram Jaccard.
 
@@ -227,7 +242,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     verification: measured on the round-3 corpus a colliding pair repeats
     in 3.0x bands on average, and the verification join (two gram-array
     joins + array_intersect/union per candidate) costs far more than one
-    narrow (id,id) shuffle. ``verify_broadcast`` as in ngram_jaccard."""
+    narrow (id,id) shuffle. ``verify_broadcast`` as in ngram_jaccard.
+
+    ``band_hash``: "xxhash64" (production default) or "poly" (portable
+    polynomial fold — engine-reproducible, so an external oracle can
+    replicate candidate generation bit-for-bit)."""
+    if band_hash not in ("xxhash64", "poly"):
+        raise ValueError(f"band_hash must be 'xxhash64' or 'poly', "
+                         f"got {band_hash!r}")
+    portable = band_hash == "poly"
     rows_per_band = k // bands
     per_doc = (shingle_array(docs, text_col, id_col, n)
                .withColumn("sig", _sig_expr(k))
@@ -236,11 +259,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"),
-                     # single native hash call over the slice — cheaper
-                     # than a fold lambda, and any deterministic hash
-                     # works (band hashes only bucket)
-                     F.xxhash64(F.slice("sig", bi * rows_per_band + 1,
-                                        rows_per_band)).alias("band_hash"))
+                     _band_hash("sig", bi, rows_per_band, portable)
+                     .alias("band_hash"))
             for bi in range(bands)])).alias("bh"))
     cand = (banded.alias("x").join(
                 banded.alias("y"),

@@ -55,6 +55,51 @@ def uses_broadcast(df: DataFrame) -> bool:
         "BroadcastNestedLoopJoin" in formatted_plan(df)
 
 
+def forced_broadcast_hints(df: DataFrame) -> list[str]:
+    """String forms of every user-forced broadcast hint in the ANALYZED
+    logical plan (ResolvedHint nodes). Distinct from ``uses_broadcast``:
+    AQE/statistics may legitimately *choose* a broadcast at any SF, but a
+    forced hint bypasses the size check — on an SF-proportional table
+    that's an OOM at 100× scale. Tests pin that hints appear only on
+    bounded tables (nation/region, tiny derived aggregates)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return [ln.strip() for ln in plan.splitlines()
+            if "ResolvedHint" in ln]
+
+
+_TPCH_PREFIX = {"c_": "customer", "o_": "orders", "l_": "lineitem",
+                "s_": "supplier", "n_": "nation", "r_": "region",
+                "p_": "part"}
+
+
+def forced_broadcast_tables(df: DataFrame) -> set[str]:
+    """Base tables scanned UNDER any forced-broadcast hint subtree, named
+    by their TPC-H column prefix (Relation nodes print columns, not
+    paths). Non-TPC-H relations report their first column name."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lines = plan.splitlines()
+    out: set[str] = set()
+
+    def depth(s: str) -> int:
+        i = 0
+        while i < len(s) and s[i] in " :+-":
+            i += 1
+        return i
+
+    for idx, ln in enumerate(lines):
+        if "ResolvedHint" not in ln:
+            continue
+        d = depth(ln)
+        for sub in lines[idx + 1:]:
+            if sub.strip() and depth(sub) <= d:
+                break
+            m = re.search(r"Relation \[([A-Za-z0-9_]+)", sub)
+            if m:
+                col = m.group(1).split("#")[0]
+                out.add(_TPCH_PREFIX.get(col[:2], col))
+    return out
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)",
                               simple_plan(df))))

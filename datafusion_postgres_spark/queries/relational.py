@@ -91,8 +91,11 @@ def q3(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
     revenue_expr = (F.col("l_extendedprice").cast("decimal(12,2)") *
                     (1 - F.col("l_discount").cast("decimal(4,2)")))
+    # no forced broadcast: the filtered customer is SF-proportional (~1/5
+    # of customer) — AQE broadcasts it by measurement when small, shuffles
+    # at scale (round-3 verdict item #2)
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .groupBy("l_orderkey", "o_orderdate")
             .agg(F.sum(revenue_expr).cast("double").alias("revenue"))
             .select("l_orderkey", "revenue",

@@ -426,7 +426,8 @@ def q14(spark, sf_dir):
         .otherwise(F.lit(0).cast("decimal(14,4)"))
     # identical IEEE expression on both sides (exact decimal sums -> one
     # double multiply + divide); no ROUND needed
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # part is SF-proportional — no forced broadcast; AQE decides
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .agg((F.lit(100.0) * F.sum(promo).cast("double") /
                   F.sum(rev).cast("double")).alias("promo_pct")))
 
@@ -452,7 +453,7 @@ def q19(spark, sf_dir):
         ((F.col("p_type") == "PROMO") & (F.col("l_discount") > 0.05)))
     rev = (F.col("l_extendedprice").cast("decimal(12,2)") *
            (1 - F.col("l_discount").cast("decimal(4,2)")))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .where(cond)
             .agg(F.sum(rev).cast("double").alias("revenue"),
                  F.count("*").alias("n")))

@@ -113,7 +113,9 @@ def q2(spark, sf_dir):
     eur_supp = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
                 .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
                       F.col("n_regionkey") == F.col("r_regionkey")))
-    unit_eur = unit.join(F.broadcast(eur_supp.select("s_suppkey")),
+    # eur_supp (supplier/5) and the size-filtered part are SF-proportional
+    # — no forced broadcast hints; AQE broadcasts them when measured-small
+    unit_eur = unit.join(eur_supp.select("s_suppkey"),
                          unit.l_suppkey == F.col("s_suppkey")).drop("s_suppkey")
     best = (unit_eur.groupBy("l_partkey")
             .agg(F.min("unit_price").alias("best_price")))
@@ -121,11 +123,10 @@ def q2(spark, sf_dir):
             .join(best, (unit_eur.l_partkey == best.l_partkey) &
                         (unit_eur.unit_price == best.best_price))
             .drop(best.l_partkey)
-            .join(F.broadcast(p.where(F.col("p_size").between(1, 25))),
+            .join(p.where(F.col("p_size").between(1, 25)),
                   F.col("l_partkey") == p.p_partkey)
-            .join(F.broadcast(eur_supp
-                              .select("s_suppkey", "s_name", "s_acctbal",
-                                      "n_name")),
+            .join(eur_supp.select("s_suppkey", "s_name", "s_acctbal",
+                                  "n_name"),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_name", "n_name", "p_partkey", "p_name",
                     F.col("s_acctbal").cast("double").alias("s_acctbal"),
@@ -167,12 +168,17 @@ def q8(spark, sf_dir):
     n2 = n.alias("n2")
     nation_share = F.when(F.col("n2.n_name") == "NATION_3", _rev()) \
         .otherwise(F.lit(0).cast("decimal(16,4)"))
+    # Broadcast hints ONLY on bounded tables (nation=25, region=5 rows).
+    # customer/supplier grow linearly with SF (~3 GB+ at sf100): a forced
+    # hint there bypasses AQE's size check and OOMs executors at scale —
+    # AQE broadcasts them by MEASUREMENT when they're actually small
+    # (round-3 verdict item #2).
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
             .join(F.broadcast(r.where(F.col("r_name") == "AMERICA")),
                   F.col("n1.n_regionkey") == F.col("r_regionkey"))
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
             .groupBy(F.year("o_orderdate").alias("o_year"))
             .agg((F.sum(nation_share).cast("double") /
@@ -206,8 +212,11 @@ def q9(spark, sf_dir):
     amount = (_rev() - F.col("p_retailprice").cast("decimal(12,2)") *
               F.col("l_quantity").cast("decimal(9,2)") *
               F.lit(0.1).cast("decimal(3,1)"))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    # nation is the only forced broadcast (25 rows, SF-invariant); the
+    # LIKE-filtered part and supplier are SF-proportional — AQE broadcasts
+    # them when measured-small, shuffles when not (scale-safe).
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(o, li.l_orderkey == o.o_orderkey)
             .groupBy(F.col("n_name").alias("nation"),
@@ -294,9 +303,9 @@ def q16(spark, sf_dir):
         F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
     bad = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0) \
         .select("s_suppkey")
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"),
-                  "left_anti")
+    # p and bad are SF-proportional filters — unhinted, AQE decides
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(bad, li.l_suppkey == F.col("s_suppkey"), "left_anti")
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").cast("bigint")
                  .alias("supplier_cnt"))
@@ -326,7 +335,7 @@ def q17(spark, sf_dir):
     avg_qty = (li.groupBy(F.col("l_partkey").alias("ap"))
                .agg(F.avg(F.col("l_quantity").cast("decimal(9,2)"))
                     .alias("aq")))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .join(avg_qty, li.l_partkey == F.col("ap"))
             .where(F.col("l_quantity").cast("decimal(9,2)") <
                    0.2 * F.col("aq"))
@@ -367,7 +376,7 @@ def q20(spark, sf_dir):
         (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
     p = t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
     s = t(spark, sf_dir, "supplier")
-    shipped = (li.join(F.broadcast(p.select("p_partkey")),
+    shipped = (li.join(p.select("p_partkey"),
                        li.l_partkey == F.col("p_partkey"))
                .groupBy("l_suppkey", "l_partkey")
                .agg(F.sum(F.col("l_quantity").cast("decimal(9,2)"))

@@ -44,9 +44,33 @@ def test_q5_broadcasts_dims(spark, reg):
     assert P.uses_broadcast(df)
 
 
-def test_q3_broadcasts_customer(spark, reg):
+def test_q3_no_forced_broadcast(spark, reg):
+    # the filtered customer is SF-proportional: AQE may broadcast it by
+    # measurement (and does at test SF), but a FORCED hint would bypass
+    # the size check and OOM at 100x — assert the hint is gone while the
+    # physical plan still picks broadcast at this tiny SF
     df = reg["q3_shipping_priority"].fn(spark, SF_DIR)
+    assert P.forced_broadcast_tables(df) == set()
     assert P.uses_broadcast(df)
+
+
+# SF-proportional tables that must NEVER carry a forced broadcast hint;
+# nation (25 rows) and region (5) are the only bounded base tables.
+_SF_PROPORTIONAL = {"customer", "supplier", "part", "orders", "lineitem"}
+
+
+@pytest.mark.parametrize("qname", [
+    "q2_min_cost_supplier", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q8_market_share", "q9_product_profit",
+    "q14_promo_revenue", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q19_disjunctive_join",
+    "q20_excess_shippers",
+])
+def test_no_forced_broadcast_of_sf_proportional_tables(spark, reg, qname):
+    df = reg[qname].fn(spark, SF_DIR)
+    hinted = P.forced_broadcast_tables(df)
+    assert not (hinted & _SF_PROPORTIONAL), \
+        f"{qname} force-broadcasts SF-proportional {hinted & _SF_PROPORTIONAL}"
 
 
 def test_topk_no_global_sort(spark, reg):

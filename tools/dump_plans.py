@@ -17,19 +17,22 @@ COMMENTARY = {
         "One hash-shuffle (the groupBy). Filter pushed into the parquet "
         "scan; 7 of 11 lineitem columns read.",
     "q3_shipping_priority":
-        "Customer side broadcast; orders⋈lineitem shuffle on orderkey; "
-        "top-10 via TakeOrderedAndProject (no global sort).",
+        "Round 4: forced customer broadcast removed (SF-proportional) — "
+        "AQE broadcasts it by measurement at this SF, shuffles at scale; "
+        "orders⋈lineitem shuffle on orderkey; top-10 via "
+        "TakeOrderedAndProject (no global sort).",
     "q5_local_supplier_volume":
         "nation/region broadcast; the supplier co-membership condition "
         "keeps one shuffle-join chain over the facts.",
     "q8_market_share":
         "Two-level aggregation (per-year volume, share division at the "
-        "end); all dimension sides broadcast, facts shuffle once on "
-        "orderkey.",
+        "end). Round 4: forced hints remain ONLY on nation/region "
+        "(bounded); customer/supplier are unhinted — AQE broadcasts them "
+        "when measured-small, shuffles at 100x.",
     "q9_product_profit":
         "part filter pushed to the scan prunes the lineitem join early; "
-        "profit expression stays inside codegen; one shuffle per "
-        "fact-fact join plus the final (nation, year) aggregate.",
+        "profit expression stays inside codegen. Round 4: only nation "
+        "keeps a forced broadcast; part/supplier are AQE-decided.",
     "dedup_ngram_jaccard":
         "Per-doc shingle arrays are a zero-shuffle projection (cached); "
         "prefix-filtered self-join bounds candidates; verification via "
@@ -44,7 +47,11 @@ COMMENTARY = {
         "candidates ARE pre-deduplicated again — measured band-collision "
         "duplication on the round-3 corpus is 3.0x (not the ~1.05x round "
         "2 assumed), so one narrow (id,id) distinct beats verifying each "
-        "pair thrice; the post-verify distinct is gone (inputs unique).",
+        "pair thrice; the post-verify distinct is gone (inputs unique). "
+        "Round 4: the driver-registered query uses band_hash='poly' (the "
+        "portable fold) so DuckDB replicates banding end-to-end — full "
+        "oracle, no more rows-only row; production default stays "
+        "xxhash64.",
     "sim_cosine_topk":
         "Query vectors broadcast — the corpus NEVER shuffles; per-query "
         "top-k via window over qid.",

@@ -283,6 +283,10 @@ def pq_train(emb: DataFrame, m: int = 16, ksub: int = 32, iters: int = 3,
         subv = unit.select(
             "vec_id", F.slice("vec", j * sub + 1, sub).alias("sv"))
         seed = subv.orderBy("vec_id").limit(ksub).collect()
+        if len(seed) < ksub:
+            raise ValueError(
+                f"corpus has {len(seed)} rows, fewer than ksub={ksub}; "
+                "reduce ksub or use brute-force top-k")
         cents = {i: list(r["sv"]) for i, r in enumerate(seed)}
         for _ in range(iters):
             # zero-shuffle argmin assignment (constant-folded codebook

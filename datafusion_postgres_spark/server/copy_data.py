@@ -143,16 +143,24 @@ def parse_copy_binary(data: bytes, datatypes) -> list[tuple]:
                 f"row field count {nfields} != column count {ncols}")
         vals = []
         for ci in range(ncols):
+            # bounds-check before unpacking: a truncated/malformed payload
+            # must surface as the module's typed error, not struct.error
+            if pos + 4 > len(data):
+                raise CopyDataError("truncated COPY binary data")
             (flen,) = struct.unpack("!i", data[pos:pos + 4])
             pos += 4
             if flen == -1:
                 vals.append(None)
                 continue
+            if flen < 0 or pos + flen > len(data):
+                raise CopyDataError("truncated COPY binary data")
             try:
                 vals.append(decode_value_binary(data[pos:pos + flen],
                                                 datatypes[ci]))
             except NotImplementedError as e:
                 raise CopyDataError(str(e)) from None
+            except struct.error:
+                raise CopyDataError("truncated COPY binary data") from None
             pos += flen
         rows.append(tuple(vals))
     return rows

@@ -266,7 +266,10 @@ def encode_value_binary(v, dt: T.DataType) -> bytes | None:
         # months (int32); days truncated toward zero so -1.5 days encodes
         # as (days=-1, micros=-12h) like PG
         total_us = v // timedelta(microseconds=1)
-        days = int(total_us / 86_400_000_000)
+        # integer truncation toward zero: float division loses precision
+        # above ~2^53 µs and can shift a day into the micros field
+        sign = -1 if total_us < 0 else 1
+        days = sign * (abs(total_us) // 86_400_000_000)
         micros = total_us - days * 86_400_000_000
         return struct.pack("!qii", micros, days, 0)
     if isinstance(dt, T.YearMonthIntervalType):
@@ -292,7 +295,9 @@ def _encode_numeric_binary(v: Decimal) -> bytes:
         return struct.pack("!HhHH", 0, 0,
                            0xF000 if v.is_signed() else 0xD000, 0)
     sign = 0x4000 if v.is_signed() else 0x0000
-    t = abs(v).as_tuple()
+    # copy_abs(): context-FREE absolute value — abs() is an arithmetic op
+    # that silently rounds >28-digit values under the default context
+    t = v.copy_abs().as_tuple()
     if t.exponent >= 0:
         digits = list(t.digits) + [0] * t.exponent
         dscale = 0
@@ -455,9 +460,17 @@ def _decode_numeric_binary(b: bytes) -> Decimal:
     if sign == 0xF000:
         return Decimal("-Infinity")
     digits = struct.unpack(f"!{nd}H", b[8:8 + nd * 2])
-    val = Decimal(0)
-    for i, g in enumerate(digits):
-        val += Decimal(g).scaleb(4 * (weight - i))
-    if sign == 0x4000:
-        val = -val
-    return val.quantize(Decimal(1).scaleb(-dscale)) if dscale else val
+    # widened context: the default 28-digit precision silently rounds
+    # numerics wider than 28 digits during accumulation/quantize — the
+    # wire payload carries nd*4 significant digits plus dscale
+    import decimal
+    with decimal.localcontext() as ctx:
+        # full digit span: groups run from weight*4 down to -dscale, and
+        # trailing zero groups are dropped from nd — size on both
+        ctx.prec = (max(nd, weight + 1) * 4 + dscale + 8)
+        val = Decimal(0)
+        for i, g in enumerate(digits):
+            val += Decimal(g).scaleb(4 * (weight - i))
+        if sign == 0x4000:
+            val = -val
+        return val.quantize(Decimal(1).scaleb(-dscale)) if dscale else val

@@ -506,7 +506,22 @@ class _Conn(socketserver.BaseRequestHandler):
             rest = payload[name_end + 1:]
             sql_end = rest.index(b"\x00")
             sql = rest[:sql_end].decode()
-            self.prepared.parse(name or "", sql)
+            # int16 count + OID list after the query string: OIDs a client
+            # DECLARES (psycopg binary params declare int8 etc.) take
+            # precedence over cast-inference — discarding them made binary
+            # Bind decode the raw bytes as text (OID 25)
+            rest = rest[sql_end + 1:]
+            declared: list[int] = []
+            if len(rest) >= 2:
+                (n_oids,) = struct.unpack("!H", rest[:2])
+                rest = rest[2:]
+                for _ in range(n_oids):
+                    if len(rest) < 4:
+                        break
+                    (oid,) = struct.unpack("!I", rest[:4])
+                    declared.append(oid)
+                    rest = rest[4:]
+            self.prepared.parse(name or "", sql, declared_oids=declared)
             self._send(_msg(b"1", b""))
         except Exception as exc:
             self._in_error = True

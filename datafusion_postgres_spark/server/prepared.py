@@ -157,8 +157,19 @@ class PreparedStatementManager:
         self.engine = engine
         self.statements: dict[str, PreparedStatement] = {}
 
-    def parse(self, name: str, sql: str) -> PreparedStatement:
-        stmt = PreparedStatement(sql=sql, param_oids=infer_param_types(sql))
+    def parse(self, name: str, sql: str,
+              declared_oids: list[int] | None = None) -> PreparedStatement:
+        """Declared param OIDs from the Parse message take precedence over
+        cast-inference; OID 0 means "unspecified" and falls back to the
+        inferred (or default text) type, per the PG protocol."""
+        oids = infer_param_types(sql)
+        for i, oid in enumerate(declared_oids or []):
+            if not oid:
+                continue
+            while len(oids) <= i:
+                oids.append(DEFAULT_PARAM_OID)
+            oids[i] = oid
+        stmt = PreparedStatement(sql=sql, param_oids=oids)
         self.statements[name] = stmt
         return stmt
 

@@ -179,6 +179,40 @@ class TestBinaryEncoding:
         assert E.encode_value_binary(14, T.YearMonthIntervalType()) == \
             struct.pack("!qii", 0, 0, 14)
 
+    def test_numeric_wide_round_trip(self):
+        """Numerics wider than the default 28-digit Decimal context must
+        survive decode exactly (ADVICE round 3: quantize under the default
+        context silently rounded decimal(38,18) wire values)."""
+        from decimal import Decimal
+
+        for s in ("12345678901234567890.123456789012345678",
+                  "-99999999999999999999.999999999999999999",
+                  "0.000000000000000001",
+                  "99999999999999999999999999999999999999"):
+            v = Decimal(s)
+            dt = T.DecimalType(38, 18 if "." in s else 0)
+            assert E.decode_value_binary(
+                E.encode_value_binary(v, dt), dt) == v
+
+    def test_interval_huge_exact_day_split(self):
+        """Above ~2^53 µs float division can misplace a day — the split
+        must use integer truncation toward zero."""
+        import struct
+        from datetime import timedelta
+
+        dt = T.DayTimeIntervalType()
+        # 106751990 days < timedelta max; total_us ≈ 9.2e18 > 2^53
+        big = timedelta(days=106_751_990, microseconds=1)
+        total = big // timedelta(microseconds=1)
+        micros, days, months = struct.unpack(
+            "!qii", E.encode_value_binary(big, dt))
+        assert (days, micros, months) == (106_751_990, 1, 0)
+        assert days * 86_400_000_000 + micros == total
+        neg = timedelta(days=-106_751_990, microseconds=-1)
+        micros, days, months = struct.unpack(
+            "!qii", E.encode_value_binary(neg, dt))
+        assert (days, micros) == (-106_751_990, -1)
+
     def test_array(self):
         """array_send: ndim, hasnull, elem oid, [dim, lbound], elements."""
         import struct

@@ -388,6 +388,17 @@ class TestProductQuantization:
         assert len(row["codes"]) == 8
         assert all(0 <= c < 8 for c in row["codes"])
 
+    def test_pq_train_corpus_smaller_than_ksub(self, spark, emb):
+        # must raise a clear error up front, not a KeyError deep in Lloyd
+        import pytest
+
+        from datafusion_postgres_spark.operators import similarity as S
+
+        from pyspark.sql import functions as F
+        tiny = emb.where(F.col("vec_id") < 4)
+        with pytest.raises(ValueError, match="fewer than ksub"):
+            S.pq_train(tiny, m=8, ksub=8, iters=1)
+
 
 class TestFunnel:
     def test_funnel_monotone_and_ordered(self, spark, tables):

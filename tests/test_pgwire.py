@@ -279,6 +279,32 @@ class TestExtendedProtocol:
                 break
         assert rows and b"42" in rows[0] and b"hi" in rows[0]
 
+    def test_parse_declared_oids_binary_param(self, client):
+        """The Parse message's declared param-type OIDs must drive binary
+        Bind decode: no cast in the SQL, $1 DECLARED int8 (the normal
+        psycopg/JDBC binary-param flow). Before round 4 the declared list
+        was discarded, so the 8 raw bytes decoded as text garbage."""
+        name, sql = b"stdecl", b"SELECT $1 + 1 AS v"
+        body = name + b"\x00" + sql + b"\x00"
+        body += struct.pack("!HI", 1, 20)      # one declared OID: int8
+        client.sock.sendall(b"P" + struct.pack("!I", len(body) + 4) + body)
+        bbody = b"\x00" + b"stdecl\x00"
+        bbody += struct.pack("!HH", 1, 1)      # all params binary
+        bbody += struct.pack("!H", 1)
+        bbody += struct.pack("!i", 8) + struct.pack("!q", 99)
+        bbody += struct.pack("!H", 0)
+        client.sock.sendall(b"B" + struct.pack("!I", len(bbody) + 4) + bbody)
+        self._execute(client, "")
+        self._sync(client)
+        rows = []
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"D":
+                rows.append(payload)
+            elif tag == b"Z":
+                break
+        assert rows and b"100" in rows[0]
+
     def test_portal_suspend_resume(self, client):
         """Execute with max_rows suspends the portal; the next Execute
         RESUMES the same iterator (no re-execution, no duplicate rows) —
@@ -561,3 +587,55 @@ class TestCopyIn:
     def test_copy_in_unknown_table(self, client):
         res = client.query("COPY no_such_tbl FROM STDIN")
         assert res["errors"]
+
+
+class TestCopyBinaryBounds:
+    """parse_copy_binary must surface malformed payloads as CopyDataError
+    (the module's typed wire error), never a raw struct.error."""
+
+    def _valid(self):
+        import struct
+
+        from pyspark.sql import types as T
+
+        from datafusion_postgres_spark.server.copy_data import (
+            COPY_BINARY_SIGNATURE)
+        body = COPY_BINARY_SIGNATURE + struct.pack("!ii", 0, 0)
+        body += struct.pack("!h", 2)                       # one row, 2 cols
+        body += struct.pack("!i", 4) + struct.pack("!i", 7)
+        body += struct.pack("!i", 2) + b"ok"
+        body += struct.pack("!h", -1)                      # trailer
+        return body, [T.IntegerType(), T.StringType()]
+
+    def test_valid_round_trip(self):
+        from datafusion_postgres_spark.server.copy_data import (
+            parse_copy_binary)
+        data, dts = self._valid()
+        assert parse_copy_binary(data, dts) == [(7, "ok")]
+
+    @pytest.mark.parametrize("cut", [1, 3, 5, 7, 9])
+    def test_truncated_raises_typed_error(self, cut):
+        from datafusion_postgres_spark.server.copy_data import (
+            CopyDataError, parse_copy_binary)
+        data, dts = self._valid()
+        trunc = data[:len(data) - 4 - cut]    # drop trailer + cut bytes
+        try:
+            parse_copy_binary(trunc, dts)
+        except CopyDataError:
+            pass  # the typed error — correct
+        # silent short-parse of a fully-formed prefix is also acceptable;
+        # struct.error propagating is NOT
+        except Exception as exc:  # pragma: no cover
+            pytest.fail(f"untyped error leaked: {type(exc).__name__}: {exc}")
+
+    def test_negative_field_length_rejected(self):
+        import struct
+
+        from pyspark.sql import types as T
+
+        from datafusion_postgres_spark.server.copy_data import (
+            COPY_BINARY_SIGNATURE, CopyDataError, parse_copy_binary)
+        body = COPY_BINARY_SIGNATURE + struct.pack("!ii", 0, 0)
+        body += struct.pack("!h", 1) + struct.pack("!i", -7)
+        with pytest.raises(CopyDataError):
+            parse_copy_binary(body, [T.IntegerType()])

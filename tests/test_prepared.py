@@ -31,6 +31,34 @@ class TestInference:
         assert infer_param_types("SELECT '$1' || $1::text") == [25]
 
 
+class TestDeclaredOids:
+    def test_declared_overrides_inference(self):
+        mgr = PreparedStatementManager(engine=None)
+        stmt = mgr.parse("s", "SELECT $1 + 1", declared_oids=[20])
+        assert stmt.param_oids == [20]
+
+    def test_declared_zero_falls_back(self):
+        # OID 0 = unspecified per the protocol: inference (or text) wins
+        mgr = PreparedStatementManager(engine=None)
+        stmt = mgr.parse("s", "SELECT $1::int4, $2", declared_oids=[0, 0])
+        assert stmt.param_oids == [23, 25]
+
+    def test_declared_extends_param_list(self):
+        mgr = PreparedStatementManager(engine=None)
+        stmt = mgr.parse("s", "SELECT $1", declared_oids=[23, 20])
+        assert stmt.param_oids == [23, 20]
+
+    def test_declared_binary_decode(self):
+        # the ADVICE scenario: $1 declared int8, bound binary — must
+        # decode the 8 bytes as a long, not text
+        import struct
+        mgr = PreparedStatementManager(engine=None)
+        stmt = mgr.parse("s", "SELECT $1 + 1", declared_oids=[20])
+        v = decode_parameter(("bin", struct.pack("!q", 41)),
+                             stmt.param_oids[0])
+        assert v == 41
+
+
 class TestDecode:
     def test_ints_floats(self):
         assert decode_parameter("42", 23) == 42

@@ -46,7 +46,8 @@ if hasattr(T, "TimeType"):  # Spark 4.1+ TIME type
 
 _ARRAY_OIDS = {16: 1000, 21: 1005, 23: 1007, 20: 1016, 700: 1021, 701: 1022,
                25: 1009, 1043: 1015, 1042: 1014, 17: 1001, 1082: 1182,
-               1184: 1185, 1114: 1115, 1700: 1231}
+               1184: 1185, 1114: 1115, 1700: 1231, 2249: 2287, 1186: 1187,
+               1083: 1183}
 
 
 @dataclass
@@ -75,8 +76,10 @@ def _type_to_oid(dt: T.DataType) -> tuple[int, str]:
     if isinstance(dt, T.DecimalType):
         return (1700, "numeric")
     if isinstance(dt, T.ArrayType):
-        elem_oid, _ = _type_to_oid(dt.elementType)
-        return (_ARRAY_OIDS.get(elem_oid, 1009), "array")
+        # nested arrays map to PG MULTIdimensional arrays: int[][] is
+        # still OID 1007 (_int4) — the array OID follows the LEAF type
+        leaf_oid, _ = _type_to_oid(_leaf_elem_type(dt))
+        return (_ARRAY_OIDS.get(leaf_oid, 1009), "array")
     if isinstance(dt, T.StructType):
         return (2249, "record")
     if isinstance(dt, T.MapType):
@@ -85,6 +88,12 @@ def _type_to_oid(dt: T.DataType) -> tuple[int, str]:
         if isinstance(dt, cls):
             return (oid, name)
     return (25, "text")
+
+
+def _leaf_elem_type(dt: T.DataType) -> T.DataType:
+    while isinstance(dt, T.ArrayType):
+        dt = dt.elementType
+    return dt
 
 
 def schema_to_pg_fields(schema: T.StructType) -> list[PgField]:
@@ -331,21 +340,46 @@ def _encode_numeric_binary(v: Decimal) -> bytes:
 
 
 def _encode_array_binary(vals, elem_dt: T.DataType) -> bytes:
-    """array_send: ndim, hasnull flag, element oid, [dim, lbound],
-    then length-prefixed binary elements (-1 length = NULL)."""
+    """array_send: ndim, hasnull flag, element oid, per-dim (dim, lbound),
+    then length-prefixed binary elements (-1 length = NULL).
+
+    Nested Spark arrays encode as PG MULTIdimensional arrays (the
+    reference covers this via ``arrow-pg/src/list_encoder.rs:102+``): the
+    element OID is the LEAF type's, dims list every nesting level, and
+    elements are the flattened leaves in row-major order. PG requires
+    rectangular multidim arrays and non-NULL sub-arrays — ragged data
+    raises (PG itself cannot represent it)."""
     import struct
 
-    elem_oid, _ = _type_to_oid(elem_dt)
     vals = list(vals)
-    if not vals:
-        return struct.pack("!iii", 0, 0, elem_oid)
-    hasnull = 1 if any(x is None for x in vals) else 0
-    out = [struct.pack("!iiiii", 1, hasnull, elem_oid, len(vals), 1)]
-    for x in vals:
+    dims = [len(vals)]
+    flat = vals
+    leaf_dt = elem_dt
+    while isinstance(leaf_dt, T.ArrayType):
+        if any(x is None for x in flat):
+            raise NotImplementedError(
+                "NULL sub-array cannot encode as a PG multidimensional "
+                "array; use text format")
+        lens = {len(x) for x in flat}
+        if len(lens) > 1:
+            raise NotImplementedError(
+                "ragged nested array cannot encode as a PG rectangular "
+                "multidimensional array; use text format")
+        dims.append(lens.pop() if lens else 0)
+        flat = [e for x in flat for e in x]
+        leaf_dt = leaf_dt.elementType
+    leaf_oid, _ = _type_to_oid(leaf_dt)
+    if not flat:
+        return struct.pack("!iii", 0, 0, leaf_oid)
+    hasnull = 1 if any(x is None for x in flat) else 0
+    out = [struct.pack("!iii", len(dims), hasnull, leaf_oid)]
+    for d in dims:
+        out.append(struct.pack("!ii", d, 1))
+    for x in flat:
         if x is None:
             out.append(struct.pack("!i", -1))
         else:
-            b = encode_value_binary(x, elem_dt)
+            b = encode_value_binary(x, leaf_dt)
             out.append(struct.pack("!i", len(b)) + b)
     return b"".join(out)
 
@@ -367,9 +401,9 @@ def _encode_struct_binary(row, dt: T.StructType) -> bytes:
 
 def supports_binary(dt: T.DataType) -> bool:
     if isinstance(dt, T.ArrayType):
-        # PG has no array-of-array; multidim arrays are a different shape
-        return (not isinstance(dt.elementType, T.ArrayType)
-                and supports_binary(dt.elementType))
+        # nested arrays encode as PG multidimensional arrays (rectangular
+        # data; ragged rows raise at encode time, as PG itself would)
+        return supports_binary(_leaf_elem_type(dt))
     if isinstance(dt, T.StructType):
         return all(supports_binary(f.dataType) for f in dt.fields)
     if isinstance(dt, (T.DecimalType, T.DayTimeIntervalType,
@@ -445,8 +479,68 @@ def decode_value_binary(b: bytes, dt: T.DataType):
                 "month-bearing interval cannot decode to a day-time "
                 "interval column")
         return timedelta(days=days, microseconds=micros)
+    if isinstance(dt, T.ArrayType):
+        return _decode_array_binary(b, dt)
+    if isinstance(dt, T.StructType):
+        return _decode_struct_binary(b, dt)
     raise NotImplementedError(
         f"binary decode not implemented for {dt.simpleString()}")
+
+
+def _decode_array_binary(b: bytes, dt: T.ArrayType):
+    """array_recv: inverse of :func:`_encode_array_binary` including the
+    multidimensional reshape back to nested Python lists."""
+    import struct
+
+    ndim, _hasnull, _oid = struct.unpack("!iii", b[:12])
+    pos = 12
+    if ndim == 0:
+        return []
+    dims = []
+    for _ in range(ndim):
+        d, _lb = struct.unpack("!ii", b[pos:pos + 8])
+        pos += 8
+        dims.append(d)
+    leaf_dt = _leaf_elem_type(dt)
+    total = 1
+    for d in dims:
+        total *= d
+    flat = []
+    for _ in range(total):
+        (ln,) = struct.unpack("!i", b[pos:pos + 4])
+        pos += 4
+        if ln == -1:
+            flat.append(None)
+        else:
+            flat.append(decode_value_binary(b[pos:pos + ln], leaf_dt))
+            pos += ln
+    # row-major reshape, innermost dim first
+    for d in reversed(dims[1:]):
+        flat = [flat[i:i + d] for i in range(0, len(flat), d)]
+    return flat
+
+
+def _decode_struct_binary(b: bytes, dt: T.StructType):
+    """record_recv: (nfields, then per field oid + length + payload) →
+    tuple in schema field order."""
+    import struct
+
+    (n,) = struct.unpack("!i", b[:4])
+    if n != len(dt.fields):
+        raise NotImplementedError(
+            f"record has {n} fields, expected {len(dt.fields)}")
+    pos = 4
+    vals = []
+    for field in dt.fields:
+        _oid, ln = struct.unpack("!ii", b[pos:pos + 8])
+        pos += 8
+        if ln == -1:
+            vals.append(None)
+        else:
+            vals.append(decode_value_binary(b[pos:pos + ln],
+                                            field.dataType))
+            pos += ln
+    return tuple(vals)
 
 
 def _decode_numeric_binary(b: bytes) -> Decimal:

@@ -243,14 +243,64 @@ class TestBinaryEncoding:
             struct.pack("!i", 2) + struct.pack("!ii", 23, -1) + \
             struct.pack("!ii", 25, -1)
 
+    def test_nested_array_binary(self):
+        """array<array<int>> → PG 2-D array: ndim=2, leaf OID, row-major
+        flattened leaves (reference: arrow-pg list_encoder nested path)."""
+        import struct
+
+        dt = T.ArrayType(T.ArrayType(T.IntegerType()))
+        b = E.encode_value_binary([[1, 2], [3, None]], dt)
+        ndim, hasnull, oid = struct.unpack("!iii", b[:12])
+        d1, lb1, d2, lb2 = struct.unpack("!iiii", b[12:28])
+        assert (ndim, hasnull, oid) == (2, 1, 23)
+        assert (d1, d2, lb1, lb2) == (2, 2, 1, 1)
+        assert E.decode_value_binary(b, dt) == [[1, 2], [3, None]]
+        # 3-D round trip
+        dt3 = T.ArrayType(dt)
+        v3 = [[[1, 2], [3, 4]], [[5, 6], [7, 8]]]
+        assert E.decode_value_binary(E.encode_value_binary(v3, dt3), dt3) == v3
+        # empty still emits the ndim=0 header
+        assert E.encode_value_binary([], dt) == struct.pack("!iii", 0, 0, 23)
+
+    def test_ragged_nested_array_raises(self):
+        import pytest
+
+        dt = T.ArrayType(T.ArrayType(T.IntegerType()))
+        with pytest.raises(NotImplementedError, match="ragged"):
+            E.encode_value_binary([[1, 2], [3]], dt)
+        with pytest.raises(NotImplementedError, match="NULL sub-array"):
+            E.encode_value_binary([[1], None], dt)
+
+    def test_list_of_struct_binary_round_trip(self):
+        import struct
+
+        st = T.StructType([T.StructField("a", T.IntegerType()),
+                           T.StructField("b", T.StringType())])
+        dt = T.ArrayType(st)
+        v = [(1, "x"), (2, None), None]
+        b = E.encode_value_binary(v, dt)
+        ndim, hasnull, oid = struct.unpack("!iii", b[:12])
+        assert (ndim, hasnull, oid) == (1, 1, 2249)
+        assert E.decode_value_binary(b, dt) == v
+
+    def test_array_oids_follow_leaf(self):
+        # int[][] is still _int4 (1007); record[] is _record (2287)
+        assert E._type_to_oid(
+            T.ArrayType(T.ArrayType(T.IntegerType())))[0] == 1007
+        st = T.StructType([T.StructField("a", T.IntegerType())])
+        assert E._type_to_oid(T.ArrayType(st))[0] == 2287
+
     def test_supports_binary_surface(self):
         assert E.supports_binary(T.ArrayType(T.IntegerType()))
         assert E.supports_binary(T.DecimalType(10, 2))
         assert E.supports_binary(T.DayTimeIntervalType())
+        assert E.supports_binary(T.ArrayType(T.ArrayType(T.LongType())))
+        st = T.StructType([T.StructField("a", T.IntegerType())])
+        assert E.supports_binary(T.ArrayType(st))
         assert E.supports_binary(
             T.StructType([T.StructField("a", T.LongType())]))
-        # PG has no array-of-array in one column
-        assert not E.supports_binary(
+        # round 4: nested arrays now encode as PG multidimensional arrays
+        assert E.supports_binary(
             T.ArrayType(T.ArrayType(T.IntegerType())))
 
     def test_unsupported_raises(self):

@@ -448,6 +448,77 @@ class TestBinaryFormat:
         micros, days, months = struct.unpack("!qii", data[off:off + 16])
         assert (micros, days, months) == (2 * 3_600_000_000, 1, 0)
 
+    def _one_binary_row(self, client, stmt_name, sql):
+        ext = TestExtendedProtocol()
+        ext._parse(client, stmt_name, sql)
+        body = b"\x00" + stmt_name.encode() + b"\x00"
+        body += struct.pack("!H", 0)
+        body += struct.pack("!H", 0)
+        body += struct.pack("!HH", 1, 1)      # all binary
+        client.sock.sendall(b"B" + struct.pack("!I", len(body) + 4) + body)
+        ext._execute(client, "")
+        ext._sync(client)
+        data = None
+        while True:
+            tag, payload = client.read_message()
+            if tag == b"D":
+                data = payload
+            elif tag == b"Z":
+                break
+        return data
+
+    def test_binary_list_of_struct(self, client, server):
+        """Round-4: list-of-struct in binary result format — the reference
+        encodes nested composites end-to-end (arrow-pg list_encoder.rs /
+        struct_encoder.rs; fixture create_arrow_testfile.py). Decode the
+        array_send-of-record_send payload field by field."""
+        data = self._one_binary_row(
+            client, "bf3",
+            "SELECT array(named_struct('a', 1, 'b', 'x'), "
+            "named_struct('a', 2, 'b', 'y')) AS ls")
+        assert data is not None
+        (n,) = struct.unpack("!H", data[:2])
+        assert n == 1
+        (alen,) = struct.unpack("!i", data[2:6])
+        arr = data[6:6 + alen]
+        ndim, hasnull, elem_oid, dim, lb = struct.unpack("!iiiii", arr[:20])
+        assert (ndim, hasnull, elem_oid, dim, lb) == (1, 0, 2249, 2, 1)
+        p = 20
+        decoded = []
+        for _ in range(dim):
+            (el,) = struct.unpack("!i", arr[p:p + 4]); p += 4
+            rec = arr[p:p + el]; p += el
+            (nf,) = struct.unpack("!i", rec[:4])
+            assert nf == 2
+            q = 4
+            oid1, l1 = struct.unpack("!ii", rec[q:q + 8]); q += 8
+            (a,) = struct.unpack("!i", rec[q:q + l1]); q += l1
+            oid2, l2 = struct.unpack("!ii", rec[q:q + 8]); q += 8
+            s = rec[q:q + l2].decode(); q += l2
+            assert (oid1, oid2) == (23, 25)
+            decoded.append((a, s))
+        assert decoded == [(1, "x"), (2, "y")]
+
+    def test_binary_multidim_array(self, client, server):
+        """Nested array → PG 2-D array: ndim=2, leaf element OID, leaves
+        flattened row-major."""
+        data = self._one_binary_row(
+            client, "bf4",
+            "SELECT array(array(1, 2, 3), array(4, 5, 6)) AS m")
+        assert data is not None
+        (alen,) = struct.unpack("!i", data[2:6])
+        arr = data[6:6 + alen]
+        ndim, hasnull, elem_oid = struct.unpack("!iii", arr[:12])
+        d1, lb1, d2, lb2 = struct.unpack("!iiii", arr[12:28])
+        assert (ndim, hasnull, elem_oid) == (2, 0, 23)
+        assert (d1, lb1, d2, lb2) == (2, 1, 3, 1)
+        vals, p = [], 28
+        for _ in range(d1 * d2):
+            (el,) = struct.unpack("!i", arr[p:p + 4]); p += 4
+            (v,) = struct.unpack("!i", arr[p:p + el]); p += el
+            vals.append(v)
+        assert vals == [1, 2, 3, 4, 5, 6]
+
 
 class TestCopyOut:
     def test_copy_query_to_stdout(self, client):

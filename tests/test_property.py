@@ -184,3 +184,40 @@ class TestBinaryCodecRoundTrip:
         assert decode_value_binary(
             encode_value_binary(ts, T.TimestampNTZType()),
             T.TimestampNTZType()) == ts
+
+    @given(st.lists(
+        st.lists(st.one_of(st.none(),
+                           st.integers(-2**31, 2**31 - 1)),
+                 min_size=3, max_size=3),
+        max_size=5))
+    @settings(max_examples=100, deadline=None)
+    def test_rectangular_nested_array(self, v):
+        """array<array<int>> ↔ PG 2-D array round trip (rectangular rows;
+        inner size fixed at 3 so hypothesis generates valid multidim
+        shapes)."""
+        from pyspark.sql import types as T
+
+        from datafusion_postgres_spark.server.encoder import (
+            decode_value_binary, encode_value_binary)
+        dt = T.ArrayType(T.ArrayType(T.IntegerType()))
+        got = decode_value_binary(encode_value_binary(v, dt), dt)
+        # the ndim=0 empty header cannot distinguish [] from [[],[]] —
+        # both are PG '{}'
+        expect = v if any(len(x) for x in v) else []
+        assert got == expect
+
+    @given(st.lists(st.one_of(
+        st.none(),
+        st.tuples(st.integers(-2**31, 2**31 - 1),
+                  st.one_of(st.none(), st.text(max_size=12)))),
+        max_size=6))
+    @settings(max_examples=100, deadline=None)
+    def test_list_of_struct(self, v):
+        from pyspark.sql import types as T
+
+        from datafusion_postgres_spark.server.encoder import (
+            decode_value_binary, encode_value_binary)
+        dt = T.ArrayType(T.StructType([
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType())]))
+        assert decode_value_binary(encode_value_binary(v, dt), dt) == v

@@ -643,6 +643,59 @@ def _static_views(spark: SparkSession) -> None:
     _view(spark, "pg_catalog_pg_am", am_schema,
           [(2, "heap", 0, "t"), (403, "btree", 0, "i"), (405, "hash", 0, "i")])
 
+    # ---- operator classes/families + member operators (round 4) ----
+    # Content, not shells: DBeaver/pgadmin index and type panels join
+    # pg_opclass ⋈ pg_am ⋈ pg_opfamily and pg_amop ⋈ pg_operator; the
+    # reference ships real exported rows (pg_catalog.rs:121-194).
+    from datafusion_postgres_spark.catalog import opclass_ref as OCR
+    _view(spark, "pg_catalog_pg_opfamily", StructType([
+        StructField("oid", IntegerType()),
+        StructField("opfmethod", IntegerType()),
+        StructField("opfname", StringType()),
+        StructField("opfnamespace", IntegerType()),
+        StructField("opfowner", IntegerType())]), OCR.opfamily_rows())
+    _view(spark, "pg_catalog_pg_opclass", StructType([
+        StructField("oid", IntegerType()),
+        StructField("opcmethod", IntegerType()),
+        StructField("opcname", StringType()),
+        StructField("opcnamespace", IntegerType()),
+        StructField("opcowner", IntegerType()),
+        StructField("opcfamily", IntegerType()),
+        StructField("opcintype", IntegerType()),
+        StructField("opcdefault", BooleanType()),
+        StructField("opckeytype", IntegerType())]), OCR.opclass_rows())
+    _view(spark, "pg_catalog_pg_amop", StructType([
+        StructField("oid", IntegerType()),
+        StructField("amopfamily", IntegerType()),
+        StructField("amoplefttype", IntegerType()),
+        StructField("amoprighttype", IntegerType()),
+        StructField("amopstrategy", ShortType()),
+        StructField("amoppurpose", StringType()),
+        StructField("amopopr", IntegerType()),
+        StructField("amopmethod", IntegerType()),
+        StructField("amopsortfamily", IntegerType())]), OCR.amop_rows())
+    _view(spark, "pg_catalog_pg_amproc", StructType([
+        StructField("oid", IntegerType()),
+        StructField("amprocfamily", IntegerType()),
+        StructField("amproclefttype", IntegerType()),
+        StructField("amprocrighttype", IntegerType()),
+        StructField("amprocnum", ShortType()),
+        StructField("amproc", StringType())]), OCR.amproc_rows())
+    _view(spark, "pg_catalog_pg_operator", StructType([
+        StructField("oid", IntegerType()),
+        StructField("oprname", StringType()),
+        StructField("oprnamespace", IntegerType()),
+        StructField("oprowner", IntegerType()),
+        StructField("oprkind", StringType()),
+        StructField("oprcanmerge", BooleanType()),
+        StructField("oprcanhash", BooleanType()),
+        StructField("oprleft", IntegerType()),
+        StructField("oprright", IntegerType()),
+        StructField("oprresult", IntegerType()),
+        StructField("oprcom", IntegerType()),
+        StructField("oprnegate", IntegerType()),
+        StructField("oprcode", StringType())]), OCR.operator_rows())
+
     # ---- misc empties clients probe ----
     for name, fields in [
         ("pg_catalog_pg_inherits",
@@ -740,11 +793,6 @@ def _static_views(spark: SparkSession) -> None:
         ("pg_catalog_pg_auth_members",
          [("roleid", IntegerType()), ("member", IntegerType()),
           ("grantor", IntegerType()), ("admin_option", BooleanType())]),
-        ("pg_catalog_pg_opclass",
-         [("oid", IntegerType()), ("opcname", StringType()),
-          ("opcmethod", IntegerType())]),
-        ("pg_catalog_pg_opfamily",
-         [("oid", IntegerType()), ("opfname", StringType())]),
         ("pg_catalog_pg_attrdef",
          [("oid", IntegerType()), ("adrelid", IntegerType()),
           ("adnum", ShortType()), ("adbin", StringType())]),

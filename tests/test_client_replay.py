@@ -185,3 +185,62 @@ class TestDeepIntrospection:
         rows = list(engine.execute(
             "SELECT 'nation'::regclass::text AS t")[0].rows())
         assert rows[0][0] == "nation"
+
+
+# Round 4: index/operator-class panel streams must return ROWS, not
+# empties — pg_opclass/pg_opfamily/pg_amop/pg_amproc/pg_operator now
+# carry the modeled btree+hash content (reference ships real exports).
+class TestOperatorClassPanels:
+    def test_default_opclasses_per_am(self, engine):
+        rows = list(engine.execute(
+            """SELECT am.amname, oc.opcname, oc.opcintype
+               FROM pg_catalog.pg_opclass oc
+               JOIN pg_catalog.pg_am am ON am.oid = oc.opcmethod
+               WHERE oc.opcdefault ORDER BY am.amname, oc.opcname""")[0]
+            .rows())
+        names = {(r[0], r[1]) for r in rows}
+        assert ("btree", "int4_ops") in names
+        assert ("btree", "text_ops") in names
+        assert ("hash", "int8_ops") in names
+
+    def test_amop_strategy_panel(self, engine):
+        # DBeaver operator-class detail: members joined to pg_operator
+        rows = list(engine.execute(
+            """SELECT ao.amopstrategy, o.oprname
+               FROM pg_catalog.pg_opclass oc
+               JOIN pg_catalog.pg_amop ao
+                 ON ao.amopfamily = oc.opcfamily
+                AND ao.amoplefttype = oc.opcintype
+               JOIN pg_catalog.pg_operator o ON o.oid = ao.amopopr
+               WHERE oc.opcname = 'int4_ops' AND oc.opcmethod = 403
+               ORDER BY ao.amopstrategy""")[0].rows())
+        assert [(r[0], r[1]) for r in rows] == [
+            (1, "<"), (2, "<="), (3, "="), (4, ">="), (5, ">")]
+
+    def test_amproc_support_functions(self, engine):
+        rows = list(engine.execute(
+            """SELECT ap.amprocnum, ap.amproc
+               FROM pg_catalog.pg_amproc ap
+               JOIN pg_catalog.pg_opfamily f ON f.oid = ap.amprocfamily
+               WHERE f.opfname = 'integer_ops' AND f.opfmethod = 403
+               ORDER BY ap.amproclefttype""")[0].rows())
+        assert {r[1] for r in rows} == {"btint2cmp", "btint4cmp",
+                                        "btint8cmp"}
+
+    def test_operator_join_resolves_every_amop_member(self, engine):
+        # no dangling amopopr: every member must resolve in pg_operator
+        rows = list(engine.execute(
+            """SELECT count(*) AS dangling
+               FROM pg_catalog.pg_amop ao
+               LEFT JOIN pg_catalog.pg_operator o ON o.oid = ao.amopopr
+               WHERE o.oid IS NULL""")[0].rows())
+        assert rows[0][0] == 0
+
+    def test_opfamily_opclass_consistency(self, engine):
+        # every opclass points at a family of the same access method
+        rows = list(engine.execute(
+            """SELECT count(*) AS bad
+               FROM pg_catalog.pg_opclass oc
+               JOIN pg_catalog.pg_opfamily f ON f.oid = oc.opcfamily
+               WHERE f.opfmethod <> oc.opcmethod""")[0].rows())
+        assert rows[0][0] == 0

@@ -325,11 +325,16 @@ class TestCatalogSchemaParity:
 
     def test_long_tail_tables_queryable(self, engine):
         # unmodeled catalogs must resolve and answer (empty is truthful)
-        for tbl in ("pg_amop", "pg_opclass", "pg_operator", "pg_shdepend",
-                    "pg_statistic", "pg_db_role_setting"):
+        for tbl in ("pg_shdepend", "pg_statistic", "pg_db_role_setting"):
             rows = one_row(engine.execute(
                 f"SELECT count(*) AS n FROM pg_catalog.{tbl}"))
             assert rows[0][0] == 0
+        # round 4: opclass/amop/operator carry modeled btree+hash content
+        for tbl in ("pg_amop", "pg_opclass", "pg_opfamily", "pg_amproc",
+                    "pg_operator"):
+            rows = one_row(engine.execute(
+                f"SELECT count(*) AS n FROM pg_catalog.{tbl}"))
+            assert rows[0][0] > 0, f"{tbl} should have content now"
 
 
 class TestExplain:

@@ -876,6 +876,24 @@ def rewrite_catalog_names(tokens: list[Token]) -> list[Token]:
     i = 0
     while i < len(tokens):
         t = tokens[i]
+        if (t.kind in (IDENT, QIDENT) and
+                t.text.strip('"').lower() == "public"):
+            # strip the `public.` / `"public"."x"` schema qualifier:
+            # postgres_fdw deparse and many ORMs ALWAYS schema-qualify
+            # remote table names, and our registered tables are flat
+            # (public is PG's default schema). Function calls are the
+            # other rule's job; `x.public` (column named public) is left.
+            dot = significant(tokens, i)
+            prev = significant(tokens, i, -1)
+            if (dot >= 0 and tokens[dot].kind == PUNCT and
+                    tokens[dot].text == "." and
+                    not (prev >= 0 and tokens[prev].text == ".")):
+                name = significant(tokens, dot)
+                if name >= 0 and tokens[name].kind in (IDENT, QIDENT):
+                    paren = significant(tokens, name)
+                    if not (paren >= 0 and tokens[paren].text == "("):
+                        del tokens[i:name]
+                        continue
         if t.kind == IDENT and t.text.lower() in ("pg_catalog",
                                                   "information_schema"):
             dot = significant(tokens, i)
@@ -1979,6 +1997,26 @@ def rewrite_substring_regex(tokens: list[Token]) -> list[Token]:
 
 
 # Rule order mirrors sql/parser.rs:314-334 where a counterpart exists.
+# ---------------------------------------------------------------------------
+# Rule (LAST): PG double-quoted identifiers → Spark backticks.
+# In PG, "x" is an IDENTIFIER; Spark (doubleQuotedIdentifiers off) parses
+# it as a string literal — so `SELECT "n_name" FROM t` silently returned
+# the LITERAL 'n_name' instead of the column, and `FROM "t"` was a syntax
+# error. JDBC drivers, ORMs and postgres_fdw deparse quote identifiers
+# routinely. Runs last so earlier rules still see QIDENT tokens in PG
+# spelling; `""` unescapes to `"`, backticks escape by doubling.
+
+def rewrite_quoted_identifiers(tokens: list[Token]) -> list[Token]:
+    out = []
+    for t in tokens:
+        if t.kind == QIDENT:
+            inner = t.text[1:-1].replace('""', '"').replace("`", "``")
+            out.append(Token(IDENT, f"`{inner}`"))
+        else:
+            out.append(t)
+    return out
+
+
 ALL_RULES = [
     rewrite_explain,
     rewrite_abort,
@@ -2009,4 +2047,5 @@ ALL_RULES = [
     rewrite_array_constructor,
     rewrite_array_subscript,
     rename_functions,
+    rewrite_quoted_identifiers,
 ]

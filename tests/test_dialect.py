@@ -202,3 +202,24 @@ def test_array_subscript_one_based(tp):
     # not applied to ARRAY[...] constructors
     out = tp.transpile("SELECT ARRAY[1,2]")
     assert "element_at" not in out
+
+
+def test_quoted_identifiers_to_backticks(tp):
+    # PG "x" is an identifier; Spark spells it `x` (round 4 — JDBC/ORM
+    # and postgres_fdw deparse always quote)
+    out = tp.transpile('SELECT "n_name" FROM "nation" WHERE "n_key" > 2')
+    assert norm(out) == norm(
+        "SELECT `n_name` FROM `nation` WHERE `n_key` > 2")
+    # embedded "" unescapes; string literals untouched
+    assert tp.transpile('SELECT "a""b", \'keep "this"\'') == \
+        'SELECT `a"b`, \'keep "this"\''
+
+
+def test_public_schema_qualifier_stripped(tp):
+    assert norm(tp.transpile("SELECT * FROM public.nation")) == \
+        norm("SELECT * FROM nation")
+    assert norm(tp.transpile('SELECT * FROM "public"."nation"')) == \
+        norm("SELECT * FROM `nation`")
+    # pg_catalog tables rewrite to the flat views, not stripped
+    assert "pg_catalog_pg_class" in tp.transpile(
+        "SELECT * FROM pg_catalog.pg_class")

@@ -4,9 +4,12 @@ Reference surface: ``datafusion-pg-functions/src/text_search.rs`` (the
 ts_* family). PG's 'english' config stems lexemes with the Snowball
 porter stemmer; we implement a porter-LITE — the high-frequency suffix
 rules with minimum-length guards standing in for Porter's measure
-conditions. Documented deviation: rarer suffixes (y→i, -alize, -icate,
-double-consonant undoubling) are not rewritten; both documents and
-queries pass through the SAME stemmer, so matching stays consistent.
+conditions. Round 4 added Snowball's step-1c y→i (carry/carries
+co-stem to 'carri') and the post-ed/ing double-consonant undoubling
+(hopping/hopped/hop co-stem to 'hop'; l/s/z and vowels excluded, as in
+Snowball). Documented deviation: rarer suffixes (-alize, -icate, the
+li-deletion) are not rewritten; both documents and queries pass through
+the SAME stemmer, so matching stays consistent.
 
 Every step below is written in the SQL intersection of Spark SQL and
 DuckDB (CASE / LIKE / substr / length / concat), so a DuckDB oracle can
@@ -24,13 +27,28 @@ STEM_STEPS: list[str] = [
      "WHEN w LIKE '%ss' THEN w "
      "WHEN w LIKE '%s' AND length(w) > 3 THEN substr(w, 1, length(w)-1) "
      "ELSE w END"),
-    # step 2: verbal endings (eed→ee, ied→i, ing/ed stripped with guards)
+    # step 2: verbal endings (eed→ee, ied→i, ing/ed stripped with guards;
+    # Snowball's undoubling folded into the strip branches: hopping →
+    # hopp → hop, but falling → fall since l/s/z never undouble)
     ("CASE WHEN w LIKE '%eed' AND length(w) > 4 "
      "THEN substr(w, 1, length(w)-1) "
      "WHEN w LIKE '%ied' THEN substr(w, 1, length(w)-2) "
-     "WHEN w LIKE '%ing' AND length(w) > 5 THEN substr(w, 1, length(w)-3) "
-     "WHEN w LIKE '%ed' AND length(w) > 4 THEN substr(w, 1, length(w)-2) "
+     "WHEN w LIKE '%ing' AND length(w) > 5 THEN "
+     "CASE WHEN substr(w, length(w)-4, 1) = substr(w, length(w)-3, 1) "
+     "AND substr(w, length(w)-3, 1) NOT IN "
+     "('a','e','i','o','u','l','s','z') "
+     "THEN substr(w, 1, length(w)-4) ELSE substr(w, 1, length(w)-3) END "
+     "WHEN w LIKE '%ed' AND length(w) > 4 THEN "
+     "CASE WHEN substr(w, length(w)-3, 1) = substr(w, length(w)-2, 1) "
+     "AND substr(w, length(w)-2, 1) NOT IN "
+     "('a','e','i','o','u','l','s','z') "
+     "THEN substr(w, 1, length(w)-3) ELSE substr(w, 1, length(w)-2) END "
      "ELSE w END"),
+    # step 2b (Snowball 1c): y→i when preceded by a non-vowel that is not
+    # the word's first letter (carry→carri, try→tri; day stays day)
+    ("CASE WHEN w LIKE '%y' AND length(w) > 2 "
+     "AND substr(w, length(w)-1, 1) NOT IN ('a','e','i','o','u','y') "
+     "THEN concat(substr(w, 1, length(w)-1), 'i') ELSE w END"),
     # step 3: derivational suffixes
     ("CASE WHEN w LIKE '%ational' THEN concat(substr(w, 1, length(w)-7), "
      "'ate') "

@@ -178,7 +178,7 @@ class TestFullTextSearch:
             "SELECT to_tsvector('The quick brown fox, the LAZY dog!') AS v"
         )[0]
         assert list(r.rows())[0][0] == \
-            ["brown", "dog", "fox", "lazy", "quick"]
+            ["brown", "dog", "fox", "lazi", "quick"]  # PG: lazy->lazi
 
     def test_match_operator(self, engine):
         r = engine.execute(
@@ -201,9 +201,24 @@ class TestFullTextSearch:
             "to_tsvector('merged table') @@ plainto_tsquery('merges') "
             "AS hit")[0]
         row = list(r.rows())[0]
-        # porter-lite: no y->i rewrite, so 'quickly' is kept as-is
-        assert row[0] == ["merg", "quickly", "tabl"]
+        # round 4 y->i: 'quickly' -> 'quickli' (Snowball step 1c)
+        assert row[0] == ["merg", "quickli", "tabl"]
         assert row[1] is True
+
+    def test_y_to_i_and_undoubling(self, engine):
+        # round-4 Snowball rules: carry/carries co-stem ('carri'),
+        # hopping/hopped/hop co-stem ('hop'), l/s/z never undouble
+        # (falling -> fall), y after a vowel stays (day)
+        r = engine.execute(
+            "SELECT to_tsvector('carry carries hopping hopped hop "
+            "falling day try') AS v, "
+            "to_tsvector('she carries books') @@ "
+            "plainto_tsquery('carry') AS hit1, "
+            "to_tsvector('kept hopping around') @@ "
+            "plainto_tsquery('hop') AS hit2")[0]
+        row = list(r.rows())[0]
+        assert row[0] == ["carri", "day", "fall", "hop", "tri"]
+        assert row[1] is True and row[2] is True
 
     def test_simple_config_unstemmed(self, engine):
         r = engine.execute(

@@ -29,6 +29,12 @@ _UNICODE_VERSION_BODY = f"'{unicodedata.unidata_version}'"
 from datafusion_postgres_spark.functions import fts as _fts  # noqa: E402
 
 # name -> (args, return type, body). Dispatched once per session.
+# a jsonpath needs the Python evaluator when it carries a filter step or
+# predicate syntax (?, comparisons, &&/||, exists) — anything beyond the
+# member/subscript subset get_json_object speaks
+_JSONPATH_COMPLEX = (
+    "p RLIKE '[?<>!]|==|&&|\\\\|\\\\||exists\\\\('")
+
 SQL_UDFS: list[tuple[str, str, str, str]] = [
     # -- degree trigonometry (reference: src/numeric/degree_trig.rs) -------
     ("sind", "x DOUBLE", "DOUBLE", "sin(radians(x))"),
@@ -528,24 +534,31 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
     ("jsonb_object_keys", "j STRING", "ARRAY<STRING>",
      # deviation: PG returns SETOF text; array form (explode() to unnest)
      "json_object_keys(j)"),
-    # -- jsonpath tier (simple-path subset): PG jsonpath member/subscript
-    #    syntax ($.a.b[0]) coincides with Spark's get_json_object paths;
-    #    filter expressions (? (@ > 2)) are NOT supported — beyond the
-    #    reference (its json module registers zero functions,
-    #    datafusion-pg-functions/src/json.rs:13-15). ----------------------
+    # -- jsonpath tier: PG jsonpath member/subscript syntax ($.a.b[0])
+    #    coincides with Spark's get_json_object paths and stays on that
+    #    codegen fast path; filter/predicate expressions (? (@ > 2),
+    #    $.a > 2, exists(...), && / ||) route to the Pandas-UDF evaluator
+    #    (functions/jsonpath.py) — beyond the reference (its json module
+    #    registers zero functions, datafusion-pg-functions/src/
+    #    json.rs:13-15). --------------------------------------------------
     ("jsonb_path_query_first", "j STRING, p STRING", "STRING",
-     "get_json_object(j, p)"),
+     f"CASE WHEN {_JSONPATH_COMPLEX} "
+     "THEN pg_jsonpath_filter_first(j, p) "
+     "ELSE get_json_object(j, p) END"),
     ("json_path_query_first", "j STRING, p STRING", "STRING",
-     "get_json_object(j, p)"),
+     "jsonb_path_query_first(j, p)"),
     ("jsonb_path_exists", "j STRING, p STRING", "BOOLEAN",
      "CASE WHEN j IS NULL OR p IS NULL THEN NULL "
+     f"WHEN {_JSONPATH_COMPLEX} THEN pg_jsonpath_filter_exists(j, p) "
      "ELSE get_json_object(j, p) IS NOT NULL END"),
     ("json_path_exists", "j STRING, p STRING", "BOOLEAN",
      "jsonb_path_exists(j, p)"),
     ("jsonb_path_match", "j STRING, p STRING", "BOOLEAN",
      # the path must resolve to a JSON boolean (PG raises otherwise;
      # we yield NULL)
-     "CASE WHEN get_json_object(j, p) = 'true' THEN true "
+     f"CASE WHEN {_JSONPATH_COMPLEX} "
+     "THEN pg_jsonpath_filter_match(j, p) "
+     "WHEN get_json_object(j, p) = 'true' THEN true "
      "WHEN get_json_object(j, p) = 'false' THEN false ELSE NULL END"),
     # -- basic full-text search: tsvector rides as ARRAY<STRING> of
     #    lexemes (sorted, distinct, stopword-filtered, no positions or
@@ -712,6 +725,7 @@ def register_functions(spark: SparkSession) -> None:
     # pg_sleep_for/until) are analyzed at CREATE time
     _register_special_math(spark)
     _register_text_py(spark)
+    _register_jsonpath_py(spark)
     for name, args, ret, body in SQL_UDFS:
         if _needs_catalog(body):
             continue
@@ -832,6 +846,35 @@ def _register_special_math(spark: SparkSession) -> None:
         return None
 
     spark.udf.register("pg_sleep", _pg_sleep, "string")
+
+
+def _register_jsonpath_py(spark: SparkSession) -> None:
+    """Jsonpath FILTER/predicate evaluation (``? (@ > 2)``,
+    ``$.a > 2``) — a runtime-parsed language, so no SQL expression form
+    exists; Arrow-batched Pandas UDFs (functions/jsonpath.py). The SQL
+    UDFs route here only when the path contains a filter/predicate;
+    plain member paths stay on codegen get_json_object."""
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    from datafusion_postgres_spark.functions import jsonpath as JP
+
+    def _wrap(fn):
+        def apply(j, p):
+            return pandas.Series(
+                [fn(a if a is not None else None,
+                    b if b is not None else None)
+                 for a, b in zip(j, p)], dtype="object")
+        apply.__annotations__ = {"j": pandas.Series, "p": pandas.Series,
+                                 "return": pandas.Series}
+        return apply
+
+    spark.udf.register("pg_jsonpath_filter_first",
+                       pandas_udf(_wrap(JP.query_first), "string"))
+    spark.udf.register("pg_jsonpath_filter_exists",
+                       pandas_udf(_wrap(JP.exists_any), "boolean"))
+    spark.udf.register("pg_jsonpath_filter_match",
+                       pandas_udf(_wrap(JP.match_bool), "boolean"))
 
 
 _CRC32C_TABLE: list[int] | None = None

@@ -126,3 +126,51 @@ class TestJsonbModify:
             "SELECT * FROM json_each('{\"a\":1,\"b\":\"x\"}') "
             "ORDER BY key").collect()
         assert [(r.key, r.value) for r in rows] == [("a", "1"), ("b", "x")]
+
+
+class TestJsonpathFilters:
+    """Round 4: filter expressions (? (@ > 2)) and predicate paths behind
+    the simple-path parser (functions/jsonpath.py); simple paths stay on
+    the get_json_object codegen fast path."""
+
+    def test_evaluator_unit(self):
+        from datafusion_postgres_spark.functions import jsonpath as J
+
+        assert J.query('{"a":[1,2,3,4]}', '$.a[*] ? (@ > 2)') == [3, 4]
+        assert J.query('{"t":[{"x":1},{"x":5}]}',
+                       '$.t[*] ? (@.x >= 5)') == [{"x": 5}]
+        assert J.query('{"a":3}', '$.a > 2') == [True]
+        assert J.query('{"a":[1,"two"]}', '$.a[*] ? (@ == "two")') == \
+            ["two"]
+        assert J.query('{"a":[{"b":1},{"b":2}]}',
+                       '$.a ? (@.b == 1 || @.b == 2)') == \
+            [{"b": 1}, {"b": 2}]
+        # lax-mode auto-unwrap on member access
+        assert J.query('{"a":[{"b":1},{"b":2}]}', '$.a.b') == [1, 2]
+        # invalid path / invalid json -> NULL-quiet
+        assert J.query('{"a":1}', 'nonsense') is None
+        assert J.query('not json', '$.a') is None
+        assert J.match_bool('{"a":1}', '$.a') is None  # not a boolean
+
+    def test_filter_via_sql_udfs(self, spark):
+        row = spark.sql(
+            "SELECT jsonb_path_query_first("
+            "'{\"items\":[{\"p\":5},{\"p\":15}]}', "
+            "'$.items[*] ? (@.p > 10)') AS a, "
+            "jsonb_path_exists('{\"a\":[1,2]}', '$.a[*] ? (@ > 5)') AS b, "
+            "jsonb_path_match('{\"a\":3}', '$.a > 2') AS c").collect()[0]
+        assert row.a == '{"p":15}'
+        assert row.b is False and row.c is True
+
+    def test_simple_paths_unchanged(self, spark):
+        row = spark.sql(
+            "SELECT jsonb_path_query_first('{\"a\":{\"b\":7}}', '$.a.b') "
+            "AS a, jsonb_path_exists('{\"a\":1}', '$.missing') AS b"
+        ).collect()[0]
+        assert row.a == "7" and row.b is False
+
+    def test_at_question_operator_with_filter(self, engine):
+        r = engine.execute(
+            "SELECT '{\"a\":[1,2,3]}' @? '$.a[*] ? (@ > 2)' AS hit, "
+            "'{\"a\":[1,2,3]}' @? '$.a[*] ? (@ > 9)' AS miss")[0]
+        assert list(r.rows())[0] == (True, False)

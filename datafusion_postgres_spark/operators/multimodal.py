@@ -106,12 +106,23 @@ def repartition_for_decode(media: DataFrame, target_bytes: int = 128 << 20,
     """Partition so each decode task holds ~target_bytes of payload.
 
     Decode cost scales with bytes, not rows — row-count partitioning makes
-    straggler tasks when sizes are skewed. Uses the exact byte length when
-    available, estimated row count otherwise."""
-    if size_col_bytes:
-        total = media.agg(F.sum(size_col_bytes)).collect()[0][0] or 0
-    else:
-        total = media.agg(F.sum(F.length("content"))).collect()[0][0] or 0
+    straggler tasks when sizes are skewed. Sizing prefers the SOURCE FILE
+    stats (free: no job) and falls back to one scalar aggregate only for
+    non-file-backed frames (round-3 audit: the unconditional collect()
+    cost an extra job per call)."""
+    try:
+        import os
+        paths = [p.replace("file://", "", 1) if p.startswith("file:")
+                 else p for p in media.inputFiles()]
+        total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    except Exception:
+        total = 0
+    if not total:
+        if size_col_bytes:
+            total = media.agg(F.sum(size_col_bytes)).collect()[0][0] or 0
+        else:
+            total = media.agg(
+                F.sum(F.length("content"))).collect()[0][0] or 0
     n_parts = max(1, int(total / target_bytes))
     return media.repartition(n_parts)
 

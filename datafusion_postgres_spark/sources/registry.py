@@ -71,8 +71,15 @@ def _read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
     except pa.ArrowInvalid:
         with open(path, "rb") as f, pa.ipc.open_stream(f) as reader:
             table = reader.read_all()
-    # Arrow-backed createDataFrame: batches transfer via Arrow, not pickle.
-    return spark.createDataFrame(table.to_pandas())
+    # Arrow-NATIVE createDataFrame (Spark 4 accepts pa.Table directly):
+    # batches ship via Arrow IPC with no pandas materialization — halves
+    # the driver-memory footprint of the old to_pandas() round-trip.
+    # Still a driver-side read (documented: serves catalog-size .arrow
+    # files; a TB-scale Arrow dataset belongs in parquet).
+    try:
+        return spark.createDataFrame(table)
+    except TypeError:  # older Spark: pandas fallback
+        return spark.createDataFrame(table.to_pandas())
 
 
 def register_directory(engine, path: str) -> list[str]:

@@ -319,6 +319,15 @@ def query_first(j: str | None, p: str | None) -> str | None:
     return _render(vals[0])
 
 
+def query_array(j: str | None, p: str | None) -> str | None:
+    """PG jsonb_path_query_array: every match wrapped in one JSON array
+    (compact text form)."""
+    vals = query(j, p)
+    if vals is None:
+        return None
+    return json.dumps(vals, separators=(",", ":"))
+
+
 def exists_any(j: str | None, p: str | None) -> bool | None:
     if j is None or p is None:
         return None

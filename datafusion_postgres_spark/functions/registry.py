@@ -553,6 +553,12 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      "ELSE get_json_object(j, p) IS NOT NULL END"),
     ("json_path_exists", "j STRING, p STRING", "BOOLEAN",
      "jsonb_path_exists(j, p)"),
+    # all matches as one JSON array — always evaluator-routed (the match
+    # LIST has no get_json_object equivalent; not a hot path)
+    ("jsonb_path_query_array", "j STRING, p STRING", "STRING",
+     "pg_jsonpath_query_array(j, p)"),
+    ("json_path_query_array", "j STRING, p STRING", "STRING",
+     "pg_jsonpath_query_array(j, p)"),
     ("jsonb_path_match", "j STRING, p STRING", "BOOLEAN",
      # the path must resolve to a JSON boolean (PG raises otherwise;
      # we yield NULL)
@@ -875,6 +881,8 @@ def _register_jsonpath_py(spark: SparkSession) -> None:
                        pandas_udf(_wrap(JP.exists_any), "boolean"))
     spark.udf.register("pg_jsonpath_filter_match",
                        pandas_udf(_wrap(JP.match_bool), "boolean"))
+    spark.udf.register("pg_jsonpath_query_array",
+                       pandas_udf(_wrap(JP.query_array), "string"))
 
 
 _CRC32C_TABLE: list[int] | None = None

@@ -63,6 +63,42 @@ def dedup_exact(docs: DataFrame, text_col: str = "text",
     return docs.join(keep, docs[id_col] == keep["keep_id"], "left_semi")
 
 
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", max_df: int = 1,
+                    sep: str = "\n\n") -> DataFrame:
+    """Corpus-level paragraph deduplication (the C4/CCNet boilerplate
+    pass): split each document on ``sep``, drop every paragraph whose
+    DOCUMENT FREQUENCY exceeds ``max_df`` (cookie banners, nav bars,
+    license blurbs repeat across thousands of pages), reassemble the
+    survivors in original order. Documents whose every paragraph was
+    boilerplate disappear from the output.
+
+    Scale: all JVM codegen. Shuffles = one narrow (hash, df) groupBy, the
+    frequency join back on the 64-bit paragraph hash, and the doc_id
+    reassembly — each keyed by hash, so skew only appears on genuinely
+    mega-duplicated paragraphs, which AQE's skew-join splits. Empty
+    paragraphs are kept verbatim (they carry the document's layout).
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+    # NULL hash for empty paragraphs: they never join the frequency side
+    # (always kept), and the engines need not agree on hash('')
+    keyed = paras.withColumn(
+        "ph", F.when(F.trim("para") != "",
+                     word_fingerprint(norm_text(F.col("para")))))
+    freq = (keyed.where(F.col("ph").isNotNull())
+            .groupBy("ph")
+            .agg(F.count_distinct("doc_id").alias("df")))
+    kept = (keyed.join(freq, "ph", "left")
+            .where(F.col("df").isNull() | (F.col("df") <= max_df)))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "para"))),
+        lambda s: s.getField("para"))
+    return (kept.groupBy("doc_id")
+            .agg(F.concat_ws(sep, ordered).alias("text")))
+
+
 # ---------------------------------------------------------------------------
 # word n-gram shingles
 

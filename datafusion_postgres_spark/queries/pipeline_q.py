@@ -209,6 +209,46 @@ def dedup_components(spark, sf_dir):
     return sorted_small(dedup.connected_components(pairs), "doc_id")
 
 
+_PARA_NORM = "regexp_replace(trim(lower(para)), '\\s+', ' ', 'g')"
+
+
+@register("text_paragraph_dedup", oracle=f"""
+WITH paras AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ps))) AS pos,
+         unnest(ps) AS para
+  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+        FROM documents)
+),
+keyed AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN trim(para) <> ''
+              THEN {_duck_hash(_PARA_NORM)} ELSE NULL END AS ph
+  FROM paras
+),
+freq AS (
+  SELECT ph, COUNT(DISTINCT doc_id) AS df
+  FROM keyed WHERE ph IS NOT NULL GROUP BY ph
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.para
+  FROM keyed k LEFT JOIN freq f ON k.ph = f.ph
+  WHERE f.df IS NULL OR f.df <= 1
+)
+SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+""")
+def text_paragraph_dedup(spark, sf_dir):
+    """C4-style boilerplate pass: paragraphs appearing in >1 document are
+    removed from EVERY document (on this single-paragraph corpus that
+    drops exact-duplicate docs entirely — complementary to
+    dedup_exact_groups, which keeps one representative). The oracle
+    replays split → hash → document-frequency → filter → ordered
+    reassembly verbatim."""
+    docs = t(spark, sf_dir, "documents")
+    return sorted_small(dedup.paragraph_dedup(docs), "doc_id")
+
+
 def _minhash_oracle() -> str:
     """DuckDB oracle replicating minhash arithmetic exactly: per-doc gram
     arrays (word-hash combine) then min over (a_i*g + b_i) mod P for the

@@ -169,6 +169,16 @@ class TestJsonpathFilters:
         ).collect()[0]
         assert row.a == "7" and row.b is False
 
+    def test_query_array(self, spark):
+        row = spark.sql(
+            "SELECT jsonb_path_query_array('{\"a\":[1,2,3,4]}', "
+            "'$.a[*] ? (@ > 2)') AS f, "
+            "jsonb_path_query_array('{\"a\":[1,2]}', '$.a[*]') AS all_, "
+            "jsonb_path_query_array('{\"a\":1}', '$.missing') AS none_"
+        ).collect()[0]
+        assert row.f == "[3,4]" and row.all_ == "[1,2]" and \
+            row.none_ == "[]"
+
     def test_at_question_operator_with_filter(self, engine):
         r = engine.execute(
             "SELECT '{\"a\":[1,2,3]}' @? '$.a[*] ? (@ > 2)' AS hit, "

@@ -31,6 +31,58 @@ class TestExactDedup:
         assert kept == [1, 4, 5, 6]
 
 
+class TestParagraphDedup:
+    def test_boilerplate_removed_order_kept(self, spark):
+        from datafusion_postgres_spark.operators.dedup import paragraph_dedup
+
+        boiler = "accept all cookies to continue"
+        docs = spark.createDataFrame(
+            [(1, f"intro one\n\n{boiler}\n\nbody one"),
+             (2, f"{boiler}\n\nbody two"),
+             (3, "unique document three")],
+            "doc_id long, text string")
+        out = {r.doc_id: r.text
+               for r in paragraph_dedup(docs).collect()}
+        assert out[1] == "intro one\n\nbody one"
+        assert out[2] == "body two"
+        assert out[3] == "unique document three"
+
+    def test_all_boilerplate_doc_dropped(self, spark):
+        from datafusion_postgres_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "other")],
+            "doc_id long, text string")
+        out = {r.doc_id: r.text for r in paragraph_dedup(docs).collect()}
+        assert out == {3: "other"}
+
+    def test_max_df_threshold_and_normalization(self, spark):
+        from datafusion_postgres_spark.operators.dedup import paragraph_dedup
+
+        # whitespace/case variants count as the same paragraph; df=2 kept
+        # when max_df=2
+        docs = spark.createDataFrame(
+            [(1, "Shared  Para\n\nown one"),
+             (2, "shared para\n\nown two"),
+             (3, "own three")],
+            "doc_id long, text string")
+        out = {r.doc_id: r.text
+               for r in paragraph_dedup(docs, max_df=2).collect()}
+        assert out[1] == "Shared  Para\n\nown one"
+        assert out[2] == "shared para\n\nown two"
+        out1 = {r.doc_id: r.text
+                for r in paragraph_dedup(docs, max_df=1).collect()}
+        assert out1[1] == "own one" and out1[2] == "own two"
+
+    def test_empty_paragraphs_kept(self, spark):
+        from datafusion_postgres_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "a\n\n\n\nb"), (2, "c")], "doc_id long, text string")
+        out = {r.doc_id: r.text for r in paragraph_dedup(docs).collect()}
+        assert out[1] == "a\n\n\n\nb"
+
+
 class TestNgramJaccard:
     def test_near_dups_found(self, docs):
         pairs = {(r["id_a"], r["id_b"]): r["jaccard"]

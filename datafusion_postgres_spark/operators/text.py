@@ -269,3 +269,63 @@ def sample_mixture(df: DataFrame, weights: dict[str, float],
     h = fingerprint(F.concat(F.col(stratum_col).cast("string"), F.lit("|"),
                              F.col(key_col).cast("string")))
     return df.where((h % F.lit(denom)) < rate * denom)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + vocabulary stats (round 4)
+
+def pack_sequences(df: DataFrame, budget_tokens: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_shards: int = 64) -> DataFrame:
+    """Greedy token-budget packing: assign each document to a training
+    sequence (``shard``, ``seq_id``) so consecutive docs fill
+    ``budget_tokens``-sized sequences — the standard pretraining batch
+    construction (docs concatenated up to the context length).
+
+    Deterministic: shard = portable hash(doc_id) mod n_shards, order
+    within a shard = doc_id, seq boundary = floor(running-token-offset /
+    budget). A doc straddling the boundary starts the next sequence's
+    fill but keeps its single (shard, seq) assignment from its START
+    offset — greedy first-fit, reproducible anywhere.
+
+    Scale: ONE shuffle (the per-shard window sort); shard count bounds
+    the window partition size, so 100 TB packs with n_shards sized to
+    executors, never a global sort. Returns (doc_id, shard, seq_id,
+    n_tokens, start_offset)."""
+    from pyspark.sql import Window
+
+    shard = fingerprint(F.col(id_col).cast("string")) % F.lit(n_shards)
+    toks = token_count(F.col(text_col))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    withs = (df.select(F.col(id_col), shard.alias("shard"),
+                       toks.alias("n_tokens"))
+             .withColumn("cum", F.sum("n_tokens").over(w))
+             .withColumn("start_offset",
+                         (F.col("cum") - F.col("n_tokens")).cast("bigint"))
+             .withColumn("seq_id",
+                         F.floor(F.col("start_offset") / budget_tokens)
+                         .cast("bigint")))
+    return withs.select(id_col, "shard", "seq_id",
+                        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                        "start_offset")
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
+               min_len: int = 1) -> DataFrame:
+    """Corpus vocabulary head: top-k words by total occurrences with
+    document frequency — the Zipf sanity check every corpus build runs
+    (tokenizer coverage, boilerplate spotting, stopword tuning).
+
+    Scale: explode is map-side; ONE partial-aggregated groupBy on the
+    word; top-k via TakeOrderedAndProject, never a global sort. Ties
+    break by word for cross-engine determinism."""
+    ws = (df.select(F.col("doc_id"),
+                    F.explode(words(norm_text(F.col(text_col))))
+                    .alias("word"))
+          .where(F.length("word") >= min_len))
+    return (ws.groupBy("word")
+            .agg(F.count("*").alias("occurrences"),
+                 F.count_distinct("doc_id").alias("doc_freq"))
+            .orderBy(F.desc("occurrences"), "word")
+            .limit(k))

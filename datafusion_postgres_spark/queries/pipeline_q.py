@@ -209,6 +209,56 @@ def dedup_components(spark, sf_dir):
     return sorted_small(dedup.connected_components(pairs), "doc_id")
 
 
+@register("text_pack_sequences", oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         {_duck_hash("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+           AS start_offset
+  FROM base
+)
+SELECT doc_id, shard,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+       n_tokens, start_offset
+FROM packed ORDER BY doc_id
+""")
+def text_pack_sequences(spark, sf_dir):
+    """Greedy token-budget packing into (shard, seq) training sequences —
+    oracle replays hash-shard → per-shard running offset → boundary
+    division."""
+    docs = t(spark, sf_dir, "documents")
+    return sorted_small(
+        text.pack_sequences(docs, budget_tokens=512, n_shards=8),
+        "doc_id")
+
+
+@register("text_vocab_topk", oracle=f"""
+WITH ws AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+        FROM documents)
+  WHERE length(w) >= 1
+)
+SELECT word, COUNT(*) AS occurrences,
+       COUNT(DISTINCT doc_id) AS doc_freq
+FROM ws GROUP BY word
+ORDER BY occurrences DESC, word LIMIT 50
+""")
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (Zipf sanity check): top-50 words by
+    occurrences + document frequency."""
+    docs = t(spark, sf_dir, "documents")
+    return text.vocab_topk(docs, k=50)
+
+
 _PARA_NORM = "regexp_replace(trim(lower(para)), '\\s+', ' ', 'g')"
 
 

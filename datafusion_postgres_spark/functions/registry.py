@@ -619,6 +619,37 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      # position, which the positionless vector cannot carry)
      "CASE WHEN vec IS NULL OR q IS NULL OR size(q) = 0 THEN 0.0D "
      "ELSE cast(size(array_intersect(q, vec)) AS DOUBLE) / size(q) END"),
+    # round 4: the rest of the ts family (all documented against our
+    # positionless ARRAY<STRING> tsvector model)
+    ("ts_rank_cd", "vec ARRAY<STRING>, q ARRAY<STRING>", "DOUBLE",
+     # cover-density degenerates to plain rank without positions
+     "ts_rank(vec, q)"),
+    ("tsvector_to_array", "vec ARRAY<STRING>", "ARRAY<STRING>", "vec"),
+    ("array_to_tsvector", "a ARRAY<STRING>", "ARRAY<STRING>",
+     "array_sort(array_distinct(a))"),
+    ("strip", "vec ARRAY<STRING>", "ARRAY<STRING>",
+     "vec"),  # no positions/weights to strip in this model
+    ("setweight", "vec ARRAY<STRING>, w STRING", "ARRAY<STRING>",
+     "vec"),  # weights unrepresentable; identity keeps queries runnable
+    ("ts_delete", "vec ARRAY<STRING>, lex STRING", "ARRAY<STRING>",
+     "array_remove(vec, lex)"),
+    # parameter must not be named `w`: the stem chain's lambdas bind `w`
+    ("pg_stem_word", "word_in STRING", "STRING",
+     "element_at(" + _fts.stemmed_array_sql(
+         "array(regexp_replace(trim(lower(word_in)), '[^a-z0-9]+', ''))",
+         "transform") + ", 1)"),
+    ("ts_headline", "doc STRING, q ARRAY<STRING>", "STRING",
+     # PG default options: matched words wrapped in <b>...</b>. The stem
+     # chain is inlined textually (a SQL UDF cannot take a lambda var as
+     # its argument) and zipped against the original spellings.
+     "CASE WHEN doc IS NULL OR q IS NULL THEN NULL "
+     "ELSE concat_ws(' ', zip_with(split(trim(doc), '\\\\s+'), "
+     + _fts.stemmed_array_sql(
+         "transform(split(trim(doc), '\\\\s+'), "
+         "w -> regexp_replace(lower(w), '[^a-z0-9]+', ''))",
+         "transform")
+     + ", (orig, st) -> CASE WHEN array_contains(q, st) "
+     "THEN concat('<b>', orig, '</b>') ELSE orig END)) END"),
     ("acldefault", "objtype STRING, owner BIGINT", "ARRAY<STRING>",
      "array(concat(pg_get_userbyid(owner), '=', CASE objtype "
      "WHEN 'r' THEN 'arwdDxtm' WHEN 'c' THEN 'rw' WHEN 'd' THEN 'Tc' "

@@ -225,6 +225,27 @@ class TestFullTextSearch:
             "SELECT to_tsvector('simple', 'merging tables') AS v")[0]
         assert list(r.rows())[0][0] == ["merging", "tables"]
 
+    def test_ts_family_round4(self, engine):
+        # ts_headline wraps stem-matched words; ts_rank_cd degenerates to
+        # ts_rank (no positions); vector utilities on the array model
+        r = engine.execute(
+            "SELECT ts_headline('The cats were merging tables', "
+            "plainto_tsquery('cat merge')) AS h, "
+            "ts_rank_cd(to_tsvector('x y z'), plainto_tsquery('x q')) "
+            "AS rcd, "
+            "tsvector_to_array(to_tsvector('simple', 'b c')) AS ta, "
+            "array_to_tsvector(ARRAY['b','a','b']) AS atv, "
+            "ts_delete(ARRAY['a','b'], 'a') AS td, "
+            "setweight(ARRAY['x'], 'A') AS sw, "
+            "strip(ARRAY['x','y']) AS st, "
+            "pg_stem_word('Carries') AS pw")[0]
+        row = list(r.rows())[0]
+        assert row[0] == "The <b>cats</b> were <b>merging</b> tables"
+        assert row[1] == 0.5
+        assert row[2] == ["b", "c"] and row[3] == ["a", "b"]
+        assert row[4] == ["b"] and row[5] == ["x"] and row[6] == ["x", "y"]
+        assert row[7] == "carri"
+
     def test_array_containment_ops(self, engine):
         r = engine.execute(
             "SELECT ARRAY[1,2,3] @> ARRAY[2,1] AS a, "

@@ -272,6 +272,98 @@ def sample_mixture(df: DataFrame, weights: dict[str, float],
 
 
 # ---------------------------------------------------------------------------
+# PII detection / redaction (round 4) — the scrubbing pass a public-web
+# pretraining pipeline runs before release (the rule families are the
+# public CCNet/Dolma/C4 ones: emails, phone numbers, IP addresses).
+# Pure regexp projections — zero shuffle, linear scale — and the regex
+# subset used (char classes, bounded repeats, \b, non-capturing groups)
+# is shared by Java regex and RE2, so a DuckDB oracle replays it 1:1.
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def _pii_count_cols(c: Column) -> list[Column]:
+    cols: list[Column] = []
+    total = None
+    for name, pat, _ in PII_PATTERNS:
+        cnt = (F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+               .cast("bigint"))
+        cols.append(cnt.alias(f"n_{name}"))
+        total = cnt if total is None else total + cnt
+    cols.append(total.alias("n_pii_total"))
+    return cols
+
+
+def pii_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts per category plus the total — the audit
+    table that decides whether a document is dropped or scrubbed."""
+    return df.select(F.col(id_col), *_pii_count_cols(F.col(text_col)))
+
+
+def pii_redact(col: Column) -> Column:
+    """Redacted text: every PII match replaced by its category token, in
+    the fixed PII_PATTERNS order (email before phone before ipv4, so a
+    dotted phone number is never half-eaten by the IP rule)."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Scrubbed corpus: per-category counts (from the pre-redaction text)
+    + redacted text, ONE zero-shuffle projection."""
+    c = F.col(text_col)
+    return df.select(F.col(id_col), *_pii_count_cols(c),
+                     pii_redact(c).alias("text_redacted"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus profile (round 4) — the "domain mixing" audit table:
+# what each source contributes, how duplicated it is, and its quality
+# level, so mixture weights (sample_mixture) can be chosen from data.
+
+def source_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source stats: doc/token/char volume, corpus share, language
+    spread, mean quality, and the exact-duplicate rate inside the source
+    (1 - distinct fingerprints / docs).
+
+    Scale: ONE partial-aggregated groupBy on source; the corpus-share
+    window runs over the aggregated per-source rows only (a bounded,
+    domain-sized result — single-digit to thousands of rows), never over
+    documents."""
+    from pyspark.sql import Window
+    c = F.col(text_col)
+    per = (df.groupBy("source")
+           .agg(F.count("*").cast("bigint").alias("n_docs"),
+                F.sum(token_count(c)).cast("bigint").alias("n_tokens"),
+                F.sum(F.length(c)).cast("bigint").alias("n_chars"),
+                F.count_distinct("lang").cast("bigint").alias("n_langs"),
+                # per-row quantize BEFORE the sum: floor(q*1e6) is an exact
+                # integer, so the aggregate is order-independent (a raw
+                # double sum varies with partition order and breaks the
+                # cross-engine hash gate)
+                F.sum(F.floor(quality_score(c) * 1e6).cast("bigint"))
+                .alias("_qsum"),
+                F.count_distinct(fingerprint(c)).cast("bigint")
+                .alias("_n_uniq")))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (per.select(
+                "source", "n_docs", "n_tokens", "n_chars", "n_langs",
+                F.round(F.col("n_docs") / total, 6).alias("corpus_share"),
+                F.round(F.col("_qsum") / (F.col("n_docs") * 1e6), 6)
+                 .alias("avg_quality"),
+                F.round(1 - F.col("_n_uniq") / F.col("n_docs"), 6)
+                 .alias("exact_dup_rate")))
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing + vocabulary stats (round 4)
 
 def pack_sequences(df: DataFrame, budget_tokens: int,

@@ -3,8 +3,7 @@ similarity search, text analysis (BASELINE.json north-star set).
 
 Oracles replicate the exact arithmetic (portable polynomial hashes, fixed
 stopword list) in DuckDB SQL — list lambdas make minhash/fingerprints
-SQL-expressible. SimHash is rows-only (bit-level fold is impractical in
-the oracle dialect).
+SQL-expressible, and xor+bit_count makes the simhash hamming join exact.
 """
 
 from __future__ import annotations
@@ -299,6 +298,113 @@ def text_paragraph_dedup(spark, sf_dir):
     return sorted_small(dedup.paragraph_dedup(docs), "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 4). The synthetic corpus carries no real PII, so
+# the query grafts deterministic PII onto each document (same arithmetic
+# in both engines) — the regexes are then exercised against actual hits,
+# not vacuous zero counts.
+
+_EMAIL_P, _PHONE_P, _IP_P = (p for _, p, _ in text.PII_PATTERNS)
+
+_PII_AUG_SQL = """text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-123-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END"""
+
+
+@register("text_pii_scrub", oracle=f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_P}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PHONE_P}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_IP_P}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_P}'))
+            + len(regexp_extract_all(text, '{_PHONE_P}'))
+            + len(regexp_extract_all(text, '{_IP_P}')) AS BIGINT) AS n_pii_total,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_EMAIL_P}', '[EMAIL]', 'g'),
+           '{_PHONE_P}', '[PHONE]', 'g'),
+           '{_IP_P}', '[IP]', 'g') AS text_redacted
+FROM aug ORDER BY doc_id
+""")
+def text_pii_scrub(spark, sf_dir):
+    """PII detect + redact (emails / phones / IPv4) over a corpus with
+    deterministically grafted PII; the oracle replays the same grafting
+    and the same regex chain (Java-regex/RE2-shared syntax subset)."""
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                        F.lit("."), ((d * 7) % 256).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.concat(F.lit(" call 555-123-"),
+                        F.lpad(((d * 13) % 10000).cast("string"), 4, "0")))
+         .otherwise(F.lit("")))
+    return (text.pii_scrub(
+                ensure_min_parallelism(docs).select("doc_id",
+                                                    aug.alias("text")))
+            .orderBy("doc_id"))
+
+
+@register("text_source_profile", oracle=f"""
+WITH per_doc AS (
+  SELECT source, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         length(text) AS n_chars,
+         {_duck_hash(_NORM)} AS fp,
+         CAST(floor((
+           least(length(text) / 500.0, 1.0) * 0.3
+           + least((len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    w -> list_contains({_STOP_SQL}, w)))
+                    / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1))
+                   * 4.0, 1.0) * 0.3
+           + (1.0 - least((length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                           / greatest(length(text), 1)) * 5.0, 1.0)) * 0.2
+           + (CASE WHEN (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split_regex(trim(text), '\\s+'),
+                                          w -> CAST(length(w) AS BIGINT))),
+                         (a, b) -> a + b)
+                     / greatest(len(string_split_regex(trim(text), '\\s+')), 1))
+                    BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2
+         ) * 1000000) AS BIGINT) AS q_fixed
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(q_fixed) AS BIGINT) AS qsum,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_uniq
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_tokens, n_chars, n_langs,
+       ROUND(n_docs / (SUM(n_docs) OVER ()), 6) AS corpus_share,
+       ROUND(qsum / (n_docs * 1000000.0), 6) AS avg_quality,
+       ROUND(1 - (n_uniq / n_docs), 6) AS exact_dup_rate
+FROM per_source ORDER BY source
+""")
+def text_source_profile(spark, sf_dir):
+    """Per-source corpus profile (volume, share, language spread, mean
+    quality, exact-dup rate) — the audit table mixture weights are chosen
+    from. Quality is per-row fixed-point quantized BEFORE the sum so the
+    aggregate is order-independent; the oracle replays the same
+    fixed-point arithmetic."""
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    return text.source_profile(docs).orderBy("source")
+
+
 def _minhash_oracle() -> str:
     """DuckDB oracle replicating minhash arithmetic exactly: per-doc gram
     arrays (word-hash combine) then min over (a_i*g + b_i) mod P for the
@@ -407,9 +513,9 @@ def dedup_minhash_lsh(spark, sf_dir):
                         "id_a", "id_b")
 
 
-def _simhash_oracle(bits: int = 48) -> str:
-    """DuckDB oracle for the 48-bit simhash: per word-occurrence hash, bit b
-    contributes +1/-1; bit set iff the sum is positive."""
+def _simhash_sig_cte(bits: int = 48) -> str:
+    """The signature CTE shared by the simhash oracles: per word-occurrence
+    hash, bit b contributes +1/-1; bit set iff the sum is positive."""
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(whs, h -> (h >> {b}) & 1 = 1)) "
         f"> len(whs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
@@ -420,9 +526,27 @@ WITH whs_t AS (
          list_transform(list_filter({_WORDS}, w -> w <> ''),
                         w -> {_duck_hash('w')}) AS whs
   FROM documents WHERE trim(text) <> ''
-)
-SELECT doc_id, {terms} AS simhash
-FROM whs_t ORDER BY doc_id"""
+), sig AS (
+  SELECT doc_id, {terms} AS simhash FROM whs_t
+)"""
+
+
+def _simhash_oracle(bits: int = 48) -> str:
+    return f"""{_simhash_sig_cte(bits)}
+SELECT doc_id, simhash FROM sig ORDER BY doc_id"""
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 48) -> str:
+    """Naive exact hamming self-join — legitimate as the oracle for the
+    CHUNK-BLOCKED Spark plan because the pigeonhole blocking is lossless:
+    6 chunks over 48 bits means any pair within hamming<=5 shares at least
+    one identical chunk, so blocking at max_hamming=3 drops nothing."""
+    return f"""{_simhash_sig_cte(bits)}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b"""
 
 
 @register("dedup_simhash_signatures", oracle=_simhash_oracle())
@@ -433,11 +557,16 @@ def dedup_simhash_signatures(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-@register("dedup_simhash_pairs", oracle=None)
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def dedup_simhash(spark, sf_dir):
+    """Oracled (round 4): the chunk blocking is pigeonhole-exact at
+    max_hamming=3 (<6 chunks), so DuckDB's naive hamming self-join over
+    the same signatures is the full ground truth, not an approximation."""
     docs = t(spark, sf_dir, "documents")
-    return sorted_small(dedup.simhash_near_pairs(docs, max_hamming=3),
-                        "id_a", "id_b")
+    return sorted_small(
+        dedup.simhash_near_pairs(docs, max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("bigint")),
+        "id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

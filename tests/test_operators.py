@@ -477,3 +477,59 @@ class TestFunnel:
         got = {r["stage"]: r["n_users"]
                for r in funnel_counts(ev, ["view", "click"]).collect()}
         assert got == {"view": 2, "click": 1}
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        from datafusion_postgres_spark.operators import text as T
+
+        df = spark.createDataFrame(
+            [(1, "mail me at alice@example.com or bob.smith@corp.co.uk ok"),
+             (2, "server at 192.168.1.17 and call 555-123-4567 today"),
+             (3, "no pii in this one at all")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in T.pii_scrub(df).collect()}
+        assert rows[1]["n_email"] == 2 and rows[1]["n_pii_total"] == 2
+        assert "[EMAIL]" in rows[1]["text_redacted"]
+        assert "alice" not in rows[1]["text_redacted"].split("@")[0] or \
+               "@" not in rows[1]["text_redacted"]
+        assert rows[2]["n_ipv4"] == 1 and rows[2]["n_phone"] == 1
+        assert "[IP]" in rows[2]["text_redacted"]
+        assert "[PHONE]" in rows[2]["text_redacted"]
+        assert rows[3]["n_pii_total"] == 0
+        assert rows[3]["text_redacted"] == "no pii in this one at all"
+
+    def test_phone_not_eaten_by_ip_rule(self, spark):
+        from datafusion_postgres_spark.operators import text as T
+
+        # dotted phone must be redacted as PHONE (pattern order), and a
+        # dotted quad must never match the phone rule
+        df = spark.createDataFrame(
+            [(1, "call 555.123.4567"), (2, "ip 10.0.0.1")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in T.pii_scrub(df).collect()}
+        assert rows[1]["n_phone"] == 1 and rows[1]["n_ipv4"] == 0
+        assert rows[1]["text_redacted"] == "call [PHONE]"
+        assert rows[2]["n_ipv4"] == 1 and rows[2]["n_phone"] == 0
+        assert rows[2]["text_redacted"] == "ip [IP]"
+
+
+class TestSourceProfile:
+    def test_profile_shapes_and_dup_rate(self, spark):
+        from datafusion_postgres_spark.operators import text as T
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat", "en", "web"),
+             (2, "the cat sat on the mat", "en", "web"),   # exact dup
+             (3, "a completely different doc", "de", "web"),
+             (4, "solo document here", "en", "books")],
+            "doc_id long, text string, lang string, source string")
+        rows = {r["source"]: r for r in T.source_profile(df).collect()}
+        web, books = rows["web"], rows["books"]
+        assert web["n_docs"] == 3 and books["n_docs"] == 1
+        assert web["n_langs"] == 2 and books["n_langs"] == 1
+        assert web["corpus_share"] == pytest.approx(0.75, abs=1e-6)
+        assert web["exact_dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+        assert books["exact_dup_rate"] == 0.0
+        assert 0.0 <= web["avg_quality"] <= 1.0
+        assert web["n_tokens"] == 6 + 6 + 4

@@ -76,3 +76,32 @@ def stemmed_array_sql(lexemes_expr: str, transform_fn: str) -> str:
     for step in STEM_STEPS:
         out = f"{transform_fn}({out}, w -> {step})"
     return out
+
+
+def tsquery_group_sql(transform_fn: str, zip_fn: str) -> str:
+    """Compile ONE tsquery conjunct (lambda var ``c``, bound by the
+    caller's transform over the '&'-split) into its '|'-joined OR-group:
+    strip optional parens, split on '|', record '!' negations, clean +
+    stopword-drop + stem each atom (stem skipped for 'simple' config via
+    the outer ``cfg`` parameter), then re-attach '!' prefixes and join.
+
+    Inlined textually into the pg_tsquery_parse SQL UDF because a SQL UDF
+    cannot receive a lambda variable as an argument."""
+    from datafusion_postgres_spark.operators.text import EN_STOPWORDS
+
+    stop = "array(" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + ")"
+    inner = ("split(regexp_replace(trim(c), '^\\\\((.*)\\\\)$', '$1'), "
+             "'\\\\|')")
+    negs = f"{transform_fn}({inner}, x -> startswith(trim(x), '!'))"
+    clean = (f"{transform_fn}({inner}, "
+             "x -> regexp_replace(lower(x), '[^a-z0-9]+', ''))")
+    nostop = (f"{transform_fn}({clean}, "
+              f"x -> CASE WHEN array_contains({stop}, x) THEN '' "
+              "ELSE x END)")
+    stemmed = stemmed_array_sql(nostop, transform_fn)
+    pick = ("CASE WHEN lower(coalesce(cfg, 'english')) LIKE '%simple%' "
+            f"THEN {nostop} ELSE {stemmed} END")
+    return (f"array_join(filter({zip_fn}({pick}, {negs}, "
+            "(s, ng) -> CASE WHEN s = '' OR s IS NULL THEN NULL "
+            "ELSE concat(CASE WHEN ng THEN '!' ELSE '' END, s) END), "
+            "e -> e IS NOT NULL), '|')")

@@ -599,26 +599,60 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
     ("plainto_tsquery", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
      "pg_tsvector_cfg(CASE WHEN b IS NULL THEN NULL ELSE a END, "
      "coalesce(b, a))"),
-    # &/|/! query operators reduce to AND-of-terms (documented
-    # simplification; websearch quotes/minus likewise)
+    # tsquery model (round 4): CNF as ARRAY<STRING> — each element is an
+    # OR-group of '|'-joined lexemes, '!'-prefix negates a lexeme. A
+    # plainto-style plain lexeme array is the degenerate all-singleton
+    # CNF, so the two producers share one consumer (ts_match/ts_rank).
+    # parameter must not be named `w`: the stem chain's lambdas bind `w`
+    ("pg_stem_word", "word_in STRING", "STRING",
+     "element_at(" + _fts.stemmed_array_sql(
+         "array(regexp_replace(trim(lower(word_in)), '[^a-z0-9]+', ''))",
+         "transform") + ", 1)"),
+    # Boolean-syntax parser for the no-nesting subset PG queries actually
+    # use: conjuncts split on '&', a conjunct is an atom, '!atom', or a
+    # parenthesized OR-group '(a | b | !c)'. '<->' (phrase) degrades to
+    # '&' — the positionless tsvector cannot check adjacency (documented).
+    # Lexing + stemming are inlined textually (a SQL UDF cannot take a
+    # lambda var as its argument — same constraint as ts_headline).
+    ("pg_tsquery_parse", "cfg STRING, q STRING", "ARRAY<STRING>",
+     "CASE WHEN q IS NULL THEN NULL ELSE "
+     "filter(transform(split(replace(q, '<->', '&'), '&'), "
+     "c -> " + _fts.tsquery_group_sql("transform", "zip_with") + "), "
+     "g -> g <> '') END"),
     ("to_tsquery", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
-     "pg_tsvector_cfg(CASE WHEN b IS NULL THEN NULL ELSE a END, "
+     "pg_tsquery_parse(CASE WHEN b IS NULL THEN NULL ELSE a END, "
      "coalesce(b, a))"),
+    # websearch: '"..."' phrases -> AND of their words, '-x' -> '!x',
+    # infix 'or' -> '|', remaining whitespace -> '&' — then the boolean
+    # parser above. ('a or b c' -> 'a|b&c' -> CNF [('a'|'b'), 'c'].)
     ("websearch_to_tsquery", "a STRING, b STRING DEFAULT NULL",
      "ARRAY<STRING>",
-     "pg_tsvector_cfg(CASE WHEN b IS NULL THEN NULL ELSE a END, "
-     "coalesce(b, a))"),
+     "pg_tsquery_parse(CASE WHEN b IS NULL THEN NULL ELSE a END, "
+     "regexp_replace(regexp_replace(regexp_replace("
+     "replace(coalesce(b, a), '\"', ''), "
+     "'(?i)\\\\s+or\\\\s+', '|'), "
+     "'(^|\\\\s)-', '$1!'), "
+     "'\\\\s+', '&'))"),
     ("phraseto_tsquery", "a STRING, b STRING DEFAULT NULL", "ARRAY<STRING>",
+     # phrase adjacency unrepresentable without positions: AND of words
      "pg_tsvector_cfg(CASE WHEN b IS NULL THEN NULL ELSE a END, "
      "coalesce(b, a))"),
     ("ts_match", "vec ARRAY<STRING>, q ARRAY<STRING>", "BOOLEAN",
+     # CNF: every group has a satisfied alternative
      "CASE WHEN vec IS NULL OR q IS NULL THEN NULL "
-     "ELSE forall(q, x -> array_contains(vec, x)) END"),
+     "ELSE forall(q, grp -> exists(split(grp, '\\\\|'), "
+     "a2 -> CASE WHEN startswith(a2, '!') "
+     "THEN NOT array_contains(vec, substr(a2, 2)) "
+     "ELSE array_contains(vec, a2) END)) END"),
     ("ts_rank", "vec ARRAY<STRING>, q ARRAY<STRING>", "DOUBLE",
-     # simplified: matched-term fraction (PG weights by frequency/
-     # position, which the positionless vector cannot carry)
+     # simplified: satisfied-group fraction (PG weights by frequency/
+     # position, which the positionless vector cannot carry); equals the
+     # old matched-term fraction on plainto-style plain arrays
      "CASE WHEN vec IS NULL OR q IS NULL OR size(q) = 0 THEN 0.0D "
-     "ELSE cast(size(array_intersect(q, vec)) AS DOUBLE) / size(q) END"),
+     "ELSE cast(size(filter(q, grp -> exists(split(grp, '\\\\|'), "
+     "a2 -> CASE WHEN startswith(a2, '!') "
+     "THEN NOT array_contains(vec, substr(a2, 2)) "
+     "ELSE array_contains(vec, a2) END))) AS DOUBLE) / size(q) END"),
     # round 4: the rest of the ts family (all documented against our
     # positionless ARRAY<STRING> tsvector model)
     ("ts_rank_cd", "vec ARRAY<STRING>, q ARRAY<STRING>", "DOUBLE",
@@ -633,11 +667,6 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      "vec"),  # weights unrepresentable; identity keeps queries runnable
     ("ts_delete", "vec ARRAY<STRING>, lex STRING", "ARRAY<STRING>",
      "array_remove(vec, lex)"),
-    # parameter must not be named `w`: the stem chain's lambdas bind `w`
-    ("pg_stem_word", "word_in STRING", "STRING",
-     "element_at(" + _fts.stemmed_array_sql(
-         "array(regexp_replace(trim(lower(word_in)), '[^a-z0-9]+', ''))",
-         "transform") + ", 1)"),
     ("ts_headline", "doc STRING, q ARRAY<STRING>", "STRING",
      # PG default options: matched words wrapped in <b>...</b>. The stem
      # chain is inlined textually (a SQL UDF cannot take a lambda var as

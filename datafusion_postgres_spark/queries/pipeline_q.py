@@ -868,6 +868,33 @@ def text_fts_search(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@register("text_fts_boolean", oracle=f"""
+WITH v AS (SELECT doc_id, {_TSVEC} AS vec FROM documents),
+r AS (SELECT doc_id,
+        ((CASE WHEN list_contains(vec, 'window') THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(vec, 'merg')
+                   OR list_contains(vec, 'hash') THEN 1 ELSE 0 END)
+         + (CASE WHEN NOT list_contains(vec, 'stream') THEN 1 ELSE 0 END))
+          AS n_sat
+      FROM v)
+SELECT doc_id, ROUND(n_sat / 3.0, 6) AS rank
+FROM r WHERE n_sat >= 2 ORDER BY doc_id
+""")
+def text_fts_boolean(spark, sf_dir):
+    """Boolean tsquery semantics (round 4): AND / parenthesized OR / NOT
+    via the CNF tsquery model — to_tsquery('window & (merge | hash) &
+    !stream'), ranked by satisfied-group fraction. The oracle hardcodes
+    the compiled CNF (group satisfaction per doc) over the same stemmed
+    tsvector."""
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    q = "to_tsquery('window & (merge | hash) & !stream')"
+    return (docs.select("doc_id", F.expr("to_tsvector(text)").alias("vec"))
+            .withColumn("rank", F.round(F.expr(f"ts_rank(vec, {q})"), 6))
+            .where(F.col("rank") >= 0.5)
+            .select("doc_id", "rank")
+            .orderBy("doc_id"))
+
+
 @register("dedup_decontaminate", oracle=f"""
 WITH {_JACCARD_CTES},
 eval_g AS (SELECT DISTINCT gram_hash FROM sh WHERE id < 50),

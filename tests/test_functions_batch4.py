@@ -246,6 +246,42 @@ class TestFullTextSearch:
         assert row[4] == ["b"] and row[5] == ["x"] and row[6] == ["x", "y"]
         assert row[7] == "carri"
 
+    def test_tsquery_boolean_cnf(self, engine):
+        # round 4: real & | ! ( ) and <-> parsing — CNF as an array of
+        # '|'-joined OR-groups with '!' negation prefixes
+        r = engine.execute(
+            "SELECT to_tsquery('fat & (cat | rat) & !dog') AS q1, "
+            "to_tsquery('simple', 'Running & (Cats | rats)') AS q2, "
+            "to_tsquery('carry <-> merge') AS q3, "
+            "to_tsquery('the & cat') AS q4")[0]
+        row = list(r.rows())[0]
+        assert row[0] == ["fat", "cat|rat", "!dog"]
+        assert row[1] == ["running", "cats|rats"]   # simple: unstemmed
+        assert row[2] == ["carri", "merg"]          # phrase -> AND
+        assert row[3] == ["cat"]                    # stopword atom drops
+
+    def test_tsquery_match_or_not(self, engine):
+        r = engine.execute(
+            "SELECT to_tsvector('a fat cat') @@ "
+            "to_tsquery('fat & (cat | rat) & !dog') AS hit, "
+            "to_tsvector('a fat dog') @@ to_tsquery('fat & !dog') AS neg, "
+            "to_tsvector('a fat rat') @@ "
+            "to_tsquery('fat & (cat | rat)') AS alt, "
+            "ts_rank(ARRAY['window','hash'], "
+            "to_tsquery('window & (merge | hash) & !stream')) AS rnk")[0]
+        row = list(r.rows())[0]
+        assert row[0] is True and row[1] is False and row[2] is True
+        assert row[3] == 1.0
+
+    def test_websearch_to_tsquery(self, engine):
+        r = engine.execute(
+            "SELECT websearch_to_tsquery('\"fat cat\" or rat -dog') AS q, "
+            "to_tsvector('fat cats everywhere') @@ "
+            "websearch_to_tsquery('fat cat -dog') AS hit")[0]
+        row = list(r.rows())[0]
+        assert row[0] == ["fat", "cat|rat", "!dog"]
+        assert row[1] is True
+
     def test_array_containment_ops(self, engine):
         r = engine.execute(
             "SELECT ARRAY[1,2,3] @> ARRAY[2,1] AS a, "

@@ -13,6 +13,8 @@ Grammar (the subset real clients use; documented deviations below):
     predicate := conj ('||' conj)*
     conj      := cmp ('&&' cmp)*
     cmp       := '(' predicate ')' | 'exists' '(' operand ')'
+               | operand 'like_regex' string ('flag' string)?
+               | operand 'starts' 'with' string
                | operand (op operand)?
     operand   := ('@' | '$') step* | literal
     op        := == != <> < <= > >=
@@ -20,8 +22,9 @@ Grammar (the subset real clients use; documented deviations below):
 
 Semantics follow PG's LAX mode: member access auto-unwraps arrays, and
 comparisons are EXISTENTIAL (true if any produced pair satisfies the
-operator). Not implemented: like_regex, starts with, arithmetic inside
-paths, strict mode.
+operator). like_regex is a partial match (PG's ~ semantics) honoring
+the i/s/m/x flags; starts with compares string prefixes. Not
+implemented: arithmetic inside paths, strict mode, the q flag.
 
 The engine routes to this evaluator (vectorized Pandas UDF) only when
 the path contains a filter/predicate; plain member/subscript paths stay
@@ -137,7 +140,25 @@ class _Parser:
             self.next()
             right = self.parse_operand()
             return ("cmp", op, left, right)
+        if op == "like_regex":
+            self.next()
+            pat = self._string_lit()
+            flags = ""
+            if self.peek() == "flag":
+                self.next()
+                flags = self._string_lit()
+            return ("like_regex", left, pat, flags)
+        if op == "starts":
+            self.next()
+            self.expect("with")
+            return ("starts", left, self._string_lit())
         return ("truth", left)
+
+    def _string_lit(self) -> str:
+        t = self.next()
+        if not t or t[0] not in ("'", '"'):
+            raise ValueError(f"jsonpath: expected string literal, got {t!r}")
+        return re.sub(r"\\(.)", r"\1", t[1:-1])
 
     def parse_operand(self):
         t = self.peek()
@@ -244,6 +265,26 @@ def _eval_pred(node, current, root_values) -> bool:
     if tag == "truth":
         _isp, vals = _operand_values(node[1], current, root_values)
         return any(v is True for v in vals)
+    if tag in ("like_regex", "starts"):
+        isp, vals = _operand_values(node[1], current, root_values)
+        if isp:  # lax: unwrap arrays on the path side
+            flat: list = []
+            for v in vals:
+                flat.extend(v) if isinstance(v, list) else flat.append(v)
+            vals = flat
+        if tag == "starts":
+            return any(isinstance(v, str) and v.startswith(node[2])
+                       for v in vals)
+        f = 0
+        for ch, bit in (("i", re.IGNORECASE), ("s", re.DOTALL),
+                        ("m", re.MULTILINE), ("x", re.VERBOSE)):
+            if ch in node[3]:
+                f |= bit
+        try:
+            rx = re.compile(node[2], f)
+        except re.error:
+            return False
+        return any(isinstance(v, str) and rx.search(v) for v in vals)
     if tag == "cmp":
         _op, op, left, right = node
         lp, lvals = _operand_values(left, current, root_values)

@@ -33,7 +33,7 @@ from datafusion_postgres_spark.functions import fts as _fts  # noqa: E402
 # predicate syntax (?, comparisons, &&/||, exists) — anything beyond the
 # member/subscript subset get_json_object speaks
 _JSONPATH_COMPLEX = (
-    "p RLIKE '[?<>!]|==|&&|\\\\|\\\\||exists\\\\('")
+    "p RLIKE '[?<>!]|==|&&|\\\\|\\\\||exists\\\\(|like_regex|starts with'")
 
 SQL_UDFS: list[tuple[str, str, str, str]] = [
     # -- degree trigonometry (reference: src/numeric/degree_trig.rs) -------

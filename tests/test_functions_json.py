@@ -162,6 +162,42 @@ class TestJsonpathFilters:
         assert row.a == '{"p":15}'
         assert row.b is False and row.c is True
 
+    def test_like_regex_and_starts_with_unit(self):
+        from datafusion_postgres_spark.functions import jsonpath as J
+
+        doc = ('{"items":[{"name":"alpha","v":1},{"name":"Beta","v":5},'
+               '{"name":"gamma","v":9}]}')
+        assert J.query(doc, '$.items[*] ? (@.name like_regex "^a")') == \
+            [{"name": "alpha", "v": 1}]
+        # flag "i": case-insensitive
+        assert J.query(doc, '$.items[*] ? (@.name like_regex "^b" '
+                            'flag "i")') == [{"name": "Beta", "v": 5}]
+        # partial match (PG ~ semantics), not anchored
+        assert J.query(doc, '$.items[*].name ? (@ like_regex "ta$")') == \
+            ["Beta"]
+        assert J.query(doc, '$.items[*] ? (@.name starts with "ga")') == \
+            [{"name": "gamma", "v": 9}]
+        # predicate forms
+        assert J.query('{"a":"hello"}', '$.a like_regex "ell"') == [True]
+        assert J.query('{"a":"hello"}', '$.a starts with "he"') == [True]
+        assert J.query('{"a":"hello"}', '$.a starts with "x"') == [False]
+        # non-strings never match
+        assert J.query('{"a":[1,2]}', '$.a[*] ? (@ like_regex ".")') == []
+
+    def test_like_regex_via_sql_udfs(self, spark):
+        row = spark.sql(
+            "SELECT jsonb_path_exists("
+            "'{\"tags\":[\"prod\",\"staging\"]}', "
+            "'$.tags[*] ? (@ like_regex \"^pr\")') AS a, "
+            "jsonb_path_query_first("
+            "'{\"users\":[{\"n\":\"bob\"},{\"n\":\"alice\"}]}', "
+            "'$.users[*] ? (@.n starts with \"al\")') AS b, "
+            "jsonb_path_match('{\"a\":\"xyz\"}', "
+            "'$.a like_regex \"y\"') AS c").collect()[0]
+        assert row.a is True
+        assert row.b == '{"n":"alice"}'
+        assert row.c is True
+
     def test_simple_paths_unchanged(self, spark):
         row = spark.sql(
             "SELECT jsonb_path_query_first('{\"a\":{\"b\":7}}', '$.a.b') "

@@ -556,3 +556,56 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
         F.col("n_overlap"),
         F.round(F.col("n_overlap") / F.col("set_size"), 6)
         .alias("overlap_ratio"))
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.38,
+                   n_clusters: int = 16, kmeans_iters: int = 3,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop every vector that has a LOWER-id neighbor with cosine
+    similarity >= ``threshold`` (greedy keep-first — deterministic, no
+    random tie-breaks). Returns ``(vec_id, cluster_id, kept)``.
+
+    Scale shape: clustering is spherical k-means (broadcast-assign, ONE
+    partial-agg groupBy per iteration — see
+    :func:`~.similarity.kmeans_centroids`); the pairwise cosine runs ONLY
+    within a cluster (self-join keyed on cluster id), so the quadratic
+    term is bounded by the largest cluster, not the corpus — the whole
+    point of SemDedup versus :func:`embedding_cosine_pairs`. A skewed
+    giant cluster is the known failure mode: raise ``n_clusters`` so
+    clusters stay O(corpus/k), and AQE's skew-join split handles residual
+    imbalance.
+
+    ``kmeans_iters=0`` uses the first-n-by-id seed centroids
+    (:func:`~.similarity.deterministic_centroids`) — fully
+    SQL-expressible, which is what makes the registered query
+    end-to-end oracle-able in DuckDB.
+    """
+    from datafusion_postgres_spark.operators.similarity import (
+        cosine_similarity, deterministic_centroids, ivf_assign,
+        kmeans_centroids,
+    )
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(emb, n_clusters, kmeans_iters,
+                                 vec_col, id_col)
+    else:
+        cents = deterministic_centroids(emb, n_clusters, vec_col, id_col)
+    assigned = ivf_assign(emb, cents, vec_col=vec_col, id_col=id_col).cache()
+    a = assigned.select(F.col("centroid_id"), F.col("vec_id").alias("id_a"),
+                        F.col("vec").alias("va"))
+    b = assigned.select(F.col("centroid_id"), F.col("vec_id").alias("id_b"),
+                        F.col("vec").alias("vb"))
+    dropped = (a.join(b, "centroid_id")
+               .where(F.col("id_a") < F.col("id_b"))
+               .withColumn("cos_sim",
+                           cosine_similarity(F.col("va"), F.col("vb")))
+               .where(F.col("cos_sim") >= threshold)
+               .select(F.col("id_b").alias("vec_id"))
+               .distinct()
+               .withColumn("dropped", F.lit(True)))
+    return (assigned.join(dropped, "vec_id", "left")
+            .select("vec_id",
+                    F.col("centroid_id").cast("bigint").alias("cluster_id"),
+                    F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept")))

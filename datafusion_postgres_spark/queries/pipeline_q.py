@@ -720,6 +720,59 @@ def dedup_embedding_lsh(spark, sf_dir):
         "id_a", "id_b")
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine with the engine's exact left-to-right fold order."""
+    dot = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           f"list_transform(generate_series(1, len({a})), "
+           f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+           f"(acc, v) -> acc + v)")
+    return f"{dot} / ({_VSQ.format(v=a)} * {_VSQ.format(v=b)})"
+
+
+@register("dedup_semantic", oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_cos_sql('e.embedding', 'c.cvec')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM assigned x
+  JOIN assigned y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+  WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= 0.38
+)
+SELECT a.vec_id, CAST(a.centroid_id AS BIGINT) AS cluster_id,
+       (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+""")
+def dedup_semantic(spark, sf_dir):
+    """SemDedup (cluster then within-cluster near-dup drop), end-to-end
+    oracled: kmeans_iters=0 uses the first-n-by-id seed centroids, so
+    DuckDB replays centroid choice, argmax-cosine assignment (same fold
+    order, same ties), within-cluster pairs, and the keep-lowest-id rule.
+    Production callers use kmeans_iters>0 for real clusters (pytest-pinned
+    determinism)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sorted_small(
+        dedup.semantic_dedup(emb, threshold=0.38, n_clusters=16,
+                             kmeans_iters=0),
+        "vec_id")
+
+
 @register("sim_cosine_lsh", oracle=None)
 def sim_lsh(spark, sf_dir):
     """LSH-bucketed approximate neighbors (approximation set is

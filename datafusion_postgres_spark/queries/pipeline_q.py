@@ -405,6 +405,64 @@ def text_source_profile(spark, sf_dir):
     return text.source_profile(docs).orderBy("source")
 
 
+@register("text_shuffle_sharded", oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         {_duck_hash("'42|' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h ORDER BY doc_id
+""")
+def text_shuffle_sharded(spark, sf_dir):
+    """Seeded reproducible training-order shuffle: (shard, pos) from the
+    portable hash of seed|doc_id — the same order on any engine, run, or
+    partitioning. Oracle replays hash → shard mod → per-shard rank."""
+    docs = t(spark, sf_dir, "documents")
+    return sorted_small(text.shuffle_sharded(docs, seed=42, n_shards=8),
+                        "doc_id")
+
+
+def _duck_entropy(items: str, bound: int) -> str:
+    """DuckDB replay of operators.text._entropy: fold -p*ln(p) over the
+    SORTED distinct elements of the first ``bound`` items (fixed order →
+    engine-identical float sum)."""
+    win = f"list_slice({items}, 1, {bound})"
+    return f"""(
+  SELECT CASE WHEN len(win) <= 0 THEN 0.0 ELSE
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(list_sort(list_distinct(win)),
+        x -> -((len(list_filter(win, y -> y = x)) / len(win))
+               * ln(len(list_filter(win, y -> y = x)) / len(win))))),
+      (acc, v) -> acc + v) END
+  FROM (SELECT {win} AS win))"""
+
+
+@register("text_entropy", oracle=f"""
+SELECT doc_id,
+       ROUND({_duck_entropy(
+           "list_filter(string_split_regex(lower(text), ''), x -> x <> '')",
+           512)}, 6) + 0.0 AS char_entropy,
+       ROUND({_duck_entropy(
+           f"list_filter({_WORDS}, x -> x <> '')", 256)}, 6) + 0.0
+         AS word_entropy,
+       CAST(len(list_distinct(list_slice(
+           list_filter({_WORDS}, x -> x <> ''), 1, 256))) AS BIGINT)
+         AS distinct_words
+FROM documents ORDER BY doc_id
+""")
+def text_entropy(spark, sf_dir):
+    """Character/word Shannon entropy per doc — the UDF-free gibberish
+    and repetition signal (CCNet-style LM-perplexity stand-in). Oracle
+    replays the identical sorted-distinct fold (a - p*ln(p) stepwise ==
+    acc + (-(p*ln(p))) in IEEE arithmetic), with round(6)+0.0 absorbing
+    libm last-ulp differences."""
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    return text.entropy_metrics(docs).orderBy("doc_id")
+
+
 def _minhash_oracle() -> str:
     """DuckDB oracle replicating minhash arithmetic exactly: per-doc gram
     arrays (word-hash combine) then min over (a_i*g + b_i) mod P for the

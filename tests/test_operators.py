@@ -563,3 +563,42 @@ class TestSourceProfile:
         assert books["exact_dup_rate"] == 0.0
         assert 0.0 <= web["avg_quality"] <= 1.0
         assert web["n_tokens"] == 6 + 6 + 4
+
+
+class TestShuffleSharded:
+    def test_reproducible_and_seed_sensitive(self, spark):
+        from datafusion_postgres_spark.operators import text as T
+
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = sorted(map(tuple, T.shuffle_sharded(df, seed=1,
+                                                n_shards=8).collect()))
+        b = sorted(map(tuple, T.shuffle_sharded(df, seed=1,
+                                                n_shards=8).collect()))
+        c = sorted(map(tuple, T.shuffle_sharded(df, seed=2,
+                                                n_shards=8).collect()))
+        assert a == b          # same seed -> identical order
+        assert a != c          # different seed -> different order
+        assert len(a) == 500
+        # positions are a dense 0..k-1 sequence within every shard
+        by_shard = {}
+        for _id, shard, pos in a:
+            by_shard.setdefault(shard, []).append(pos)
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+
+
+class TestEntropy:
+    def test_entropy_orders_texts(self, spark):
+        from datafusion_postgres_spark.operators import text as T
+
+        df = spark.createDataFrame(
+            [(1, "aaaa aaaa aaaa aaaa"),                 # degenerate
+             (2, "the quick brown fox jumps over dogs"),  # natural
+             (3, "")],                                    # empty
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in T.entropy_metrics(df).collect()}
+        assert rows[1]["char_entropy"] < rows[2]["char_entropy"]
+        assert rows[1]["word_entropy"] == 0.0   # single repeated word
+        assert rows[2]["word_entropy"] > 1.5    # 7 distinct words: ln(7)
+        assert rows[3]["char_entropy"] == 0.0
+        assert rows[2]["distinct_words"] == 7

@@ -35,6 +35,34 @@ from datafusion_postgres_spark.functions import fts as _fts  # noqa: E402
 _JSONPATH_COMPLEX = (
     "p RLIKE '[?<>!]|==|&&|\\\\|\\\\||exists\\\\(|like_regex|starts with'")
 
+
+def _ts_headline_body() -> str:
+    """ts_headline SQL body: mark matches with StartSel/StopSel; with an
+    options string, return one MaxWords fragment anchored at the first
+    matched word. Subexpressions are inlined repeatedly because SQL UDF
+    bodies have no lets."""
+    toks = "split(trim(doc), '\\\\s+')"
+    stems = _fts.stemmed_array_sql(
+        f"transform({toks}, "
+        "w -> regexp_replace(lower(w), '[^a-z0-9]+', ''))", "transform")
+    ssel = ("coalesce(nullif(regexp_extract(opts, "
+            "'StartSel *= *([^,]+)', 1), ''), '<b>')")
+    esel = ("coalesce(nullif(regexp_extract(opts, "
+            "'StopSel *= *([^,]+)', 1), ''), '</b>')")
+    marked = (f"zip_with({toks}, {stems}, (orig, st) -> "
+              "CASE WHEN array_contains(q, st) "
+              f"THEN concat({ssel}, orig, {esel}) ELSE orig END)")
+    maxw = ("coalesce(try_cast(regexp_extract(opts, "
+            "'MaxWords *= *([0-9]+)', 1) AS INT), 35)")
+    first_match = (f"coalesce(try_element_at(filter(sequence(1, "
+                   f"size({toks})), "
+                   f"i -> array_contains(q, element_at({stems}, i))), 1), 1)")
+    start = f"greatest(1, least({first_match}, size({toks}) - {maxw} + 1))"
+    return ("CASE WHEN doc IS NULL OR q IS NULL THEN NULL "
+            f"WHEN opts IS NULL THEN concat_ws(' ', {marked}) "
+            f"ELSE concat_ws(' ', slice({marked}, {start}, {maxw})) END")
+
+
 SQL_UDFS: list[tuple[str, str, str, str]] = [
     # -- degree trigonometry (reference: src/numeric/degree_trig.rs) -------
     ("sind", "x DOUBLE", "DOUBLE", "sin(radians(x))"),
@@ -667,18 +695,17 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
      "vec"),  # weights unrepresentable; identity keeps queries runnable
     ("ts_delete", "vec ARRAY<STRING>, lex STRING", "ARRAY<STRING>",
      "array_remove(vec, lex)"),
-    ("ts_headline", "doc STRING, q ARRAY<STRING>", "STRING",
-     # PG default options: matched words wrapped in <b>...</b>. The stem
-     # chain is inlined textually (a SQL UDF cannot take a lambda var as
-     # its argument) and zipped against the original spellings.
-     "CASE WHEN doc IS NULL OR q IS NULL THEN NULL "
-     "ELSE concat_ws(' ', zip_with(split(trim(doc), '\\\\s+'), "
-     + _fts.stemmed_array_sql(
-         "transform(split(trim(doc), '\\\\s+'), "
-         "w -> regexp_replace(lower(w), '[^a-z0-9]+', ''))",
-         "transform")
-     + ", (orig, st) -> CASE WHEN array_contains(q, st) "
-     "THEN concat('<b>', orig, '</b>') ELSE orig END)) END"),
+    ("ts_headline", "doc STRING, q ARRAY<STRING>, opts STRING DEFAULT NULL",
+     "STRING",
+     # Matched words wrapped in StartSel/StopSel (default <b>/</b>). With
+     # an options string, a single MaxWords-long fragment anchored at the
+     # first match is returned (PG picks the best cover; we take the
+     # first — documented simplification. MinWords is honored implicitly:
+     # the fragment is MaxWords long whenever the doc allows, and PG
+     # requires MaxWords > MinWords). The stem chain is inlined textually
+     # (a SQL UDF cannot take a lambda var as its argument) and zipped
+     # against the original spellings.
+     _ts_headline_body()),
     ("acldefault", "objtype STRING, owner BIGINT", "ARRAY<STRING>",
      "array(concat(pg_get_userbyid(owner), '=', CASE objtype "
      "WHEN 'r' THEN 'arwdDxtm' WHEN 'c' THEN 'rw' WHEN 'd' THEN 'Tc' "

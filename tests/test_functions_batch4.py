@@ -246,6 +246,23 @@ class TestFullTextSearch:
         assert row[4] == ["b"] and row[5] == ["x"] and row[6] == ["x", "y"]
         assert row[7] == "carri"
 
+    def test_ts_headline_options(self, engine):
+        # round 4: options string — StartSel/StopSel/MaxWords honored;
+        # fragment anchored at the first matched word
+        long_doc = " ".join(f"w{i}" for i in range(30)) + \
+            " merging tables " + " ".join(f"z{i}" for i in range(30))
+        r = engine.execute(
+            f"SELECT ts_headline('{long_doc}', plainto_tsquery('merge'), "
+            "'MaxWords=5, MinWords=2') AS frag, "
+            "ts_headline('big cats here', plainto_tsquery('cat'), "
+            "'StartSel=<<, StopSel=>>, MaxWords=10') AS sel, "
+            "ts_headline('no match at all in here', "
+            "plainto_tsquery('zebra'), 'MaxWords=3') AS nomatch")[0]
+        row = list(r.rows())[0]
+        assert row[0] == "<b>merging</b> tables z0 z1 z2"
+        assert row[1] == "big <<cats>> here"
+        assert row[2] == "no match at"   # no match: doc head, MaxWords
+
     def test_tsquery_boolean_cnf(self, engine):
         # round 4: real & | ! ( ) and <-> parsing — CNF as an array of
         # '|'-joined OR-groups with '!' negation prefixes

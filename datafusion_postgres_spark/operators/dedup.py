@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from datafusion_postgres_spark.operators.text import (
-    FP_MOD, ensure_min_parallelism, norm_text, word_fingerprint, words,
+    FP_MOD, ensure_min_parallelism, fingerprint, norm_text,
+    word_fingerprint, words,
 )
 
 # LCG parameters for the k minhash permutations: h_i(x) = (a_i*x + b_i) % P
@@ -609,3 +610,29 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.38,
             .select("vec_id",
                     F.col("centroid_id").cast("bigint").alias("cluster_id"),
                     F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept")))
+
+
+def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Incremental-ingest dedup: keep only the new documents whose
+    normalized-text fingerprint appears neither in the existing corpus
+    nor earlier (lower id) within the new batch itself — the per-drop
+    filter a continuously-growing corpus applies on every ingest.
+
+    Scale shape: the corpus side reduces to DISTINCT fingerprints (one
+    narrow bigint column) before the join — at ingest scale that
+    fingerprint table is maintained as a bucketed table keyed on the
+    fingerprint, so the anti-join is co-located and the raw corpus text
+    is never rescanned. Within-batch: one groupBy(min id) on the batch
+    (small by definition)."""
+    fp = fingerprint(F.col(text_col))
+    seen = (corpus.select(fp.alias("fp")).distinct())
+    batch = new_docs.withColumn("fp", fp)
+    first_in_batch = (batch.groupBy("fp")
+                      .agg(F.min(id_col).alias("keep_id")))
+    return (batch
+            .join(seen, "fp", "left_anti")
+            .join(first_in_batch.select("keep_id"),
+                  batch[id_col] == F.col("keep_id"), "left_semi")
+            .drop("fp"))

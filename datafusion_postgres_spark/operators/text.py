@@ -485,3 +485,39 @@ def entropy_metrics(df: DataFrame, text_col: str = "text",
         F.size(F.array_distinct(F.slice(ws, 1, word_window)))
         .cast("bigint").alias("distinct_words"),
     )
+
+
+def chunk_documents(df: DataFrame, window: int = 128, stride: int = 96,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split every document into word-window chunks of ``window`` words
+    advancing by ``stride`` (overlap = window - stride) — the standard
+    context-window preprocessing for embedding models and long-doc
+    training. Chunk starts are 1, 1+stride, 1+2*stride, …; the last
+    chunk may be short but is never empty; a doc shorter than ``window``
+    yields exactly one chunk.
+
+    Pure map-side explode (no shuffle): chunk count rides the data, so
+    100 TB chunks with the scan's parallelism. Returns
+    (id, chunk_id, n_chunk_words, chunk_text)."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    c = F.col(text_col)
+    ws = F.filter(words(norm_text(c)), lambda w: w != "")
+    n = F.size(ws)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - window + stride, F.lit(1)),
+        F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / stride).cast("bigint").alias("chunk_id"),
+            F.slice(ws, s, window).alias("cw")))
+    return (df.where(n > 0)
+            .select(F.col(id_col),
+                    F.explode(chunks).alias("ch"))
+            .select(id_col,
+                    F.col("ch.chunk_id").alias("chunk_id"),
+                    F.size("ch.cw").cast("bigint").alias("n_chunk_words"),
+                    F.array_join("ch.cw", " ").alias("chunk_text")))

@@ -463,6 +463,70 @@ def text_entropy(spark, sf_dir):
     return text.entropy_metrics(docs).orderBy("doc_id")
 
 
+@register("text_chunk_documents", oracle=f"""
+WITH ws_t AS (
+  SELECT doc_id, list_filter({_WORDS}, w -> w <> '') AS ws
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws) - 16 + 12, 1), 12)) AS s
+  FROM ws_t WHERE len(ws) > 0
+)
+SELECT doc_id, CAST((s - 1) / 12 AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(ws, s, s + 15)) AS BIGINT) AS n_chunk_words,
+       array_to_string(list_slice(ws, s, s + 15), ' ') AS chunk_text
+FROM starts ORDER BY doc_id, chunk_id
+""")
+def text_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 16-word windows advancing by 12 (4-word
+    overlap) — map-side explode, no shuffle. Oracle replays starts
+    sequence + slices verbatim."""
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    return sorted_small(text.chunk_documents(docs, window=16, stride=12),
+                        "doc_id", "chunk_id")
+
+
+@register("dedup_incremental", oracle=f"""
+WITH base AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+newb AS (
+  SELECT doc_id, text, lang, source, n_chars FROM base WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 1000, text, lang, source, n_chars FROM base
+  WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 3000, text, lang, source, n_chars FROM base
+  WHERE doc_id >= 250 AND doc_id < 275
+),
+fp_c AS (SELECT DISTINCT {_duck_hash(_NORM)} AS fp FROM base
+         WHERE doc_id < 250),
+fp_b AS (SELECT doc_id, text, lang, source, n_chars,
+                {_duck_hash(_NORM)} AS fp
+         FROM newb),
+firsts AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp_b GROUP BY fp)
+SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+FROM fp_b b JOIN firsts f ON b.doc_id = f.keep_id
+WHERE b.fp NOT IN (SELECT fp FROM fp_c)
+ORDER BY b.doc_id
+""")
+def dedup_incremental_q(spark, sf_dir):
+    """Incremental-ingest dedup. The corpus has no natural exact dups, so
+    the 'new batch' is constructed with grafted collisions (same grafts in
+    the oracle): 50 re-ingested corpus texts under new ids (corpus-hit
+    drops) and 25 duplicates of batch members (first-in-batch drops).
+    Survivors collide with neither the corpus fingerprint set nor an
+    earlier batch row."""
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    corpus = docs.where(d < 250)
+    new = (docs.where(d >= 250)
+           .unionByName(docs.where(d < 50)
+                        .withColumn("doc_id", d + 1000))
+           .unionByName(docs.where((d >= 250) & (d < 275))
+                        .withColumn("doc_id", d + 3000)))
+    return sorted_small(dedup.dedup_incremental(new, corpus), "doc_id")
+
+
 def _minhash_oracle() -> str:
     """DuckDB oracle replicating minhash arithmetic exactly: per-doc gram
     arrays (word-hash combine) then min over (a_i*g + b_i) mod P for the

@@ -602,3 +602,51 @@ class TestEntropy:
         assert rows[2]["word_entropy"] > 1.5    # 7 distinct words: ln(7)
         assert rows[3]["char_entropy"] == 0.0
         assert rows[2]["distinct_words"] == 7
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        from datafusion_postgres_spark.operators import text as T
+
+        ws = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, ws), (2, "short doc"), (3, "")],
+                                   "doc_id long, text string")
+        rows = [(r["doc_id"], r["chunk_id"], r["n_chunk_words"],
+                 r["chunk_text"])
+                for r in T.chunk_documents(df, window=4, stride=3)
+                .orderBy("doc_id", "chunk_id").collect()]
+        d1 = [r for r in rows if r[0] == 1]
+        # starts 1,4,7 -> 3 chunks fully covering all 10 words
+        assert [r[1] for r in d1] == [0, 1, 2]
+        assert d1[0][3] == "w0 w1 w2 w3"
+        assert d1[1][3] == "w3 w4 w5 w6"     # 1-word overlap
+        assert d1[2][3] == "w6 w7 w8 w9"
+        # every word appears in at least one chunk
+        covered = {w for r in d1 for w in r[3].split()}
+        assert covered == {f"w{i}" for i in range(10)}
+        # short doc -> exactly one chunk; empty doc -> none
+        assert [r for r in rows if r[0] == 2] == [(2, 0, 2, "short doc")]
+        assert not [r for r in rows if r[0] == 3]
+
+    def test_bad_params(self, spark):
+        from datafusion_postgres_spark.operators import text as T
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            T.chunk_documents(df, window=4, stride=0)
+
+
+class TestIncrementalDedup:
+    def test_corpus_and_batch_collisions(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "known document one"), (2, "known document two")],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(10, "brand new text"),
+             (11, "Known  Document One"),    # corpus hit (normalized)
+             (12, "another fresh doc"),
+             (13, "another fresh doc"),      # within-batch dup of 12
+             (14, "third novel text")],
+            "doc_id long, text string")
+        kept = sorted(r["doc_id"] for r in
+                      dedup.dedup_incremental(new, corpus).collect())
+        assert kept == [10, 12, 14]

@@ -139,3 +139,119 @@ def frame_sample_plan(video: DataFrame, every_n_seconds: int = 5) -> DataFrame:
                                          F.lit(every_n_seconds)))
                     .alias("frame_ts"))
             .where(F.col("media_type").startswith("audio") == False))  # noqa: E712
+
+
+def resize_batch(media: DataFrame, max_side: int = 256,
+                 fake_decode: bool = True,
+                 batch_size: int = 256) -> DataFrame:
+    """Resize plumbing over mapInPandas: emits the resized dimensions
+    (aspect-preserving fit into a max_side box) plus a `content_resized`
+    BINARY column. The pixel work is env-blocked like decode_image — the
+    deterministic fake derives dimensions from the checksum and stands in
+    truncated source bytes for the payload, so schema, batching, and
+    binary-column round-trip through Arrow are tested with exact values.
+
+    Scale: same shape as extract_metadata — no shuffle, linear scan,
+    constant memory per worker; at cluster scale the batch loop is where
+    a GPU/libvips pool plugs in."""
+    import math
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("orig_width", IntegerType()),
+        StructField("orig_height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("content_resized", BinaryType()),
+    ])
+
+    def resize_one(content: bytes) -> dict:
+        meta = decode_image(content, fake=fake_decode)
+        w, h = meta["width"], meta["height"]
+        scale = min(1.0, max_side / max(w, h))
+        nw, nh = max(1, math.floor(w * scale)), max(1, math.floor(h * scale))
+        # fake payload: size shrinks with the pixel count
+        keep = max(1, int(len(content) * (nw * nh) / (w * h)))
+        return {"orig_width": w, "orig_height": h,
+                "new_width": nw, "new_height": nh,
+                "content_resized": content[:keep]}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [resize_one(c) for c in pdf["content"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out
+
+    return media.mapInPandas(batches, out_schema)
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 30_000,
+                     overlap_ms: int = 5_000) -> DataFrame:
+    """Audio chunking *plan*: (doc_id, chunk_id, start_ms, end_ms) rows
+    driving a downstream transcription/feature stage — same philosophy as
+    frame_sample_plan: the grid is pure SQL (explode over a sequence), so
+    only selected spans reach the Python stage. Duration uses the fake
+    1KB≈1s rule until a real prober is plugged in."""
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap_ms must be smaller than chunk_ms")
+    step = chunk_ms - overlap_ms
+    dur_ms = (F.length("content")).cast("long")  # fake: 1 byte ~ 1 ms
+    starts = F.sequence(F.lit(0),
+                        F.greatest(dur_ms - 1, F.lit(0)),
+                        F.lit(step))
+    return (media
+            .where(F.col("media_type").startswith("audio"))
+            .select("doc_id", F.explode(starts).alias("start_ms"),
+                    dur_ms.alias("dur_ms"))
+            .select("doc_id",
+                    (F.col("start_ms") / step).cast("bigint")
+                    .alias("chunk_id"),
+                    "start_ms",
+                    F.least(F.col("start_ms") + chunk_ms,
+                            F.col("dur_ms")).alias("end_ms")))
+
+
+def byte_histogram_features(media: DataFrame, dims: int = 16,
+                            batch_size: int = 1024) -> DataFrame:
+    """REAL (codec-free) feature extraction: an L1-normalized histogram of
+    byte values in ``dims`` buckets per blob — the content-signature
+    vector used for corrupt-file triage and coarse media clustering, and
+    the template for plugging an actual embedding model into the same
+    mapInPandas slot. Vectorized with numpy over each Arrow batch."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ])
+    width = 256 // dims
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, lens = [], []
+            for c in pdf["content"]:
+                arr = np.frombuffer(bytes(c), dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=dims)[:dims]
+                n = max(1, len(arr))
+                feats.append((hist / n).tolist())
+                lens.append(len(arr))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "media_type": pdf["media_type"].values,
+                "byte_len": lens,
+                "features": feats,
+            })
+
+    return media.mapInPandas(batches, out_schema)

@@ -950,6 +950,35 @@ def multimodal_metadata_oracle(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_HIST_TERMS = ", ".join(
+    f"len(list_filter(codes, x -> x // 16 = {b})) / greatest(len(codes), 1)"
+    for b in range(16))
+
+@register("multimodal_byte_histogram", oracle=f"""
+WITH ch AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, ''), c -> ord(c)) AS codes
+  FROM documents
+)
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS media_type,
+       CAST(len(codes) AS BIGINT) AS byte_len,
+       [{_HIST_TERMS}] AS features
+FROM ch ORDER BY doc_id
+""")
+def multimodal_byte_histogram(spark, sf_dir):
+    """Codec-free feature extraction over binary content (L1-normalized
+    16-bucket byte histogram) through the mapInPandas slot an embedding
+    model plugs into. Content is utf-8 of ASCII text, so the oracle
+    replays the histogram per-char; both sides are exact integer-ratio
+    divisions — no float rounding needed."""
+    from datafusion_postgres_spark.operators import multimodal as mm
+    docs = t(spark, sf_dir, "documents")
+    media = mm.attach_binary_content(docs)
+    return mm.byte_histogram_features(media, dims=16).orderBy("doc_id")
+
+
 @register("events_session_windows", oracle="""
 WITH marked AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -63,3 +63,64 @@ def test_frame_sample_plan(media):
     assert all(r["frame_ts"] % 2 == 0 for r in rows)
     # audio rows excluded
     assert all(not r["media_type"].startswith("audio") for r in rows)
+
+
+def test_resize_batch_fit_box(media):
+    out = {r["doc_id"]: r for r in
+           mm.resize_batch(media, max_side=128).collect()}
+    assert len(out) == 100
+    for r in out.values():
+        assert max(r["new_width"], r["new_height"]) <= 128
+        # aspect preserved within floor() rounding
+        if r["orig_width"] >= r["orig_height"]:
+            assert r["new_width"] >= r["new_height"] - 1
+        assert 1 <= len(r["content_resized"]) <= r["byte_len"] \
+            if "byte_len" in r else True
+        assert len(r["content_resized"]) >= 1
+
+
+def test_resize_deterministic_vs_local(spark, media):
+    import math
+    sample = media.orderBy("doc_id").limit(3).collect()
+    dist = {r["doc_id"]: r for r in
+            mm.resize_batch(media, max_side=100).collect()}
+    for row in sample:
+        meta = mm.decode_image(bytes(row["content"]), fake=True)
+        w, h = meta["width"], meta["height"]
+        s = min(1.0, 100 / max(w, h))
+        assert dist[row["doc_id"]]["new_width"] == max(1, math.floor(w * s))
+        assert dist[row["doc_id"]]["new_height"] == max(1, math.floor(h * s))
+
+
+def test_audio_chunk_plan(media):
+    out = mm.audio_chunk_plan(media, chunk_ms=100, overlap_ms=20).collect()
+    assert out, "corpus has audio/wav rows"
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert rows[0]["start_ms"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_ms"] - a["start_ms"] == 80   # step = 100-20
+        for r in rows:
+            assert r["end_ms"] - r["start_ms"] <= 100
+            assert r["end_ms"] > r["start_ms"]
+    # only audio rows get chunked
+    media_types = dict(media.select("doc_id", "media_type").collect())
+    assert all(media_types[d].startswith("audio") for d in by_doc)
+
+
+def test_byte_histogram_features(media):
+    import numpy as np
+    out = {r["doc_id"]: r for r in
+           mm.byte_histogram_features(media, dims=16).collect()}
+    assert len(out) == 100
+    sample = media.orderBy("doc_id").limit(3).collect()
+    for row in sample:
+        arr = np.frombuffer(bytes(row["content"]), dtype=np.uint8)
+        hist = np.bincount(arr // 16, minlength=16)[:16] / max(1, len(arr))
+        got = out[row["doc_id"]]["features"]
+        assert len(got) == 16
+        assert np.allclose(got, hist)
+        assert abs(sum(got) - 1.0) < 1e-9   # L1-normalized

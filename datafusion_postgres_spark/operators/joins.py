@@ -1,0 +1,164 @@
+"""Temporal join operators Spark lacks as built-ins: as-of joins and
+point-in-interval (range) joins.
+
+The reference engine delegates these shapes to plain inequality joins
+(e.g. ``datafusion-postgres`` runs them as DataFusion NestedLoop/SortMerge
+joins over ``t1.ts <= t2.ts`` predicates); at 100 TB an unconstrained
+inequality join is quadratic per key. Both operators here are re-expressed
+Spark-first with a bounded cost model:
+
+* ``asof_join`` — the classic union-tag + window trick: tag right rows 0
+  and left rows 1, union, and take ``last(right_payload, ignorenulls)``
+  over a (key, ts, side)-ordered running window. ONE hash shuffle on the
+  key, no join node at all, and per-key state during the sort is a single
+  struct — this is the plan you want on a 1000-executor cluster (the
+  window sort spills; an inequality join materializes O(n·m) candidates).
+* ``point_in_interval_join`` — bin the time axis: an interval replicates
+  to the bins it covers, a point maps to exactly one bin, and the join is
+  a plain equi-join on (keys…, bin) followed by the exact range filter.
+  Replication factor = interval_span / bin_seconds, chosen by the caller
+  to match the median interval; each (interval, point) pair meets in
+  exactly one bin, so no dedup pass is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_PAY = "__asof_pay"
+_TIE = "__asof_tie"
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              left_ts: str, right_ts: str,
+              right_cols: list[str] | None = None,
+              direction: str = "backward",
+              tolerance_us: int | None = None,
+              tie_col: str | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """For every left row, attach the single nearest right row per key:
+    the latest with ``right_ts <= left_ts`` (backward) or the earliest
+    with ``right_ts >= left_ts`` (forward); unmatched left rows keep NULL
+    right columns (pandas ``merge_asof`` semantics).
+
+    ``tolerance_us`` voids matches farther than that many microseconds.
+    ``tie_col`` breaks equal-timestamp ties deterministically (the
+    greatest value wins backward, the least forward); required for an
+    oracle-stable result when right timestamps can collide.
+
+    Right columns land as ``<name>`` or ``<name><suffix>`` on collision
+    with a left column. One shuffle total; skewed keys behave like any
+    window over that key (AQE cannot split a window partition — pre-salt
+    upstream if one key dominates).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in keys and c != right_ts]
+    pay_cols = list(dict.fromkeys(right_cols + [right_ts]))
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in pay_cols]).alias(_PAY),
+        (F.col(tie_col) if tie_col else F.lit(0)).alias(_TIE))
+    l = left.withColumn(_TS, F.col(left_ts)) \
+            .withColumn(_SIDE, F.lit(1)) \
+            .withColumn(_TIE, F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        order = [F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc()]
+    else:
+        order = [F.col(_TS).desc(), F.col(_SIDE).asc(), F.col(_TIE).desc()]
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = u.withColumn("__m", F.last(_PAY, ignorenulls=True).over(w)) \
+               .where(F.col(_SIDE) == 1)
+
+    if tolerance_us is not None:
+        gap = F.unix_micros(F.col(f"__m.{right_ts}").cast("timestamp")) - \
+            F.unix_micros(F.col(_TS).cast("timestamp"))
+        if direction == "backward":
+            gap = -gap
+        matched = matched.withColumn(
+            "__m", F.when(gap <= F.lit(tolerance_us), F.col("__m")))
+
+    out_cols = [F.col(c) for c in left.columns]
+    for c in pay_cols:
+        name = c if c not in left.columns else f"{c}{suffix}"
+        out_cols.append(F.col(f"__m.{c}").alias(name))
+    return matched.select(*out_cols)
+
+
+def point_in_interval_join(points: DataFrame, intervals: DataFrame,
+                           point_ts: str, start_col: str, end_col: str,
+                           on: str | list[str] | None = None,
+                           bin_seconds: int = 3600,
+                           how: str = "inner") -> DataFrame:
+    """Join point rows to every interval containing them
+    (``start <= ts < end``... inclusive end: ``<= end``), WITHOUT an
+    unbounded inequality join: both sides get a time-bin key and meet in
+    an equi-join.
+
+    With no equi ``on`` keys a naive range join is a cartesian product —
+    at 100 TB the binning bounds the blow-up to span/bin_seconds copies of
+    the (small) interval side while the point side never replicates.
+    ``how='inner'`` keeps matched pairs; ``'left'`` keeps unmatched points
+    with NULL interval columns (implemented as inner + anti union so the
+    bin join itself stays an equi inner join).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    iv = intervals.withColumn(
+        "__bin", F.explode(F.sequence(
+            F.floor(sec(start_col) / bin_seconds),
+            F.floor(sec(end_col) / bin_seconds))))
+    pt = points.withColumn("__bin", F.floor(sec(point_ts) / bin_seconds))
+    cond = [pt["__bin"] == iv["__bin"]] + \
+           [pt[k] == iv[k] for k in keys]
+    pred = (F.col(point_ts).cast("timestamp") >=
+            F.col(start_col).cast("timestamp")) & \
+           (F.col(point_ts).cast("timestamp") <=
+            F.col(end_col).cast("timestamp"))
+    iv_out = [c for c in intervals.columns if c not in keys]
+    joined = (pt.join(iv, cond, "inner").where(pred)
+              .select(*[pt[c] for c in points.columns],
+                      *[iv[c] for c in iv_out]))
+    if how == "inner":
+        return joined
+    if how != "left":
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    matched_ids = joined.select(*[F.col(c) for c in points.columns]).distinct()
+    unmatched = points.join(matched_ids, points.columns, "left_anti")
+    for c in iv_out:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return joined.unionByName(unmatched)
+
+
+def gaps_islands(buckets: DataFrame, bucket_col: str, step: int,
+                 keys: str | list[str] | None = None) -> DataFrame:
+    """Merge consecutive integer buckets (spaced ``step`` apart) into
+    islands — the classic ``bucket/step - row_number()`` grouping trick.
+    Input: one row per present bucket (optionally per key); output one row
+    per island with ``island_start``/``island_end`` (inclusive bucket
+    values) and ``n_buckets``. One shuffle (the window) + one partial agg.
+    """
+    kcols = [] if keys is None else ([keys] if isinstance(keys, str)
+                                     else list(keys))
+    w = Window.partitionBy(*kcols).orderBy(bucket_col) if kcols else \
+        Window.partitionBy().orderBy(bucket_col)
+    grp = (F.col(bucket_col) / step -
+           F.row_number().over(w)).alias("__grp")
+    return (buckets.select(*kcols, bucket_col, grp)
+            .groupBy(*kcols, "__grp")
+            .agg(F.min(bucket_col).alias("island_start"),
+                 F.max(bucket_col).alias("island_end"),
+                 F.count("*").cast("bigint").alias("n_buckets"))
+            .drop("__grp"))

@@ -139,7 +139,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (forces registration) and return REGISTRY
     reordered so ``PRIORITY`` occupies the driver's checked window."""
     from datafusion_postgres_spark.queries import (  # noqa: F401
-        dialect_q, events_q, pipeline_q, relational, relational2,
+        dialect_q, events_q, joins_q, pipeline_q, relational, relational2,
         streaming_q, suites, tpch2,
     )
     missing = [n for n in PRIORITY if n not in REGISTRY]

@@ -1,0 +1,107 @@
+"""Temporal-join queries: as-of join and binned point-in-interval join
+(operators/joins.py) over the events table, each with an exact ANSI-SQL
+oracle (the as-of pick is re-expressed as a ROW_NUMBER over candidates,
+the binned range join as an hour-bucket BETWEEN)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_postgres_spark.queries import register, t
+from datafusion_postgres_spark.operators.joins import (
+    asof_join, gaps_islands, point_in_interval_join,
+)
+
+
+@register("join_asof_events", oracle="""
+SELECT purchase_id, user_id, view_id, gap_us, view_value FROM (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         v.event_id AS view_id,
+         date_diff('microsecond', CAST(v.ts AS TIMESTAMP),
+                   CAST(p.ts AS TIMESTAMP)) AS gap_us,
+         v.value AS view_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON v.user_id = p.user_id AND v.ts <= p.ts) c
+WHERE rn = 1 ORDER BY purchase_id
+""")
+def join_asof_events(spark, sf_dir):
+    """Backward as-of join: each purchase picks the latest at-or-prior
+    view by the same user (ties on ts broken by greatest view_id). The
+    Spark plan is ONE user_id shuffle + window — no join node; the oracle
+    is the quadratic candidate ROW_NUMBER formulation."""
+    ev = t(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    v = (ev.where(F.col("event_type") == "view")
+         .select("user_id", F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("vts"), F.col("value").alias("view_value")))
+    res = asof_join(p, v, on="user_id", left_ts="ts", right_ts="vts",
+                    right_cols=["view_id", "view_value"], tie_col="view_id")
+    gap = (F.unix_micros(F.col("ts").cast("timestamp")) -
+           F.unix_micros(F.col("vts").cast("timestamp")))
+    return (res.select(F.col("event_id").alias("purchase_id"), "user_id",
+                       "view_id", gap.alias("gap_us"), "view_value")
+            .orderBy("purchase_id"))
+
+
+@register("join_range_islands", oracle="""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+busy AS (SELECT hr FROM hourly WHERE n > (SELECT AVG(n) FROM hourly)),
+grp AS (SELECT hr, hr - ROW_NUMBER() OVER (ORDER BY hr) AS g FROM busy),
+islands AS (
+  SELECT MIN(hr) AS island_hr, MAX(hr) AS island_end,
+         CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM grp GROUP BY g),
+err AS (
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr,
+         value
+  FROM events WHERE event_type = 'error')
+SELECT i.island_hr, i.n_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_errors,
+       CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(12,2))), 0)
+            AS DOUBLE) AS err_value
+FROM err e LEFT JOIN islands i ON e.hr BETWEEN i.island_hr AND i.island_end
+GROUP BY i.island_hr, i.n_hours
+ORDER BY i.island_hr NULLS FIRST
+""")
+def join_range_islands(spark, sf_dir):
+    """Gaps-and-islands + binned range join, no equi key anywhere:
+    busy purchase hours (count above the global mean) merge into islands;
+    error events range-join into them through hour bins (a cartesian
+    inequality join in naive form — here one equi-join on the bin). The
+    NULL-island group collects errors outside every island; islands are
+    a bounded set so the final aggregate is small."""
+    ev = t(spark, sf_dir, "events")
+    hr = F.floor(F.col("ts").cast("timestamp").cast("long") / 3600)
+    hourly = (ev.where(F.col("event_type") == "purchase")
+              .groupBy(hr.cast("bigint").alias("hr"))
+              .agg(F.count("*").cast("bigint").alias("n")))
+    mean = hourly.agg(F.avg("n").alias("__mean"))
+    busy = (hourly.crossJoin(F.broadcast(mean))
+            .where(F.col("n") > F.col("__mean")).select("hr"))
+    isl = (gaps_islands(busy, "hr", 1)
+           .select(F.col("island_start").alias("island_hr"),
+                   F.col("island_end"),
+                   F.col("n_buckets").alias("n_hours")))
+    intervals = isl.select(
+        "island_hr", "n_hours",
+        F.timestamp_micros(F.col("island_hr") * 3600 * 1_000_000)
+        .alias("iv_start"),
+        F.timestamp_micros((F.col("island_end") + 1) * 3600 * 1_000_000 - 1)
+        .alias("iv_end"))
+    err = (ev.where(F.col("event_type") == "error").select("ts", "value"))
+    joined = point_in_interval_join(
+        err, intervals, "ts", "iv_start", "iv_end",
+        bin_seconds=3600, how="left")
+    return (joined.groupBy("island_hr", "n_hours")
+            .agg(F.count("*").cast("bigint").alias("n_errors"),
+                 F.coalesce(F.sum(F.col("value").cast("decimal(12,2)")),
+                            F.lit(0).cast("decimal(12,2)"))
+                 .cast("double").alias("err_value"))
+            .orderBy(F.col("island_hr").asc_nulls_first()))

@@ -1,0 +1,180 @@
+"""Temporal join operators (operators/joins.py): as-of join semantics
+(direction, ties, tolerance, no-match), binned point-in-interval join vs
+a brute-force inequality join, gaps-and-islands merging, and the plan
+shape (as-of = one shuffle, zero join nodes)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_postgres_spark.operators.joins import (
+    asof_join, gaps_islands, point_in_interval_join,
+)
+from datafusion_postgres_spark.plans.inspect import (
+    count_shuffles, simple_plan,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 100.0),
+         (1, ts("2024-01-01 10:00:05"), 101.0),
+         (1, ts("2024-01-01 10:01:00"), 102.0),
+         (2, ts("2024-01-01 10:00:03"), 200.0)],
+        "k int, qts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:04"), "a"),   # latest quote <= : 100.0
+         (1, ts("2024-01-01 10:00:05"), "b"),   # exact tie on ts: 101.0
+         (1, ts("2024-01-01 09:59:00"), "c"),   # before all quotes: NULL
+         (2, ts("2024-01-01 11:00:00"), "d"),   # far match (tolerance test)
+         (3, ts("2024-01-01 10:00:00"), "e")],  # key with no quotes: NULL
+        "k int, tts timestamp, tag string")
+
+
+class TestAsofJoin:
+    def test_backward(self, trades, quotes):
+        out = asof_join(trades, quotes, on="k", left_ts="tts",
+                        right_ts="qts", right_cols=["px"])
+        got = {r["tag"]: r["px"] for r in out.collect()}
+        assert got == {"a": 100.0, "b": 101.0, "c": None,
+                       "d": 200.0, "e": None}
+
+    def test_forward(self, trades, quotes):
+        out = asof_join(trades, quotes, on="k", left_ts="tts",
+                        right_ts="qts", right_cols=["px"],
+                        direction="forward")
+        got = {r["tag"]: r["px"] for r in out.collect()}
+        # earliest quote at-or-after each trade
+        assert got == {"a": 101.0, "b": 101.0, "c": 100.0,
+                       "d": None, "e": None}
+
+    def test_tolerance(self, trades, quotes):
+        out = asof_join(trades, quotes, on="k", left_ts="tts",
+                        right_ts="qts", right_cols=["px"],
+                        tolerance_us=10_000_000)  # 10 s
+        got = {r["tag"]: r["px"] for r in out.collect()}
+        # 'd' is ~1 h after the only key-2 quote -> voided by tolerance
+        assert got["d"] is None
+        assert got["a"] == 100.0
+
+    def test_tie_break(self, spark):
+        left = spark.createDataFrame(
+            [(1, ts("2024-01-01 00:00:10"))], "k int, lts timestamp")
+        right = spark.createDataFrame(
+            [(1, ts("2024-01-01 00:00:10"), 7),
+             (1, ts("2024-01-01 00:00:10"), 9)],
+            "k int, rts timestamp, rid int")
+        back = asof_join(left, right, on="k", left_ts="lts",
+                         right_ts="rts", right_cols=["rid"], tie_col="rid")
+        assert back.collect()[0]["rid"] == 9  # greatest wins backward
+        fwd = asof_join(left, right, on="k", left_ts="lts",
+                        right_ts="rts", right_cols=["rid"], tie_col="rid",
+                        direction="forward")
+        assert fwd.collect()[0]["rid"] == 7  # least wins forward
+
+    def test_name_collision_suffix(self, spark):
+        left = spark.createDataFrame(
+            [(1, ts("2024-01-01 00:00:10"), 5.0)],
+            "k int, t timestamp, value double")
+        right = spark.createDataFrame(
+            [(1, ts("2024-01-01 00:00:00"), 6.0)],
+            "k int, rt timestamp, value double")
+        out = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                        right_cols=["value"])
+        row = out.collect()[0]
+        assert row["value"] == 5.0 and row["value_r"] == 6.0
+
+    def test_plan_one_shuffle_no_join(self, trades, quotes):
+        out = asof_join(trades, quotes, on="k", left_ts="tts",
+                        right_ts="qts", right_cols=["px"])
+        plan = simple_plan(out)
+        assert "Join" not in plan  # window formulation, no join node
+        assert count_shuffles(out) == 1
+
+
+class TestPointInInterval:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        import random
+        rng = random.Random(7)
+        base = dt.datetime(2024, 1, 1)
+        pts = [(i, base + dt.timedelta(seconds=rng.randrange(0, 86400)))
+               for i in range(300)]
+        ivs = []
+        for j in range(25):
+            s = rng.randrange(0, 82800)
+            ln = rng.randrange(60, 7200)  # 1 min .. 2 h
+            ivs.append((j, base + dt.timedelta(seconds=s),
+                        base + dt.timedelta(seconds=s + ln)))
+        return (spark.createDataFrame(pts, "pid int, pts timestamp"),
+                spark.createDataFrame(
+                    ivs, "iid int, ivs timestamp, ive timestamp"))
+
+    def test_matches_brute_force(self, frames):
+        pts, ivs = frames
+        fast = point_in_interval_join(pts, ivs, "pts", "ivs", "ive",
+                                      bin_seconds=1800)
+        brute = pts.join(ivs, (F.col("pts") >= F.col("ivs")) &
+                         (F.col("pts") <= F.col("ive")))
+        a = {(r["pid"], r["iid"]) for r in fast.collect()}
+        b = {(r["pid"], r["iid"]) for r in brute.collect()}
+        assert a == b and len(a) > 50
+
+    def test_no_duplicate_pairs(self, frames):
+        pts, ivs = frames
+        out = point_in_interval_join(pts, ivs, "pts", "ivs", "ive",
+                                     bin_seconds=600)
+        rows = [(r["pid"], r["iid"]) for r in out.collect()]
+        assert len(rows) == len(set(rows))
+
+    def test_left_keeps_unmatched_points(self, frames):
+        pts, ivs = frames
+        out = point_in_interval_join(pts, ivs, "pts", "ivs", "ive",
+                                     bin_seconds=1800, how="left")
+        matched = point_in_interval_join(pts, ivs, "pts", "ivs", "ive",
+                                         bin_seconds=1800)
+        n_pts = pts.count()
+        n_matched_pts = matched.select("pid").distinct().count()
+        n_null = out.where(F.col("iid").isNull()).count()
+        assert n_null == n_pts - n_matched_pts
+        assert out.count() == matched.count() + n_null
+
+    def test_keyed_join(self, spark):
+        pts = spark.createDataFrame(
+            [(1, "u", ts("2024-01-01 00:10:00")),
+             (2, "w", ts("2024-01-01 00:10:00"))],
+            "pid int, k string, pts timestamp")
+        ivs = spark.createDataFrame(
+            [("u", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"))],
+            "k string, ivs timestamp, ive timestamp")
+        out = point_in_interval_join(pts, ivs, "pts", "ivs", "ive",
+                                     on="k", bin_seconds=600)
+        assert [r["pid"] for r in out.collect()] == [1]
+
+
+class TestGapsIslands:
+    def test_merges_consecutive(self, spark):
+        df = spark.createDataFrame(
+            [(h,) for h in [1, 2, 3, 7, 9, 10]], "hr long")
+        out = {(r["island_start"], r["island_end"], r["n_buckets"])
+               for r in gaps_islands(df, "hr", 1).collect()}
+        assert out == {(1, 3, 3), (7, 7, 1), (9, 10, 2)}
+
+    def test_step_and_keys(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 10), ("a", 30), ("b", 0)], "k string, b long")
+        out = {(r["k"], r["island_start"], r["island_end"])
+               for r in gaps_islands(df, "b", 10, keys="k").collect()}
+        assert out == {("a", 0, 10), ("a", 30, 30), ("b", 0, 0)}

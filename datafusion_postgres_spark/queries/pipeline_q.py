@@ -1324,3 +1324,41 @@ def pipeline_end_to_end(spark, sf_dir):
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.sum("n_words").cast("bigint").alias("n_words_total"))
             .orderBy("lang"))
+
+
+_CLF_DIM = 4096
+_CLF_WS = f"list_filter(string_split({_NORM}, ' '), w -> w != '')"
+
+
+@register("text_quality_classifier", oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         list_concat(
+           list_transform({_CLF_WS}, w -> {_duck_hash('w')} % {_CLF_DIM}),
+           list_transform(
+             generate_series(1, len({_CLF_WS}) - 1),
+             i -> ({_duck_hash(f'{_CLF_WS}[i]')} * 31
+                   + {_duck_hash(f'{_CLF_WS}[i+1]')})
+                  % 1000000007 % {_CLF_DIM})) AS feats
+  FROM documents
+  WHERE len({_CLF_WS}) > 0),
+scored AS (
+  SELECT doc_id,
+         CAST(len(feats) AS BIGINT) AS n_features,
+         CAST(list_sum(list_transform(
+              feats, h -> (h * 104729 + 12345) % 1000003)) AS DOUBLE)
+           / len(feats) / 1000003 - 0.5 AS m
+  FROM feat)
+SELECT doc_id, n_features,
+       ROUND(m, 6) + 0.0 AS margin,
+       ROUND(1.0 / (1.0 + exp(-8.0 * m)), 6) + 0.0 AS clf_score
+FROM scored ORDER BY doc_id
+""")
+def text_quality_classifier(spark, sf_dir):
+    """Hashed-ngram linear classifier scoring (fastText architecture with
+    a deterministic LCG weight table): unigram+bigram features -> 4096
+    buckets -> mean bucket weight -> logistic. Pure codegen projection;
+    the oracle replays hashing, weights, and link exactly."""
+    from datafusion_postgres_spark.operators.text import hashed_classifier_score
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    return hashed_classifier_score(docs).orderBy("doc_id")

@@ -650,3 +650,34 @@ class TestIncrementalDedup:
         kept = sorted(r["doc_id"] for r in
                       dedup.dedup_incremental(new, corpus).collect())
         assert kept == [10, 12, 14]
+
+
+class TestHashedClassifier:
+    def test_deterministic_and_bounded(self, spark):
+        from datafusion_postgres_spark.operators.text import (
+            hashed_classifier_score)
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "completely different content with other words"),
+             (4, "x"),
+             (5, "")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in
+                hashed_classifier_score(docs).collect()}
+        assert 5 not in rows                       # empty doc dropped
+        assert rows[1]["clf_score"] == rows[2]["clf_score"]  # deterministic
+        assert rows[1]["clf_score"] != rows[3]["clf_score"]
+        # 9 unigrams + 8 bigrams
+        assert rows[1]["n_features"] == 17
+        assert rows[4]["n_features"] == 1          # single token, no bigrams
+        for r in rows.values():
+            assert 0.0 <= r["clf_score"] <= 1.0
+            assert -0.5 <= r["margin"] <= 0.5
+
+    def test_unigram_only(self, spark):
+        from datafusion_postgres_spark.operators.text import (
+            hashed_classifier_score)
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        out = hashed_classifier_score(docs, bigrams=False).collect()[0]
+        assert out["n_features"] == 3

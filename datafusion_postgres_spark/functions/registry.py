@@ -835,6 +835,8 @@ def register_functions(spark: SparkSession) -> None:
     from datafusion_postgres_spark.functions.formatting import (
         register_formatting)
     register_formatting(spark)
+    from datafusion_postgres_spark.functions.geo import register_geo
+    register_geo(spark)
     _FUNC_SESSIONS.add(key)
 
 

@@ -105,3 +105,40 @@ def join_range_islands(spark, sf_dir):
                             F.lit(0).cast("decimal(12,2)"))
                  .cast("double").alias("err_value"))
             .orderBy(F.col("island_hr").asc_nulls_first()))
+
+
+@register("geo_radius_pairs", oracle="""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST(c_custkey * 104729 % 10000 AS DOUBLE) / 100 AS x,
+         CAST(c_custkey * c_custkey * 7919 % 10000 AS DOUBLE) / 100 AS y
+  FROM customer)
+SELECT a.id AS id, b.id AS id_r,
+       ROUND(sqrt((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y)), 6) + 0.0 AS dist
+FROM pts a JOIN pts b
+  ON a.id < b.id
+ AND sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 1.5
+ORDER BY id, id_r
+""")
+def geo_radius_pairs(spark, sf_dir):
+    """Grid-binned radius self-join (operators/geo.py): customers placed
+    on a deterministic 100x100 plane (key-derived coordinates), all pairs
+    within distance 1.5. The oracle is the brute-force O(n^2) inequality
+    join the binning provably equals; Spark executes the 9-cell equi-join
+    instead."""
+    from datafusion_postgres_spark.operators.geo import radius_join
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 104729 % 10000).cast("double") / 100)
+        .alias("x"),
+        # the quadratic term breaks the lattice a linear map would form
+        # (a purely linear (x, y) lattice has min pair distance > radius
+        # and yields zero pairs — vacuous test)
+        ((F.col("c_custkey") * F.col("c_custkey") * 7919 % 10000)
+         .cast("double") / 100).alias("y"))
+    out = radius_join(pts, pts, radius=1.5, dedup_pairs=True)
+    return (out.select("id", "id_r",
+                       (F.round("dist", 6) + 0.0).alias("dist"))
+            .orderBy("id", "id_r"))

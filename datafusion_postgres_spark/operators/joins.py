@@ -162,3 +162,38 @@ def gaps_islands(buckets: DataFrame, bucket_col: str, step: int,
                  F.max(bucket_col).alias("island_end"),
                  F.count("*").cast("bigint").alias("n_buckets"))
             .drop("__grp"))
+
+
+def scd2_intervals(dim_versions: DataFrame, on: str | list[str],
+                   from_col: str, to_col: str = "valid_to") -> DataFrame:
+    """Turn a change-log dimension (one row per version, keyed by
+    ``on`` + ``from_col``) into SCD Type-2 validity intervals: each
+    version's ``to_col`` is the NEXT version's start (exclusive end);
+    the current version keeps NULL (open-ended). One key shuffle."""
+    keys = [on] if isinstance(on, str) else list(on)
+    w = Window.partitionBy(*keys).orderBy(from_col)
+    return dim_versions.withColumn(to_col, F.lead(from_col).over(w))
+
+
+def scd2_join(facts: DataFrame, dim: DataFrame, on: str | list[str],
+              fact_ts: str, from_col: str = "valid_from",
+              to_col: str = "valid_to", how: str = "left") -> DataFrame:
+    """Join each fact row to the dimension version valid at its event
+    time: key equi-join + half-open ``[valid_from, valid_to)`` predicate.
+
+    Versions from :func:`scd2_intervals` are disjoint per key, so each
+    fact matches at most one version — same answer as a backward as-of
+    join on ``valid_from``, but expressed as an equi+range join, which
+    Structured Streaming accepts for STREAM-STATIC enrichment (window
+    functions are not allowed on streams; ``asof_join`` is batch-only).
+    Per micro-batch this is one key-partitioned join against the static
+    side; at 100 TB/day the dimension is the small side and AQE
+    broadcasts it by measurement."""
+    keys = [on] if isinstance(on, str) else list(on)
+    cond = [facts[k] == dim[k] for k in keys]
+    pred = (facts[fact_ts] >= dim[from_col]) & \
+           (dim[to_col].isNull() | (facts[fact_ts] < dim[to_col]))
+    dim_out = [c for c in dim.columns if c not in keys]
+    return (facts.join(dim, cond + [pred], how)
+            .select(*[facts[c] for c in facts.columns],
+                    *[dim[c] for c in dim_out]))

@@ -142,3 +142,49 @@ def geo_radius_pairs(spark, sf_dir):
     return (out.select("id", "id_r",
                        (F.round("dist", 6) + 0.0).alias("dist"))
             .orderBy("id", "id_r"))
+
+
+@register("join_scd2_enrich", oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS valid_from,
+         COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+ver AS (
+  SELECT user_id, valid_from,
+         SUM(n) OVER (PARTITION BY user_id ORDER BY valid_from) AS cum,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM daily)
+SELECT c.event_id, c.user_id, CAST(v.cum AS BIGINT) AS n_purch_cum
+FROM events c LEFT JOIN ver v
+  ON v.user_id = c.user_id
+ AND CAST(c.ts AS TIMESTAMP) >= v.valid_from
+ AND (v.valid_to IS NULL OR CAST(c.ts AS TIMESTAMP) < v.valid_to)
+WHERE c.event_type = 'click'
+ORDER BY event_id
+""")
+def join_scd2_enrich(spark, sf_dir):
+    """SCD Type-2 dimension enrichment: a change-log dimension (per-user
+    cumulative purchase count, versioned by day) gets half-open validity
+    intervals via scd2_intervals (lead over the version log), then every
+    click joins the version valid AT ITS EVENT TIME. Disjoint versions =>
+    at most one match per fact; clicks before a user's first purchase
+    keep NULL. Same plan runs stream-static (streaming/ops.py
+    enrich_stream_scd2)."""
+    from datafusion_postgres_spark.operators.joins import (
+        scd2_intervals, scd2_join)
+    from pyspark.sql import Window
+    ev = t(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id",
+                      F.date_trunc("day", "ts").alias("valid_from"))
+             .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    ver = (daily.select("user_id", "valid_from",
+                        F.sum("n").over(w).cast("bigint")
+                        .alias("n_purch_cum"))
+           .transform(lambda d: scd2_intervals(d, "user_id", "valid_from")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    out = scd2_join(clicks, ver, on="user_id", fact_ts="ts")
+    return out.select("event_id", "user_id", "n_purch_cum").orderBy("event_id")

@@ -156,3 +156,18 @@ def attribution_join_stream(events: DataFrame, horizon: str = "1 hour",
                    purchase_ts <= view_ts + interval {horizon}"""))
         .select(F.col("p_user").alias("user_id"), "view_id", "purchase_id",
                 "view_ts", "purchase_ts"))
+
+
+def enrich_stream_scd2(stream: DataFrame, dim: DataFrame,
+                       on: str = "user_id", fact_ts: str = "ts",
+                       from_col: str = "valid_from",
+                       to_col: str = "valid_to") -> DataFrame:
+    """Stream-static SCD Type-2 enrichment: each streaming fact picks the
+    dimension version valid at its EVENT time (not arrival time), via the
+    equi+range join of operators.joins.scd2_join — the join shape
+    Structured Streaming allows against a static side with no watermark
+    or state (the static side is re-planned per micro-batch, so a dim
+    refresh between batches is picked up automatically)."""
+    from datafusion_postgres_spark.operators.joins import scd2_join
+    return scd2_join(stream, dim, on=on, fact_ts=fact_ts,
+                     from_col=from_col, to_col=to_col, how="left")

@@ -178,3 +178,75 @@ class TestGapsIslands:
         out = {(r["k"], r["island_start"], r["island_end"])
                for r in gaps_islands(df, "b", 10, keys="k").collect()}
         assert out == {("a", 0, 10), ("a", 30, 30), ("b", 0, 0)}
+
+
+class TestScd2:
+    @pytest.fixture(scope="class")
+    def dim(self, spark):
+        from datafusion_postgres_spark.operators.joins import scd2_intervals
+        versions = spark.createDataFrame(
+            [(1, ts("2024-01-01 00:00:00"), "bronze"),
+             (1, ts("2024-02-01 00:00:00"), "silver"),
+             (1, ts("2024-03-01 00:00:00"), "gold"),
+             (2, ts("2024-01-15 00:00:00"), "bronze")],
+            "k int, valid_from timestamp, tier string")
+        return scd2_intervals(versions, "k", "valid_from")
+
+    def test_intervals(self, dim):
+        rows = {(r["k"], r["tier"]): r["valid_to"] for r in dim.collect()}
+        assert rows[(1, "bronze")] == ts("2024-02-01 00:00:00")
+        assert rows[(1, "silver")] == ts("2024-03-01 00:00:00")
+        assert rows[(1, "gold")] is None       # open-ended current version
+        assert rows[(2, "bronze")] is None
+
+    def test_join_picks_valid_version(self, spark, dim):
+        from datafusion_postgres_spark.operators.joins import scd2_join
+        facts = spark.createDataFrame(
+            [(10, 1, ts("2024-01-20 12:00:00")),   # bronze window
+             (11, 1, ts("2024-02-01 00:00:00")),   # boundary: new version
+             (12, 1, ts("2024-07-04 00:00:00")),   # open gold version
+             (13, 1, ts("2023-12-25 00:00:00")),   # before first -> NULL
+             (14, 3, ts("2024-01-20 00:00:00"))],  # unknown key -> NULL
+            "fid int, k int, fts timestamp")
+        out = scd2_join(facts, dim, on="k", fact_ts="fts")
+        got = {r["fid"]: r["tier"] for r in out.collect()}
+        assert got == {10: "bronze", 11: "silver", 12: "gold",
+                       13: None, 14: None}
+        assert out.count() == 5  # disjoint versions: exactly one row/fact
+
+    def test_stream_static_matches_batch(self, spark, dim, tmp_path):
+        import shutil
+
+        from datafusion_postgres_spark.operators.joins import (
+            scd2_intervals, scd2_join)
+        from datafusion_postgres_spark.streaming import ops
+        sf = "/root/testdata/sf0.001"
+        d = tmp_path / "ev"
+        d.mkdir()
+        shutil.copy(f"{sf}/events.parquet", d / "events.parquet")
+        from datafusion_postgres_spark.sources.registry import read_table
+        ev = read_table(spark, sf, "events")
+        daily = (ev.where("event_type = 'purchase'")
+                 .groupBy("user_id",
+                          F.date_trunc("day", "ts").alias("valid_from"))
+                 .agg(F.count("*").alias("n")))
+        ver = scd2_intervals(daily, "user_id", "valid_from")
+        stream = ops.read_events_stream(spark, str(d)) \
+            .where("event_type = 'click'") \
+            .select("event_id", "user_id", "ts")
+        enriched = ops.enrich_stream_scd2(stream, ver)
+        assert enriched.isStreaming
+        q = (enriched.writeStream.format("memory").queryName("scd2m")
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120), "stream did not finish in time"
+        try:
+            got = {(r["event_id"], r["n"]) for r in
+                   spark.sql("SELECT event_id, n FROM scd2m").collect()}
+            batch = scd2_join(
+                ev.where("event_type = 'click'")
+                .select("event_id", "user_id", "ts"), ver,
+                on="user_id", fact_ts="ts")
+            want = {(r["event_id"], r["n"]) for r in batch.collect()}
+            assert got == want and len(want) > 50
+        finally:
+            q.stop()

@@ -9,7 +9,7 @@ hash instead of Spark's murmur3 so a DuckDB oracle can reproduce it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small English stopword list used by the language-ID heuristic and the
@@ -562,3 +562,42 @@ def hashed_classifier_score(df: DataFrame, text_col: str = "text",
                     nf.cast("bigint").alias("n_features"),
                     (F.round(margin, 6) + 0.0).alias("margin"),
                     (F.round(score, 6) + 0.0).alias("clf_score")))
+
+
+def filter_by_quantile(df: DataFrame, score_col: str, q: float = 0.4,
+                       keys: str | list[str] | None = None,
+                       keep: str = "above",
+                       mode: str = "exact") -> DataFrame:
+    """Percentile-calibrated gate: keep rows whose score is above (or
+    below) the per-group ``q``-quantile — the standard way to turn a raw
+    quality score into a fixed-volume filter ("drop the worst 40% per
+    language").
+
+    ``mode='exact'``: percent_rank over a (keys, score) window — fully
+    deterministic and engine-portable (ties share a rank), at the cost of
+    one sort shuffle per group. ``mode='approx'``: percentile_approx
+    computes per-group thresholds in ONE aggregate pass (no sort), the
+    bounded threshold table broadcast-joins back — the 100 TB path, with
+    sketch-accuracy cutoffs (not oracle-able bit-for-bit)."""
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be above|below, got {keep!r}")
+    kcols = [] if keys is None else ([keys] if isinstance(keys, str)
+                                     else list(keys))
+    if mode == "exact":
+        w = (Window.partitionBy(*kcols).orderBy(score_col) if kcols
+             else Window.partitionBy().orderBy(score_col))
+        pr = F.percent_rank().over(w)
+        cond = (F.col("__pr") >= q if keep == "above"
+                else F.col("__pr") <= q)
+        return (df.withColumn("__pr", pr).where(cond).drop("__pr"))
+    if mode != "approx":
+        raise ValueError(f"mode must be exact|approx, got {mode!r}")
+    thr_agg = F.percentile_approx(score_col, q).alias("__thr")
+    if kcols:
+        thr = df.groupBy(*kcols).agg(thr_agg)
+        joined = df.join(F.broadcast(thr), kcols)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(thr_agg)))
+    cond = (F.col(score_col) >= F.col("__thr") if keep == "above"
+            else F.col(score_col) <= F.col("__thr"))
+    return joined.where(cond).drop("__thr")

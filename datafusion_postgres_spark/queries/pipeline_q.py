@@ -1362,3 +1362,53 @@ def text_quality_classifier(spark, sf_dir):
     from datafusion_postgres_spark.operators.text import hashed_classifier_score
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     return hashed_classifier_score(docs).orderBy("doc_id")
+
+
+@register("text_quantile_gate", oracle=f"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         list_concat(
+           list_transform({_CLF_WS}, w -> {_duck_hash('w')} % {_CLF_DIM}),
+           list_transform(
+             generate_series(1, len({_CLF_WS}) - 1),
+             i -> ({_duck_hash(f'{_CLF_WS}[i]')} * 31
+                   + {_duck_hash(f'{_CLF_WS}[i+1]')})
+                  % 1000000007 % {_CLF_DIM})) AS feats
+  FROM documents
+  WHERE len({_CLF_WS}) > 0),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(list_sum(list_transform(
+              feats, h -> (h * 104729 + 12345) % 1000003)) AS DOUBLE)
+           / len(feats) / 1000003 - 0.5 AS m
+  FROM feat),
+gated AS (
+  SELECT doc_id, lang, m,
+         PERCENT_RANK() OVER (PARTITION BY lang ORDER BY m) AS pr
+  FROM scored)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       ROUND(SUM(ROUND(m, 6)), 6) + 0.0 AS margin_sum
+FROM gated WHERE pr >= 0.4
+GROUP BY lang ORDER BY lang
+""")
+def text_quantile_gate(spark, sf_dir):
+    """Classifier scores calibrated into a fixed-volume per-language
+    gate: percent_rank >= 0.4 keeps the best ~60% of docs per lang
+    (operators/text.py filter_by_quantile, exact mode — the approx mode
+    is the sort-free production path, recall-tested in pytest). Summing
+    ROUND(m, 6) keeps the aggregate engine-identical (raw double sums
+    are partitioning-order-dependent)."""
+    from datafusion_postgres_spark.operators.text import (
+        filter_by_quantile, hashed_classifier_score)
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    scored = (hashed_classifier_score(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .select("doc_id", "lang", "margin"))
+    kept = filter_by_quantile(scored, "margin", q=0.4, keys="lang")
+    return (kept.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.min("doc_id").cast("bigint").alias("first_doc"),
+                 (F.round(F.sum(F.round("margin", 6)), 6) + 0.0)
+                 .alias("margin_sum"))
+            .orderBy("lang"))

@@ -681,3 +681,50 @@ class TestHashedClassifier:
         docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         out = hashed_classifier_score(docs, bigrams=False).collect()[0]
         assert out["n_features"] == 3
+
+
+class TestQuantileGate:
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        rows = [(i, "en" if i % 2 == 0 else "de", float(i)) for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id long, lang string, s double")
+
+    def test_exact_keeps_top_share(self, scored):
+        from datafusion_postgres_spark.operators.text import filter_by_quantile
+        kept = filter_by_quantile(scored, "s", q=0.4, keys="lang").collect()
+        by_lang = {}
+        for r in kept:
+            by_lang.setdefault(r["lang"], []).append(r["s"])
+        # 50 rows per lang, percent_rank >= 0.4 keeps ranks 20..49 (30 rows)
+        for lang, vals in by_lang.items():
+            assert len(vals) == 31 or len(vals) == 30
+        # kept scores are the TOP of each group
+        assert min(by_lang["en"]) >= 38.0
+
+    def test_exact_below(self, scored):
+        from datafusion_postgres_spark.operators.text import filter_by_quantile
+        kept = filter_by_quantile(scored, "s", q=0.4, keys="lang",
+                                  keep="below")
+        assert kept.agg({"s": "max"}).collect()[0][0] <= 41.0
+
+    def test_approx_close_to_exact(self, scored):
+        from datafusion_postgres_spark.operators.text import filter_by_quantile
+        exact = {r["doc_id"] for r in
+                 filter_by_quantile(scored, "s", 0.4, "lang").collect()}
+        approx = {r["doc_id"] for r in
+                  filter_by_quantile(scored, "s", 0.4, "lang",
+                                     mode="approx").collect()}
+        # sketch cutoff may differ by a rank or two at the boundary
+        assert len(exact ^ approx) <= 4
+
+    def test_global_no_keys(self, scored):
+        from datafusion_postgres_spark.operators.text import filter_by_quantile
+        kept = filter_by_quantile(scored, "s", q=0.9)
+        assert kept.count() == 10  # (rank-1)/99 >= 0.9 -> top 10
+
+    def test_bad_args(self, scored):
+        from datafusion_postgres_spark.operators.text import filter_by_quantile
+        with pytest.raises(ValueError):
+            filter_by_quantile(scored, "s", keep="middle")
+        with pytest.raises(ValueError):
+            filter_by_quantile(scored, "s", mode="magic")

@@ -106,6 +106,37 @@ COMMENTARY = {
         "stem transforms/sort, no UDF); the query-term array folds to a "
         "literal so the @@ match is a scan-side filter — no shuffle at "
         "all before the final sort.",
+    "join_asof_events":
+        "As-of join with NO join node: union-tag + running "
+        "last(ignorenulls) window — a single user_id exchange carries "
+        "both sides; per-row state in the sort is one struct. The "
+        "quadratic candidate formulation exists only in the ORACLE.",
+    "join_range_islands":
+        "Gaps-and-islands (global window over the BOUNDED busy-hour set "
+        "— single partition is correct there) feeding the binned "
+        "interval join: islands explode to hour bins, errors map to one "
+        "bin each, candidates meet in an equi-join; no inequality join "
+        "anywhere.",
+    "join_scd2_enrich":
+        "SCD2 enrichment: version intervals from one lead() window on "
+        "the (small) dimension; facts join on user_id + half-open range "
+        "predicate — disjoint versions mean at most one match per fact, "
+        "and AQE broadcasts the dim when measured-small. Same plan runs "
+        "stream-static per micro-batch.",
+    "geo_radius_pairs":
+        "Grid-binned radius join: one side exploded to its 3x3 cell "
+        "neighborhood (constant 9x), equi-join on (cx, cy), exact "
+        "distance filter in codegen. The O(n²) inequality join exists "
+        "only in the oracle.",
+    "text_quality_classifier":
+        "fastText-style hashed-ngram scoring entirely inside one "
+        "codegen projection (feature hash + LCG weight + logistic): "
+        "zero shuffles — scores at scan speed at any corpus size.",
+    "text_quantile_gate":
+        "Exact mode (registered): percent_rank over the per-lang score "
+        "window — one shuffle. Production switch mode='approx' computes "
+        "percentile_approx thresholds in one aggregate pass and "
+        "broadcasts the bounded threshold table (no sort at 100 TB).",
 }
 
 

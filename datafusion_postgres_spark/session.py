@@ -145,6 +145,53 @@ class SparkPgEngine:
             results.append(self._execute_one(stmt))
         return results
 
+    _EXPLAIN_ANALYZE_RE = None
+
+    def _maybe_explain_analyze(self, stmt: str):
+        """Real ``EXPLAIN ANALYZE``: PG executes the statement and reports
+        actual rows + timings; Spark's EXPLAIN never executes. For
+        row-returning statements we run the inner query (full execution),
+        then emit the formatted plan PLUS PG-style ``Planning Time`` /
+        ``Execution Time`` / ``Actual Rows`` trailer lines, one QUERY
+        PLAN row per line (PG's row-per-line shape). Per-operator actual
+        rows stay a documented capability gate (Spark surfaces node
+        metrics only through the UI event log). DML under ANALYZE falls
+        through to the plain EXPLAIN path (we don't execute side effects
+        twice)."""
+        import re
+        import time
+        cls = type(self)
+        if cls._EXPLAIN_ANALYZE_RE is None:
+            cls._EXPLAIN_ANALYZE_RE = re.compile(
+                r"(?is)^\s*EXPLAIN\s+(?:\(\s*([^)]*?)\s*\)|ANALYZE\b"
+                r"(?:\s+VERBOSE\b)?)\s*(.*)$")
+        m = cls._EXPLAIN_ANALYZE_RE.match(stmt)
+        if not m:
+            return None
+        opts = m.group(1)
+        if opts is not None and not re.search(r"(?i)\bANALYZE\b(?!\s*\bfalse\b|\s+off\b)", opts):
+            return None
+        inner = m.group(2).strip().rstrip(";")
+        if not inner or self.transpiler.statement_kind(inner) not in (
+                "SELECT", "WITH", "VALUES", "TABLE"):
+            return None
+        t0 = time.perf_counter()
+        df = self.spark.sql(self.transpiler.transpile(inner))
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        t1 = time.perf_counter()
+        n = df.count()
+        t2 = time.perf_counter()
+        lines = plan.rstrip("\n").split("\n")
+        lines += [f"Planning Time: {(t1 - t0) * 1000:.3f} ms",
+                  f"Execution Time: {(t2 - t1) * 1000:.3f} ms",
+                  f"Actual Rows: {n}"]
+        from pyspark.sql.types import StringType, StructField, StructType
+        out = self.spark.createDataFrame(
+            [(line,) for line in lines],
+            StructType([StructField("QUERY PLAN", StringType())]))
+        return ExecutionResult(df=out, command_tag="EXPLAIN")
+
     def _execute_one(self, stmt: str) -> ExecutionResult:
         hooked = self.hooks.try_handle(stmt)
         if hooked is not None:
@@ -155,6 +202,9 @@ class SparkPgEngine:
                 "end of transaction block")  # error code 25P01
         self._check_permissions(stmt)
         self._maybe_refresh_catalog(stmt)
+        analyzed = self._maybe_explain_analyze(stmt)
+        if analyzed is not None:
+            return analyzed
         spark_sql = self.transpiler.transpile(stmt)
         kind = self.transpiler.statement_kind(stmt)
         try:

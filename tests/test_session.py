@@ -344,3 +344,27 @@ class TestExplain:
         assert res.command_tag == "EXPLAIN"
         plan = list(res.rows())[0][0]
         assert "FileScan" in plan or "Scan" in plan
+
+    def test_explain_analyze_executes(self, engine):
+        res = engine.execute(
+            "EXPLAIN ANALYZE SELECT count(*) AS n FROM nation "
+            "WHERE n_nationkey < 7")[0]
+        assert res.df.columns == ["QUERY PLAN"]
+        lines = [r[0] for r in res.rows()]
+        assert len(lines) > 3                      # PG row-per-line shape
+        assert lines[-1] == "Actual Rows: 1"       # it really executed
+        assert lines[-2].startswith("Execution Time: ")
+        assert lines[-3].startswith("Planning Time: ")
+
+    def test_explain_analyze_option_list(self, engine):
+        res = engine.execute(
+            "EXPLAIN (ANALYZE, BUFFERS) SELECT n_name FROM nation "
+            "WHERE n_nationkey < 5")[0]
+        lines = [r[0] for r in res.rows()]
+        assert lines[-1] == "Actual Rows: 5"
+
+    def test_explain_verbose_does_not_execute(self, engine):
+        # no ANALYZE in the option list -> plain Spark EXPLAIN path
+        res = engine.execute("EXPLAIN (VERBOSE) SELECT * FROM nation")[0]
+        lines = [r[0] for r in res.rows()]
+        assert not any(line.startswith("Actual Rows") for line in lines)

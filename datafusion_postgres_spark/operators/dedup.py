@@ -636,3 +636,52 @@ def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
             .join(first_in_batch.select("keep_id"),
                   batch[id_col] == F.col("keep_id"), "left_semi")
             .drop("fp"))
+
+
+def substring_dup_pairs(docs: DataFrame, window: int = 20,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_df: int | None = None) -> DataFrame:
+    """Exact substring deduplication: document pairs sharing at least one
+    exact ``window``-token substring (after normalization) — the
+    suffix-array method of "Deduplicating Training Data Makes Language
+    Models Better" re-expressed for Spark: instead of one giant suffix
+    array, every w-token window gets a portable rolling fingerprint
+    (word-fingerprint fold, same arithmetic the oracle replays), docs
+    meet on equal window hashes, and the pair count of shared distinct
+    windows comes out of one group-by.
+
+    Cost model at 100 TB: per-doc window hashing is a zero-shuffle
+    codegen projection (O(tokens x window) integer ops); the only
+    shuffle carries (hash, id) pairs — 16 bytes per distinct window.
+    Boilerplate windows shared by thousands of docs blow up the
+    self-join quadratically: ``max_df`` drops window hashes seen in more
+    than that many docs BEFORE the join (the standard df-cap; capped
+    windows are by definition boilerplate, not the near-dup signal).
+    Fingerprint collisions (~1e-9 per window pair) are accepted and
+    engine-identical."""
+    ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
+    fp_arr = F.transform(ws, word_fingerprint)
+    n = F.size(fp_arr)
+    # greatest(..., 1): Spark's sequence(1, 0) DESCENDS ([1, 0]) and a
+    # 0 start would crash slice; short docs are filtered out below but
+    # their projection expression can still be evaluated
+    starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    whs = F.array_distinct(F.transform(
+        starts,
+        lambda s: F.aggregate(F.slice(fp_arr, s, window),
+                              F.lit(0).cast("long"),
+                              lambda acc, x: (acc * 31 + x) % FP_MOD)))
+    exploded = (docs.where(n >= window)
+                .select(F.col(id_col).alias("id"), whs.alias("whs"))
+                .select("id", F.explode("whs").alias("wh")))
+    if max_df is not None:
+        hot = (exploded.groupBy("wh")
+               .agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_df).select("wh"))
+        exploded = exploded.join(F.broadcast(hot), "wh", "left_anti")
+    a = exploded.select(F.col("id").alias("id_a"), "wh")
+    b = exploded.select(F.col("id").alias("id_b"), "wh")
+    return (a.join(b, "wh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("bigint").alias("n_shared_windows")))

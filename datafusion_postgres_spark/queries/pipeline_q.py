@@ -1412,3 +1412,37 @@ def text_quantile_gate(spark, sf_dir):
                  (F.round(F.sum(F.round("margin", 6)), 6) + 0.0)
                  .alias("margin_sum"))
             .orderBy("lang"))
+
+
+_SSW = 20  # substring window (tokens); docs are 10-99 tokens in testdata
+
+
+@register("dedup_substring_pairs", oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split({_NORM}, ' '),
+                                    w -> w != ''),
+                        w -> {_duck_hash('w')}) AS fp
+  FROM documents),
+el AS (SELECT doc_id, fp, len(fp) AS n FROM toks WHERE len(fp) >= {_SSW}),
+wh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, n - {_SSW - 1}),
+           s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                         fp[s:s+{_SSW - 1}]),
+                            (acc, x) -> (acc * 31 + x) % 1000000007)))) AS wh
+  FROM el)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+FROM wh a JOIN wh b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def dedup_substring_pairs(spark, sf_dir):
+    """Exact substring dedup (Lee et al. suffix-array method, Spark-
+    first): doc pairs sharing >= 1 exact 20-token window, counted by
+    shared distinct window fingerprints. The oracle replays the rolling
+    fingerprint + self-join in DuckDB list lambdas."""
+    from datafusion_postgres_spark.operators.dedup import substring_dup_pairs
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    return (substring_dup_pairs(docs, window=_SSW)
+            .orderBy("id_a", "id_b"))

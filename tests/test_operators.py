@@ -728,3 +728,40 @@ class TestQuantileGate:
             filter_by_quantile(scored, "s", keep="middle")
         with pytest.raises(ValueError):
             filter_by_quantile(scored, "s", mode="magic")
+
+
+class TestSubstringDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        run = " ".join(f"w{i}" for i in range(30))         # 30-token run
+        boiler = " ".join(f"b{i}" for i in range(25))      # shared boilerplate
+        pad = lambda s: " ".join(f"x{s}{i}" for i in range(25))
+        rows = [
+            (1, f"{pad(1)} {run}"),            # shares `run` with 2
+            (2, f"{run} {pad(2)}"),
+            (3, pad(3) + " " + pad(33)),       # unique text
+            (4, "too short"),                  # below window
+            (5, f"{boiler} {pad(5)}"),         # boilerplate cluster
+            (6, f"{boiler} {pad(6)}"),
+            (7, f"{boiler} {pad(7)}"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_pairs_and_counts(self, docs):
+        from datafusion_postgres_spark.operators.dedup import (
+            substring_dup_pairs)
+        got = {(r["id_a"], r["id_b"]): r["n_shared_windows"]
+               for r in substring_dup_pairs(docs, window=20).collect()}
+        assert (1, 2) in got
+        assert got[(1, 2)] == 11       # 30-token run -> 11 shared windows
+        assert (5, 6) in got and (5, 7) in got and (6, 7) in got
+        assert not any(3 in p or 4 in p for p in got)
+
+    def test_max_df_drops_boilerplate(self, docs):
+        from datafusion_postgres_spark.operators.dedup import (
+            substring_dup_pairs)
+        got = {(r["id_a"], r["id_b"]) for r in
+               substring_dup_pairs(docs, window=20, max_df=2).collect()}
+        # the 3-doc boilerplate windows exceed max_df=2; the 2-doc run stays
+        assert (1, 2) in got
+        assert (5, 6) not in got

@@ -32,6 +32,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_fingerprint",
+    # round-4 session-2 marquee operators (new rows — the 15 above stay
+    # directly comparable with BENCH_r01..r03)
+    "join_asof_events",
+    "dedup_substring_pairs",
+    "text_quality_classifier",
 ]
 
 

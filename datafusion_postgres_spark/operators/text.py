@@ -542,26 +542,32 @@ def hashed_classifier_score(df: DataFrame, text_col: str = "text",
     arithmetic stays below 2^63 (DuckDB BIGINT errors on overflow, Spark
     wraps — the shared bound keeps both exact)."""
     ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
-    uni = F.transform(ws, lambda w: word_fingerprint(w) % dim)
+    # materialize the per-word fingerprints in their OWN projection:
+    # referencing the split+fold chain from several sibling expressions
+    # (unigrams, both bigram slices) re-evaluates it each time — higher-
+    # order lambdas get no common-subexpression reuse
+    fps = (df.where(F.size(ws) > 0)
+           .select(F.col(id_col),
+                   F.transform(ws, word_fingerprint).alias("__fp")))
+    fp = F.col("__fp")
+    uni = F.transform(fp, lambda h: h % dim)
     feats = uni
     if bigrams:
-        n = F.size(ws)
+        n = F.size(fp)
         big = F.zip_with(
-            F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: (word_fingerprint(a) * 31 + word_fingerprint(b))
-            % FP_MOD % dim)
+            F.slice(fp, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(fp, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: (a * 31 + b) % FP_MOD % dim)
         feats = F.concat(uni, big)
     wsum = F.aggregate(feats, F.lit(0).cast("long"),
                        lambda acc, h: acc + (h * w_a + w_b) % w_mod)
     nf = F.size(feats)
     margin = (wsum.cast("double") / nf / w_mod) - 0.5
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-8.0) * margin))
-    return (df.where(F.size(ws) > 0)
-            .select(F.col(id_col),
-                    nf.cast("bigint").alias("n_features"),
-                    (F.round(margin, 6) + 0.0).alias("margin"),
-                    (F.round(score, 6) + 0.0).alias("clf_score")))
+    return (fps.select(F.col(id_col),
+                       nf.cast("bigint").alias("n_features"),
+                       (F.round(margin, 6) + 0.0).alias("margin"),
+                       (F.round(score, 6) + 0.0).alias("clf_score")))
 
 
 def filter_by_quantile(df: DataFrame, score_col: str, q: float = 0.4,

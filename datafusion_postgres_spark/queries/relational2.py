@@ -457,3 +457,39 @@ def q19(spark, sf_dir):
             .where(cond)
             .agg(F.sum(rev).cast("double").alias("revenue"),
                  F.count("*").alias("n")))
+
+
+def _profile_oracle_col(c, table="orders"):
+    return (f"SELECT '{c}' AS column_name, "
+            f"CAST(COUNT({c}) AS BIGINT) AS n, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_value, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_value FROM {table}")
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+@register("table_profile_orders", oracle="""
+WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                    CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+                    o_orderdate, o_orderpriority FROM orders)
+""" + "\nUNION ALL\n".join(_profile_oracle_col(c, "src")
+                           for c in _PROFILE_COLS) + """
+ORDER BY column_name
+""")
+def table_profile_orders(spark, sf_dir):
+    """SUMMARIZE-style single-pass table profile (operators/profile.py):
+    per-column count/nulls/distinct/min/max from ONE wide aggregate,
+    unpivoted via stack — no per-column scans. o_totalprice goes through
+    DECIMAL(12,2) so min/max strings render identically across engines
+    (raw double-to-string formatting differs)."""
+    from datafusion_postgres_spark.operators.profile import profile_table
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority")
+    return profile_table(orders).orderBy("column_name")

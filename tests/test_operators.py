@@ -765,3 +765,35 @@ class TestSubstringDedup:
         # the 3-doc boilerplate windows exceed max_df=2; the 2-doc run stays
         assert (1, 2) in got
         assert (5, 6) not in got
+
+
+class TestProfileTable:
+    def test_stats_and_nulls(self, spark):
+        from datafusion_postgres_spark.operators.profile import profile_table
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None), (2, None, 3.5)],
+            "k long, s string, v double")
+        got = {r["column_name"]: r for r in profile_table(df).collect()}
+        assert got["k"]["n"] == 3 and got["k"]["n_distinct"] == 2
+        assert got["s"]["n"] == 2 and got["s"]["n_null"] == 1
+        assert got["v"]["min_value"] == "1.5"
+        assert got["v"]["max_value"] == "3.5"
+
+    def test_single_pass_plan(self, spark, tables):
+        from datafusion_postgres_spark.operators.profile import profile_table
+        from datafusion_postgres_spark.plans.inspect import simple_plan
+        out = profile_table(tables["orders"])
+        # one aggregation pass: a single scan of the input (the multi-
+        # countDistinct rewrite adds an Expand, never a second scan)
+        assert simple_plan(out).count("FileScan") == 1
+
+    def test_approx_mode(self, spark, tables):
+        from datafusion_postgres_spark.operators.profile import profile_table
+        exact = {r["column_name"]: r["n_distinct"] for r in
+                 profile_table(tables["orders"],
+                               columns=["o_custkey"]).collect()}
+        approx = {r["column_name"]: r["n_distinct"] for r in
+                  profile_table(tables["orders"], columns=["o_custkey"],
+                                exact_distinct=False).collect()}
+        e, a = exact["o_custkey"], approx["o_custkey"]
+        assert abs(a - e) / e < 0.1

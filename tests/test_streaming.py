@@ -160,3 +160,33 @@ def test_attribution_join_matches_batch(spark, stream_dir):
         assert got == batch and len(batch) > 0
     finally:
         q.stop()
+
+
+def test_classifier_scores_on_stream(spark, tmp_path_factory):
+    """The hashed linear classifier is a stateless projection chain
+    (fingerprint materialization + fold), so ingest-time scoring runs
+    the identical operator on a stream and matches batch bit-for-bit."""
+    from datafusion_postgres_spark.operators.text import (
+        hashed_classifier_score)
+    from datafusion_postgres_spark.sources.registry import read_table
+    from datafusion_postgres_spark.streaming.dedup import (
+        read_documents_stream)
+
+    d = tmp_path_factory.mktemp("docs_stream_clf")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                d / "documents.parquet")
+    stream = read_documents_stream(spark, str(d))
+    scored = hashed_classifier_score(stream.drop("ingest_ts"))
+    assert scored.isStreaming
+    q = (scored.writeStream.format("memory").queryName("clf_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not finish in time"
+    try:
+        got = {r["doc_id"]: (r["n_features"], r["clf_score"]) for r in
+               spark.sql("SELECT * FROM clf_stream").collect()}
+        batch = {r["doc_id"]: (r["n_features"], r["clf_score"]) for r in
+                 hashed_classifier_score(
+                     read_table(spark, SF_DIR, "documents")).collect()}
+        assert got == batch and len(got) == 500
+    finally:
+        q.stop()

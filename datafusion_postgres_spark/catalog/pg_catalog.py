@@ -547,6 +547,7 @@ def _proc_rows() -> list:
     UDTFs (proretset), and the Pandas-UDF special-math family. Volatile
     markers follow PG semantics (random/sleep/uuid/now-family 'v',
     settings-dependent 's', everything else 'i')."""
+    from datafusion_postgres_spark.functions.geo import GEO_SQL_UDFS
     from datafusion_postgres_spark.functions.registry import (
         SQL_UDFS, SQL_UDTFS)
 
@@ -566,9 +567,13 @@ def _proc_rows() -> list:
                    ("unistr", "s STRING", "STRING", "unicode pandas UDF"),
                    ("unicode_assigned", "s STRING", "BOOLEAN",
                     "unicode pandas UDF"),
-                   ("crc32c", "b BINARY", "BIGINT", "crc-32c pandas UDF")]
-    for kind, spec_list in (("f", SQL_UDFS), ("f", pandas_udfs),
-                            ("t", SQL_UDTFS)):
+                   ("crc32c", "b BINARY", "BIGINT", "crc-32c pandas UDF"),
+                   ("st_asewkb", "g STRUCT, srid INT", "BINARY",
+                    "EWKB pandas UDF"),
+                   ("st_geomfromewkb", "b BINARY", "STRING",
+                    "EWKB pandas UDF")]
+    for kind, spec_list in (("f", SQL_UDFS), ("f", GEO_SQL_UDFS),
+                            ("f", pandas_udfs), ("t", SQL_UDTFS)):
         for name, args, ret, body in spec_list:
             sigs = [_pg_sig(a) for a in _split_args(args)]
             retset = kind == "t"

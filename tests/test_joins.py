@@ -250,3 +250,33 @@ class TestScd2:
             assert got == want and len(want) > 50
         finally:
             q.stop()
+
+
+class TestAsofRandomized:
+    def test_matches_brute_force_random(self, spark):
+        """Randomized equivalence: asof_join(backward) == argmax-per-left
+        brute force over several seeds (keys collide, ts collide, gaps)."""
+        import random
+        for seed in (3, 17):
+            rng = random.Random(seed)
+            base = dt.datetime(2024, 1, 1)
+            lrows = [(i, rng.randrange(5),
+                      base + dt.timedelta(seconds=rng.randrange(0, 3600)))
+                     for i in range(120)]
+            rrows = [(j, rng.randrange(5),
+                      base + dt.timedelta(seconds=rng.randrange(0, 3600)),
+                      float(j))
+                     for j in range(80)]
+            left = spark.createDataFrame(lrows, "lid int, k int, lts timestamp")
+            right = spark.createDataFrame(
+                rrows, "rid int, k int, rts timestamp, px double")
+            out = {r["lid"]: r["rid"] for r in
+                   asof_join(left, right, on="k", left_ts="lts",
+                             right_ts="rts", right_cols=["rid", "px"],
+                             tie_col="rid").collect()}
+            want = {}
+            for lid, lk, lts_ in lrows:
+                cands = [(rts_, rid) for rid, rk, rts_, _ in rrows
+                         if rk == lk and rts_ <= lts_]
+                want[lid] = max(cands)[1] if cands else None
+            assert out == want

@@ -146,3 +146,19 @@ def test_funnel_shuffles_bounded(spark):
     ev = read_table(spark, SF_DIR, "events")
     df = funnel_counts(ev, ["view", "click", "purchase"])
     assert P.count_shuffles(df) <= 9
+
+
+def test_substring_dedup_no_computation_below_repartition(spark, tables):
+    """Regression pin for the InferFiltersFromGenerate pathology: the
+    window-hash computation must stay ABOVE the parallelism repartition.
+    A heavy inferred filter (containing the inlined aggregate/transform
+    chain) below the RoundRobin exchange re-runs the whole operator in
+    the narrow scan stage (measured 13.2s -> 1.4s at sf0.1)."""
+    from datafusion_postgres_spark.operators.dedup import substring_dup_pairs
+    plan = substring_dup_pairs(
+        tables["documents"])._jdf.queryExecution().optimizedPlan().toString()
+    below = plan.split("RoundRobinPartitioning", 1)[-1]
+    for line in below.split("\n"):
+        if line.strip().startswith(("Filter", "+- Filter", ":- Filter")):
+            assert "aggregate(slice(" not in line, (
+                "window-hash fold pushed below the repartition")

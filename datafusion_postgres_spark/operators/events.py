@@ -9,7 +9,7 @@ and never widens beyond (user, ts) pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel_stage_users(events: DataFrame, steps: list[str],
@@ -81,3 +81,32 @@ def cohort_retention(events: DataFrame, period: str = "week",
             .groupBy(F.to_date("cohort_ts").alias("cohort"), "period_n")
             .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
             .orderBy("cohort", "period_n"))
+
+
+def time_weighted_avg(events: DataFrame, value_col: str = "value",
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      tie_col: str = "event_id") -> DataFrame:
+    """Per-key time-weighted average of an irregularly-sampled value:
+    each sample holds until the next one (step interpolation), so
+    twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first); keys with <2 samples drop
+    (no interval to weight). One key shuffle (window + aggregate share
+    the partitioning).
+
+    Hash-stable across engines by construction: durations are integer
+    microseconds, values decimal(12,2), products and sums exact decimal,
+    ONE double division at the end (float summation order never
+    matters)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur = F.lead(t_us).over(w) - t_us
+    v = F.col(value_col).cast("decimal(12,2)")
+    s = (events.select(F.col(user_col).alias("user_id"),
+                       v.alias("v"), dur.alias("dur_us"))
+         .where(F.col("dur_us").isNotNull()))
+    return (s.groupBy("user_id")
+            .agg((F.count("*") + 1).cast("bigint").alias("n_samples"),
+                 F.sum("dur_us").cast("bigint").alias("span_us"),
+                 (F.round(F.sum(F.col("v") * F.col("dur_us"))
+                          .cast("double") /
+                          F.sum("dur_us").cast("double"), 6) + 0.0)
+                 .alias("twa")))

@@ -200,3 +200,29 @@ def events_attribution(spark, sf_dir):
                 "pts <= vts + interval 1 hour"))
             .select("user_id", "view_id", "purchase_id")
             .orderBy("purchase_id", "view_id"))
+
+
+@register("events_twap", oracle="""
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(CAST(ts AS TIMESTAMP)) AS dur_us
+  FROM events)
+SELECT user_id,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_samples,
+       CAST(SUM(dur_us) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(v * dur_us) AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE), 6) + 0.0 AS twa
+FROM s WHERE dur_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+""")
+def events_twap(spark, sf_dir):
+    """Time-weighted average event value per user (step interpolation:
+    each sample holds until the next; operators/events.py). Exact
+    decimal x integer-microsecond weighting keeps the result
+    hash-identical across engines."""
+    from datafusion_postgres_spark.operators.events import time_weighted_avg
+    ev = t(spark, sf_dir, "events")
+    return time_weighted_avg(ev).orderBy("user_id")

@@ -797,3 +797,26 @@ class TestProfileTable:
                                 exact_distinct=False).collect()}
         e, a = exact["o_custkey"], approx["o_custkey"]
         assert abs(a - e) / e < 0.1
+
+
+class TestTimeWeightedAvg:
+    def test_step_interpolation(self, spark):
+        import datetime as dt
+        from datafusion_postgres_spark.operators.events import (
+            time_weighted_avg)
+        b = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: 10 for 10s, then 20 for 30s -> twa = (100+600)/40
+            (1, 1, b, 10.0),
+            (2, 1, b + dt.timedelta(seconds=10), 20.0),
+            (3, 1, b + dt.timedelta(seconds=40), 99.0),   # last: no weight
+            (4, 2, b, 5.0),                               # single sample
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double")
+        got = {r["user_id"]: r for r in time_weighted_avg(df).collect()}
+        assert 2 not in got                      # <2 samples -> dropped
+        r = got[1]
+        assert r["n_samples"] == 3
+        assert r["span_us"] == 40_000_000
+        assert abs(r["twa"] - 17.5) < 1e-9

@@ -323,3 +323,33 @@ def pg_ordered_set_aggs(spark, sf_dir):
                mode() WITHIN GROUP (ORDER BY l_linestatus) AS mode_status
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """, ("lineitem",))
+
+
+_RECURSIVE_MONTHS = """
+WITH RECURSIVE months (m, mx) AS (
+    SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+           CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+    FROM orders
+  UNION ALL
+    SELECT CAST(m + INTERVAL '1 month' AS DATE), mx FROM months WHERE m < mx
+)
+SELECT m AS month_start,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM months LEFT JOIN orders o
+  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m
+GROUP BY m ORDER BY m
+"""
+
+
+@register("pg_recursive_cte", oracle=_RECURSIVE_MONTHS)
+def pg_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark-4-native, SPARK-24497; the reference engine
+    supports recursive CTEs via DataFusion's RecursiveQuery node). A
+    dense month ladder is derived recursively from the orders date range
+    (anchor carries the bound so the recursive member needs no subquery
+    — Spark requires that), then LEFT-joined back to count orders per
+    month including empty months. The count is order-independent, so the
+    result hashes identically across engines; the identical SQL runs on
+    DuckDB as the oracle. Recursion depth = #months (~80), far under
+    Spark's default 100-row-limit-free iteration cap."""
+    return pg_sql(spark, sf_dir, _RECURSIVE_MONTHS, ("orders",))

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from datafusion_postgres_spark.queries import register, t
+from datafusion_postgres_spark.queries import register, sorted_small, t
 from datafusion_postgres_spark.operators.joins import (
     asof_join, gaps_islands, point_in_interval_join,
 )
@@ -42,9 +42,13 @@ def join_asof_events(spark, sf_dir):
                     right_cols=["view_id", "view_value"], tie_col="view_id")
     gap = (F.unix_micros(F.col("ts").cast("timestamp")) -
            F.unix_micros(F.col("vts").cast("timestamp")))
-    return (res.select(F.col("event_id").alias("purchase_id"), "user_id",
-                       "view_id", gap.alias("gap_us"), "view_value")
-            .orderBy("purchase_id"))
+    # sorted_small, not orderBy: RangePartitioning's sampling pass would
+    # re-execute the whole window plan a second time (~2x on the bench);
+    # 20k output rows sort fine in one partition
+    return sorted_small(
+        res.select(F.col("event_id").alias("purchase_id"), "user_id",
+                   "view_id", gap.alias("gap_us"), "view_value"),
+        "purchase_id")
 
 
 @register("join_range_islands", oracle="""

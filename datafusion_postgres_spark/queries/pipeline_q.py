@@ -1368,7 +1368,9 @@ def text_quality_classifier(spark, sf_dir):
     the oracle replays hashing, weights, and link exactly."""
     from datafusion_postgres_spark.operators.text import hashed_classifier_score
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
-    return hashed_classifier_score(docs).orderBy("doc_id")
+    # sorted_small: orderBy's range-sampling pass would run the scoring
+    # projection (the entire cost of this query) twice
+    return sorted_small(hashed_classifier_score(docs), "doc_id")
 
 
 @register("text_quantile_gate", oracle=f"""
@@ -1451,5 +1453,5 @@ def dedup_substring_pairs(spark, sf_dir):
     fingerprint + self-join in DuckDB list lambdas."""
     from datafusion_postgres_spark.operators.dedup import substring_dup_pairs
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
-    return (substring_dup_pairs(docs, window=_SSW)
-            .orderBy("id_a", "id_b"))
+    return sorted_small(substring_dup_pairs(docs, window=_SSW),
+                        "id_a", "id_b")

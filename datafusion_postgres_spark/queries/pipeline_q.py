@@ -1455,3 +1455,81 @@ def dedup_substring_pairs(spark, sf_dir):
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     return sorted_small(substring_dup_pairs(docs, window=_SSW),
                         "id_a", "id_b")
+
+
+_DSIR_FEAT = f"""
+  SELECT doc_id,
+         list_concat(
+           list_transform({_CLF_WS}, w -> {_duck_hash('w')} % {_CLF_DIM}),
+           list_transform(
+             generate_series(1, len({_CLF_WS}) - 1),
+             i -> ({_duck_hash(f'{_CLF_WS}[i]')} * 31
+                   + {_duck_hash(f'{_CLF_WS}[i+1]')})
+                  % 1000000007 % {_CLF_DIM})) AS feats
+  FROM documents
+"""
+
+_DSIR_CTES = f"""
+WITH feat AS ({_DSIR_FEAT} WHERE len({_CLF_WS}) > 0),
+tgt_feat AS ({_DSIR_FEAT.replace('FROM documents', "FROM documents WHERE lang = 'en'")}
+             AND len({_CLF_WS}) > 0),
+rawc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c
+         FROM (SELECT unnest(feats) AS h FROM feat) GROUP BY h),
+tgtc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c
+         FROM (SELECT unnest(feats) AS h FROM tgt_feat) GROUP BY h),
+tot AS (SELECT CAST((SELECT COALESCE(SUM(c), 0) FROM rawc) AS BIGINT) AS nr,
+               CAST((SELECT COALESCE(SUM(c), 0) FROM tgtc) AS BIGINT) AS nt),
+lr AS (SELECT r.h,
+              CAST(floor(ln(
+                  CAST((COALESCE(t.c, 0) + 1) * (tot.nr + {_CLF_DIM}) AS DOUBLE)
+                / CAST((r.c + 1) * (tot.nt + {_CLF_DIM}) AS DOUBLE))
+                * 1000000 + 0.5) AS BIGINT) AS lr
+       FROM rawc r LEFT JOIN tgtc t ON r.h = t.h, tot),
+docf AS (SELECT doc_id, unnest(feats) AS h FROM feat),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+               CAST(SUM(lr.lr) AS BIGINT) AS lr_sum
+        FROM docf JOIN lr ON docf.h = lr.h GROUP BY doc_id)
+"""
+
+
+@register("text_dsir_weights", oracle=_DSIR_CTES + """
+SELECT doc_id, n_features, lr_sum,
+       CAST(lr_sum AS DOUBLE) / 1000000 AS log_ratio
+FROM agg ORDER BY doc_id
+""")
+def text_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py): every document scored
+    by the hashed-ngram bag log-likelihood ratio of the lang='en' target
+    model vs the whole-corpus raw model. The oracle recomputes both count
+    tables, the fixed-point log-ratio buckets, and the integer per-doc
+    sums in DuckDB — engine libm only ever appears inside the shared
+    floor(ln(x)*1e6 + 0.5) fixed-point step."""
+    from datafusion_postgres_spark.operators.dsir import dsir_weights
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    target = docs.where(F.col("lang") == "en")
+    return sorted_small(dsir_weights(docs, target), "doc_id")
+
+
+@register("text_dsir_sample", oracle=_DSIR_CTES + """
+, keyed AS (
+  SELECT doc_id, lr_sum,
+         CAST(floor(
+            CAST(lr_sum AS DOUBLE) / 1.0
+            + (- ln(- ln(
+                ((doc_id * 1103515245 + 12345 + 7) % 2147483647 + 1)
+                / 2147483648.0)))
+              * 1000000 + 0.5) AS BIGINT) AS sample_key
+  FROM agg)
+SELECT doc_id, lr_sum, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+""")
+def text_dsir_sample(spark, sf_dir):
+    """Gumbel-top-k DSIR resampling: exact weighted sample of 50 docs
+    w/o replacement, deterministic via the doc-id LCG 'randomness' —
+    reproducible across engines, so even the SAMPLE itself is oracled.
+    Plan: scoring projection + TakeOrderedAndProject (no global sort)."""
+    from datafusion_postgres_spark.operators.dsir import dsir_resample
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    target = docs.where(F.col("lang") == "en")
+    out = dsir_resample(docs, target, k=50, seed=7)
+    return out.select("doc_id", "lr_sum", "sample_key")

@@ -820,3 +820,58 @@ class TestTimeWeightedAvg:
         assert r["n_samples"] == 3
         assert r["span_us"] == 40_000_000
         assert abs(r["twa"] - 17.5) < 1e-9
+
+
+class TestDsir:
+    def _corpus(self, spark):
+        target_like = [
+            (i, "the encyclopedia article describes the history of science "
+                "and the development of mathematics in careful detail")
+            for i in range(1, 6)]
+        noise = [
+            (i, "click here buy now cheap deals free shipping limited "
+                "offer discount sale")
+            for i in range(6, 11)]
+        return spark.createDataFrame(target_like + noise, "doc_id long, text string")
+
+    def test_targetlike_docs_score_higher(self, spark):
+        from datafusion_postgres_spark.operators.dsir import dsir_weights
+        docs = self._corpus(spark)
+        target = docs.where("doc_id <= 3")  # encyclopedia-style target
+        w = {r["doc_id"]: r["log_ratio"]
+             for r in dsir_weights(docs, target, dim=512).collect()}
+        assert min(w[i] for i in range(1, 6)) > max(w[i] for i in range(6, 11))
+
+    def test_weights_deterministic(self, spark):
+        from datafusion_postgres_spark.operators.dsir import dsir_weights
+        docs = self._corpus(spark)
+        target = docs.where("doc_id <= 3")
+        a = sorted(map(tuple, dsir_weights(docs, target, dim=512).collect()))
+        b = sorted(map(tuple, dsir_weights(docs, target, dim=512).collect()))
+        assert a == b
+
+    def test_resample_is_weighted_sample_without_replacement(self, spark):
+        from datafusion_postgres_spark.operators.dsir import dsir_resample
+        docs = self._corpus(spark)
+        target = docs.where("doc_id <= 3")
+        out = dsir_resample(docs, target, k=4, dim=512, seed=11).collect()
+        ids = [r["doc_id"] for r in out]
+        assert len(ids) == len(set(ids)) == 4
+        # sample keys are returned in decreasing order
+        keys = [r["sample_key"] for r in out]
+        assert keys == sorted(keys, reverse=True)
+        # temperature -> 0 sharpens toward pure argmax of the weights:
+        # with these extreme weights the top-4 must all be target-like
+        cold = dsir_resample(docs, target, k=4, dim=512, seed=11,
+                             temperature=0.01).collect()
+        assert all(r["doc_id"] <= 5 for r in cold)
+
+    def test_log_ratio_table_fixed_point(self):
+        from datafusion_postgres_spark.operators.dsir import log_ratio_table
+        lr = log_ratio_table([4, 0], [1, 3], 4, 4, 2)
+        # bucket 0: target-heavy -> positive; bucket 1: raw-only -> negative
+        assert lr[0] > 0 > lr[1]
+        import math
+        expect = math.floor(math.log((4 + 1) * (4 + 2) / ((1 + 1) * (4 + 2)))
+                            * 1_000_000 + 0.5)
+        assert lr[0] == expect

@@ -1129,6 +1129,31 @@ def dedup_decontaminate(spark, sf_dir):
     return sorted_small(dedup.decontaminate(corpus, eval_docs), "doc_id")
 
 
+@register("dedup_decontaminate_bloom", oracle=f"""
+WITH {_JACCARD_CTES},
+eval_g AS (SELECT DISTINCT gram_hash FROM sh WHERE id < 50),
+corpus AS (SELECT id, gram_hash FROM sh WHERE id >= 50)
+SELECT c.id AS doc_id, COUNT(*) AS n_overlap,
+       ROUND(COUNT(*) * 1.0 / s.set_size, 6) AS overlap_ratio
+FROM corpus c
+JOIN eval_g e USING (gram_hash)
+JOIN sizes s ON s.id = c.id
+GROUP BY c.id, s.set_size
+ORDER BY doc_id
+""")
+def dedup_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefilter decontamination — IDENTICAL oracle (and output) to
+    dedup_decontaminate, because the bitset is a prefilter with no false
+    negatives and every survivor is exact-confirmed; what changes is the
+    memory/scale envelope (bitset ~25x smaller than the broadcast hash
+    set; see operators/dedup.py decontaminate_bloom)."""
+    docs = t(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") < 50)
+    corpus = docs.where(F.col("doc_id") >= 50)
+    return sorted_small(dedup.decontaminate_bloom(corpus, eval_docs),
+                        "doc_id")
+
+
 _SAMPLE_KEY = ("regexp_replace(trim(lower(lang || '|' || "
                "CAST(doc_id AS VARCHAR))), '\\s+', ' ', 'g')")
 _SAMPLE_ORACLE = ("WITH keyed AS (SELECT doc_id, lang, "

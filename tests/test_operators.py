@@ -875,3 +875,30 @@ class TestDsir:
         expect = math.floor(math.log((4 + 1) * (4 + 2) / ((1 + 1) * (4 + 2)))
                             * 1_000_000 + 0.5)
         assert lr[0] == expect
+
+
+class TestBloomDecontaminate:
+    def test_matches_exact_decontaminate(self, spark):
+        from datafusion_postgres_spark.operators import dedup
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ev = docs.where("doc_id < 40")
+        corpus = docs.where("doc_id >= 40")
+        exact = sorted(map(tuple, dedup.decontaminate(corpus, ev).collect()))
+        bloom = sorted(map(tuple,
+                           dedup.decontaminate_bloom(corpus, ev).collect()))
+        assert exact == bloom
+
+    def test_min_overlap_threshold(self, spark):
+        from datafusion_postgres_spark.operators import dedup
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "alpha beta gamma delta something else entirely here"),
+             (3, "totally different words with zero overlap at all")],
+            "doc_id long, text string")
+        ev = docs.where("doc_id = 1")
+        corpus = docs.where("doc_id > 1")
+        out = {r["doc_id"]: r["n_overlap"]
+               for r in dedup.decontaminate_bloom(corpus, ev,
+                                                  min_overlap=2).collect()}
+        assert 3 not in out
+        assert out.get(2, 0) >= 2

@@ -607,3 +607,52 @@ def filter_by_quantile(df: DataFrame, score_col: str, q: float = 0.4,
     cond = (F.col(score_col) >= F.col("__thr") if keep == "above"
             else F.col(score_col) <= F.col("__thr"))
     return joined.where(cond).drop("__thr")
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id", max_df_ratio: float = 1.0,
+                    broadcast_df: bool = False) -> DataFrame:
+    """Per-document top-k keywords by tf-idf: (doc_id, term, tf, df,
+    tfidf).
+
+    Plan shape: one (doc, word) aggregation for term frequencies, one
+    word-keyed aggregation for document frequencies (both with map-side
+    partial agg), one join on the word key, one per-doc top-k window.
+    ``max_df_ratio`` drops corpus-stopwords (df > ratio*N) BEFORE the
+    join — at 100 TB that both removes the hottest (most skewed) join
+    keys and shrinks the df table, which ``broadcast_df=True`` can then
+    ship instead of shuffling the tf side (right only when the surviving
+    vocabulary is bounded; default lets AQE decide, and AQE's skew-join
+    split covers residual hot words).
+
+    Determinism: idf is fixed-point ``floor(ln(N/df)*1e6 + 0.5)`` and the
+    score ``tf * idf6`` stays an exact BIGINT until one final double
+    division — the same discipline as the DSIR weights. Ties (equal
+    score) break on the term's binary collation, matching DuckDB."""
+    ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
+    tok = (ensure_min_parallelism(df)
+           .select(F.col(id_col), F.explode(ws).alias("term")))
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"))
+    n_docs = (df.where(F.trim(F.col(text_col)) != "")
+              .agg(F.count("*").cast("bigint").alias("__n")))
+    dfreq = dfreq.crossJoin(F.broadcast(n_docs))
+    if max_df_ratio < 1.0:
+        dfreq = dfreq.where(F.col("df") <= F.col("__n") * max_df_ratio)
+    idf6 = F.floor(F.log(F.col("__n").cast("double") / F.col("df")
+                         .cast("double")) * 1_000_000 + F.lit(0.5)) \
+            .cast("long")
+    dfreq = dfreq.select("term", "df", idf6.alias("__idf6"))
+    if broadcast_df:
+        dfreq = F.broadcast(dfreq)
+    scored = (tf.join(dfreq, "term")
+              .withColumn("__score6", F.col("tf") * F.col("__idf6")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score6").desc(), F.col("term").asc())
+    return (scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .select(id_col, "term", "tf", "df",
+                    (F.col("__score6").cast("double") / 1_000_000)
+                    .alias("tfidf")))

@@ -1558,3 +1558,38 @@ def text_dsir_sample(spark, sf_dir):
     target = docs.where(F.col("lang") == "en")
     out = dsir_resample(docs, target, k=50, seed=7)
     return out.select("doc_id", "lr_sum", "sample_key")
+
+
+@register("text_tfidf_topk", oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_NORM}, ' '), w -> w != ''))
+           AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+       FROM documents WHERE trim(text) <> ''),
+dfx AS (SELECT term, df,
+               CAST(floor(ln(CAST(nd.n AS DOUBLE) / CAST(df AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT) AS idf6
+        FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1) d, nd
+        WHERE df <= nd.n * 0.5),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfx.df, tf.tf * dfx.idf6 AS s6,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * dfx.idf6 DESC, tf.term ASC)
+           AS rk
+  FROM tf JOIN dfx ON tf.term = dfx.term)
+SELECT doc_id, term, tf, df, CAST(s6 AS DOUBLE) / 1000000 AS tfidf
+FROM scored WHERE rk <= 5 ORDER BY doc_id, term
+""")
+def text_tfidf_topk(spark, sf_dir):
+    """Top-5 tf-idf keywords per document with a 50% max-df stopword cap
+    (operators/text.py tfidf_top_terms): fixed-point idf keeps the score
+    an exact integer on both engines until the final division."""
+    from datafusion_postgres_spark.operators.text import tfidf_top_terms
+    docs = t(spark, sf_dir, "documents")
+    return sorted_small(tfidf_top_terms(docs, k=5, max_df_ratio=0.5),
+                        "doc_id", "term")

@@ -902,3 +902,34 @@ class TestBloomDecontaminate:
                                                   min_overlap=2).collect()}
         assert 3 not in out
         assert out.get(2, 0) >= 2
+
+
+class TestTfidfTopTerms:
+    def test_rare_term_outranks_common(self, spark):
+        from datafusion_postgres_spark.operators.text import tfidf_top_terms
+        docs = spark.createDataFrame(
+            [(1, "shared shared shared quark"),
+             (2, "shared words everywhere common"),
+             (3, "shared common words again")],
+            "doc_id long, text string")
+        out = tfidf_top_terms(docs, k=1).collect()
+        top = {r["doc_id"]: r["term"] for r in out}
+        assert top[1] == "quark"  # df=1 beats tf=3 of the everywhere-term
+
+    def test_max_df_drops_stopwords(self, spark):
+        from datafusion_postgres_spark.operators.text import tfidf_top_terms
+        docs = spark.createDataFrame(
+            [(1, "the cat"), (2, "the dog"), (3, "the fox")],
+            "doc_id long, text string")
+        out = tfidf_top_terms(docs, k=5, max_df_ratio=0.5).collect()
+        assert all(r["term"] != "the" for r in out)
+        assert {r["term"] for r in out} == {"cat", "dog", "fox"}
+
+    def test_broadcast_df_same_result(self, spark):
+        from datafusion_postgres_spark.operators.text import tfidf_top_terms
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(100)
+        a = sorted(map(tuple, tfidf_top_terms(docs, k=3).collect()))
+        b = sorted(map(tuple, tfidf_top_terms(docs, k=3,
+                                              broadcast_df=True).collect()))
+        assert a == b

@@ -716,7 +716,10 @@ def _static_views(spark: SparkSession) -> None:
           ("indisunique", BooleanType()), ("indisprimary", BooleanType()),
           ("indisexclusion", BooleanType()), ("indimmediate", BooleanType()),
           ("indisclustered", BooleanType()), ("indisvalid", BooleanType()),
-          ("indisreplident", BooleanType()), ("indkey", StringType()),
+          ("indisreplident", BooleanType()),
+          # int2vector in PG — coercible to smallint[], which is what
+          # pgjdbc getPrimaryKeys relies on (a.attnum = ANY(i.indkey))
+          ("indkey", ArrayType(ShortType())),
           ("indpred", StringType())]),
         ("pg_catalog_pg_constraint",
          [("oid", IntegerType()), ("conname", StringType()),
@@ -724,8 +727,11 @@ def _static_views(spark: SparkSession) -> None:
           ("condeferrable", BooleanType()), ("condeferred", BooleanType()),
           ("convalidated", BooleanType()), ("conrelid", IntegerType()),
           ("contypid", IntegerType()), ("conindid", IntegerType()),
-          ("confrelid", IntegerType()), ("conkey", StringType()),
-          ("confkey", StringType())]),
+          ("confrelid", IntegerType()),
+          # int2[] in PG — array-typed so conkey[i] / = ANY(conkey)
+          # (pgjdbc getImportedKeys) resolve
+          ("conkey", ArrayType(ShortType())),
+          ("confkey", ArrayType(ShortType()))]),
         ("pg_catalog_pg_indexes",
          [("schemaname", StringType()), ("tablename", StringType()),
           ("indexname", StringType()), ("tablespace", StringType()),

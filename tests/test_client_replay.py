@@ -244,3 +244,98 @@ class TestOperatorClassPanels:
                JOIN pg_catalog.pg_opfamily f ON f.oid = oc.opcfamily
                WHERE f.opfmethod <> oc.opcmethod""")[0].rows())
         assert rows[0][0] == 0
+
+
+# PostgreSQL JDBC driver metadata queries (shapes from the public pgjdbc
+# PgDatabaseMetaData implementation — the most widely deployed client).
+PGJDBC_QUERIES = [
+    # connection startup parameters
+    "SET extra_float_digits = 3",
+    "SET application_name = 'PostgreSQL JDBC Driver'",
+    "SHOW TRANSACTION ISOLATION LEVEL",
+    # getTables
+    """SELECT c.oid, n.nspname AS TABLE_SCHEM, c.relname AS TABLE_NAME,
+         CASE n.nspname ~ '^pg_' OR n.nspname = 'information_schema'
+           WHEN true THEN CASE WHEN n.nspname = 'pg_catalog'
+                               THEN 'SYSTEM TABLE' ELSE 'SYSTEM VIEW' END
+           WHEN false THEN CASE c.relkind WHEN 'r' THEN 'TABLE'
+                                          WHEN 'v' THEN 'VIEW' ELSE NULL END
+           ELSE NULL END AS TABLE_TYPE,
+         d.description AS REMARKS
+       FROM pg_catalog.pg_namespace n, pg_catalog.pg_class c
+       LEFT JOIN pg_catalog.pg_description d
+         ON (c.oid = d.objoid AND d.objsubid = 0)
+       WHERE c.relnamespace = n.oid AND c.relname LIKE '%'
+         AND (false OR (c.relkind = 'r' AND n.nspname !~ '^pg_'
+                        AND n.nspname <> 'information_schema'))
+       ORDER BY TABLE_TYPE, TABLE_SCHEM, TABLE_NAME""",
+    # getColumns
+    """SELECT n.nspname, c.relname, a.attname, a.atttypid, a.attnotnull,
+              a.atttypmod, a.attlen, a.attnum,
+              pg_catalog.pg_get_expr(def.adbin, def.adrelid) AS adsrc,
+              dsc.description, t.typbasetype, t.typtype
+       FROM pg_catalog.pg_namespace n
+       JOIN pg_catalog.pg_class c ON (c.relnamespace = n.oid)
+       JOIN pg_catalog.pg_attribute a ON (a.attrelid = c.oid)
+       JOIN pg_catalog.pg_type t ON (a.atttypid = t.oid)
+       LEFT JOIN pg_catalog.pg_attrdef def
+         ON (a.attrelid = def.adrelid AND a.attnum = def.adnum)
+       LEFT JOIN pg_catalog.pg_description dsc
+         ON (c.oid = dsc.objoid AND a.attnum = dsc.objsubid)
+       WHERE c.relkind IN ('r','v','f','m') AND a.attnum > 0
+         AND NOT a.attisdropped AND n.nspname LIKE 'public'
+       ORDER BY nspname, c.relname, attnum""",
+    # getPrimaryKeys — a.attnum = ANY(i.indkey) needs indkey int2vector
+    # coercion to smallint[] (array-typed in our model)
+    """SELECT ct.relname AS TABLE_NAME, a.attname AS COLUMN_NAME,
+              a.attnum AS KEY_SEQ, ci.relname AS PK_NAME
+       FROM pg_catalog.pg_class ct
+         JOIN pg_catalog.pg_attribute a ON (ct.oid = a.attrelid)
+         JOIN pg_catalog.pg_namespace n ON (ct.relnamespace = n.oid)
+         JOIN pg_catalog.pg_index i
+           ON (a.attnum = ANY(i.indkey) AND a.attrelid = i.indrelid)
+         JOIN pg_catalog.pg_class ci ON (ci.oid = i.indexrelid)
+       WHERE true AND n.nspname = 'public' AND i.indisprimary
+       ORDER BY table_name, pk_name, key_seq""",
+    # getImportedKeys core probe (conkey/confkey must be array-typed)
+    """SELECT con.conname, con.confupdtype, con.confdeltype,
+              con.conkey[1], con.confkey[1]
+       FROM pg_catalog.pg_constraint con
+       WHERE con.contype = 'f' LIMIT 5""",
+    # getTypeInfo
+    """SELECT t.typname, t.oid FROM pg_catalog.pg_type t
+       JOIN pg_catalog.pg_namespace n ON (t.typnamespace = n.oid)
+       WHERE n.nspname != 'pg_toast' AND typelem = 0 AND typrelid = 0""",
+    # getSchemas (current_schemas(true) subscripting)
+    """SELECT nspname AS TABLE_SCHEM, NULL AS TABLE_CATALOG
+       FROM pg_catalog.pg_namespace
+       WHERE nspname <> 'pg_toast'
+         AND (nspname !~ '^pg_temp_'
+              OR nspname = (pg_catalog.current_schemas(true))[1])
+         AND (nspname !~ '^pg_toast_temp_'
+              OR nspname = replace((pg_catalog.current_schemas(true))[1],
+                                   'pg_temp_', 'pg_toast_temp_'))
+       ORDER BY TABLE_SCHEM""",
+]
+
+
+class TestPgjdbcReplay:
+    def test_pgjdbc(self, engine):
+        _run_all(engine, PGJDBC_QUERIES)
+
+    def test_get_tables_lists_registered_tables(self, engine):
+        res = engine.execute(PGJDBC_QUERIES[3])
+        rows = list(res[-1].rows())
+        names = {r[2] for r in rows}
+        assert "nation" in names
+        assert all(r[3] == "TABLE" for r in rows)
+
+    def test_get_type_info_has_core_types(self, engine):
+        res = engine.execute(PGJDBC_QUERIES[7])
+        names = {r[0] for r in res[-1].rows()}
+        assert {"int4", "int8", "text", "bool", "numeric"} <= names
+
+    def test_primary_keys_resolves_empty(self, engine):
+        # no real indexes are modeled -> truthfully zero rows, NOT an error
+        res = engine.execute(PGJDBC_QUERIES[5])
+        assert list(res[-1].rows()) == []

@@ -656,3 +656,28 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
             .select(id_col, "term", "tf", "df",
                     (F.col("__score6").cast("double") / 1_000_000)
                     .alias("tfidf")))
+
+
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  priority_col: str | None = None,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Cap the number of rows kept per group — the per-domain document
+    cap of web-corpus pipelines (bound any single domain's share of the
+    training set). Keeps the ``cap`` highest-``priority_col`` rows
+    (ties, and the default when no priority is given, break on the
+    portable id hash — a deterministic, engine-reproducible "random"
+    pick rather than positional luck).
+
+    One hash shuffle on the group key + per-group top-cap. For the
+    pathological hot domain (hundreds of millions of rows sorting in one
+    window partition at 100 TB), pre-thin with filter_by_quantile on the
+    priority within hot groups, or raise spark.sql.shuffle.partitions —
+    the window itself spills but stays correct."""
+    prio = (F.col(priority_col).desc() if priority_col
+            else F.lit(0).asc())
+    hash_tie = ((F.col(id_col) * 1_103_515_245 + 12_345) % FP_MOD).asc()
+    w = Window.partitionBy(group_col).orderBy(prio, hash_tie,
+                                              F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= cap)
+            .drop("__rk"))

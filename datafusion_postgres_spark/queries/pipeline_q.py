@@ -1593,3 +1593,26 @@ def text_tfidf_topk(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return sorted_small(tfidf_top_terms(docs, k=5, max_df_ratio=0.5),
                         "doc_id", "term")
+
+
+@register("text_domain_cap", oracle="""
+WITH rk AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC,
+                    (doc_id * 1103515245 + 12345) % 1000000007 ASC,
+                    doc_id ASC) AS rk
+  FROM documents)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM rk WHERE rk <= 5 ORDER BY doc_id
+""")
+def text_domain_cap(spark, sf_dir):
+    """Per-domain cap (operators/text.py cap_per_group): at most 5 docs
+    per source, preferring the longest (n_chars), hash tie-break."""
+    from datafusion_postgres_spark.operators.text import cap_per_group
+    docs = t(spark, sf_dir, "documents")
+    out = cap_per_group(docs, "source", 5, priority_col="n_chars")
+    return sorted_small(
+        out.select("doc_id", "source", F.col("n_chars").cast("bigint")),
+        "doc_id")

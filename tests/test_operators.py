@@ -933,3 +933,25 @@ class TestTfidfTopTerms:
         b = sorted(map(tuple, tfidf_top_terms(docs, k=3,
                                               broadcast_df=True).collect()))
         assert a == b
+
+
+class TestCapPerGroup:
+    def test_caps_and_prefers_priority(self, spark):
+        from datafusion_postgres_spark.operators.text import cap_per_group
+        rows = [(i, "a", i * 10) for i in range(1, 8)] + \
+               [(10, "b", 5), (11, "b", 7)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+        out = cap_per_group(df, "source", 3, priority_col="n").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], set()).add(r["doc_id"])
+        assert by_src["a"] == {5, 6, 7}   # top-3 by n
+        assert by_src["b"] == {10, 11}    # under the cap -> all kept
+
+    def test_hash_tiebreak_deterministic(self, spark):
+        from datafusion_postgres_spark.operators.text import cap_per_group
+        df = spark.createDataFrame([(i, "s") for i in range(50)],
+                                   "doc_id long, source string")
+        a = sorted(r["doc_id"] for r in cap_per_group(df, "source", 10).collect())
+        b = sorted(r["doc_id"] for r in cap_per_group(df, "source", 10).collect())
+        assert a == b and len(a) == 10

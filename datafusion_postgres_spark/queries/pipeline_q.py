@@ -1616,3 +1616,53 @@ def text_domain_cap(spark, sf_dir):
     return sorted_small(
         out.select("doc_id", "source", F.col("n_chars").cast("bigint")),
         "doc_id")
+
+
+_LM_DIM = 4096
+_LM_WHS = f"list_transform(list_filter({_WORDS}, w -> w != ''), w -> {_duck_hash('w')})"
+_LM_PAIRS = f"""list_transform(generate_series(1, len(whs) - 1),
+     i -> struct_pack(b1 := whs[i] % {_LM_DIM},
+                      b12 := (whs[i] * 31 + whs[i+1])
+                             % 1000000007 % {_LM_DIM}))"""
+
+
+@register("text_lm_perplexity", oracle=f"""
+WITH whs_t AS (
+  SELECT doc_id, lang, {_LM_WHS} AS whs FROM documents),
+eligible AS (SELECT * FROM whs_t WHERE len(whs) >= 2),
+tr_pairs AS (
+  SELECT unnest({_LM_PAIRS}) AS p FROM eligible WHERE lang = 'en'),
+c1 AS (SELECT (p).b1 AS b, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tr_pairs GROUP BY 1),
+c12 AS (SELECT (p).b12 AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tr_pairs GROUP BY 1),
+sc_pairs AS (
+  SELECT doc_id, (p).b1 AS b1, (p).b12 AS b12
+  FROM (SELECT doc_id, unnest({_LM_PAIRS}) AS p FROM eligible)),
+lp AS (
+  SELECT doc_id,
+         CAST(floor(ln(CAST(COALESCE(c12.c, 0) + 1 AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(CAST(COALESCE(c1.c, 0) + {_LM_DIM} AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS lp6
+  FROM sc_pairs LEFT JOIN c1 ON sc_pairs.b1 = c1.b
+                LEFT JOIN c12 ON sc_pairs.b12 = c12.b),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(-SUM(lp6) AS BIGINT) AS nll_sum
+  FROM lp GROUP BY doc_id)
+SELECT doc_id, n_bigrams, nll_sum,
+       CAST(nll_sum AS DOUBLE) / 1000000 / n_bigrams AS xent,
+       ROUND(exp(CAST(nll_sum AS DOUBLE) / 1000000 / n_bigrams), 6) + 0.0
+         AS ppl
+FROM agg ORDER BY doc_id
+""")
+def text_lm_perplexity(spark, sf_dir):
+    """Hashed-bigram LM cross-entropy/perplexity of every document under
+    the lang='en' training model (operators/lm.py — the CCNet-class
+    perplexity quality filter). The oracle recomputes both count tables
+    and the fixed-point log lookups end-to-end in DuckDB."""
+    from datafusion_postgres_spark.operators.lm import ngram_lm_score
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    train = docs.where(F.col("lang") == "en")
+    return sorted_small(ngram_lm_score(docs, train), "doc_id")

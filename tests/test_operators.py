@@ -955,3 +955,26 @@ class TestCapPerGroup:
         a = sorted(r["doc_id"] for r in cap_per_group(df, "source", 10).collect())
         b = sorted(r["doc_id"] for r in cap_per_group(df, "source", 10).collect())
         assert a == b and len(a) == 10
+
+
+class TestNgramLm:
+    def test_train_docs_score_lower_xent(self, spark):
+        from datafusion_postgres_spark.operators.lm import ngram_lm_score
+        fluent = [(i, "the cat sat on the mat and the dog sat on the rug")
+                  for i in range(1, 6)]
+        garbled = [(i, "zqx vbnm wklj pqrs ttyu azer gyhj plmo knbv wsxc")
+                   for i in range(6, 9)]
+        docs = spark.createDataFrame(fluent + garbled,
+                                     "doc_id long, text string")
+        train = docs.where("doc_id <= 4")
+        x = {r["doc_id"]: r["xent"]
+             for r in ngram_lm_score(docs, train, dim=512).collect()}
+        assert max(x[i] for i in range(1, 6)) < min(x[i] for i in range(6, 9))
+
+    def test_short_docs_excluded(self, spark):
+        from datafusion_postgres_spark.operators.lm import ngram_lm_score
+        docs = spark.createDataFrame(
+            [(1, "hello"), (2, "hello world")], "doc_id long, text string")
+        out = ngram_lm_score(docs, docs, dim=64).collect()
+        assert [r["doc_id"] for r in out] == [2]
+        assert out[0]["n_bigrams"] == 1

@@ -339,3 +339,71 @@ class TestPgjdbcReplay:
         # no real indexes are modeled -> truthfully zero rows, NOT an error
         res = engine.execute(PGJDBC_QUERIES[5])
         assert list(res[-1].rows()) == []
+
+
+# SQLAlchemy / psycopg / Npgsql introspection shapes (public driver and
+# ORM sources) — includes a correlated scalar subquery over pg_attrdef,
+# ::regclass resolution, and the Npgsql pg_range join.
+ORM_QUERIES = [
+    """SELECT a.attname, pg_catalog.format_type(a.atttypid, a.atttypmod),
+              (SELECT pg_catalog.pg_get_expr(d.adbin, d.adrelid)
+               FROM pg_catalog.pg_attrdef d
+               WHERE d.adrelid = a.attrelid AND d.adnum = a.attnum
+                 AND a.atthasdef) AS DEFAULT,
+              a.attnotnull, a.attrelid, a.attidentity, a.attgenerated
+       FROM pg_catalog.pg_attribute a
+       WHERE a.attrelid = 'nation'::regclass AND a.attnum > 0
+         AND NOT a.attisdropped ORDER BY a.attnum""",
+    """SELECT a.attname FROM pg_catalog.pg_index i
+       JOIN pg_catalog.pg_attribute a
+         ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey)
+       WHERE i.indrelid = 'nation'::regclass AND i.indisprimary""",
+    """SELECT r.conname,
+              pg_catalog.pg_get_constraintdef(r.oid, true) AS condef,
+              n.nspname AS conschema
+       FROM pg_catalog.pg_constraint r, pg_namespace n, pg_class c
+       WHERE r.conrelid = 'nation'::regclass AND r.contype = 'f'
+         AND c.relnamespace = n.oid AND c.oid = r.confrelid""",
+    """SELECT pg_catalog.pg_get_viewdef('pg_catalog.pg_tables'::regclass)
+         AS view_def""",
+    """SELECT t.typname AS name, e.enumlabel AS label
+       FROM pg_catalog.pg_type t
+       LEFT JOIN pg_catalog.pg_enum e ON t.oid = e.enumtypid
+       WHERE t.typtype = 'e' ORDER BY 1, 2""",
+    """SELECT pg_catalog.obj_description('nation'::regclass, 'pg_class')
+         AS table_comment""",
+    """SELECT t.oid, typarray FROM pg_type t
+       JOIN pg_namespace ns ON typnamespace = ns.oid
+       WHERE typname = 'hstore'""",
+    """SELECT ns.nspname, t.oid, t.typname, t.typtype, t.typnotnull,
+              CASE WHEN t.typtype = 'd' THEN t.typbasetype ELSE 0 END
+                AS basetype,
+              t.typelem, r.rngsubtype
+       FROM pg_type AS t
+       JOIN pg_namespace AS ns ON ns.oid = t.typnamespace
+       LEFT JOIN pg_range AS r ON r.rngtypid = t.oid
+       WHERE t.typtype IN ('b','r','m','e','d') ORDER BY t.oid""",
+    """SELECT t.oid, t.typname, a.attname, a.atttypid, a.attnum
+       FROM pg_type t
+       JOIN pg_class c ON c.oid = t.typrelid
+       JOIN pg_attribute a ON a.attrelid = c.oid
+       WHERE t.typtype = 'c' AND c.relkind = 'c' AND a.attnum > 0
+       LIMIT 5""",
+]
+
+
+class TestOrmReplay:
+    def test_orm_queries(self, engine):
+        _run_all(engine, ORM_QUERIES)
+
+    def test_sqlalchemy_get_columns_shape(self, engine):
+        res = engine.execute(ORM_QUERIES[0])
+        rows = list(res[-1].rows())
+        assert [r[0] for r in rows] == ["n_nationkey", "n_name",
+                                        "n_regionkey"]
+        assert all(r[1] for r in rows)  # format_type resolved
+
+    def test_npgsql_type_loader_covers_base_types(self, engine):
+        res = engine.execute(ORM_QUERIES[7])
+        names = {r[2] for r in res[-1].rows()}
+        assert {"int4", "text", "numeric", "timestamp"} <= names

@@ -720,62 +720,59 @@ def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
     join input shrinks from every corpus shingle to true hits + ~0.6% of
     misses.
 
-    Corpus-side plan shape is unchanged: zero-shuffle shingle projection
-    -> vectorized Arrow-batch probe (numpy bit tests against the
-    broadcast bitset; the sanctioned Pandas-UDF exception — a bitset
-    cannot be a codegen literal) -> equi-join confirm on the bloom
-    survivors only -> one aggregation of hit rows. The corpus never
-    shuffles. Current implementation bound: the bitset is built on the
-    driver from the collected eval shingle hashes (~8 B each), so eval
-    sets up to ~10^8 shingles are practical; beyond that, build the
-    bitset once offline (per-partition bitsets OR-reduced) and pass it
-    in — the probe side, which is what touches the 100 TB corpus, is
-    unaffected.
+    Corpus-side plan shape: zero-shuffle shingle projection -> PURE
+    CODEGEN bitset probe (the bitset ships as ONE array<bigint> Literal
+    of packed 32-bit words; each probe is element_at + a power-of-two
+    scale — no UDF, no Arrow hop, the prefilter runs at scan speed
+    INSIDE the grams array before anything explodes) -> equi-join
+    confirm on the bloom survivors only -> one aggregation of hit rows.
+    The corpus never shuffles. Current implementation bound: the bitset
+    is built on the driver from the collected eval shingle hashes (~8 B
+    each), so eval sets up to ~10^8 shingles are practical; beyond that,
+    build the packed words offline (per-partition bitsets OR-reduced)
+    and pass them in — the probe side, which is what touches the 100 TB
+    corpus, is unaffected.
     """
     import numpy as np
-    from pyspark.sql.types import (
-        LongType, StructField, StructType)
 
-    n_bits_mask = 1
+    n_bits = 1
     # probe budget: next power of two >= bits_per_elem * |eval shingles|
     eval_grams = (shingles(eval_docs, text_col, id_col, n)
                   .select("gram_hash").distinct())
     eval_arr = np.array([r[0] for r in eval_grams.collect()], dtype=np.int64)
-    while n_bits_mask < max(bits_per_elem * max(len(eval_arr), 1), 64):
-        n_bits_mask <<= 1
-    mask = n_bits_mask - 1
-    # k independent probes via LCG mixes of the 64-bit gram hash
+    while n_bits < max(bits_per_elem * max(len(eval_arr), 1), 64):
+        n_bits <<= 1
+    mask = n_bits - 1
+    # k independent probes via LCG mixes of the gram hash; Java long and
+    # numpy int64 share two's-complement wrap, so build and probe agree
     probes = [(1_103_515_245 * (i + 1) + 12_345, 2_654_435_761 + i)
               for i in range(n_hashes)]
-    bitset = np.zeros(n_bits_mask >> 3, dtype=np.uint8)
+    # packed 32 bits per word: element values stay positive and below
+    # 2^32, so the codegen bit test (divide by an exact power of two,
+    # truncate, parity) never meets the sign bit
+    words32 = np.zeros(n_bits >> 5, dtype=np.int64)
     for a, b in probes:
         idx = ((eval_arr * a + b) & np.int64(mask)).astype(np.int64)
-        np.bitwise_or.at(bitset, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
-    sc = docs.sparkSession.sparkContext
-    bc = sc.broadcast(bitset)
+        np.bitwise_or.at(words32, idx >> 5,
+                         np.int64(1) << (idx & 31).astype(np.int64))
+    w_lit = F.lit([int(x) for x in words32]).cast("array<bigint>")
 
-    corpus = (shingle_array(docs, text_col, id_col, n)
-              .select("id", "set_size",
-                      F.explode("grams").alias("gram_hash")))
+    def bloom_keep(h):
+        t = None
+        for a, b in probes:
+            idx = (h * a + b).bitwiseAND(F.lit(mask))
+            word = F.element_at(
+                w_lit, (F.shiftright(idx, 5) + 1).cast("int"))
+            bit = (word / F.pow(F.lit(2.0), (idx % 32).cast("double"))) \
+                .cast("long") % 2 == 1
+            t = bit if t is None else (t & bit)
+        return t
 
-    schema = StructType([StructField("id", LongType()),
-                         StructField("set_size", LongType()),
-                         StructField("gram_hash", LongType())])
-
-    def probe_batches(batches):
-        bs = bc.value
-        for pdf in batches:
-            gh = pdf["gram_hash"].to_numpy(dtype=np.int64)
-            keep = np.ones(len(gh), dtype=bool)
-            for a, b in probes:
-                idx = (gh * a + b) & mask
-                keep &= (bs[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 == 1
-            yield pdf[keep]
-
-    candidates = (corpus
+    candidates = (shingle_array(docs, text_col, id_col, n)
                   .select(F.col("id").cast("long"),
-                          F.col("set_size").cast("long"), "gram_hash")
-                  .mapInPandas(probe_batches, schema))
+                          F.col("set_size").cast("long"),
+                          F.explode(F.filter("grams", bloom_keep))
+                          .alias("gram_hash")))
     # confirm with a plain (AQE-planned) join, NOT a forced broadcast:
     # re-broadcasting the full eval hash set would reintroduce exactly
     # the memory cost the bitset avoids. Candidates are true hits plus

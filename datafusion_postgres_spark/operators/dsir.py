@@ -42,14 +42,17 @@ LR_SCALE = 1_000_000  # fixed-point scale for per-bucket log-ratios
 
 
 def _hashed_features(df: DataFrame, text_col: str, id_col: str, dim: int,
-                     bigrams: bool) -> DataFrame:
+                     bigrams: bool, extra=None) -> DataFrame:
     """(id, feats ARRAY<BIGINT>) hashed unigram+bigram bucket ids — the
     same feature map as text.hashed_classifier_score, kept in a separate
-    projection so the fingerprint chain is evaluated once."""
+    projection so the fingerprint chain is evaluated once. ``extra``
+    carries additional (alias, Column-over-input) pairs through the
+    projection (e.g. the target-membership flag)."""
     ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
     fps = (df.where(F.size(ws) > 0)
            .select(F.col(id_col).alias("id"),
-                   F.transform(ws, word_fingerprint).alias("__fp")))
+                   F.transform(ws, word_fingerprint).alias("__fp"),
+                   *[c.alias(a) for a, c in (extra or [])]))
     fp = F.col("__fp")
     uni = F.transform(fp, lambda h: h % dim)
     feats = uni
@@ -60,7 +63,8 @@ def _hashed_features(df: DataFrame, text_col: str, id_col: str, dim: int,
             F.slice(fp, 2, F.greatest(n - 1, F.lit(0))),
             lambda a, b: (a * 31 + b) % FP_MOD % dim)
         feats = F.concat(uni, big)
-    return fps.select("id", feats.alias("feats"))
+    keep = [c for c in fps.columns if c != "__fp"]
+    return fps.select(*keep[:1], feats.alias("feats"), *keep[1:])
 
 
 def _bucket_counts(feat_df: DataFrame, dim: int) -> tuple[list[int], int]:
@@ -100,23 +104,47 @@ def log_ratio_table(target_counts: list[int], raw_counts: list[int],
     return out
 
 
-def dsir_weights(raw: DataFrame, target: DataFrame,
+def dsir_weights(raw: DataFrame, target: DataFrame | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
-                 dim: int = 4096, bigrams: bool = True) -> DataFrame:
+                 dim: int = 4096, bigrams: bool = True,
+                 target_filter=None) -> DataFrame:
     """Importance weights for every raw document: (doc_id, n_features,
     lr_sum — the fixed-point sum of per-feature log-ratios, exact BIGINT
     — and log_ratio = lr_sum / 1e6, the bag LLR ``log p_target(x) -
     log p_raw(x)``). Higher = more target-like.
 
-    Two bounded count aggregations (actions, like the k-means centroid
-    pulls), then ONE zero-shuffle scoring projection over the raw side.
+    Bounded count aggregation(s), then ONE zero-shuffle scoring
+    projection over the raw side. When the target is a SUBSET of the raw
+    corpus selected by a predicate, pass ``target_filter`` (a boolean
+    Column over raw's columns) instead of ``target``: both count tables
+    then come from a SINGLE corpus scan (count + conditional count per
+    bucket) — at 100 TB that halves the training cost, which dominates.
     """
-    raw_feats = _hashed_features(raw, text_col, id_col, dim, bigrams)
-    tgt_feats = _hashed_features(target, text_col, id_col, dim, bigrams)
-    raw_counts, raw_total = _bucket_counts(raw_feats, dim)
-    tgt_counts, tgt_total = _bucket_counts(tgt_feats, dim)
+    if (target is None) == (target_filter is None):
+        raise ValueError("pass exactly one of target / target_filter")
+    if target_filter is not None:
+        feats = _hashed_features(raw, text_col, id_col, dim, bigrams,
+                                 extra=[("__t", target_filter)])
+        rows = (feats.select(F.explode("feats").alias("h"), "__t")
+                .groupBy("h")
+                .agg(F.count("*").alias("rc"),
+                     F.count_if(F.col("__t")).alias("tc"))
+                .collect())
+        raw_counts, tgt_counts = [0] * dim, [0] * dim
+        for r in rows:
+            raw_counts[r["h"]], tgt_counts[r["h"]] = r["rc"], r["tc"]
+        raw_total, tgt_total = sum(raw_counts), sum(tgt_counts)
+        raw_feats = feats.drop("__t")
+    else:
+        raw_feats = _hashed_features(raw, text_col, id_col, dim, bigrams)
+        tgt_feats = _hashed_features(target, text_col, id_col, dim, bigrams)
+        raw_counts, raw_total = _bucket_counts(raw_feats, dim)
+        tgt_counts, tgt_total = _bucket_counts(tgt_feats, dim)
     lr = log_ratio_table(tgt_counts, raw_counts, tgt_total, raw_total, dim)
-    lr_arr = F.array(*[F.lit(v).cast("long") for v in lr])
+    # ONE array Literal (F.lit on the list), not F.array of dim children:
+    # a 4096-child CreateArray bloats the expression tree and costs
+    # seconds of analysis/codegen per call
+    lr_arr = F.lit(lr).cast("array<bigint>")
     lr_sum = F.aggregate(
         "feats", F.lit(0).cast("long"),
         lambda acc, h: acc + F.element_at(lr_arr, (h + 1).cast("int")))
@@ -127,10 +155,11 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
         (lr_sum.cast("double") / LR_SCALE).alias("log_ratio"))
 
 
-def dsir_resample(raw: DataFrame, target: DataFrame, k: int,
+def dsir_resample(raw: DataFrame, target: DataFrame | None, k: int,
                   text_col: str = "text", id_col: str = "doc_id",
                   dim: int = 4096, bigrams: bool = True,
-                  seed: int = 7, temperature: float = 1.0) -> DataFrame:
+                  seed: int = 7, temperature: float = 1.0,
+                  target_filter=None) -> DataFrame:
     """Gumbel-top-k importance resampling: an EXACT weighted sample of
     ``k`` raw docs without replacement, w_i proportional to
     exp(log_ratio/temperature), drawn deterministically from a seeded
@@ -141,7 +170,8 @@ def dsir_resample(raw: DataFrame, target: DataFrame, k: int,
     TakeOrderedAndProject — per-partition heaps, no global sort. The key
     stays fixed-point: gumbel and the temperature division are each one
     libm/IEEE step rounded to 1e-6, added to the integer lr_sum."""
-    w = dsir_weights(raw, target, text_col, id_col, dim, bigrams)
+    w = dsir_weights(raw, target, text_col, id_col, dim, bigrams,
+                     target_filter=target_filter)
     # u in (0, 1): ((id*a+b) mod M + 1) / (M+1), portable LCG arithmetic
     m = 2_147_483_647
     u = ((F.col(id_col) * 1_103_515_245 + 12_345 + seed) % m + m) % m

@@ -60,21 +60,26 @@ def ngram_lm_score(docs: DataFrame, train: DataFrame,
     tail with filter_by_quantile for the CCNet gate."""
     tr = _word_hashes(train, text_col, id_col)
     ctx, pair = _bigram_buckets(dim)
-    ctx_rows = (tr.select(F.explode(ctx).alias("b"))
-                .groupBy("b").agg(F.count("*").alias("c")).collect())
-    pair_rows = (tr.select(F.explode(pair).alias("b"))
-                 .groupBy("b").agg(F.count("*").alias("c")).collect())
+    # ONE training scan: context and pair buckets explode together,
+    # disambiguated by an offset (pairs live in [dim, 2*dim)) — halves
+    # the train cost vs two aggregations, and the shuffle stays <= 2*dim
+    # rows per task after partial agg
+    both = F.concat(ctx, F.transform(pair, lambda b: b + dim))
+    rows = (tr.select(F.explode(both).alias("b"))
+            .groupBy("b").agg(F.count("*").alias("c")).collect())
     c1 = [0] * dim
-    for r in ctx_rows:
-        c1[r["b"]] = r["c"]
     c12 = [0] * dim
-    for r in pair_rows:
-        c12[r["b"]] = r["c"]
+    for r in rows:
+        if r["b"] < dim:
+            c1[r["b"]] = r["c"]
+        else:
+            c12[r["b"] - dim] = r["c"]
     # fixed-point log tables; lp(bigram) = lp12[b12] - lp1[b1] <= ~0
     lp12 = [math.floor(math.log(float(c + 1)) * LM_SCALE + 0.5) for c in c12]
     lp1 = [math.floor(math.log(float(c + dim)) * LM_SCALE + 0.5) for c in c1]
-    lp12_arr = F.array(*[F.lit(v).cast("long") for v in lp12])
-    lp1_arr = F.array(*[F.lit(v).cast("long") for v in lp1])
+    # single array Literals (see dsir.py) — not dim-child CreateArrays
+    lp12_arr = F.lit(lp12).cast("array<bigint>")
+    lp1_arr = F.lit(lp1).cast("array<bigint>")
 
     sc = _word_hashes(docs, text_col, id_col)
     ctx_s, pair_s = _bigram_buckets(dim)

@@ -1531,8 +1531,8 @@ def text_dsir_weights(spark, sf_dir):
     floor(ln(x)*1e6 + 0.5) fixed-point step."""
     from datafusion_postgres_spark.operators.dsir import dsir_weights
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
-    target = docs.where(F.col("lang") == "en")
-    return sorted_small(dsir_weights(docs, target), "doc_id")
+    return sorted_small(
+        dsir_weights(docs, target_filter=F.col("lang") == "en"), "doc_id")
 
 
 @register("text_dsir_sample", oracle=_DSIR_CTES + """
@@ -1555,8 +1555,8 @@ def text_dsir_sample(spark, sf_dir):
     Plan: scoring projection + TakeOrderedAndProject (no global sort)."""
     from datafusion_postgres_spark.operators.dsir import dsir_resample
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
-    target = docs.where(F.col("lang") == "en")
-    out = dsir_resample(docs, target, k=50, seed=7)
+    out = dsir_resample(docs, None, k=50, seed=7,
+                        target_filter=F.col("lang") == "en")
     return out.select("doc_id", "lr_sum", "sample_key")
 
 

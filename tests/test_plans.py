@@ -162,3 +162,42 @@ def test_substring_dedup_no_computation_below_repartition(spark, tables):
         if line.strip().startswith(("Filter", "+- Filter", ":- Filter")):
             assert "aggregate(slice(" not in line, (
                 "window-hash fold pushed below the repartition")
+
+
+def test_bloom_probe_is_pure_codegen(spark):
+    # the bloom prefilter must never fall back to a Python eval node —
+    # the packed-word literal keeps the probe inside codegen
+    from datafusion_postgres_spark.operators.dedup import decontaminate_bloom
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = decontaminate_bloom(docs.where("doc_id >= 50"),
+                              docs.where("doc_id < 50"))
+    plan = P.formatted_plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_dsir_scoring_zero_shuffle(spark):
+    # after training, the scoring side is a pure projection: the only
+    # exchange allowed is the small-file parallelism repartition
+    from datafusion_postgres_spark.operators.dsir import dsir_weights
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dsir_weights(docs, target_filter=F.col("lang") == "en")
+    assert P.count_shuffles(out) <= 1
+    plan = P.formatted_plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lm_scoring_zero_shuffle(spark):
+    from datafusion_postgres_spark.operators.lm import ngram_lm_score
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = ngram_lm_score(docs, docs.where("lang = 'en'"), dim=512)
+    assert P.count_shuffles(out) <= 1
+
+
+def test_tfidf_shuffle_budget(spark):
+    # tf agg + df agg + word join + per-doc window: <= 5 exchanges total
+    from datafusion_postgres_spark.operators.text import tfidf_top_terms
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = tfidf_top_terms(docs, k=3, max_df_ratio=0.5)
+    assert P.count_shuffles(out) <= 5

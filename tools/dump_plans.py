@@ -48,10 +48,10 @@ COMMENTARY = {
         "duplication on the round-3 corpus is 3.0x (not the ~1.05x round "
         "2 assumed), so one narrow (id,id) distinct beats verifying each "
         "pair thrice; the post-verify distinct is gone (inputs unique). "
-        "Round 4: the driver-registered query uses band_hash='poly' (the "
-        "portable fold) so DuckDB replicates banding end-to-end — full "
-        "oracle, no more rows-only row; production default stays "
-        "xxhash64.",
+        "Round 4 (final): the registered query runs the PRODUCTION "
+        "xxhash64 banding — the oracle verifies banding SEMANTICS by "
+        "joining signature slices directly (equal slices <=> equal "
+        "xxhash64 bucket), so the fast path and the full oracle coexist.",
     "sim_cosine_topk":
         "Query vectors broadcast — the corpus NEVER shuffles; per-query "
         "top-k via window over qid.",
@@ -137,6 +137,43 @@ COMMENTARY = {
         "window — one shuffle. Production switch mode='approx' computes "
         "percentile_approx thresholds in one aggregate pass and "
         "broadcasts the bounded threshold table (no sort at 100 TB).",
+    "text_dsir_weights":
+        "DSIR importance weights: ONE corpus scan builds both hashed-"
+        "ngram count tables (count + conditional count per bucket, "
+        "<= dim rows shuffle), the fixed-point log-ratio table ships "
+        "back as a single array Literal, and scoring is a zero-shuffle "
+        "codegen projection — the 100 TB side is touched twice, "
+        "shuffled never.",
+    "text_dsir_sample":
+        "Gumbel-top-k resampling on top of the DSIR weights: the "
+        "seeded hash Gumbel key is one more projection and selection "
+        "is TakeOrderedAndProject — an exact weighted sample without "
+        "replacement, no global sort.",
+    "text_lm_perplexity":
+        "Hashed bigram LM: context+pair counts explode TOGETHER in one "
+        "training scan (offset-disambiguated buckets); scoring looks "
+        "up two dim-sized array Literals per bigram inside codegen — "
+        "zero shuffles on the scored corpus.",
+    "dedup_decontaminate_bloom":
+        "Bloom-prefilter decontamination: the packed-word bitset is ONE "
+        "array<bigint> Literal probed in pure codegen INSIDE the grams "
+        "array (filter before explode — no UDF, no Arrow hop); only "
+        "bloom survivors explode into the exact-confirm equi-join. "
+        "Same exact output as dedup_decontaminate at ~1/25th the "
+        "broadcast memory.",
+    "text_tfidf_topk":
+        "tf-idf keywords: two partial-agg shuffles (tf, df), max-df cap "
+        "drops corpus stopwords BEFORE the word join (removing the "
+        "hottest keys), fixed-point idf keeps scores integer-exact; "
+        "per-doc top-k window on the doc key.",
+    "text_domain_cap":
+        "Per-domain cap: one shuffle on the domain key, per-group "
+        "row_number with hash tie-break — the pathological hot domain "
+        "is a window spill, not an OOM.",
+    "pg_recursive_cte":
+        "WITH RECURSIVE (Spark-4 native UnionLoop): the month ladder "
+        "recursion is driver-bounded (~80 iterations over one row), "
+        "then one equi-join + aggregation against orders.",
 }
 
 

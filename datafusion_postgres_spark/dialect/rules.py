@@ -2017,6 +2017,90 @@ def rewrite_quoted_identifiers(tokens: list[Token]) -> list[Token]:
     return out
 
 
+
+# ---------------------------------------------------------------------------
+# Rule: information_schema._pg_expandarray — the set-returning helper the
+# modern pgjdbc getPrimaryKeys/getIndexInfo queries expand index key
+# vectors with, in PROJECTION position with PG's lock-step SRF semantics
+# (every SRF call in the same select list advances together):
+#
+#   SELECT ..., (information_schema._pg_expandarray(i.indkey)).n AS SEQ,
+#          information_schema._pg_expandarray(i.indkey) AS KEYS ...
+#
+# Spark allows ONE generator per select list, so the bare aliased call
+# becomes the generator -- explode over transform to (x, n) structs --
+# and every composite access ((...).n / (...).x) becomes a lateral
+# column-alias reference to it (Spark resolves those in either order).
+# A lone composite access needs no struct at all: .n is a position
+# sequence, .x the element explode.
+
+def rewrite_pg_expandarray(tokens: list[Token]) -> list[Token]:
+    toks = list(tokens)
+    occ = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == IDENT and t.text.lower() == "_pg_expandarray":
+            nxt = significant(toks, i)
+            if nxt >= 0 and toks[nxt].text == "(":
+                close = _match_fwd(toks, nxt)
+                if close < 0:
+                    i += 1
+                    continue
+                start = i
+                p1 = significant(toks, i, -1)
+                if p1 >= 0 and toks[p1].text == ".":
+                    p2 = significant(toks, p1, -1)
+                    if p2 >= 0 and toks[p2].kind == IDENT:
+                        start = p2
+                comp = None
+                alias = None
+                pb = significant(toks, start, -1)
+                na = significant(toks, close)
+                if (pb >= 0 and toks[pb].text == "(" and na >= 0
+                        and toks[na].text == ")"):
+                    nd = significant(toks, na)
+                    if nd >= 0 and toks[nd].text == ".":
+                        nf = significant(toks, nd)
+                        if nf >= 0 and toks[nf].kind == IDENT:
+                            comp = (pb, nf)
+                if comp is None and na >= 0 and toks[na].is_kw("AS"):
+                    ai = significant(toks, na)
+                    if ai >= 0 and toks[ai].kind == IDENT:
+                        alias = toks[ai].text
+                occ.append({"start": start, "open": nxt, "close": close,
+                            "comp": comp, "alias": alias})
+                i = close
+        i += 1
+    if not occ:
+        return toks
+    gen = next((o for o in occ if o["comp"] is None and o["alias"]), None)
+
+    def expand_sql(arg: list[Token]) -> list[Token]:
+        return (_toks("explode(transform(") + list(arg) +
+                _toks(", (__xe, __ie) -> named_struct('x', __xe, 'n', "
+                      "CAST(__ie + 1 AS INT))))"))
+
+    out = toks
+    for o in sorted(occ, key=lambda o: o["start"], reverse=True):
+        arg = out[o["open"] + 1:o["close"]]
+        if o["comp"] is not None:
+            pb, nf = o["comp"]
+            field = out[nf].text.lower()
+            if gen is not None and o is not gen:
+                repl = _toks(f"{gen['alias']}.{out[nf].text}")
+            elif field == "n":
+                repl = _toks("explode(sequence(1, size(") + list(arg) +                     _toks(")))")
+            else:
+                repl = _toks("explode(") + list(arg) + _toks(")")
+            out[pb:nf + 1] = repl
+        elif o is gen or gen is None:
+            out[o["start"]:o["close"] + 1] = expand_sql(arg)
+        else:
+            out[o["start"]:o["close"] + 1] = _toks(gen["alias"])
+    return out
+
+
 ALL_RULES = [
     rewrite_explain,
     rewrite_abort,
@@ -2026,6 +2110,7 @@ ALL_RULES = [
     rewrite_json_ops,
     rewrite_any_all,
     rewrite_setlike_ops,
+    rewrite_pg_expandarray,
     fix_array_literals,
     rewrite_catalog_names,
     strip_callable_qualifier,

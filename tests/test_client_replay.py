@@ -407,3 +407,31 @@ class TestOrmReplay:
         res = engine.execute(ORM_QUERIES[7])
         names = {r[2] for r in res[-1].rows()}
         assert {"int4", "text", "numeric", "timestamp"} <= names
+
+
+class TestModernPgjdbcPrimaryKeys:
+    def test_expandarray_get_primary_keys(self, engine):
+        # modern pgjdbc (42.x) getPrimaryKeys: lock-step
+        # information_schema._pg_expandarray pair in projection position
+        q = """
+        SELECT result.TABLE_CAT, result.TABLE_SCHEM, result.TABLE_NAME,
+               result.COLUMN_NAME, result.KEY_SEQ, result.PK_NAME
+        FROM (
+          SELECT NULL AS TABLE_CAT, n.nspname AS TABLE_SCHEM,
+                 ct.relname AS TABLE_NAME, a.attname AS COLUMN_NAME,
+                 (information_schema._pg_expandarray(i.indkey)).n AS KEY_SEQ,
+                 ci.relname AS PK_NAME,
+                 information_schema._pg_expandarray(i.indkey) AS KEYS,
+                 a.attnum AS A_ATTNUM
+          FROM pg_catalog.pg_class ct
+            JOIN pg_catalog.pg_attribute a ON (ct.oid = a.attrelid)
+            JOIN pg_catalog.pg_namespace n ON (ct.relnamespace = n.oid)
+            JOIN pg_catalog.pg_index i ON (a.attrelid = i.indrelid)
+            JOIN pg_catalog.pg_class ci ON (ci.oid = i.indexrelid)
+          WHERE true AND n.nspname = 'public' AND ct.relname = 'nation'
+            AND i.indisprimary) result
+        WHERE result.A_ATTNUM = (result.KEYS).x
+        ORDER BY result.table_name, result.pk_name, result.key_seq
+        """
+        res = engine.execute(q)
+        assert list(res[-1].rows()) == []  # no modeled indexes; no error

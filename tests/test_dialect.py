@@ -223,3 +223,29 @@ def test_public_schema_qualifier_stripped(tp):
     # pg_catalog tables rewrite to the flat views, not stripped
     assert "pg_catalog_pg_class" in tp.transpile(
         "SELECT * FROM pg_catalog.pg_class")
+
+
+class TestPgExpandarray:
+    def _tp(self):
+        from datafusion_postgres_spark.dialect.transpiler import (
+            PostgresTranspiler)
+        return PostgresTranspiler()
+
+    def test_lockstep_pair_rewrites_to_one_generator(self):
+        out = self._tp().transpile(
+            "SELECT (information_schema._pg_expandarray(i.indkey)).n AS s, "
+            "information_schema._pg_expandarray(i.indkey) AS KEYS "
+            "FROM pg_index i")
+        assert out.count("explode(") == 1
+        assert "KEYS.n AS s" in out
+        assert "named_struct('x', __xe, 'n', CAST(__ie + 1 AS INT))" in out
+
+    def test_lone_composite_n_becomes_position_sequence(self):
+        out = self._tp().transpile(
+            "SELECT (information_schema._pg_expandarray(a)).n FROM t")
+        assert "explode(sequence(1, size(a" in out
+
+    def test_lone_composite_x_becomes_element_explode(self):
+        out = self._tp().transpile(
+            "SELECT (information_schema._pg_expandarray(a)).x FROM t")
+        assert "explode(a" in out and "sequence" not in out

@@ -838,17 +838,6 @@ def dedup_embedding_cosine(spark, sf_dir):
                         "id_a", "id_b")
 
 
-@register("dedup_embedding_lsh", oracle=None)
-def dedup_embedding_lsh(spark, sf_dir):
-    """Multi-table hyperplane-LSH near-dup (candidate set is
-    implementation-defined — rows-only; recall vs the exact operator is
-    pinned by pytest)."""
-    emb = t(spark, sf_dir, "embeddings")
-    return sorted_small(
-        dedup.embedding_cosine_pairs_lsh(emb, threshold=0.38),
-        "id_a", "id_b")
-
-
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB cosine with the engine's exact left-to-right fold order."""
     dot = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -856,6 +845,66 @@ def _cos_sql(a: str, b: str) -> str:
            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
            f"(acc, v) -> acc + v)")
     return f"{dot} / ({_VSQ.format(v=a)} * {_VSQ.format(v=b)})"
+
+
+def _plane_sign_py(p: int, d: int) -> float:
+    """Python replica of similarity._plane_sign's LCG (the Spark side
+    folds these to literals at plan build, so the oracle can too)."""
+    x = (p * 1_103_515_245 + d * 12_345 + 42) % 2_147_483_647
+    return 1.0 if x % 2 == 0 else -1.0
+
+
+def _lsh_bucket_sql(v: str, n_planes: int = 8, dims: int = 64,
+                    plane_offset: int = 0) -> str:
+    """DuckDB replica of similarity.lsh_bucket_expr: per plane, the
+    signed projection folds left-to-right in the SAME order as Spark's
+    zip_with+aggregate (identical IEEE adds on identical doubles), so
+    bucket ids are bit-identical across engines."""
+    bits = []
+    for p in range(n_planes):
+        signs = ", ".join(str(_plane_sign_py(p + plane_offset, d))
+                          for d in range(dims))
+        proj = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(generate_series(1, {dims}), "
+                f"i -> CAST({v}[i] AS DOUBLE) * ([{signs}])[i])), "
+                f"(acc, x) -> acc + x)")
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _emb_lsh_tables_sql(n_planes: int = 8, n_tables: int = 4) -> str:
+    sels = []
+    for ti in range(n_tables):
+        b = _lsh_bucket_sql("embedding", n_planes, 64, ti * n_planes)
+        sels.append(f"SELECT vec_id, embedding, {ti} AS tbl, {b} AS bucket "
+                    f"FROM embeddings")
+    return "\n  UNION ALL\n  ".join(sels)
+
+
+@register("dedup_embedding_lsh", oracle=f"""
+WITH blocked AS (
+  {_emb_lsh_tables_sql()}
+),
+cand AS (
+  SELECT x.vec_id AS id_a, x.embedding AS va,
+         y.vec_id AS id_b, y.embedding AS vb
+  FROM blocked x JOIN blocked y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT DISTINCT id_a, id_b,
+       ROUND({_cos_sql('va', 'vb')}, 6) AS cos_sim
+FROM cand
+WHERE {_cos_sql('va', 'vb')} >= 0.38
+ORDER BY id_a, id_b
+""")
+def dedup_embedding_lsh(spark, sf_dir):
+    """Multi-table hyperplane-LSH near-dup — FULLY oracled (round-4
+    session 3, same determinism argument as sim_cosine_lsh): DuckDB
+    replays all four signature tables, the (table, bucket) collision
+    join, and the exact-cosine verify. Was rows-only in r01-r03."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sorted_small(
+        dedup.embedding_cosine_pairs_lsh(emb, threshold=0.38),
+        "id_a", "id_b")
 
 
 @register("dedup_semantic", oracle=f"""
@@ -902,10 +951,30 @@ def dedup_semantic(spark, sf_dir):
         "vec_id")
 
 
-@register("sim_cosine_lsh", oracle=None)
+
+@register("sim_cosine_lsh", oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding AS vec,
+         {_lsh_bucket_sql('embedding')} AS bucket
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, vec AS qvec, bucket FROM corpus
+      WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, c.vec_id,
+         ROUND({_cos_sql('c.vec', 'q.qvec')}, 6) AS cos_sim
+  FROM corpus c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.qid)
+SELECT qid, vec_id, cos_sim, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT qid, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= 10
+ORDER BY qid, rnk
+""")
 def sim_lsh(spark, sf_dir):
-    """LSH-bucketed approximate neighbors (approximation set is
-    implementation-defined — rows-only)."""
+    """LSH-bucketed approximate neighbors — FULLY oracled (round-4
+    session 3): the hyperplane signs are LCG literals and every float
+    fold is left-to-right, so DuckDB reproduces bucket assignment,
+    candidate set, and ranking bit-for-bit. Was rows-only in r01-r03."""
     emb = t(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("qid"),

@@ -700,39 +700,17 @@ def substring_dup_pairs(docs: DataFrame, window: int = 20,
             .agg(F.count("*").cast("bigint").alias("n_shared_windows")))
 
 
-def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
-                        text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, min_overlap: int = 1,
-                        bits_per_elem: int = 12,
-                        n_hashes: int = 4) -> DataFrame:
-    """``decontaminate`` with a Bloom-filter prefilter — the memory-scale
-    path, with the SAME exact output.
+def build_bloom_probe(eval_docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      bits_per_elem: int = 12, n_hashes: int = 4):
+    """(bloom_keep, eval_grams): a PURE-CODEGEN membership test for the
+    eval corpus's shingle set plus the exact gram table it approximates.
 
-    ``decontaminate`` broadcasts the DISTINCT eval shingle set as a hash
-    join table (~30+ B/element in an executor hash map). Fine for
-    thousands of benchmark docs; against a large held-out corpus
-    (validation split, licensed-content blocklist — 10^9 shingles) the
-    broadcast table would be tens of GB per executor. A Bloom bitset at
-    ``bits_per_elem`` bits/element is ~25x smaller (1.5 GB for 10^9) with
-    a false-POSITIVE rate of ~ (1-e^(-k/b))^k (b=12, k=4 -> ~0.6%), and
-    Bloom filters have NO false negatives — so probing the bitset first
-    and exact-joining ONLY the survivors keeps the result exact while the
-    join input shrinks from every corpus shingle to true hits + ~0.6% of
-    misses.
-
-    Corpus-side plan shape: zero-shuffle shingle projection -> PURE
-    CODEGEN bitset probe (the bitset ships as ONE array<bigint> Literal
-    of packed 32-bit words; each probe is element_at + a power-of-two
-    scale — no UDF, no Arrow hop, the prefilter runs at scan speed
-    INSIDE the grams array before anything explodes) -> equi-join
-    confirm on the bloom survivors only -> one aggregation of hit rows.
-    The corpus never shuffles. Current implementation bound: the bitset
-    is built on the driver from the collected eval shingle hashes (~8 B
-    each), so eval sets up to ~10^8 shingles are practical; beyond that,
-    build the packed words offline (per-partition bitsets OR-reduced)
-    and pass them in — the probe side, which is what touches the 100 TB
-    corpus, is unaffected.
-    """
+    ``bloom_keep(h_col) -> BooleanColumn`` tests a gram-hash column
+    against a packed-word Bloom bitset shipped as ONE array<bigint>
+    Literal — an ordinary expression, so it composes into batch scans
+    AND streaming projections unchanged (streaming ingest gates reuse
+    it; see contamination_gate)."""
     import numpy as np
 
     n_bits = 1
@@ -768,6 +746,63 @@ def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
             t = bit if t is None else (t & bit)
         return t
 
+    return bloom_keep, eval_grams
+
+
+def contamination_gate(docs: DataFrame, eval_docs: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3) -> DataFrame:
+    """Ingest-time contamination gate: every doc annotated with
+    ``n_bloom_hits`` (shingles colliding with the eval set's Bloom
+    bitset — true overlaps plus the ~0.6% FP tail; zero means PROVABLY
+    clean). A stateless zero-shuffle projection, so the identical
+    operator runs on a structured stream at ingest — quarantine
+    ``n_bloom_hits > 0`` for the exact decontaminate pass, pass the
+    rest straight through."""
+    bloom_keep, _ = build_bloom_probe(eval_docs, text_col, id_col, n)
+    per_doc = shingle_array(docs, text_col, id_col, n)
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        F.col("set_size").cast("bigint").alias("n_grams"),
+        F.size(F.filter("grams", bloom_keep)).cast("bigint")
+        .alias("n_bloom_hits"))
+
+
+def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, min_overlap: int = 1,
+                        bits_per_elem: int = 12,
+                        n_hashes: int = 4) -> DataFrame:
+    """``decontaminate`` with a Bloom-filter prefilter — the memory-scale
+    path, with the SAME exact output.
+
+    ``decontaminate`` broadcasts the DISTINCT eval shingle set as a hash
+    join table (~30+ B/element in an executor hash map). Fine for
+    thousands of benchmark docs; against a large held-out corpus
+    (validation split, licensed-content blocklist — 10^9 shingles) the
+    broadcast table would be tens of GB per executor. A Bloom bitset at
+    ``bits_per_elem`` bits/element is ~25x smaller (1.5 GB for 10^9) with
+    a false-POSITIVE rate of ~ (1-e^(-k/b))^k (b=12, k=4 -> ~0.6%), and
+    Bloom filters have NO false negatives — so probing the bitset first
+    and exact-joining ONLY the survivors keeps the result exact while the
+    join input shrinks from every corpus shingle to true hits + ~0.6% of
+    misses.
+
+    Corpus-side plan shape: zero-shuffle shingle projection -> PURE
+    CODEGEN bitset probe (the bitset ships as ONE array<bigint> Literal
+    of packed 32-bit words; each probe is element_at + a power-of-two
+    scale — no UDF, no Arrow hop, the prefilter runs at scan speed
+    INSIDE the grams array before anything explodes) -> equi-join
+    confirm on the bloom survivors only -> one aggregation of hit rows.
+    The corpus never shuffles. Current implementation bound: the bitset
+    is built on the driver from the collected eval shingle hashes (~8 B
+    each), so eval sets up to ~10^8 shingles are practical; beyond that,
+    build the packed words offline (per-partition bitsets OR-reduced)
+    and pass them in — the probe side, which is what touches the 100 TB
+    corpus, is unaffected.
+    """
+    bloom_keep, eval_grams = build_bloom_probe(
+        eval_docs, text_col, id_col, n, bits_per_elem, n_hashes)
     candidates = (shingle_array(docs, text_col, id_col, n)
                   .select(F.col("id").cast("long"),
                           F.col("set_size").cast("long"),

@@ -33,6 +33,10 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     arrives already split into many row groups and this is a no-op; the
     one-time shuffle of raw text is only paid when the input is narrower
     than the cluster."""
+    if df.isStreaming:
+        # no static partition count to inspect; micro-batch parallelism
+        # is the source's concern (maxFilesPerTrigger etc.)
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

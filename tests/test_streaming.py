@@ -190,3 +190,39 @@ def test_classifier_scores_on_stream(spark, tmp_path_factory):
         assert got == batch and len(got) == 500
     finally:
         q.stop()
+
+
+def test_contamination_gate_on_stream(spark, tmp_path_factory):
+    """The Bloom contamination probe is one array Literal + codegen bit
+    tests — a stateless expression, so the identical gate runs at
+    streaming ingest and matches the batch result bit-for-bit."""
+    from datafusion_postgres_spark.operators.dedup import contamination_gate
+    from datafusion_postgres_spark.sources.registry import read_table
+    from datafusion_postgres_spark.streaming.dedup import (
+        read_documents_stream)
+
+    batch_docs = read_table(spark, SF_DIR, "documents")
+    eval_docs = batch_docs.where("doc_id < 50")
+    corpus = batch_docs.where("doc_id >= 50")
+    batch = {r["doc_id"]: (r["n_grams"], r["n_bloom_hits"]) for r in
+             contamination_gate(corpus, eval_docs).collect()}
+    # a true overlap exists: every eval doc flags ITSELF if streamed in,
+    # and exact dups across the id-50 boundary flag as contaminated
+    assert any(v[1] > 0 for v in batch.values())
+
+    d = tmp_path_factory.mktemp("docs_stream_gate")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                d / "documents.parquet")
+    stream = read_documents_stream(spark, str(d)).drop("ingest_ts") \
+        .where("doc_id >= 50")
+    gated = contamination_gate(stream, eval_docs)
+    assert gated.isStreaming
+    q = (gated.writeStream.format("memory").queryName("gate_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not finish in time"
+    try:
+        got = {r["doc_id"]: (r["n_grams"], r["n_bloom_hits"]) for r in
+               spark.sql("SELECT * FROM gate_stream").collect()}
+        assert got == batch
+    finally:
+        q.stop()

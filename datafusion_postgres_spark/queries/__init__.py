@@ -101,11 +101,16 @@ def pg_sql(spark: SparkSession, sf_dir: str, sql: str,
 # "suite" queries (queries/suites.py) fold redundant variants so the whole
 # surface fits in the window.
 PRIORITY = [
-    # TPC-H adaptations (compound shapes: joins + aggs + sorts)
+    # TPC-H adaptations (compound shapes: joins + aggs + sorts).
+    # Round-4 session 3: q4/q14/q19 moved out of the window (their
+    # operator content — EXISTS subquery, CASE aggregation, disjunctive
+    # join predicates — is carried by join_semi_anti/subquery_correlated_
+    # in, pg_case_when/q1, and filter_predicates/join rows; they keep
+    # their oracles in the local gate) to give the session-3 flagship
+    # pipeline operators driver-verified rows.
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q4_priority_check", "q7_nation_pair_volume", "q10_returned_items",
-    "q14_promo_revenue", "q18_large_orders",
-    "q19_disjunctive_join",
+    "q7_nation_pair_volume", "q10_returned_items",
+    "q18_large_orders",
     # filters / dialect (§2.2)
     "filter_predicates", "pg_case_when", "ilike_filter", "pg_regex_match",
     # (COLLATE-strip evidence folded into pg_regex_match; its slot goes to
@@ -132,6 +137,8 @@ PRIORITY = [
     "dedup_ngram_jaccard", "dedup_minhash_signatures",
     "dedup_simhash_signatures", "dedup_minhash_lsh", "sim_cosine_topk",
     "multimodal_metadata_oracle",
+    # round-4 session-3 flagships (slots from q4/q14/q19 above)
+    "text_dsir_weights", "text_lm_perplexity", "dedup_decontaminate_bloom",
 ]
 
 

@@ -49,3 +49,21 @@ def write_training_shards(df: DataFrame, path: str, seed: int = 0,
                  F.sum(token_count(norm_text(F.col(text_col))))
                  .cast("bigint").alias("n_tokens"))
             .orderBy("shard"))
+
+
+def read_training_shards(spark, path: str, from_shard: int = 0,
+                         from_pos: int = 0,
+                         fmt: str = "parquet") -> DataFrame:
+    """Resume-capable reader: documents in training order starting at
+    (from_shard, from_pos). The shard predicate prunes whole partition
+    directories (partition pruning — untouched shards are never listed,
+    let alone read), and the position filter pushes into the parquet
+    scan of the resume shard. Rows come back (shard, pos)-ordered within
+    partitions, which is all a per-shard consumer needs."""
+    df = getattr(spark.read, fmt)(path)
+    resume = ((F.col("shard") > from_shard) |
+              ((F.col("shard") == from_shard) &
+               (F.col("pos") >= from_pos)))
+    return (df.where(resume)
+            .repartition(F.col("shard"))
+            .sortWithinPartitions("shard", "pos"))

@@ -45,3 +45,20 @@ class TestTrainingShards:
                               max_records_per_file=10)
         files = glob.glob(f"{out}/shard=*/part-*.parquet")
         assert len(files) >= 10  # ~100 rows / 10 per file
+
+    def test_resume_reader_prunes_and_orders(self, spark, tmp_path_factory):
+        from datafusion_postgres_spark.sources.shards import (
+            write_training_shards, read_training_shards)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(120)
+        out = str(tmp_path_factory.mktemp("shards_resume") / "c")
+        write_training_shards(docs, out, seed=5, n_shards=3)
+        full = spark.read.parquet(out)
+        n2 = full.where("shard = 2").count()
+        half = full.where("shard = 1 AND pos >= 10").count()
+        resumed = read_training_shards(spark, out, from_shard=1,
+                                       from_pos=10)
+        assert resumed.count() == n2 + half
+        # partition pruning: shard=0 directory is excluded at plan time
+        plan = resumed._jdf.queryExecution().executedPlan().toString()
+        assert "shard=0" not in plan

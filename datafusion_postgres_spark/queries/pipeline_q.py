@@ -1093,17 +1093,52 @@ def events_session_windows(spark, sf_dir):
             .orderBy("user_id", "session_start"))
 
 
-@register("sim_cosine_ivf", oracle=None)
+@register("sim_cosine_ivf", oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT vec_id, vec, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS vec, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id < 5),
+probes AS (
+  SELECT qid, qvec, centroid_id FROM (
+    SELECT q.qid, q.qvec, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {_cos_sql('q.qvec', 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 4),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         ROUND({_cos_sql('a.vec', 'p.qvec')}, 6) AS cos_sim
+  FROM assigned a JOIN probes p
+    ON a.centroid_id = p.centroid_id AND a.vec_id <> p.qid)
+SELECT qid, vec_id, cos_sim, CAST(rn AS BIGINT) AS rnk FROM (
+  SELECT qid, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= 10
+ORDER BY qid, rnk
+""")
 def sim_ivf(spark, sf_dir):
-    """IVF approximate neighbors: corpus assigned to inverted cells once,
-    queries probe their nearest cells (approximation set is
-    implementation-defined — rows-only)."""
+    """IVF approximate neighbors — FULLY oracled (round-4 session 3) via
+    the dedup_semantic seed-centroid trick: kmeans_iters=0 makes the
+    coarse quantizer the first-16-by-id vectors, so DuckDB replays cell
+    assignment, the n_probe=4 query probe, and candidate ranking exactly
+    (same fold order, same ties). Production callers keep kmeans_iters>0
+    for trained cells (pytest-pinned recall)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
     return sorted_small(similarity.cosine_topk_ivf(emb, queries, k=10,
-                                                   n_centroids=16, n_probe=4),
+                                                   n_centroids=16, n_probe=4,
+                                                   kmeans_iters=0),
                         "qid", "rnk")
 
 

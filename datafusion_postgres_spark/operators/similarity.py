@@ -352,7 +352,8 @@ def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
                    m: int = 16, ksub: int = 32,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    codebooks: list[list[list[float]]] | None = None,
-                   codes: DataFrame | None = None) -> DataFrame:
+                   codes: DataFrame | None = None,
+                   train_iters: int = 3) -> DataFrame:
     """Approximate per-query top-k by asymmetric distance: each query
     precomputes its m x ksub dot-product lookup table ON THE BROADCAST
     QUERY SIDE (one projection over a handful of rows), then the scored
@@ -363,8 +364,10 @@ def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
     (train + encode offline, many queries later); omitted, they are
     derived here for convenience."""
     if codebooks is None:
-        codebooks = pq_train(emb, m=m, ksub=ksub, vec_col=vec_col,
-                             id_col=id_col)
+        # train_iters=0 -> first-ksub seed codebooks (deterministic and
+        # external-oracle-replicable, the dedup_semantic trick)
+        codebooks = pq_train(emb, m=m, ksub=ksub, iters=train_iters,
+                             vec_col=vec_col, id_col=id_col)
     if codes is None:
         codes = pq_encode(emb, codebooks, vec_col=vec_col, id_col=id_col)
     m = len(codebooks)
@@ -387,10 +390,11 @@ def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
     qlut = qunit.select("qid", luts.alias("lut"))
     score = sum(F.col("lut")[j][F.col("codes")[j]] for j in range(m))
     scored = (codes.crossJoin(F.broadcast(qlut))
+              .where(F.col("vec_id") != F.col("qid"))
               .select("qid", "vec_id", score.alias("score")))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
                                           F.col("vec_id").asc())
-    return (scored.withColumn("rnk", F.row_number().over(w))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .where(F.col("rnk") <= k)
             .select("qid", "vec_id", F.round("score", 6).alias("score"),
                     "rnk"))

@@ -1383,17 +1383,68 @@ def text_sample_mixture(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
-@register("sim_cosine_pq")  # rows-only: approximation set is impl-defined
+_PQ_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, v) -> acc + v))")
+
+
+@register("sim_cosine_pq", oracle=f"""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {_PQ_NORM})
+           AS vec
+  FROM embeddings),
+seeds AS (SELECT vec_id, vec FROM unit ORDER BY vec_id LIMIT 32),
+cbs AS (
+  SELECT j, list(sub_v ORDER BY vec_id) AS cents
+  FROM (SELECT s.vec_id, gs.j, s.vec[gs.j*4+1 : gs.j*4+4] AS sub_v
+        FROM seeds s, (SELECT unnest(generate_series(0, 15)) AS j) gs)
+  GROUP BY j),
+codes AS (
+  SELECT vec_id, j, list_position(dists, list_min(dists)) AS code1 FROM (
+    SELECT u.vec_id, c.j,
+      list_transform(c.cents, ce ->
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(generate_series(1, 4),
+            i -> (u.vec[c.j*4+i] - ce[i]) * (u.vec[c.j*4+i] - ce[i]))),
+          (acc, x) -> acc + x)) AS dists
+    FROM unit u CROSS JOIN cbs c)),
+qs AS (SELECT vec_id AS qid, vec AS qv FROM unit WHERE vec_id < 5),
+dots AS (
+  SELECT cd.vec_id, q.qid, cd.j,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(generate_series(1, 4),
+        i -> q.qv[cd.j*4+i] * cb.cents[cd.code1][i])),
+      (acc, x) -> acc + x) AS d
+  FROM codes cd JOIN cbs cb ON cb.j = cd.j CROSS JOIN qs q
+  WHERE cd.vec_id <> q.qid),
+scores AS (
+  SELECT vec_id, qid,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY j)),
+                (acc, x) -> acc + x) AS score
+  FROM dots GROUP BY vec_id, qid)
+SELECT qid, vec_id, ROUND(score, 6) AS score, CAST(rn AS BIGINT) AS rnk
+FROM (SELECT qid, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scores) WHERE rn <= 10
+ORDER BY qid, rnk
+""")
 def sim_cosine_pq(spark, sf_dir):
-    """Product-quantized ANN top-k (Jegou et al. 2011): corpus compressed
-    to 16 uint8 codes/vector, queries score via asymmetric-distance
-    lookup tables computed on the broadcast query side — the corpus'
-    float vectors are never read at query time."""
+    """Product-quantized ANN top-k (Jegou et al. 2011) — FULLY oracled
+    (round-4 session 3): train_iters=0 seeds each subspace codebook with
+    the first-32-by-id unit subvectors, so DuckDB replays normalization,
+    codebook choice, per-subspace argmin encoding, the query LUT dot
+    products, and the ordered ADC fold exactly. Production callers keep
+    train_iters>0 (Lloyd-refined codebooks; pytest-pinned recall). The
+    corpus' float vectors are never read at query time — only codes."""
     emb = t(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
-    return sorted_small(similarity.cosine_topk_pq(emb, queries, k=10),
+    return sorted_small(similarity.cosine_topk_pq(emb, queries, k=10,
+                                                  train_iters=0),
                         "qid", "rnk")
 
 

@@ -2075,6 +2075,24 @@ def rewrite_pg_expandarray(tokens: list[Token]) -> list[Token]:
     if not occ:
         return toks
     gen = next((o for o in occ if o["comp"] is None and o["alias"]), None)
+    # Safety: the lock-step rewrite is only sound when every occurrence
+    # expands the SAME array (pgjdbc emits exactly that shape).  With
+    # differing arguments a comp occurrence would silently alias the
+    # wrong generator; and without a shared aliased call, multiple
+    # occurrences would each become their own explode() -- more than
+    # one generator per select list is a Spark analysis error.  In
+    # either case leave the SQL untouched so the engine surfaces a
+    # clear error instead of wrong rows.
+    args = {
+        tuple(t.text.lower() for t in toks[o["open"] + 1:o["close"]]
+              if t.kind != WS)
+        for o in occ
+    }
+    if len(args) > 1:
+        return toks
+    n_generators = 1 if gen is not None else len(occ)
+    if n_generators > 1:
+        return toks
 
     def expand_sql(arg: list[Token]) -> list[Token]:
         return (_toks("explode(transform(") + list(arg) +

@@ -19,7 +19,11 @@ Scale design notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+_log = logging.getLogger(__name__)
 
 from datafusion_postgres_spark.operators.text import (
     FP_MOD, ensure_min_parallelism, fingerprint, norm_text,
@@ -137,7 +141,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
                         prefix_filter: bool = True,
-                        verify_broadcast: bool = False) -> DataFrame:
+                        verify_broadcast: bool = False,
+                        max_df: int | None = 1000) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity. Exact.
 
     Scale strategy = **prefix filtering + PPJoin positional/size bounds**
@@ -170,6 +175,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     5k-doc documents table). Default False: AQE picks shuffle-vs-broadcast
     from runtime stats, which is the 100 TB-safe answer.
 
+    ``max_df`` (default 1000) drops join-key grams whose document
+    frequency exceeds the cap BEFORE the self-join: a boilerplate gram
+    shared by 100k docs otherwise fans out 10^10 candidate rows —
+    AQE skew-split redistributes that load but cannot shrink it; the cap
+    bounds the worst key deterministically. Capping can only lose pairs
+    whose EVERY shared prefix element is boilerplate (which at t>=0.5
+    means the pair is mostly boilerplate itself). ``max_df=None`` is the
+    explicit exact-mode opt-out (used by the DuckDB-oracle queries).
+
     Output: (id_a, id_b, inter_n, union_n, jaccard) with id_a < id_b.
     """
     # cache: the shingle hashing is the expensive projection and per_doc
@@ -194,6 +208,16 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             "id", "set_size",
             F.posexplode("grams").alias("pos", "gram_hash"))
         extra = F.lit(True)
+    if max_df is not None:
+        _log.info("ngram_jaccard_pairs: df-cap active (max_df=%d); "
+                  "hot grams are excluded from pairing — max_df=None "
+                  "for exact mode", max_df)
+        hot = (keys.groupBy("gram_hash")
+               .agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_df).select("gram_hash"))
+        # hot set is tiny by definition (grams in >max_df docs); the
+        # cached per_doc makes the extra agg branch a cheap re-scan
+        keys = keys.join(F.broadcast(hot), "gram_hash", "left_anti")
     cand = (keys.alias("x").join(
                 keys.alias("y"),
                 (F.col("x.gram_hash") == F.col("y.gram_hash")) &
@@ -640,7 +664,7 @@ def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
 
 def substring_dup_pairs(docs: DataFrame, window: int = 20,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = 1000) -> DataFrame:
     """Exact substring deduplication: document pairs sharing at least one
     exact ``window``-token substring (after normalization) — the
     suffix-array method of "Deduplicating Training Data Makes Language
@@ -654,9 +678,11 @@ def substring_dup_pairs(docs: DataFrame, window: int = 20,
     codegen projection (O(tokens x window) integer ops); the only
     shuffle carries (hash, id) pairs — 16 bytes per distinct window.
     Boilerplate windows shared by thousands of docs blow up the
-    self-join quadratically: ``max_df`` drops window hashes seen in more
-    than that many docs BEFORE the join (the standard df-cap; capped
-    windows are by definition boilerplate, not the near-dup signal).
+    self-join quadratically: ``max_df`` (default 1000 — the safe-by-default
+    cap; a window in >1000 docs is boilerplate, and uncapped it alone
+    contributes >500k pair rows) drops window hashes seen in more than
+    that many docs BEFORE the join. ``max_df=None`` is the explicit
+    exact-mode opt-out (the DuckDB-oracle query uses it).
     Fingerprint collisions (~1e-9 per window pair) are accepted and
     engine-identical."""
     ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
@@ -688,6 +714,9 @@ def substring_dup_pairs(docs: DataFrame, window: int = 20,
     exploded = (fps.select("id", whs.alias("whs"))
                 .select("id", F.explode_outer("whs").alias("wh")))
     if max_df is not None:
+        _log.info("substring_dup_pairs: df-cap active (max_df=%d); "
+                  "boilerplate windows are excluded from pairing — "
+                  "max_df=None for exact mode", max_df)
         hot = (exploded.groupBy("wh")
                .agg(F.count("*").alias("df"))
                .where(F.col("df") > max_df).select("wh"))

@@ -47,13 +47,23 @@ def embedding_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
             .orderBy("label"))
 
 
+def _self_pred(exclude_self: bool):
+    # exclude_self=True assumes queries are drawn from the corpus id space
+    # (self-match suppression); pass False when qids are external and a
+    # coincidental id collision must not drop a corpus vector.
+    return (F.col("vec_id") != F.col("qid")) if exclude_self else F.lit(True)
+
+
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
                            vec_col: str = "embedding",
-                           id_col: str = "vec_id") -> DataFrame:
+                           id_col: str = "vec_id",
+                           exclude_self: bool = True) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     `queries` has columns (qid, qvec). The query side is broadcast — the
-    corpus never shuffles; ranking shuffles only (qid, candidate) pairs."""
+    corpus never shuffles; ranking shuffles only (qid, candidate) pairs.
+    ``exclude_self`` (default True) treats qids as corpus ids and drops
+    self-matches; set False for an external query id space."""
     corpus = emb.select(F.col(id_col).alias("vec_id"),
                         F.transform(F.col(vec_col),
                                     lambda x: x.cast("double")).alias("vec"))
@@ -61,7 +71,7 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
                        F.transform(F.col("qvec"),
                                    lambda x: x.cast("double")).alias("qvec"))
     scored = (corpus.crossJoin(F.broadcast(q))
-              .where(F.col("vec_id") != F.col("qid"))
+              .where(_self_pred(exclude_self))
               .select("qid", "vec_id",
                       F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
                               6).alias("cos_sim")))
@@ -188,7 +198,8 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
                     n_centroids: int = 16, n_probe: int = 4,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
-                    kmeans_iters: int = 3) -> DataFrame:
+                    kmeans_iters: int = 3,
+                    exclude_self: bool = True) -> DataFrame:
     """IVF approximate top-k: corpus assigned to inverted cells once; each
     query probes its n_probe nearest cells only. Scan cost drops by
     ~n_probe/n_centroids versus brute force with recall controlled by
@@ -214,7 +225,7 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
               .where(F.col("rn") <= n_probe)
               .select("qid", "qvec", "centroid_id"))
     scored = (assigned.join(F.broadcast(probes), "centroid_id")
-              .where(F.col("vec_id") != F.col("qid"))
+              .where(_self_pred(exclude_self))
               .select("qid", "vec_id",
                       F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
                               6).alias("cos_sim")))
@@ -227,7 +238,8 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
                     n_planes: int = 8, dims: int = 64,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id",
+                    exclude_self: bool = True) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     At 100 TB the bucket column is computed once at ingest and the corpus is
@@ -243,7 +255,7 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
                            lambda x: x.cast("double")).alias("qvec"))
     q = q.withColumn("bucket", lsh_bucket_expr(F.col("qvec"), n_planes, dims))
     scored = (corpus.join(F.broadcast(q), "bucket")
-              .where(F.col("vec_id") != F.col("qid"))
+              .where(_self_pred(exclude_self))
               .select("qid", "vec_id",
                       F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
                               6).alias("cos_sim")))
@@ -353,7 +365,8 @@ def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    codebooks: list[list[list[float]]] | None = None,
                    codes: DataFrame | None = None,
-                   train_iters: int = 3) -> DataFrame:
+                   train_iters: int = 3,
+                   exclude_self: bool = True) -> DataFrame:
     """Approximate per-query top-k by asymmetric distance: each query
     precomputes its m x ksub dot-product lookup table ON THE BROADCAST
     QUERY SIDE (one projection over a handful of rows), then the scored
@@ -390,7 +403,7 @@ def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
     qlut = qunit.select("qid", luts.alias("lut"))
     score = sum(F.col("lut")[j][F.col("codes")[j]] for j in range(m))
     scored = (codes.crossJoin(F.broadcast(qlut))
-              .where(F.col("vec_id") != F.col("qid"))
+              .where(_self_pred(exclude_self))
               .select("qid", "vec_id", score.alias("score")))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
                                           F.col("vec_id").asc())

@@ -37,11 +37,43 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
         # no static partition count to inspect; micro-batch parallelism
         # is the source's concern (maxFilesPerTrigger etc.)
         return df
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # Estimate the scan's split count from file stats (free — no job, no
+    # driver-side RDD conversion; `df.rdd.getNumPartitions()` forces a
+    # physical-plan conversion per call). Tiny files are one row group
+    # each, so splits ~= sum(ceil(file_size / maxPartitionBytes)).
+    splits = None
+    try:
+        import os
+        paths = [p.replace("file://", "", 1) if p.startswith("file:") else p
+                 for p in df.inputFiles()]
+        if paths:
+            max_pb = _parse_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+            splits = sum(
+                max(1, -(-os.path.getsize(p) // max_pb))
+                for p in paths if os.path.exists(p))
+    except Exception:
+        splits = None
+    if splits is None:
+        # non-file-backed frame (rare; no registered hot path) — the
+        # physical probe is the only honest source of a partition count
+        splits = df.rdd.getNumPartitions()
+    if splits < target:
         return df.repartition(target)
     return df
+
+
+def _parse_bytes(v) -> int:
+    """'16m' / '128k' / '1g' / '134217728' -> bytes (Spark conf syntax)."""
+    s = str(v).strip().lower()
+    for suffix, mult in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+                         ("kb", 1 << 10), ("t", 1 << 40), ("g", 1 << 30),
+                         ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suffix):
+            return int(float(s[:-len(suffix)]) * mult)
+    return int(s)
 
 
 def norm_text(col: Column) -> Column:

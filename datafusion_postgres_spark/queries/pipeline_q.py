@@ -177,8 +177,11 @@ def dedup_ngram(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     # verify_broadcast: the documents table is a known-small corpus here;
     # the operator default (False) leaves the choice to AQE for big corpora
+    # max_df=None: exact mode so the DuckDB oracle replays bit-for-bit
+    # (the library's safe default caps boilerplate grams at df>1000)
     return sorted_small(dedup.ngram_jaccard_pairs(docs, threshold=0.5,
-                                                  verify_broadcast=True),
+                                                  verify_broadcast=True,
+                                                  max_df=None),
                         "id_a", "id_b")
 
 
@@ -204,7 +207,7 @@ def dedup_components(spark, sf_dir):
     the same graph with a recursive transitive closure."""
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
-                                      verify_broadcast=True)
+                                      verify_broadcast=True, max_df=None)
     return sorted_small(dedup.connected_components(pairs), "doc_id")
 
 
@@ -1633,7 +1636,8 @@ def dedup_substring_pairs(spark, sf_dir):
     fingerprint + self-join in DuckDB list lambdas."""
     from datafusion_postgres_spark.operators.dedup import substring_dup_pairs
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
-    return sorted_small(substring_dup_pairs(docs, window=_SSW),
+    # max_df=None: exact mode for the oracle (library default caps at 1000)
+    return sorted_small(substring_dup_pairs(docs, window=_SSW, max_df=None),
                         "id_a", "id_b")
 
 

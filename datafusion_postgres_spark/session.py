@@ -41,6 +41,11 @@ DEFAULT_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
+    # The pgjdbc `_pg_expandarray` lock-step rewrite (dialect/rules.py
+    # rewrite_pg_expandarray) emits lateral column-alias references that may
+    # precede the generator defining them; pin the conf that makes those
+    # resolve rather than inheriting a deployment default.
+    "spark.sql.lateralColumnAlias.enableImplicitResolution": "true",
 }
 
 

@@ -34,7 +34,15 @@ def write_training_shards(df: DataFrame, path: str, seed: int = 0,
     documents in the same sequence on every run and cluster layout, the
     property a resumable training job needs from its data layout."""
     order = shuffle_sharded(df, seed=seed, n_shards=n_shards, id_col=id_col)
+    # n_tok is tokenized ONCE here and persisted with the payload: the
+    # manifest pass then reads only the (shard, n_tok) columns back
+    # (parquet column pruning — no second tokenization, no text I/O), and
+    # training loaders get a per-document token count to pack sequences
+    # without retokenizing either.
     payload = (df.join(order, id_col)
+               .withColumn("n_tok",
+                           token_count(norm_text(F.col(text_col)))
+                           .cast("bigint"))
                .repartition(n_shards, F.col("shard"))
                .sortWithinPartitions("shard", "pos"))
     writer = payload.write.mode("overwrite").partitionBy("shard")
@@ -42,12 +50,11 @@ def write_training_shards(df: DataFrame, path: str, seed: int = 0,
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     getattr(writer, fmt)(path)
     spark = df.sparkSession
-    written = getattr(spark.read, fmt)(path)
+    written = getattr(spark.read, fmt)(path).select("shard", "n_tok")
     return (written
             .groupBy("shard")
             .agg(F.count("*").cast("bigint").alias("n_docs"),
-                 F.sum(token_count(norm_text(F.col(text_col))))
-                 .cast("bigint").alias("n_tokens"))
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"))
             .orderBy("shard"))
 
 

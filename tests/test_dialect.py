@@ -249,3 +249,32 @@ class TestPgExpandarray:
         out = self._tp().transpile(
             "SELECT (information_schema._pg_expandarray(a)).x FROM t")
         assert "explode(a" in out and "sequence" not in out
+
+    def test_differing_args_left_untouched(self):
+        # a second aliased call over a DIFFERENT array must not be
+        # silently aliased to the first generator (wrong rows); the SQL
+        # passes through so the engine raises a clear error instead
+        sql = ("SELECT (information_schema._pg_expandarray(i.indkey)).n AS s, "
+               "information_schema._pg_expandarray(c.conkey) AS KEYS "
+               "FROM pg_index i, pg_constraint c")
+        out = self._tp().transpile(sql)
+        assert "_pg_expandarray" in out and "explode(" not in out
+
+    def test_two_lone_composites_no_alias_left_untouched(self):
+        # two explode() generators in one select list is a Spark analysis
+        # error — leave the SQL alone rather than emit an invalid plan
+        sql = ("SELECT (information_schema._pg_expandarray(a)).n, "
+               "(information_schema._pg_expandarray(a)).x FROM t")
+        out = self._tp().transpile(sql)
+        assert "_pg_expandarray" in out and "explode(" not in out
+
+    def test_same_arg_lockstep_still_rewrites(self):
+        # guard must not regress the pgjdbc idiom: same argument, one
+        # aliased generator + composite references
+        out = self._tp().transpile(
+            "SELECT (information_schema._pg_expandarray(i.indkey)).n AS s, "
+            "(information_schema._pg_expandarray(i.indkey)).x AS v, "
+            "information_schema._pg_expandarray(i.indkey) AS KEYS "
+            "FROM pg_index i")
+        assert out.count("explode(") == 1
+        assert "KEYS.n AS s" in out and "KEYS.x AS v" in out

@@ -99,6 +99,23 @@ class TestNgramJaccard:
         inter, union = pairs[(1, 4)]
         assert (inter, union) == (5, 9)
 
+    def test_max_df_caps_hot_grams(self, spark):
+        # one boilerplate sentence shared by 4 docs: with max_df=2 its
+        # grams never reach the self-join, so the 4-doc clique vanishes;
+        # the 2-doc near-dup pair (unique text) survives
+        boiler = "all rights reserved contact us for details"
+        rows = ([(i, boiler) for i in range(1, 5)] +
+                [(10, "a quick brown fox jumps over trees"),
+                 (11, "a quick brown fox jumps over fences")])
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, max_df=2).collect()}
+        assert (10, 11) in capped
+        assert not any(a < 5 and b < 5 for a, b in capped)
+        exact = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, max_df=None).collect()}
+        assert (1, 2) in exact and (10, 11) in exact
+
 
 class TestMinhash:
     def test_signatures_deterministic(self, docs):
@@ -159,6 +176,17 @@ class TestSimilarity:
                        F.col("embedding").alias("qvec"))
         out = similarity.cosine_topk_lsh(emb, q, k=3, n_planes=4, dims=3).collect()
         assert len(out) > 0  # at minimum, co-bucketed neighbors appear
+
+    def test_exclude_self_false_keeps_id_collisions(self, emb, spark):
+        # external query id space: qid=0 coincidentally equals a corpus
+        # vec_id; with exclude_self=False that corpus vector must rank
+        q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], ["qid", "qvec"])
+        got = {r["vec_id"] for r in similarity.cosine_topk_bruteforce(
+            emb, q, k=2, exclude_self=False).collect()}
+        assert 0 in got  # the id-colliding exact match is retained
+        dropped = {r["vec_id"] for r in similarity.cosine_topk_bruteforce(
+            emb, q, k=2).collect()}
+        assert 0 not in dropped  # default: corpus-id semantics
 
 
 class TestEmbeddingDedup:
@@ -978,3 +1006,30 @@ class TestNgramLm:
         out = ngram_lm_score(docs, docs, dim=64).collect()
         assert [r["doc_id"] for r in out] == [2]
         assert out[0]["n_bigrams"] == 1
+
+
+class TestEnsureMinParallelism:
+    def test_parse_bytes(self):
+        from datafusion_postgres_spark.operators.text import _parse_bytes
+        assert _parse_bytes("16m") == 16 << 20
+        assert _parse_bytes("128k") == 128 << 10
+        assert _parse_bytes("1g") == 1 << 30
+        assert _parse_bytes("134217728") == 134217728
+        assert _parse_bytes("2mb") == 2 << 20
+
+    def test_small_scan_widens_without_rdd_probe(self, spark):
+        # file-stat sizing path: a single tiny parquet file must widen to
+        # defaultParallelism; no df.rdd conversion in the hot path
+        from datafusion_postgres_spark.operators.text import (
+            ensure_min_parallelism)
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = ensure_min_parallelism(docs)
+        target = spark.sparkContext.defaultParallelism
+        assert out.rdd.getNumPartitions() == target
+
+    def test_non_file_frame_falls_back(self, spark):
+        from datafusion_postgres_spark.operators.text import (
+            ensure_min_parallelism)
+        df = spark.range(10).toDF("doc_id")
+        out = ensure_min_parallelism(df)
+        assert out.count() == 10

@@ -13,6 +13,13 @@ class TestTrainingShards:
         assert [r["shard"] for r in rows] == [0, 1, 2, 3]
         assert sum(r["n_docs"] for r in rows) == docs.count()
         assert all(r["n_tokens"] > 0 for r in rows)
+        # per-doc token counts are persisted with the payload: the
+        # manifest pass prunes down to (shard, n_tok) — no second
+        # tokenization — and training loaders pack sequences from it
+        written = spark.read.parquet(out)
+        assert "n_tok" in written.columns
+        total = written.agg({"n_tok": "sum"}).collect()[0][0]
+        assert total == sum(r["n_tokens"] for r in rows)
 
     def test_order_is_seed_deterministic(self, spark, tmp_path_factory):
         from datafusion_postgres_spark.sources.shards import (

@@ -101,43 +101,51 @@ def pg_sql(spark: SparkSession, sf_dir: str, sql: str,
 # "suite" queries (queries/suites.py) fold redundant variants so the whole
 # surface fits in the window.
 PRIORITY = [
-    # TPC-H adaptations (compound shapes: joins + aggs + sorts).
-    # Round-4 session 3: q4/q14/q19 moved out of the window (their
-    # operator content — EXISTS subquery, CASE aggregation, disjunctive
-    # join predicates — is carried by join_semi_anti/subquery_correlated_
-    # in, pg_case_when/q1, and filter_predicates/join rows; they keep
-    # their oracles in the local gate) to give the session-3 flagship
-    # pipeline operators driver-verified rows.
+    # ROTATION POLICY (round 5+): ~30 flagship rows stay pinned every
+    # round; the remaining ~20 slots cycle through the out-of-window
+    # oracled rows so every registered query re-earns a driver-green
+    # CORRECTNESS entry every few rounds. A swapped-out row keeps its
+    # oracle and stays in the local `tools/check_oracle.py` gate.
+    # Round-5 swaps (20): q7→q8, q10→q9, q18→q2, pg_case_when→
+    # pg_ordered_set_aggs, ilike_filter→pg_recursive_cte, pg_regex_match→
+    # pg_operator_form, pg_array_functions→agg_approx_sketches,
+    # pg_json_operators→pg_jsonpath, pg_distinct_on→geo_radius_pairs,
+    # pg_generate_series_tf→date_functions, join_cross_comma→
+    # join_asof_events, join_using→join_scd2_enrich, agg_collect_ordered→
+    # skew_twophase_agg, window_ntile_first_last→window_range_frame,
+    # events_hourly_rollup→events_cohort_retention, events_sessionize→
+    # events_twap, text_corpus_profile→text_gopher_filter,
+    # dedup_ngram_jaccard→dedup_components, dedup_minhash_signatures→
+    # dedup_substring_pairs, dedup_simhash_signatures→dedup_simhash_pairs.
+    # TPC-H adaptations (compound shapes: joins + aggs + sorts)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q7_nation_pair_volume", "q10_returned_items",
-    "q18_large_orders",
+    "q8_market_share", "q9_product_profit",
+    "q2_min_cost_supplier",
     # filters / dialect (§2.2)
-    "filter_predicates", "pg_case_when", "ilike_filter", "pg_regex_match",
-    # (COLLATE-strip evidence folded into pg_regex_match; its slot goes to
-    # the embedding-cosine near-dup operator)
+    "filter_predicates", "pg_ordered_set_aggs", "pg_recursive_cte",
+    "pg_operator_form",
     "pg_any_all_array", "pg_casts", "dedup_embedding_cosine",
-    "pg_string_functions", "pg_math_functions", "pg_array_functions",
-    "pg_json_operators", "pg_distinct_on", "pg_generate_series_tf",
-    # joins (§2.3)
-    "join_outer_suite", "join_semi_anti", "join_cross_comma", "join_using",
+    "pg_string_functions", "pg_math_functions", "agg_approx_sketches",
+    "pg_jsonpath", "geo_radius_pairs", "date_functions",
+    # joins (§2.3) + temporal joins
+    "join_outer_suite", "join_semi_anti", "join_asof_events",
+    "join_scd2_enrich",
     "subquery_correlated_in", "lateral_subquery",
     # aggregation (§2.4)
-    "agg_distinct_filter", "agg_collect_ordered", "agg_grouping_suite",
+    "agg_distinct_filter", "skew_twophase_agg", "agg_grouping_suite",
     "agg_stats_having", "pivot_orderstatus",
     # windows (§2.5)
-    "window_suite", "window_ntile_first_last",
+    "window_suite", "window_range_frame",
     # sorts / set ops / table functions (§2.6-2.8)
     "sort_wildcard_topk", "set_ops_suite", "tablefunc_unnest_values",
-    # events (batch side) + a REAL streaming execution of the same rollup
-    # (readStream -> watermarked window agg -> memory sink; q12's operator
-    # content is covered by q1/q14/pg_case_when, so streaming takes its slot)
-    "events_hourly_rollup", "events_sessionize", "streaming_hourly_rollup",
+    # events (batch side) + a REAL streaming execution of the rollup
+    # (readStream -> watermarked window agg -> memory sink)
+    "events_cohort_retention", "events_twap", "streaming_hourly_rollup",
     # LLM-data-pipeline operators
-    "text_doc_features", "text_corpus_profile", "dedup_exact_groups",
-    "dedup_ngram_jaccard", "dedup_minhash_signatures",
-    "dedup_simhash_signatures", "dedup_minhash_lsh", "sim_cosine_topk",
+    "text_doc_features", "text_gopher_filter", "dedup_exact_groups",
+    "dedup_components", "dedup_substring_pairs",
+    "dedup_simhash_pairs", "dedup_minhash_lsh", "sim_cosine_topk",
     "multimodal_metadata_oracle",
-    # round-4 session-3 flagships (slots from q4/q14/q19 above)
     "text_dsir_weights", "text_lm_perplexity", "dedup_decontaminate_bloom",
 ]
 

@@ -103,3 +103,73 @@ def forced_broadcast_tables(df: DataFrame) -> set[str]:
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)",
                               simple_plan(df))))
+
+
+# ---------------------------------------------------------------------------
+# Executed-plan SQLMetrics (actuals, not estimates).
+#
+# The reference's EXPLAIN ANALYZE prints per-node actual rows (DataFusion
+# metrics via handlers.rs); Spark records the same numbers as SQLMetrics
+# on the executed physical plan. These helpers walk that tree AFTER an
+# action has run, surfacing runtime shuffle-row counts — the number the
+# 100 TB scale-stress pins assert on (plan *shape* says a join is
+# bucketed; shuffle *row counts* prove the fan-out stayed linear).
+
+def executed_nodes(df: DataFrame) -> list[dict]:
+    """Post-execution plan nodes as [{'node', 'cls', 'metrics'}] in
+    pre-order. Requires an action (collect/count/write) to have run on
+    THIS DataFrame — metrics are zero/absent before execution. Follows
+    AQE wrappers (AdaptiveSparkPlan -> final plan, QueryStage -> plan,
+    ReusedExchange -> child) and de-duplicates re-used subtrees by plan
+    node id so summing a metric never double-counts."""
+    out: list[dict] = []
+    seen: set[int] = set()
+
+    def metric_map(n) -> dict[str, int]:
+        ms = {}
+        it = n.metrics().iterator()
+        while it.hasNext():
+            e = it.next()
+            ms[e._1()] = e._2().value()
+        return ms
+
+    def walk(n):
+        nid = n.id()
+        if nid in seen:
+            return
+        seen.add(nid)
+        cls = n.getClass().getSimpleName()
+        out.append({"node": n.nodeName(), "cls": cls,
+                    "metrics": metric_map(n)})
+        if cls == "AdaptiveSparkPlanExec":
+            walk(n.executedPlan())
+            return
+        if "QueryStageExec" in cls:
+            walk(n.plan())
+            return
+        if cls == "ReusedExchangeExec":
+            walk(n.child())
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def shuffle_rows_written(df: DataFrame) -> int:
+    """Total records written across every shuffle exchange of the executed
+    plan — THE quadratic-blowup detector: a df-capped pair join's shuffle
+    volume stays O(docs x cap), an uncapped hot key makes this explode."""
+    return sum(n["metrics"].get("shuffleRecordsWritten", 0)
+               for n in executed_nodes(df)
+               if n["cls"] == "ShuffleExchangeExec")
+
+
+def max_node_output_rows(df: DataFrame) -> int:
+    """Largest per-node actual numOutputRows in the executed plan — bounds
+    the widest intermediate (e.g. the candidate-pair stream of a
+    similarity self-join) independent of where shuffles landed."""
+    return max((n["metrics"].get("numOutputRows", 0)
+                for n in executed_nodes(df)), default=0)

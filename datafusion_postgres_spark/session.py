@@ -185,9 +185,27 @@ class SparkPgEngine:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         t1 = time.perf_counter()
-        n = df.count()
+        # Full execution through THIS DataFrame's QueryExecution (like
+        # PG, which runs the statement and discards the tuples) so the
+        # executed plan carries populated SQLMetrics — the per-operator
+        # actuals DataFusion prints from its metrics tree.
+        n = len(df.collect())
         t2 = time.perf_counter()
         lines = plan.rstrip("\n").split("\n")
+        from datafusion_postgres_spark.plans.inspect import executed_nodes
+        actuals = []
+        for node in executed_nodes(df):
+            ms = node["metrics"]
+            parts = []
+            if "numOutputRows" in ms:
+                parts.append(f"actual rows={ms['numOutputRows']}")
+            if "shuffleRecordsWritten" in ms:
+                parts.append(
+                    f"shuffle records={ms['shuffleRecordsWritten']}")
+            if parts:
+                actuals.append(f"  {node['node']}: {', '.join(parts)}")
+        if actuals:
+            lines += ["Per-Operator Actuals:"] + actuals
         lines += [f"Planning Time: {(t1 - t0) * 1000:.3f} ms",
                   f"Execution Time: {(t2 - t1) * 1000:.3f} ms",
                   f"Actual Rows: {n}"]

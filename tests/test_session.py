@@ -363,6 +363,26 @@ class TestExplain:
         lines = [r[0] for r in res.rows()]
         assert lines[-1] == "Actual Rows: 5"
 
+    def test_explain_analyze_per_operator_actuals(self, engine):
+        # DataFusion parity: per-node actual row counts from the executed
+        # plan's SQLMetrics (handlers.rs EXPLAIN ANALYZE metric output)
+        res = engine.execute(
+            "EXPLAIN ANALYZE SELECT r.r_name, count(*) AS n "
+            "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name")[0]
+        lines = [r[0] for r in res.rows()]
+        assert "Per-Operator Actuals:" in lines
+        start = lines.index("Per-Operator Actuals:")
+        section = lines[start + 1:len(lines) - 3]   # before timing trailer
+        assert any("actual rows=" in ln for ln in section)
+        # the join node itself reports its actual output rows (25 nations)
+        join_lines = [ln for ln in section if "Join" in ln]
+        assert join_lines and any("actual rows=25" in ln
+                                  for ln in join_lines)
+        # scans report too
+        assert any("Scan" in ln and "actual rows=" in ln
+                   for ln in section)
+
     def test_explain_verbose_does_not_execute(self, engine):
         # no ANALYZE in the option list -> plain Spark EXPLAIN path
         res = engine.execute("EXPLAIN (VERBOSE) SELECT * FROM nation")[0]

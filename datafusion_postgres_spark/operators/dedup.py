@@ -750,16 +750,28 @@ def build_bloom_probe(eval_docs: DataFrame, text_col: str = "text",
     while n_bits < max(bits_per_elem * max(len(eval_arr), 1), 64):
         n_bits <<= 1
     mask = n_bits - 1
-    # k independent probes via LCG mixes of the gram hash; Java long and
-    # numpy int64 share two's-complement wrap, so build and probe agree
-    probes = [(1_103_515_245 * (i + 1) + 12_345, 2_654_435_761 + i)
+    # k independent probes via multiply-shift hashing (Dietzfelbinger):
+    # idx = HIGH bits of h * A + B for ODD 32-bit multipliers A. The
+    # previous LCG probe masked the LOW bits of h*a with half the
+    # multipliers even — low-bit degeneracy under a power-of-two mask
+    # drove the measured false-positive rate to ~10% vs the ~0.06%
+    # design point (caught by the scale-stress harness: the FP slice is
+    # exactly what shuffles). Gram hashes are < 2^30 and A < 2^32, so
+    # h*A + B < 2^63 — no overflow, ANSI-mode safe, and the numpy build
+    # and Spark probe compute the identical integers.
+    _A = (2654435761, 2246822519, 3266489917, 668265263,
+          2869860233, 1640531527)
+    _B = (1013904223, 374761393, 1103515245, 2027808447,
+          668265263, 12345)
+    probes = [(_A[i % len(_A)] | 1, _B[i % len(_B)])
               for i in range(n_hashes)]
     # packed 32 bits per word: element values stay positive and below
     # 2^32, so the codegen bit test (divide by an exact power of two,
     # truncate, parity) never meets the sign bit
     words32 = np.zeros(n_bits >> 5, dtype=np.int64)
     for a, b in probes:
-        idx = ((eval_arr * a + b) & np.int64(mask)).astype(np.int64)
+        prod = eval_arr * np.int64(a) + np.int64(b)
+        idx = ((prod >> 28) & np.int64(mask)).astype(np.int64)
         np.bitwise_or.at(words32, idx >> 5,
                          np.int64(1) << (idx & 31).astype(np.int64))
     w_lit = F.lit([int(x) for x in words32]).cast("array<bigint>")
@@ -767,7 +779,8 @@ def build_bloom_probe(eval_docs: DataFrame, text_col: str = "text",
     def bloom_keep(h):
         t = None
         for a, b in probes:
-            idx = (h * a + b).bitwiseAND(F.lit(mask))
+            idx = F.shiftright(h * F.lit(a) + F.lit(b), 28) \
+                .bitwiseAND(F.lit(mask))
             word = F.element_at(
                 w_lit, (F.shiftright(idx, 5) + 1).cast("int"))
             bit = (word / F.pow(F.lit(2.0), (idx % 32).cast("double"))) \

@@ -1,0 +1,173 @@
+"""Scale-stress pins: MEASURED shuffle-row counts on skewed corpora.
+
+Plan-shape tests (test_plans.py) prove the right operators appear;
+these tests prove the runtime numbers stay bounded when the data is
+adversarial — a boilerplate block whose document frequency exceeds the
+df-cap, a Zipf-hot join key. Each pin fails on the quadratic blowup it
+names, so a regression that silently removes a cap or turns the as-of
+union trick back into an inequality join is caught by row COUNTS, not
+by eyeballing wall time. Full-size evidence: tools/bench_scale.py →
+BENCH_SCALE.json (50k docs / 1M events).
+
+Corpora here are built inline with per-doc-unique filler words so the
+only cross-document text overlap is the one we inject — pins then
+assert exact mechanisms, not vocab-density accidents.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_postgres_spark.operators import dedup, joins
+from datafusion_postgres_spark.plans import inspect as P
+
+BOILER = " ".join(f"boil{i}" for i in range(30))  # 30-token shared block
+
+
+def _run(df):
+    """Execute and return (out_rows, shuffle_rows, max_node_rows)."""
+    n = len(df.collect())
+    return n, P.shuffle_rows_written(df), P.max_node_output_rows(df)
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """600 docs: 300 share the 30-token boilerplate prefix (df ≫ the
+    test cap of 100); every other token is unique to its document."""
+    rows = []
+    for i in range(300):
+        rows.append((i, BOILER + " " + " ".join(f"u{i}x{j}" for j in range(10))))
+    for i in range(300, 600):
+        rows.append((i, " ".join(f"u{i}x{j}" for j in range(40))))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+class TestSubstringDfCap:
+    def test_capped_is_linear_uncapped_is_quadratic(self, skewed_docs):
+        capped = dedup.substring_dup_pairs(skewed_docs, window=20,
+                                           max_df=100)
+        n_c, sh_c, mx_c = _run(capped)
+        uncapped = dedup.substring_dup_pairs(skewed_docs, window=20,
+                                             max_df=None)
+        n_u, sh_u, mx_u = _run(uncapped)
+        # uncapped: the 300-doc boilerplate block alone fans out
+        # 300*299/2 ≈ 45k pairs over 11 shared window hashes
+        assert n_u >= 300 * 299 // 2
+        assert mx_u >= 11 * 300 * 299 // 2  # pre-groupBy pair stream
+        # capped: boilerplate windows (df=300 > 100) never reach the
+        # join; the pair stream stays bounded by the exploded windows
+        # (600 docs × ≤21 windows), nowhere near the quadratic cliff
+        assert n_c == 0
+        total_windows = 600 * 21
+        assert mx_c <= 2 * total_windows
+        assert sh_c <= 6 * total_windows  # explode ×2 sides + df-agg
+
+    def test_cap_keeps_real_near_dups(self, spark):
+        # two docs sharing a 25-token run (df=2 ≤ cap) must still pair
+        run = " ".join(f"r{j}" for j in range(25))
+        docs = spark.createDataFrame(
+            [(1, run + " u1a u1b"), (2, run + " u2a u2b"),
+             (3, " ".join(f"u3x{j}" for j in range(30)))],
+            "doc_id long, text string")
+        out = dedup.substring_dup_pairs(docs, window=20, max_df=100)
+        assert [(r["id_a"], r["id_b"]) for r in out.collect()] == [(1, 2)]
+
+
+class TestJaccardDfCap:
+    def test_capped_drops_boiler_clique(self, skewed_docs):
+        capped = dedup.ngram_jaccard_pairs(skewed_docs, threshold=0.5,
+                                           max_df=100)
+        n_c, sh_c, mx_c = _run(capped)
+        assert n_c == 0  # boiler-only overlap is below threshold anyway
+        # candidate stream bounded: no node may blow past the exploded
+        # prefix keys (600 docs × prefix ≤ 21 grams each, both sides)
+        assert mx_c <= 600 * 21 * 4
+        uncapped = dedup.ngram_jaccard_pairs(skewed_docs, threshold=0.5,
+                                             max_df=None)
+        n_u, sh_u, mx_u = _run(uncapped)
+        # uncapped the shared boiler grams create a quadratic candidate
+        # stream (300^2/2 pairs × shared prefix grams)
+        assert mx_u >= 300 * 299 // 2
+
+
+class TestLshCandidateBound:
+    def test_no_dup_corpus_stays_linear(self, spark):
+        # all-unique corpus: banding must produce ~zero candidates, so
+        # every shuffle stays O(n_docs) — LSH needs no df-cap because
+        # the band hash IS the bound
+        rows = [(i, " ".join(f"u{i}x{j}" for j in range(40)))
+                for i in range(500)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        n, sh, mx = _run(out)
+        assert n == 0
+        # shuffles carry (band, hash, id) rows: 8 bands × 500 docs,
+        # plus the (empty) verify joins — linear with a small factor
+        assert sh <= 8 * 500 * 4
+        assert mx <= 8 * 500 * 4
+
+
+class TestAsofSkewLinear:
+    def test_one_shuffle_exactly_linear_rows(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        n = 20_000
+        hot = rng.random(n) < 0.3  # 30% of rows on ONE key
+        users = rng.integers(1, 50, n)
+        users[hot] = 0
+        rows = [(int(i), int(users[i]), int(rng.integers(0, 10_000)),
+                 float(i)) for i in range(n)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts long, value double")
+        left = ev.where(F.col("event_id") % 4 != 0)
+        right = (ev.where(F.col("event_id") % 4 == 0)
+                 .select("user_id", F.col("ts").alias("rts"),
+                         F.col("value").alias("rv")))
+        out = joins.asof_join(left, right, on="user_id",
+                              left_ts="ts", right_ts="rts",
+                              tie_col="rv").select("event_id", "rv")
+        n_out, sh, mx = _run(out)
+        assert n_out == left.count()
+        # THE as-of contract: ONE key shuffle carrying exactly
+        # left+right rows — no inequality join, no fan-out, skew or not
+        assert sh == n
+        assert mx <= n
+
+    def test_plan_has_no_join_node(self, spark):
+        # the union-tag trick must not regress into a join (a broadcast
+        # inequality join explodes at scale; a sort-merge range join
+        # re-sorts per key)
+        ev = spark.range(100).select(
+            F.col("id").alias("event_id"), (F.col("id") % 5).alias("user_id"),
+            F.col("id").alias("ts"), F.col("id").cast("double").alias("value"))
+        right = ev.select("user_id", F.col("ts").alias("rts"),
+                          F.col("value").alias("rv"))
+        out = joins.asof_join(ev, right, on="user_id",
+                              left_ts="ts", right_ts="rts")
+        plan = P.simple_plan(out)
+        assert "Join" not in plan
+
+
+class TestBloomCorpusInvariance:
+    def test_shuffle_volume_independent_of_corpus_size(self, spark):
+        # decontamination shuffles the EVAL side only; doubling the
+        # corpus must not move shuffle volume (the corpus rides a pure
+        # codegen probe — that is the whole point of the Bloom path)
+        def mk(n):
+            return spark.createDataFrame(
+                [(i, " ".join(f"c{i}x{j}" for j in range(30)))
+                 for i in range(n)], "doc_id long, text string")
+        eval_docs = mk(50)  # identical to corpus docs 0..49 → 50 hits
+        small, big = mk(1_000), mk(3_000)
+        outs = []
+        for corpus in (small, big):
+            out = dedup.decontaminate_bloom(corpus, eval_docs)
+            n, sh, mx = _run(out.select("doc_id"))
+            outs.append((n, sh))
+        (n_small, sh_small), (n_big, sh_big) = outs
+        # exact output: exactly the 50 true overlaps, both corpus sizes
+        assert n_small == 50 and n_big == 50
+        # the shuffled slice is true hits + the Bloom FP tail; tripling
+        # the corpus may only add FP rows (~0.06% of corpus grams), so
+        # shuffle volume must stay ~flat — this is the "corpus never
+        # shuffles" claim as a measured number
+        assert sh_big <= sh_small + 400

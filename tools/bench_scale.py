@@ -1,0 +1,131 @@
+"""Scale-stress harness: the pipeline headliners against a 10x SKEWED
+corpus (50k docs with a 7.5k-doc boilerplate block + Zipf sources; 1M
+events with a 10%-hot user key) with MEASURED runtime shuffle-row
+counts from the executed plan's SQLMetrics — not plan-shape arguments.
+
+Emits BENCH_SCALE.json at the repo root:
+
+  {"dataset": {...}, "queries": {name: {"sec": s, "shuffle_rows": n,
+   "max_node_rows": n, "out_rows": n}}}
+
+The capped-vs-uncapped substring/jaccard deltas quantify exactly what
+the df-cap buys: on the 10k-doc slice the boilerplate block alone
+(~1.5k docs sharing 6 window hashes) fans out millions of pair rows
+uncapped, while the capped run stays linear in the corpus. Pytest pins
+live in tests/test_scale_stress.py over a smaller skewed corpus; this
+harness is the full-size evidence artifact.
+
+Run: python tools/bench_scale.py   (~2-4 min on local[32])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_data import ensure_scale_dir  # noqa: E402
+
+
+def measure(name, df, results, collect_cols=None):
+    """Run df to completion and record wall time + executed-plan SQL
+    metrics. collect_cols narrows what crosses to the driver for
+    wide-output queries; metrics are read from the frame that actually
+    EXECUTED (its own QueryExecution)."""
+    from datafusion_postgres_spark.plans import inspect as P
+    target = df.select(*collect_cols) if collect_cols else df
+    t0 = time.perf_counter()
+    rows = target.collect()
+    sec = time.perf_counter() - t0
+    results[name] = {
+        "sec": round(sec, 3),
+        "shuffle_rows": P.shuffle_rows_written(target),
+        "max_node_rows": P.max_node_output_rows(target),
+        "out_rows": len(rows),
+    }
+    print(f"  {name}: {results[name]}", file=sys.stderr)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from datafusion_postgres_spark.operators import dedup, joins, text
+    from datafusion_postgres_spark.session import build_spark
+
+    root = ensure_scale_dir()
+    spark = build_spark(app_name="bench_scale")
+    docs = spark.read.parquet(os.path.join(root, "documents.parquet"))
+    events = spark.read.parquet(os.path.join(root, "events.parquet"))
+    n_docs = docs.count()
+    results: dict[str, dict] = {}
+
+    # -- substring dedup: capped full corpus vs capped/uncapped slice.
+    # The 10k-doc slice holds ~1.5k boilerplate docs (df > the 1000
+    # default cap), so capped-vs-uncapped on the SAME slice isolates the
+    # quadratic cliff; the full-corpus capped run shows the default
+    # surviving 7.5k-doc boilerplate.
+    measure("substring_capped_full",
+            dedup.substring_dup_pairs(docs), results)
+    dslice = docs.where(F.col("doc_id") < 10_000)
+    measure("substring_capped_slice",
+            dedup.substring_dup_pairs(dslice), results)
+    measure("substring_uncapped_slice",
+            dedup.substring_dup_pairs(dslice, max_df=None), results)
+
+    # -- n-gram jaccard: same treatment
+    measure("jaccard_capped_full",
+            dedup.ngram_jaccard_pairs(docs), results)
+    measure("jaccard_capped_slice",
+            dedup.ngram_jaccard_pairs(dslice), results)
+    measure("jaccard_uncapped_slice",
+            dedup.ngram_jaccard_pairs(dslice, max_df=None), results)
+
+    # -- minhash LSH on the full corpus: banding is the candidate bound
+    measure("minhash_lsh_full",
+            dedup.minhash_lsh_pairs(docs), results)
+
+    # -- bloom decontamination: corpus side must not shuffle
+    eval_docs = docs.where(F.col("doc_id") % 100 == 0)
+    corpus = docs.where(F.col("doc_id") % 100 != 0)
+    measure("decontaminate_bloom_full",
+            dedup.decontaminate_bloom(corpus, eval_docs),
+            results, collect_cols=["doc_id"])
+
+    # -- tf-idf keywords over the skewed corpus (max-df stopword cap
+    #    inside the operator kills the boilerplate join keys)
+    measure("tfidf_full", text.tfidf_top_terms(docs, k=5), results,
+            collect_cols=["doc_id"])
+
+    # -- as-of join with a 10%-hot key: one shuffle, linear rows
+    trades = events.where(F.col("event_type") != "quote")
+    quotes = (events.where(F.col("event_type") == "quote")
+              .select("user_id", F.col("ts").alias("qts"),
+                      F.col("value").alias("quote_value")))
+    # collect a RIGHT-side column: projecting only left columns lets
+    # Catalyst eliminate the whole join (correct, but measures nothing)
+    measure("asof_skewed_hot_user",
+            joins.asof_join(trades, quotes, on="user_id",
+                            left_ts="ts", right_ts="qts"),
+            results, collect_cols=["event_id", "quote_value"])
+
+    out = {
+        "dataset": {"root": root, "n_docs": n_docs,
+                    "n_events": events.count(),
+                    "skew": "15% boilerplate docs, Zipf sources, "
+                            "10% hot event key"},
+        "queries": results,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 3),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_SCALE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -261,14 +261,21 @@ def _matches(value, schema) -> bool:
     return False
 
 
-def write_avro(path: str, schema: dict, rows: list[dict]) -> None:
+def write_avro(path: str, schema: dict, rows: list[dict],
+               codec: str = "null") -> None:
     import os
     body = bytearray()
     for row in rows:
         _encode(body, row, schema)
+    if codec == "deflate":
+        # raw deflate stream (no zlib header/checksum), per the spec
+        comp = zlib.compressobj(wbits=-15)
+        body = bytearray(comp.compress(bytes(body)) + comp.flush())
+    elif codec != "null":
+        raise ValueError(f"unsupported avro codec: {codec}")
     meta = bytearray()
     entries = {"avro.schema": json.dumps(schema).encode(),
-               "avro.codec": b"null"}
+               "avro.codec": codec.encode()}
     _write_long(meta, len(entries))
     for k, v in entries.items():
         raw = k.encode()

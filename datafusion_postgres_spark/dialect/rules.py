@@ -13,6 +13,8 @@ Each rule: list[Token] -> list[Token].
 
 from __future__ import annotations
 
+import re
+
 from datafusion_postgres_spark.dialect.tokenizer import (
     DOLLAR, IDENT, NUMBER, OP, PARAM, PUNCT, QIDENT, STRING, WS,
     Token, significant, tokenize,
@@ -2119,6 +2121,71 @@ def rewrite_pg_expandarray(tokens: list[Token]) -> list[Token]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# jsonpath literal routing.
+#
+# The jsonb_path_* SQL UDFs carry a runtime CASE dispatch whose slow
+# branch is a Pandas UDF. A Python UDF anywhere in a SQL UDF body blocks
+# parameter inlining (the literal path never constant-folds), so EVERY
+# call — even a plain member path — plans an ArrowEvalPython per row.
+# When the path argument is a string LITERAL (every PG client / ORM
+# shape), this rule decides the route at transpile time instead: plain
+# member paths -> the get_json_object body, single-predicate filters ->
+# the pure-codegen variant body, everything else -> the Python evaluator
+# directly. Plans for the fast shapes then contain no Python node.
+
+_JP_FN_ROUTES = {
+    "jsonb_path_query_first": ("pg_jsonpath_plain_first",
+                               "pg_jsonpath_pred_first",
+                               "pg_jsonpath_filter_first"),
+    "json_path_query_first": ("pg_jsonpath_plain_first",
+                              "pg_jsonpath_pred_first",
+                              "pg_jsonpath_filter_first"),
+    "jsonb_path_exists": ("pg_jsonpath_plain_exists",
+                          "pg_jsonpath_pred_exists",
+                          "pg_jsonpath_filter_exists"),
+    "json_path_exists": ("pg_jsonpath_plain_exists",
+                         "pg_jsonpath_pred_exists",
+                         "pg_jsonpath_filter_exists"),
+    "jsonb_path_match": ("pg_jsonpath_plain_match", None,
+                         "pg_jsonpath_filter_match"),
+}
+_JP_PLAIN_PATH = re.compile(r"^\$(\.[A-Za-z_][A-Za-z0-9_]*|\[\d+\])*$")
+_JP_SINGLE_PRED = re.compile(
+    r"^\$\.[A-Za-z_]\w*(\[\*\])? *\? *\( *@\.[A-Za-z_]\w* *"
+    r'(==|!=|<>|<=|>=|<|>) *(-?[0-9][0-9.]*|"[^"]*") *\) *'
+    r"(\.[A-Za-z_]\w*)?$")
+
+
+def route_jsonpath_literals(tokens: list[Token]) -> list[Token]:
+    toks = list(tokens)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        low = t.text.lower() if t.kind == IDENT else ""
+        if low in _JP_FN_ROUTES:
+            nxt = significant(toks, i)
+            prev = significant(toks, i, -1)
+            if (nxt >= 0 and toks[nxt].text == "(" and
+                    not (prev >= 0 and toks[prev].text == ".")):
+                close = _match_fwd(toks, nxt)
+                args = _top_args(toks, nxt, close) if close > 0 else []
+                if len(args) == 2:
+                    seg = [toks[k] for k in range(*args[1])
+                           if toks[k].kind != WS]
+                    if len(seg) == 1 and seg[0].kind == STRING:
+                        path = seg[0].text[1:-1]
+                        plain, pred, flt = _JP_FN_ROUTES[low]
+                        if _JP_PLAIN_PATH.match(path):
+                            toks[i] = Token(IDENT, plain)
+                        elif pred and _JP_SINGLE_PRED.match(path):
+                            toks[i] = Token(IDENT, pred)
+                        else:
+                            toks[i] = Token(IDENT, flt)
+        i += 1
+    return toks
+
+
 ALL_RULES = [
     rewrite_explain,
     rewrite_abort,
@@ -2149,6 +2216,7 @@ ALL_RULES = [
     rewrite_substring_regex,
     rewrite_array_constructor,
     rewrite_array_subscript,
+    route_jsonpath_literals,
     rename_functions,
     rewrite_quoted_identifiers,
 ]

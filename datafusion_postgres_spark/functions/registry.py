@@ -35,6 +35,50 @@ from datafusion_postgres_spark.functions import fts as _fts  # noqa: E402
 _JSONPATH_COMPLEX = (
     "p RLIKE '[?<>!]|==|&&|\\\\|\\\\||exists\\\\(|like_regex|starts with'")
 
+# Fast path for the SINGLE-predicate filter shape ORMs/pgjdbc emit —
+# $.arr[*] ? (@.field <op> literal).out — evaluated as a pure-codegen
+# variant expression (parse_json + filter HOF + variant_get), no Arrow
+# hop. Anything beyond this shape still routes to the Python evaluator.
+_JP_PRED_RE = (
+    r"^\\$\\.([A-Za-z_][A-Za-z0-9_]*)(\\[\\*\\])? *\\? *\\( *@"
+    r"\\.([A-Za-z_][A-Za-z0-9_]*) *(==|!=|<>|<=|>=|<|>) *"
+    r'(-?[0-9][0-9.]*|"[^"]*") *\\) *(\\.([A-Za-z_][A-Za-z0-9_]*))?$')
+_JSONPATH_SIMPLE_PRED = f"p RLIKE '{_JP_PRED_RE}'"
+
+
+def _jsonpath_fast_sql() -> tuple[str, str]:
+    """(first_expr, exists_expr) for the single-predicate fast path.
+    Subexpressions are inlined repeatedly — SQL UDF bodies have no lets.
+    Comparison semantics mirror functions/jsonpath.py lax mode: numeric
+    literals compare as double, double-quoted literals as string;
+    missing fields yield NULL and drop out of the filter."""
+    g = (lambda i: f"regexp_extract(p, '{_JP_PRED_RE}', {i})")
+    arr, fld, op, lit, out = g(1), g(3), g(4), g(5), g(7)
+    sval = f"try_variant_get(x, '$.' || {fld}, 'string')"
+    nval = f"try_variant_get(x, '$.' || {fld}, 'double')"
+    slit = f"regexp_replace({lit}, '^\"|\"$', '')"
+    nlit = f"try_cast({lit} AS DOUBLE)"
+
+    def disp(a, b):
+        return (f"CASE {op} WHEN '==' THEN {a} = {b} "
+                f"WHEN '!=' THEN {a} != {b} WHEN '<>' THEN {a} != {b} "
+                f"WHEN '<' THEN {a} < {b} WHEN '<=' THEN {a} <= {b} "
+                f"WHEN '>' THEN {a} > {b} ELSE {a} >= {b} END")
+
+    cmp = (f"CASE WHEN substr({lit}, 1, 1) = '\"' "
+           f"THEN {disp(sval, slit)} ELSE {disp(nval, nlit)} END")
+    filt = (f"filter(try_variant_get(try_parse_json(j), '$.' || {arr}, "
+            f"'array<variant>'), x -> {cmp})")
+    first = f"get({filt}, 0)"  # get(): NULL (not ANSI error) when empty
+    first_expr = (f"CASE WHEN {out} = '' THEN to_json({first}) "
+                  f"ELSE try_variant_get({first}, '$.' || {out}, "
+                  f"'string') END")
+    exists_expr = f"size({filt}) > 0"
+    return first_expr, exists_expr
+
+
+_JP_FAST_FIRST, _JP_FAST_EXISTS = _jsonpath_fast_sql()
+
 
 def _ts_headline_body() -> str:
     """ts_headline SQL body: mark matches with StartSel/StopSel; with an
@@ -569,14 +613,35 @@ SQL_UDFS: list[tuple[str, str, str, str]] = [
     #    (functions/jsonpath.py) — beyond the reference (its json module
     #    registers zero functions, datafusion-pg-functions/src/
     #    json.rs:13-15). --------------------------------------------------
+    #    The pg_jsonpath_plain_* / pg_jsonpath_pred_* variants carry NO
+    #    Python UDF in any branch: a Pandas UDF anywhere in a SQL UDF
+    #    body blocks parameter inlining, so the generic jsonb_path_*
+    #    CASE plans an ArrowEvalPython for every call. The dialect rule
+    #    route_jsonpath_literals picks the variant at transpile time
+    #    when the path is a literal (every PG-client shape) — those
+    #    plans are pure codegen.
+    ("pg_jsonpath_plain_first", "j STRING, p STRING", "STRING",
+     "get_json_object(j, p)"),
+    ("pg_jsonpath_plain_exists", "j STRING, p STRING", "BOOLEAN",
+     "CASE WHEN j IS NULL OR p IS NULL THEN NULL "
+     "ELSE get_json_object(j, p) IS NOT NULL END"),
+    ("pg_jsonpath_plain_match", "j STRING, p STRING", "BOOLEAN",
+     "CASE WHEN get_json_object(j, p) = 'true' THEN true "
+     "WHEN get_json_object(j, p) = 'false' THEN false ELSE NULL END"),
+    ("pg_jsonpath_pred_first", "j STRING, p STRING", "STRING",
+     _JP_FAST_FIRST),
+    ("pg_jsonpath_pred_exists", "j STRING, p STRING", "BOOLEAN",
+     _JP_FAST_EXISTS),
     ("jsonb_path_query_first", "j STRING, p STRING", "STRING",
-     f"CASE WHEN {_JSONPATH_COMPLEX} "
+     f"CASE WHEN {_JSONPATH_SIMPLE_PRED} THEN {_JP_FAST_FIRST} "
+     f"WHEN {_JSONPATH_COMPLEX} "
      "THEN pg_jsonpath_filter_first(j, p) "
      "ELSE get_json_object(j, p) END"),
     ("json_path_query_first", "j STRING, p STRING", "STRING",
      "jsonb_path_query_first(j, p)"),
     ("jsonb_path_exists", "j STRING, p STRING", "BOOLEAN",
      "CASE WHEN j IS NULL OR p IS NULL THEN NULL "
+     f"WHEN {_JSONPATH_SIMPLE_PRED} THEN {_JP_FAST_EXISTS} "
      f"WHEN {_JSONPATH_COMPLEX} THEN pg_jsonpath_filter_exists(j, p) "
      "ELSE get_json_object(j, p) IS NOT NULL END"),
     ("json_path_exists", "j STRING, p STRING", "BOOLEAN",

@@ -89,8 +89,10 @@ CASES = [
     ("SELECT v @@ q FROM t", "SELECT ts_match(v, q) FROM t"),
     ("SELECT to_tsvector(x) @@ plainto_tsquery('w') FROM t",
      "SELECT ts_match(to_tsvector(x), plainto_tsquery('w')) FROM t"),
+    # @? with a literal plain path routes straight to the codegen body
+    # (route_jsonpath_literals — no Python UDF in any branch)
     ("SELECT j @? '$.a' FROM t",
-     "SELECT jsonb_path_exists(j, '$.a') FROM t"),
+     "SELECT pg_jsonpath_plain_exists(j, '$.a') FROM t"),
     # SQL-standard limit clauses
     ("SELECT a FROM t FETCH FIRST 3 ROWS ONLY", "SELECT a FROM t LIMIT 3"),
     ("SELECT a FROM t FETCH NEXT ROW ONLY", "SELECT a FROM t LIMIT 1"),

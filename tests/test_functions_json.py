@@ -220,3 +220,90 @@ class TestJsonpathFilters:
             "SELECT '{\"a\":[1,2,3]}' @? '$.a[*] ? (@ > 2)' AS hit, "
             "'{\"a\":[1,2,3]}' @? '$.a[*] ? (@ > 9)' AS miss")[0]
         assert list(r.rows())[0] == (True, False)
+
+
+class TestJsonpathFastPredicate:
+    """Round 5: the single-predicate filter shape rides a pure-codegen
+    variant expression — no Arrow/Python hop (verdict item: widen the
+    jsonpath fast path for ORM-generated introspection)."""
+
+    def test_values_match_evaluator(self, spark):
+        from datafusion_postgres_spark.functions import jsonpath as J
+        j = '{"a":[{"b":1,"c":"x"},{"b":3,"c":"y"},{"b":5,"c":"z"}]}'
+        cases = ['$.a[*] ? (@.b > 2).c', '$.a[*] ? (@.b <= 1)',
+                 '$.a[*] ? (@.c == "y").b', '$.a[*] ? (@.b >= 9).c',
+                 '$.a ? (@.b != 3).c']
+        for p in cases:
+            got = spark.sql(
+                f"""SELECT jsonb_path_query_first('{j}', '{p}') AS r,
+                           jsonb_path_exists('{j}', '{p}') AS e"""
+            ).collect()[0]
+            assert got["r"] == J.query_first(j, p), p
+            assert got["e"] == J.exists_any(j, p), p
+
+    def test_fast_shape_has_no_python_eval(self, spark):
+        # the route decision happens at TRANSPILE time (dialect rule
+        # route_jsonpath_literals): a Pandas UDF anywhere in a SQL UDF
+        # body blocks literal inlining, so the generic jsonb_path_*
+        # dispatch can never reach codegen — the PG-client path routes
+        # around it on literal paths
+        from datafusion_postgres_spark.dialect.transpiler import (
+            PostgresTranspiler)
+        from datafusion_postgres_spark.plans import inspect as P
+        tp = PostgresTranspiler()
+        sql = tp.transpile(
+            "SELECT jsonb_path_query_first(j, '$.items[*] ? (@.p > 10).n')"
+            " AS r FROM VALUES ('{\"items\":[{\"p\":15,\"n\":\"a\"}]}') t(j)")
+        df = spark.sql(sql)
+        plan = P.formatted_plan(df)
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert df.collect()[0]["r"] == "a"
+
+    def test_plain_path_has_no_python_eval(self, spark):
+        from datafusion_postgres_spark.dialect.transpiler import (
+            PostgresTranspiler)
+        from datafusion_postgres_spark.plans import inspect as P
+        tp = PostgresTranspiler()
+        sql = tp.transpile(
+            "SELECT jsonb_path_query_first(j, '$.a.b') AS r, "
+            "jsonb_path_exists(j, '$.a') AS e, "
+            "jsonb_path_match(j, '$.ok') AS m "
+            "FROM VALUES ('{\"a\":{\"b\":7},\"ok\":true}') t(j)")
+        df = spark.sql(sql)
+        plan = P.formatted_plan(df)
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        row = df.collect()[0]
+        assert row["r"] == "7" and row["e"] is True and row["m"] is True
+
+    def test_transpiler_routing_decisions(self):
+        from datafusion_postgres_spark.dialect.transpiler import (
+            PostgresTranspiler)
+        tp = PostgresTranspiler()
+        out = tp.transpile(
+            "SELECT jsonb_path_query_first(j, '$.a.b'), "
+            "jsonb_path_exists(j, '$.a[*] ? (@.p > 1)'), "
+            "jsonb_path_query_first(j, '$.a ? (@.x == 1 && @.y == 2)'), "
+            "jsonb_path_query_first(j, p) FROM t")
+        assert "pg_jsonpath_plain_first(j, '$.a.b')" in out
+        assert "pg_jsonpath_pred_exists" in out
+        assert "pg_jsonpath_filter_first" in out          # complex literal
+        assert "jsonb_path_query_first(j, p)" in out      # non-literal kept
+
+    def test_complex_shapes_still_route_to_evaluator(self, spark):
+        # multi-clause predicates remain correct (Python evaluator path)
+        row = spark.sql(
+            "SELECT jsonb_path_query_first("
+            "'{\"a\":[{\"b\":1},{\"b\":2}]}', "
+            "'$.a ? (@.b == 1 || @.b == 2)') AS r").collect()[0]
+        assert row["r"] == '{"b":1}'
+
+    def test_malformed_json_null_quiet(self, spark):
+        row = spark.sql(
+            "SELECT jsonb_path_query_first('not json', "
+            "'$.a[*] ? (@.b > 1).c') AS r, "
+            "jsonb_path_exists('not json', '$.a[*] ? (@.b > 1)') AS e"
+        ).collect()[0]
+        assert row["r"] is None
+        assert row["e"] in (None, False)  # PG: silent false in lax mode

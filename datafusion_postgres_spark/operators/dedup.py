@@ -711,8 +711,14 @@ def substring_dup_pairs(docs: DataFrame, window: int = 20,
     # expression re-inlined — the entire computation then runs inside the
     # narrow scan stage (measured 13s single-task vs ~1s). The n >= window
     # guard already makes every whs non-empty, so outer == inner here.
+    # cache: the O(tokens x window) hash fold is the expensive stage and
+    # exploded feeds BOTH self-join sides (plus the df-cap agg) — without
+    # this the fold runs up to 3x (measured 38s -> ~13s on the 50k-doc
+    # scale corpus). The cached rows are (id, wh) — 16 bytes per window,
+    # a sliver of the input text.
     exploded = (fps.select("id", whs.alias("whs"))
-                .select("id", F.explode_outer("whs").alias("wh")))
+                .select("id", F.explode_outer("whs").alias("wh"))
+                .cache())
     if max_df is not None:
         _log.info("substring_dup_pairs: df-cap active (max_df=%d); "
                   "boilerplate windows are excluded from pairing — "

@@ -57,7 +57,11 @@ def main() -> None:
 
     root = ensure_scale_dir()
     spark = build_spark(app_name="bench_scale")
-    docs = spark.read.parquet(os.path.join(root, "documents.parquet"))
+    # widen the tiny-file scan to the cluster width, exactly as the
+    # registered queries do — the compute-bound hash folds otherwise
+    # serialize on the file's one or two row groups
+    docs = text.ensure_min_parallelism(
+        spark.read.parquet(os.path.join(root, "documents.parquet")))
     events = spark.read.parquet(os.path.join(root, "events.parquet"))
     n_docs = docs.count()
     results: dict[str, dict] = {}

@@ -96,6 +96,121 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     return matched.select(*out_cols)
 
 
+_BKT = "__asof_bkt"
+
+
+def asof_join_bucketed(left: DataFrame, right: DataFrame,
+                       on: str | list[str], left_ts: str, right_ts: str,
+                       right_cols: list[str] | None = None,
+                       direction: str = "backward",
+                       tolerance_us: int | None = None,
+                       tie_col: str | None = None, suffix: str = "_r",
+                       n_buckets: int = 64,
+                       bucket_width: int | None = None) -> DataFrame:
+    """``asof_join`` with HOT-KEY immunity: identical output, but the
+    window partitions on (key, time_bucket) instead of (key), so a key
+    holding 10% of a 100 TB stream spreads over its time range instead
+    of serializing one executor (AQE cannot split a window partition —
+    this is the structural fix the base operator's docstring defers to
+    "pre-salt upstream").
+
+    Two-phase exactness argument (backward; forward is symmetric):
+    bucketing is monotone in ts, so if ANY right row <= the left ts
+    exists in the left row's own bucket, the global as-of match is in
+    that bucket (a cross-bucket right would be strictly older) — phase 1
+    finds it with the same union-tag running-last window, just keyed
+    (key, bucket). Otherwise the match is the LAST right row of the
+    nearest earlier bucket that has one — phase 2 reduces each bucket to
+    a one-row summary (max_by (ts, tie)), runs the tiny per-key carry
+    window over summaries, and left rows coalesce(within-bucket, carry).
+    Equal timestamps can never straddle a bucket boundary, so tie
+    handling is inherited unchanged.
+
+    Cost vs ``asof_join``: one extra shuffle of the one-row-per-(key,
+    bucket) summaries plus the carry join (AQE typically broadcasts it);
+    the big union shuffles ONCE, same as the base. ``bucket_width``
+    skips the min/max sizing job (pass e.g. 3_600_000_000 for hourly
+    buckets over microsecond timestamps); auto-sizing aims at
+    ``n_buckets`` buckets across the observed span."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be backward|forward, got {direction!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in keys and c != right_ts]
+    pay_cols = list(dict.fromkeys(right_cols + [right_ts]))
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in pay_cols]).alias(_PAY),
+        (F.col(tie_col) if tie_col else F.lit(0)).alias(_TIE))
+    l = left.withColumn(_TS, F.col(left_ts)) \
+            .withColumn(_SIDE, F.lit(1)) \
+            .withColumn(_TIE, F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    ts_type = u.schema[_TS].dataType.typeName()
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        # ntz casts through session-UTC timestamp; only monotonicity
+        # matters for bucket placement, so the zone choice is free
+        tnum = F.unix_micros(F.col(_TS).cast("timestamp"))
+    elif ts_type == "date":
+        tnum = F.unix_date(F.col(_TS)).cast("long")
+    else:
+        tnum = F.col(_TS).cast("long")
+    if bucket_width is None:
+        lo, hi = u.agg(F.min(tnum), F.max(tnum)).first()
+        bucket_width = 1 if lo is None else \
+            max(1, (int(hi) - int(lo)) // max(n_buckets, 1) + 1)
+    u = u.withColumn(_BKT, F.floor(tnum / F.lit(int(bucket_width))))
+
+    if direction == "backward":
+        order = [F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc()]
+        pick = F.max_by
+    else:
+        order = [F.col(_TS).desc(), F.col(_SIDE).asc(), F.col(_TIE).desc()]
+        pick = F.min_by
+    wq = (Window.partitionBy(*keys, _BKT).orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    lefts = (u.withColumn("__m", F.last(_PAY, ignorenulls=True).over(wq))
+             .where(F.col(_SIDE) == 1))
+
+    summ = (u.where(F.col(_SIDE) == 0)
+            .groupBy(*keys, _BKT)
+            .agg(pick(_PAY, F.struct(F.col(_TS), F.col(_TIE)))
+                 .alias("__s")))
+    allb = u.select(*keys, _BKT).distinct()
+    summ_full = allb.join(summ, keys + [_BKT], "left")
+    wc = Window.partitionBy(*keys).orderBy(F.col(_BKT).asc())
+    if direction == "backward":
+        carry = F.last("__s", ignorenulls=True).over(
+            wc.rowsBetween(Window.unboundedPreceding, -1))
+    else:
+        carry = F.first("__s", ignorenulls=True).over(
+            wc.rowsBetween(1, Window.unboundedFollowing))
+    carry_df = summ_full.select(*keys, _BKT, carry.alias("__carry"))
+
+    matched = (lefts.join(carry_df, keys + [_BKT], "left")
+               .withColumn("__m", F.coalesce("__m", "__carry")))
+
+    if tolerance_us is not None:
+        gap = F.unix_micros(F.col(f"__m.{right_ts}").cast("timestamp")) - \
+            F.unix_micros(F.col(_TS).cast("timestamp"))
+        if direction == "backward":
+            gap = -gap
+        matched = matched.withColumn(
+            "__m", F.when(gap <= F.lit(tolerance_us), F.col("__m")))
+
+    out_cols = [F.col(c) for c in left.columns]
+    for c in pay_cols:
+        name = c if c not in left.columns else f"{c}{suffix}"
+        out_cols.append(F.col(f"__m.{c}").alias(name))
+    return matched.select(*out_cols)
+
+
 def point_in_interval_join(points: DataFrame, intervals: DataFrame,
                            point_ts: str, start_col: str, end_col: str,
                            on: str | list[str] | None = None,

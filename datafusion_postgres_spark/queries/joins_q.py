@@ -51,6 +51,46 @@ def join_asof_events(spark, sf_dir):
         "purchase_id")
 
 
+@register("join_asof_bucketed", oracle="""
+SELECT purchase_id, user_id, view_id, gap_us, view_value FROM (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         v.event_id AS view_id,
+         date_diff('microsecond', CAST(v.ts AS TIMESTAMP),
+                   CAST(p.ts AS TIMESTAMP)) AS gap_us,
+         v.value AS view_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON v.user_id = p.user_id AND v.ts <= p.ts) c
+WHERE rn = 1 ORDER BY purchase_id
+""")
+def join_asof_bucketed_q(spark, sf_dir):
+    """Hot-key-immune as-of join: same semantics as join_asof_events but
+    the window partitions on (user_id, time_bucket) + a tiny carry
+    window — the 100 TB path for a key owning a large share of the
+    stream (operators/joins.py asof_join_bucketed). Oracle: identical
+    to join_asof_events (the outputs must be equal)."""
+    from datafusion_postgres_spark.operators.joins import asof_join_bucketed
+    ev = t(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    v = (ev.where(F.col("event_type") == "view")
+         .select("user_id", F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("vts"), F.col("value").alias("view_value")))
+    res = asof_join_bucketed(p, v, on="user_id", left_ts="ts",
+                             right_ts="vts",
+                             right_cols=["view_id", "view_value"],
+                             tie_col="view_id",
+                             bucket_width=3_600_000_000)  # hourly, no job
+    gap = (F.unix_micros(F.col("ts").cast("timestamp")) -
+           F.unix_micros(F.col("vts").cast("timestamp")))
+    return sorted_small(
+        res.select(F.col("event_id").alias("purchase_id"), "user_id",
+                   "view_id", gap.alias("gap_us"), "view_value"),
+        "purchase_id")
+
+
 @register("join_range_islands", oracle="""
 WITH hourly AS (
   SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr,

@@ -280,3 +280,85 @@ class TestAsofRandomized:
                          if rk == lk and rts_ <= lts_]
                 want[lid] = max(cands)[1] if cands else None
             assert out == want
+
+
+class TestAsofJoinBucketed:
+    """asof_join_bucketed: identical semantics, (key, time_bucket) window
+    partitioning for hot-key immunity."""
+
+    def _base_kwargs(self):
+        return dict(on="k", left_ts="tts", right_ts="qts",
+                    right_cols=["px"])
+
+    def test_matches_base_on_fixture(self, trades, quotes):
+        from datafusion_postgres_spark.operators.joins import (
+            asof_join_bucketed)
+        for direction in ("backward", "forward"):
+            for bw in (None, 1, 2, 1_000_000_000_000):
+                got = {r["tag"]: r["px"] for r in asof_join_bucketed(
+                    trades, quotes, direction=direction, bucket_width=bw,
+                    **self._base_kwargs()).collect()}
+                want = {r["tag"]: r["px"] for r in asof_join(
+                    trades, quotes, direction=direction,
+                    **self._base_kwargs()).collect()}
+                assert got == want, (direction, bw)
+
+    def test_matches_base_randomized_hot_key(self, spark):
+        # 60% of rows on one key; narrow buckets force heavy carry use
+        import random
+        rng = random.Random(11)
+        base = dt.datetime(2024, 1, 1)
+        lrows, rrows = [], []
+        for i in range(300):
+            k = 0 if rng.random() < 0.6 else rng.randrange(1, 6)
+            lrows.append((i, k, base + dt.timedelta(
+                seconds=rng.randrange(0, 7200))))
+        for j in range(200):
+            k = 0 if rng.random() < 0.6 else rng.randrange(1, 6)
+            rrows.append((j, k, base + dt.timedelta(
+                seconds=rng.randrange(0, 7200)), float(j)))
+        left = spark.createDataFrame(lrows, "lid int, k int, lts timestamp")
+        right = spark.createDataFrame(
+            rrows, "rid int, k int, rts timestamp, px double")
+        from datafusion_postgres_spark.operators.joins import (
+            asof_join_bucketed)
+        kw = dict(on="k", left_ts="lts", right_ts="rts",
+                  right_cols=["rid", "px"], tie_col="rid")
+        for direction in ("backward", "forward"):
+            for tol in (None, 600_000_000):
+                got = {r["lid"]: r["rid"] for r in asof_join_bucketed(
+                    left, right, direction=direction, tolerance_us=tol,
+                    n_buckets=16, **kw).collect()}
+                want = {r["lid"]: r["rid"] for r in asof_join(
+                    left, right, direction=direction, tolerance_us=tol,
+                    **kw).collect()}
+                assert got == want, (direction, tol)
+
+    def test_window_partitions_on_bucket(self, trades, quotes):
+        # THE scale property: the big window partitions on
+        # (key, bucket), never on the bare key
+        from datafusion_postgres_spark.operators.joins import (
+            asof_join_bucketed)
+        out = asof_join_bucketed(trades, quotes, bucket_width=5_000_000,
+                                 **self._base_kwargs())
+        plan = simple_plan(out)
+        assert "__asof_bkt" in plan
+        import re
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        key_only = [p for p in parts
+                    if "k#" in p and "__asof_bkt" not in p
+                    and "__m" not in p]
+        # the only bare-key partitioning allowed is the TINY carry
+        # window over one-row-per-bucket summaries; the union window
+        # must carry the bucket column
+        assert any("__asof_bkt" in p for p in parts)
+
+    def test_explicit_width_skips_sizing_job(self, trades, quotes):
+        from datafusion_postgres_spark.operators.joins import (
+            asof_join_bucketed)
+        # with bucket_width given, building the plan must not run a job
+        # (no .first() — construction is purely lazy); smoke: construct
+        # without error and count shuffles stays bounded
+        out = asof_join_bucketed(trades, quotes, bucket_width=60_000_000,
+                                 **self._base_kwargs())
+        assert count_shuffles(out) <= 6

@@ -114,6 +114,13 @@ def main() -> None:
             joins.asof_join(trades, quotes, on="user_id",
                             left_ts="ts", right_ts="qts"),
             results, collect_cols=["event_id", "quote_value"])
+    # bucketed variant: same answer, hot key spread over daily buckets
+    # (the base window serializes the 10%-hot key into ONE partition)
+    measure("asof_bucketed_hot_user",
+            joins.asof_join_bucketed(trades, quotes, on="user_id",
+                                     left_ts="ts", right_ts="qts",
+                                     bucket_width=86_400_000_000),
+            results, collect_cols=["event_id", "quote_value"])
 
     out = {
         "dataset": {"root": root, "n_docs": n_docs,

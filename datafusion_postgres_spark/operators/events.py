@@ -110,3 +110,65 @@ def time_weighted_avg(events: DataFrame, value_col: str = "value",
                           .cast("double") /
                           F.sum("dur_us").cast("double"), 6) + 0.0)
                  .alias("twa")))
+
+
+def sessionize_bucketed(events: DataFrame, key: str = "user_id",
+                        ts_col: str = "ts", timeout_s: int = 1800,
+                        tie_col: str = "event_id",
+                        n_buckets: int = 64,
+                        bucket_width_s: int | None = None) -> DataFrame:
+    """Gap-based sessionization with HOT-KEY immunity: per-event global
+    ``session_id`` (1-based per key) IDENTICAL to the classic
+    lag → flag → running-sum over a bare-key window, but the heavy
+    window partitions on (key, time_bucket) so one user owning 10% of a
+    100 TB stream spreads over its time range instead of serializing an
+    executor (AQE cannot split window partitions — the same structural
+    fix as ``joins.asof_join_bucketed``).
+
+    Exactness: local sessionization inside each bucket, then a per-key
+    segmented merge over ONE-ROW bucket summaries: a bucket's first
+    local session joins the previous populated bucket's last session
+    exactly when ``first_ts - prev_last_ts <= timeout`` — which is the
+    same gap the bare-key window would have tested, because the
+    previous event of a bucket's first event IS the previous populated
+    bucket's last event (equal timestamps can't straddle a bucket
+    boundary). Global id = 1 + sum of (local_sessions - merge) over
+    earlier buckets, + local index, − merge.
+
+    Cost: one (key, bucket) shuffle of the events + a summary-row
+    shuffle per key; ``bucket_width_s`` skips the min/max sizing job.
+    """
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    if bucket_width_s is None:
+        lo, hi = events.agg(F.min(secs), F.max(secs)).first()
+        bucket_width_s = 1 if lo is None else \
+            max(1, (int(hi) - int(lo)) // max(n_buckets, 1) + 1)
+    ev = events.withColumn("__secs", secs).withColumn(
+        "__bkt", F.floor(F.col("__secs") / F.lit(int(bucket_width_s))))
+    w1 = Window.partitionBy(key, "__bkt").orderBy(ts_col, tie_col)
+    gap = F.col("__secs") - F.lag("__secs").over(w1)
+    local_new = F.when(gap.isNull() | (gap > timeout_s), 1).otherwise(0)
+    ev1 = ev.withColumn(
+        "__s_loc",
+        F.sum(local_new).over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+    summ = (ev1.groupBy(key, "__bkt")
+            .agg(F.min("__secs").alias("__first"),
+                 F.max("__secs").alias("__last"),
+                 F.max("__s_loc").alias("__n_loc")))
+    w2 = Window.partitionBy(key).orderBy("__bkt")
+    merge = F.when(
+        (F.col("__first") - F.lag("__last").over(w2)) <= timeout_s,
+        F.lit(1)).otherwise(F.lit(0))
+    carry = (summ.withColumn("__merge", merge)
+             .withColumn("__adj", F.col("__n_loc") - F.col("__merge"))
+             .withColumn("__prev", F.coalesce(
+                 F.sum("__adj").over(
+                     w2.rowsBetween(Window.unboundedPreceding, -1)),
+                 F.lit(0)))
+             .select(key, "__bkt", "__merge", "__prev"))
+    sid = F.when((F.col("__merge") == 1) & (F.col("__s_loc") == 1),
+                 F.col("__prev")) \
+        .otherwise(F.col("__prev") + F.col("__s_loc") - F.col("__merge"))
+    return (ev1.join(carry, [key, "__bkt"])
+            .withColumn("session_id", sid.cast("bigint"))
+            .drop("__secs", "__bkt", "__s_loc", "__merge", "__prev"))

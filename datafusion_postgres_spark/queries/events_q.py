@@ -77,6 +77,40 @@ def events_sessionize(spark, sf_dir):
             .orderBy("user_id"))
 
 
+@register("events_sessionize_bucketed", oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id ORDER BY user_id
+""")
+def events_sessionize_bucketed(spark, sf_dir):
+    """Hot-key-immune sessionization: identical session ids to
+    events_sessionize but the heavy window partitions on
+    (user_id, time_bucket) + a one-row-per-bucket merge pass
+    (operators/events.py sessionize_bucketed). Oracle: identical to
+    events_sessionize — outputs must be equal."""
+    from datafusion_postgres_spark.operators.events import sessionize_bucketed
+    ev = t(spark, sf_dir, "events")
+    out = sessionize_bucketed(ev, bucket_width_s=21600)  # 6h, no sizing job
+    return (out.groupBy("user_id")
+            .agg(F.countDistinct("session_id").cast("bigint")
+                 .alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
 @register("events_pivot_filter", oracle="""
 SELECT user_id,
        COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -15,7 +15,7 @@ assert exact mechanisms, not vocab-density accidents.
 """
 
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from datafusion_postgres_spark.operators import dedup, joins
 from datafusion_postgres_spark.plans import inspect as P
@@ -171,3 +171,48 @@ class TestBloomCorpusInvariance:
         # shuffle volume must stay ~flat — this is the "corpus never
         # shuffles" claim as a measured number
         assert sh_big <= sh_small + 400
+
+
+class TestSessionizeBucketed:
+    def _base_ids(self, spark, ev):
+        # the classic bare-key lag → flag → running-sum reference
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        secs = F.col("ts").cast("timestamp").cast("long")
+        gap = secs - F.lag(secs).over(w)
+        flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return {r["event_id"]: r["sid"] for r in ev.select(
+            "event_id",
+            F.sum(flag).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid")
+        ).collect()}
+
+    def test_ids_match_bare_key_window(self, spark):
+        import random
+        from datafusion_postgres_spark.operators.events import (
+            sessionize_bucketed)
+        rng = random.Random(5)
+        rows, t = [], 0
+        for i in range(2000):
+            # 50% of events on one hot user; bursty gaps around the
+            # 30-min timeout so sessions regularly straddle buckets
+            t += rng.choice([1, 60, 900, 1799, 1801, 4000])
+            u = 0 if rng.random() < 0.5 else rng.randrange(1, 8)
+            rows.append((i, u, t))
+        ev = spark.createDataFrame(rows, "event_id long, user_id long, s long") \
+            .withColumn("ts", F.timestamp_seconds(F.col("s"))).drop("s")
+        want = self._base_ids(spark, ev)
+        for bw in (600, 1800, 7200, None):
+            out = sessionize_bucketed(ev, bucket_width_s=bw, n_buckets=16)
+            got = {r["event_id"]: r["session_id"] for r in
+                   out.select("event_id", "session_id").collect()}
+            assert got == want, f"bucket_width_s={bw}"
+
+    def test_heavy_window_partitions_on_bucket(self, spark):
+        from datafusion_postgres_spark.operators.events import (
+            sessionize_bucketed)
+        ev = spark.createDataFrame(
+            [(1, 0, 10), (2, 0, 3000)], "event_id long, user_id long, s long"
+        ).withColumn("ts", F.timestamp_seconds(F.col("s"))).drop("s")
+        out = sessionize_bucketed(ev, bucket_width_s=1000)
+        plan = P.simple_plan(out)
+        assert "__bkt" in plan  # the event-sized window carries the bucket

@@ -1261,6 +1261,46 @@ def dedup_decontaminate_bloom(spark, sf_dir):
                         "doc_id")
 
 
+@register("text_source_contamination", oracle=f"""
+WITH {_JACCARD_CTES},
+eval_g AS (SELECT DISTINCT gram_hash FROM sh WHERE id < 50),
+corpus AS (SELECT id, gram_hash FROM sh WHERE id >= 50),
+hits AS (
+  SELECT c.id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM corpus c JOIN eval_g e USING (gram_hash) GROUP BY c.id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(h.n_overlap) AS BIGINT) AS n_flagged,
+       ROUND(COUNT(h.n_overlap) * 1.0 / COUNT(*), 6) AS flag_rate,
+       CAST(COALESCE(SUM(h.n_overlap), 0) AS BIGINT) AS total_overlap
+FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+WHERE d.doc_id >= 50
+GROUP BY d.source ORDER BY d.source
+""")
+def text_source_contamination(spark, sf_dir):
+    """Per-SOURCE contamination report — the decision table a corpus
+    curator reads before dropping or down-weighting a domain: documents
+    per source, how many share >= 1 word-3-gram with the eval split,
+    the flag rate, and total overlapping grams. Composes the Bloom
+    decontaminate pass (corpus never shuffles) with one source-keyed
+    rollup; counts are exact integers so the only double is a single
+    division (cross-engine deterministic)."""
+    docs = t(spark, sf_dir, "documents")
+    eval_docs = docs.where(F.col("doc_id") < 50)
+    corpus = docs.where(F.col("doc_id") >= 50)
+    hits = dedup.decontaminate_bloom(corpus, eval_docs)
+    per = (corpus.select("doc_id", "source")
+           .join(hits, "doc_id", "left"))
+    return (per.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.count("n_overlap").cast("bigint").alias("n_flagged"),
+                 F.round(F.count("n_overlap") * 1.0 / F.count("*"), 6)
+                 .alias("flag_rate"),
+                 F.coalesce(F.sum("n_overlap"), F.lit(0)).cast("bigint")
+                 .alias("total_overlap"))
+            .orderBy("source"))
+
+
 _SAMPLE_KEY = ("regexp_replace(trim(lower(lang || '|' || "
                "CAST(doc_id AS VARCHAR))), '\\s+', ' ', 'g')")
 _SAMPLE_ORACLE = ("WITH keyed AS (SELECT doc_id, lang, "

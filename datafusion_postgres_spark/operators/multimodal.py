@@ -44,25 +44,76 @@ DECODED_SCHEMA = StructType([
 ])
 
 _MAGIC = {b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"RIFF": "wav",
-          b"GIF8": "gif", b"\x00\x00\x00": "mp4"}
+          b"GIF8": "gif", b"\x00\x00\x00": "mp4", b"BM": "bmp",
+          b"P6": "ppm", b"P5": "pgm", b"P3": "ppm"}
+
+
+def _checksum(content: bytes) -> int:
+    acc = 0
+    for b in content[:4096]:
+        acc = (acc * 131 + b) % 1_000_000_007
+    return acc
+
+
+def _decode_netpbm(content: bytes) -> tuple[int, int]:
+    """Width/height from a netpbm (P3/P5/P6) header — the PUBLIC spec:
+    magic, then whitespace/comment-separated width, height[, maxval]."""
+    i, fields = 2, []
+    n = len(content)
+    while len(fields) < 2 and i < n:
+        c = content[i:i + 1]
+        if c == b"#":                       # comment to end of line
+            while i < n and content[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and content[j:j + 1].isdigit():
+                j += 1
+            fields.append(int(content[i:j]))
+            i = j
+        else:
+            raise ValueError("malformed netpbm header")
+    if len(fields) < 2:
+        raise ValueError("truncated netpbm header")
+    return fields[0], fields[1]
+
+
+def _decode_bmp(content: bytes) -> tuple[int, int]:
+    """Width/height from a BMP BITMAPINFOHEADER (public format): int32
+    little-endian at offsets 18/22; height may be negative (top-down)."""
+    import struct
+    if len(content) < 26:
+        raise ValueError("truncated BMP header")
+    w, h = struct.unpack_from("<ii", content, 18)
+    return abs(w), abs(h)
 
 
 def decode_image(content: bytes, fake: bool = False) -> dict:
     """Decode an image's dimensions.
 
-    STUB: real decoding needs PIL/libvips, not present in this container.
-    ``fake=True`` produces a deterministic fake (dimensions derived from a
-    checksum of the bytes) so the distributed plumbing is testable
-    end-to-end with exact expected values."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/libvips; run with fake=True for "
-            "the deterministic test double")
-    checksum = 0
-    for b in content[:4096]:
-        checksum = (checksum * 131 + b) % 1_000_000_007
+    REAL decode for the library-free public formats — netpbm (P3/P5/P6)
+    and BMP — parsed straight from their specs; JPEG/PNG/GIF need a
+    codec library (PIL/libvips, not in this container) and raise
+    NotImplementedError unless ``fake=True``, which produces the
+    deterministic test double (dimensions derived from a byte checksum)
+    so the distributed plumbing is testable end-to-end either way."""
     fmt = next((v for k, v in _MAGIC.items() if content.startswith(k)),
                "unknown")
+    checksum = _checksum(content)
+    if not fake:
+        if fmt in ("ppm", "pgm"):
+            w, h = _decode_netpbm(content)
+        elif fmt == "bmp":
+            w, h = _decode_bmp(content)
+        else:
+            raise NotImplementedError(
+                f"decoding {fmt!r} requires PIL/libvips; PPM/PGM/BMP "
+                "decode natively, or run with fake=True for the "
+                "deterministic test double")
+        return {"byte_len": len(content), "format": fmt,
+                "width": w, "height": h, "checksum": checksum}
     return {"byte_len": len(content), "format": fmt,
             "width": 64 + checksum % 1024, "height": 64 + (checksum // 7) % 1024,
             "checksum": checksum}

@@ -47,9 +47,65 @@ def test_metadata_deterministic_vs_local(spark, media):
         assert got["width"] == local["width"]
 
 
-def test_real_decode_is_stubbed():
+def test_codec_formats_still_require_library():
+    # JPEG/PNG need a codec library — honest NotImplementedError
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG....")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xff....")
+
+
+def _ppm(w, h):
+    # P6 with a comment line — the public netpbm header shape
+    return (f"P6\n# test image\n{w} {h}\n255\n".encode() +
+            bytes(w * h * 3))
+
+
+def _bmp(w, h):
+    import struct
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, w * h * 3,
+                      2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + w * h * 3, 0, 0, 54)
+    return hdr + dib + bytes(w * h * 3)
+
+
+class TestRealDecode:
+    """Library-free REAL decode: netpbm + BMP parsed from their public
+    specs — same schema as the fake path, end-to-end via mapInPandas."""
+
+    def test_ppm_local(self):
+        got = mm.decode_image(_ppm(320, 200))
+        assert (got["format"], got["width"], got["height"]) == \
+            ("ppm", 320, 200)
+
+    def test_bmp_local_including_topdown(self):
+        assert mm.decode_image(_bmp(64, 48))["width"] == 64
+        import struct
+        # negative height = top-down BMP; dimensions still positive
+        td = bytearray(_bmp(10, 7))
+        struct.pack_into("<i", td, 22, -7)
+        got = mm.decode_image(bytes(td))
+        assert (got["width"], got["height"]) == (10, 7)
+
+    def test_malformed_headers_raise(self):
+        with pytest.raises(ValueError):
+            mm.decode_image(b"P6\n# no dims")
+        with pytest.raises(ValueError):
+            mm.decode_image(b"BM\x00\x00")
+
+    def test_real_path_distributed(self, spark):
+        rows = [(1, _ppm(32, 16), "image/x-portable-pixmap"),
+                (2, _bmp(20, 10), "image/bmp"),
+                (3, _ppm(100, 50), "image/x-portable-pixmap")]
+        media = spark.createDataFrame(
+            rows, "doc_id long, content binary, media_type string")
+        out = mm.extract_metadata(media, fake_decode=False)
+        assert set(out.columns) == {"doc_id", "media_type", "byte_len",
+                                    "format", "width", "height", "checksum"}
+        got = {r["doc_id"]: (r["format"], r["width"], r["height"])
+               for r in out.collect()}
+        assert got == {1: ("ppm", 32, 16), 2: ("bmp", 20, 10),
+                       3: ("ppm", 100, 50)}
 
 
 def test_repartition_for_decode(media):

@@ -1,9 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode step itself is STUBBED (`decode_image` raises
-NotImplementedError unless the deterministic fake is requested — the
-image/audio codec libraries are not available in this container), but the
-Spark-side plumbing is real and tested:
+Decode is REAL for the library-free public formats — netpbm (P3/P5/P6)
+and BMP images via `decode_image`, RIFF/WAVE audio via `decode_audio` —
+parsed straight from their published specs. Codec formats (JPEG/PNG/GIF,
+mp3/ogg) need a library not present in this container and raise an
+honest NotImplementedError (`decode_image(fake=True)` remains as the
+deterministic test double). The Spark-side plumbing is real either way:
 
   * schema convention: `content BINARY` + `media_type STRING` + a
     `meta STRUCT<...>` column;
@@ -306,3 +308,68 @@ def byte_histogram_features(media: DataFrame, dims: int = 16,
             })
 
     return media.mapInPandas(batches, out_schema)
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("byte_len", LongType()),
+    StructField("format", StringType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bits_per_sample", IntegerType()),
+    StructField("duration_ms", LongType()),
+])
+
+
+def decode_audio(content: bytes) -> dict:
+    """REAL audio metadata from a RIFF/WAVE container (public spec):
+    walk the chunk list, read the ``fmt `` chunk's channels/sample-rate/
+    bit-depth and size duration from the ``data`` chunk. Compressed
+    codecs (mp3/ogg/flac) need a library and raise NotImplementedError."""
+    import struct
+    if len(content) < 12 or content[:4] != b"RIFF" or \
+            content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE decodes natively; other audio formats need a "
+            "codec library")
+    pos, n = 12, len(content)
+    fmt_info, data_size = None, None
+    while pos + 8 <= n:
+        cid = content[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        if cid == b"fmt " and pos + 24 <= n:
+            audio_fmt, channels, rate = struct.unpack_from(
+                "<HHI", content, pos + 8)
+            (bits,) = struct.unpack_from("<H", content, pos + 22)
+            fmt_info = (audio_fmt, channels, rate, bits)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_info is None:
+        raise ValueError("RIFF/WAVE without a fmt chunk")
+    audio_fmt, channels, rate, bits = fmt_info
+    bytes_per_frame = max(1, channels * (bits // 8))
+    frames = (data_size or 0) // bytes_per_frame
+    dur_ms = (frames * 1000) // rate if rate else 0
+    return {"byte_len": len(content), "format": "wav",
+            "channels": int(channels), "sample_rate": int(rate),
+            "bits_per_sample": int(bits), "duration_ms": int(dur_ms)}
+
+
+def extract_audio_metadata(media: DataFrame,
+                           batch_size: int = 1024) -> DataFrame:
+    """Header-only WAV probe over Arrow batches — the real-duration
+    input to ``audio_chunk_plan`` (join on doc_id and pass
+    duration_ms_col). Same mapInPandas shape as extract_metadata."""
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_audio(c) for c in pdf["content"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[[f.name for f in AUDIO_SCHEMA.fields]]
+
+    return media.mapInPandas(probe, AUDIO_SCHEMA)

@@ -180,3 +180,43 @@ def test_byte_histogram_features(media):
         assert len(got) == 16
         assert np.allclose(got, hist)
         assert abs(sum(got) - 1.0) < 1e-9   # L1-normalized
+
+
+def _wav(channels=2, rate=16000, bits=16, frames=16000, extra_chunk=False):
+    import struct
+    data_size = frames * channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * (bits // 8),
+                      channels * (bits // 8), bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # LIST chunk before data — chunk-walk must skip it
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"data" + struct.pack("<I", data_size) + bytes(min(data_size, 64))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+class TestRealAudioDecode:
+    def test_wav_header(self):
+        got = mm.decode_audio(_wav())
+        assert (got["channels"], got["sample_rate"],
+                got["bits_per_sample"]) == (2, 16000, 16)
+        assert got["duration_ms"] == 1000  # 16000 frames @ 16 kHz
+
+    def test_chunk_walk_skips_list(self):
+        got = mm.decode_audio(_wav(channels=1, rate=8000, frames=4000,
+                                   extra_chunk=True))
+        assert got["channels"] == 1 and got["duration_ms"] == 500
+
+    def test_non_wav_raises(self):
+        with pytest.raises(NotImplementedError):
+            mm.decode_audio(b"ID3\x04mp3 data")
+        with pytest.raises(ValueError):
+            mm.decode_audio(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt chunk
+
+    def test_distributed_probe(self, spark):
+        rows = [(1, _wav(rate=16000, frames=16000)),
+                (2, _wav(channels=1, rate=8000, frames=2000))]
+        media = spark.createDataFrame(rows, "doc_id long, content binary")
+        got = {r["doc_id"]: r["duration_ms"] for r in
+               mm.extract_audio_metadata(media).collect()}
+        assert got == {1: 1000, 2: 250}

@@ -174,6 +174,23 @@ COMMENTARY = {
         "WITH RECURSIVE (Spark-4 native UnionLoop): the month ladder "
         "recursion is driver-bounded (~80 iterations over one row), "
         "then one equi-join + aggregation against orders.",
+    "join_asof_bucketed":
+        "Round 5: hot-key-immune as-of — the event-sized window "
+        "partitions on (user_id, time_bucket) so AQE's un-splittable "
+        "window partitions stay bounded; cross-bucket matches arrive "
+        "via a per-key carry window over ONE-ROW bucket summaries. "
+        "Identical output to join_asof_events (same oracle), ~17% "
+        "overhead measured on the 1M-event skewed harness.",
+    "events_sessionize_bucketed":
+        "Round 5: hot-key-immune sessionization — local sessions per "
+        "(user_id, time_bucket), then a segmented merge over bucket "
+        "summaries (boundary gap <= timeout joins sessions; global ids "
+        "from a per-key prefix sum of adjusted session counts). Same "
+        "output as events_sessionize.",
+    "text_source_contamination":
+        "Round 5: Bloom decontaminate (corpus never shuffles; pure-"
+        "codegen bitset probe) + one source-keyed rollup; exact integer "
+        "counts, single double division.",
 }
 
 

@@ -411,3 +411,90 @@ def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rnk") <= k)
             .select("qid", "vec_id", F.round("score", 6).alias("score"),
                     "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the simplest storage-side ANN compression —
+# per-dimension min/max over the (unit) corpus, each component rounded to
+# an 8-bit level. 4x smaller than float32 (vs PQ's 16x) but with NO
+# codebook training and near-exact recall; the standard first rung of the
+# compression ladder (public technique: FAISS ScalarQuantizer).
+
+def sq8_train(emb: DataFrame, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the UNIT-normalized corpus.
+
+    One posexplode + groupBy(dim) aggregation; the collected table is
+    bounded by the dimensionality (64-4096 rows), never by corpus size —
+    and min/max are order-independent, so the bounds are deterministic
+    under any partitioning (unlike a float sum)."""
+    unit = _unit_vectors(emb, vec_col, id_col)
+    rows = (unit.select(F.posexplode("vec").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+            .collect())
+    rows.sort(key=lambda r: r["pos"])
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def sq8_encode(emb: DataFrame, mins: list[float], maxs: list[float],
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, codes ARRAY<INT> of 0..255) — one zero-shuffle codegen
+    projection; bounds ship as two array Literals. Values are integral
+    after ROUND, so a storage layer can cast to tinyint losslessly."""
+    unit = _unit_vectors(emb, vec_col, id_col)
+    mn_l = F.lit([float(v) for v in mins]).cast("array<double>")
+    mx_l = F.lit([float(v) for v in maxs]).cast("array<double>")
+    codes = F.transform(
+        "vec",
+        lambda x, i: F.when(
+            F.element_at(mx_l, i + 1) == F.element_at(mn_l, i + 1),
+            F.lit(0.0))
+        .otherwise(F.round(
+            (x - F.element_at(mn_l, i + 1)) /
+            (F.element_at(mx_l, i + 1) - F.element_at(mn_l, i + 1)) * 255))
+        .cast("int"))
+    return unit.select("vec_id", codes.alias("codes"))
+
+
+def cosine_topk_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    bounds: tuple[list[float], list[float]] | None = None,
+                    codes: DataFrame | None = None,
+                    exclude_self: bool = True) -> DataFrame:
+    """Asymmetric top-k over SQ8 codes: queries stay float, the corpus
+    is read as int8 levels dequantized inside codegen — the candidate
+    scan reads 1/4 the bytes of the float corpus and never shuffles it.
+    Pass precomputed ``bounds``/``codes`` for the at-scale flow (train +
+    encode at ingest, query later)."""
+    if bounds is None:
+        bounds = sq8_train(emb, vec_col=vec_col, id_col=id_col)
+    mins, maxs = bounds
+    if codes is None:
+        codes = sq8_encode(emb, mins, maxs, vec_col=vec_col, id_col=id_col)
+    mn_l = F.lit([float(v) for v in mins]).cast("array<double>")
+    mx_l = F.lit([float(v) for v in maxs]).cast("array<double>")
+    dq = F.transform(
+        "codes",
+        lambda c, i: F.element_at(mn_l, i + 1) +
+        c.cast("double") *
+        (F.element_at(mx_l, i + 1) - F.element_at(mn_l, i + 1)) / 255)
+    qunit = (_unit_vectors(queries.select(F.col("qid").alias("vec_id"),
+                                          F.col("qvec").alias("embedding")),
+                           "embedding", "vec_id")
+             .select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv")))
+    scored = (codes.withColumn("dq", dq)
+              .crossJoin(F.broadcast(qunit))
+              .where(_self_pred(exclude_self))
+              .select("qid", "vec_id",
+                      F.aggregate(
+                          F.zip_with("dq", "qv", lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+                      .alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rnk") <= k)
+            .select("qid", "vec_id", F.round("score", 6).alias("score"),
+                    "rnk"))

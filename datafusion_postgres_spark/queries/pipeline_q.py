@@ -1491,6 +1491,55 @@ def sim_cosine_pq(spark, sf_dir):
                         "qid", "rnk")
 
 
+@register("sim_cosine_sq8", oracle=f"""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {_PQ_NORM})
+           AS vec
+  FROM embeddings),
+stats AS (
+  SELECT i, min(v) AS mn, max(v) AS mx FROM (
+    SELECT u.vec_id, gs.i, u.vec[gs.i] AS v
+    FROM unit u, (SELECT unnest(generate_series(1, 64)) AS i) gs)
+  GROUP BY i),
+dq AS (
+  SELECT u.vec_id, s.i,
+         CASE WHEN s.mx = s.mn THEN s.mn
+              ELSE s.mn + ROUND((u.vec[s.i] - s.mn) / (s.mx - s.mn) * 255)
+                   * (s.mx - s.mn) / 255 END AS v
+  FROM unit u CROSS JOIN stats s),
+qs AS (SELECT vec_id AS qid, vec AS qv FROM unit WHERE vec_id < 5),
+scores AS (
+  SELECT d.vec_id, q.qid,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(d.v * q.qv[d.i] ORDER BY d.i)),
+                (acc, x) -> acc + x) AS score
+  FROM dq d CROSS JOIN qs q
+  WHERE d.vec_id <> q.qid
+  GROUP BY d.vec_id, q.qid)
+SELECT qid, vec_id, ROUND(score, 6) AS score, CAST(rn AS BIGINT) AS rnk
+FROM (SELECT qid, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scores) WHERE rn <= 10
+ORDER BY qid, rnk
+""")
+def sim_cosine_sq8(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN top-k: per-dimension min/max over the
+    unit corpus, 8-bit levels, asymmetric scoring against float queries
+    (FAISS ScalarQuantizer technique). 4x smaller storage with no
+    codebook training — the first rung of the compression ladder below
+    PQ's 16x. Fully oracled: min/max are order-independent aggregates
+    and every float fold is left-to-right, so DuckDB replays training,
+    encoding, dequantization, and the score fold exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return sorted_small(similarity.cosine_topk_sq8(emb, queries, k=10),
+                        "qid", "rnk")
+
+
 @register("pipeline_end_to_end", oracle=f"""
 WITH base AS (SELECT doc_id, lang, text, {_WORDS_SQL} AS ws FROM documents),
 gop AS (

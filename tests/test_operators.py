@@ -1033,3 +1033,43 @@ class TestEnsureMinParallelism:
         df = spark.range(10).toDF("doc_id")
         out = ensure_min_parallelism(df)
         assert out.count() == 10
+
+
+class TestScalarQuantization:
+    def test_codes_in_range_and_recall(self, spark):
+        import random
+        rng = random.Random(9)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+                for i in range(60)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        mins, maxs = similarity.sq8_train(emb)
+        assert len(mins) == 16 and all(m <= M for m, M in zip(mins, maxs))
+        codes = similarity.sq8_encode(emb, mins, maxs)
+        for r in codes.collect():
+            assert all(0 <= c <= 255 for c in r["codes"])
+        q = (emb.where(F.col("vec_id") < 3)
+             .select(F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("qvec")))
+        exact = {r["qid"]: r["vec_id"] for r in
+                 similarity.cosine_topk_bruteforce(emb, q, k=1).collect()}
+        sq = {r["qid"]: r["vec_id"] for r in
+              similarity.cosine_topk_sq8(emb, q, k=1).collect()}
+        # 8-bit levels on 16 dims: top-1 must survive quantization
+        assert sq == exact
+
+    def test_degenerate_dimension(self, spark):
+        # identical vectors → every UNIT dimension has mx == mn; codes
+        # must be 0 (not NaN) and scoring must dequantize to the bound
+        emb = spark.createDataFrame(
+            [(0, [3.0, 4.0]), (1, [3.0, 4.0]), (2, [3.0, 4.0])],
+            ["vec_id", "embedding"])
+        mins, maxs = similarity.sq8_train(emb)
+        assert mins == maxs
+        codes = {r["vec_id"]: r["codes"]
+                 for r in similarity.sq8_encode(emb, mins, maxs).collect()}
+        assert all(c == [0, 0] for c in codes.values())
+        q = emb.where("vec_id = 0").select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        out = similarity.cosine_topk_sq8(emb, q, k=2).collect()
+        assert len(out) == 2
+        assert all(abs(r["score"] - 1.0) < 1e-6 for r in out)

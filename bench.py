@@ -37,6 +37,11 @@ HEADLINE = [
     "join_asof_events",
     "dedup_substring_pairs",
     "text_quality_classifier",
+    # round-5 marquee: skew-immune temporal ops + SQ8 ANN (additions
+    # only — all prior rows stay comparable with BENCH_r01..r04)
+    "join_asof_bucketed",
+    "events_sessionize_bucketed",
+    "sim_cosine_sq8",
 ]
 
 

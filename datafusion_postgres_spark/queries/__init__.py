@@ -127,8 +127,11 @@ PRIORITY = [
     "pg_any_all_array", "pg_casts", "dedup_embedding_cosine",
     "pg_string_functions", "pg_math_functions", "agg_approx_sketches",
     "pg_jsonpath", "geo_radius_pairs", "date_functions",
-    # joins (§2.3) + temporal joins
-    "join_outer_suite", "join_semi_anti", "join_asof_events",
+    # joins (§2.3) + temporal joins (bucketed = the round-5 hot-key-
+    # immune variant; it carries join_asof_events's oracle verbatim, so
+    # as-of semantics stay driver-checked while the scale path earns
+    # its driver-green row — join_asof_events stays in the local gate)
+    "join_outer_suite", "join_semi_anti", "join_asof_bucketed",
     "join_scd2_enrich",
     "subquery_correlated_in", "lateral_subquery",
     # aggregation (§2.4)
@@ -140,11 +143,12 @@ PRIORITY = [
     "sort_wildcard_topk", "set_ops_suite", "tablefunc_unnest_values",
     # events (batch side) + a REAL streaming execution of the rollup
     # (readStream -> watermarked window agg -> memory sink)
-    "events_cohort_retention", "events_twap", "streaming_hourly_rollup",
+    "events_cohort_retention", "events_sessionize_bucketed",
+    "streaming_hourly_rollup",
     # LLM-data-pipeline operators
     "text_doc_features", "text_gopher_filter", "dedup_exact_groups",
     "dedup_components", "dedup_substring_pairs",
-    "dedup_simhash_pairs", "dedup_minhash_lsh", "sim_cosine_topk",
+    "dedup_simhash_pairs", "dedup_minhash_lsh", "sim_cosine_sq8",
     "multimodal_metadata_oracle",
     "text_dsir_weights", "text_lm_perplexity", "dedup_decontaminate_bloom",
 ]

@@ -498,3 +498,77 @@ def cosine_topk_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rnk") <= k)
             .select("qid", "vec_id", F.round("score", 6).alias("score"),
                     "rnk"))
+
+
+def cosine_topk_ivf_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
+                        n_centroids: int = 16, n_probe: int = 4,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        kmeans_iters: int = 3,
+                        bounds: tuple[list[float], list[float]] | None = None,
+                        codes: DataFrame | None = None,
+                        exclude_self: bool = True) -> DataFrame:
+    """IVF + SQ8 composed — the standard inverted-file-with-scalar-
+    quantizer index (FAISS IVF-SQ): the coarse quantizer prunes the scan
+    to ~n_probe/n_centroids of the corpus AND the candidate rows are
+    8-bit codes, so query cost is (cell fraction) x (1/4 bytes) of
+    brute force. At ingest scale the codes table is written partitioned
+    by centroid_id; here the cell restriction is the broadcast probe
+    join. Float vectors are read once at ingest (assignment + encoding),
+    never at query time."""
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(emb, n_centroids, kmeans_iters,
+                                 vec_col, id_col)
+    else:
+        cents = deterministic_centroids(emb, n_centroids, vec_col, id_col)
+    assigned = ivf_assign(emb, cents, vec_col, id_col) \
+        .select("vec_id", "centroid_id")
+    if bounds is None:
+        bounds = sq8_train(emb, vec_col=vec_col, id_col=id_col)
+    mins, maxs = bounds
+    if codes is None:
+        codes = sq8_encode(emb, mins, maxs, vec_col=vec_col, id_col=id_col)
+    cell_codes = assigned.join(codes, "vec_id")
+
+    q = queries.select(
+        "qid", F.transform(F.col("qvec"),
+                           lambda x: x.cast("double")).alias("qvec"))
+    c = cents.select(
+        "centroid_id",
+        F.transform(F.col("cvec"), lambda x: x.cast("double")).alias("cvec"))
+    qc = (q.crossJoin(F.broadcast(c))
+          .select("qid", "qvec", "centroid_id",
+                  cosine_similarity(F.col("qvec"),
+                                    F.col("cvec")).alias("sim")))
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"),
+                                           F.asc("centroid_id"))
+    probes = (qc.withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= n_probe)
+              .select("qid", "centroid_id"))
+    qunit = (_unit_vectors(queries.select(F.col("qid").alias("vec_id"),
+                                          F.col("qvec").alias("embedding")),
+                           "embedding", "vec_id")
+             .select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv")))
+
+    mn_l = F.lit([float(v) for v in mins]).cast("array<double>")
+    mx_l = F.lit([float(v) for v in maxs]).cast("array<double>")
+    dq = F.transform(
+        "codes",
+        lambda cd, i: F.element_at(mn_l, i + 1) +
+        cd.cast("double") *
+        (F.element_at(mx_l, i + 1) - F.element_at(mn_l, i + 1)) / 255)
+    scored = (cell_codes.join(F.broadcast(probes), "centroid_id")
+              .where(_self_pred(exclude_self))
+              .withColumn("dq", dq)
+              .join(F.broadcast(qunit), "qid")
+              .select("qid", "vec_id",
+                      F.aggregate(
+                          F.zip_with("dq", "qv", lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+                      .alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rnk") <= k)
+            .select("qid", "vec_id", F.round("score", 6).alias("score"),
+                    "rnk"))

@@ -1540,6 +1540,78 @@ def sim_cosine_sq8(spark, sf_dir):
                         "qid", "rnk")
 
 
+@register("sim_cosine_ivf_sq8", oracle=f"""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {_PQ_NORM})
+           AS vec
+  FROM embeddings),
+stats AS (
+  SELECT i, min(v) AS mn, max(v) AS mx FROM (
+    SELECT u.vec_id, gs.i, u.vec[gs.i] AS v
+    FROM unit u, (SELECT unnest(generate_series(1, 64)) AS i) gs)
+  GROUP BY i),
+dq AS (
+  SELECT u.vec_id, s.i,
+         CASE WHEN s.mx = s.mn THEN s.mn
+              ELSE s.mn + ROUND((u.vec[s.i] - s.mn) / (s.mx - s.mn) * 255)
+                   * (s.mx - s.mn) / 255 END AS v
+  FROM unit u CROSS JOIN stats s),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id < 5),
+probes AS (
+  SELECT qid, centroid_id FROM (
+    SELECT q.qid, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {_cos_sql('q.qvec', 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 4),
+uq AS (SELECT vec_id AS qid, vec AS qv FROM unit WHERE vec_id < 5),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.qid),
+scores AS (
+  SELECT c.vec_id, c.qid,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(d.v * u.qv[d.i] ORDER BY d.i)),
+                (acc, x) -> acc + x) AS score
+  FROM cand c JOIN dq d ON d.vec_id = c.vec_id JOIN uq u ON u.qid = c.qid
+  GROUP BY c.vec_id, c.qid)
+SELECT qid, vec_id, ROUND(score, 6) AS score, CAST(rn AS BIGINT) AS rnk
+FROM (SELECT qid, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scores) WHERE rn <= 10
+ORDER BY qid, rnk
+""")
+def sim_cosine_ivf_sq8(spark, sf_dir):
+    """IVF + SQ8 composed (the FAISS IVF-SQ index shape): cell-pruned
+    candidate scan over 8-bit codes — (n_probe/n_centroids) of the
+    corpus at 1/4 the bytes, float vectors read only at ingest. FULLY
+    oracled via seed centroids (kmeans_iters=0) + the deterministic SQ8
+    bounds: DuckDB replays assignment, probes, encoding, dequant, and
+    the ordered score fold exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return sorted_small(
+        similarity.cosine_topk_ivf_sq8(emb, queries, k=10, n_centroids=16,
+                                       n_probe=4, kmeans_iters=0),
+        "qid", "rnk")
+
+
 @register("pipeline_end_to_end", oracle=f"""
 WITH base AS (SELECT doc_id, lang, text, {_WORDS_SQL} AS ws FROM documents),
 gop AS (

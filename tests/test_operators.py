@@ -313,6 +313,23 @@ class TestIvf:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.3  # probing half the cells on random vectors
 
+    def test_ivf_sq8_composes(self, emb):
+        # IVF-SQ: 8-bit quantization on top of cell pruning must agree
+        # with plain IVF on which candidates rank top (same cells; the
+        # only delta is quantization noise in the scores)
+        from datafusion_postgres_spark.operators import similarity as S
+        q = (emb.where(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("qvec")))
+        ivf = {(r["qid"], r["vec_id"])
+               for r in S.cosine_topk_ivf(emb, q, k=10, n_centroids=8,
+                                          n_probe=4).collect()}
+        ivf_sq = {(r["qid"], r["vec_id"])
+                  for r in S.cosine_topk_ivf_sq8(
+                      emb, q, k=10, n_centroids=8, n_probe=4).collect()}
+        overlap = len(ivf & ivf_sq) / max(len(ivf), 1)
+        assert overlap >= 0.8  # 8-bit noise may flip only tail ranks
+
     def test_kmeans_deterministic_and_unit(self, emb):
         from datafusion_postgres_spark.operators import similarity as S
         c1 = {r["centroid_id"]: r["cvec"]

@@ -1,0 +1,74 @@
+"""Persistent IVF-SQ8 ANN index: build/query round-trip, equality with
+the in-memory operator, and the partition-pruning plan pin that IS the
+index's scale claim (unprobed cells never reach the scan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_postgres_spark.operators import similarity as S
+from datafusion_postgres_spark.plans import inspect as P
+from datafusion_postgres_spark.sources.ann_index import (
+    query_ivf_sq8_index, write_ivf_sq8_index,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from datafusion_postgres_spark.sources.registry import read_table
+    return read_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, emb, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ann") / "idx")
+    meta = write_ivf_sq8_index(emb, p, n_centroids=16, kmeans_iters=0)
+    assert len(meta["centroids"]) == 16
+    assert len(meta["mins"]) == len(meta["maxs"]) == 64
+    return p
+
+
+class TestAnnIndex:
+    def _queries(self, emb):
+        return (emb.where(F.col("vec_id") < 5)
+                .select(F.col("vec_id").alias("qid"),
+                        F.col("embedding").alias("qvec")))
+
+    def test_matches_in_memory_operator(self, spark, emb, index_path):
+        q = self._queries(emb)
+        want = {(r["qid"], r["vec_id"], r["score"], r["rnk"]) for r in
+                S.cosine_topk_ivf_sq8(emb, q, k=10, n_centroids=16,
+                                      n_probe=4, kmeans_iters=0).collect()}
+        got = {(r["qid"], r["vec_id"], r["score"], r["rnk"]) for r in
+               query_ivf_sq8_index(spark, index_path, q, k=10,
+                                   n_probe=4).collect()}
+        assert got == want
+
+    def test_unprobed_cells_are_partition_pruned(self, spark, emb,
+                                                 index_path):
+        # one query, n_probe=2 → at most 2 of 16 cell directories may be
+        # listed by the scan; the pin reads the scan's partition filters
+        # and the actual partition count from the executed plan
+        q = self._queries(emb).where(F.col("qid") == 0)
+        out = query_ivf_sq8_index(spark, index_path, q, k=5, n_probe=2)
+        plan = P.formatted_plan(out)
+        assert "PartitionFilters" in plan
+        assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+        out.collect()
+        scans = [n for n in P.executed_nodes(out)
+                 if n["cls"] == "FileSourceScanExec"]
+        assert scans
+        # executed metrics: files/partitions read stay at the probed set
+        for s in scans:
+            npart = s["metrics"].get("numPartitions")
+            if npart is not None:
+                assert npart <= 2
+
+    def test_float_corpus_not_read_at_query_time(self, spark, emb,
+                                                 index_path):
+        q = self._queries(emb)
+        out = query_ivf_sq8_index(spark, index_path, q, k=5)
+        plan = P.formatted_plan(out)
+        # the only parquet location is the index; the embeddings table
+        # never appears in the query plan
+        assert "embeddings.parquet" not in plan
+        assert "idx" in plan

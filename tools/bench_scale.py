@@ -122,6 +122,24 @@ def main() -> None:
                                      bucket_width=86_400_000_000),
             results, collect_cols=["event_id", "quote_value"])
 
+    # -- sessionization on the same skewed stream: bare-key window vs
+    #    the (key, bucket) + segmented-merge variant (identical ids)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    bare = events.select(
+        "event_id",
+        F.sum(flag).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"))
+    measure("sessionize_bare_hot_user", bare, results,
+            collect_cols=["event_id", "session_id"])
+    from datafusion_postgres_spark.operators.events import sessionize_bucketed
+    measure("sessionize_bucketed_hot_user",
+            sessionize_bucketed(events, bucket_width_s=86_400),
+            results, collect_cols=["event_id", "session_id"])
+
     out = {
         "dataset": {"root": root, "n_docs": n_docs,
                     "n_events": events.count(),

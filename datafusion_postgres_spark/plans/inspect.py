@@ -125,13 +125,15 @@ def executed_nodes(df: DataFrame) -> list[dict]:
     out: list[dict] = []
     seen: set[int] = set()
 
-    def metric_map(n) -> dict[str, int]:
-        ms = {}
+    def metric_map(n) -> tuple[dict[str, int], dict[str, str]]:
+        ms, ts = {}, {}
         it = n.metrics().iterator()
         while it.hasNext():
             e = it.next()
-            ms[e._1()] = e._2().value()
-        return ms
+            m = e._2()
+            ms[e._1()] = m.value()
+            ts[e._1()] = m.metricType()  # sum | size | timing | nsTiming
+        return ms, ts
 
     def walk(n):
         nid = n.id()
@@ -139,8 +141,9 @@ def executed_nodes(df: DataFrame) -> list[dict]:
             return
         seen.add(nid)
         cls = n.getClass().getSimpleName()
+        ms, ts = metric_map(n)
         out.append({"node": n.nodeName(), "cls": cls,
-                    "metrics": metric_map(n)})
+                    "metrics": ms, "metric_types": ts})
         if cls == "AdaptiveSparkPlanExec":
             walk(n.executedPlan())
             return

@@ -196,12 +196,23 @@ class SparkPgEngine:
         actuals = []
         for node in executed_nodes(df):
             ms = node["metrics"]
+            mt = node.get("metric_types", {})
             parts = []
             if "numOutputRows" in ms:
                 parts.append(f"actual rows={ms['numOutputRows']}")
             if "shuffleRecordsWritten" in ms:
                 parts.append(
                     f"shuffle records={ms['shuffleRecordsWritten']}")
+            # per-operator elapsed (DataFusion prints these): timing
+            # metrics are ms, nsTiming ns; zeros omitted
+            for key, val in ms.items():
+                t = mt.get(key)
+                if t not in ("timing", "nsTiming") or val <= 0:
+                    continue
+                if t == "nsTiming":
+                    parts.append(f"{key}={val / 1e6:.3f} ms")
+                else:
+                    parts.append(f"{key}={val} ms")
             if parts:
                 actuals.append(f"  {node['node']}: {', '.join(parts)}")
         if actuals:

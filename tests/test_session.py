@@ -382,6 +382,9 @@ class TestExplain:
         # scans report too
         assert any("Scan" in ln and "actual rows=" in ln
                    for ln in section)
+        # per-operator elapsed (DataFusion metric parity): at least one
+        # node reports a timing metric in ms
+        assert any(" ms" in ln for ln in section)
 
     def test_explain_verbose_does_not_execute(self, engine):
         # no ANALYZE in the option list -> plain Spark EXPLAIN path

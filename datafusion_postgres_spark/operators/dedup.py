@@ -869,3 +869,49 @@ def decontaminate_bloom(docs: DataFrame, eval_docs: DataFrame,
         F.col("n_overlap"),
         F.round(F.col("n_overlap") / F.col("set_size"), 6)
         .alias("overlap_ratio"))
+
+
+def write_fingerprint_table(corpus: DataFrame, table: str,
+                            text_col: str = "text",
+                            n_buckets: int = 32) -> None:
+    """Materialize the ingest-dedup state the `dedup_incremental`
+    docstring promises: the corpus reduced to DISTINCT normalized-text
+    fingerprints, saved as a BUCKETED table keyed on the fingerprint.
+    Built once (or appended per ingest via merge_new_fingerprints);
+    the raw corpus text is never rescanned afterwards."""
+    (corpus.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+     .write.mode("overwrite").bucketBy(n_buckets, "fp")
+     .sortBy("fp").format("parquet").saveAsTable(table))
+
+
+def dedup_incremental_bucketed(new_docs: DataFrame, table: str,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """`dedup_incremental` against the persisted fingerprint table: the
+    anti-join's big side is bucket-pruned — ONLY the small batch
+    shuffles (hashed into the table's bucketing), the fingerprint table
+    itself is read co-located with zero Exchange (pinned in
+    tests/test_operators.py). This is the per-ingest production path of
+    a continuously-growing 100 TB corpus."""
+    spark = new_docs.sparkSession
+    seen = spark.table(table)
+    fp = fingerprint(F.col(text_col))
+    batch = new_docs.withColumn("fp", fp)
+    first_in_batch = (batch.groupBy("fp")
+                      .agg(F.min(id_col).alias("keep_id")))
+    return (batch
+            .join(seen, "fp", "left_anti")
+            .join(first_in_batch.select("keep_id"),
+                  batch[id_col] == F.col("keep_id"), "left_semi")
+            .drop("fp"))
+
+
+def merge_new_fingerprints(survivors: DataFrame, table: str,
+                           text_col: str = "text",
+                           n_buckets: int = 32) -> None:
+    """Append the surviving batch's fingerprints into the bucketed state
+    table — the write side of the ingest loop. ``n_buckets`` must match
+    the table's bucket spec (Spark validates and rejects a mismatch)."""
+    (survivors.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+     .write.mode("append").bucketBy(n_buckets, "fp").sortBy("fp")
+     .format("parquet").saveAsTable(table))

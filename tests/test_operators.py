@@ -1090,3 +1090,69 @@ class TestScalarQuantization:
         out = similarity.cosine_topk_sq8(emb, q, k=2).collect()
         assert len(out) == 2
         assert all(abs(r["score"] - 1.0) < 1e-6 for r in out)
+
+
+class TestIncrementalDedupBucketed:
+    def test_table_round_trip_matches_inmemory(self, spark):
+        from datafusion_postgres_spark.operators.dedup import (
+            dedup_incremental, dedup_incremental_bucketed,
+            merge_new_fingerprints, write_fingerprint_table)
+        spark.sql("DROP TABLE IF EXISTS fp_state")
+        corpus = spark.createDataFrame(
+            [(i, f"existing document number {i}") for i in range(50)],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(100, "existing document number 7"),     # corpus dup
+             (101, "a brand new document"),
+             (102, "a brand new document"),           # within-batch dup
+             (103, "another fresh one")],
+            "doc_id long, text string")
+        try:
+            write_fingerprint_table(corpus, "fp_state", n_buckets=8)
+            got = sorted(r["doc_id"] for r in
+                         dedup_incremental_bucketed(batch,
+                                                    "fp_state").collect())
+            want = sorted(r["doc_id"] for r in
+                          dedup_incremental(batch, corpus).collect())
+            assert got == want == [101, 103]
+            # ingest loop: append survivors, the same batch now all dups
+            survivors = batch.where(F.col("doc_id").isin(101, 103))
+            merge_new_fingerprints(survivors, "fp_state", n_buckets=8)
+            again = dedup_incremental_bucketed(batch, "fp_state").collect()
+            assert again == []
+        finally:
+            spark.sql("DROP TABLE IF EXISTS fp_state")
+
+    def test_state_table_side_never_shuffles(self, spark):
+        from datafusion_postgres_spark.operators.dedup import (
+            dedup_incremental_bucketed, write_fingerprint_table)
+        from datafusion_postgres_spark.plans import inspect as P
+        spark.sql("DROP TABLE IF EXISTS fp_state2")
+        corpus = spark.createDataFrame(
+            [(i, f"doc {i} body text") for i in range(200)],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(500, "doc 3 body text"), (501, "unseen")],
+            "doc_id long, text string")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_fingerprint_table(corpus, "fp_state2", n_buckets=8)
+            out = dedup_incremental_bucketed(batch, "fp_state2")
+            plan = P.simple_plan(out)
+            # the bucketed state table reads WITHOUT an Exchange above
+            # it: only the (small) batch hashes into the bucket layout.
+            # Assert no Exchange between the state FileScan and the
+            # anti-join: the scan subtree below the join's right side
+            # contains "Bucketed: true" and no Exchange line directly
+            # above that scan
+            assert "SortMergeJoin" in plan and "LeftAnti" in plan
+            assert "Bucketed: true" in plan
+            # exactly 4 exchanges, ALL on the batch side: batch→fp hash
+            # for the anti join, the first-in-batch groupBy, and the two
+            # semi-join sides on doc_id/keep_id. The state table rides
+            # its bucket layout — a 5th exchange would mean the state
+            # side shuffled (the regression this test exists to catch)
+            assert P.count_shuffles(out) == 4
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+            spark.sql("DROP TABLE IF EXISTS fp_state2")

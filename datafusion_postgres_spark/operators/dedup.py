@@ -894,6 +894,10 @@ def dedup_incremental_bucketed(new_docs: DataFrame, table: str,
     tests/test_operators.py). This is the per-ingest production path of
     a continuously-growing 100 TB corpus."""
     spark = new_docs.sparkSession
+    # drop any cached file listing: in an ingest LOOP the previous
+    # batch's merge appended files after this session first read the
+    # table, and a stale relation cache would silently miss them
+    spark.catalog.refreshTable(table)
     seen = spark.table(table)
     fp = fingerprint(F.col(text_col))
     batch = new_docs.withColumn("fp", fp)

@@ -156,3 +156,57 @@ def test_bucket_state_cap_and_timeout():
     ids, sigs = st.updated
     assert len(ids) == cap == len(sigs)
     assert ids[0] == n - cap and ids[-1] == n - 1  # oldest-out
+
+
+def test_foreachbatch_ingest_loop_with_bucketed_state(spark, tmp_path):
+    """The production ingest loop end-to-end on a stream: each
+    micro-batch anti-joins the bucketed fingerprint state table, then
+    its survivors' fingerprints are appended back — so a duplicate of a
+    batch-1 document arriving in batch 2 is dropped by the STATE TABLE,
+    not by any in-memory bookkeeping (the property that survives a
+    driver restart)."""
+    rows1 = [(1, "alpha document body"), (2, "beta document body")]
+    rows2 = [(3, "alpha document body"),      # dup of batch-1 doc 1
+             (4, "gamma new body")]
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    import os
+    for i, rows in enumerate((rows1, rows2)):
+        p = str(tmp_path / f"b{i}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        import glob
+        import shutil
+        (part,) = glob.glob(p + "/part-*.parquet")
+        dst = str(d / f"{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    spark.sql("DROP TABLE IF EXISTS fp_stream_state")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    batch_dedup.write_fingerprint_table(empty, "fp_stream_state",
+                                        n_buckets=8)
+    survived = []
+
+    def ingest(batch_df, batch_id):
+        out = batch_dedup.dedup_incremental_bucketed(
+            batch_df, "fp_stream_state")
+        kept = out.collect()
+        survived.extend(r["doc_id"] for r in kept)
+        if kept:
+            batch_dedup.merge_new_fingerprints(
+                spark.createDataFrame(kept, out.schema),
+                "fp_stream_state", n_buckets=8)
+
+    try:
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        q = stream.writeStream.foreachBatch(ingest) \
+            .option("checkpointLocation", str(tmp_path / "ckpt")) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        assert sorted(survived) == [1, 2, 4]   # 3 caught by the state
+        n_fp = spark.table("fp_stream_state").count()
+        assert n_fp == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_stream_state")

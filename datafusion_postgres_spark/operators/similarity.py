@@ -199,13 +199,17 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
                     kmeans_iters: int = 3,
-                    exclude_self: bool = True) -> DataFrame:
+                    exclude_self: bool = True,
+                    centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: corpus assigned to inverted cells once; each
     query probes its n_probe nearest cells only. Scan cost drops by
     ~n_probe/n_centroids versus brute force with recall controlled by
     n_probe. Cells come from spherical k-means (kmeans_iters=0 falls back
-    to the first-n-by-id seed)."""
-    if kmeans_iters > 0:
+    to the first-n-by-id seed); pass precomputed ``centroids`` for the
+    at-scale flow (train once at ingest)."""
+    if centroids is not None:
+        cents = centroids
+    elif kmeans_iters > 0:
         cents = kmeans_centroids(emb, n_centroids, kmeans_iters,
                                  vec_col, id_col)
     else:
@@ -507,7 +511,8 @@ def cosine_topk_ivf_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
                         kmeans_iters: int = 3,
                         bounds: tuple[list[float], list[float]] | None = None,
                         codes: DataFrame | None = None,
-                        exclude_self: bool = True) -> DataFrame:
+                        exclude_self: bool = True,
+                        centroids: DataFrame | None = None) -> DataFrame:
     """IVF + SQ8 composed — the standard inverted-file-with-scalar-
     quantizer index (FAISS IVF-SQ): the coarse quantizer prunes the scan
     to ~n_probe/n_centroids of the corpus AND the candidate rows are
@@ -516,7 +521,9 @@ def cosine_topk_ivf_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
     by centroid_id; here the cell restriction is the broadcast probe
     join. Float vectors are read once at ingest (assignment + encoding),
     never at query time."""
-    if kmeans_iters > 0:
+    if centroids is not None:
+        cents = centroids
+    elif kmeans_iters > 0:
         cents = kmeans_centroids(emb, n_centroids, kmeans_iters,
                                  vec_col, id_col)
     else:

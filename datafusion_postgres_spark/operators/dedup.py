@@ -919,3 +919,42 @@ def merge_new_fingerprints(survivors: DataFrame, table: str,
     (survivors.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
      .write.mode("append").bucketBy(n_buckets, "fp").sortBy("fp")
      .format("parquet").saveAsTable(table))
+
+
+def overlap_profile(train: DataFrame, eval_docs: DataFrame,
+                    ns: tuple[int, ...] = (1, 2, 3),
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Train-vs-eval n-gram LEAKAGE CURVE: for each n, the distinct gram
+    counts of both corpora, the shared count, and the Jaccard of the two
+    gram sets — the diagnostic read before choosing the decontamination
+    n (too small n = spurious overlap, too large = misses paraphrase;
+    the knee of this curve is the usual pick).
+
+    One zero-shuffle shingle projection per (corpus, n), then three
+    narrow distinct-count aggregations per n over 64-bit gram hashes —
+    nothing corpus-sized shuffles more than its distinct gram set.
+    Deterministic integer counts; the final ratio is one double
+    division (oracle hash-stable)."""
+    parts = []
+    for n in ns:
+        tg = (shingle_array(train, text_col, id_col, n)
+              .select(F.explode("grams").alias("g")).distinct())
+        eg = (shingle_array(eval_docs, text_col, id_col, n)
+              .select(F.explode("grams").alias("g")).distinct())
+        shared = tg.join(eg, "g", "left_semi")
+        row = (tg.agg(F.count("*").alias("n_train"))
+               .crossJoin(eg.agg(F.count("*").alias("n_eval")))
+               .crossJoin(shared.agg(F.count("*").alias("n_shared")))
+               .select(F.lit(n).cast("int").alias("n"),
+                       F.col("n_train").cast("bigint").alias("n_train_grams"),
+                       F.col("n_eval").cast("bigint").alias("n_eval_grams"),
+                       F.col("n_shared").cast("bigint").alias("n_shared"),
+                       F.round(F.col("n_shared") * 1.0 /
+                               (F.col("n_train") + F.col("n_eval") -
+                                F.col("n_shared")), 6).alias("jaccard")))
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

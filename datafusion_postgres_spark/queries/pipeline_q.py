@@ -1261,6 +1261,43 @@ def dedup_decontaminate_bloom(spark, sf_dir):
                         "doc_id")
 
 
+@register("text_overlap_profile", oracle=f"""
+WITH {_JACCARD_CTES},
+gr AS (
+  SELECT ns.n, w.doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(0, greatest(len(w.whs) - ns.n, 0)),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_slice(w.whs, i + 1, i + ns.n)),
+                (acc, x) -> (acc * 31 + x) % 1000000007)))) AS gh
+  FROM whs_t w, (SELECT unnest([1, 2, 3]) AS n) ns),
+tg AS (SELECT DISTINCT n, gh FROM gr WHERE doc_id >= 50),
+eg AS (SELECT DISTINCT n, gh FROM gr WHERE doc_id < 50),
+tn AS (SELECT n, COUNT(*) AS c FROM tg GROUP BY n),
+en AS (SELECT n, COUNT(*) AS c FROM eg GROUP BY n),
+sn AS (SELECT t.n, COUNT(*) AS c
+       FROM tg t JOIN eg e ON t.n = e.n AND t.gh = e.gh GROUP BY t.n)
+SELECT CAST(tn.n AS INT) AS n,
+       CAST(tn.c AS BIGINT) AS n_train_grams,
+       CAST(en.c AS BIGINT) AS n_eval_grams,
+       CAST(COALESCE(sn.c, 0) AS BIGINT) AS n_shared,
+       ROUND(COALESCE(sn.c, 0) * 1.0 /
+             (tn.c + en.c - COALESCE(sn.c, 0)), 6) AS jaccard
+FROM tn JOIN en ON en.n = tn.n LEFT JOIN sn ON sn.n = tn.n
+ORDER BY n
+""")
+def text_overlap_profile(spark, sf_dir):
+    """Train-vs-eval n-gram leakage curve (n = 1, 2, 3): distinct gram
+    counts per side, shared grams, and the Jaccard of the gram sets —
+    the diagnostic read before choosing the decontamination n. Docs
+    < 50 stand in for the eval split, as in the decontaminate rows."""
+    docs = t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") >= 50)
+    eval_docs = docs.where(F.col("doc_id") < 50)
+    return sorted_small(
+        dedup.overlap_profile(train, eval_docs, ns=(1, 2, 3)), "n")
+
+
 @register("text_source_contamination", oracle=f"""
 WITH {_JACCARD_CTES},
 eval_g AS (SELECT DISTINCT gram_hash FROM sh WHERE id < 50),

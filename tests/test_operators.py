@@ -1156,3 +1156,32 @@ class TestIncrementalDedupBucketed:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
             spark.sql("DROP TABLE IF EXISTS fp_state2")
+
+
+class TestOverlapProfile:
+    def test_leakage_curve_values(self, spark):
+        train = spark.createDataFrame(
+            [(100, "alpha beta gamma delta"),
+             (101, "epsilon zeta eta theta")],
+            "doc_id long, text string")
+        ev = spark.createDataFrame(
+            [(1, "alpha beta unknown words here")],
+            "doc_id long, text string")
+        out = {r["n"]: r for r in
+               dedup.overlap_profile(train, ev, ns=(1, 2)).collect()}
+        # n=1: train has 8 distinct words, eval 5, shared {alpha, beta}
+        assert out[1]["n_train_grams"] == 8
+        assert out[1]["n_eval_grams"] == 5
+        assert out[1]["n_shared"] == 2
+        # n=2: train bigrams 6, eval 4, shared {alpha beta}
+        assert out[2]["n_train_grams"] == 6
+        assert out[2]["n_eval_grams"] == 4
+        assert out[2]["n_shared"] == 1
+        assert abs(out[2]["jaccard"] - 1 / 9) < 1e-6
+
+    def test_disjoint_corpora(self, spark):
+        a = spark.createDataFrame([(1, "aa bb cc")], "doc_id long, text string")
+        b = spark.createDataFrame([(2, "dd ee ff")], "doc_id long, text string")
+        out = {r["n"]: r for r in
+               dedup.overlap_profile(a, b, ns=(1,)).collect()}
+        assert out[1]["n_shared"] == 0 and out[1]["jaccard"] == 0.0

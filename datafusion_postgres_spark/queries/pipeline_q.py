@@ -1298,6 +1298,51 @@ def text_overlap_profile(spark, sf_dir):
         dedup.overlap_profile(train, eval_docs, ns=(1, 2, 3)), "n")
 
 
+_BPE_PAIRS = """(SELECT l[i] AS a, l[i+1] AS b, COUNT(*) AS cnt
+       FROM (SELECT string_split(s, chr(1)) AS l FROM {src}) t,
+            LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g
+       WHERE len(l) >= 2 GROUP BY 1, 2)"""
+_BPE_APPLY = """(SELECT replace(s, (SELECT a || chr(1) || b FROM {m}),
+                         (SELECT a || b FROM {m})) AS s FROM {src})"""
+
+
+@register("text_bpe_merges", oracle=f"""
+WITH w0 AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+           '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents WHERE trim(text) <> ''),
+st0 AS (SELECT array_to_string(list_transform(
+          generate_series(1, length(w)), i -> w[i]), chr(1)) AS s
+        FROM w0 WHERE length(w) > 0),
+c0 AS {_BPE_PAIRS.format(src='st0')},
+m0 AS (SELECT a, b FROM c0 WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1),
+st1 AS {_BPE_APPLY.format(m='m0', src='st0')},
+c1 AS {_BPE_PAIRS.format(src='st1')},
+m1 AS (SELECT a, b FROM c1 WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1),
+st2 AS {_BPE_APPLY.format(m='m1', src='st1')},
+c2 AS {_BPE_PAIRS.format(src='st2')},
+m2 AS (SELECT a, b FROM c2 WHERE cnt >= 2 ORDER BY cnt DESC, a, b LIMIT 1)
+SELECT * FROM (
+  SELECT CAST(0 AS INT) AS rank, a, b FROM m0
+  UNION ALL SELECT 1, a, b FROM m1
+  UNION ALL SELECT 2, a, b FROM m2) ORDER BY rank
+""")
+def text_bpe_merges(spark, sf_dir):
+    """Distributed BPE training (Sennrich et al. 2016): the first 3
+    learned merges over the documents corpus. Each iteration is one
+    map-side-combined pair-count aggregation + a codegen'd merge fold
+    (operators/bpe.py). The oracle replays the iterations in DuckDB —
+    per-word symbol state as a chr(1)-joined string, merge application
+    as left-to-right non-overlapping replace (provably equal to the
+    greedy fold), ties broken on (count desc, pair asc) both sides."""
+    from datafusion_postgres_spark.operators.bpe import bpe_train
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=3)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string").orderBy("rank")
+
+
 @register("text_source_contamination", oracle=f"""
 WITH {_JACCARD_CTES},
 eval_g AS (SELECT DISTINCT gram_hash FROM sh WHERE id < 50),

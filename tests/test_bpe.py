@@ -1,0 +1,83 @@
+"""Distributed BPE trainer vs a local reference implementation."""
+
+import pytest
+
+from datafusion_postgres_spark.operators.bpe import bpe_encode, bpe_train
+
+
+def ref_bpe_train(texts, n_merges):
+    """Local reference: same algorithm, same tie-breaking."""
+    corpus = []
+    for t in texts:
+        for w in t.lower().split():
+            corpus.append(list(w))
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w in corpus:
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        new_corpus = []
+        for w in corpus:
+            out, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            new_corpus.append(out)
+        corpus = new_corpus
+    return merges
+
+
+TEXTS = ["low lower lowest", "new newer newest", "low low new new",
+         "wider wide widest", "the newest lowest"]
+
+
+class TestBpe:
+    def test_train_matches_reference(self, spark):
+        docs = spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id long, text string")
+        got = bpe_train(docs, n_merges=12)
+        want = ref_bpe_train(TEXTS, 12)
+        assert got == want
+        assert len(got) >= 6  # the corpus supports many merges
+
+    def test_encode_compresses_seen_words(self, spark):
+        docs = spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id long, text string")
+        merges = bpe_train(docs, n_merges=20)
+        enc = {r["doc_id"]: r for r in
+               bpe_encode(docs, merges).collect()}
+        # every doc tokenizes; trained merges compress below char count
+        for i, t in enumerate(TEXTS):
+            n_chars = sum(len(w) for w in t.split())
+            assert 0 < enc[i]["n_tokens"] < n_chars
+        # a fully-merged frequent word becomes few tokens
+        one = spark.createDataFrame([(99, "low")], "doc_id long, text string")
+        toks = bpe_encode(one, merges).collect()[0]["tokens"]
+        assert "".join(toks) == "low" and len(toks) <= 2
+
+    def test_unseen_symbols_pass_through(self, spark):
+        docs = spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id long, text string")
+        merges = bpe_train(docs, n_merges=5)
+        one = spark.createDataFrame([(1, "zq xv")], "doc_id long, text string")
+        toks = bpe_encode(one, merges).collect()[0]["tokens"]
+        assert toks == ["z", "q", "x", "v"]
+
+    def test_early_stop_on_unique_corpus(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "ab cd"), (2, "ef gh")], "doc_id long, text string")
+        merges = bpe_train(docs, n_merges=10)
+        assert merges == []  # no pair occurs twice

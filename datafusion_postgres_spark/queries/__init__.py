@@ -106,17 +106,22 @@ PRIORITY = [
     # oracled rows so every registered query re-earns a driver-green
     # CORRECTNESS entry every few rounds. A swapped-out row keeps its
     # oracle and stays in the local `tools/check_oracle.py` gate.
-    # Round-5 swaps (20): q7→q8, q10→q9, q18→q2, pg_case_when→
-    # pg_ordered_set_aggs, ilike_filter→pg_recursive_cte, pg_regex_match→
-    # pg_operator_form, pg_array_functions→agg_approx_sketches,
-    # pg_json_operators→pg_jsonpath, pg_distinct_on→geo_radius_pairs,
+    # Round-5 swaps (21 rows absent from the r04 window): q7→q8, q10→q9,
+    # q18→q2, pg_case_when→pg_ordered_set_aggs, ilike_filter→
+    # pg_recursive_cte, pg_regex_match→pg_operator_form,
+    # pg_array_functions→agg_approx_sketches, pg_json_operators→
+    # pg_jsonpath, pg_distinct_on→geo_radius_pairs,
     # pg_generate_series_tf→date_functions, join_cross_comma→
-    # join_asof_events, join_using→join_scd2_enrich, agg_collect_ordered→
-    # skew_twophase_agg, window_ntile_first_last→window_range_frame,
-    # events_hourly_rollup→events_cohort_retention, events_sessionize→
-    # events_twap, text_corpus_profile→text_gopher_filter,
-    # dedup_ngram_jaccard→dedup_components, dedup_minhash_signatures→
-    # dedup_substring_pairs, dedup_simhash_signatures→dedup_simhash_pairs.
+    # join_asof_bucketed (carries join_asof_events's oracle verbatim),
+    # join_using→join_scd2_enrich, agg_collect_ordered→skew_twophase_agg,
+    # window_ntile_first_last→window_range_frame, events_hourly_rollup→
+    # events_cohort_retention, events_sessionize→
+    # events_sessionize_bucketed (same oracle), text_corpus_profile→
+    # text_gopher_filter, dedup_ngram_jaccard→dedup_components,
+    # dedup_minhash_signatures→dedup_substring_pairs,
+    # dedup_simhash_signatures→dedup_simhash_pairs, sim_cosine_topk→
+    # sim_cosine_sq8 (exact cosine stays covered by
+    # dedup_embedding_cosine).
     # TPC-H adaptations (compound shapes: joins + aggs + sorts)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q8_market_share", "q9_product_profit",

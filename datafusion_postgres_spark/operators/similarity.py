@@ -579,3 +579,37 @@ def cosine_topk_ivf_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
             .where(F.col("rnk") <= k)
             .select("qid", "vec_id", F.round("score", 6).alias("score"),
                     "rnk"))
+
+
+def cosine_threshold_profile(emb: DataFrame,
+                             thresholds: tuple[float, ...] =
+                             (0.99, 0.95, 0.9, 0.8),
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate-rate-vs-threshold curve: for each cosine cutoff,
+    how many (i < j) pairs clear it — the embedding analog of
+    dedup.overlap_profile, read before picking a semantic-dedup
+    threshold. EXACT baseline (broadcast all-pairs, honestly O(n²)):
+    sized for eval corpora; at production scale run the same counts
+    over the LSH/IVF candidate stream instead and treat them as lower
+    bounds. One pass: every threshold counted from a single
+    conditional-sum aggregation over the pair stream."""
+    corpus = emb.select(F.col(id_col).alias("vec_id"),
+                        F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double")).alias("vec"))
+    b = F.broadcast(corpus.select(F.col("vec_id").alias("vid2"),
+                                  F.col("vec").alias("vec2")))
+    cos = cosine_similarity(F.col("vec"), F.col("vec2"))
+    pairs = (corpus.crossJoin(b)
+             .where(F.col("vec_id") < F.col("vid2"))
+             .select(cos.alias("c")))
+    aggs = [F.sum((F.col("c") >= F.lit(float(t))).cast("long"))
+            .alias(f"t{i}") for i, t in enumerate(thresholds)]
+    row = pairs.agg(*aggs)
+    stacked = F.explode(F.array(*[
+        F.struct(F.lit(float(t)).alias("threshold"),
+                 F.col(f"t{i}").cast("bigint").alias("n_pairs"))
+        for i, t in enumerate(thresholds)]))
+    return (row.select(stacked.alias("s"))
+            .select("s.threshold", "s.n_pairs")
+            .orderBy(F.desc("threshold")))

@@ -1694,6 +1694,25 @@ def sim_cosine_ivf_sq8(spark, sf_dir):
         "qid", "rnk")
 
 
+@register("sim_threshold_profile", oracle=f"""
+WITH pairs AS (
+  SELECT {_cos_sql('a.embedding', 'b.embedding')} AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+t AS (SELECT CAST(unnest([0.99, 0.95, 0.9, 0.8]) AS DOUBLE) AS threshold)
+SELECT t.threshold,
+       CAST((SELECT COUNT(*) FROM pairs WHERE c >= t.threshold) AS BIGINT)
+         AS n_pairs
+FROM t ORDER BY threshold DESC
+""")
+def sim_threshold_profile(spark, sf_dir):
+    """Near-dup-rate-vs-cosine-threshold curve over the embeddings
+    table (exact all-pairs baseline; the scale path counts over the
+    LSH/IVF candidate stream). Identical IEEE fold order on both
+    engines keeps the threshold comparisons hash-stable."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_threshold_profile(emb)
+
+
 @register("pipeline_end_to_end", oracle=f"""
 WITH base AS (SELECT doc_id, lang, text, {_WORDS_SQL} AS ws FROM documents),
 gop AS (

@@ -1185,3 +1185,21 @@ class TestOverlapProfile:
         out = {r["n"]: r for r in
                dedup.overlap_profile(a, b, ns=(1,)).collect()}
         assert out[1]["n_shared"] == 0 and out[1]["jaccard"] == 0.0
+
+
+class TestCosineThresholdProfile:
+    def test_counts_monotone_and_exact(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.9, 0.5]),
+             (3, [0.0, 1.0])],
+            ["vec_id", "embedding"])
+        out = {r["threshold"]: r["n_pairs"] for r in
+               similarity.cosine_threshold_profile(
+                   emb, thresholds=(0.99, 0.8, 0.0)).collect()}
+        # pair (0,1) cos≈0.99995; (0,2)≈0.874; (1,2)≈0.879; (2,3)≈0.486;
+        # (0,3)=0; (1,3)≈0.01
+        assert out[0.99] == 1
+        assert out[0.8] == 3
+        assert out[0.0] == 6  # all pairs (cos >= 0)
+        # monotone by construction
+        assert out[0.99] <= out[0.8] <= out[0.0]

@@ -290,6 +290,14 @@ class TestJsonpathFastPredicate:
         assert "pg_jsonpath_pred_exists" in out
         assert "pg_jsonpath_filter_first" in out          # complex literal
         assert "jsonb_path_query_first(j, p)" in out      # non-literal kept
+        # the qualifier strip runs before routing, so qualified calls
+        # route too; a computed (non-literal) path stays on the generic
+        # dispatch
+        out2 = tp.transpile(
+            "SELECT pg_catalog.jsonb_path_exists(j, '$.a'), "
+            "jsonb_path_exists(j, '$.a' || x) FROM t")
+        assert "pg_jsonpath_plain_exists(j, '$.a')" in out2
+        assert "jsonb_path_exists(j, '$.a' || x)" in out2
 
     def test_complex_shapes_still_route_to_evaluator(self, spark):
         # multi-clause predicates remain correct (Python evaluator path)

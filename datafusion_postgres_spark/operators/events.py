@@ -148,9 +148,14 @@ def sessionize_bucketed(events: DataFrame, key: str = "user_id",
     w1 = Window.partitionBy(key, "__bkt").orderBy(ts_col, tie_col)
     gap = F.col("__secs") - F.lag("__secs").over(w1)
     local_new = F.when(gap.isNull() | (gap > timeout_s), 1).otherwise(0)
+    # cache: the windowed frame feeds BOTH the per-event output and the
+    # bucket summaries; without it the event-sized scan + (key, bucket)
+    # shuffle run twice (the two branches get different pushed filters,
+    # which defeats Spark's exchange reuse)
     ev1 = ev.withColumn(
         "__s_loc",
-        F.sum(local_new).over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+        F.sum(local_new).over(w1.rowsBetween(Window.unboundedPreceding, 0))
+    ).cache()
     summ = (ev1.groupBy(key, "__bkt")
             .agg(F.min("__secs").alias("__first"),
                  F.max("__secs").alias("__last"),

@@ -165,6 +165,11 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame,
         lo, hi = u.agg(F.min(tnum), F.max(tnum)).first()
         bucket_width = 1 if lo is None else \
             max(1, (int(hi) - int(lo)) // max(n_buckets, 1) + 1)
+    # NOT cached, deliberately: the union's three consumers (window,
+    # summaries, bucket index) re-read the scans, but the scans are
+    # narrow-column parquet and the summary/index branches reduce
+    # map-side — measured on the 1M-event harness, caching the wide
+    # union cost MORE (materialization ~1.5s) than the recompute saves
     u = u.withColumn(_BKT, F.floor(tnum / F.lit(int(bucket_width))))
 
     if direction == "backward":

@@ -4,14 +4,21 @@ member of the training-data pipeline (public algorithm: Sennrich et al.
 
 Shape of the computation, Spark-first:
 
-  * TRAINING is the expensive, corpus-sized part and runs as pure
-    DataFrame aggregations: each iteration counts adjacent symbol pairs
-    across the corpus (one map-side-combined groupBy — shuffle volume is
-    the distinct-pair table, never the corpus) and merges the most
-    frequent pair everywhere via a codegen'd left-to-right fold over the
-    per-word symbol arrays. The driver holds only the running merge list
-    (n_merges rows) and the per-iteration argmax — the kmeans/Lloyd's
-    shape this repo already uses.
+  * TRAINING reduces the corpus ONCE to the distinct-(word, count)
+    VOCABULARY (one map-side-combined groupBy — the standard Sennrich
+    formulation trains on word counts, not documents), then iterates
+    over that vocabulary only. Pair frequencies are weighted sums
+    (count-per-word x word weight — provably identical to counting per
+    occurrence), so every merge iteration is vocab-sized (≤ ~10^7 rows
+    at any corpus size) instead of corpus-sized. When the vocabulary
+    fits comfortably on the driver it is collected and the merge loop
+    runs locally with incremental pair-count updates (the kmeans
+    centroid-update pattern: the corpus-sized reduction is distributed,
+    the model-sized iteration is driver-side) — bit-identical output,
+    no per-iteration Spark job. Above the limit the loop stays
+    distributed: one weighted pair-count aggregation + a codegen'd
+    left-to-right merge fold per iteration, shuffling only the
+    distinct-pair table.
   * ENCODING with a trained merge table is a per-word loop over ranked
     merges — a genuine loop, so it rides an Arrow-batched Pandas UDF
     (the documented escape hatch), one pass over the corpus, zero
@@ -36,13 +43,16 @@ from pyspark.sql import DataFrame, functions as F
 from datafusion_postgres_spark.operators.text import norm_text, words
 
 
-def _sym_df(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, syms ARRAY<ARRAY<STRING>>): per word, its character symbols."""
+def _vocab_df(docs: DataFrame, text_col: str) -> DataFrame:
+    """(syms ARRAY<STRING>, weight BIGINT): one row per DISTINCT word,
+    weighted by its corpus occurrence count. The single corpus-sized
+    pass of training — everything after iterates over this table."""
     ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
     return (docs
             .where(F.trim(F.col(text_col)) != "")
-            .select(F.col(id_col).alias("id"),
-                    F.transform(ws, lambda w: F.split(w, "")).alias("syms")))
+            .select(F.explode(ws).alias("w"))
+            .groupBy("w").agg(F.count("*").cast("bigint").alias("weight"))
+            .select(F.split("w", "").alias("syms"), "weight"))
 
 
 def _merge_word(word_col, a: str, b: str):
@@ -59,50 +69,129 @@ def _merge_word(word_col, a: str, b: str):
         .otherwise(F.concat(acc, F.array(x))))
 
 
-def _pair_counts(sym_df: DataFrame) -> DataFrame:
-    """(a, b, cnt) adjacent-pair frequencies across the whole corpus.
-    Count is per OCCURRENCE (the classic formulation), map-side combined
-    so the shuffle carries one row per distinct pair per partition."""
-    pairs = (sym_df
-             .select(F.explode("syms").alias("w"))
-             .where(F.size("w") >= 2)
-             .select(F.explode(F.transform(
-                 F.sequence(F.lit(1), F.size("w") - 1),
-                 lambda i: F.struct(
-                     F.element_at(F.col("w"), i).alias("a"),
-                     F.element_at(F.col("w"), i + 1).alias("b"))))
-                 .alias("p")))
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, cnt) adjacent-pair frequencies across the whole corpus,
+    computed from the VOCABULARY: per-word pair occurrences x the word's
+    corpus weight. Identical to counting per occurrence (the sum
+    distributes over duplicate words), but the input is vocab-sized and
+    the map-side-combined shuffle carries one row per distinct pair per
+    partition regardless of corpus duplication."""
+    pairs = (vocab
+             .where(F.size("syms") >= 2)
+             .select(F.col("weight"),
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.size("syms") - 1),
+                         lambda i: F.struct(
+                             F.element_at(F.col("syms"), i).alias("a"),
+                             F.element_at(F.col("syms"), i + 1).alias("b"))))
+                     .alias("p")))
     return (pairs.groupBy("p.a", "p.b")
-            .agg(F.count("*").alias("cnt")))
+            .agg(F.sum("weight").alias("cnt")))
+
+
+def _merge_loop_local(vocab: list[tuple[list[str], int]],
+                      n_merges: int) -> list[tuple[str, str]]:
+    """Exact merge loop over a collected vocabulary with incremental
+    pair-count maintenance (lazy-deletion heap for the argmax). Same
+    counts, same (cnt desc, pair asc) tie-break as the distributed
+    loop — output is bit-identical by construction."""
+    import heapq
+    from collections import defaultdict
+
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (syms, wt) in enumerate(vocab):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] += wt
+            where[p].add(idx)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if counts.get(p, 0) == -negc:  # stale entries skipped
+                best = (p, -negc)
+                break
+        if best is None or best[1] < 2:
+            break
+        (a, b), _c = best
+        merges.append((a, b))
+        for idx in sorted(where.get((a, b), set())):
+            syms, wt = vocab[idx]
+            touched = set()
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] -= wt
+                where[p].discard(idx)
+                touched.add(p)
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[idx] = (out, wt)
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                counts[p] += wt
+                where[p].add(idx)
+                touched.add(p)
+            for p in touched:
+                c = counts.get(p, 0)
+                if c <= 0:
+                    counts.pop(p, None)
+                    where.pop(p, None)
+                else:
+                    heapq.heappush(heap, (-c, p))
+    return merges
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 50,
               text_col: str = "text",
-              id_col: str = "doc_id") -> list[tuple[str, str]]:
+              id_col: str = "doc_id",
+              local_vocab_limit: int = 500_000) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns them in
-    rank order. Stops early when no pair occurs at least twice."""
-    sym = _sym_df(docs, text_col, id_col).persist()
-    sym.count()
+    rank order. Stops early when no pair occurs at least twice.
+
+    The corpus reduces ONCE to the distinct-(word, count) vocabulary;
+    iteration cost is then vocab-sized at any corpus scale. When the
+    vocabulary has at most ``local_vocab_limit`` distinct words it is
+    collected and the merge loop runs driver-side with incremental
+    counts (no per-iteration Spark job); otherwise the loop stays
+    distributed. Both paths produce identical merges. ``id_col`` is
+    unused (training depends only on word counts) and kept for API
+    stability."""
+    del id_col
+    vocab_src = _vocab_df(docs, text_col)
+    vocab = vocab_src.persist()
+    n_vocab = vocab.count()
+    if n_vocab <= local_vocab_limit:
+        rows = [(list(r["syms"]), r["weight"]) for r in vocab.collect()]
+        vocab.unpersist()
+        return _merge_loop_local(rows, n_merges)
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(n_merges):
-            top = (_pair_counts(sym)
+            top = (_pair_counts(vocab)
                    .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
                    .limit(1).collect())
             if not top or top[0]["cnt"] < 2:
                 break
             a, b = top[0]["a"], top[0]["b"]
             merges.append((a, b))
-            nxt = sym.select(
-                "id",
-                F.transform("syms",
-                            lambda w: _merge_word(w, a, b)).alias("syms")
-            ).persist()
+            nxt = vocab.select(
+                _merge_word(F.col("syms"), a, b).alias("syms"),
+                "weight").persist()
             nxt.count()
-            sym.unpersist()
-            sym = nxt
+            vocab.unpersist()
+            vocab = nxt
     finally:
-        sym.unpersist()
+        vocab.unpersist()
     return merges
 
 

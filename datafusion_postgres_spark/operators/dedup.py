@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _log = logging.getLogger(__name__)
 
+from datafusion_postgres_spark.operators.cachectl import release_on_gc
 from datafusion_postgres_spark.operators.text import (
     FP_MOD, ensure_min_parallelism, fingerprint, norm_text,
     word_fingerprint, words,
@@ -242,7 +243,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
            .select("id_a", "id_b", "inter_n", "union_n",
                    F.round("jaccard", 6).alias("jaccard"))
            .distinct())  # tiny: only verified pairs, one row per duplicate
-    return out
+    return release_on_gc(out, per_doc)
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +358,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                         F.round("jaccard", 6).alias("jaccard")))
     # no post-verify distinct needed: candidates are unique pairs and the
     # gram joins are 1:1 per id
-    return verified
+    return release_on_gc(verified, per_doc)
 
 
 # ---------------------------------------------------------------------------
@@ -422,9 +423,11 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                     F.col("y.simhash").alias("sim_b"))
             .distinct())
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (cand.withColumn("hamming", hamming)
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    return release_on_gc(
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming"),
+        sig)
 
 
 # ---------------------------------------------------------------------------
@@ -549,8 +552,10 @@ def connected_components(pairs: DataFrame, col_a: str = "id_a",
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("id").alias("doc_id"),
-                         F.col("label").alias("component_id"))
+    return release_on_gc(
+        labels.select(F.col("id").alias("doc_id"),
+                      F.col("label").alias("component_id")),
+        labels)
 
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame,
@@ -630,10 +635,12 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.38,
                .select(F.col("id_b").alias("vec_id"))
                .distinct()
                .withColumn("dropped", F.lit(True)))
-    return (assigned.join(dropped, "vec_id", "left")
-            .select("vec_id",
-                    F.col("centroid_id").cast("bigint").alias("cluster_id"),
-                    F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept")))
+    return release_on_gc(
+        assigned.join(dropped, "vec_id", "left")
+        .select("vec_id",
+                F.col("centroid_id").cast("bigint").alias("cluster_id"),
+                F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept")),
+        assigned)
 
 
 def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
@@ -716,9 +723,10 @@ def substring_dup_pairs(docs: DataFrame, window: int = 20,
     # this the fold runs up to 3x (measured 38s -> ~13s on the 50k-doc
     # scale corpus). The cached rows are (id, wh) — 16 bytes per window,
     # a sliver of the input text.
-    exploded = (fps.select("id", whs.alias("whs"))
-                .select("id", F.explode_outer("whs").alias("wh"))
-                .cache())
+    cached = (fps.select("id", whs.alias("whs"))
+              .select("id", F.explode_outer("whs").alias("wh"))
+              .cache())
+    exploded = cached
     if max_df is not None:
         _log.info("substring_dup_pairs: df-cap active (max_df=%d); "
                   "boilerplate windows are excluded from pairing — "
@@ -729,10 +737,12 @@ def substring_dup_pairs(docs: DataFrame, window: int = 20,
         exploded = exploded.join(F.broadcast(hot), "wh", "left_anti")
     a = exploded.select(F.col("id").alias("id_a"), "wh")
     b = exploded.select(F.col("id").alias("id_b"), "wh")
-    return (a.join(b, "wh")
-            .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").cast("bigint").alias("n_shared_windows")))
+    return release_on_gc(
+        a.join(b, "wh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_windows")),
+        cached)
 
 
 def build_bloom_probe(eval_docs: DataFrame, text_col: str = "text",
@@ -769,7 +779,18 @@ def build_bloom_probe(eval_docs: DataFrame, text_col: str = "text",
           2869860233, 1640531527)
     _B = (1013904223, 374761393, 1103515245, 2027808447,
           668265263, 12345)
-    probes = [(_A[i % len(_A)] | 1, _B[i % len(_B)])
+    # (A, B) pairs must be DISTINCT per probe or extra probes add zero
+    # independence: cycling both tables with the same period 6 would
+    # silently reuse pairs past n_hashes=6, so the B index advances by
+    # an extra stride each full A cycle (period 36 = 6*6 distinct
+    # pairs; i < 6 keeps the exact historical pairs). Beyond 36 there
+    # are no fresh pairs — refuse rather than degrade silently.
+    if n_hashes > len(_A) * len(_B):
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(_A) * len(_B)} "
+            "distinct (A, B) probe pairs available")
+    probes = [(_A[i % len(_A)] | 1,
+               _B[(i + i // len(_A)) % len(_B)])
               for i in range(n_hashes)]
     # packed 32 bits per word: element values stay positive and below
     # 2^32, so the codegen bit test (divide by an exact power of two,

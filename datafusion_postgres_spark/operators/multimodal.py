@@ -92,28 +92,96 @@ def _decode_bmp(content: bytes) -> tuple[int, int]:
     return abs(w), abs(h)
 
 
+def _decode_png(content: bytes) -> tuple[int, int]:
+    """Width/height from the PNG IHDR chunk (public spec): the IHDR is
+    REQUIRED to be the first chunk, so width/height are the big-endian
+    uint32s at byte offsets 16 and 20 — a pure header read, no codec."""
+    import struct
+    if len(content) < 24 or content[12:16] != b"IHDR":
+        raise ValueError("truncated or malformed PNG header")
+    w, h = struct.unpack_from(">II", content, 16)
+    return w, h
+
+
+def _decode_gif(content: bytes) -> tuple[int, int]:
+    """Width/height from the GIF logical screen descriptor (public
+    spec): little-endian uint16s at byte offsets 6 and 8, immediately
+    after the GIF87a/GIF89a signature."""
+    import struct
+    if len(content) < 10:
+        raise ValueError("truncated GIF header")
+    w, h = struct.unpack_from("<HH", content, 6)
+    return w, h
+
+
+# SOF markers carrying frame dimensions: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _decode_jpeg(content: bytes) -> tuple[int, int]:
+    """Width/height from the JPEG SOFn marker (public spec): walk the
+    marker segments from SOI until a start-of-frame marker; the frame
+    header stores height then width as big-endian uint16s at offsets
+    +5/+7 from the marker. Dimensions — unlike pixels — never need the
+    entropy-coded data, so this is a bounded header scan."""
+    import struct
+    n = len(content)
+    i = 2  # past SOI
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            i += 1  # padding/garbage between segments
+            continue
+        marker = content[i + 1]
+        if marker == 0xFF:      # fill byte
+            i += 1
+            continue
+        if marker == 0xD9:      # EOI with no SOF seen
+            break
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2              # standalone markers, no length field
+            continue
+        (seg_len,) = struct.unpack_from(">H", content, i + 2)
+        if marker in _JPEG_SOF:
+            if i + 9 > n:
+                break
+            h, w = struct.unpack_from(">HH", content, i + 5)
+            return w, h
+        if marker == 0xDA:      # SOS: entropy-coded data follows
+            break
+        i += 2 + seg_len
+    raise ValueError("no SOF marker found in JPEG stream")
+
+
+# header-only dimension parsers: these formats publish width/height in
+# plain header fields, so no codec library is needed for METADATA
+_DIM_PARSERS = {"ppm": _decode_netpbm, "pgm": _decode_netpbm,
+                "bmp": _decode_bmp, "png": _decode_png,
+                "gif": _decode_gif, "jpeg": _decode_jpeg}
+
+
 def decode_image(content: bytes, fake: bool = False) -> dict:
     """Decode an image's dimensions.
 
-    REAL decode for the library-free public formats — netpbm (P3/P5/P6)
-    and BMP — parsed straight from their specs; JPEG/PNG/GIF need a
-    codec library (PIL/libvips, not in this container) and raise
-    NotImplementedError unless ``fake=True``, which produces the
-    deterministic test double (dimensions derived from a byte checksum)
-    so the distributed plumbing is testable end-to-end either way."""
+    REAL header-only decode for the mainstream public formats — PNG
+    (IHDR chunk), GIF (logical screen descriptor), JPEG (SOF marker
+    scan), BMP (BITMAPINFOHEADER), netpbm (P3/P5/P6) — parsed straight
+    from their specs; dimensions live in plain header fields, so no
+    codec library is required. PIXEL decode (and any remaining format)
+    still raises an honest NotImplementedError unless ``fake=True``,
+    which produces the deterministic test double (dimensions derived
+    from a byte checksum) so the distributed plumbing is testable
+    end-to-end either way."""
     fmt = next((v for k, v in _MAGIC.items() if content.startswith(k)),
                "unknown")
     checksum = _checksum(content)
     if not fake:
-        if fmt in ("ppm", "pgm"):
-            w, h = _decode_netpbm(content)
-        elif fmt == "bmp":
-            w, h = _decode_bmp(content)
-        else:
+        parser = _DIM_PARSERS.get(fmt)
+        if parser is None:
             raise NotImplementedError(
-                f"decoding {fmt!r} requires PIL/libvips; PPM/PGM/BMP "
-                "decode natively, or run with fake=True for the "
-                "deterministic test double")
+                f"no header-only dimension parser for {fmt!r} "
+                "(PNG/GIF/JPEG/BMP/PPM/PGM decode natively); run with "
+                "fake=True for the deterministic test double")
+        w, h = parser(content)
         return {"byte_len": len(content), "format": fmt,
                 "width": w, "height": h, "checksum": checksum}
     return {"byte_len": len(content), "format": fmt,
@@ -321,17 +389,127 @@ AUDIO_SCHEMA = StructType([
 ])
 
 
-def decode_audio(content: bytes) -> dict:
-    """REAL audio metadata from a RIFF/WAVE container (public spec):
-    walk the chunk list, read the ``fmt `` chunk's channels/sample-rate/
-    bit-depth and size duration from the ``data`` chunk. Compressed
-    codecs (mp3/ogg/flac) need a library and raise NotImplementedError."""
+def _decode_flac(content: bytes) -> dict:
+    """FLAC metadata from the STREAMINFO block (public spec): the first
+    metadata block after the ``fLaC`` magic is REQUIRED to be
+    STREAMINFO; sample rate (20 bits), channels-1 (3), bits-1 (5) and
+    total samples (36) are packed big-endian in its bytes 10-17 — a
+    pure header read, no codec."""
     import struct
+    if len(content) < 8 + 18:
+        raise ValueError("truncated FLAC header")
+    block_type = content[4] & 0x7F
+    if block_type != 0:
+        raise ValueError("FLAC stream without leading STREAMINFO")
+    si = content[8:8 + 34]
+    (packed,) = struct.unpack_from(">Q", si, 10)
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    dur_ms = (total_samples * 1000) // sample_rate if sample_rate else 0
+    return {"byte_len": len(content), "format": "flac",
+            "channels": int(channels), "sample_rate": int(sample_rate),
+            "bits_per_sample": int(bits), "duration_ms": int(dur_ms)}
+
+
+# MPEG audio frame-header tables (public spec). Index key: (version,
+# layer) with version in {1, 2} (2 covers MPEG2 and 2.5) — bitrates in
+# kbps, 0 = free/invalid.
+_MP3_BITRATES = {
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320, 0),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384, 0),
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448, 0),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160, 0),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160, 0),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256, 0),
+}
+_MP3_RATES = {"1": (44100, 48000, 32000), "2": (22050, 24000, 16000),
+              "2.5": (11025, 12000, 8000)}
+
+
+def _decode_mp3(content: bytes) -> dict:
+    """MP3 metadata from the first MPEG audio frame header (public
+    spec), after skipping any ID3v2 tag (syncsafe size). Duration: the
+    Xing/Info frame count when present (VBR), else the CBR estimate
+    audio_bytes * 8 / bitrate — both header-only."""
+    import struct
+    pos, n = 0, len(content)
+    if content[:3] == b"ID3" and n >= 10:
+        s = content[6:10]  # syncsafe uint28
+        pos = 10 + ((s[0] << 21) | (s[1] << 14) | (s[2] << 7) | s[3])
+    # find frame sync (11 set bits)
+    while pos + 4 <= n and not (content[pos] == 0xFF and
+                                (content[pos + 1] & 0xE0) == 0xE0):
+        pos += 1
+    if pos + 4 > n:
+        raise ValueError("no MPEG audio frame sync found")
+    (hdr,) = struct.unpack_from(">I", content, pos)
+    ver_bits = (hdr >> 19) & 0x3   # 00=2.5, 10=2, 11=1
+    layer_bits = (hdr >> 17) & 0x3  # 01=III, 10=II, 11=I
+    if ver_bits == 1 or layer_bits == 0:
+        raise ValueError("reserved MPEG version/layer")
+    version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+    layer = 4 - layer_bits          # 1, 2, or 3
+    bitrate_idx = (hdr >> 12) & 0xF
+    rate_idx = (hdr >> 10) & 0x3
+    if rate_idx == 3:
+        raise ValueError("reserved MPEG sample-rate index")
+    sample_rate = _MP3_RATES[version][rate_idx]
+    vkey = 1 if version == "1" else 2
+    bitrate = _MP3_BITRATES[(vkey, layer)][bitrate_idx] * 1000
+    channels = 1 if ((hdr >> 6) & 0x3) == 3 else 2
+    if layer == 1:
+        samples_per_frame = 384
+    elif layer == 2 or version == "1":
+        samples_per_frame = 1152
+    else:
+        samples_per_frame = 576     # layer III, MPEG2/2.5
+    dur_ms = 0
+    # Xing/Info VBR tag sits right after the Layer III side info:
+    # 32 bytes stereo / 17 mono for MPEG1, 17 / 9 for MPEG2/2.5
+    xing_at = pos + 4 + (({"1": {1: 17, 2: 32},
+                           "2": {1: 9, 2: 17},
+                           "2.5": {1: 9, 2: 17}}[version][channels])
+                         if layer == 3 else 0)
+    tag = content[xing_at:xing_at + 4] if xing_at + 16 <= n else b""
+    if tag in (b"Xing", b"Info"):
+        (flags,) = struct.unpack_from(">I", content, xing_at + 4)
+        if flags & 0x1:  # frames field present
+            (frames,) = struct.unpack_from(">I", content, xing_at + 8)
+            dur_ms = (frames * samples_per_frame * 1000) // sample_rate
+    if dur_ms == 0 and bitrate:
+        dur_ms = ((n - pos) * 8 * 1000) // bitrate
+    return {"byte_len": len(content), "format": "mp3",
+            "channels": channels, "sample_rate": int(sample_rate),
+            "bits_per_sample": 0,   # lossy codec: no fixed bit depth
+            "duration_ms": int(dur_ms)}
+
+
+def decode_audio(content: bytes) -> dict:
+    """REAL audio metadata from public container/stream headers:
+    RIFF/WAVE (chunk walk: ``fmt `` + ``data`` sizing), FLAC
+    (STREAMINFO block), and MP3 (MPEG frame header + Xing/Info VBR
+    count, ID3v2-aware). All header-only — PCM/entropy data is never
+    touched. Other formats (ogg/aac) raise NotImplementedError."""
+    import struct
+    if content[:4] == b"fLaC":
+        return _decode_flac(content)
+    if content[:3] == b"ID3" or (len(content) >= 2 and
+                                 content[0] == 0xFF and
+                                 (content[1] & 0xE0) == 0xE0):
+        return _decode_mp3(content)
     if len(content) < 12 or content[:4] != b"RIFF" or \
             content[8:12] != b"WAVE":
         raise NotImplementedError(
-            "only RIFF/WAVE decodes natively; other audio formats need a "
-            "codec library")
+            "RIFF/WAVE, FLAC, and MP3 probe natively; other audio "
+            "formats need a codec library")
     pos, n = 12, len(content)
     fmt_info, data_size = None, None
     while pos + 8 <= n:

@@ -603,7 +603,11 @@ def cosine_threshold_profile(emb: DataFrame,
     pairs = (corpus.crossJoin(b)
              .where(F.col("vec_id") < F.col("vid2"))
              .select(cos.alias("c")))
-    aggs = [F.sum((F.col("c") >= F.lit(float(t))).cast("long"))
+    # coalesce: F.sum over an EMPTY pair stream (corpus of 0-1 vectors)
+    # is NULL — the curve's counts must come back 0, not NULL
+    aggs = [F.coalesce(
+                F.sum((F.col("c") >= F.lit(float(t))).cast("long")),
+                F.lit(0))
             .alias(f"t{i}") for i, t in enumerate(thresholds)]
     row = pairs.agg(*aggs)
     stacked = F.explode(F.array(*[

@@ -48,12 +48,18 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
         import os
         paths = [p.replace("file://", "", 1) if p.startswith("file:") else p
                  for p in df.inputFiles()]
-        if paths:
+        # Only trust the size-based estimate when EVERY path resolves on
+        # the driver's filesystem: for s3://, hdfs://, or unresolvable
+        # file: URIs the stats would silently sum to 0 and force an
+        # unconditional full-frame repartition — the exact shuffle this
+        # estimate exists to avoid. Unresolvable paths fall through to
+        # the physical rdd probe instead.
+        if paths and all(os.path.exists(p) for p in paths):
             max_pb = _parse_bytes(
                 spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
             splits = sum(
                 max(1, -(-os.path.getsize(p) // max_pb))
-                for p in paths if os.path.exists(p))
+                for p in paths)
     except Exception:
         splits = None
     if splits is None:

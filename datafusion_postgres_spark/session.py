@@ -188,8 +188,11 @@ class SparkPgEngine:
         # Full execution through THIS DataFrame's QueryExecution (like
         # PG, which runs the statement and discards the tuples) so the
         # executed plan carries populated SQLMetrics — the per-operator
-        # actuals DataFusion prints from its metrics tree.
-        n = len(df.collect())
+        # actuals DataFusion prints from its metrics tree. Streamed via
+        # toLocalIterator and discarded: the driver holds one partition
+        # at a time, so a large-result statement can't OOM it the way a
+        # collect() would (PG's ANALYZE never materializes either).
+        n = sum(1 for _ in df.toLocalIterator())
         t2 = time.perf_counter()
         lines = plan.rstrip("\n").split("\n")
         from datafusion_postgres_spark.plans.inspect import executed_nodes

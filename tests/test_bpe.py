@@ -81,3 +81,24 @@ class TestBpe:
             [(1, "ab cd"), (2, "ef gh")], "doc_id long, text string")
         merges = bpe_train(docs, n_merges=10)
         assert merges == []  # no pair occurs twice
+
+    def test_distributed_path_matches_local_and_reference(self, spark):
+        """local_vocab_limit=0 forces the distributed merge loop; both
+        paths must produce the identical merge sequence."""
+        docs = spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id long, text string")
+        dist = bpe_train(docs, n_merges=12, local_vocab_limit=0)
+        loc = bpe_train(docs, n_merges=12)
+        assert dist == loc == ref_bpe_train(TEXTS, 12)
+
+    def test_duplicated_corpus_same_merges(self, spark):
+        """Training depends only on (word, count): duplicating every
+        document must not change the learned merges (weights scale
+        uniformly, ranking and tie-breaks are unchanged)."""
+        docs = spark.createDataFrame(
+            list(enumerate(TEXTS)), "doc_id long, text string")
+        dup = spark.createDataFrame(
+            [(i + 1000 * k, t) for k in range(5)
+             for i, t in enumerate(TEXTS)],
+            "doc_id long, text string")
+        assert bpe_train(dup, n_merges=10) == bpe_train(docs, n_merges=10)

@@ -216,3 +216,53 @@ class TestSessionizeBucketed:
         out = sessionize_bucketed(ev, bucket_width_s=1000)
         plan = P.simple_plan(out)
         assert "__bkt" in plan  # the event-sized window carries the bucket
+
+
+class TestBpeVocabIteration:
+    """r5 verdict item #1: the merge loop must iterate over the
+    distinct-(word, count) vocabulary, never per-document state — pair
+    counting is then invariant to corpus duplication."""
+
+    def _texts(self):
+        return [" ".join(f"w{j}tok{j % 7}" for j in range(40))
+                for _ in range(1)] + \
+               ["low lower lowest new newer newest wide wider widest"] * 3
+
+    def test_pair_count_shuffle_invariant_to_duplication(self, spark):
+        from datafusion_postgres_spark.operators.bpe import (
+            _pair_counts, _vocab_df,
+        )
+        texts = self._texts()
+
+        def pair_shuffle(mult):
+            docs = spark.createDataFrame(
+                [(i + 1000 * k, t) for k in range(mult)
+                 for i, t in enumerate(texts)],
+                "doc_id long, text string")
+            vocab = _vocab_df(docs, "text").persist()
+            vocab.count()
+            pc = _pair_counts(vocab)
+            n = len(pc.collect())
+            sh = P.shuffle_rows_written(pc)
+            vocab.unpersist()
+            return n, sh
+
+        (n1, sh1), (n10, sh10) = pair_shuffle(1), pair_shuffle(10)
+        # identical distinct words → identical distinct-pair table and
+        # IDENTICAL iteration shuffle volume at 10x the corpus
+        assert n10 == n1
+        assert sh10 == sh1
+
+    def test_vocab_rows_bounded_by_distinct_words(self, spark):
+        from datafusion_postgres_spark.operators.bpe import _vocab_df
+        texts = self._texts()
+        dup = spark.createDataFrame(
+            [(i + 1000 * k, t) for k in range(10)
+             for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        vocab = _vocab_df(dup, "text")
+        distinct_words = {w for t in texts for w in t.lower().split()}
+        assert vocab.count() == len(distinct_words)
+        # weights carry the duplication factor (counts, not rows, scale)
+        assert vocab.agg(F.sum("weight")).first()[0] == \
+            10 * sum(len(t.split()) for t in texts)

@@ -1,0 +1,177 @@
+"""SQL table-function surface for the LLM-pipeline operator tier.
+
+The pg-wire user can reach every relational operator through plain SQL,
+but the dedup/similarity/text operators lived Python-side only (round-5
+verdict item #8). This module exposes the stable ones as TABLE
+FUNCTIONS usable anywhere a table may appear:
+
+    SELECT * FROM minhash_near_dups('documents', 0.5) WHERE jaccard > 0.8;
+    SELECT count(*) FROM exact_dup_groups('documents');
+    SELECT * FROM simhash_near_pairs('documents', 3);
+    SELECT * FROM decontaminate('documents', 'eval_docs');
+    SELECT * FROM sessionize('events', 1800) LIMIT 10;
+    SELECT * FROM doc_quality('documents') ORDER BY quality DESC;
+
+Mechanics: before normal execution the statement is scanned for
+registered pipeline-function calls with LITERAL arguments (the table
+argument names an engine-registered table/view, quoted or bare). Each
+call builds the operator's DataFrame, registers it as a deterministic
+temp view (name = hash of fn+args, so repeated statements reuse the
+same lazy view), and the call text is replaced by the view name. The
+rewritten statement then flows through the ordinary transpile + SQL
+path, so the full relational surface (WHERE/JOIN/GROUP BY/ORDER BY)
+composes over the operator's output. Spark analogue of PostgreSQL's
+set-returning functions in FROM; none of this exists in the reference
+(its pipeline tier is the repo's beyond-parity surface).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _tbl(spark: SparkSession, name: str) -> DataFrame:
+    return spark.table(name)
+
+
+def _minhash_near_dups(spark, args):
+    from datafusion_postgres_spark.operators.dedup import minhash_lsh_pairs
+    threshold = float(args[1]) if len(args) > 1 else 0.5
+    return minhash_lsh_pairs(_tbl(spark, args[0]), threshold=threshold)
+
+
+def _ngram_jaccard_pairs(spark, args):
+    from datafusion_postgres_spark.operators.dedup import ngram_jaccard_pairs
+    threshold = float(args[1]) if len(args) > 1 else 0.5
+    return ngram_jaccard_pairs(_tbl(spark, args[0]), threshold=threshold)
+
+
+def _exact_dup_groups(spark, args):
+    from datafusion_postgres_spark.operators.dedup import exact_duplicates
+    return exact_duplicates(_tbl(spark, args[0]))
+
+
+def _simhash_near_pairs(spark, args):
+    from datafusion_postgres_spark.operators.dedup import simhash_near_pairs
+    max_hamming = int(args[1]) if len(args) > 1 else 3
+    return simhash_near_pairs(_tbl(spark, args[0]), max_hamming=max_hamming)
+
+
+def _decontaminate(spark, args):
+    from datafusion_postgres_spark.operators.dedup import decontaminate
+    min_overlap = int(args[2]) if len(args) > 2 else 1
+    return decontaminate(_tbl(spark, args[0]), _tbl(spark, args[1]),
+                         min_overlap=min_overlap)
+
+
+def _decontaminate_bloom(spark, args):
+    from datafusion_postgres_spark.operators.dedup import decontaminate_bloom
+    min_overlap = int(args[2]) if len(args) > 2 else 1
+    return decontaminate_bloom(_tbl(spark, args[0]), _tbl(spark, args[1]),
+                               min_overlap=min_overlap)
+
+
+def _sessionize(spark, args):
+    from datafusion_postgres_spark.operators.events import sessionize_bucketed
+    timeout_s = int(args[1]) if len(args) > 1 else 1800
+    return sessionize_bucketed(_tbl(spark, args[0]), timeout_s=timeout_s)
+
+
+def _doc_quality(spark, args):
+    from datafusion_postgres_spark.operators.text import text_stats
+    return text_stats(_tbl(spark, args[0]))
+
+
+def _embedding_near_dups(spark, args):
+    from datafusion_postgres_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+    threshold = float(args[1]) if len(args) > 1 else 0.9
+    return embedding_cosine_pairs(_tbl(spark, args[0]), threshold=threshold)
+
+
+def _ann_topk(spark, args):
+    """ann_topk(corpus, queries, k): exact cosine top-k; `queries` is a
+    table/view with (qid, qvec) — build it with a plain CTAS/CREATE
+    VIEW over the corpus or load external query vectors."""
+    from datafusion_postgres_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    k = int(args[2]) if len(args) > 2 else 10
+    return cosine_topk_bruteforce(_tbl(spark, args[0]),
+                                  _tbl(spark, args[1]), k=k)
+
+
+# name -> (builder, min_args, max_args, n_table_args)
+TVF_REGISTRY = {
+    "minhash_near_dups": (_minhash_near_dups, 1, 2, 1),
+    "ngram_jaccard_pairs": (_ngram_jaccard_pairs, 1, 2, 1),
+    "exact_dup_groups": (_exact_dup_groups, 1, 1, 1),
+    "simhash_near_pairs": (_simhash_near_pairs, 1, 2, 1),
+    "decontaminate": (_decontaminate, 2, 3, 2),
+    "decontaminate_bloom": (_decontaminate_bloom, 2, 3, 2),
+    "sessionize": (_sessionize, 1, 2, 1),
+    "doc_quality": (_doc_quality, 1, 1, 1),
+    "embedding_near_dups": (_embedding_near_dups, 1, 2, 1),
+    "ann_topk": (_ann_topk, 2, 3, 2),
+}
+
+_CALL_RE = re.compile(
+    r"(?is)\b(?:pipeline\s*\.\s*)?(" + "|".join(TVF_REGISTRY) + r")"
+    r"\s*\(([^()]*)\)")
+
+_ARG_RE = re.compile(
+    r"""\s*(?:'(?P<str>[^']*)'|"(?P<qid>[^"]+)"|(?P<bare>[A-Za-z_][\w.]*|
+        [-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?))\s*$""", re.VERBOSE)
+
+
+class TvfError(ValueError):
+    def __init__(self, msg: str, sqlstate: str = "42883"):
+        super().__init__(msg)
+        self.sqlstate = sqlstate
+
+
+def _parse_args(raw: str) -> list[str]:
+    if not raw.strip():
+        return []
+    out = []
+    for part in raw.split(","):
+        m = _ARG_RE.match(part)
+        if not m:
+            raise TvfError(f"unsupported argument {part.strip()!r} — "
+                           "pipeline table functions take literal "
+                           "table names and numbers", "42601")
+        out.append(m.group("str") if m.group("str") is not None
+                   else m.group("qid") if m.group("qid") is not None
+                   else m.group("bare"))
+    return out
+
+
+def rewrite_pipeline_tvfs(spark: SparkSession, stmt: str,
+                          check_table=None) -> str | None:
+    """If ``stmt`` contains pipeline table-function calls, materialize
+    each as a temp view and return the rewritten statement; None when
+    no call is present. ``check_table(name)`` is the permission hook —
+    called for every table argument before the operator touches it."""
+    if not _CALL_RE.search(stmt):
+        return None
+
+    def _sub(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        builder, lo, hi, n_tables = TVF_REGISTRY[fn]
+        args = _parse_args(m.group(2))
+        if not (lo <= len(args) <= hi):
+            raise TvfError(
+                f"{fn} expects {lo}..{hi} arguments, got {len(args)}")
+        for t in args[:n_tables]:
+            if check_table is not None:
+                check_table(t)
+        view = "__tvf_" + fn + "_" + hashlib.sha1(
+            repr(args).encode()).hexdigest()[:10]
+        builder(spark, args).createOrReplaceTempView(view)
+        return view
+
+    return _CALL_RE.sub(_sub, stmt)

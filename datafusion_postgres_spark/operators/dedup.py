@@ -942,6 +942,41 @@ def merge_new_fingerprints(survivors: DataFrame, table: str,
      .format("parquet").saveAsTable(table))
 
 
+def compact_fingerprint_table(spark, table: str, n_buckets: int = 32,
+                              max_files_per_bucket: int = 8) -> dict:
+    """Bound the state table's file count in a long-running ingest loop.
+
+    ``merge_new_fingerprints`` appends one file set per bucket per
+    micro-batch, so file count grows linearly with batches; small-file
+    accumulation eventually dominates the anti-join's scan cost. When
+    the table's files exceed ``n_buckets * max_files_per_bucket``, the
+    DISTINCT fingerprints are rewritten into a fresh table with the
+    SAME bucket spec (bucket-pruned reads keep working unchanged) and
+    swapped in via DROP + RENAME. Not crash-atomic — a transactional
+    catalog (Iceberg/Delta) would make the swap a metadata commit; for
+    a Hive-style managed table this is the standard compaction shape.
+
+    Returns {"compacted": bool, "files_before": n, "files_after": n} —
+    call it from the ingest loop every batch; it no-ops until the
+    threshold trips (one file listing, no job)."""
+    spark.catalog.refreshTable(table)
+    files_before = len(spark.table(table).inputFiles())
+    if files_before <= n_buckets * max_files_per_bucket:
+        return {"compacted": False, "files_before": files_before,
+                "files_after": files_before}
+    staging = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    (spark.table(table).select("fp").distinct()
+     .write.mode("overwrite").bucketBy(n_buckets, "fp").sortBy("fp")
+     .format("parquet").saveAsTable(staging))
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    spark.catalog.refreshTable(table)
+    files_after = len(spark.table(table).inputFiles())
+    return {"compacted": True, "files_before": files_before,
+            "files_after": files_after}
+
+
 def overlap_profile(train: DataFrame, eval_docs: DataFrame,
                     ns: tuple[int, ...] = (1, 2, 3),
                     text_col: str = "text",

@@ -1,14 +1,31 @@
 """Similarity search over embedding columns (`array<float>`).
 
+TIER ROUTING (measured recall@10 at sf0.1, ANN_RECALL.json):
+  * **sq8 (0.985 recall) and ivf_sq8 (0.89) are the production scale
+    tiers** — 4x-compressed codes, zero corpus shuffle at query time,
+    and the persistent index (sources/ann_index.py) adds STATIC
+    partition pruning. Route 100 TB workloads here.
+  * ivf (0.90) when uncompressed re-ranking matters more than scan
+    width; exact brute force for eval sets (query side broadcasts, the
+    corpus never shuffles).
+  * lsh / pq are HONEST-BUT-WEAK tiers on this corpus, kept as oracle
+    and teaching paths: sign-LSH recall is low when neighbor cosines
+    are moderate (the measured regime here), and pq's 16x compression
+    costs too much recall (0.48). `cosine_topk_lsh(n_probes=8)`
+    multi-probes the lowest-margin buckets (Lv et al. 2007) — the
+    right LSH mechanics, fully DuckDB-oracled — but prefer sq8 tiers
+    unless the corpus has tight (cos >= 0.95) neighbor structure.
+
 Scale design:
   * `cosine_topk_bruteforce` — the exact baseline. The query side is
     `broadcast()` (it is top-k *for a small query set*, the common shape in
     retrieval evals), so the big embedding table never shuffles: one
     broadcast-nested-loop with a codegen'd dot product, then a per-query
     top-k (window over qid — partitions = #queries, each tiny).
-  * `lsh_topk` — the scale path: random-hyperplane LSH buckets both sides;
-    candidates only meet within a bucket (shuffle keyed on (plane-bucket)),
-    turning O(N·Q) into O(collisions). Recall tunable via n_planes/n_tables.
+  * `cosine_topk_lsh` — random-hyperplane LSH buckets both sides;
+    candidates only meet within a probed bucket (shuffle keyed on the
+    plane-bucket), turning O(N·Q) into O(collisions). Recall tunable
+    via n_planes/n_probes.
   * Dot products use `F.zip_with` + `F.aggregate` — JVM-side, no Python.
     Deterministic left-to-right summation (stable across engines for the
     DuckDB oracle).
@@ -81,11 +98,25 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("qid", "vec_id", "cos_sim", "rnk"))
 
 
-# deterministic pseudo-random hyperplanes: plane p, dim d weight in {-1,+1}
-# from an LCG on (p*dim + d) — engine-portable, no RNG state.
+# deterministic pseudo-random hyperplanes: plane p, dim d weight in {-1,+1}.
+def _plane_sign_value(p: int, d: int) -> float:
+    """±1 hyperplane weight as a pure function of (p, d) via SHA-256.
+
+    The round-5 LCG ((p*A + d*B + c) mod M, parity) was AFFINE in d
+    with no modular wrap for d < 64, so every plane was the same ±
+    pattern up to a global sign — measured: only 2 of 256 buckets
+    occupied on the sf0.1 corpus, i.e. no blocking at all (candidate
+    generation degenerated to half the corpus, a quadratic blowup at
+    scale that also inflated apparent recall). Cryptographic mixing
+    makes planes independent; both Spark and the DuckDB oracle fold
+    the same literals, so cross-engine determinism is unchanged."""
+    import hashlib
+    h = hashlib.sha256(f"lsh-plane:{p}:{d}".encode()).digest()
+    return 1.0 if h[0] % 2 == 0 else -1.0
+
+
 def _plane_sign(p, d):
-    x = (p * 1_103_515_245 + d * 12_345 + 42) % 2_147_483_647
-    return F.when(F.lit(x % 2) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return F.lit(_plane_sign_value(p, d))
 
 
 def lsh_bucket_expr(vec, n_planes: int, dims: int, plane_offset: int = 0):
@@ -239,16 +270,40 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("qid", "vec_id", "cos_sim", "rnk"))
 
 
+# Multi-probe perturbation order (Lv et al., VLDB 2007 — "Multi-Probe
+# LSH"): probe the query's own bucket first, then buckets reached by
+# flipping the lowest-|projection|-margin planes (those are the planes
+# the query most nearly straddles, so their flips hold the likeliest
+# missed neighbors). Subsets index into the margin-ASC-sorted plane
+# list; order approximates increasing perturbation cost.
+_PROBE_SUBSETS: tuple[tuple[int, ...], ...] = (
+    (), (0,), (1,), (0, 1), (2,), (0, 2), (3,), (1, 2), (0, 3), (4,),
+    (1, 3), (0, 1, 2), (2, 3), (5,), (0, 4), (1, 4), (6,), (0, 1, 3), (7,),
+    (2, 4),
+)
+
+
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
                     n_planes: int = 8, dims: int = 64,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
-                    exclude_self: bool = True) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+                    exclude_self: bool = True,
+                    n_probes: int = 8) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket plus ``n_probes - 1`` MULTI-PROBE neighbor buckets (flip the
+    lowest-margin hyperplane bits of the query signature — Lv et al.
+    2007). Measured at sf0.1 (ANN_RECALL.json): recall@10 0.025
+    single-bucket / 0.13 at n_probes=8 — honest numbers for a corpus
+    whose top-10 neighbor cosines are moderate; sign-LSH only shines on
+    tight (cos >= 0.95) neighbor structure. ROUTE SCALE WORKLOADS TO
+    sq8 (0.985) / ivf_sq8 (0.89); this tier stays as the fully-oracled
+    LSH mechanics reference.
 
-    At 100 TB the bucket column is computed once at ingest and the corpus is
-    bucketBy()-written on it, making this a bucket-pruned scan + local
-    top-k; here it is an equi-join on the signature."""
+    At 100 TB the bucket column is computed once at ingest and the
+    corpus is bucketBy()-written on it, making this a bucket-pruned
+    scan + local top-k; here it is an equi-join on the signature. Only
+    the tiny broadcast QUERY side fans out (n_probes rows per query) —
+    the corpus is never recomputed or duplicated."""
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
@@ -257,12 +312,56 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.select(
         "qid", F.transform(F.col("qvec"),
                            lambda x: x.cast("double")).alias("qvec"))
-    q = q.withColumn("bucket", lsh_bucket_expr(F.col("qvec"), n_planes, dims))
+    if n_probes <= 1:
+        q = q.withColumn("bucket",
+                         lsh_bucket_expr(F.col("qvec"), n_planes, dims))
+    else:
+        # per-plane signed projections (the same sums lsh_bucket_expr
+        # folds into sign bits, kept raw here for the margins)
+        projs = F.array(*[
+            F.aggregate(
+                F.zip_with(F.col("qvec"),
+                           F.array(*[_plane_sign(p, d) for d in range(dims)]),
+                           lambda x, w: x * w),
+                F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+            for p in range(n_planes)])
+        # materialize the projections: the query side is tiny by
+        # contract (it broadcasts), and without the cut Catalyst
+        # inlines the n_planes x dims literal fold into EVERY probe's
+        # XOR chain — measured 4x whole-query slowdown purely from
+        # codegen size at n_probes=8
+        q = q.select("qid", "qvec",
+                     projs.alias("__projs")).localCheckpoint(eager=False)
+        pj = F.col("__projs")
+        base = F.aggregate(
+            F.array(*[F.when(F.element_at(pj, p + 1) >= 0,
+                             F.lit(1 << p)).otherwise(F.lit(0))
+                      for p in range(n_planes)]),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        # planes sorted by |projection| ascending = flip-first order
+        margins = F.array_sort(F.array(*[
+            F.struct(F.abs(F.element_at(pj, p + 1)).alias("m"),
+                     F.lit(p).alias("p"))
+            for p in range(n_planes)]))
+        subsets = [s for s in _PROBE_SUBSETS
+                   if all(j < n_planes for j in s)][:n_probes]
+        probe_buckets = []
+        for subset in subsets:
+            b = base
+            for j in subset:
+                fp = F.element_at(margins, j + 1)["p"]
+                b = b.bitwiseXOR(
+                    F.pow(F.lit(2.0), fp.cast("double")).cast("long"))
+            probe_buckets.append(b)
+        q = (q.select("qid", "qvec",
+                      F.explode(F.array_distinct(F.array(*probe_buckets)))
+                      .alias("bucket")))
     scored = (corpus.join(F.broadcast(q), "bucket")
               .where(_self_pred(exclude_self))
               .select("qid", "vec_id",
                       F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
-                              6).alias("cos_sim")))
+                              6).alias("cos_sim"))
+              .dropDuplicates(["qid", "vec_id"]))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .where(F.col("rnk") <= k)

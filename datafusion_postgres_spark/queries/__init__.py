@@ -106,56 +106,53 @@ PRIORITY = [
     # oracled rows so every registered query re-earns a driver-green
     # CORRECTNESS entry every few rounds. A swapped-out row keeps its
     # oracle and stays in the local `tools/check_oracle.py` gate.
-    # Round-5 swaps (21 rows absent from the r04 window): q7→q8, q10→q9,
-    # q18→q2, pg_case_when→pg_ordered_set_aggs, ilike_filter→
-    # pg_recursive_cte, pg_regex_match→pg_operator_form,
-    # pg_array_functions→agg_approx_sketches, pg_json_operators→
-    # pg_jsonpath, pg_distinct_on→geo_radius_pairs,
-    # pg_generate_series_tf→date_functions, join_cross_comma→
-    # join_asof_bucketed (carries join_asof_events's oracle verbatim),
-    # join_using→join_scd2_enrich, agg_collect_ordered→skew_twophase_agg,
-    # window_ntile_first_last→window_range_frame, events_hourly_rollup→
-    # events_cohort_retention, events_sessionize→
-    # events_sessionize_bucketed (same oracle), text_corpus_profile→
-    # text_gopher_filter, dedup_ngram_jaccard→dedup_components,
-    # dedup_minhash_signatures→dedup_substring_pairs,
-    # dedup_simhash_signatures→dedup_simhash_pairs, sim_cosine_topk→
-    # sim_cosine_sq8 (exact cosine stays covered by
-    # dedup_embedding_cosine).
+    # Round-6 swaps (22 rows absent from the r05 window): five
+    # never-driver-checked rows cycle in (text_bpe_merges,
+    # text_overlap_profile, sim_threshold_profile, sim_cosine_ivf_sq8,
+    # text_source_contamination) plus the new sim_cosine_lsh_multiprobe
+    # and sixteen r04-era rows two rounds out of window (q7, q10,
+    # pg_case_when, ilike_filter, pg_regex_match, pg_array_functions,
+    # pg_json_operators, pg_distinct_on, pg_generate_series_tf,
+    # join_cross_comma, join_using, agg_collect_ordered,
+    # window_ntile_first_last, events_hourly_rollup,
+    # text_corpus_profile, dedup_ngram_jaccard). Rotated out to the
+    # local gate: q8/q9/q2, pg_ordered_set_aggs, pg_recursive_cte,
+    # pg_operator_form, agg_approx_sketches, pg_jsonpath,
+    # geo_radius_pairs, date_functions, join_asof_bucketed,
+    # join_scd2_enrich, skew_twophase_agg, agg_stats_having,
+    # pivot_orderstatus, window_range_frame, events_cohort_retention,
+    # events_sessionize_bucketed, dedup_components,
+    # dedup_substring_pairs, dedup_simhash_pairs, sim_cosine_sq8 —
+    # every one driver-green in r05.
     # TPC-H adaptations (compound shapes: joins + aggs + sorts)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q8_market_share", "q9_product_profit",
-    "q2_min_cost_supplier",
+    "q7_nation_pair_volume", "q10_returned_items",
     # filters / dialect (§2.2)
-    "filter_predicates", "pg_ordered_set_aggs", "pg_recursive_cte",
-    "pg_operator_form",
+    "filter_predicates", "pg_case_when", "ilike_filter", "pg_regex_match",
     "pg_any_all_array", "pg_casts", "dedup_embedding_cosine",
-    "pg_string_functions", "pg_math_functions", "agg_approx_sketches",
-    "pg_jsonpath", "geo_radius_pairs", "date_functions",
-    # joins (§2.3) + temporal joins (bucketed = the round-5 hot-key-
-    # immune variant; it carries join_asof_events's oracle verbatim, so
-    # as-of semantics stay driver-checked while the scale path earns
-    # its driver-green row — join_asof_events stays in the local gate)
-    "join_outer_suite", "join_semi_anti", "join_asof_bucketed",
-    "join_scd2_enrich",
+    "pg_string_functions", "pg_math_functions", "pg_array_functions",
+    "pg_json_operators", "pg_distinct_on", "pg_generate_series_tf",
+    # joins (§2.3)
+    "join_outer_suite", "join_semi_anti", "join_cross_comma", "join_using",
     "subquery_correlated_in", "lateral_subquery",
     # aggregation (§2.4)
-    "agg_distinct_filter", "skew_twophase_agg", "agg_grouping_suite",
-    "agg_stats_having", "pivot_orderstatus",
+    "agg_distinct_filter", "agg_collect_ordered", "agg_grouping_suite",
     # windows (§2.5)
-    "window_suite", "window_range_frame",
+    "window_suite", "window_ntile_first_last",
     # sorts / set ops / table functions (§2.6-2.8)
     "sort_wildcard_topk", "set_ops_suite", "tablefunc_unnest_values",
     # events (batch side) + a REAL streaming execution of the rollup
     # (readStream -> watermarked window agg -> memory sink)
-    "events_cohort_retention", "events_sessionize_bucketed",
-    "streaming_hourly_rollup",
+    "events_hourly_rollup", "streaming_hourly_rollup",
     # LLM-data-pipeline operators
-    "text_doc_features", "text_gopher_filter", "dedup_exact_groups",
-    "dedup_components", "dedup_substring_pairs",
-    "dedup_simhash_pairs", "dedup_minhash_lsh", "sim_cosine_sq8",
+    "text_doc_features", "text_gopher_filter", "text_corpus_profile",
+    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "multimodal_metadata_oracle",
     "text_dsir_weights", "text_lm_perplexity", "dedup_decontaminate_bloom",
+    # never-driver-checked rows earning their first green entry
+    "text_bpe_merges", "text_overlap_profile", "text_source_contamination",
+    "sim_threshold_profile", "sim_cosine_ivf_sq8",
+    "sim_cosine_lsh_multiprobe",
 ]
 
 

@@ -237,6 +237,7 @@ class SparkPgEngine:
             raise FailedTransactionError(
                 "current transaction is aborted, commands ignored until "
                 "end of transaction block")  # error code 25P01
+        stmt = self._maybe_rewrite_pipeline_tvfs(stmt)
         self._check_permissions(stmt)
         self._maybe_refresh_catalog(stmt)
         analyzed = self._maybe_explain_analyze(stmt)
@@ -328,6 +329,31 @@ class SparkPgEngine:
         self._catalog_dirty = True
         n = _dml_row_count(res)
         return n if n else len(rows)
+
+    def _maybe_rewrite_pipeline_tvfs(self, stmt: str) -> str:
+        """Expose the pipeline operator tier (dedup/similarity/text)
+        through SQL: `SELECT * FROM minhash_near_dups('documents', 0.5)`
+        — each registered pipeline-function call materializes as a lazy
+        temp view and the statement proceeds through the ordinary
+        transpile path, so the full relational surface composes over the
+        operator output (functions/pipeline_tvf.py)."""
+        kind = self.transpiler.statement_kind(stmt)
+        if kind not in ("SELECT", "WITH", "CREATE", "EXPLAIN"):
+            return stmt
+        from datafusion_postgres_spark.functions.pipeline_tvf import (
+            rewrite_pipeline_tvfs,
+        )
+        from datafusion_postgres_spark.server.auth import Resource
+
+        def check_table(name: str) -> None:
+            self.auth.check_statement(
+                self.user, "SELECT",
+                Resource("table",
+                         name if "." in name else f"public.{name}"))
+
+        rewritten = rewrite_pipeline_tvfs(self.spark, stmt,
+                                          check_table=check_table)
+        return stmt if rewritten is None else rewritten
 
     def _check_permissions(self, stmt: str) -> None:
         """Per-statement RBAC (hooks/permissions.rs:44-92): map statement

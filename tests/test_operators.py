@@ -212,10 +212,36 @@ class TestEmbeddingDedup:
         assert set(approx) <= set(exact)
         for k, v in approx.items():
             assert v == exact[k]
-        # 4 tables × 8 planes on near-orthogonal vectors: expect most of the
-        # exact pairs back (recall bound loose on purpose — deterministic
-        # planes, so this is stable, not flaky)
-        assert len(approx) >= 0.5 * len(exact) > 0
+        assert len(approx) > 0
+
+    def test_lsh_recall_on_planted_near_dups(self, spark):
+        """Recall measured where sign-LSH's guarantee applies: planted
+        near-dup pairs at cos≈0.97 (per-bit collision 1-θ/π ≈ 0.92 →
+        per-table 0.92^8 ≈ 0.52 → 4 tables ≈ 0.95 expected recall).
+        The corpus's organic 0.38-threshold pairs are NOT a sign-LSH
+        regime (p_bit 0.62 → per-pair ≈ 0.09) — semantic_dedup's IVF
+        clustering is the loose-threshold path."""
+        import numpy as np
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(60):
+            v = rng.standard_normal(64)
+            v /= np.linalg.norm(v)
+            n = rng.standard_normal(64)
+            n -= (n @ v) * v
+            n /= np.linalg.norm(n)
+            w = v + 0.25 * n          # cos(v, w) = 1/sqrt(1.0625) ≈ 0.970
+            rows.append((2 * i, [float(x) for x in v]))
+            rows.append((2 * i + 1, [float(x) for x in w]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 dedup.embedding_cosine_pairs(df, threshold=0.9).collect()}
+        approx = {(r["id_a"], r["id_b"]) for r in
+                  dedup.embedding_cosine_pairs_lsh(
+                      df, threshold=0.9).collect()}
+        assert approx <= exact
+        # deterministic planes + fixed seed → stable, not flaky
+        assert len(approx) >= 0.6 * len(exact) > 0
 
 
 class TestSemanticDedup:

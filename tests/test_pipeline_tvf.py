@@ -1,0 +1,126 @@
+"""SQL table-function surface for the pipeline tier (r5 verdict item
+#8): the pg-wire user reaches dedup/similarity/text operators through
+plain SELECTs that compose with the relational surface."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    from datafusion_postgres_spark.session import SparkPgEngine
+    e = SparkPgEngine(spark)
+    for t in ("documents", "events", "embeddings"):
+        e.register_file(t, f"{SF}/{t}.parquet")
+    return e
+
+
+def _rows(eng, sql):
+    (res,) = eng.execute(sql)
+    return res.df.collect()
+
+
+class TestPipelineTvf:
+    def test_minhash_near_dups_composes_with_where(self, eng, spark):
+        rows = _rows(eng,
+                     "SELECT * FROM minhash_near_dups('documents', 0.5) "
+                     "WHERE jaccard >= 0.8 ORDER BY id_a, id_b")
+        from datafusion_postgres_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+        direct = (minhash_lsh_pairs(spark.table("documents"), threshold=0.5)
+                  .where("jaccard >= 0.8").orderBy("id_a", "id_b").collect())
+        assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
+        assert len(rows) > 0
+
+    def test_exact_dup_groups_aggregates(self, eng):
+        (n,) = _rows(eng,
+                     "SELECT count(*) AS n FROM exact_dup_groups('documents')")
+        assert n["n"] > 0
+
+    def test_doc_quality_order_and_limit(self, eng):
+        rows = _rows(eng, "SELECT doc_id, quality FROM "
+                          "doc_quality('documents') "
+                          "ORDER BY quality DESC, doc_id LIMIT 5")
+        assert len(rows) == 5
+        qs = [r["quality"] for r in rows]
+        assert qs == sorted(qs, reverse=True)
+
+    def test_sessionize_events(self, eng):
+        rows = _rows(eng, "SELECT user_id, max(session_id) AS n_sessions "
+                          "FROM sessionize('events', 1800) "
+                          "GROUP BY user_id ORDER BY user_id LIMIT 5")
+        assert len(rows) == 5
+        assert all(r["n_sessions"] >= 1 for r in rows)
+
+    def test_decontaminate_two_tables(self, eng, spark):
+        spark.table("documents").where("doc_id < 20") \
+            .createOrReplaceTempView("eval_docs")
+        rows = _rows(eng, "SELECT * FROM "
+                          "decontaminate('documents', 'eval_docs') "
+                          "ORDER BY doc_id LIMIT 10")
+        assert len(rows) > 0  # the eval slice overlaps itself at minimum
+
+    def test_join_tvf_with_base_table(self, eng):
+        rows = _rows(eng,
+                     "SELECT d.source, count(*) AS n "
+                     "FROM exact_dup_groups('documents') g "
+                     "JOIN documents d ON d.doc_id = g.representative "
+                     "GROUP BY d.source ORDER BY d.source")
+        assert len(rows) > 0
+
+    def test_ann_topk(self, eng, spark):
+        spark.sql("SELECT vec_id AS qid, embedding AS qvec FROM embeddings "
+                  "WHERE vec_id < 3").createOrReplaceTempView("qv")
+        rows = _rows(eng, "SELECT * FROM ann_topk('embeddings', 'qv', 5) "
+                          "ORDER BY qid, rnk")
+        assert len(rows) == 15
+        assert rows[0]["rnk"] == 1
+
+    def test_unknown_args_rejected(self, eng):
+        with pytest.raises(Exception):
+            _rows(eng, "SELECT * FROM minhash_near_dups(doc_id + 1)")
+
+    def test_arity_enforced(self, eng):
+        with pytest.raises(Exception):
+            _rows(eng, "SELECT * FROM decontaminate('documents')")
+
+    def test_repeated_call_reuses_view_name(self, eng, spark):
+        before = {v.name for v in spark.catalog.listTables()
+                  if v.name.startswith("__tvf_")}
+        _rows(eng, "SELECT count(*) AS n "
+                   "FROM simhash_near_pairs('documents', 3)")
+        _rows(eng, "SELECT count(*) AS n "
+                   "FROM simhash_near_pairs('documents', 3)")
+        after = {v.name for v in spark.catalog.listTables()
+                 if v.name.startswith("__tvf_")}
+        assert len(after - before) == 1  # deterministic name, reused
+
+
+class TestOverTheWire:
+    """The same TVF statement through the real v3 wire protocol —
+    the verdict's done-criterion for the SQL pipeline surface."""
+
+    def test_minhash_near_dups_over_pgwire(self, spark):
+        from datafusion_postgres_spark.server.pgwire import PgWireServer
+        from tests.test_pgwire import MiniPgClient
+        srv = PgWireServer(spark, port=0)
+        srv.start_background()
+        try:
+            c = MiniPgClient(srv.host, srv.port)
+            try:
+                c.query(
+                    "CREATE OR REPLACE TEMPORARY VIEW wiredocs AS "
+                    "SELECT * FROM parquet."
+                    "`/root/testdata/sf0.001/documents.parquet`")
+                res = c.query(
+                    "SELECT count(*) AS n "
+                    "FROM minhash_near_dups('wiredocs', 0.5) "
+                    "WHERE jaccard >= 0.8")
+                assert res["cols"] == ["n"]
+                assert int(res["rows"][0][0]) > 0
+            finally:
+                c.close()
+        finally:
+            srv.shutdown()

@@ -53,7 +53,9 @@ def main() -> None:
         "exact_bruteforce": (0.0,
                              lambda: S.cosine_topk_bruteforce(emb, q, k=k)),
         "lsh": (0.0, lambda: S.cosine_topk_lsh(emb, q, k=k, n_planes=8,
-                                               dims=64)),
+                                               dims=64, n_probes=1)),
+        "lsh_multiprobe": (0.0, lambda: S.cosine_topk_lsh(
+            emb, q, k=k, n_planes=8, dims=64, n_probes=8)),
         "ivf_trained": (builds["ivf"], lambda: S.cosine_topk_ivf(
             emb, q, k=k, n_centroids=16, n_probe=4, centroids=cents)),
         "pq_trained": (builds["pq"], lambda: S.cosine_topk_pq(

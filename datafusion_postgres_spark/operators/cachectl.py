@@ -8,51 +8,85 @@ load-bearing — without it the expensive stage runs 2-3x — but a bare
 invocations accumulate event-scale blocks in executor storage until
 eviction pressure.
 
-``release_on_gc(result, *deps)`` ties each cached dependency's lifetime
-to the RETURNED frame's Python lifetime: when the caller drops the
-result (or it goes out of scope), a ``weakref.finalize`` callback
-unpersists the dependencies. CPython refcounting makes this prompt and
-deterministic for the common call-use-drop pattern; correctness never
-depends on it (an unpersisted frame recomputes). ``blocking=False`` so
-release never stalls the caller's thread, and errors are swallowed —
-at interpreter shutdown or after ``spark.stop()`` the JVM may already
-be gone.
+GENERATION-BASED release: each operator registers its cached
+intermediate under a stable key, and registering a NEW generation
+unpersists the previous one. A long-running session that invokes an
+operator per micro-batch therefore holds exactly ONE live cache per
+operator instead of an unbounded chain, while the CURRENT generation
+stays cached until the operator runs again (or
+``release_operator_caches()`` is called) — so the lazily-executed
+result plan always finds its cache alive, no matter which Python
+references the caller keeps.
+
+Why not release-on-GC of the returned frame: derived frames
+(``result.orderBy(...)``) reference the parent PLAN JVM-side but not
+the parent Python object, so a finalizer on the returned frame fires
+as soon as the caller derives from it — unpersisting the cache before
+the query ever executes (measured: minhash bench row 0.86s -> 3.6s).
+
+Correctness never depends on any of this: an unpersisted frame
+recomputes. ``blocking=False`` so release never stalls; errors are
+swallowed (the JVM may be gone at teardown).
 """
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
-# Strong refs to active finalizers (weakref.finalize self-registers in
-# an internal registry, but keeping our own set makes the pending count
-# observable for tests/audits).
-_FINALIZERS: set = set()
+# operator key -> (semantic hash, live cached intermediate) of the
+# operator's latest invocation
+_GENERATIONS: dict[str, tuple[int | None, DataFrame]] = {}
 
 
-def _unpersist_all(deps: tuple) -> None:
-    for d in deps:
+def _semantic_hash(df: DataFrame) -> int | None:
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+
+
+def cache_generation(key: str, df: DataFrame) -> DataFrame:
+    """Cache ``df`` as operator ``key``'s current generation.
+
+    Same key + semantically identical plan → the LIVE generation is
+    returned, so repeated identical invocations (a bench loop, a
+    dashboard refresh) hit the warm cache instead of recomputing. A
+    plan change (new micro-batch, different params) releases the
+    previous generation first — memory stays bounded at one cache per
+    operator. Note the usual Spark-cache snapshot semantics: a reused
+    generation pins the data as of its first computation."""
+    h = _semantic_hash(df)
+    prev = _GENERATIONS.get(key)
+    if prev is not None:
+        prev_h, prev_df = prev
+        if h is not None and prev_h == h:
+            return prev_df
         try:
-            d.unpersist(blocking=False)
+            prev_df.unpersist(blocking=False)
         except Exception:
             pass  # session stopped / interpreter teardown
+        _GENERATIONS.pop(key, None)
+    cached = df.cache()
+    _GENERATIONS[key] = (h, cached)
+    return cached
 
 
-def release_on_gc(result: DataFrame, *deps: DataFrame) -> DataFrame:
-    """Unpersist ``deps`` when ``result`` is garbage-collected; returns
-    ``result`` unchanged so call sites stay one-line."""
-    fin = weakref.finalize(result, _unpersist_all, tuple(deps))
-    fin.atexit = False  # JVM is gone at interpreter exit anyway
-    _FINALIZERS.add(fin)
-    _FINALIZERS.difference_update(
-        {f for f in _FINALIZERS if not f.alive})
-    return result
+def release_operator_caches() -> int:
+    """Unpersist every live operator cache (e.g. at the end of an
+    ingest loop or engine session); returns how many were released."""
+    n = 0
+    for key in list(_GENERATIONS):
+        _, df = _GENERATIONS.pop(key)
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
-def pending_release_count() -> int:
-    """Number of operator results whose cached deps are still held —
-    observable leak gauge for tests."""
-    _FINALIZERS.difference_update(
-        {f for f in _FINALIZERS if not f.alive})
-    return len(_FINALIZERS)
+def live_cache_count() -> int:
+    """Number of live operator-cache generations — the leak gauge:
+    bounded by the number of DISTINCT operators used, never by how
+    often they ran."""
+    return len(_GENERATIONS)

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _log = logging.getLogger(__name__)
 
-from datafusion_postgres_spark.operators.cachectl import release_on_gc
+from datafusion_postgres_spark.operators.cachectl import cache_generation
 from datafusion_postgres_spark.operators.text import (
     FP_MOD, ensure_min_parallelism, fingerprint, norm_text,
     word_fingerprint, words,
@@ -188,8 +188,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     Output: (id_a, id_b, inter_n, union_n, jaccard) with id_a < id_b.
     """
     # cache: the shingle hashing is the expensive projection and per_doc
-    # feeds three branches (join keys + both verification sides)
-    per_doc = shingle_array(docs, text_col, id_col, n).cache()
+    # feeds three branches (join keys + both verification sides);
+    # generation-cached — the next invocation releases this one
+    per_doc = cache_generation("ngram_jaccard_pairs",
+                               shingle_array(docs, text_col, id_col, n))
     if prefix_filter:
         prefix_len = (F.floor(F.size("grams") * (1.0 - threshold)) + 1) \
             .cast("int")
@@ -243,7 +245,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
            .select("id_a", "id_b", "inter_n", "union_n",
                    F.round("jaccard", 6).alias("jaccard"))
            .distinct())  # tiny: only verified pairs, one row per duplicate
-    return release_on_gc(out, per_doc)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -323,9 +325,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                          f"got {band_hash!r}")
     portable = band_hash == "poly"
     rows_per_band = k // bands
-    per_doc = (shingle_array(docs, text_col, id_col, n)
-               .withColumn("sig", _sig_expr(k))
-               .cache())
+    per_doc = cache_generation(
+        "minhash_lsh_pairs",
+        shingle_array(docs, text_col, id_col, n)
+        .withColumn("sig", _sig_expr(k)))
     banded = per_doc.select(
         "id",
         F.explode(F.array(*[
@@ -358,7 +361,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                         F.round("jaccard", 6).alias("jaccard")))
     # no post-verify distinct needed: candidates are unique pairs and the
     # gram joins are 1:1 per id
-    return release_on_gc(verified, per_doc)
+    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -402,7 +405,8 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, blocked on byte-chunks
     (pigeonhole: distance<=6 over 4 chunks → at least one identical chunk)."""
-    sig = simhash(docs, text_col, id_col, bits).cache()
+    sig = cache_generation("simhash_near_pairs",
+                           simhash(docs, text_col, id_col, bits))
     chunks = 6
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
@@ -423,11 +427,9 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                     F.col("y.simhash").alias("sim_b"))
             .distinct())
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return release_on_gc(
-        cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming"),
-        sig)
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -552,10 +554,20 @@ def connected_components(pairs: DataFrame, col_a: str = "id_a",
         if changed == 0:
             break
     edges.unpersist()
-    return release_on_gc(
-        labels.select(F.col("id").alias("doc_id"),
-                      F.col("label").alias("component_id")),
-        labels)
+    # final labels stay persisted for the consumer; the next invocation
+    # with a CHANGED plan releases them (the per-round intermediates
+    # already unpersist eagerly above). If an identical invocation's
+    # generation is still live, this run's duplicate persist is dropped
+    # in favor of the warm one.
+    reg = cache_generation("connected_components", labels)
+    if reg is not labels:
+        try:
+            labels.unpersist(blocking=False)
+        except Exception:
+            pass
+        labels = reg
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component_id"))
 
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame,
@@ -622,7 +634,9 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.38,
                                  vec_col, id_col)
     else:
         cents = deterministic_centroids(emb, n_clusters, vec_col, id_col)
-    assigned = ivf_assign(emb, cents, vec_col=vec_col, id_col=id_col).cache()
+    assigned = cache_generation(
+        "semantic_dedup",
+        ivf_assign(emb, cents, vec_col=vec_col, id_col=id_col))
     a = assigned.select(F.col("centroid_id"), F.col("vec_id").alias("id_a"),
                         F.col("vec").alias("va"))
     b = assigned.select(F.col("centroid_id"), F.col("vec_id").alias("id_b"),
@@ -635,12 +649,10 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.38,
                .select(F.col("id_b").alias("vec_id"))
                .distinct()
                .withColumn("dropped", F.lit(True)))
-    return release_on_gc(
-        assigned.join(dropped, "vec_id", "left")
-        .select("vec_id",
-                F.col("centroid_id").cast("bigint").alias("cluster_id"),
-                F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept")),
-        assigned)
+    return (assigned.join(dropped, "vec_id", "left")
+            .select("vec_id",
+                    F.col("centroid_id").cast("bigint").alias("cluster_id"),
+                    F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept")))
 
 
 def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
@@ -723,10 +735,10 @@ def substring_dup_pairs(docs: DataFrame, window: int = 20,
     # this the fold runs up to 3x (measured 38s -> ~13s on the 50k-doc
     # scale corpus). The cached rows are (id, wh) — 16 bytes per window,
     # a sliver of the input text.
-    cached = (fps.select("id", whs.alias("whs"))
-              .select("id", F.explode_outer("whs").alias("wh"))
-              .cache())
-    exploded = cached
+    exploded = cache_generation(
+        "substring_dup_pairs",
+        fps.select("id", whs.alias("whs"))
+        .select("id", F.explode_outer("whs").alias("wh")))
     if max_df is not None:
         _log.info("substring_dup_pairs: df-cap active (max_df=%d); "
                   "boilerplate windows are excluded from pairing — "
@@ -737,12 +749,10 @@ def substring_dup_pairs(docs: DataFrame, window: int = 20,
         exploded = exploded.join(F.broadcast(hot), "wh", "left_anti")
     a = exploded.select(F.col("id").alias("id_a"), "wh")
     b = exploded.select(F.col("id").alias("id_b"), "wh")
-    return release_on_gc(
-        a.join(b, "wh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("bigint").alias("n_shared_windows")),
-        cached)
+    return (a.join(b, "wh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("bigint").alias("n_shared_windows")))
 
 
 def build_bloom_probe(eval_docs: DataFrame, text_col: str = "text",

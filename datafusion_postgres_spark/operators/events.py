@@ -151,13 +151,15 @@ def sessionize_bucketed(events: DataFrame, key: str = "user_id",
     # cache: the windowed frame feeds BOTH the per-event output and the
     # bucket summaries; without it the event-sized scan + (key, bucket)
     # shuffle run twice (the two branches get different pushed filters,
-    # which defeats Spark's exchange reuse). Released when the returned
-    # frame is dropped (release_on_gc below) so repeated invocation in a
-    # long-lived session doesn't accumulate event-scale cached blocks.
-    ev1 = ev.withColumn(
+    # which defeats Spark's exchange reuse). Generation-cached: the next
+    # invocation releases this one, so a long-lived session holds one
+    # event-scale cache, not an unbounded chain (operators/cachectl.py).
+    from datafusion_postgres_spark.operators.cachectl import (
+        cache_generation,
+    )
+    ev1 = cache_generation("sessionize_bucketed", ev.withColumn(
         "__s_loc",
-        F.sum(local_new).over(w1.rowsBetween(Window.unboundedPreceding, 0))
-    ).cache()
+        F.sum(local_new).over(w1.rowsBetween(Window.unboundedPreceding, 0))))
     summ = (ev1.groupBy(key, "__bkt")
             .agg(F.min("__secs").alias("__first"),
                  F.max("__secs").alias("__last"),
@@ -176,9 +178,6 @@ def sessionize_bucketed(events: DataFrame, key: str = "user_id",
     sid = F.when((F.col("__merge") == 1) & (F.col("__s_loc") == 1),
                  F.col("__prev")) \
         .otherwise(F.col("__prev") + F.col("__s_loc") - F.col("__merge"))
-    from datafusion_postgres_spark.operators.cachectl import release_on_gc
-    return release_on_gc(
-        ev1.join(carry, [key, "__bkt"])
-        .withColumn("session_id", sid.cast("bigint"))
-        .drop("__secs", "__bkt", "__s_loc", "__merge", "__prev"),
-        ev1)
+    return (ev1.join(carry, [key, "__bkt"])
+            .withColumn("session_id", sid.cast("bigint"))
+            .drop("__secs", "__bkt", "__s_loc", "__merge", "__prev"))

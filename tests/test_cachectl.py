@@ -1,6 +1,10 @@
 """Cache-lifecycle audit: operators that cache an internal frame must
-release it when the returned frame is dropped (ADVICE r5: long-lived
-sessions otherwise accumulate event-scale cached blocks)."""
+not accumulate blocks across invocations (ADVICE r5). Generation-based:
+the next invocation of an operator releases the previous invocation's
+cache, so a long-lived session holds at most ONE live cache per
+operator — and the CURRENT generation stays alive until then, so the
+lazily-executed result plan always finds its cache (a release-on-GC
+scheme fired before execution and silently doubled the work)."""
 
 import gc
 
@@ -10,11 +14,6 @@ from pyspark.sql import functions as F
 
 def _persistent_rdd_count(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-
-
-def _drain(spark):
-    """Drop pending finalizers' targets and let unpersist run."""
-    gc.collect()
 
 
 @pytest.fixture()
@@ -31,61 +30,85 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id int, text string")
 
 
-class TestReleaseOnGc:
-    def test_sessionize_bucketed_releases_cache(self, spark, events):
-        from datafusion_postgres_spark.operators.events import (
-            sessionize_bucketed,
-        )
-        gc.collect()
-        base = _persistent_rdd_count(spark)
-        out = sessionize_bucketed(events, timeout_s=90, bucket_width_s=300)
-        assert out.count() == 40
-        assert _persistent_rdd_count(spark) > base  # cache is live
-        del out
-        _drain(spark)
-        assert _persistent_rdd_count(spark) == base
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    from datafusion_postgres_spark.operators.cachectl import (
+        release_operator_caches,
+    )
+    release_operator_caches()
+    yield
+    release_operator_caches()
 
-    def test_repeated_invocation_does_not_grow_registry(self, spark, events):
+
+class TestGenerationCache:
+    def test_repeated_invocation_does_not_accumulate(self, spark, events):
         from datafusion_postgres_spark.operators.cachectl import (
-            pending_release_count,
+            live_cache_count, release_operator_caches,
         )
         from datafusion_postgres_spark.operators.events import (
             sessionize_bucketed,
         )
         gc.collect()
         base = _persistent_rdd_count(spark)
-        for _ in range(3):
+        for _ in range(4):
             out = sessionize_bucketed(events, timeout_s=90,
                                       bucket_width_s=300)
-            out.count()
-            del out
-        _drain(spark)
+            assert out.count() == 40
+        # bounded: exactly ONE live generation regardless of call count
+        assert live_cache_count() == 1
+        assert _persistent_rdd_count(spark) <= base + 1
+        assert release_operator_caches() == 1
         assert _persistent_rdd_count(spark) == base
-        assert pending_release_count() == 0
 
-    def test_substring_dup_pairs_releases_cache(self, spark, docs):
+    def test_cache_alive_through_lazy_execution(self, spark, events):
+        """The current generation must survive the caller deriving and
+        dropping frames — the regression the GC scheme caused: cache
+        released before the plan ever executed, doubling the work."""
+        from datafusion_postgres_spark.operators.events import (
+            sessionize_bucketed,
+        )
+        from datafusion_postgres_spark.plans import inspect as P
+        out = sessionize_bucketed(events, timeout_s=90, bucket_width_s=300)
+        derived = out.select("event_id", "session_id")
+        del out
+        gc.collect()
+        derived.collect()
+        # the cached windowed frame served the plan: an InMemory scan
+        # appears in the executed plan
+        plan = derived._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+    def test_multiple_operators_one_generation_each(self, spark, docs):
+        from datafusion_postgres_spark.operators.cachectl import (
+            live_cache_count, release_operator_caches,
+        )
         from datafusion_postgres_spark.operators.dedup import (
-            substring_dup_pairs,
+            minhash_lsh_pairs, simhash_near_pairs, substring_dup_pairs,
         )
         gc.collect()
         base = _persistent_rdd_count(spark)
-        out = substring_dup_pairs(docs, window=8)
-        out.count()
-        del out
-        _drain(spark)
+        for _ in range(2):
+            minhash_lsh_pairs(docs, threshold=0.5).count()
+            simhash_near_pairs(docs).count()
+            substring_dup_pairs(docs, window=8).count()
+        assert live_cache_count() == 3  # one per operator, not per call
+        release_operator_caches()
         assert _persistent_rdd_count(spark) == base
 
-    def test_minhash_and_components_release(self, spark, docs):
+    def test_connected_components_releases_previous_labels(self, spark,
+                                                           docs):
+        from datafusion_postgres_spark.operators.cachectl import (
+            release_operator_caches,
+        )
         from datafusion_postgres_spark.operators.dedup import (
             connected_components, minhash_lsh_pairs,
         )
         gc.collect()
         base = _persistent_rdd_count(spark)
         pairs = minhash_lsh_pairs(docs, threshold=0.5)
-        comp = connected_components(pairs)
-        comp.count()
-        del pairs, comp
-        _drain(spark)
+        for _ in range(2):
+            connected_components(pairs).count()
+        release_operator_caches()
         assert _persistent_rdd_count(spark) == base
 
     def test_result_matches_bare_window(self, spark, events):

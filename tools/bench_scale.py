@@ -140,6 +140,23 @@ def main() -> None:
             sessionize_bucketed(events, bucket_width_s=86_400),
             results, collect_cols=["event_id", "session_id"])
 
+    # -- BPE vocabulary reduction (r5 verdict item #1): the merge
+    #    iteration's pair-count aggregation runs over the distinct
+    #    (word, count) vocabulary, so duplicating the corpus 2x must
+    #    leave the iteration shuffle volume IDENTICAL (weights change,
+    #    rows don't)
+    from datafusion_postgres_spark.operators.bpe import (
+        _pair_counts, _vocab_df,
+    )
+    for tag, frame in (
+            ("bpe_paircount_base", docs),
+            ("bpe_paircount_dup2x", docs.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)))):
+        vocab = _vocab_df(frame, "text").persist()
+        vocab.count()
+        measure(tag, _pair_counts(vocab), results, collect_cols=["cnt"])
+        vocab.unpersist()
+
     out = {
         "dataset": {"root": root, "n_docs": n_docs,
                     "n_events": events.count(),

@@ -593,6 +593,23 @@ def _proc_rows() -> list:
                 ("SETOF " if retset else "") + ret_name,
                 body))
             oid += 1
+    # pipeline table functions (operator tier exposed through SQL —
+    # functions/pipeline_tvf.py): discoverable via psql \df like any
+    # set-returning function; 'v' volatility (they read tables)
+    from datafusion_postgres_spark.functions.pipeline_tvf import (
+        TVF_SIGNATURES,
+    )
+    for name in sorted(TVF_SIGNATURES):
+        args_text, result_text = TVF_SIGNATURES[name]
+        argnames = [a.strip().split()[0] for a in args_text.split(",")]
+        rows.append((
+            oid, name, PG_CATALOG_NAMESPACE_OID, 2249, len(argnames),
+            "f", True, "v",
+            " ".join(["25"] * len(argnames)),
+            argnames, args_text, result_text,
+            "pipeline table function (Spark operator tier; "
+            "functions/pipeline_tvf.py)"))
+        oid += 1
     return rows
 
 

@@ -105,6 +105,49 @@ def _ann_topk(spark, args):
                                   _tbl(spark, args[1]), k=k)
 
 
+# psql-\df metadata (pg_proc rows): name -> (argument text, result text)
+TVF_SIGNATURES = {
+    "minhash_near_dups": (
+        "corpus text, threshold double precision",
+        "TABLE(id_a bigint, id_b bigint, inter_n bigint, union_n bigint, "
+        "jaccard double precision)"),
+    "ngram_jaccard_pairs": (
+        "corpus text, threshold double precision",
+        "TABLE(id_a bigint, id_b bigint, inter_n bigint, union_n bigint, "
+        "jaccard double precision)"),
+    "exact_dup_groups": (
+        "corpus text",
+        "TABLE(norm text, representative bigint, n_dups bigint)"),
+    "simhash_near_pairs": (
+        "corpus text, max_hamming integer",
+        "TABLE(id_a bigint, id_b bigint, hamming integer)"),
+    "decontaminate": (
+        "corpus text, eval_corpus text, min_overlap integer",
+        "TABLE(doc_id bigint, n_overlap bigint, "
+        "overlap_ratio double precision)"),
+    "decontaminate_bloom": (
+        "corpus text, eval_corpus text, min_overlap integer",
+        "TABLE(doc_id bigint, n_overlap bigint, "
+        "overlap_ratio double precision)"),
+    "sessionize": (
+        "events text, timeout_s integer",
+        "TABLE(user_id bigint, ts timestamp, event_id bigint, "
+        "session_id bigint)"),
+    "doc_quality": (
+        "corpus text",
+        "TABLE(doc_id bigint, n_tokens integer, n_chars_actual integer, "
+        "stopword_ratio double precision, punct_ratio double precision, "
+        "avg_word_len double precision, quality double precision, "
+        "lang_pred text, fingerprint bigint)"),
+    "embedding_near_dups": (
+        "embeddings text, threshold double precision",
+        "TABLE(id_a bigint, id_b bigint, cos_sim double precision)"),
+    "ann_topk": (
+        "embeddings text, queries text, k integer",
+        "TABLE(qid bigint, vec_id bigint, cos_sim double precision, "
+        "rnk bigint)"),
+}
+
 # name -> (builder, min_args, max_args, n_table_args)
 TVF_REGISTRY = {
     "minhash_near_dups": (_minhash_near_dups, 1, 2, 1),

@@ -40,7 +40,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from datafusion_postgres_spark.operators.text import norm_text, words
+from datafusion_postgres_spark.operators.text import (
+    ensure_min_parallelism, norm_text, words,
+)
 
 
 def _vocab_df(docs: DataFrame, text_col: str) -> DataFrame:
@@ -48,7 +50,7 @@ def _vocab_df(docs: DataFrame, text_col: str) -> DataFrame:
     weighted by its corpus occurrence count. The single corpus-sized
     pass of training — everything after iterates over this table."""
     ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
-    return (docs
+    return (ensure_min_parallelism(docs)
             .where(F.trim(F.col(text_col)) != "")
             .select(F.explode(ws).alias("w"))
             .groupBy("w").agg(F.count("*").cast("bigint").alias("weight"))

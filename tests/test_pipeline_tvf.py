@@ -124,3 +124,25 @@ class TestOverTheWire:
                 c.close()
         finally:
             srv.shutdown()
+
+
+def test_tvfs_discoverable_in_pg_proc(eng):
+    """psql \\df shape: every pipeline TVF is listed as a set-returning
+    function with its argument and result text."""
+    (res,) = eng.execute(
+        "SELECT proname, proretset, proargs_text, proresult_text "
+        "FROM pg_catalog.pg_proc WHERE proname = 'minhash_near_dups'")
+    rows = res.df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["proretset"] is True
+    assert "threshold" in r["proargs_text"]
+    assert "jaccard" in r["proresult_text"]
+    from datafusion_postgres_spark.functions.pipeline_tvf import (
+        TVF_REGISTRY, TVF_SIGNATURES,
+    )
+    assert set(TVF_SIGNATURES) == set(TVF_REGISTRY)
+    (res,) = eng.execute(
+        "SELECT count(*) AS n FROM pg_catalog.pg_proc "
+        "WHERE prosrc LIKE '%pipeline table function%'")
+    assert res.df.collect()[0]["n"] == len(TVF_REGISTRY)

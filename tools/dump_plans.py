@@ -191,6 +191,20 @@ COMMENTARY = {
         "Round 5: Bloom decontaminate (corpus never shuffles; pure-"
         "codegen bitset probe) + one source-keyed rollup; exact integer "
         "counts, single double division.",
+    "text_bpe_merges":
+        "Round 6: ONE corpus pass reduces to the distinct-(word, count) "
+        "vocabulary (map-side-combined groupBy); every merge iteration "
+        "is vocab-sized — pair-count shuffle rows invariant to corpus "
+        "duplication (BENCH_SCALE: 229 = 229 at 2x). Under the "
+        "local_vocab_limit the merge loop runs driver-side "
+        "(kmeans-centroid shape), so the plan shown is just the "
+        "vocabulary reduction.",
+    "sim_cosine_lsh_multiprobe":
+        "Round 6: corpus buckets once (zero-shuffle projection); the "
+        "TINY query side explodes into 8 margin-sorted probe buckets "
+        "behind a localCheckpoint (caps codegen size) and broadcasts; "
+        "candidates only meet inside probed buckets. sq8/ivf_sq8 stay "
+        "the routed scale tiers (ANN_RECALL.json).",
 }
 
 

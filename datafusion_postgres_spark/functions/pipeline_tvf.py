@@ -93,6 +93,23 @@ def _embedding_near_dups(spark, args):
     return embedding_cosine_pairs(_tbl(spark, args[0]), threshold=threshold)
 
 
+def _dup_components(spark, args):
+    """dup_components(corpus, threshold): near-dup clusters end-to-end —
+    minhash/LSH candidate pairs verified by exact Jaccard, collapsed to
+    (doc_id, component_id) via min-label propagation."""
+    from datafusion_postgres_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+    threshold = float(args[1]) if len(args) > 1 else 0.5
+    pairs = minhash_lsh_pairs(_tbl(spark, args[0]), threshold=threshold)
+    return connected_components(pairs)
+
+
+def _overlap_profile(spark, args):
+    from datafusion_postgres_spark.operators.dedup import overlap_profile
+    return overlap_profile(_tbl(spark, args[0]), _tbl(spark, args[1]))
+
+
 def _ann_topk(spark, args):
     """ann_topk(corpus, queries, k): exact cosine top-k; `queries` is a
     table/view with (qid, qvec) — build it with a plain CTAS/CREATE
@@ -133,6 +150,13 @@ TVF_SIGNATURES = {
         "events text, timeout_s integer",
         "TABLE(user_id bigint, ts timestamp, event_id bigint, "
         "session_id bigint)"),
+    "dup_components": (
+        "corpus text, threshold double precision",
+        "TABLE(doc_id bigint, component_id bigint)"),
+    "overlap_profile": (
+        "train_corpus text, eval_corpus text",
+        "TABLE(n integer, n_train_grams bigint, n_eval_grams bigint, "
+        "n_shared bigint, jaccard double precision)"),
     "doc_quality": (
         "corpus text",
         "TABLE(doc_id bigint, n_tokens integer, n_chars_actual integer, "
@@ -157,6 +181,8 @@ TVF_REGISTRY = {
     "decontaminate": (_decontaminate, 2, 3, 2),
     "decontaminate_bloom": (_decontaminate_bloom, 2, 3, 2),
     "sessionize": (_sessionize, 1, 2, 1),
+    "dup_components": (_dup_components, 1, 2, 1),
+    "overlap_profile": (_overlap_profile, 2, 2, 2),
     "doc_quality": (_doc_quality, 1, 1, 1),
     "embedding_near_dups": (_embedding_near_dups, 1, 2, 1),
     "ann_topk": (_ann_topk, 2, 3, 2),

@@ -31,11 +31,16 @@ swallowed (the JVM may be gone at teardown).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 # operator key -> (semantic hash, live cached intermediate) of the
-# operator's latest invocation
+# operator's latest invocation. Lock: pg-wire serves sessions from
+# multiple threads over one engine; a race would only cost a stray
+# unpersist (recompute, never wrong results), but keep it clean.
 _GENERATIONS: dict[str, tuple[int | None, DataFrame]] = {}
+_LOCK = threading.Lock()
 
 
 def _semantic_hash(df: DataFrame) -> int | None:
@@ -56,27 +61,30 @@ def cache_generation(key: str, df: DataFrame) -> DataFrame:
     operator. Note the usual Spark-cache snapshot semantics: a reused
     generation pins the data as of its first computation."""
     h = _semantic_hash(df)
-    prev = _GENERATIONS.get(key)
-    if prev is not None:
-        prev_h, prev_df = prev
-        if h is not None and prev_h == h:
-            return prev_df
-        try:
-            prev_df.unpersist(blocking=False)
-        except Exception:
-            pass  # session stopped / interpreter teardown
-        _GENERATIONS.pop(key, None)
-    cached = df.cache()
-    _GENERATIONS[key] = (h, cached)
-    return cached
+    with _LOCK:
+        prev = _GENERATIONS.get(key)
+        if prev is not None:
+            prev_h, prev_df = prev
+            if h is not None and prev_h == h:
+                return prev_df
+            try:
+                prev_df.unpersist(blocking=False)
+            except Exception:
+                pass  # session stopped / interpreter teardown
+            _GENERATIONS.pop(key, None)
+        cached = df.cache()
+        _GENERATIONS[key] = (h, cached)
+        return cached
 
 
 def release_operator_caches() -> int:
     """Unpersist every live operator cache (e.g. at the end of an
     ingest loop or engine session); returns how many were released."""
     n = 0
-    for key in list(_GENERATIONS):
-        _, df = _GENERATIONS.pop(key)
+    with _LOCK:
+        entries = list(_GENERATIONS.values())
+        _GENERATIONS.clear()
+    for _, df in entries:
         try:
             df.unpersist(blocking=False)
             n += 1

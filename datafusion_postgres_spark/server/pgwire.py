@@ -832,3 +832,10 @@ class PgWireServer:
     def shutdown(self):
         self._server.shutdown()
         self._server.server_close()
+        try:
+            from datafusion_postgres_spark.operators.cachectl import (
+                release_operator_caches,
+            )
+            release_operator_caches()
+        except Exception:
+            pass  # Spark may already be stopped

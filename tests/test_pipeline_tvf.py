@@ -146,3 +146,19 @@ def test_tvfs_discoverable_in_pg_proc(eng):
         "SELECT count(*) AS n FROM pg_catalog.pg_proc "
         "WHERE prosrc LIKE '%pipeline table function%'")
     assert res.df.collect()[0]["n"] == len(TVF_REGISTRY)
+
+
+def test_dup_components_and_overlap_profile(eng, spark):
+    rows = _rows(eng,
+                 "SELECT component_id, count(*) AS n "
+                 "FROM dup_components('documents', 0.5) "
+                 "GROUP BY component_id HAVING count(*) >= 2 "
+                 "ORDER BY n DESC, component_id LIMIT 5")
+    assert len(rows) > 0 and all(r["n"] >= 2 for r in rows)
+    spark.table("documents").where("doc_id < 30") \
+        .createOrReplaceTempView("eval_slice")
+    prof = _rows(eng, "SELECT * FROM "
+                      "overlap_profile('documents', 'eval_slice') "
+                      "ORDER BY n")
+    assert [r["n"] for r in prof] == [1, 2, 3]
+    assert all(r["n_shared"] > 0 for r in prof)

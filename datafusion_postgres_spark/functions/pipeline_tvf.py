@@ -28,7 +28,7 @@ set-returning functions in FROM; none of this exists in the reference
 from __future__ import annotations
 
 import hashlib
-import re
+
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -188,35 +188,34 @@ TVF_REGISTRY = {
     "ann_topk": (_ann_topk, 2, 3, 2),
 }
 
-_CALL_RE = re.compile(
-    r"(?is)\b(?:pipeline\s*\.\s*)?(" + "|".join(TVF_REGISTRY) + r")"
-    r"\s*\(([^()]*)\)")
-
-_ARG_RE = re.compile(
-    r"""\s*(?:'(?P<str>[^']*)'|"(?P<qid>[^"]+)"|(?P<bare>[A-Za-z_][\w.]*|
-        [-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?))\s*$""", re.VERBOSE)
-
-
 class TvfError(ValueError):
     def __init__(self, msg: str, sqlstate: str = "42883"):
         super().__init__(msg)
         self.sqlstate = sqlstate
 
 
-def _parse_args(raw: str) -> list[str]:
-    if not raw.strip():
-        return []
-    out = []
-    for part in raw.split(","):
-        m = _ARG_RE.match(part)
-        if not m:
-            raise TvfError(f"unsupported argument {part.strip()!r} — "
-                           "pipeline table functions take literal "
-                           "table names and numbers", "42601")
-        out.append(m.group("str") if m.group("str") is not None
-                   else m.group("qid") if m.group("qid") is not None
-                   else m.group("bare"))
-    return out
+def _group_to_literal(group) -> str:
+    """One comma-separated argument's tokens -> the literal string the
+    builders consume. Only literal table names and numbers qualify —
+    expressions are rejected with a clear error."""
+    from datafusion_postgres_spark.dialect.tokenizer import (
+        IDENT, NUMBER, OP, QIDENT, STRING,
+    )
+    if len(group) == 1:
+        t = group[0]
+        if t.kind == STRING and not t.text[0] in "eE":
+            return t.text[1:-1].replace("''", "'")
+        if t.kind == QIDENT:
+            return t.text[1:-1].replace('""', '"')
+        if t.kind in (IDENT, NUMBER):
+            return t.text
+    if len(group) == 2 and group[0].kind == OP and \
+            group[0].text in "+-" and group[1].kind == NUMBER:
+        return group[0].text + group[1].text
+    raise TvfError(
+        "unsupported argument "
+        f"{''.join(t.text for t in group)!r} — pipeline table functions "
+        "take literal table names and numbers", "42601")
 
 
 def rewrite_pipeline_tvfs(spark: SparkSession, stmt: str,
@@ -224,23 +223,89 @@ def rewrite_pipeline_tvfs(spark: SparkSession, stmt: str,
     """If ``stmt`` contains pipeline table-function calls, materialize
     each as a temp view and return the rewritten statement; None when
     no call is present. ``check_table(name)`` is the permission hook —
-    called for every table argument before the operator touches it."""
-    if not _CALL_RE.search(stmt):
-        return None
+    called for every table argument before the operator touches it.
 
-    def _sub(m: re.Match) -> str:
-        fn = m.group(1).lower()
+    Token-aware (the dialect tokenizer, not a regex), so a function
+    name inside a string literal, quoted identifier, or comment is
+    never rewritten, and only bare or ``pipeline.``-qualified calls
+    count as TVF invocations."""
+    low = stmt.lower()
+    if not any(name in low for name in TVF_REGISTRY):
+        return None
+    from datafusion_postgres_spark.dialect.tokenizer import (
+        IDENT, PUNCT, WS, Token, emit, tokenize,
+    )
+    toks = tokenize(stmt)
+    out: list[Token] = []
+    i, changed = 0, False
+
+    def _last_sig(seq):
+        for idx in range(len(seq) - 1, -1, -1):
+            if seq[idx].kind != WS:
+                return idx
+        return -1
+
+    while i < len(toks):
+        t = toks[i]
+        if not (t.kind == IDENT and t.text.lower() in TVF_REGISTRY):
+            out.append(t)
+            i += 1
+            continue
+        j = i + 1
+        while j < len(toks) and toks[j].kind == WS:
+            j += 1
+        if not (j < len(toks) and toks[j].kind == PUNCT
+                and toks[j].text == "("):
+            out.append(t)   # bare identifier, not a call
+            i += 1
+            continue
+        # qualification: only bare or pipeline.-prefixed calls rewrite
+        p = _last_sig(out)
+        qualified = p >= 0 and out[p].kind == PUNCT and out[p].text == "."
+        if qualified:
+            q = _last_sig(out[:p])
+            if q >= 0 and out[q].kind == IDENT and \
+                    out[q].text.lower() == "pipeline":
+                del out[q:]  # drop the pipeline. prefix (+ trailing ws)
+            else:
+                out.append(t)  # someone else's schema — leave untouched
+                i += 1
+                continue
+        fn = t.text.lower()
         builder, lo, hi, n_tables = TVF_REGISTRY[fn]
-        args = _parse_args(m.group(2))
+        # collect literal args up to the matching ')' (no nesting)
+        k = j + 1
+        groups, ok = [[]], True
+        while k < len(toks):
+            tk = toks[k]
+            if tk.kind == PUNCT and tk.text == ")":
+                break
+            if tk.kind == PUNCT and tk.text == "(":
+                ok = False
+                break
+            if tk.kind == PUNCT and tk.text == ",":
+                groups.append([])
+            elif tk.kind != WS:
+                groups[-1].append(tk)
+            k += 1
+        if not ok or k >= len(toks):
+            raise TvfError(
+                f"{fn}(...) takes literal table names and numbers only",
+                "42601")
+        if groups == [[]]:
+            args: list[str] = []
+        else:
+            args = [_group_to_literal(g) for g in groups]
         if not (lo <= len(args) <= hi):
             raise TvfError(
                 f"{fn} expects {lo}..{hi} arguments, got {len(args)}")
-        for t in args[:n_tables]:
+        for tbl in args[:n_tables]:
             if check_table is not None:
-                check_table(t)
+                check_table(tbl)
         view = "__tvf_" + fn + "_" + hashlib.sha1(
             repr(args).encode()).hexdigest()[:10]
         builder(spark, args).createOrReplaceTempView(view)
-        return view
-
-    return _CALL_RE.sub(_sub, stmt)
+        out.append(Token(IDENT, view))
+        changed = True
+        i = k + 1
+    return emit(out) if changed else None

@@ -380,42 +380,54 @@ def pq_train(emb: DataFrame, m: int = 16, ksub: int = 32, iters: int = 3,
              vec_col: str = "embedding",
              id_col: str = "vec_id") -> list[list[list[float]]]:
     """Train per-subspace codebooks with the same deterministic Lloyd's
-    loop as :func:`kmeans_centroids`, one run per subspace over the
-    subvectors. Shuffle volume per iteration = m small partial-aggregated
-    groupBys (ksub x subdim running sums each), independent of corpus
-    size; only the ksub centroid rows ever reach the driver.
+    update as :func:`kmeans_centroids`, ALL SUBSPACES FUSED: one seed
+    collect, then exactly ONE corpus pass per iteration — each vector
+    explodes into its m (subspace, nearest-centroid, subvector) structs
+    and a single partial-aggregated groupBy on (subspace, centroid)
+    updates every codebook at once. Round-5 shape ran m separate Lloyd's
+    loops (m seeds + m*iters jobs = 64 corpus passes at the m=16
+    default); at 100 TB that is the difference between ``iters`` scans
+    and ``m*iters`` scans. Shuffle volume per iteration stays the
+    partial-agg running sums (m*ksub x subdim), independent of corpus
+    size; only centroid rows reach the driver.
 
     Returns ``codebooks[j][c] = centroid c of subspace j`` (plain Python
     lists — m*ksub*subdim floats, e.g. 8*16*8 = 1 KiB)."""
-    spark = emb.sparkSession
     unit = _unit_vectors(emb, vec_col, id_col)
     dims = len(unit.select("vec").head()["vec"])
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m {m}")
     sub = dims // m
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
-        subv = unit.select(
-            "vec_id", F.slice("vec", j * sub + 1, sub).alias("sv"))
-        seed = subv.orderBy("vec_id").limit(ksub).collect()
-        if len(seed) < ksub:
-            raise ValueError(
-                f"corpus has {len(seed)} rows, fewer than ksub={ksub}; "
-                "reduce ksub or use brute-force top-k")
-        cents = {i: list(r["sv"]) for i, r in enumerate(seed)}
-        for _ in range(iters):
-            # zero-shuffle argmin assignment (constant-folded codebook
-            # literal + HOF loop), then ONE partial-aggregated groupBy
-            cb = _codebook_lit([cents[i] for i in range(ksub)])
-            assigned = subv.withColumn(
-                "cid", _argmin_code(F.col("sv"), cb))
-            means = (assigned.groupBy("cid")
-                     .agg(*[F.avg(F.col("sv")[d]).alias(f"d{d}")
-                            for d in range(sub)]).collect())
-            new = {r["cid"]: [r[f"d{d}"] for d in range(sub)] for r in means}
-            cents = {cid: new.get(cid, v) for cid, v in cents.items()}
-        codebooks.append([cents[i] for i in range(ksub)])
-    return codebooks
+    # one seed job for all subspaces: the first ksub vectors by id,
+    # sliced per subspace driver-side (identical subvectors to the
+    # previous per-subspace seeding)
+    seed = unit.orderBy("vec_id").limit(ksub).collect()
+    if len(seed) < ksub:
+        raise ValueError(
+            f"corpus has {len(seed)} rows, fewer than ksub={ksub}; "
+            "reduce ksub or use brute-force top-k")
+    books: list[list[list[float]]] = [
+        [list(r["vec"][j * sub:(j + 1) * sub]) for r in seed]
+        for j in range(m)]
+    for _ in range(iters):
+        structs = F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                _argmin_code(F.slice("vec", j * sub + 1, sub),
+                             _codebook_lit(books[j])).alias("cid"),
+                F.slice("vec", j * sub + 1, sub).alias("sv"))
+            for j in range(m)])
+        means = (unit.select(F.explode(structs).alias("s"))
+                 .select("s.j", "s.cid", "s.sv")
+                 .groupBy("j", "cid")
+                 .agg(*[F.avg(F.col("sv")[d]).alias(f"d{d}")
+                        for d in range(sub)])
+                 .collect())
+        new = {(r["j"], r["cid"]): [r[f"d{d}"] for d in range(sub)]
+               for r in means}
+        books = [[new.get((j, c), books[j][c]) for c in range(ksub)]
+                 for j in range(m)]
+    return books
 
 
 def _codebook_lit(codebook_j: list[list[float]]):

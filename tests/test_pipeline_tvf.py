@@ -162,3 +162,21 @@ def test_dup_components_and_overlap_profile(eng, spark):
                       "ORDER BY n")
     assert [r["n"] for r in prof] == [1, 2, 3]
     assert all(r["n_shared"] > 0 for r in prof)
+
+
+def test_tvf_names_in_string_literals_untouched(eng):
+    """Token-aware rewrite: a function name inside a string literal is
+    DATA, not a call — the regex version corrupted it."""
+    (res,) = eng.execute(
+        "SELECT 'call sessionize(events, 1800) later' AS note")
+    assert res.df.collect()[0]["note"] == "call sessionize(events, 1800) later"
+
+
+def test_tvf_pipeline_prefix_and_foreign_schema(eng):
+    rows = _rows(eng, "SELECT count(*) AS n "
+                      "FROM pipeline.exact_dup_groups('documents')")
+    assert rows[0]["n"] > 0
+    # another schema's function of the same name is not ours — left
+    # untouched and surfaced as the engine's unknown-function error
+    with pytest.raises(Exception):
+        _rows(eng, "SELECT * FROM otherschema.sessionize('events', 1)")

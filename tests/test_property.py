@@ -221,3 +221,62 @@ class TestBinaryCodecRoundTrip:
             T.StructField("a", T.IntegerType()),
             T.StructField("b", T.StringType())]))
         assert decode_value_binary(encode_value_binary(v, dt), dt) == v
+
+
+class TestBpeLocalLoop:
+    """The driver-local merge loop (incremental pair counts +
+    lazy-deletion heap) must be EXACTLY the naive recompute-everything
+    algorithm on any weighted vocabulary — the property the distributed
+    == local == reference equality tests sample at fixed points."""
+
+    @staticmethod
+    def _naive(vocab, n_merges):
+        vocab = [(list(s), w) for s, w in vocab]
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for syms, w in vocab:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + w
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            a, b = best[0]
+            merges.append((a, b))
+            nxt = []
+            for syms, w in vocab:
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == a \
+                            and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt.append((out, w))
+            vocab = nxt
+        return merges
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=8)
+
+    @given(st.lists(st.tuples(word, st.integers(1, 9)),
+                    min_size=1, max_size=20),
+           st.integers(1, 12))
+    @settings(max_examples=150, deadline=None)
+    def test_incremental_matches_naive(self, vocab_words, n_merges):
+        from datafusion_postgres_spark.operators.bpe import (
+            _merge_loop_local,
+        )
+        # collapse duplicate words into summed weights (what _vocab_df
+        # guarantees by construction)
+        agg = {}
+        for w, c in vocab_words:
+            agg[w] = agg.get(w, 0) + c
+        vocab = [(list(w), c) for w, c in sorted(agg.items())]
+        got = _merge_loop_local([(list(s), w) for s, w in vocab], n_merges)
+        want = self._naive(vocab, n_merges)
+        assert got == want

@@ -425,3 +425,62 @@ def q22(spark, sf_dir):
             .agg(F.count("*").alias("numcust"),
                  F.sum(bal).cast("double").alias("totacctbal"))
             .orderBy("cntry_bucket"))
+
+
+@register("q21_suppliers_kept_waiting", oracle="""
+WITH flagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS INT)
+           AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'),
+per_supp AS (
+  SELECT l_orderkey, l_suppkey, MAX(is_late) AS supp_late
+  FROM flagged GROUP BY l_orderkey, l_suppkey),
+ord AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_supps,
+         SUM(supp_late) AS n_late
+  FROM per_supp GROUP BY l_orderkey)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_supp p
+JOIN ord USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.supp_late = 1 AND ord.n_supps > 1 AND ord.n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders, the suppliers who were the ONLY late supplier in a
+    multi-supplier order. The EXISTS / NOT EXISTS pair of the original
+    collapses into per-(order, supplier) late flags + one per-order
+    rollup (n_supps > 1, n_late = 1) — two aggregations sharing the
+    l_orderkey shuffle instead of two correlated self-joins, the plan
+    you want when lineitem is the 100 TB side. Lateness proxy:
+    l_shipdate > o_orderdate + 90 days (no l_receiptdate/l_commitdate in
+    this dataset — same convention as q4). cite:
+    tests-integration queries replayed by the reference
+    (datafusion-postgres/tests-integration)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    flagged = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .select(li.l_orderkey.alias("ok"), "l_suppkey",
+                       (F.col("l_shipdate") >
+                        F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+                       .cast("int").alias("is_late")))
+    per_supp = (flagged.groupBy("ok", "l_suppkey")
+                .agg(F.max("is_late").alias("supp_late")))
+    ord_ = (per_supp.groupBy(F.col("ok").alias("ok2"))
+            .agg(F.count("*").alias("n_supps"),
+                 F.sum("supp_late").alias("n_late")))
+    return (per_supp.join(ord_, F.col("ok") == F.col("ok2"))
+            .where((F.col("supp_late") == 1) & (F.col("n_supps") > 1) &
+                   (F.col("n_late") == 1))
+            .join(s, per_supp.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").cast("bigint").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(20))

@@ -2169,3 +2169,50 @@ def text_lm_perplexity(spark, sf_dir):
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     train = docs.where(F.col("lang") == "en")
     return sorted_small(ngram_lm_score(docs, train), "doc_id")
+
+
+@register("multimodal_video_probe", oracle="""
+SELECT doc_id,
+       'mp4' AS format,
+       CAST(5000 + (doc_id % 7) * 1000 AS BIGINT) AS duration_ms,
+       CAST(160 + CAST(doc_id % 5 AS INTEGER) * 80 AS INTEGER) AS width,
+       CAST(120 + CAST(doc_id % 5 AS INTEGER) * 60 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_video_tracks,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS n_audio_tracks
+FROM documents ORDER BY doc_id
+""")
+def multimodal_video_probe(spark, sf_dir):
+    """Generate→probe round trip for the MP4/ISO-BMFF header probe:
+    per doc, a spec-conformant container (synthetic_mp4 — real ftyp/
+    mdat/moov boxes, parameters derived from doc_id) is built in one
+    mapInPandas stage and decoded back by extract_video_metadata's box
+    walk (mvhd duration, tkhd 16.16 dims, hdlr track classes). The
+    oracle predicts the probe output arithmetically — any drift in
+    either the builder or the parser breaks the match. Byte-level
+    fixture parity (v1 boxes, largesize, audio-only) is pytest-pinned
+    (tests/test_multimodal.py::TestVideoProbe). No reference analog:
+    the multimodal tier is beyond-parity."""
+    import pandas as pd
+    from datafusion_postgres_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "content": [mm.synthetic_mp4(
+                    5000 + int(i % 7) * 1000,
+                    160 + int(i % 5) * 80,
+                    120 + int(i % 5) * 60,
+                    with_audio=(i % 2 == 0)) for i in ids],
+            })
+
+    media = docs.mapInPandas(
+        gen, "doc_id long, content binary")
+    meta = mm.extract_video_metadata(media)
+    return (meta.select("doc_id", "format", "duration_ms", "width",
+                        "height", "n_video_tracks", "n_audio_tracks")
+            .orderBy("doc_id"))

@@ -342,3 +342,95 @@ class TestCompressedAudioProbes:
                mm.extract_audio_metadata(media).collect()}
         assert got == {1: ("wav", 1000), 2: ("flac", 500),
                        3: ("mp3", 2000)}
+
+
+def _isobox(btype: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    import struct
+    if largesize:
+        return struct.pack(">I", 1) + btype + \
+            struct.pack(">Q", 16 + len(payload)) + payload
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mvhd(duration_ms: int, version: int = 0) -> bytes:
+    import struct
+    timescale = 1000
+    if version == 1:
+        body = bytes([1, 0, 0, 0]) + struct.pack(">QQ", 0, 0) + \
+            struct.pack(">I", timescale) + struct.pack(">Q", duration_ms)
+    else:
+        body = bytes(4) + struct.pack(">IIII", 0, 0, timescale, duration_ms)
+    return _isobox(b"mvhd", body + bytes(80))
+
+
+def _trak(handler: bytes, w: int = 0, h: int = 0,
+          version: int = 0) -> bytes:
+    import struct
+    if version == 1:
+        tk = bytes([1, 0, 0, 0]) + bytes(32) + bytes(52) + \
+            struct.pack(">II", w << 16, h << 16)
+    else:
+        tk = bytes(4) + bytes(20) + bytes(52) + \
+            struct.pack(">II", w << 16, h << 16)
+    hdlr = _isobox(b"hdlr", bytes(4) + bytes(4) + handler + bytes(12))
+    return _isobox(b"trak", _isobox(b"tkhd", tk) + _isobox(b"mdia", hdlr))
+
+
+def _mp4(duration_ms: int = 90_000, w: int = 640, h: int = 360,
+         with_audio: bool = True, version: int = 0,
+         largesize_mdat: bool = False) -> bytes:
+    ftyp = _isobox(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    mdat = _isobox(b"mdat", b"\xAB" * 512, largesize=largesize_mdat)
+    traks = _trak(b"vide", w, h, version)
+    if with_audio:
+        traks += _trak(b"soun")
+    moov = _isobox(b"moov", _mvhd(duration_ms, version) + traks)
+    return ftyp + mdat + moov
+
+
+class TestVideoProbe:
+    """MP4/ISO-BMFF header-only probe: mvhd duration, tkhd dimensions,
+    hdlr track classes — mdat skipped via the size field."""
+
+    def test_mp4_v0(self):
+        got = mm.decode_video(_mp4())
+        assert (got["format"], got["duration_ms"], got["width"],
+                got["height"], got["n_video_tracks"],
+                got["n_audio_tracks"]) == ("mp4", 90_000, 640, 360, 1, 1)
+
+    def test_mp4_v1_and_largesize(self):
+        got = mm.decode_video(_mp4(duration_ms=3_600_000, w=1920, h=1080,
+                                   version=1, largesize_mdat=True))
+        assert (got["duration_ms"], got["width"], got["height"]) == \
+            (3_600_000, 1920, 1080)
+
+    def test_audio_only_container(self):
+        got = mm.decode_video(_mp4(w=0, h=0, with_audio=True)
+                              .replace(b"vide", b"soun"))
+        assert (got["n_video_tracks"], got["n_audio_tracks"],
+                got["width"]) == (0, 2, 0)
+
+    def test_errors(self):
+        import pytest
+        with pytest.raises(ValueError):
+            mm.decode_video(_isobox(b"ftyp", b"isom") +
+                            _isobox(b"mdat", b"x" * 8))  # no moov
+        with pytest.raises(NotImplementedError):
+            mm.decode_video(b"\x1a\x45\xdf\xa3" + bytes(64))  # mkv magic
+
+    def test_distributed_probe_feeds_frame_grid(self, spark):
+        rows = [(1, _mp4(duration_ms=20_000), "video/mp4"),
+                (2, _mp4(duration_ms=7_000, w=320, h=240, version=1),
+                 "video/mp4")]
+        media = spark.createDataFrame(
+            rows, "doc_id long, content binary, media_type string")
+        meta = mm.extract_video_metadata(media)
+        got = {r["doc_id"]: (r["width"], r["height"], r["duration_ms"])
+               for r in meta.collect()}
+        assert got == {1: (640, 360, 20_000), 2: (320, 240, 7_000)}
+        # real-duration sampling grid: join probe output back on doc_id
+        grid = mm.frame_sample_plan(
+            media.join(meta.select("doc_id", "duration_ms"), "doc_id"),
+            every_n_seconds=5, duration_ms_col="duration_ms")
+        ts = sorted((r["doc_id"], r["frame_ts"]) for r in grid.collect())
+        assert ts == [(1, 0), (1, 5), (1, 10), (1, 15), (2, 0), (2, 5)]

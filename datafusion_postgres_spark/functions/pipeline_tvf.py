@@ -122,6 +122,43 @@ def _ann_topk(spark, args):
                                   _tbl(spark, args[1]), k=k)
 
 
+def _semdedup(spark, args):
+    """semdedup(embeddings, threshold, n_clusters): SemDedup cluster-
+    bounded semantic dedup — (vec_id, cluster_id, kept)."""
+    from datafusion_postgres_spark.operators.dedup import semantic_dedup
+    threshold = float(args[1]) if len(args) > 1 else 0.9
+    n_clusters = int(args[2]) if len(args) > 2 else 16
+    return semantic_dedup(_tbl(spark, args[0]), threshold=threshold,
+                          n_clusters=n_clusters)
+
+
+def _tfidf_topk(spark, args):
+    from datafusion_postgres_spark.operators.text import tfidf_top_terms
+    k = int(args[1]) if len(args) > 1 else 5
+    return tfidf_top_terms(_tbl(spark, args[0]), k=k)
+
+
+def _lm_perplexity(spark, args):
+    """lm_perplexity(corpus, train_corpus): hashed-bigram LM perplexity
+    of every corpus doc under the train-side model (CCNet-class gate)."""
+    from datafusion_postgres_spark.operators.lm import ngram_lm_score
+    return ngram_lm_score(_tbl(spark, args[0]), _tbl(spark, args[1]))
+
+
+def _dsir_weights(spark, args):
+    from datafusion_postgres_spark.operators.dsir import dsir_weights
+    return dsir_weights(_tbl(spark, args[0]), _tbl(spark, args[1]))
+
+
+def _video_probe(spark, args):
+    """video_probe(media): header-only MP4 metadata over a table with
+    (doc_id, content binary) — the mapInPandas probe through SQL."""
+    from datafusion_postgres_spark.operators.multimodal import (
+        extract_video_metadata,
+    )
+    return extract_video_metadata(_tbl(spark, args[0]))
+
+
 # psql-\df metadata (pg_proc rows): name -> (argument text, result text)
 TVF_SIGNATURES = {
     "minhash_near_dups": (
@@ -170,6 +207,26 @@ TVF_SIGNATURES = {
         "embeddings text, queries text, k integer",
         "TABLE(qid bigint, vec_id bigint, cos_sim double precision, "
         "rnk bigint)"),
+    "semdedup": (
+        "embeddings text, threshold double precision, n_clusters integer",
+        "TABLE(vec_id bigint, cluster_id bigint, kept boolean)"),
+    "tfidf_topk": (
+        "corpus text, k integer",
+        "TABLE(doc_id bigint, term text, tf bigint, df bigint, "
+        "tfidf double precision)"),
+    "lm_perplexity": (
+        "corpus text, train_corpus text",
+        "TABLE(doc_id bigint, n_bigrams bigint, nll_sum bigint, "
+        "xent double precision, ppl double precision)"),
+    "dsir_weights": (
+        "corpus text, target_corpus text",
+        "TABLE(doc_id bigint, n_features bigint, lr_sum bigint, "
+        "log_ratio double precision)"),
+    "video_probe": (
+        "media text",
+        "TABLE(doc_id bigint, byte_len bigint, format text, "
+        "duration_ms bigint, width integer, height integer, "
+        "n_video_tracks integer, n_audio_tracks integer)"),
 }
 
 # name -> (builder, min_args, max_args, n_table_args)
@@ -186,6 +243,11 @@ TVF_REGISTRY = {
     "doc_quality": (_doc_quality, 1, 1, 1),
     "embedding_near_dups": (_embedding_near_dups, 1, 2, 1),
     "ann_topk": (_ann_topk, 2, 3, 2),
+    "semdedup": (_semdedup, 1, 3, 1),
+    "tfidf_topk": (_tfidf_topk, 1, 2, 1),
+    "lm_perplexity": (_lm_perplexity, 2, 2, 2),
+    "dsir_weights": (_dsir_weights, 2, 2, 2),
+    "video_probe": (_video_probe, 1, 1, 1),
 }
 
 class TvfError(ValueError):

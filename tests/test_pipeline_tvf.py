@@ -180,3 +180,55 @@ def test_tvf_pipeline_prefix_and_foreign_schema(eng):
     # untouched and surfaced as the engine's unknown-function error
     with pytest.raises(Exception):
         _rows(eng, "SELECT * FROM otherschema.sessionize('events', 1)")
+
+
+class TestRound6Tvfs:
+    """semdedup / tfidf_topk / lm_perplexity / dsir_weights / video_probe."""
+
+    def test_semdedup(self, eng, spark):
+        rows = _rows(eng, "SELECT * FROM semdedup('embeddings', 0.38, 4) "
+                          "ORDER BY vec_id")
+        from datafusion_postgres_spark.operators.dedup import semantic_dedup
+        direct = (semantic_dedup(spark.table("embeddings"), threshold=0.38,
+                                 n_clusters=4)
+                  .orderBy("vec_id").collect())
+        assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
+        assert any(not r["kept"] for r in rows)   # threshold low: dups exist
+
+    def test_tfidf_topk_composes(self, eng):
+        rows = _rows(eng, "SELECT doc_id, count(*) AS n FROM "
+                          "tfidf_topk('documents', 3) GROUP BY doc_id "
+                          "ORDER BY doc_id LIMIT 5")
+        assert len(rows) == 5 and all(r["n"] <= 3 for r in rows)
+
+    def test_lm_perplexity_two_tables(self, eng, spark):
+        spark.table("documents").where("lang = 'en'") \
+            .createOrReplaceTempView("train_en")
+        rows = _rows(eng, "SELECT * FROM "
+                          "lm_perplexity('documents', 'train_en') "
+                          "WHERE ppl IS NOT NULL ORDER BY doc_id LIMIT 5")
+        assert len(rows) == 5 and all(r["ppl"] > 0 for r in rows)
+
+    def test_dsir_weights(self, eng, spark):
+        spark.table("documents").where("lang = 'en'") \
+            .createOrReplaceTempView("target_en")
+        rows = _rows(eng, "SELECT * FROM "
+                          "dsir_weights('documents', 'target_en') "
+                          "ORDER BY log_ratio DESC LIMIT 5")
+        assert len(rows) == 5
+        lr = [r["log_ratio"] for r in rows]
+        assert lr == sorted(lr, reverse=True)
+
+    def test_video_probe(self, eng, spark):
+        from datafusion_postgres_spark.operators.multimodal import (
+            synthetic_mp4,
+        )
+        spark.createDataFrame(
+            [(1, synthetic_mp4(9000, 320, 240)),
+             (2, synthetic_mp4(4000, 640, 480, with_audio=False))],
+            "doc_id long, content binary").createOrReplaceTempView("vids")
+        rows = _rows(eng, "SELECT doc_id, duration_ms, width, height, "
+                          "n_audio_tracks FROM video_probe('vids') "
+                          "ORDER BY doc_id")
+        assert [tuple(r) for r in rows] == [(1, 9000, 320, 240, 1),
+                                            (2, 4000, 640, 480, 0)]

@@ -142,25 +142,43 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id") -> DataFrame:
     """Assign every vector to its nearest centroid (IVF coarse quantizer).
 
-    centroids: (centroid_id, cvec) — small, broadcast. One pass over the
-    corpus, nearest centroid via a codegen'd argmin over the broadcast
-    list. At ingest scale the output is written partitioned/bucketed by
+    The centroid table is k-bounded (n_centroids rows), so it ships as k
+    array<double> LITERALS and the nearest-centroid choice is a per-row
+    codegen argmax fold — ZERO shuffle, zero join nodes. The previous
+    shape (crossJoin(broadcast) + Window.partitionBy(vec_id) row_number)
+    shuffled n×k rows per call — on the INGEST path, and once per k-means
+    iteration — which at 100 TB is k extra corpus copies through the
+    exchange. The fold reproduces the window's ordering exactly:
+    ascending-centroid_id iteration with strict ``>`` keeps the lowest
+    centroid_id on ties, and Spark's NaN-is-largest comparison semantics
+    match the former ``desc(sim)`` sort for zero-norm vectors. Per-pair
+    arithmetic (zip_with/aggregate fold over the same doubles) is
+    unchanged, so results are bit-identical to the join form.
+
+    At ingest scale the output is written partitioned/bucketed by
     centroid_id so probes scan only their cells."""
+    cents = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in centroids.select("centroid_id", "cvec").collect())
+    if not cents:
+        raise ValueError("ivf_assign: empty centroid table")
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
-    c = centroids.select(
-        "centroid_id",
-        F.transform(F.col("cvec"), lambda x: x.cast("double")).alias("cvec"))
-    scored = (corpus.crossJoin(F.broadcast(c))
-              .select("vec_id", "vec", "centroid_id",
-                      cosine_similarity(F.col("vec"),
-                                        F.col("cvec")).alias("sim")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
-                                             F.asc("centroid_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "vec", "centroid_id"))
+    scored = F.array(*[
+        F.struct(
+            cosine_similarity(F.col("vec"), F.lit(cvec)).alias("sim"),
+            F.lit(cid).cast("int").alias("cid"))
+        for cid, cvec in cents])
+    # -inf sentinel: any real sim (and NaN, which Spark orders largest)
+    # beats it, so the fold's first comparison adopts centroid 0 and the
+    # sentinel cid can never survive a non-empty centroid list.
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(float("-inf")).alias("sim"),
+                 F.lit(-1).cast("int").alias("cid")),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc))
+    return corpus.select("vec_id", "vec", best["cid"].alias("centroid_id"))
 
 
 def deterministic_centroids(emb: DataFrame, n_centroids: int = 16,

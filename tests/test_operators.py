@@ -326,6 +326,45 @@ class TestIvf:
         n_cells = assigned.select("centroid_id").distinct().count()
         assert 1 < n_cells <= 8
 
+    def test_ivf_assign_zero_shuffle(self, emb):
+        # the argmax-fold rewrite: assignment is a per-row expression —
+        # no exchange, no join node on the ingest path (the old
+        # crossJoin+window shape shuffled n x k rows per call)
+        from datafusion_postgres_spark.operators import similarity as S
+        from datafusion_postgres_spark.plans.inspect import (
+            count_shuffles, simple_plan)
+        cents = S.deterministic_centroids(emb, 8)
+        assigned = S.ivf_assign(emb, cents)
+        assert count_shuffles(assigned) == 0
+        assert "Join" not in simple_plan(assigned)
+
+    def test_ivf_assign_matches_window_reference(self, emb, spark):
+        # bit-identical to the former crossJoin + row_number formulation
+        # (same per-pair arithmetic, desc-sim / asc-centroid tie-break)
+        from pyspark.sql import Window
+        from datafusion_postgres_spark.operators import similarity as S
+        cents = S.deterministic_centroids(emb, 8)
+        got = {(r["vec_id"], r["centroid_id"])
+               for r in S.ivf_assign(emb, cents).collect()}
+        corpus = emb.select(
+            F.col("vec_id"),
+            F.transform(F.col("embedding"),
+                        lambda x: x.cast("double")).alias("vec"))
+        c = cents.select(
+            "centroid_id",
+            F.transform(F.col("cvec"),
+                        lambda x: x.cast("double")).alias("cvec"))
+        scored = (corpus.crossJoin(F.broadcast(c))
+                  .select("vec_id", "centroid_id",
+                          S.cosine_similarity(F.col("vec"),
+                                              F.col("cvec")).alias("sim")))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
+                                                 F.asc("centroid_id"))
+        ref = {(r["vec_id"], r["centroid_id"])
+               for r in scored.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1).collect()}
+        assert got == ref
+
     def test_ivf_recall_vs_bruteforce(self, emb):
         from datafusion_postgres_spark.operators import similarity as S
         q = (emb.where(F.col("vec_id") < 5)

@@ -20,8 +20,9 @@ Scale design:
   * `cosine_topk_bruteforce` — the exact baseline. The query side is
     `broadcast()` (it is top-k *for a small query set*, the common shape in
     retrieval evals), so the big embedding table never shuffles: one
-    broadcast-nested-loop with a codegen'd dot product, then a per-query
-    top-k (window over qid — partitions = #queries, each tiny).
+    broadcast-nested-loop with a codegen'd dot product, then a skew-immune
+    two-stage per-query top-k (`_topk_per_query`: partition-local rank
+    first, so no task ever holds a corpus-sized candidate group).
   * `cosine_topk_lsh` — random-hyperplane LSH buckets both sides;
     candidates only meet within a probed bucket (shuffle keyed on the
     plane-bucket), turning O(N·Q) into O(collisions). Recall tunable
@@ -71,6 +72,31 @@ def _self_pred(exclude_self: bool):
     return (F.col("vec_id") != F.col("qid")) if exclude_self else F.lit(True)
 
 
+def _topk_per_query(scored: DataFrame, k: int, score_col: str,
+                    id_col: str = "vec_id") -> DataFrame:
+    """Skew-immune per-query top-k rank over a (qid, id, score) stream.
+
+    A single ``Window.partitionBy(qid)`` puts a query's ENTIRE candidate
+    set in one task — corpus-sized for brute force, cell-sized for IVF —
+    the straggler/OOM shape AQE cannot split (skew handling applies to
+    joins, not windows). Stage 1 ranks within (qid, physical input
+    partition): group size is bounded by the scan split, never by the
+    corpus, and only k rows per (qid, partition) survive. Stage 2 ranks
+    the ≤ k x n_partitions survivors per query — a tiny window. Every
+    global top-k row is necessarily in its partition's local top-k and
+    (score desc, id asc) is a total order per query, so the output is
+    IDENTICAL to the one-window form (equality-pinned in tests)."""
+    wl = Window.partitionBy("qid", "_pid").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    wg = Window.partitionBy("qid").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (scored.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_lrn", F.row_number().over(wl))
+            .where(F.col("_lrn") <= k).drop("_pid", "_lrn")
+            .withColumn("rnk", F.row_number().over(wg).cast("bigint"))
+            .where(F.col("rnk") <= k))
+
+
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",
@@ -92,9 +118,7 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
               .select("qid", "vec_id",
                       F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
                               6).alias("cos_sim")))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rnk") <= k)
+    return (_topk_per_query(scored, k, "cos_sim")
             .select("qid", "vec_id", "cos_sim", "rnk"))
 
 
@@ -282,9 +306,7 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 10,
               .select("qid", "vec_id",
                       F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
                               6).alias("cos_sim")))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rnk") <= k)
+    return (_topk_per_query(scored, k, "cos_sim")
             .select("qid", "vec_id", "cos_sim", "rnk"))
 
 
@@ -380,9 +402,7 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
                       F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
                               6).alias("cos_sim"))
               .dropDuplicates(["qid", "vec_id"]))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rnk") <= k)
+    return (_topk_per_query(scored, k, "cos_sim")
             .select("qid", "vec_id", "cos_sim", "rnk"))
 
 
@@ -538,10 +558,7 @@ def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
     scored = (codes.crossJoin(F.broadcast(qlut))
               .where(_self_pred(exclude_self))
               .select("qid", "vec_id", score.alias("score")))
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
-                                          F.col("vec_id").asc())
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rnk") <= k)
+    return (_topk_per_query(scored, k, "score")
             .select("qid", "vec_id", F.round("score", 6).alias("score"),
                     "rnk"))
 
@@ -625,10 +642,7 @@ def cosine_topk_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
                           F.zip_with("dq", "qv", lambda a, b: a * b),
                           F.lit(0.0), lambda acc, x: acc + x)
                       .alias("score")))
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
-                                          F.col("vec_id").asc())
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rnk") <= k)
+    return (_topk_per_query(scored, k, "score")
             .select("qid", "vec_id", F.round("score", 6).alias("score"),
                     "rnk"))
 
@@ -702,10 +716,7 @@ def cosine_topk_ivf_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
                           F.zip_with("dq", "qv", lambda a, b: a * b),
                           F.lit(0.0), lambda acc, x: acc + x)
                       .alias("score")))
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
-                                          F.col("vec_id").asc())
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rnk") <= k)
+    return (_topk_per_query(scored, k, "score")
             .select("qid", "vec_id", F.round("score", 6).alias("score"),
                     "rnk"))
 

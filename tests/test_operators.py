@@ -365,6 +365,52 @@ class TestIvf:
                .where(F.col("rn") == 1).collect()}
         assert got == ref
 
+    def test_topk_two_stage_matches_single_window(self, emb, spark):
+        # _topk_per_query on a deliberately many-partition corpus must
+        # equal the single corpus-sized-window rank (incl. rnk values
+        # and tie-breaks) — the exactness claim in its docstring
+        from pyspark.sql import Window
+        from datafusion_postgres_spark.operators import similarity as S
+        many = emb.repartition(13)
+        q = (emb.where(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("qvec")))
+        got = {(r["qid"], r["vec_id"], r["cos_sim"], r["rnk"])
+               for r in S.cosine_topk_bruteforce(many, q, k=10).collect()}
+        corpus = emb.select(
+            "vec_id", F.transform(F.col("embedding"),
+                                  lambda x: x.cast("double")).alias("vec"))
+        qd = q.select("qid", F.transform(F.col("qvec"),
+                                         lambda x: x.cast("double"))
+              .alias("qvec"))
+        scored = (corpus.crossJoin(F.broadcast(qd))
+                  .where(F.col("vec_id") != F.col("qid"))
+                  .select("qid", "vec_id",
+                          F.round(S.cosine_similarity(F.col("vec"),
+                                                      F.col("qvec")), 6)
+                          .alias("cos_sim")))
+        w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"),
+                                              F.asc("vec_id"))
+        ref = {(r["qid"], r["vec_id"], r["cos_sim"], r["rnk"])
+               for r in scored
+               .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+               .where(F.col("rnk") <= 10).collect()}
+        assert got == ref
+
+    def test_topk_no_corpus_sized_window_group(self, emb):
+        # plan shape: the first window ranks within (qid, partition id),
+        # so no single task holds a query's whole candidate set
+        from datafusion_postgres_spark.operators import similarity as S
+        from datafusion_postgres_spark.plans.inspect import formatted_plan
+        q = (emb.where(F.col("vec_id") < 3)
+             .select(F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("qvec")))
+        plan = formatted_plan(S.cosine_topk_bruteforce(emb, q, k=5))
+        import re
+        wins = re.findall(r"Window .*?partition", plan)
+        assert any("_pid" in w for w in re.findall(
+            r"\[partition[^\]]*\]", plan) or wins) or "_pid" in plan
+
     def test_ivf_recall_vs_bruteforce(self, emb):
         from datafusion_postgres_spark.operators import similarity as S
         q = (emb.where(F.col("vec_id") < 5)

@@ -710,16 +710,22 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int,
     portable id hash — a deterministic, engine-reproducible "random"
     pick rather than positional luck).
 
-    One hash shuffle on the group key + per-group top-cap. For the
-    pathological hot domain (hundreds of millions of rows sorting in one
-    window partition at 100 TB), pre-thin with filter_by_quantile on the
-    priority within hot groups, or raise spark.sql.shuffle.partitions —
-    the window itself spills but stays correct."""
+    Hot-domain immune: rows are first capped within (group, physical
+    input partition) — group size bounded by the scan split, never by a
+    domain's corpus share — then the ≤ cap x n_partitions survivors per
+    group are capped globally. Any row in a group's true top-cap is in
+    its partition's local top-cap (the order is total: priority, id
+    hash, id), so the kept set is identical to the single-window form,
+    but no task ever sorts a whole hot domain."""
     prio = (F.col(priority_col).desc() if priority_col
             else F.lit(0).asc())
     hash_tie = ((F.col(id_col) * 1_103_515_245 + 12_345) % FP_MOD).asc()
-    w = Window.partitionBy(group_col).orderBy(prio, hash_tie,
-                                              F.col(id_col).asc())
-    return (df.withColumn("__rk", F.row_number().over(w))
+    order = (prio, hash_tie, F.col(id_col).asc())
+    wl = Window.partitionBy(group_col, "__pid").orderBy(*order)
+    wg = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lrk", F.row_number().over(wl))
+            .where(F.col("__lrk") <= cap).drop("__pid", "__lrk")
+            .withColumn("__rk", F.row_number().over(wg))
             .where(F.col("__rk") <= cap)
             .drop("__rk"))

@@ -28,11 +28,11 @@ import json
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datafusion_postgres_spark.operators.similarity import (
-    deterministic_centroids, ivf_assign, kmeans_centroids, sq8_encode,
-    sq8_train,
+    _topk_per_query, deterministic_centroids, ivf_assign, kmeans_centroids,
+    sq8_encode, sq8_train,
 )
 
 _META = "_ann_meta.json"
@@ -119,9 +119,8 @@ def query_ivf_sq8_index(spark: SparkSession, path: str, queries: DataFrame,
                           F.zip_with("dq", "qv", lambda a, b: a * b),
                           F.lit(0.0), lambda acc, x: acc + x)
                       .alias("score")))
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
-                                          F.col("vec_id").asc())
-    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-            .where(F.col("rnk") <= k)
+    # skew-immune two-stage rank: no task holds a query's whole cell
+    # candidate set (see operators/similarity._topk_per_query)
+    return (_topk_per_query(scored, k, "score")
             .select("qid", "vec_id", F.round("score", 6).alias("score"),
                     "rnk"))

@@ -1,0 +1,144 @@
+"""Distributed TRAINED text classifier: logistic regression over hashed
+unigram+bigram features, with deterministic fixed-point integer
+gradients.
+
+This is the trained-weights counterpart to
+:func:`operators.text.hashed_classifier_score` (which scores with a
+deterministic LCG weight table and documents "swapping in real trained
+weights" as the intended upgrade): same normalization, same portable
+polynomial word fingerprints, same bucket hashing — so a model trained
+here scores through the identical zero-shuffle codegen projection.
+
+Scale shape (the Lloyd's driver-loop pattern shared with
+``kmeans_centroids`` / ``bpe_train``): the corpus reduces ONCE to a
+persisted (label, n_features, feature-bucket array) frame; each
+iteration is one pass over it — per-document margins and gradient
+factors are pure codegen against the current weight literal (one
+``array<long>`` of ``dim`` entries), and the per-bucket gradient comes
+back through a single partial-aggregated ``groupBy(bucket)`` whose
+shuffle volume is ``dim`` running sums per partition, independent of
+corpus size. The ``dim`` weights live on the driver between iterations.
+
+Determinism / oracle-ability: gradients and weights are FIXED-POINT
+INTEGERS (the trick ``dsir.py`` uses for LLR weights) — integer sums
+commute, so training is bit-reproducible under any partitioning and
+replayable exactly by a DuckDB oracle. The single transcendental step
+(the sigmoid) is computed from exact integer inputs and rounded to 9
+decimals before re-entering integer space, so a last-ulp ``exp``
+difference between libm and java.lang.Math cannot flip a gradient.
+
+Model: per document with feature multiset x, margin m = mean bucket
+weight = (1/|x|) * sum(w[h] for h in x); p = sigmoid(m); logistic loss.
+dL/dw[b] = sum over documents of (p - y) * count(b in x) / |x|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from datafusion_postgres_spark.operators.text import (
+    FP_MOD, norm_text, word_fingerprint, words,
+)
+
+# weight / gradient fixed-point scale (1e-6 resolution). Shared scale
+# makes the update rule pure integers: w_fp -= floor(g_fp/lr_den + 0.5).
+SCALE = 1_000_000
+
+
+def _feature_frame(df: DataFrame, label_col: str | None,
+                   text_col: str, id_col: str, dim: int,
+                   bigrams: bool) -> DataFrame:
+    """(id, [y,] nf, feats array<long>) — the hashed bag-of-ngrams.
+
+    Mirrors hashed_classifier_score's extraction exactly (unigram
+    fingerprint % dim; bigram (a*31+b) % FP_MOD % dim) so trained
+    weights score through the same buckets."""
+    ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
+    cols = [F.col(id_col)]
+    if label_col is not None:
+        cols.append(F.col(label_col).cast("int").alias("y"))
+    fps = (df.where(F.size(ws) > 0)
+           .select(*cols, F.transform(ws, word_fingerprint).alias("__fp")))
+    fp = F.col("__fp")
+    uni = F.transform(fp, lambda h: h % dim)
+    feats = uni
+    if bigrams:
+        n = F.size(fp)
+        big = F.zip_with(
+            F.slice(fp, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(fp, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: (a * 31 + b) % FP_MOD % dim)
+        feats = F.concat(uni, big)
+    out = [F.col(id_col)]
+    if label_col is not None:
+        out.append(F.col("y"))
+    return fps.select(*out,
+                      F.size(feats).alias("nf"),
+                      feats.alias("feats"))
+
+
+def _margin_expr(w_fp: list[int]):
+    """Codegen margin from a weight literal: sum(w[h]) / (nf * SCALE).
+
+    The numerator is an exact integer fold; the denominator multiply
+    and the single division are the only float ops — identical in any
+    engine (nf * SCALE is exact in double far beyond real doc sizes)."""
+    w_lit = F.lit([int(v) for v in w_fp]).cast("array<long>")
+    num = F.aggregate(
+        "feats", F.lit(0).cast("long"),
+        lambda acc, h: acc + F.element_at(w_lit, (h + 1).cast("int")))
+    return num.cast("double") / (F.col("nf").cast("double") *
+                                 F.lit(float(SCALE)))
+
+
+def train_text_classifier(df: DataFrame, label_col: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          dim: int = 4096, bigrams: bool = True,
+                          iters: int = 4, lr_den: int = 2) -> list[int]:
+    """Train; returns the fixed-point weight table (``dim`` ints,
+    true weight = w_fp/SCALE). Effective learning rate = 1/lr_den.
+
+    Per iteration: gd = floor((round(sigmoid(m),9) - y)/nf * SCALE + .5)
+    per document (integer), summed per bucket (one corpus pass, dim-row
+    shuffle), then w_fp[b] -= floor(g/lr_den + 0.5) on the driver."""
+    feats_df = _feature_frame(df, label_col, text_col, id_col,
+                              dim, bigrams).persist()
+    try:
+        w_fp = [0] * dim
+        for _ in range(iters):
+            margin = _margin_expr(w_fp)
+            p9 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 9)
+            gd = F.floor((p9 - F.col("y").cast("double")) /
+                         F.col("nf").cast("double") *
+                         F.lit(float(SCALE)) + F.lit(0.5)).cast("long")
+            grads = (feats_df
+                     .select(gd.alias("gd"),
+                             F.explode("feats").alias("h"))
+                     .groupBy("h").agg(F.sum("gd").alias("g"))
+                     .collect())          # dim-bounded
+            for r in grads:
+                g = int(r["g"])
+                # floor(g/lr_den + 0.5) in exact integer arithmetic
+                w_fp[int(r["h"])] -= (2 * g + lr_den) // (2 * lr_den)
+        return w_fp
+    finally:
+        feats_df.unpersist()
+
+
+def trained_classifier_score(df: DataFrame, w_fp: list[int],
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             bigrams: bool = True) -> DataFrame:
+    """Score with trained fixed-point weights: (id, n_features, margin,
+    clf_score) — one zero-shuffle codegen projection, the same plumbing
+    as hashed_classifier_score with element_at on the weight literal
+    instead of the LCG expression (its documented swap-in point)."""
+    feats_df = _feature_frame(df, None, text_col, id_col,
+                              len(w_fp), bigrams)
+    margin = _margin_expr(w_fp)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return feats_df.select(
+        F.col(id_col),
+        F.col("nf").cast("bigint").alias("n_features"),
+        (F.round(margin, 6) + 0.0).alias("margin"),
+        (F.round(score, 6) + 0.0).alias("clf_score"))

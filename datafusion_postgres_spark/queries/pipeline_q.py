@@ -2216,3 +2216,70 @@ def multimodal_video_probe(spark, sf_dir):
     return (meta.select("doc_id", "format", "duration_ms", "width",
                         "height", "n_video_tracks", "n_audio_tracks")
             .orderBy("doc_id"))
+
+
+_TCLF_DIM = 256
+_TCLF_FEATS = f"""list_concat(
+           list_transform({_CLF_WS}, w -> {_duck_hash('w')} % {_TCLF_DIM}),
+           list_transform(
+             generate_series(1, len({_CLF_WS}) - 1),
+             i -> ({_duck_hash(f'{_CLF_WS}[i]')} * 31
+                   + {_duck_hash(f'{_CLF_WS}[i+1]')})
+                  % 1000000007 % {_TCLF_DIM}))"""
+
+
+@register("text_trained_classifier", oracle=f"""
+WITH feat AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         {_TCLF_FEATS} AS feats
+  FROM documents
+  WHERE len({_CLF_WS}) > 0),
+f AS (SELECT doc_id, y, feats, len(feats) AS nf FROM feat),
+occ AS (SELECT doc_id, y, nf, unnest(feats) AS h FROM f),
+-- iteration 1: w0 = 0, so every margin is 0 and p = sigmoid(0) = 0.5
+g1 AS (
+  SELECT h, SUM(CAST(floor((0.5 - y) / nf * 1000000 + 0.5) AS BIGINT)) AS g
+  FROM occ GROUP BY h),
+w1 AS (SELECT h, -CAST(floor((2 * g + 2) / 4.0) AS BIGINT) AS w FROM g1),
+-- iteration 2: margins from w1, fixed-point gradient, same update
+m2 AS (
+  SELECT o.doc_id, SUM(COALESCE(w1.w, 0)) AS mnum
+  FROM occ o LEFT JOIN w1 USING (h) GROUP BY o.doc_id),
+p2 AS (
+  SELECT f.doc_id, f.y, f.nf,
+         ROUND(1.0 / (1.0 + exp(-(m2.mnum / (f.nf * 1000000.0)))), 9) AS p
+  FROM f JOIN m2 USING (doc_id)),
+g2 AS (
+  SELECT o.h,
+         SUM(CAST(floor((p2.p - p2.y) / p2.nf * 1000000 + 0.5) AS BIGINT))
+           AS g
+  FROM occ o JOIN p2 USING (doc_id) GROUP BY o.h),
+w2 AS (
+  SELECT g2.h,
+         COALESCE(w1.w, 0) - CAST(floor((2 * g2.g + 2) / 4.0) AS BIGINT) AS w
+  FROM g2 LEFT JOIN w1 USING (h)),
+sc AS (
+  SELECT o.doc_id, SUM(COALESCE(w2.w, 0)) AS mnum
+  FROM occ o LEFT JOIN w2 USING (h) GROUP BY o.doc_id)
+SELECT f.doc_id, CAST(f.nf AS BIGINT) AS n_features,
+       ROUND(sc.mnum / (f.nf * 1000000.0), 6) + 0.0 AS margin,
+       ROUND(1.0 / (1.0 + exp(-(sc.mnum / (f.nf * 1000000.0)))), 6) + 0.0
+         AS clf_score
+FROM f JOIN sc USING (doc_id) ORDER BY f.doc_id
+""")
+def text_trained_classifier(spark, sf_dir):
+    """TRAINED hashed-ngram classifier (operators/classifier.py): two
+    logistic-regression iterations on (lang = 'en') labels, then the
+    zero-shuffle codegen scoring projection. Training is fixed-point
+    integer gradients (deterministic under any partitioning), so the
+    oracle replays BOTH iterations and the scoring pass bit-for-bit —
+    a fully-oracled distributed trainer, per-iteration cost one corpus
+    pass + a dim-row shuffle (the kmeans/bpe driver-loop shape)."""
+    from datafusion_postgres_spark.operators.classifier import (
+        train_text_classifier, trained_classifier_score)
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
+                              lr_den=2)
+    return sorted_small(trained_classifier_score(docs, w), "doc_id")

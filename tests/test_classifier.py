@@ -1,0 +1,117 @@
+"""Trained hashed-ngram classifier (operators/classifier.py): fixed-point
+logistic regression — determinism, learning, reference-impl equality,
+and the zero-shuffle scoring plan."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_postgres_spark.operators.classifier import (
+    SCALE, train_text_classifier, trained_classifier_score,
+)
+
+GOOD = ["the quick brown fox jumps over lazy dogs daily",
+        "a gentle rain falls on the quiet green meadow",
+        "bright stars shine over the calm blue ocean tonight"]
+BAD = ["buy cheap pills now click here winner prize",
+       "free money casino jackpot click buy now spam",
+       "winner winner prize claim free casino bonus now"]
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    random.seed(7)
+    rows = []
+    for i in range(60):
+        base = random.choice(GOOD if i % 2 == 0 else BAD)
+        toks = base.split()
+        random.shuffle(toks)
+        rows.append((i, " ".join(toks), i % 2 == 0))
+    return spark.createDataFrame(rows, ["doc_id", "text", "is_good"])
+
+
+class TestTrainedClassifier:
+    def test_separates_planted_classes(self, labeled):
+        w = train_text_classifier(labeled, "is_good", dim=512, iters=6)
+        scored = (trained_classifier_score(labeled, w)
+                  .join(labeled.select("doc_id", "is_good"), "doc_id"))
+        acc = (scored.where((F.col("clf_score") > 0.5) ==
+                            F.col("is_good")).count() / 60)
+        assert acc == 1.0
+
+    def test_deterministic_under_partitioning(self, labeled):
+        w_a = train_text_classifier(labeled.repartition(7), "is_good",
+                                    dim=512, iters=3)
+        w_b = train_text_classifier(labeled.repartition(2), "is_good",
+                                    dim=512, iters=3)
+        assert w_a == w_b
+
+    def test_scoring_zero_shuffle(self, labeled):
+        from datafusion_postgres_spark.plans.inspect import count_shuffles
+        w = [0] * 128
+        assert count_shuffles(trained_classifier_score(labeled, w)) == 0
+
+    def test_matches_local_reference_impl(self, spark):
+        """Pure-Python replay of the exact training arithmetic on a tiny
+        corpus must reproduce the distributed weights bit-for-bit."""
+        rows = [(1, "aa bb aa", 1), (2, "cc dd", 0),
+                (3, "aa bb", 1), (4, "dd dd cc", 0)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+        dim, iters, lr_den = 32, 3, 2
+        got = train_text_classifier(df, "y", dim=dim, bigrams=True,
+                                    iters=iters, lr_den=lr_den)
+
+        fp_mod, base = 1_000_000_007, 31
+
+        def wfp(w):
+            h = 0
+            for ch in w:
+                h = (h * base + ord(ch)) % fp_mod
+            return h
+
+        docs = []
+        for _, text, y in rows:
+            ws = text.split()
+            fps = [wfp(w) for w in ws]
+            feats = [h % dim for h in fps] + [
+                (a * base + b) % fp_mod % dim
+                for a, b in zip(fps, fps[1:])]
+            docs.append((y, feats))
+        w_fp = [0] * dim
+        for _ in range(iters):
+            grads = [0] * dim
+            for y, feats in docs:
+                nf = len(feats)
+                m = sum(w_fp[h] for h in feats) / (nf * float(SCALE))
+                p = round(1.0 / (1.0 + math.exp(-m)), 9)
+                gd = math.floor((p - y) / nf * SCALE + 0.5)
+                for h in feats:
+                    grads[h] += gd
+            for h in range(dim):
+                w_fp[h] -= (2 * grads[h] + lr_den) // (2 * lr_den)
+        assert got == w_fp
+
+    def test_loss_decreases(self, labeled):
+        """Logistic loss after training < loss at w=0 (ln 2)."""
+        w = train_text_classifier(labeled, "is_good", dim=512, iters=6)
+        scored = (trained_classifier_score(labeled, w)
+                  .join(labeled.select(
+                      "doc_id", F.col("is_good").cast("int").alias("y")),
+                      "doc_id"))
+        loss = scored.select(F.avg(
+            -F.col("y") * F.log(F.col("clf_score")) -
+            (1 - F.col("y")) * F.log(1 - F.col("clf_score")))
+            .alias("l")).collect()[0]["l"]
+        # w=0 gives exactly ln 2; 6 iterations of the mean-margin model
+        # reach ~0.40 on this corpus — pin a meaningful drop
+        assert loss < math.log(2) * 0.65
+
+    def test_empty_docs_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world", 1), (2, "   ", 0)],
+            ["doc_id", "text", "y"])
+        w = train_text_classifier(df, "y", dim=32, iters=1)
+        out = trained_classifier_score(df, w)
+        assert [r["doc_id"] for r in out.collect()] == [1]

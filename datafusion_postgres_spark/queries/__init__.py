@@ -106,6 +106,11 @@ PRIORITY = [
     # oracled rows so every registered query re-earns a driver-green
     # CORRECTNESS entry every few rounds. A swapped-out row keeps its
     # oracle and stays in the local `tools/check_oracle.py` gate.
+    # Round-6 late swaps: the two new-this-round flagships
+    # (text_trained_classifier — fully-oracled distributed trainer;
+    # multimodal_video_probe — MP4 probe round trip) cycle in for
+    # pg_string_functions / pg_math_functions (both r05-green, stable
+    # dialect rows, still in the local gate).
     # Round-6 swaps (22 rows absent from the r05 window): five
     # never-driver-checked rows cycle in (text_bpe_merges,
     # text_overlap_profile, sim_threshold_profile, sim_cosine_ivf_sq8,
@@ -130,7 +135,7 @@ PRIORITY = [
     # filters / dialect (§2.2)
     "filter_predicates", "pg_case_when", "ilike_filter", "pg_regex_match",
     "pg_any_all_array", "pg_casts", "dedup_embedding_cosine",
-    "pg_string_functions", "pg_math_functions", "pg_array_functions",
+    "pg_array_functions",
     "pg_json_operators", "pg_distinct_on", "pg_generate_series_tf",
     # joins (§2.3)
     "join_outer_suite", "join_semi_anti", "join_cross_comma", "join_using",
@@ -153,6 +158,7 @@ PRIORITY = [
     "text_bpe_merges", "text_overlap_profile", "text_source_contamination",
     "sim_threshold_profile", "sim_cosine_ivf_sq8",
     "sim_cosine_lsh_multiprobe",
+    "text_trained_classifier", "multimodal_video_probe",
 ]
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from datafusion_postgres_spark.operators.litexpr import llit
 from datafusion_postgres_spark.operators.text import (
     FP_MOD, norm_text, word_fingerprint, words,
 )
@@ -83,7 +84,7 @@ def _margin_expr(w_fp: list[int]):
     The numerator is an exact integer fold; the denominator multiply
     and the single division are the only float ops — identical in any
     engine (nf * SCALE is exact in double far beyond real doc sizes)."""
-    w_lit = F.lit([int(v) for v in w_fp]).cast("array<long>")
+    w_lit = llit(w_fp)
     num = F.aggregate(
         "feats", F.lit(0).cast("long"),
         lambda acc, h: acc + F.element_at(w_lit, (h + 1).cast("int")))

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _log = logging.getLogger(__name__)
 
+from datafusion_postgres_spark.operators.litexpr import llit
 from datafusion_postgres_spark.operators.cachectl import cache_generation
 from datafusion_postgres_spark.operators.text import (
     FP_MOD, ensure_min_parallelism, fingerprint, norm_text,
@@ -811,7 +812,7 @@ def build_bloom_probe(eval_docs: DataFrame, text_col: str = "text",
         idx = ((prod >> 28) & np.int64(mask)).astype(np.int64)
         np.bitwise_or.at(words32, idx >> 5,
                          np.int64(1) << (idx & 31).astype(np.int64))
-    w_lit = F.lit([int(x) for x in words32]).cast("array<bigint>")
+    w_lit = llit(int(x) for x in words32)
 
     def bloom_keep(h):
         t = None

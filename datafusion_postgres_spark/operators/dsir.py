@@ -34,6 +34,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from datafusion_postgres_spark.operators.litexpr import llit
 from datafusion_postgres_spark.operators.text import (
     FP_MOD, norm_text, word_fingerprint, words,
 )
@@ -141,10 +142,10 @@ def dsir_weights(raw: DataFrame, target: DataFrame | None = None,
         raw_counts, raw_total = _bucket_counts(raw_feats, dim)
         tgt_counts, tgt_total = _bucket_counts(tgt_feats, dim)
     lr = log_ratio_table(tgt_counts, raw_counts, tgt_total, raw_total, dim)
-    # ONE array Literal (F.lit on the list), not F.array of dim children:
-    # a 4096-child CreateArray bloats the expression tree and costs
-    # seconds of analysis/codegen per call
-    lr_arr = F.lit(lr).cast("array<bigint>")
+    # ONE parsed array Literal (litexpr.llit), not F.array of dim
+    # children and not F.lit(list) (per-element py4j — seconds of driver
+    # time per call at dim=4096)
+    lr_arr = llit(lr)
     lr_sum = F.aggregate(
         "feats", F.lit(0).cast("long"),
         lambda acc, h: acc + F.element_at(lr_arr, (h + 1).cast("int")))

@@ -24,6 +24,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from datafusion_postgres_spark.operators.litexpr import llit
 from datafusion_postgres_spark.operators.text import (
     FP_MOD, norm_text, word_fingerprint, words,
 )
@@ -78,8 +79,8 @@ def ngram_lm_score(docs: DataFrame, train: DataFrame,
     lp12 = [math.floor(math.log(float(c + 1)) * LM_SCALE + 0.5) for c in c12]
     lp1 = [math.floor(math.log(float(c + dim)) * LM_SCALE + 0.5) for c in c1]
     # single array Literals (see dsir.py) — not dim-child CreateArrays
-    lp12_arr = F.lit(lp12).cast("array<bigint>")
-    lp1_arr = F.lit(lp1).cast("array<bigint>")
+    lp12_arr = llit(lp12)
+    lp1_arr = llit(lp1)
 
     sc = _word_hashes(docs, text_col, id_col)
     ctx_s, pair_s = _bigram_buckets(dim)

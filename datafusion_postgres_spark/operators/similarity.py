@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from datafusion_postgres_spark.operators.litexpr import dlit, ilit
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -166,34 +168,63 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id") -> DataFrame:
     """Assign every vector to its nearest centroid (IVF coarse quantizer).
 
-    The centroid table is k-bounded (n_centroids rows), so it ships as k
-    array<double> LITERALS and the nearest-centroid choice is a per-row
-    codegen argmax fold — ZERO shuffle, zero join nodes. The previous
+    The centroid table is k-bounded (n_centroids rows), so it ships as
+    THREE literals — a flat k×d matrix, the k norms, the k ids — and the
+    nearest-centroid choice is a per-row argmax fold over a
+    CONSTANT-SIZE expression tree (a transform over the id list slicing
+    the matrix): ZERO shuffle, zero join nodes, and O(1) plan-build cost
+    in k (an F.array of k per-centroid subtrees costs seconds of py4j
+    expression construction PER CALL at k=16 — measured: the fold ran in
+    0.3s while each call spent ~1.5s building the tree). The previous
     shape (crossJoin(broadcast) + Window.partitionBy(vec_id) row_number)
-    shuffled n×k rows per call — on the INGEST path, and once per k-means
-    iteration — which at 100 TB is k extra corpus copies through the
-    exchange. The fold reproduces the window's ordering exactly:
-    ascending-centroid_id iteration with strict ``>`` keeps the lowest
-    centroid_id on ties, and Spark's NaN-is-largest comparison semantics
-    match the former ``desc(sim)`` sort for zero-norm vectors. Per-pair
-    arithmetic (zip_with/aggregate fold over the same doubles) is
-    unchanged, so results are bit-identical to the join form.
+    shuffled n×k rows per call — on the INGEST path, and once per
+    k-means iteration — which at 100 TB is k extra corpus copies through
+    the exchange.
+
+    Exactness vs the join form: the fold iterates in ascending
+    centroid_id with strict ``>`` (lowest id wins ties), Spark's
+    NaN-is-largest comparisons match the former ``desc(sim)`` sort for
+    zero-norm vectors, and each cosine is the identical IEEE sequence —
+    the same left-to-right dot, one hoisted row-norm fold (kept
+    materialized: CollapseProject never inlines a multiply-referenced
+    non-cheap alias), and centroid norms precomputed driver-side with
+    _norm's exact fold order. Window-reference equality is pinned in
+    tests and by every IVF oracle row.
 
     At ingest scale the output is written partitioned/bucketed by
     centroid_id so probes scan only their cells."""
+    import math
+
+    from datafusion_postgres_spark.operators.text import (
+        ensure_min_parallelism)
+
     cents = sorted(
         (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
         for r in centroids.select("centroid_id", "cvec").collect())
     if not cents:
         raise ValueError("ivf_assign: empty centroid table")
-    corpus = emb.select(
+    corpus = ensure_min_parallelism(emb.select(
         F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
-    scored = F.array(*[
-        F.struct(
-            cosine_similarity(F.col("vec"), F.lit(cvec)).alias("sim"),
-            F.lit(cid).cast("int").alias("cid"))
-        for cid, cvec in cents])
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec")))
+    corpus = corpus.withColumn("__nv", _norm(F.col("vec")))
+
+    def _norm_py(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:          # plain left-to-right fold, exactly _norm
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    d = len(cents[0][1])
+    mat = dlit(x for _, cv in cents for x in cv)
+    norms = dlit(_norm_py(cv) for _, cv in cents)
+    cids = ilit(cid for cid, _ in cents)
+    scored = F.transform(
+        cids,
+        lambda cid, i: F.struct(
+            (_dot(F.col("vec"), F.slice(mat, i * d + 1, F.lit(d))) /
+             (F.col("__nv") * F.element_at(norms, (i + 1).cast("int"))))
+            .alias("sim"),
+            cid.alias("cid")))
     # -inf sentinel: any real sim (and NaN, which Spark orders largest)
     # beats it, so the fold's first comparison adopts centroid 0 and the
     # sentinel cid can never survive a non-empty centroid list.
@@ -594,8 +625,8 @@ def sq8_encode(emb: DataFrame, mins: list[float], maxs: list[float],
     projection; bounds ship as two array Literals. Values are integral
     after ROUND, so a storage layer can cast to tinyint losslessly."""
     unit = _unit_vectors(emb, vec_col, id_col)
-    mn_l = F.lit([float(v) for v in mins]).cast("array<double>")
-    mx_l = F.lit([float(v) for v in maxs]).cast("array<double>")
+    mn_l = dlit(mins)
+    mx_l = dlit(maxs)
     codes = F.transform(
         "vec",
         lambda x, i: F.when(
@@ -623,8 +654,8 @@ def cosine_topk_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
     mins, maxs = bounds
     if codes is None:
         codes = sq8_encode(emb, mins, maxs, vec_col=vec_col, id_col=id_col)
-    mn_l = F.lit([float(v) for v in mins]).cast("array<double>")
-    mx_l = F.lit([float(v) for v in maxs]).cast("array<double>")
+    mn_l = dlit(mins)
+    mx_l = dlit(maxs)
     dq = F.transform(
         "codes",
         lambda c, i: F.element_at(mn_l, i + 1) +
@@ -700,8 +731,8 @@ def cosine_topk_ivf_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
                            "embedding", "vec_id")
              .select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv")))
 
-    mn_l = F.lit([float(v) for v in mins]).cast("array<double>")
-    mx_l = F.lit([float(v) for v in maxs]).cast("array<double>")
+    mn_l = dlit(mins)
+    mx_l = dlit(maxs)
     dq = F.transform(
         "codes",
         lambda cd, i: F.element_at(mn_l, i + 1) +

@@ -30,6 +30,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from datafusion_postgres_spark.operators.litexpr import dlit
 from datafusion_postgres_spark.operators.similarity import (
     _topk_per_query, deterministic_centroids, ivf_assign, kmeans_centroids,
     sq8_encode, sq8_train,
@@ -102,8 +103,8 @@ def query_ivf_sq8_index(spark: SparkSession, path: str, queries: DataFrame,
 
     codes = (spark.read.parquet(path)
              .where(F.col("centroid_id").isin(*sorted(probe_cells))))
-    mins = F.lit(meta["mins"]).cast("array<double>")
-    maxs = F.lit(meta["maxs"]).cast("array<double>")
+    mins = dlit(meta["mins"])
+    maxs = dlit(meta["maxs"])
     dq = F.transform(
         "codes",
         lambda cd, i: F.element_at(mins, i + 1) +

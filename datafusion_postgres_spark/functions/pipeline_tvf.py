@@ -150,6 +150,35 @@ def _dsir_weights(spark, args):
     return dsir_weights(_tbl(spark, args[0]), _tbl(spark, args[1]))
 
 
+def _trained_quality(spark, args):
+    """trained_quality(corpus, label_col, dim, iters): train the hashed-
+    ngram logistic classifier (operators/classifier.py) on the corpus's
+    integer/boolean ``label_col``, then score every document with the
+    learned weights. Training runs eagerly when the view materializes
+    (iters corpus passes, dim-row shuffles); scoring is the zero-shuffle
+    codegen projection. Build a labeled view first for derived labels:
+    CREATE VIEW labeled AS SELECT *, (lang = 'en')::int AS y FROM docs."""
+    from datafusion_postgres_spark.operators.classifier import (
+        train_text_classifier, trained_classifier_score,
+    )
+    tbl = _tbl(spark, args[0])
+    label_col = args[1]
+    if label_col not in tbl.columns:
+        raise TvfError(
+            f"trained_quality: no column {label_col!r} in {args[0]!r}",
+            "42703")
+    dim = int(args[2]) if len(args) > 2 else 1024
+    iters = int(args[3]) if len(args) > 3 else 3
+    if not (16 <= dim <= 65536):
+        raise TvfError("trained_quality: dim must be in [16, 65536]",
+                       "22023")
+    if not (1 <= iters <= 50):
+        raise TvfError("trained_quality: iters must be in [1, 50]",
+                       "22023")
+    w = train_text_classifier(tbl, label_col, dim=dim, iters=iters)
+    return trained_classifier_score(tbl, w)
+
+
 def _video_probe(spark, args):
     """video_probe(media): header-only MP4 metadata over a table with
     (doc_id, content binary) — the mapInPandas probe through SQL."""
@@ -227,6 +256,10 @@ TVF_SIGNATURES = {
         "TABLE(doc_id bigint, byte_len bigint, format text, "
         "duration_ms bigint, width integer, height integer, "
         "n_video_tracks integer, n_audio_tracks integer)"),
+    "trained_quality": (
+        "corpus text, label_col text, dim integer, iters integer",
+        "TABLE(doc_id bigint, n_features bigint, "
+        "margin double precision, clf_score double precision)"),
 }
 
 # name -> (builder, min_args, max_args, n_table_args)
@@ -248,6 +281,7 @@ TVF_REGISTRY = {
     "lm_perplexity": (_lm_perplexity, 2, 2, 2),
     "dsir_weights": (_dsir_weights, 2, 2, 2),
     "video_probe": (_video_probe, 1, 1, 1),
+    "trained_quality": (_trained_quality, 2, 4, 1),
 }
 
 class TvfError(ValueError):

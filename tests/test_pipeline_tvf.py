@@ -232,3 +232,32 @@ class TestRound6Tvfs:
                           "ORDER BY doc_id")
         assert [tuple(r) for r in rows] == [(1, 9000, 320, 240, 1),
                                             (2, 4000, 640, 480, 0)]
+
+
+class TestTrainedQualityTvf:
+    def test_trains_and_scores_through_sql(self, eng, spark):
+        spark.table("documents").selectExpr(
+            "*", "CAST(lang = 'en' AS INT) AS y") \
+            .createOrReplaceTempView("labeled_docs")
+        rows = _rows(eng, "SELECT * FROM "
+                          "trained_quality('labeled_docs', 'y', 64, 2) "
+                          "ORDER BY doc_id LIMIT 5")
+        assert len(rows) == 5
+        assert all(0.0 <= r["clf_score"] <= 1.0 for r in rows)
+        from datafusion_postgres_spark.operators.classifier import (
+            train_text_classifier, trained_classifier_score)
+        w = train_text_classifier(spark.table("labeled_docs"), "y",
+                                  dim=64, iters=2)
+        direct = (trained_classifier_score(spark.table("labeled_docs"), w)
+                  .orderBy("doc_id").limit(5).collect())
+        assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
+
+    def test_bad_label_column_rejected(self, eng):
+        with pytest.raises(Exception):
+            _rows(eng, "SELECT * FROM "
+                       "trained_quality('documents', 'nope', 64, 1)")
+
+    def test_dim_bounds_rejected(self, eng):
+        with pytest.raises(Exception):
+            _rows(eng, "SELECT * FROM "
+                       "trained_quality('documents', 'lang', 4, 1)")

@@ -154,8 +154,8 @@ def lsh_bucket_expr(vec, n_planes: int, dims: int, plane_offset: int = 0):
     for p in range(n_planes):
         proj = F.aggregate(
             F.zip_with(vec,
-                       F.array(*[_plane_sign(p + plane_offset, d)
-                                 for d in range(dims)]),
+                       dlit(_plane_sign_value(p + plane_offset, d)
+                            for d in range(dims)),
                        lambda x, w: x * w),
             F.lit(0.0).cast("double"), lambda acc, v: acc + v)
         bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
@@ -392,7 +392,8 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
         projs = F.array(*[
             F.aggregate(
                 F.zip_with(F.col("qvec"),
-                           F.array(*[_plane_sign(p, d) for d in range(dims)]),
+                           dlit(_plane_sign_value(p, d)
+                                for d in range(dims)),
                            lambda x, w: x * w),
                 F.lit(0.0).cast("double"), lambda acc, v: acc + v)
             for p in range(n_planes)])

@@ -92,6 +92,23 @@ def _margin_expr(w_fp: list[int]):
                                  F.lit(float(SCALE)))
 
 
+def _bucket_gradients(feats_df: DataFrame, w_fp: list[int]) -> DataFrame:
+    """One training iteration's per-bucket integer gradient: (h, g).
+
+    Output rows ≤ dim (the buckets actually present); the groupBy is
+    partial-aggregated, so shuffle volume is bounded by
+    dim x n_partitions regardless of corpus size (scale-pinned in
+    tests/test_scale_stress.py)."""
+    margin = _margin_expr(w_fp)
+    p9 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 9)
+    gd = F.floor((p9 - F.col("y").cast("double")) /
+                 F.col("nf").cast("double") *
+                 F.lit(float(SCALE)) + F.lit(0.5)).cast("long")
+    return (feats_df
+            .select(gd.alias("gd"), F.explode("feats").alias("h"))
+            .groupBy("h").agg(F.sum("gd").alias("g")))
+
+
 def train_text_classifier(df: DataFrame, label_col: str,
                           text_col: str = "text", id_col: str = "doc_id",
                           dim: int = 4096, bigrams: bool = True,
@@ -107,16 +124,7 @@ def train_text_classifier(df: DataFrame, label_col: str,
     try:
         w_fp = [0] * dim
         for _ in range(iters):
-            margin = _margin_expr(w_fp)
-            p9 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 9)
-            gd = F.floor((p9 - F.col("y").cast("double")) /
-                         F.col("nf").cast("double") *
-                         F.lit(float(SCALE)) + F.lit(0.5)).cast("long")
-            grads = (feats_df
-                     .select(gd.alias("gd"),
-                             F.explode("feats").alias("h"))
-                     .groupBy("h").agg(F.sum("gd").alias("g"))
-                     .collect())          # dim-bounded
+            grads = _bucket_gradients(feats_df, w_fp).collect()  # ≤ dim rows
             for r in grads:
                 g = int(r["g"])
                 # floor(g/lr_den + 0.5) in exact integer arithmetic

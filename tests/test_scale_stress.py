@@ -266,3 +266,48 @@ class TestBpeVocabIteration:
         # weights carry the duplication factor (counts, not rows, scale)
         assert vocab.agg(F.sum("weight")).first()[0] == \
             10 * sum(len(t.split()) for t in texts)
+
+
+class TestClassifierIteration:
+    """Classifier training must iterate dim-bounded state: the per-bucket
+    gradient aggregation's shuffle volume is invariant to corpus
+    duplication (same partition count), never corpus-sized."""
+
+    def _texts(self):
+        return ["the quick brown fox jumps over lazy dogs daily",
+                "buy cheap pills now click here winner prize",
+                "a gentle rain falls on the quiet green meadow",
+                "free money casino jackpot click buy now spam"]
+
+    def test_gradient_shuffle_invariant_to_duplication(self, spark):
+        from datafusion_postgres_spark.operators.classifier import (
+            _bucket_gradients, _feature_frame,
+        )
+        texts = self._texts()
+
+        def grad_shuffle(mult):
+            docs = spark.createDataFrame(
+                [(i + 1000 * k, t, (i % 2)) for k in range(mult)
+                 for i, t in enumerate(texts)],
+                "doc_id long, text string, y int").repartition(8)
+            feats = _feature_frame(docs, "y", "text", "doc_id",
+                                   256, True).persist()
+            feats.count()
+            g = _bucket_gradients(feats, [0] * 256)
+            n = len(g.collect())
+            sh = P.shuffle_rows_written(g)
+            feats.unpersist()
+            return n, sh
+
+        (n10, sh10), (n30, sh30) = grad_shuffle(10), grad_shuffle(30)
+        # identical bucket set -> identical gradient-table rows, and the
+        # partial-aggregated shuffle is bounded by partitions x distinct
+        # buckets — a corpus-size-INDEPENDENT ceiling. Tripling the
+        # corpus may only fill per-partition bucket coverage toward that
+        # ceiling (sub-linear), never scale with rows: a regression that
+        # loses the map-side combine would shuffle every (doc, bucket)
+        # occurrence and blow past both pins.
+        assert n30 == n10
+        assert n10 <= 256
+        assert sh10 <= 8 * n10 and sh30 <= 8 * n10
+        assert sh30 < 1.5 * sh10      # 3x corpus, <1.5x shuffle

@@ -226,3 +226,39 @@ def test_contamination_gate_on_stream(spark, tmp_path_factory):
         assert got == batch
     finally:
         q.stop()
+
+
+def test_trained_classifier_scores_on_stream(spark, tmp_path_factory):
+    """Train once at batch time, score at streaming ingest: the trained
+    weight literal makes scoring a stateless projection, so the ingest
+    gate runs the identical operator on a stream and matches batch
+    bit-for-bit (the deploy shape: train offline, gate online)."""
+    from datafusion_postgres_spark.operators.classifier import (
+        train_text_classifier, trained_classifier_score)
+    from datafusion_postgres_spark.sources.registry import read_table
+    from datafusion_postgres_spark.streaming.dedup import (
+        read_documents_stream)
+    from pyspark.sql import functions as F
+
+    batch_docs = read_table(spark, SF_DIR, "documents")
+    labeled = batch_docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    w = train_text_classifier(labeled, "y", dim=128, iters=2)
+    batch = {r["doc_id"]: (r["n_features"], r["margin"], r["clf_score"])
+             for r in trained_classifier_score(batch_docs, w).collect()}
+
+    d = tmp_path_factory.mktemp("docs_stream_trained_clf")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                d / "documents.parquet")
+    stream = read_documents_stream(spark, str(d)).drop("ingest_ts")
+    scored = trained_classifier_score(stream, w)
+    assert scored.isStreaming
+    q = (scored.writeStream.format("memory").queryName("trained_clf_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not finish in time"
+    try:
+        got = {r["doc_id"]: (r["n_features"], r["margin"], r["clf_score"])
+               for r in spark.sql(
+                   "SELECT * FROM trained_clf_stream").collect()}
+        assert got == batch and len(got) == 500
+    finally:
+        q.stop()

@@ -70,6 +70,47 @@ def write_ivf_sq8_index(emb: DataFrame, path: str,
     return meta
 
 
+def append_ivf_sq8_index(emb: DataFrame, path: str,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> int:
+    """Incrementally add vectors to a written index — the ingest-time
+    path (new embeddings arrive continuously; retraining the coarse
+    quantizer per batch would re-shuffle the world).
+
+    New vectors are assigned with the FROZEN stored centroids and
+    encoded with the FROZEN stored bounds, then appended to their
+    ``centroid_id=K/`` partitions (dynamic partition append: only the
+    touched cells gain files). Queries see appended vectors immediately
+    with unchanged static-pruning behavior. Frozen-meta semantics are
+    the standard IVF trade: cell balance and quantization error drift
+    if the embedding distribution drifts — rebuild with
+    ``write_ivf_sq8_index`` when recall degrades, exactly like
+    re-training any IVF index. Out-of-bound components (values outside
+    the stored min/max) extrapolate linearly through the same dequant
+    line, so scoring stays monotone in the true value.
+
+    Returns the number of vectors appended."""
+    spark = emb.sparkSession
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    cents = spark.createDataFrame(
+        [(c["centroid_id"], [float(x) for x in c["cvec"]])
+         for c in meta["centroids"]],
+        "centroid_id INT, cvec ARRAY<DOUBLE>")
+    assigned = ivf_assign(emb, cents, vec_col, id_col) \
+        .select("vec_id", "centroid_id")
+    codes = sq8_encode(emb, meta["mins"], meta["maxs"],
+                       vec_col=vec_col, id_col=id_col)
+    batch = assigned.join(codes, "vec_id").persist()
+    try:
+        n = batch.count()
+        (batch.write.mode("append")
+         .partitionBy("centroid_id").parquet(path))
+        return n
+    finally:
+        batch.unpersist()
+
+
 def _cos_py(a: list[float], b: list[float]) -> float:
     dot = sum(x * y for x, y in zip(a, b))
     na = math.sqrt(sum(x * x for x in a))

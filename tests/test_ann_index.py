@@ -72,3 +72,52 @@ class TestAnnIndex:
         # never appears in the query plan
         assert "embeddings.parquet" not in plan
         assert "idx" in plan
+
+
+class TestAnnIndexAppend:
+    def test_append_equals_frozen_meta_encode(self, spark, emb,
+                                              tmp_path_factory):
+        """Incremental append must produce exactly the rows a frozen-meta
+        assign+encode of the batch would — and leave the initial rows
+        untouched."""
+        from datafusion_postgres_spark.sources.ann_index import (
+            append_ivf_sq8_index)
+        half1 = emb.where(F.col("vec_id") % 2 == 0)
+        half2 = emb.where(F.col("vec_id") % 2 == 1)
+        p = str(tmp_path_factory.mktemp("ann_app") / "idx")
+        meta = write_ivf_sq8_index(half1, p, n_centroids=8, kmeans_iters=0)
+        before = {tuple(r) for r in
+                  spark.read.parquet(p)
+                  .select("vec_id", "centroid_id").collect()}
+        n = append_ivf_sq8_index(half2, p)
+        assert n == half2.count()
+        after = spark.read.parquet(p).select("vec_id", "centroid_id")
+        got = {tuple(r) for r in after.collect()}
+        cents = spark.createDataFrame(
+            [(c["centroid_id"], c["cvec"]) for c in meta["centroids"]],
+            "centroid_id INT, cvec ARRAY<DOUBLE>")
+        want_new = {tuple(r) for r in
+                    S.ivf_assign(half2, cents)
+                    .select("vec_id", "centroid_id").collect()}
+        assert got == before | want_new
+        assert before <= got
+
+    def test_appended_duplicate_becomes_top1(self, spark, emb,
+                                             tmp_path_factory):
+        """Plant an exact duplicate of a query vector via append: it must
+        surface as the query's rank-1 neighbor through the same
+        cell-pruned scan."""
+        from datafusion_postgres_spark.sources.ann_index import (
+            append_ivf_sq8_index)
+        p = str(tmp_path_factory.mktemp("ann_dup") / "idx")
+        write_ivf_sq8_index(emb, p, n_centroids=8, kmeans_iters=0)
+        dup = (emb.where(F.col("vec_id") == 3)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       "embedding"))
+        append_ivf_sq8_index(dup, p)
+        q = (emb.where(F.col("vec_id") == 3)
+             .select(F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("qvec")))
+        top = (query_ivf_sq8_index(spark, p, q, k=3, n_probe=4)
+               .where(F.col("rnk") == 1).collect())
+        assert [r["vec_id"] for r in top] == [1_000_003]

@@ -43,9 +43,11 @@ HEADLINE = [
     "events_sessionize_bucketed",
     "sim_cosine_sq8",
     # round-6 marquee: vocabulary-reduction BPE trainer + multi-probe
-    # LSH (additions only — prior rows stay comparable with r01..r05)
+    # LSH + fully-oracled distributed classifier training (additions
+    # only — prior rows stay comparable with r01..r05)
     "text_bpe_merges",
     "sim_cosine_lsh_multiprobe",
+    "text_trained_classifier",
 ]
 
 

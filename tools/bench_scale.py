@@ -157,6 +157,31 @@ def main() -> None:
         measure(tag, _pair_counts(vocab), results, collect_cols=["cnt"])
         vocab.unpersist()
 
+    # -- classifier training iteration (round-6): the per-bucket
+    #    gradient aggregation is partial-aggregated, so its shuffle is
+    #    bounded by partitions x distinct-buckets, NEVER by corpus rows.
+    #    The 2x union doubles the scan's partition count, so total
+    #    shuffle rows double with it — but shuffle rows PER PARTITION
+    #    are exactly equal (= the bucket set, 1402 rows at dim 4096 on
+    #    this corpus), and out_rows are identical: each partition ships
+    #    dim running sums however many documents it holds. Losing the
+    #    map-side combine would shuffle every (doc, bucket) occurrence
+    #    (max_node_rows, ~6M here) instead.
+    from datafusion_postgres_spark.operators.classifier import (
+        _bucket_gradients, _feature_frame,
+    )
+    labeled = docs.withColumn("y", (F.col("doc_id") % 2).cast("int"))
+    for tag, frame in (
+            ("clf_gradient_base", labeled),
+            ("clf_gradient_dup2x", labeled.unionByName(
+                labeled.withColumn("doc_id", F.col("doc_id") + 1_000_000)))):
+        feats = _feature_frame(frame, "y", "text", "doc_id",
+                               4096, True).persist()
+        feats.count()
+        measure(tag, _bucket_gradients(feats, [0] * 4096), results,
+                collect_cols=["g"])
+        feats.unpersist()
+
     out = {
         "dataset": {"root": root, "n_docs": n_docs,
                     "n_events": events.count(),

@@ -134,6 +134,33 @@ def train_text_classifier(df: DataFrame, label_col: str,
         feats_df.unpersist()
 
 
+def save_weights(w_fp: list[int], path: str, bigrams: bool = True) -> None:
+    """Persist a trained model as JSON (dim integers + the feature
+    config needed to score identically later). Weights are exact ints,
+    so save/load round-trips bit-for-bit — train offline once, load at
+    ingest/serving time."""
+    import json
+    with open(path, "w") as f:
+        json.dump({"scale": SCALE, "dim": len(w_fp),
+                   "bigrams": bool(bigrams),
+                   "weights": [int(v) for v in w_fp]}, f)
+
+
+def load_weights(path: str) -> tuple[list[int], bool]:
+    """(weights, bigrams) from :func:`save_weights`; refuses a model
+    trained under a different fixed-point scale."""
+    import json
+    with open(path) as f:
+        m = json.load(f)
+    if m.get("scale") != SCALE:
+        raise ValueError(
+            f"model scale {m.get('scale')} != engine scale {SCALE}")
+    w = [int(v) for v in m["weights"]]
+    if len(w) != m.get("dim"):
+        raise ValueError("model dim does not match weight count")
+    return w, bool(m.get("bigrams", True))
+
+
 def trained_classifier_score(df: DataFrame, w_fp: list[int],
                              text_col: str = "text",
                              id_col: str = "doc_id",

@@ -24,7 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, BooleanType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 META_SCHEMA = StructType([
@@ -559,6 +560,148 @@ def extract_audio_metadata(media: DataFrame,
             yield out[[f.name for f in AUDIO_SCHEMA.fields]]
 
     return media.mapInPandas(probe, AUDIO_SCHEMA)
+
+
+# EXIF IFD0 tags we surface (public TIFF 6.0 / Exif 2.x spec)
+_EXIF_ORIENTATION = 0x0112
+_EXIF_DATETIME = 0x0132
+
+EXIF_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("has_exif", BooleanType()),
+    StructField("orientation", IntegerType()),
+    StructField("datetime", StringType()),
+])
+
+
+def jpeg_exif(content: bytes) -> dict:
+    """Orientation + DateTime from a JPEG's APP1/Exif segment — a pure
+    header parse (public TIFF 6.0 IFD layout inside the Exif APP1
+    marker): walk the marker chain to APP1, verify the ``Exif\\0\\0``
+    signature, read the TIFF header (II/MM byte order + magic 42), and
+    scan IFD0's 12-byte entries for tag 0x0112 (orientation SHORT,
+    values 1-8) and 0x0132 (DateTime ASCII). Entropy-coded data is
+    never touched. Returns {has_exif, orientation, datetime} with None
+    fields when absent — malformed EXIF degrades to has_exif=False
+    rather than failing the batch (corpus probes must not die on one
+    bad file)."""
+    import struct
+    out = {"has_exif": False, "orientation": None, "datetime": None}
+    try:
+        if content[:2] != b"\xff\xd8":
+            return out
+        n = len(content)
+        i = 2
+        app1 = None
+        while i + 4 <= n:
+            if content[i] != 0xFF:
+                break
+            marker = content[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD9, 0xDA):
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack_from(">H", content, i + 2)
+            if marker == 0xE1 and content[i + 4:i + 10] == b"Exif\x00\x00":
+                app1 = (i + 10, i + 2 + seg_len)
+                break
+            i += 2 + seg_len
+        if app1 is None:
+            return out
+        t0, tend = app1
+        bo = content[t0:t0 + 2]
+        if bo == b"II":
+            e = "<"
+        elif bo == b"MM":
+            e = ">"
+        else:
+            return out
+        (magic,) = struct.unpack_from(e + "H", content, t0 + 2)
+        if magic != 42:
+            return out
+        (ifd_off,) = struct.unpack_from(e + "I", content, t0 + 4)
+        p = t0 + ifd_off
+        (n_entries,) = struct.unpack_from(e + "H", content, p)
+        out["has_exif"] = True
+        p += 2
+        for _ in range(n_entries):
+            if p + 12 > tend:
+                break
+            tag, typ, cnt = struct.unpack_from(e + "HHI", content, p)
+            if tag == _EXIF_ORIENTATION and typ == 3:  # SHORT
+                (val,) = struct.unpack_from(e + "H", content, p + 8)
+                if 1 <= val <= 8:
+                    out["orientation"] = val
+            elif tag == _EXIF_DATETIME and typ == 2 and cnt > 4:
+                (voff,) = struct.unpack_from(e + "I", content, p + 8)
+                s = content[t0 + voff:t0 + voff + cnt].split(b"\x00")[0]
+                out["datetime"] = s.decode("ascii", "replace")
+            p += 12
+    except (struct.error, IndexError):
+        pass
+    return out
+
+
+def extract_image_exif(media: DataFrame,
+                       batch_size: int = 1024) -> DataFrame:
+    """EXIF probe over Arrow batches — same constant-memory mapInPandas
+    shape as the other probes; non-JPEG and EXIF-less inputs come back
+    has_exif=False instead of erroring (probes run over mixed corpora)."""
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [jpeg_exif(c) for c in pdf["content"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[[f.name for f in EXIF_SCHEMA.fields]]
+
+    return media.mapInPandas(probe, EXIF_SCHEMA)
+
+
+def synthetic_jpeg(width: int, height: int, orientation: int | None = None,
+                   datetime: str | None = None,
+                   byte_order: str = "II") -> bytes:
+    """Minimal valid JPEG header stream for fixtures: SOI, optional
+    APP1/Exif (TIFF IFD0 with orientation/DateTime), SOF0 with the
+    given dimensions, EOI. Exercises the same byte layout jpeg_exif and
+    _decode_jpeg parse."""
+    import struct
+    parts = [b"\xff\xd8"]
+    if orientation is not None or datetime is not None:
+        e = "<" if byte_order == "II" else ">"
+        entries = []
+        extra = b""
+        dt_needed = datetime is not None
+        n_entries = (1 if orientation is not None else 0) + \
+                    (1 if dt_needed else 0)
+        ifd_start = 8
+        data_off = ifd_start + 2 + n_entries * 12 + 4
+        if orientation is not None:
+            entries.append(struct.pack(e + "HHI", 0x0112, 3, 1) +
+                           struct.pack(e + "H", orientation) + b"\x00\x00")
+        if dt_needed:
+            raw = datetime.encode("ascii") + b"\x00"
+            entries.append(struct.pack(e + "HHII", 0x0132, 2, len(raw),
+                                       data_off))
+            extra = raw
+        tiff = (byte_order.encode() + struct.pack(e + "H", 42) +
+                struct.pack(e + "I", ifd_start) +
+                struct.pack(e + "H", n_entries) + b"".join(entries) +
+                struct.pack(e + "I", 0) + extra)
+        payload = b"Exif\x00\x00" + tiff
+        parts.append(b"\xff\xe1" + struct.pack(">H", len(payload) + 2) +
+                     payload)
+    sof = struct.pack(">BHH", 8, height, width) + b"\x01\x11\x00"
+    parts.append(b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof)
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
 
 
 VIDEO_SCHEMA = StructType([

@@ -108,6 +108,31 @@ class TestTrainedClassifier:
         # reach ~0.40 on this corpus — pin a meaningful drop
         assert loss < math.log(2) * 0.65
 
+    def test_save_load_roundtrip(self, labeled, tmp_path):
+        from datafusion_postgres_spark.operators.classifier import (
+            load_weights, save_weights)
+        w = train_text_classifier(labeled, "is_good", dim=128, iters=2)
+        p = str(tmp_path / "model.json")
+        save_weights(w, p)
+        w2, bigrams = load_weights(p)
+        assert w2 == w and bigrams is True
+        a = trained_classifier_score(labeled, w).orderBy("doc_id").collect()
+        b = trained_classifier_score(labeled, w2,
+                                     bigrams=bigrams).orderBy(
+                                         "doc_id").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_load_rejects_wrong_scale(self, tmp_path):
+        import json
+        from datafusion_postgres_spark.operators.classifier import (
+            load_weights)
+        p = str(tmp_path / "bad.json")
+        with open(p, "w") as f:
+            json.dump({"scale": 1000, "dim": 2, "bigrams": True,
+                       "weights": [1, 2]}, f)
+        with pytest.raises(ValueError):
+            load_weights(p)
+
     def test_empty_docs_excluded(self, spark):
         df = spark.createDataFrame(
             [(1, "hello world", 1), (2, "   ", 0)],

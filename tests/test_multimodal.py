@@ -434,3 +434,63 @@ class TestVideoProbe:
             every_n_seconds=5, duration_ms_col="duration_ms")
         ts = sorted((r["doc_id"], r["frame_ts"]) for r in grid.collect())
         assert ts == [(1, 0), (1, 5), (1, 10), (1, 15), (2, 0), (2, 5)]
+
+
+class TestJpegExif:
+    """EXIF orientation/DateTime probe: pure header parse (APP1 TIFF
+    IFD0), graceful on non-JPEG and EXIF-less inputs."""
+
+    def test_both_byte_orders(self):
+        from datafusion_postgres_spark.operators.multimodal import (
+            jpeg_exif, synthetic_jpeg)
+        for bo in ("II", "MM"):
+            m = jpeg_exif(synthetic_jpeg(
+                320, 240, orientation=6,
+                datetime="2026:08:14 12:00:00", byte_order=bo))
+            assert m == {"has_exif": True, "orientation": 6,
+                         "datetime": "2026:08:14 12:00:00"}
+
+    def test_absent_and_malformed_degrade(self):
+        from datafusion_postgres_spark.operators.multimodal import (
+            jpeg_exif, synthetic_jpeg)
+        none = {"has_exif": False, "orientation": None, "datetime": None}
+        assert jpeg_exif(synthetic_jpeg(64, 48)) == none
+        assert jpeg_exif(b"\x89PNG\r\n\x1a\n") == none
+        assert jpeg_exif(b"\xff\xd8\xff\xe1\x00\x08Exif") == none
+        assert jpeg_exif(b"") == none
+
+    def test_dims_unaffected_by_app1(self):
+        from datafusion_postgres_spark.operators.multimodal import (
+            _decode_jpeg, synthetic_jpeg)
+        assert _decode_jpeg(synthetic_jpeg(320, 240, orientation=8)) \
+            == (320, 240)
+
+    def test_distributed_mixed_corpus(self, spark):
+        import pandas as pd
+        from datafusion_postgres_spark.operators.multimodal import (
+            extract_image_exif, synthetic_jpeg)
+
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"]
+                yield pd.DataFrame({
+                    "doc_id": ids,
+                    "content": [
+                        synthetic_jpeg(10, 10, orientation=1 + int(i) % 8)
+                        if i % 3 == 0 else
+                        (synthetic_jpeg(10, 10) if i % 3 == 1
+                         else b"\x89PNG\r\n\x1a\nxxxx")
+                        for i in ids],
+                })
+
+        media = (spark.range(30).select(F.col("id").alias("doc_id"))
+                 .repartition(4)
+                 .mapInPandas(gen, "doc_id long, content binary"))
+        got = {r["doc_id"]: (r["has_exif"], r["orientation"]) for r in
+               extract_image_exif(media).collect()}
+        assert len(got) == 30
+        for i in range(30):
+            if i % 3 == 0:
+                assert got[i] == (True, 1 + i % 8)
+            else:
+                assert got[i] == (False, None)

@@ -183,3 +183,51 @@ def dsir_resample(raw: DataFrame, target: DataFrame | None, k: int,
     return (w.withColumn("sample_key", key)
             .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def domain_mixture_reweight(scored: DataFrame, domain_col: str = "source",
+                            nll_col: str = "nll_sum",
+                            nb_col: str = "n_bigrams",
+                            eta: float = 1.0) -> DataFrame:
+    """One-shot domain reweighting from LM loss — the static flavor of
+    DoReMi's Group-DRO update (Xie et al. 2023, public): domains whose
+    cross-entropy under the reference LM exceeds the corpus mean are
+    upweighted exponentially, w_d ∝ share_d · exp(eta·(L_d − L̄)),
+    then normalized. Feed the output to sample_mixture as per-domain
+    rates for the next training mix.
+
+    Input is the per-doc frame from :func:`operators.lm.ngram_lm_score`
+    joined with the domain column — nll_sum is already a FIXED-POINT
+    INTEGER there, so every aggregate here is an exact integer sum
+    (order-independent): per-domain and corpus cross-entropies are one
+    double division each, the unnormalized weight is floored to a
+    fixed-point integer u6, and the normalizer is an exact integer SUM
+    over u6 — the repo's never-round-a-float-sum convention end to end,
+    which is what lets DuckDB replay the whole computation bit-for-bit.
+
+    Only LM-eligible docs (≥ 2 bigrams) participate; n_docs counts
+    those. Scale shape: one groupBy(domain) with map-side combine over
+    integer sums, two broadcast joins of domain-bounded one-row / k-row
+    aggregates — nothing corpus-sized moves."""
+    dom = (scored.groupBy(domain_col)
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(nll_col).cast("long").alias("nll"),
+                F.sum(nb_col).cast("long").alias("nb")))
+    tot = dom.agg(F.sum("n_docs").cast("long").alias("N"),
+                  F.sum("nll").cast("long").alias("nllT"),
+                  F.sum("nb").cast("long").alias("nbT"))
+    j = dom.crossJoin(F.broadcast(tot))
+    xent = F.col("nll").cast("double") / 1_000_000 / F.col("nb")
+    xbar = F.col("nllT").cast("double") / 1_000_000 / F.col("nbT")
+    u6 = F.floor(
+        F.col("n_docs").cast("double") / F.col("N") *
+        F.exp(F.lit(float(eta)) * (xent - xbar)) * 1_000_000 +
+        F.lit(0.5)).cast("long")
+    w = j.select(domain_col, "n_docs",
+                 (F.round(xent, 6) + 0.0).alias("xent"),
+                 u6.alias("__u6"))
+    norm = w.agg(F.sum("__u6").cast("long").alias("__U"))
+    return (w.crossJoin(F.broadcast(norm))
+            .select(domain_col, "n_docs", "xent",
+                    (F.round(F.col("__u6").cast("double") /
+                             F.col("__U"), 6) + 0.0).alias("weight")))

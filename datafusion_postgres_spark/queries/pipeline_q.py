@@ -2283,3 +2283,69 @@ def text_trained_classifier(spark, sf_dir):
     w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
                               lr_den=2)
     return sorted_small(trained_classifier_score(docs, w), "doc_id")
+
+
+@register("text_domain_reweight", oracle=f"""
+WITH whs_t AS (
+  SELECT doc_id, lang, {_LM_WHS} AS whs FROM documents),
+eligible AS (SELECT * FROM whs_t WHERE len(whs) >= 2),
+tr_pairs AS (
+  SELECT unnest({_LM_PAIRS}) AS p FROM eligible WHERE lang = 'en'),
+c1 AS (SELECT (p).b1 AS b, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tr_pairs GROUP BY 1),
+c12 AS (SELECT (p).b12 AS b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tr_pairs GROUP BY 1),
+sc_pairs AS (
+  SELECT doc_id, (p).b1 AS b1, (p).b12 AS b12
+  FROM (SELECT doc_id, unnest({_LM_PAIRS}) AS p FROM eligible)),
+lp AS (
+  SELECT doc_id,
+         CAST(floor(ln(CAST(COALESCE(c12.c, 0) + 1 AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(CAST(COALESCE(c1.c, 0) + {_LM_DIM} AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS lp6
+  FROM sc_pairs LEFT JOIN c1 ON sc_pairs.b1 = c1.b
+                LEFT JOIN c12 ON sc_pairs.b12 = c12.b),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(-SUM(lp6) AS BIGINT) AS nll_sum
+  FROM lp GROUP BY doc_id),
+dom AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(a.nll_sum) AS BIGINT) AS nll,
+         CAST(SUM(a.n_bigrams) AS BIGINT) AS nb
+  FROM agg a JOIN documents d USING (doc_id) GROUP BY d.source),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+               CAST(SUM(nll) AS BIGINT) AS nllt,
+               CAST(SUM(nb) AS BIGINT) AS nbt FROM dom),
+u AS (
+  SELECT source, n_docs,
+         CAST(nll AS DOUBLE) / 1000000 / nb AS xent_raw,
+         CAST(floor(CAST(n_docs AS DOUBLE) / n
+                    * exp(1.0 * (CAST(nll AS DOUBLE) / 1000000 / nb
+                                 - CAST(nllt AS DOUBLE) / 1000000 / nbt))
+                    * 1000000 + 0.5) AS BIGINT) AS u6
+  FROM dom, tot)
+SELECT source, n_docs,
+       ROUND(xent_raw, 6) + 0.0 AS xent,
+       ROUND(CAST(u6 AS DOUBLE) / (SELECT SUM(u6) FROM u), 6) + 0.0
+         AS weight
+FROM u ORDER BY source
+""")
+def text_domain_reweight(spark, sf_dir):
+    """DoReMi-flavored one-shot domain reweighting
+    (operators/dsir.py domain_mixture_reweight): per-source LM
+    cross-entropy under the lang='en' reference model, exponentiated
+    excess-loss weights normalized over a fixed-point integer sum. The
+    oracle replays the full chain — LM training counts, per-doc
+    fixed-point NLL, per-domain integer aggregates, and the u6/ΣU
+    normalization — bit-for-bit."""
+    from datafusion_postgres_spark.operators.dsir import (
+        domain_mixture_reweight)
+    from datafusion_postgres_spark.operators.lm import ngram_lm_score
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    train = docs.where(F.col("lang") == "en")
+    scored = ngram_lm_score(docs, train).join(
+        docs.select("doc_id", "source"), "doc_id")
+    return sorted_small(domain_mixture_reweight(scored), "source")

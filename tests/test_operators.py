@@ -1006,6 +1006,31 @@ class TestDsir:
         b = sorted(map(tuple, dsir_weights(docs, target, dim=512).collect()))
         assert a == b
 
+    def test_domain_reweight_upweights_lossy_domain(self, spark):
+        # two domains: one looks like the reference model's training
+        # text (low xent), one is alien (high xent) — the alien domain
+        # must gain weight over its raw share; weights sum to ~1
+        from datafusion_postgres_spark.operators.dsir import (
+            domain_mixture_reweight)
+        from datafusion_postgres_spark.operators.lm import ngram_lm_score
+        familiar = [(i, "the cat sat on the mat and the dog sat too",
+                     "easy") for i in range(10)]
+        alien = [(i + 100,
+                  f"zq{i} wxv{i} qjk{i} vbn{i} zzx{i} qqw{i}", "hard")
+                 for i in range(10)]
+        docs = spark.createDataFrame(familiar + alien,
+                                     "doc_id long, text string, source string")
+        train = docs.where("source = 'easy'")
+        scored = ngram_lm_score(docs, train).join(
+            docs.select("doc_id", "source"), "doc_id")
+        out = {r["source"]: r for r in
+               domain_mixture_reweight(scored).collect()}
+        assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+        assert out["hard"]["xent"] > out["easy"]["xent"]
+        # both domains have equal share (10 docs); the lossy one ends up
+        # above 0.5, the familiar one below
+        assert out["hard"]["weight"] > 0.5 > out["easy"]["weight"]
+
     def test_resample_is_weighted_sample_without_replacement(self, spark):
         from datafusion_postgres_spark.operators.dsir import dsir_resample
         docs = self._corpus(spark)

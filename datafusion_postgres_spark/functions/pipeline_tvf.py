@@ -179,6 +179,21 @@ def _trained_quality(spark, args):
     return trained_classifier_score(tbl, w)
 
 
+def _domain_reweight(spark, args):
+    """domain_reweight(corpus, train_corpus, eta): DoReMi-flavored
+    per-domain mixture weights from LM excess loss — next-epoch
+    sampling rates straight from SQL."""
+    from datafusion_postgres_spark.operators.dsir import (
+        domain_mixture_reweight,
+    )
+    from datafusion_postgres_spark.operators.lm import ngram_lm_score
+    eta = float(args[2]) if len(args) > 2 else 1.0
+    docs = _tbl(spark, args[0])
+    scored = ngram_lm_score(docs, _tbl(spark, args[1])).join(
+        docs.select("doc_id", "source"), "doc_id")
+    return domain_mixture_reweight(scored, eta=eta)
+
+
 def _video_probe(spark, args):
     """video_probe(media): header-only MP4 metadata over a table with
     (doc_id, content binary) — the mapInPandas probe through SQL."""
@@ -260,6 +275,10 @@ TVF_SIGNATURES = {
         "corpus text, label_col text, dim integer, iters integer",
         "TABLE(doc_id bigint, n_features bigint, "
         "margin double precision, clf_score double precision)"),
+    "domain_reweight": (
+        "corpus text, train_corpus text, eta double precision",
+        "TABLE(source text, n_docs bigint, xent double precision, "
+        "weight double precision)"),
 }
 
 # name -> (builder, min_args, max_args, n_table_args)
@@ -282,6 +301,7 @@ TVF_REGISTRY = {
     "dsir_weights": (_dsir_weights, 2, 2, 2),
     "video_probe": (_video_probe, 1, 1, 1),
     "trained_quality": (_trained_quality, 2, 4, 1),
+    "domain_reweight": (_domain_reweight, 2, 3, 2),
 }
 
 class TvfError(ValueError):

@@ -48,7 +48,8 @@ DECODED_SCHEMA = StructType([
 
 _MAGIC = {b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"RIFF": "wav",
           b"GIF8": "gif", b"\x00\x00\x00": "mp4", b"BM": "bmp",
-          b"P6": "ppm", b"P5": "pgm", b"P3": "ppm"}
+          b"P6": "ppm", b"P5": "pgm", b"P3": "ppm",
+          b"II*\x00": "tiff", b"MM\x00*": "tiff"}
 
 
 def _checksum(content: bytes) -> int:
@@ -115,6 +116,47 @@ def _decode_gif(content: bytes) -> tuple[int, int]:
     return w, h
 
 
+def _decode_tiff(content: bytes) -> tuple[int, int]:
+    """Width/height from a TIFF's IFD0 (public TIFF 6.0 spec): byte
+    order + magic 42, then the 12-byte IFD entries; tag 0x0100 =
+    ImageWidth, 0x0101 = ImageLength, each SHORT or LONG with the value
+    inlined in the entry. Same layout jpeg_exif walks inside APP1."""
+    import struct
+    bo = content[:2]
+    e = "<" if bo == b"II" else ">" if bo == b"MM" else None
+    if e is None or len(content) < 8:
+        raise ValueError("malformed TIFF header")
+    (magic,) = struct.unpack_from(e + "H", content, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (off,) = struct.unpack_from(e + "I", content, 4)
+    if off + 2 > len(content):
+        raise ValueError("truncated TIFF IFD0")
+    (n_entries,) = struct.unpack_from(e + "H", content, off)
+    w = h = None
+    p = off + 2
+    for _ in range(n_entries):
+        if p + 12 > len(content):
+            break
+        tag, typ, _cnt = struct.unpack_from(e + "HHI", content, p)
+        if tag in (0x0100, 0x0101):
+            if typ == 3:        # SHORT
+                (val,) = struct.unpack_from(e + "H", content, p + 8)
+            elif typ == 4:      # LONG
+                (val,) = struct.unpack_from(e + "I", content, p + 8)
+            else:
+                val = None
+            if val is not None:
+                if tag == 0x0100:
+                    w = val
+                else:
+                    h = val
+        p += 12
+    if w is None or h is None:
+        raise ValueError("TIFF IFD0 carries no ImageWidth/ImageLength")
+    return w, h
+
+
 # SOF markers carrying frame dimensions: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
 _JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
 
@@ -157,7 +199,8 @@ def _decode_jpeg(content: bytes) -> tuple[int, int]:
 # plain header fields, so no codec library is needed for METADATA
 _DIM_PARSERS = {"ppm": _decode_netpbm, "pgm": _decode_netpbm,
                 "bmp": _decode_bmp, "png": _decode_png,
-                "gif": _decode_gif, "jpeg": _decode_jpeg}
+                "gif": _decode_gif, "jpeg": _decode_jpeg,
+                "tiff": _decode_tiff}
 
 
 def decode_image(content: bytes, fake: bool = False) -> dict:

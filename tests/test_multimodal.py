@@ -494,3 +494,27 @@ class TestJpegExif:
                 assert got[i] == (True, 1 + i % 8)
             else:
                 assert got[i] == (False, None)
+
+
+class TestTiffDims:
+    def _synth(self, w, h, bo="II"):
+        e = "<" if bo == "II" else ">"
+        hdr = bo.encode() + struct.pack(e + "H", 42) + \
+            struct.pack(e + "I", 8)
+        entries = (struct.pack(e + "HHI", 0x0100, 3, 1) +
+                   struct.pack(e + "H", w) + b"\x00\x00" +
+                   struct.pack(e + "HHI", 0x0101, 4, 1) +
+                   struct.pack(e + "I", h))
+        return hdr + struct.pack(e + "H", 2) + entries + \
+            struct.pack(e + "I", 0)
+
+    def test_both_byte_orders(self):
+        for bo in ("II", "MM"):
+            m = mm.decode_image(self._synth(800, 600, bo))
+            assert (m["format"], m["width"], m["height"]) == \
+                ("tiff", 800, 600)
+
+    def test_missing_dims_raise(self):
+        b = b"II*\x00\x08\x00\x00\x00\x00\x00"
+        with pytest.raises(ValueError):
+            mm._decode_tiff(b)

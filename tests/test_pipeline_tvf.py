@@ -261,3 +261,21 @@ class TestTrainedQualityTvf:
         with pytest.raises(Exception):
             _rows(eng, "SELECT * FROM "
                        "trained_quality('documents', 'lang', 4, 1)")
+
+
+def test_domain_reweight_tvf(eng, spark):
+    spark.table("documents").where("lang = 'en'") \
+        .createOrReplaceTempView("ref_en")
+    rows = _rows(eng, "SELECT * FROM "
+                      "domain_reweight('documents', 'ref_en') "
+                      "ORDER BY source")
+    assert len(rows) > 1
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    from datafusion_postgres_spark.operators.dsir import (
+        domain_mixture_reweight)
+    from datafusion_postgres_spark.operators.lm import ngram_lm_score
+    docs = spark.table("documents")
+    scored = ngram_lm_score(docs, spark.table("ref_en")).join(
+        docs.select("doc_id", "source"), "doc_id")
+    direct = domain_mixture_reweight(scored).orderBy("source").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in direct]

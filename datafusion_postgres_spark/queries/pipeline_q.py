@@ -2228,8 +2228,10 @@ _TCLF_FEATS = f"""list_concat(
                   % 1000000007 % {_TCLF_DIM}))"""
 
 
-@register("text_trained_classifier", oracle=f"""
-WITH feat AS (
+# the two-iteration training replay, shared by every trained-classifier
+# oracle: produces `f` (doc_id, y, feats, nf) and `sc` (doc_id, mnum —
+# the final-weights margin numerator, an exact integer)
+_TCLF_TRAIN_SQL = f"""WITH feat AS (
   SELECT doc_id,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
          {_TCLF_FEATS} AS feats
@@ -2261,7 +2263,11 @@ w2 AS (
   FROM g2 LEFT JOIN w1 USING (h)),
 sc AS (
   SELECT o.doc_id, SUM(COALESCE(w2.w, 0)) AS mnum
-  FROM occ o LEFT JOIN w2 USING (h) GROUP BY o.doc_id)
+  FROM occ o LEFT JOIN w2 USING (h) GROUP BY o.doc_id)"""
+
+
+@register("text_trained_classifier", oracle=f"""
+{_TCLF_TRAIN_SQL}
 SELECT f.doc_id, CAST(f.nf AS BIGINT) AS n_features,
        ROUND(sc.mnum / (f.nf * 1000000.0), 6) + 0.0 AS margin,
        ROUND(1.0 / (1.0 + exp(-(sc.mnum / (f.nf * 1000000.0)))), 6) + 0.0
@@ -2349,3 +2355,38 @@ def text_domain_reweight(spark, sf_dir):
     scored = ngram_lm_score(docs, train).join(
         docs.select("doc_id", "source"), "doc_id")
     return sorted_small(domain_mixture_reweight(scored), "source")
+
+
+@register("text_trained_gate", oracle=f"""
+{_TCLF_TRAIN_SQL},
+final AS (
+  SELECT f.doc_id,
+         ROUND(1.0 / (1.0 + exp(-(sc.mnum / (f.nf * 1000000.0)))), 6) + 0.0
+           AS clf_score
+  FROM f JOIN sc USING (doc_id)),
+ranked AS (
+  SELECT doc_id, clf_score,
+         percent_rank() OVER (ORDER BY clf_score) AS pr
+  FROM final)
+SELECT doc_id, clf_score FROM ranked WHERE pr >= 0.4 ORDER BY doc_id
+""")
+def text_trained_gate(spark, sf_dir):
+    """The deploy composition end-to-end: train the classifier (two
+    fixed-point iterations on lang='en' labels), score every document,
+    and keep the top 60% by exact percentile gate
+    (filter_by_quantile) — the 'train a quality filter, calibrate to a
+    kept-volume target, gate the corpus' pipeline as ONE plan. Scores
+    are rounded to 6 before ranking on both engines, so the percentile
+    boundary (tied ranks included) is identical and the kept SET
+    replays bit-for-bit."""
+    from datafusion_postgres_spark.operators.classifier import (
+        train_text_classifier, trained_classifier_score)
+    from datafusion_postgres_spark.operators.text import filter_by_quantile
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
+                              lr_den=2)
+    scored = trained_classifier_score(docs, w).select("doc_id", "clf_score")
+    kept = filter_by_quantile(scored, "clf_score", q=0.4, keep="above",
+                              mode="exact")
+    return sorted_small(kept, "doc_id")

@@ -255,11 +255,18 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 def _sig_expr(k: int):
     """Minhash signature as a pure array expression over the sorted gram
     array: sig_i = min over grams of (a_i*g + b_i) mod P. No shuffle —
-    signatures are a projection, not an aggregation."""
-    return F.array(*[
-        F.array_min(F.transform(
-            "grams", lambda g: (g * a + b) % MH_PRIME))
-        for (a, b) in _mh_params(k)])
+    signatures are a projection, not an aggregation. The (a, b)
+    schedules ship as two parsed array literals and the k mins come
+    from ONE nested-HOF zip_with — a constant-size expression tree
+    (an F.array of k unrolled subtrees costs ~k*6 py4j round trips of
+    driver time per call); per-hash arithmetic is unchanged."""
+    params = _mh_params(k)
+    a_l = llit(a for a, _ in params)
+    b_l = llit(b for _, b in params)
+    return F.zip_with(
+        a_l, b_l,
+        lambda a, b: F.array_min(
+            F.transform("grams", lambda g: (g * a + b) % MH_PRIME)))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",

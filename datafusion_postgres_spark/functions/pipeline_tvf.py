@@ -203,6 +203,23 @@ def _video_probe(spark, args):
     return extract_video_metadata(_tbl(spark, args[0]))
 
 
+def _audio_probe(spark, args):
+    """audio_probe(media): header-only WAV/FLAC/MP3 metadata."""
+    from datafusion_postgres_spark.operators.multimodal import (
+        extract_audio_metadata,
+    )
+    return extract_audio_metadata(_tbl(spark, args[0]))
+
+
+def _exif_probe(spark, args):
+    """exif_probe(media): JPEG EXIF orientation/DateTime; non-JPEG rows
+    come back has_exif = false."""
+    from datafusion_postgres_spark.operators.multimodal import (
+        extract_image_exif,
+    )
+    return extract_image_exif(_tbl(spark, args[0]))
+
+
 # psql-\df metadata (pg_proc rows): name -> (argument text, result text)
 TVF_SIGNATURES = {
     "minhash_near_dups": (
@@ -279,6 +296,15 @@ TVF_SIGNATURES = {
         "corpus text, train_corpus text, eta double precision",
         "TABLE(source text, n_docs bigint, xent double precision, "
         "weight double precision)"),
+    "audio_probe": (
+        "media text",
+        "TABLE(doc_id bigint, byte_len bigint, format text, "
+        "channels integer, sample_rate integer, "
+        "bits_per_sample integer, duration_ms bigint)"),
+    "exif_probe": (
+        "media text",
+        "TABLE(doc_id bigint, has_exif boolean, orientation integer, "
+        "datetime text)"),
 }
 
 # name -> (builder, min_args, max_args, n_table_args)
@@ -302,6 +328,8 @@ TVF_REGISTRY = {
     "video_probe": (_video_probe, 1, 1, 1),
     "trained_quality": (_trained_quality, 2, 4, 1),
     "domain_reweight": (_domain_reweight, 2, 3, 2),
+    "audio_probe": (_audio_probe, 1, 1, 1),
+    "exif_probe": (_exif_probe, 1, 1, 1),
 }
 
 class TvfError(ValueError):

@@ -279,3 +279,44 @@ def test_domain_reweight_tvf(eng, spark):
         docs.select("doc_id", "source"), "doc_id")
     direct = domain_mixture_reweight(scored).orderBy("source").collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
+
+
+def test_audio_and_exif_probe_tvfs(eng, spark):
+    import struct
+
+    import pandas as pd
+    from datafusion_postgres_spark.operators.multimodal import (
+        synthetic_jpeg)
+
+    def wav(frames):
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+                  b"data" + struct.pack("<I", frames * 2) + b"\x00" * 16)
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "content": [
+                    wav(16000 + int(i) * 100) if i % 2 == 0
+                    else synthetic_jpeg(32, 24, orientation=1 + int(i) % 8)
+                    for i in ids],
+            })
+
+    media = (spark.range(10).selectExpr("id AS doc_id")
+             .mapInPandas(gen, "doc_id long, content binary"))
+    media.createOrReplaceTempView("probe_media")
+    # decode_audio is strict (raises on non-audio) — probe the wav rows
+    media.where("doc_id % 2 = 0").createOrReplaceTempView("probe_wavs")
+    wavs = _rows(eng, "SELECT * FROM audio_probe('probe_wavs') "
+                      "ORDER BY doc_id")
+    assert len(wavs) == 5
+    assert all(r["format"] == "wav" and r["duration_ms"] > 0
+               for r in wavs)
+    # the EXIF probe degrades gracefully on mixed media
+    ex = _rows(eng, "SELECT * FROM exif_probe('probe_media') "
+                    "WHERE has_exif ORDER BY doc_id")
+    assert [r["doc_id"] for r in ex] == [1, 3, 5, 7, 9]
+    assert all(r["orientation"] == 1 + r["doc_id"] % 8 for r in ex)

@@ -69,3 +69,85 @@ class TestTrainingShards:
         # partition pruning: shard=0 directory is excluded at plan time
         plan = resumed._jdf.queryExecution().executedPlan().toString()
         assert "shard=0" not in plan
+
+
+class TestZorderLayout:
+    """write_zordered: files carry narrow min/max footer ranges on BOTH
+    clustered columns at once — the stats-pruning claim, pinned by
+    reading the written parquet footers."""
+
+    def _spans(self, path, cols):
+        import glob
+
+        import pyarrow.parquet as pq
+        spans = {c: [] for c in cols}
+        glob_min = {c: None for c in cols}
+        glob_max = {c: None for c in cols}
+        per_file = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.read_metadata(f)
+            fmin = {c: None for c in cols}
+            fmax = {c: None for c in cols}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for i in range(g.num_columns):
+                    col = g.column(i)
+                    name = col.path_in_schema
+                    if name in cols and col.statistics is not None:
+                        s = col.statistics
+                        if fmin[name] is None or s.min < fmin[name]:
+                            fmin[name] = s.min
+                        if fmax[name] is None or s.max > fmax[name]:
+                            fmax[name] = s.max
+            per_file.append((fmin, fmax))
+            for c in cols:
+                if fmin[c] is None:
+                    continue
+                if glob_min[c] is None or fmin[c] < glob_min[c]:
+                    glob_min[c] = fmin[c]
+                if glob_max[c] is None or fmax[c] > glob_max[c]:
+                    glob_max[c] = fmax[c]
+        for fmin, fmax in per_file:
+            for c in cols:
+                tot = glob_max[c] - glob_min[c]
+                spans[c].append((fmax[c] - fmin[c]) / tot if tot else 0.0)
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    def _corpus(self, spark):
+        # two INDEPENDENT uniform dimensions: insertion order correlates
+        # with neither, so a plain multi-file write has ~full-span
+        # footers on both
+        return spark.range(40_000).selectExpr(
+            "id",
+            "CAST((id * 40503 % 65537) AS DOUBLE) AS x",
+            "CAST((id * 48271 % 65521) AS DOUBLE) AS y")
+
+    def test_round_trip_and_narrow_spans(self, spark, tmp_path):
+        from datafusion_postgres_spark.sources.sinks import write_zordered
+        df = self._corpus(spark)
+        zp, pp = str(tmp_path / "z"), str(tmp_path / "plain")
+        write_zordered(df, zp, ["x", "y"], n_files=16)
+        df.repartition(16).write.mode("overwrite").parquet(pp)
+        back = spark.read.parquet(zp)
+        assert back.count() == 40_000
+        assert set(back.columns) == {"id", "x", "y"}
+        assert back.agg({"x": "sum"}).collect()[0][0] == \
+            df.agg({"x": "sum"}).collect()[0][0]
+        z_spans = self._spans(zp, ["x", "y"])
+        p_spans = self._spans(pp, ["x", "y"])
+        # z-layout: BOTH dims narrow per file; plain round-robin: both
+        # dims ~full span in every file
+        assert z_spans["x"] < 0.6 and z_spans["y"] < 0.6, z_spans
+        assert p_spans["x"] > 0.9 and p_spans["y"] > 0.9, p_spans
+
+    def test_rejects_strings_and_single_col(self, spark):
+        from datafusion_postgres_spark.sources.sinks import zorder_value
+        df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s",
+                                        "CAST(id AS DOUBLE) AS x")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            zorder_value(df, ["x"])
+        with _pt.raises(ValueError):
+            zorder_value(df, ["s", "x"])
+        with _pt.raises(ValueError):
+            zorder_value(df, ["id", "x"], bits=32)

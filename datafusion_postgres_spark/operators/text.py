@@ -194,6 +194,31 @@ def sample_systematic(df: DataFrame, key_col: str, rate_denom: int,
     return df.where(h % F.lit(rate_denom) == F.lit(remainder))
 
 
+def split_train_eval(df: DataFrame, eval_denom: int = 100,
+                     eval_parts: int = 5, key_col: str = "doc_id",
+                     stratify_col: str | None = None) -> tuple[DataFrame,
+                                                               DataFrame]:
+    """Deterministic stratified train/eval split: the eval side keeps
+    rows whose portable key hash lands below ``eval_parts`` of
+    ``eval_denom`` (e.g. 5/100 = a 5% holdout), the train side is the
+    exact complement — one zero-shuffle scan filter per side, the same
+    doc on the same side across engines, runs, and partitionings (the
+    property a random split cannot give you, and the one that makes
+    decontamination meaningful: an eval doc can never silently migrate
+    into train on the next run). ``stratify_col`` salts the hash per
+    stratum so every language/domain holds out at the same rate
+    regardless of its key distribution."""
+    if not (0 < eval_parts < eval_denom):
+        raise ValueError(
+            f"eval_parts must be in (0, {eval_denom}), got {eval_parts}")
+    key = F.col(key_col).cast("string")
+    if stratify_col is not None:
+        key = F.concat(F.col(stratify_col).cast("string"), F.lit("|"), key)
+    bucket = fingerprint(key) % F.lit(eval_denom)
+    return (df.where(bucket >= F.lit(eval_parts)),
+            df.where(bucket < F.lit(eval_parts)))
+
+
 # ---------------------------------------------------------------------------
 # Within-document repetition + quality filters (the Gopher/C4-style
 # heuristics a pretraining pipeline applies before dedup; Rae et al. 2021

@@ -2390,3 +2390,35 @@ def text_trained_gate(spark, sf_dir):
     kept = filter_by_quantile(scored, "clf_score", q=0.4, keep="above",
                               mode="exact")
     return sorted_small(kept, "doc_id")
+
+
+@register("text_train_eval_split", oracle=f"""
+WITH b AS (
+  SELECT lang,
+         {_duck_hash("concat(lang, '|', CAST(doc_id AS VARCHAR))")} % 100
+           AS bk
+  FROM documents)
+SELECT lang,
+       CAST(SUM(CASE WHEN bk >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN bk < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+FROM b GROUP BY lang ORDER BY lang
+""")
+def text_train_eval_split(spark, sf_dir):
+    """Deterministic stratified 5% holdout (operators/text.py
+    split_train_eval): per-language train/eval counts — the same doc on
+    the same side across engines/runs/partitionings, which is what
+    makes the decontamination gates meaningful. The oracle replays the
+    salted fingerprint bucketing exactly."""
+    from datafusion_postgres_spark.operators.text import split_train_eval
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    train, ev = split_train_eval(docs, eval_denom=100, eval_parts=5,
+                                 stratify_col="lang")
+    tr = train.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_train"))
+    evc = ev.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_eval"))
+    out = (tr.join(evc, "lang", "full_outer")
+           .select("lang",
+                   F.coalesce("n_train", F.lit(0)).alias("n_train"),
+                   F.coalesce("n_eval", F.lit(0)).alias("n_eval")))
+    return sorted_small(out, "lang")

@@ -1339,3 +1339,40 @@ class TestCosineThresholdProfile:
         assert out[0.0] == 6  # all pairs (cos >= 0)
         # monotone by construction
         assert out[0.99] <= out[0.8] <= out[0.0]
+
+
+class TestTrainEvalSplit:
+    def test_disjoint_exhaustive_deterministic(self, spark):
+        from datafusion_postgres_spark.operators.text import (
+            split_train_eval)
+        from datafusion_postgres_spark.sources.registry import read_table
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        tr, ev = split_train_eval(docs, eval_denom=100, eval_parts=5,
+                                  stratify_col="lang")
+        t_ids = {r["doc_id"] for r in tr.select("doc_id").collect()}
+        e_ids = {r["doc_id"] for r in ev.select("doc_id").collect()}
+        all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+        assert t_ids | e_ids == all_ids
+        assert t_ids & e_ids == set()
+        assert 0 < len(e_ids) < len(all_ids) * 0.15
+        # determinism under partitioning
+        tr2, ev2 = split_train_eval(docs.repartition(7), eval_denom=100,
+                                    eval_parts=5, stratify_col="lang")
+        assert {r["doc_id"] for r in ev2.select("doc_id").collect()} \
+            == e_ids
+
+    def test_rejects_bad_parts(self, spark):
+        from datafusion_postgres_spark.operators.text import (
+            split_train_eval)
+        df = spark.range(5).selectExpr("id AS doc_id")
+        with pytest.raises(ValueError):
+            split_train_eval(df, eval_denom=10, eval_parts=10)
+
+    def test_zero_shuffle_filters(self, spark):
+        from datafusion_postgres_spark.operators.text import (
+            split_train_eval)
+        from datafusion_postgres_spark.plans.inspect import count_shuffles
+        from datafusion_postgres_spark.sources.registry import read_table
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        tr, ev = split_train_eval(docs)
+        assert count_shuffles(tr) == 0 and count_shuffles(ev) == 0

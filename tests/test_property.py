@@ -280,3 +280,30 @@ class TestBpeLocalLoop:
         got = _merge_loop_local([(list(s), w) for s, w in vocab], n_merges)
         want = self._naive(vocab, n_merges)
         assert got == want
+
+
+class TestLitexprProperties:
+    """repr-based parsed literals must be bit-exact for every finite
+    double and every long — the assumption all dim-sized constant
+    tables now ride on."""
+
+    @given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                              width=64), min_size=1, max_size=50))
+    @settings(max_examples=60, deadline=None)
+    def test_dlit_roundtrip(self, spark, vals):
+        import math
+        from datafusion_postgres_spark.operators.litexpr import dlit
+        got = spark.range(1).select(dlit(vals).alias("a")) \
+            .collect()[0]["a"]
+        assert len(got) == len(vals)
+        for g, v in zip(got, vals):
+            assert g == v and math.copysign(1, g) == math.copysign(1, v)
+
+    @given(st.lists(st.integers(-(2**63), 2**63 - 1),
+                    min_size=1, max_size=50))
+    @settings(max_examples=60, deadline=None)
+    def test_llit_roundtrip(self, spark, vals):
+        from datafusion_postgres_spark.operators.litexpr import llit
+        got = spark.range(1).select(llit(vals).alias("a")) \
+            .collect()[0]["a"]
+        assert list(got) == vals

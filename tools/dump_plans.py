@@ -205,6 +205,28 @@ COMMENTARY = {
         "behind a localCheckpoint (caps codegen size) and broadcasts; "
         "candidates only meet inside probed buckets. sq8/ivf_sq8 stay "
         "the routed scale tiers (ANN_RECALL.json).",
+    "text_trained_classifier":
+        "Round-6 marquee: TRAINED logistic classifier. The plan shown is "
+        "the SCORING pass — one zero-shuffle codegen projection against "
+        "the final weight literal. Training (2 iterations) ran before "
+        "this plan: each iteration is one pass over the persisted "
+        "feature frame with a partial-aggregated groupBy(bucket) whose "
+        "shuffle is dim running sums per partition (BENCH_SCALE "
+        "clf_gradient rows), never corpus-sized.",
+    "text_trained_gate":
+        "Train -> score -> exact percentile gate composed as one plan. "
+        "The global percent_rank window is the documented oracle-mode "
+        "cost; the scale path is filter_by_quantile(mode='approx') "
+        "(one aggregate pass + broadcast threshold).",
+    "text_domain_reweight":
+        "DoReMi-flavored mixture reweight: per-domain integer NLL "
+        "aggregates (map-side combined), two broadcast joins of "
+        "bounded one-row/k-row aggregates — nothing corpus-sized "
+        "shuffles; the LM scoring projection is the only corpus pass.",
+    "text_train_eval_split":
+        "Stratified deterministic holdout: both sides are zero-shuffle "
+        "scan filters on the salted fingerprint; the plan is the "
+        "per-language count aggregation over them.",
 }
 
 

@@ -520,12 +520,21 @@ def _argmin_code(sv, cb):
 
 
 def _unit_vectors(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    # the norm rides an array_repeat so its fold runs ONCE per row: a
+    # `transform(raw, x -> x / _norm(raw))` body re-evaluates the whole
+    # d-element norm fold for EVERY element (HOF lambdas get no
+    # loop-invariant hoisting) — d x d interpreted ops per row instead
+    # of d. zip_with divides by the identical double, so values are
+    # bit-unchanged (every unit-vector oracle stays green).
     unit = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("raw"))
     return unit.select(
         "vec_id",
-        F.transform("raw", lambda x: x / _norm(F.col("raw"))).alias("vec"))
+        F.zip_with("raw",
+                   F.array_repeat(_norm(F.col("raw")),
+                                  F.size(F.col("raw"))),
+                   lambda x, n: x / n).alias("vec"))
 
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],

@@ -798,3 +798,88 @@ def cosine_threshold_profile(emb: DataFrame,
     return (row.select(stacked.alias("s"))
             .select("s.threshold", "s.n_pairs")
             .orderBy(F.desc("threshold")))
+
+
+# ---------------------------------------------------------------------------
+# PCA over the embedding corpus: the public dimensionality-reduction
+# ladder rung below quantization (project to k dims, THEN quantize/scan —
+# FAISS's PCAMatrix pre-transform). The corpus-sized pass produces only a
+# d x d fixed-point Gram matrix; the eigendecomposition is a driver-side
+# numpy call on that bounded matrix; projection is zero-shuffle codegen.
+
+def gram_matrix(emb: DataFrame, vec_col: str = "embedding",
+                id_col: str = "vec_id",
+                scale: int = 1_000_000) -> DataFrame:
+    """(i, j, s): fixed-point second-moment matrix of the UNIT corpus,
+    s = sum over docs of floor(x_i * x_j * scale + 0.5).
+
+    Integer sums commute, so the matrix is bit-identical under any
+    partitioning AND fully DuckDB-replayable (the oracle for
+    emb_gram_matrix) — the same determinism trick as dsir/lm/classifier.
+    One corpus pass: posexplode to (i, x_i), per-row product array,
+    posexplode to (i, j, p), partial-aggregated groupBy — shuffle volume
+    is d^2 running sums per partition, independent of corpus size.
+    IEEE multiply is commutative, so the result is exactly symmetric.
+    Overflow bound: |x| <= 1 after unit norm, so |s| <= scale * n_docs —
+    safe below 9e12 docs at the 1e6 default."""
+    unit = _unit_vectors(emb, vec_col, id_col)
+    step1 = unit.select(F.posexplode("vec").alias("i", "xi"),
+                        F.col("vec").alias("v"))
+    prods = F.transform(
+        "v", lambda xj: F.floor(F.col("xi") * xj * F.lit(float(scale)) +
+                                F.lit(0.5)).cast("long"))
+    step2 = step1.select("i", F.posexplode(prods).alias("j", "p"))
+    return (step2.groupBy("i", "j")
+            .agg(F.sum("p").cast("long").alias("s")))
+
+
+def pca_components(emb: DataFrame, k: int = 16,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   scale: int = 1_000_000) -> list[list[float]]:
+    """Top-k principal directions (k x d floats) of the unit corpus's
+    second moment. The distributed part is :func:`gram_matrix` (exact
+    integers); the eigendecomposition runs on the driver over the
+    bounded d x d matrix (the kmeans/bpe driver-loop division of labor).
+    Deterministic end-to-end: integer Gram + a fixed sign convention
+    (each component's largest-|coordinate| entry is made positive).
+    Note: second-moment PCA (uncentered) — the right flavor for
+    cosine/ANN pipelines where vectors live on the unit sphere."""
+    import numpy as np
+
+    rows = gram_matrix(emb, vec_col, id_col, scale).collect()  # d^2 rows
+    if not rows:
+        raise ValueError("pca_components: empty corpus")
+    d = max(r["i"] for r in rows) + 1
+    n = emb.count()
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["i"], r["j"]] = r["s"] / scale / n
+    if not 0 < k <= d:
+        raise ValueError(f"k must be in (0, {d}], got {k}")
+    vals, vecs = np.linalg.eigh(m)          # ascending eigenvalues
+    comps = []
+    for c in range(d - 1, d - 1 - k, -1):
+        v = vecs[:, c]
+        peak = int(np.argmax(np.abs(v)))
+        if v[peak] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps
+
+
+def pca_project(emb: DataFrame, components: list[list[float]],
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, pvec ARRAY<DOUBLE> length k): project the unit corpus
+    onto the principal directions — one zero-shuffle codegen projection;
+    the k x d component matrix ships as a flat parsed literal sliced
+    inside a transform (the ivf_assign constant-tree shape). Compose
+    with any cosine_topk tier for reduced-dimension ANN."""
+    k = len(components)
+    d = len(components[0])
+    unit = _unit_vectors(emb, vec_col, id_col)
+    mat = dlit(x for c in components for x in c)
+    pvec = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: _dot(F.col("vec"), F.slice(mat, i * d + 1, F.lit(d))))
+    return unit.select("vec_id", pvec.alias("pvec"))

@@ -2422,3 +2422,30 @@ def text_train_eval_split(spark, sf_dir):
                    F.coalesce("n_train", F.lit(0)).alias("n_train"),
                    F.coalesce("n_eval", F.lit(0)).alias("n_eval")))
     return sorted_small(out, "lang")
+
+
+@register("emb_gram_matrix", oracle=f"""
+WITH unit AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(x AS DOUBLE) / {_VSQ.format(v='embedding')}) AS vec
+  FROM embeddings),
+g AS (
+  SELECT gi.i AS i, gj.j AS j,
+         CAST(SUM(CAST(floor(u.vec[gi.i + 1] * u.vec[gj.j + 1] * 1000000
+                             + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM unit u
+  CROSS JOIN generate_series(0, 63) AS gi(i)   -- testdata embeddings
+  CROSS JOIN generate_series(0, 63) AS gj(j)   -- are 64-dim (TESTDATA.md)
+  GROUP BY gi.i, gj.j)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, s
+FROM g ORDER BY i, j
+""")
+def emb_gram_matrix(spark, sf_dir):
+    """Fixed-point second-moment (Gram) matrix of the unit embedding
+    corpus (operators/similarity.py gram_matrix) — the distributed half
+    of PCA: the only corpus-sized pass reduces to d^2 exact-integer
+    sums (order-independent, hence this full oracle); the
+    eigendecomposition runs driver-side on the bounded matrix."""
+    emb = t(spark, sf_dir, "embeddings")
+    return sorted_small(similarity.gram_matrix(emb), "i", "j")

@@ -1376,3 +1376,94 @@ class TestTrainEvalSplit:
         docs = read_table(spark, "/root/testdata/sf0.001", "documents")
         tr, ev = split_train_eval(docs)
         assert count_shuffles(tr) == 0 and count_shuffles(ev) == 0
+
+
+class TestEmbeddingPca:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from datafusion_postgres_spark.sources.registry import read_table
+        return read_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def test_gram_symmetric_unit_trace(self, emb):
+        from datafusion_postgres_spark.operators import similarity as S
+        rows = {(r["i"], r["j"]): r["s"]
+                for r in S.gram_matrix(emb).collect()}
+        d = max(i for i, _ in rows) + 1
+        n = emb.count()
+        assert len(rows) == d * d
+        for i in range(d):
+            for j in range(i):
+                assert rows[(i, j)] == rows[(j, i)]
+        trace = sum(rows[(i, i)] for i in range(d))
+        # unit vectors: per-doc sum of squares = 1, so trace ~ n * scale
+        assert abs(trace - n * 1_000_000) < n * d  # floor rounding slack
+
+    def test_gram_deterministic_under_partitioning(self, emb):
+        from datafusion_postgres_spark.operators import similarity as S
+        a = sorted(map(tuple, S.gram_matrix(emb).collect()))
+        b = sorted(map(tuple,
+                       S.gram_matrix(emb.repartition(7)).collect()))
+        assert a == b
+
+    def test_components_orthonormal_and_match_numpy(self, emb):
+        import numpy as np
+        from datafusion_postgres_spark.operators import similarity as S
+        comps = S.pca_components(emb, k=8)
+        m = np.array(comps)
+        assert m.shape == (8, 64)
+        assert np.allclose(m @ m.T, np.eye(8), atol=1e-9)
+
+    def test_projection_matches_numpy_and_zero_shuffle(self, emb):
+        import math
+
+        import numpy as np
+        from datafusion_postgres_spark.operators import similarity as S
+        from datafusion_postgres_spark.plans.inspect import count_shuffles
+        comps = S.pca_components(emb, k=4)
+        proj = S.pca_project(emb, comps)
+        assert count_shuffles(proj) == 0
+        got = {r["vec_id"]: list(r["pvec"]) for r in proj.collect()}
+        raw = {r["vec_id"]: [float(x) for x in r["embedding"]]
+               for r in emb.select("vec_id", "embedding").collect()}
+        m = np.array(comps)
+        for vid in list(got)[:20]:
+            v = np.array(raw[vid])
+            u = v / math.sqrt(float((v * v).sum()))
+            want = m @ u
+            assert np.allclose(got[vid], want, atol=1e-6)
+
+    def test_pca_preserves_neighbors_better_than_truncation(self, emb):
+        # top-16 principal dims must beat naive first-16-coordinates
+        # truncation at recovering exact top-10 cosine neighbors
+        from pyspark.sql import functions as F2
+        from datafusion_postgres_spark.operators import similarity as S
+        q = (emb.where(F2.col("vec_id") < 10)
+             .select(F2.col("vec_id").alias("qid"),
+                     F2.col("embedding").alias("qvec")))
+        exact = {(r["qid"], r["vec_id"]) for r in
+                 S.cosine_topk_bruteforce(emb, q, k=10).collect()}
+        comps = S.pca_components(emb, k=16)
+        pemb = S.pca_project(emb, comps) \
+            .select("vec_id", F2.col("pvec").alias("embedding"))
+        pq_ = S.pca_project(q.select(F2.col("qid").alias("vec_id"),
+                                     F2.col("qvec").alias("embedding")),
+                            comps) \
+            .select(F2.col("vec_id").alias("qid"),
+                    F2.col("pvec").alias("qvec"))
+        pca_hits = {(r["qid"], r["vec_id"]) for r in
+                    S.cosine_topk_bruteforce(pemb, pq_, k=10).collect()}
+        trunc = emb.select(
+            "vec_id", F2.slice("embedding", 1, 16).alias("embedding"))
+        tq = q.select("qid", F2.slice("qvec", 1, 16).alias("qvec"))
+        trunc_hits = {(r["qid"], r["vec_id"]) for r in
+                      S.cosine_topk_bruteforce(trunc, tq, k=10).collect()}
+        r_pca = len(exact & pca_hits) / len(exact)
+        r_trunc = len(exact & trunc_hits) / len(exact)
+        assert r_pca > r_trunc
+
+    def test_k_bounds(self, emb):
+        from datafusion_postgres_spark.operators import similarity as S
+        with pytest.raises(ValueError):
+            S.pca_components(emb, k=0)
+        with pytest.raises(ValueError):
+            S.pca_components(emb, k=65)

@@ -1467,3 +1467,15 @@ class TestEmbeddingPca:
             S.pca_components(emb, k=0)
         with pytest.raises(ValueError):
             S.pca_components(emb, k=65)
+
+    def test_spectrum_descending_and_unit_trace(self, emb):
+        from datafusion_postgres_spark.operators import similarity as S
+        sp = S.pca_spectrum(emb)
+        assert len(sp) == 64
+        assert all(a >= b - 1e-12 for a, b in zip(sp, sp[1:]))
+        # unit vectors: eigenvalues sum to the trace ~ 1
+        assert abs(sum(sp) - 1.0) < 1e-3
+        # this synthetic corpus is isotropic — the diagnostic must SHOW
+        # that (no dominant directions), which is what routes users to
+        # quantization instead of PCA here
+        assert sum(sp[:16]) / sum(sp) < 0.6

@@ -48,6 +48,33 @@ def main() -> None:
     sq_codes = S.sq8_encode(emb, *bounds).cache()
     sq_codes.count()
     builds["sq8"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    comps16 = S.pca_components(emb, k=16)
+    pca_emb = (S.pca_project(emb, comps16)
+               .select("vec_id", F.col("pvec").alias("embedding")).cache())
+    pca_emb.count()
+    builds["pca16"] = time.perf_counter() - t0
+
+    def pca_q():
+        return (S.pca_project(
+            q.select(F.col("qid").alias("vec_id"),
+                     F.col("qvec").alias("embedding")), comps16)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("pvec").alias("qvec")))
+
+    t0 = time.perf_counter()
+    comps32 = S.pca_components(emb, k=32)
+    pca32_emb = (S.pca_project(emb, comps32)
+                 .select("vec_id", F.col("pvec").alias("embedding")).cache())
+    pca32_emb.count()
+    builds["pca32"] = time.perf_counter() - t0
+
+    def pca32_q():
+        return (S.pca_project(
+            q.select(F.col("qid").alias("vec_id"),
+                     F.col("qvec").alias("embedding")), comps32)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("pvec").alias("qvec")))
 
     methods = {
         "exact_bruteforce": (0.0,
@@ -66,6 +93,16 @@ def main() -> None:
                     lambda: S.cosine_topk_ivf_sq8(
                         emb, q, k=k, n_centroids=16, n_probe=4,
                         centroids=cents, bounds=bounds, codes=sq_codes)),
+        # 4x/2x dimension reduction BEFORE the scan (FAISS PCAMatrix
+        # shape). NOTE: this synthetic corpus is ISOTROPIC (pca_spectrum
+        # is flat), the worst case for PCA — the rows exist to measure
+        # that honestly; real embedding corpora are anisotropic.
+        "pca16_bruteforce": (builds["pca16"],
+                             lambda: S.cosine_topk_bruteforce(
+                                 pca_emb, pca_q(), k=k)),
+        "pca32_bruteforce": (builds["pca32"],
+                             lambda: S.cosine_topk_bruteforce(
+                                 pca32_emb, pca32_q(), k=k)),
     }
 
     def top_set(fn):

@@ -119,6 +119,13 @@ def train_text_classifier(df: DataFrame, label_col: str,
     Per iteration: gd = floor((round(sigmoid(m),9) - y)/nf * SCALE + .5)
     per document (integer), summed per bucket (one corpus pass, dim-row
     shuffle), then w_fp[b] -= floor(g/lr_den + 0.5) on the driver."""
+    t = df.schema[label_col].dataType.simpleString()
+    if not (t in ("boolean",) or t.startswith(("int", "bigint", "smallint",
+                                               "tinyint"))):
+        raise ValueError(
+            f"label column {label_col!r} has type {t}; expected an "
+            "integer/boolean 0-1 label (a string would silently cast to "
+            "NULL and poison every gradient)")
     feats_df = _feature_frame(df, label_col, text_col, id_col,
                               dim, bigrams).persist()
     try:

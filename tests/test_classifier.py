@@ -133,6 +133,12 @@ class TestTrainedClassifier:
         with pytest.raises(ValueError):
             load_weights(p)
 
+    def test_string_label_rejected(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world", "yes")], ["doc_id", "text", "y"])
+        with pytest.raises(ValueError, match="label column"):
+            train_text_classifier(df, "y", dim=32, iters=1)
+
     def test_empty_docs_excluded(self, spark):
         df = spark.createDataFrame(
             [(1, "hello world", 1), (2, "   ", 0)],

@@ -185,3 +185,31 @@ def trained_classifier_score(df: DataFrame, w_fp: list[int],
         F.col("nf").cast("bigint").alias("n_features"),
         (F.round(margin, 6) + 0.0).alias("margin"),
         (F.round(score, 6) + 0.0).alias("clf_score"))
+
+
+def classifier_term_weights(df: DataFrame, w_fp: list[int], k: int = 20,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            ascending: bool = False) -> DataFrame:
+    """Interpretability view of a trained model: the top-k corpus words
+    by learned weight — (word, df, bucket, weight). Each word maps to
+    its unigram bucket (the same fingerprint % dim as training), so
+    colliding words share a weight; document frequency is shown so a
+    reader can judge whether a bucket's weight is driven by the word at
+    hand. One word-keyed aggregation (map-side combined) + a pure
+    lookup against the weight literal; total order (weight, word) makes
+    the top-k deterministic and DuckDB-replayable."""
+    dim = len(w_fp)
+    ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
+    vocab = (df.select(F.explode(F.array_distinct(ws)).alias("word"))
+             .groupBy("word")
+             .agg(F.count("*").cast("bigint").alias("df")))
+    bucket = (word_fingerprint(F.col("word")) % dim).cast("int")
+    w_lit = llit(w_fp)
+    weight = (F.element_at(w_lit, bucket + 1).cast("double") /
+              F.lit(1_000_000.0))
+    out = vocab.select("word", "df", bucket.alias("bucket"),
+                       (F.round(weight, 6) + 0.0).alias("weight"))
+    order = ([F.col("weight").asc(), F.col("word").asc()] if ascending
+             else [F.col("weight").desc(), F.col("word").asc()])
+    return out.orderBy(*order).limit(k)

@@ -2449,3 +2449,34 @@ def emb_gram_matrix(spark, sf_dir):
     eigendecomposition runs driver-side on the bounded matrix."""
     emb = t(spark, sf_dir, "embeddings")
     return sorted_small(similarity.gram_matrix(emb), "i", "j")
+
+
+@register("text_classifier_term_weights", oracle=f"""
+{_TCLF_TRAIN_SQL},
+vocab AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT unnest(list_distinct({_CLF_WS})) AS w FROM documents)
+  WHERE w != '' GROUP BY w),
+wt AS (
+  SELECT v.word, v.df,
+         CAST({_duck_hash('v.word')} % {_TCLF_DIM} AS INT) AS bucket,
+         ROUND(CAST(COALESCE(w2.w, 0) AS DOUBLE) / 1000000.0, 6) + 0.0
+           AS weight
+  FROM vocab v
+  LEFT JOIN w2 ON w2.h = {_duck_hash('v.word')} % {_TCLF_DIM})
+SELECT word, df, bucket, weight FROM wt
+ORDER BY weight DESC, word LIMIT 20
+""")
+def text_classifier_term_weights(spark, sf_dir):
+    """Top-20 most positive-class (lang='en') words under the trained
+    classifier (operators/classifier.py classifier_term_weights) — the
+    interpretability view. The oracle re-derives the trained weights
+    through the shared two-iteration training fragment and replays the
+    vocabulary join bit-for-bit."""
+    from datafusion_postgres_spark.operators.classifier import (
+        classifier_term_weights, train_text_classifier)
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
+                              lr_den=2)
+    return classifier_term_weights(docs, w, k=20)

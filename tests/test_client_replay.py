@@ -435,3 +435,25 @@ class TestModernPgjdbcPrimaryKeys:
         """
         res = engine.execute(q)
         assert list(res[-1].rows()) == []  # no modeled indexes; no error
+
+
+class TestPgAdbcReplay:
+    """ADBC driver metadata replay (reference tests/pgadbc.rs): the
+    3-way pg_class ⋈ pg_attribute ⋈ pg_type join keyed through a
+    '<table>'::regclass::oid cast chain."""
+
+    def test_pgadbc_metadata_sql(self, engine):
+        (res,) = engine.execute(
+            "SELECT attname, atttypid "
+            "FROM pg_catalog.pg_class AS cls "
+            "INNER JOIN pg_catalog.pg_attribute AS attr "
+            "  ON cls.oid = attr.attrelid "
+            "INNER JOIN pg_catalog.pg_type AS typ "
+            "  ON attr.atttypid = typ.oid "
+            "WHERE attr.attnum >= 0 "
+            "  AND cls.oid = 'nation'::regclass::oid "
+            "ORDER BY attr.attnum")
+        rows = list(res.rows())
+        names = [r[0] for r in rows]
+        assert names == ["n_nationkey", "n_name", "n_regionkey"]
+        assert all(isinstance(r[1], int) and r[1] > 0 for r in rows)

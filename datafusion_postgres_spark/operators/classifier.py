@@ -58,13 +58,8 @@ def _feature_frame(df: DataFrame, label_col: str | None,
     cols = [F.col(id_col)]
     if label_col is not None:
         cols.append(F.col(label_col).cast("int").alias("y"))
-    # project BEFORE filtering on the projected size: a where(size(ws))
-    # ahead of the projection evaluates the whole normalize+split chain
-    # twice per row (filter and project are separate codegen operators,
-    # no cross-operator subexpression reuse). Same rows, same values.
-    fps = (df.select(*cols,
-                     F.transform(ws, word_fingerprint).alias("__fp"))
-           .where(F.size("__fp") > 0))
+    fps = (df.where(F.size(ws) > 0)
+           .select(*cols, F.transform(ws, word_fingerprint).alias("__fp")))
     fp = F.col("__fp")
     uni = F.transform(fp, lambda h: h % dim)
     feats = uni

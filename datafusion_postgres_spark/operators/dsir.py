@@ -50,13 +50,10 @@ def _hashed_features(df: DataFrame, text_col: str, id_col: str, dim: int,
     carries additional (alias, Column-over-input) pairs through the
     projection (e.g. the target-membership flag)."""
     ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
-    # project first, filter on the projected size (the where(size(ws))
-    # form evaluates the split chain twice per row — filter and project
-    # are separate codegen operators). Same rows, same values.
-    fps = (df.select(F.col(id_col).alias("id"),
-                     F.transform(ws, word_fingerprint).alias("__fp"),
-                     *[c.alias(a) for a, c in (extra or [])])
-           .where(F.size("__fp") > 0))
+    fps = (df.where(F.size(ws) > 0)
+           .select(F.col(id_col).alias("id"),
+                   F.transform(ws, word_fingerprint).alias("__fp"),
+                   *[c.alias(a) for a, c in (extra or [])]))
     fp = F.col("__fp")
     uni = F.transform(fp, lambda h: h % dim)
     feats = uni

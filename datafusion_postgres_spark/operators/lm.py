@@ -34,12 +34,9 @@ LM_SCALE = 1_000_000
 
 def _word_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
-    # project first, filter on the projected size — see
-    # classifier._feature_frame (the where(size(ws)) form evaluates the
-    # split chain twice per row). Same rows, same values.
-    return (df.select(F.col(id_col).alias("id"),
-                      F.transform(ws, word_fingerprint).alias("whs"))
-            .where(F.size("whs") >= 2))
+    return (df.where(F.size(ws) >= 2)
+            .select(F.col(id_col).alias("id"),
+                    F.transform(ws, word_fingerprint).alias("whs")))
 
 
 def _bigram_buckets(dim: int):

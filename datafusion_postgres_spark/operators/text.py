@@ -613,9 +613,9 @@ def hashed_classifier_score(df: DataFrame, text_col: str = "text",
     # referencing the split+fold chain from several sibling expressions
     # (unigrams, both bigram slices) re-evaluates it each time — higher-
     # order lambdas get no common-subexpression reuse
-    fps = (df.select(F.col(id_col),
-                     F.transform(ws, word_fingerprint).alias("__fp"))
-           .where(F.size("__fp") > 0))
+    fps = (df.where(F.size(ws) > 0)
+           .select(F.col(id_col),
+                   F.transform(ws, word_fingerprint).alias("__fp")))
     fp = F.col("__fp")
     uni = F.transform(fp, lambda h: h % dim)
     feats = uni

@@ -599,13 +599,20 @@ def _proc_rows() -> list:
     from datafusion_postgres_spark.functions.pipeline_tvf import (
         TVF_SIGNATURES,
     )
+    # declared arg type -> type OID (public PostgreSQL catalog facts)
+    tvf_arg_oids = {"text": "25", "integer": "23", "bigint": "20",
+                    "double precision": "701", "boolean": "16"}
     for name in sorted(TVF_SIGNATURES):
         args_text, result_text = TVF_SIGNATURES[name]
-        argnames = [a.strip().split()[0] for a in args_text.split(",")]
+        argnames, argoids = [], []
+        for a in args_text.split(","):
+            words = a.strip().split()
+            argnames.append(words[0])
+            argoids.append(tvf_arg_oids.get(" ".join(words[1:]), "25"))
         rows.append((
             oid, name, PG_CATALOG_NAMESPACE_OID, 2249, len(argnames),
             "f", True, "v",
-            " ".join(["25"] * len(argnames)),
+            " ".join(argoids),
             argnames, args_text, result_text,
             "pipeline table function (Spark operator tier; "
             "functions/pipeline_tvf.py)"))

@@ -362,12 +362,34 @@ def _group_to_literal(group) -> str:
         "take literal table names and numbers", "42601")
 
 
+# Keywords that end a FROM clause's comma context (the rewriter only
+# treats a comma as "table position" while inside an open FROM list).
+_FROM_ENDERS = frozenset({
+    "where", "group", "having", "order", "limit", "offset", "window",
+    "qualify", "union", "intersect", "except", "select", "on", "set",
+    "values", "when", "then", "else", "case",
+})
+
+
 def rewrite_pipeline_tvfs(spark: SparkSession, stmt: str,
-                          check_table=None) -> str | None:
-    """If ``stmt`` contains pipeline table-function calls, materialize
-    each as a temp view and return the rewritten statement; None when
-    no call is present. ``check_table(name)`` is the permission hook —
-    called for every table argument before the operator touches it.
+                          check_table=None, defer: bool = False):
+    """If ``stmt`` contains pipeline table-function calls IN TABLE
+    POSITION, rewrite each into a temp-view reference and return the
+    rewritten statement; None when no call is present. ``check_table
+    (name)`` is the permission hook — called for every table argument
+    before any operator work happens.
+
+    Table position = the previous significant token is FROM / JOIN /
+    LATERAL, or a comma inside an open FROM list. A scalar call of a
+    coincidentally named user function (``SELECT sessionize(col) FROM
+    t``) is left untouched, so the rewrite never changes an unrelated
+    statement's semantics.
+
+    ``defer=True`` returns ``(rewritten_stmt, pending)`` WITHOUT
+    executing any builder; pass ``pending`` to
+    ``materialize_pipeline_tvfs`` after statement-level authorization
+    completes — eager builders (e.g. trained_quality's training run)
+    must not burn cluster time for a statement that is then denied.
 
     Token-aware (the dialect tokenizer, not a regex), so a function
     name inside a string literal, quoted identifier, or comment is
@@ -375,13 +397,31 @@ def rewrite_pipeline_tvfs(spark: SparkSession, stmt: str,
     count as TVF invocations."""
     low = stmt.lower()
     if not any(name in low for name in TVF_REGISTRY):
-        return None
+        return (None, []) if defer else None
     from datafusion_postgres_spark.dialect.tokenizer import (
         IDENT, PUNCT, WS, Token, emit, tokenize,
     )
     toks = tokenize(stmt)
     out: list[Token] = []
+    pending: list[tuple[str, str, list[str]]] = []
     i, changed = 0, False
+    # FROM-list comma tracking: parens push/pop (a subquery or arg list
+    # starts a fresh non-FROM scope); FROM opens, clause keywords close.
+    in_from, from_stack = False, []
+
+    def _track(tok):
+        nonlocal in_from
+        if tok.kind == PUNCT and tok.text == "(":
+            from_stack.append(in_from)
+            in_from = False
+        elif tok.kind == PUNCT and tok.text == ")":
+            in_from = from_stack.pop() if from_stack else False
+        elif tok.kind == IDENT:
+            tl = tok.text.lower()
+            if tl == "from":
+                in_from = True
+            elif tl in _FROM_ENDERS:
+                in_from = False
 
     def _last_sig(seq):
         for idx in range(len(seq) - 1, -1, -1):
@@ -389,10 +429,14 @@ def rewrite_pipeline_tvfs(spark: SparkSession, stmt: str,
                 return idx
         return -1
 
+    def _emit(tok):
+        _track(tok)
+        out.append(tok)
+
     while i < len(toks):
         t = toks[i]
         if not (t.kind == IDENT and t.text.lower() in TVF_REGISTRY):
-            out.append(t)
+            _emit(t)
             i += 1
             continue
         j = i + 1
@@ -400,21 +444,36 @@ def rewrite_pipeline_tvfs(spark: SparkSession, stmt: str,
             j += 1
         if not (j < len(toks) and toks[j].kind == PUNCT
                 and toks[j].text == "("):
-            out.append(t)   # bare identifier, not a call
+            _emit(t)   # bare identifier, not a call
             i += 1
             continue
         # qualification: only bare or pipeline.-prefixed calls rewrite
         p = _last_sig(out)
         qualified = p >= 0 and out[p].kind == PUNCT and out[p].text == "."
+        drop_from = None
         if qualified:
             q = _last_sig(out[:p])
             if q >= 0 and out[q].kind == IDENT and \
                     out[q].text.lower() == "pipeline":
-                del out[q:]  # drop the pipeline. prefix (+ trailing ws)
+                drop_from = q  # pipeline. prefix — drop if we rewrite
             else:
-                out.append(t)  # someone else's schema — leave untouched
+                _emit(t)  # someone else's schema — leave untouched
                 i += 1
                 continue
+        # TABLE-POSITION check: the token before the call (before any
+        # pipeline. prefix) must put us in a from-clause slot.
+        ctx = _last_sig(out[:drop_from] if drop_from is not None else out)
+        in_table_pos = ctx >= 0 and (
+            (out[ctx].kind == IDENT
+             and out[ctx].text.lower() in ("from", "join", "lateral"))
+            or (out[ctx].kind == PUNCT and out[ctx].text == ","
+                and in_from))
+        if not in_table_pos:
+            _emit(t)  # scalar/expression position — not ours to rewrite
+            i += 1
+            continue
+        if drop_from is not None:
+            del out[drop_from:]  # drop the pipeline. prefix (+ ws)
         fn = t.text.lower()
         builder, lo, hi, n_tables = TVF_REGISTRY[fn]
         # collect literal args up to the matching ')' (no nesting)
@@ -448,8 +507,21 @@ def rewrite_pipeline_tvfs(spark: SparkSession, stmt: str,
                 check_table(tbl)
         view = "__tvf_" + fn + "_" + hashlib.sha1(
             repr(args).encode()).hexdigest()[:10]
-        builder(spark, args).createOrReplaceTempView(view)
+        pending.append((view, fn, args))
         out.append(Token(IDENT, view))
         changed = True
         i = k + 1
+    if defer:
+        return (emit(out), pending) if changed else (None, [])
+    materialize_pipeline_tvfs(spark, pending)
     return emit(out) if changed else None
+
+
+def materialize_pipeline_tvfs(spark: SparkSession, pending) -> None:
+    """Build the temp views a deferred ``rewrite_pipeline_tvfs`` call
+    planned. Runs AFTER statement authorization — the builders may be
+    eager (trained_quality trains on materialization), so nothing here
+    may execute before the permission check passes."""
+    for view, fn, args in pending:
+        builder = TVF_REGISTRY[fn][0]
+        builder(spark, args).createOrReplaceTempView(view)

@@ -1,0 +1,427 @@
+"""Perceptual image hashing + near-dup dedup over binary image columns.
+
+Ties the multimodal tier into the dedup tier: a multimodal training
+corpus needs IMAGE-level near-dup removal exactly like text dedup
+(reference has no analog — this is part of the beyond-parity
+LLM-pipeline surface, same family as operators/dedup.py).
+
+Three layers, each honest about what it can do in a codec-library-free
+container:
+
+  1. REAL pixel decode for the losslessly-specified public formats:
+     PNG (stdlib ``zlib`` inflate of the IDAT stream + the five public
+     defilter predictors None/Sub/Up/Average/Paeth — no codec library
+     required), netpbm P5/P6, and uncompressed 8-bit BMP. JPEG pixels
+     stay a NotImplementedError (DCT entropy decode needs a codec).
+  2. Integer-exact perceptual hashes over the decoded grayscale grid:
+     aHash (block mean vs global mean) and dHash (adjacent block mean
+     gradient), each 64 bits emitted as FOUR 16-bit chunk columns —
+     integer-exact (all comparisons are cross-multiplied integer sums,
+     no float means), so the hash is bit-reproducible across engines
+     and directly DuckDB-replayable.
+  3. Distributed near-dup pairing with the same pigeonhole chunk
+     blocking as dedup.simhash_near_pairs: a pair within hamming <=
+     max_hamming (<= 3 over 4 chunks) shares at least one identical
+     16-bit chunk, so the candidate join is an equi-join on
+     (chunk_index, chunk_value) — never an all-pairs cross join. At
+     100 TB the block key distributes like a hash; the decode pass is
+     a zero-shuffle linear mapInPandas scan.
+
+Scale notes: decode is per-byte CPU work behind mapInPandas (Arrow
+batches, no shuffle) — partition by size budget first
+(multimodal.repartition_for_decode). The pair join shuffles only
+(id, 4 ints) rows, 4 per image, independent of image size.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StructField, StructType,
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# PNG color type -> samples per pixel (public PNG spec, 8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor exactly as published in the PNG spec."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
+    """Full PNG pixel decode with nothing but stdlib ``zlib``.
+
+    Returns (width, height, grayscale) where grayscale is a row-major
+    list of 0..255 luma values (integer BT.601 weights for color).
+    Supports bit depth 8, color types 0/2/4/6, no interlace — raises
+    NotImplementedError for palette/16-bit/Adam7 (honest capability
+    boundary; those need the same spec work, not a codec, but are not
+    exercised by any corpus we synthesize)."""
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos, n = 8, len(content)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack_from(">IIBBBBB", data, 0)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length            # length + type + data + crc
+    if width is None:
+        raise ValueError("truncated PNG: no IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG pixel decode implemented for bit depth 8, color types "
+            f"0/2/4/6, no interlace (got depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace}); palette/16-bit/"
+            "Adam7 need additional spec work")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT stream has wrong decompressed length")
+    prior = bytearray(stride)
+    gray: list[int] = []
+    for r in range(height):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        recon = bytearray(stride)
+        if ftype == 0:                                    # None
+            recon[:] = line
+        elif ftype == 1:                                  # Sub
+            for x in range(stride):
+                left = recon[x - channels] if x >= channels else 0
+                recon[x] = (line[x] + left) & 0xFF
+        elif ftype == 2:                                  # Up
+            for x in range(stride):
+                recon[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:                                  # Average
+            for x in range(stride):
+                left = recon[x - channels] if x >= channels else 0
+                recon[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
+        elif ftype == 4:                                  # Paeth
+            for x in range(stride):
+                left = recon[x - channels] if x >= channels else 0
+                ul = prior[x - channels] if x >= channels else 0
+                recon[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        if channels == 1:
+            gray.extend(recon)
+        elif channels == 2:                               # gray + alpha
+            gray.extend(recon[0::2])
+        else:                                             # RGB / RGBA
+            for x in range(0, stride, channels):
+                gray.append((299 * recon[x] + 587 * recon[x + 1]
+                             + 114 * recon[x + 2]) // 1000)
+        prior = recon
+    return width, height, gray
+
+
+def encode_png_gray(width: int, height: int, gray: list[int],
+                    filters: str = "cycle") -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (stdlib zlib only).
+
+    ``filters='cycle'`` applies filter type ``row % 5`` so a round trip
+    through decode_png_pixels exercises ALL FIVE public defilter
+    predictors; 'none' writes filter 0 everywhere. Used by the fixture
+    and query synthesis paths — the decode side never assumes which
+    encoder produced the bytes."""
+    if len(gray) != width * height:
+        raise ValueError("gray must hold width*height values")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prior = [0] * width
+    for r in range(height):
+        row = [v & 0xFF for v in gray[r * width:(r + 1) * width]]
+        f = (r % 5) if filters == "cycle" else 0
+        raw.append(f)
+        for x in range(width):
+            left = row[x - 1] if x >= 1 else 0
+            up = prior[x]
+            ul = prior[x - 1] if x >= 1 else 0
+            if f == 0:
+                raw.append(row[x])
+            elif f == 1:
+                raw.append((row[x] - left) & 0xFF)
+            elif f == 2:
+                raw.append((row[x] - up) & 0xFF)
+            elif f == 3:
+                raw.append((row[x] - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((row[x] - _paeth(left, up, ul)) & 0xFF)
+        prior = row
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_image_pixels(content: bytes) -> tuple[int, int, list[int]]:
+    """Grayscale pixel grid for every decodable public format: PNG
+    (full spec decode above), netpbm P5/P6 (raw bytes after the
+    header), uncompressed 8/24-bit BMP. Codec formats (JPEG) raise
+    NotImplementedError — the honest boundary is now *entropy-coded*
+    formats only."""
+    if content.startswith(_PNG_SIG):
+        return decode_png_pixels(content)
+    if content[:2] in (b"P5", b"P6"):
+        return _decode_netpbm_pixels(content)
+    if content[:2] == b"BM":
+        return _decode_bmp_pixels(content)
+    raise NotImplementedError(
+        "pixel decode implemented for PNG/netpbm/BMP; entropy-coded "
+        "formats (JPEG) need a codec library not present here")
+
+
+def _decode_netpbm_pixels(content: bytes) -> tuple[int, int, list[int]]:
+    from datafusion_postgres_spark.operators.multimodal import _decode_netpbm
+    w, h = _decode_netpbm(content)
+    # payload starts after the third header field's trailing whitespace
+    i, fields = 2, 0
+    n = len(content)
+    while fields < 3 and i < n:
+        c = content[i:i + 1]
+        if c == b"#":
+            while i < n and content[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            while i < n and content[i:i + 1].isdigit():
+                i += 1
+            fields += 1
+        else:
+            raise ValueError("malformed netpbm header")
+    i += 1  # single whitespace after maxval
+    if content[:2] == b"P5":
+        data = content[i:i + w * h]
+        return w, h, list(data)
+    data = content[i:i + 3 * w * h]
+    gray = [(299 * data[k] + 587 * data[k + 1] + 114 * data[k + 2]) // 1000
+            for k in range(0, len(data), 3)]
+    return w, h, gray
+
+
+def _decode_bmp_pixels(content: bytes) -> tuple[int, int, list[int]]:
+    (data_off,) = struct.unpack_from("<I", content, 10)
+    w, h_signed = struct.unpack_from("<ii", content, 18)
+    (bpp,) = struct.unpack_from("<H", content, 28)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"BMP pixel decode implemented for uncompressed 8/24-bit "
+            f"(got bpp={bpp}, compression={compression})")
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+    row_bytes = ((w * bpp // 8) + 3) & ~3        # rows pad to 4 bytes
+    gray: list[int] = []
+    for rr in range(h):
+        r = (h - 1 - rr) if bottom_up else rr
+        off = data_off + r * row_bytes
+        if bpp == 8:
+            gray.extend(content[off:off + w])
+        else:
+            row = content[off:off + 3 * w]
+            for k in range(0, 3 * w, 3):          # BGR order
+                gray.append((299 * row[k + 2] + 587 * row[k + 1]
+                             + 114 * row[k]) // 1000)
+    return w, h, gray
+
+
+# ---------------------------------------------------------------------------
+# integer-exact perceptual hashes (4 x 16-bit chunks = 64 bits)
+
+def ahash_chunks(gray: list[int], w: int, h: int) -> list[int]:
+    """aHash: 8x8 grid of block means, bit = block mean >= global mean.
+    EXACT integer arithmetic — every comparison cross-multiplies sums
+    by pixel counts, so the result is identical however the blocks were
+    summed (and identical to a SQL replay)."""
+    total = sum(gray)
+    npix = w * h
+    bits = []
+    for br in range(8):
+        r0, r1 = br * h // 8, (br + 1) * h // 8
+        for bc in range(8):
+            c0, c1 = bc * w // 8, (bc + 1) * w // 8
+            bs = sum(gray[r * w + c] for r in range(r0, r1)
+                     for c in range(c0, c1))
+            cnt = (r1 - r0) * (c1 - c0)
+            bits.append(1 if bs * npix >= total * cnt else 0)
+    return [sum(bits[j * 16 + k] << k for k in range(16)) for j in range(4)]
+
+
+def dhash_chunks(gray: list[int], w: int, h: int) -> list[int]:
+    """dHash: 8 rows x 9 cols of block means; bit = right block mean
+    strictly greater than its left neighbor (integer cross-multiplied)."""
+    sums, cnts = [], []
+    for br in range(8):
+        r0, r1 = br * h // 8, (br + 1) * h // 8
+        row_s, row_c = [], []
+        for bc in range(9):
+            c0, c1 = bc * w // 9, (bc + 1) * w // 9
+            row_s.append(sum(gray[r * w + c] for r in range(r0, r1)
+                             for c in range(c0, c1)))
+            row_c.append(max((r1 - r0) * (c1 - c0), 1))
+        sums.append(row_s)
+        cnts.append(row_c)
+    bits = []
+    for br in range(8):
+        for bc in range(8):
+            bits.append(1 if sums[br][bc + 1] * cnts[br][bc]
+                        > sums[br][bc] * cnts[br][bc + 1] else 0)
+    return [sum(bits[j * 16 + k] << k for k in range(16)) for j in range(4)]
+
+
+HASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("ahash_c0", IntegerType()),
+    StructField("ahash_c1", IntegerType()),
+    StructField("ahash_c2", IntegerType()),
+    StructField("ahash_c3", IntegerType()),
+    StructField("dhash_c0", IntegerType()),
+    StructField("dhash_c1", IntegerType()),
+    StructField("dhash_c2", IntegerType()),
+    StructField("dhash_c3", IntegerType()),
+])
+
+
+def image_perceptual_hashes(media: DataFrame, id_col: str = "doc_id",
+                            content_col: str = "content",
+                            batch_size: int = 256) -> DataFrame:
+    """Per-image aHash/dHash over Arrow batches — zero shuffle, linear
+    scan, constant memory per worker (the multimodal decode shape).
+    Undecodable rows (codec formats, corrupt bytes) emit NULL hashes
+    instead of failing the batch: at corpus scale a poison row must
+    never kill the job."""
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+
+    def hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w, h, gray = decode_image_pixels(bytes(content))
+                    rows.append((did, w, h, *ahash_chunks(gray, w, h),
+                                 *dhash_chunks(gray, w, h)))
+                except (NotImplementedError, ValueError, IndexError):
+                    rows.append((did, None, None) + (None,) * 8)
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              HASH_SCHEMA.fields])
+
+    return media.mapInPandas(hash_batches, HASH_SCHEMA)
+
+
+def image_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
+                         content_col: str = "content",
+                         max_hamming: int = 3,
+                         hash_prefix: str = "ahash") -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance.
+
+    Blocking mirrors dedup.simhash_near_pairs: 4 chunks of 16 bits, and
+    pigeonhole guarantees every pair within hamming <= 3 shares at
+    least one identical chunk — the candidate join is an equi-join on
+    (chunk_index, value), NEVER all-pairs, so it scales like any
+    hash-partitioned join. Returns (id_a, id_b, hamming), exact within
+    max_hamming <= 3."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk pigeonhole blocking is exact only for "
+            f"max_hamming <= 3 (got {max_hamming})")
+    from datafusion_postgres_spark.operators.cachectl import (
+        cache_generation,
+    )
+    cols = [f"{hash_prefix}_c{j}" for j in range(4)]
+    sig = cache_generation(
+        "image_near_dup_pairs",
+        image_perceptual_hashes(media, id_col, content_col)
+        .where(F.col(cols[0]).isNotNull())
+        .select(F.col("doc_id").alias("id"), *cols))
+    exploded = sig.select(
+        "id", *cols,
+        F.posexplode(F.array(*[F.col(c) for c in cols]))
+        .alias("ci", "chunk"))
+    a, b = exploded.alias("x"), exploded.alias("y")
+    cand = (a.join(b, (F.col("x.ci") == F.col("y.ci"))
+                   & (F.col("x.chunk") == F.col("y.chunk"))
+                   & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                    *[F.col(f"x.{c}").alias(f"a{j}")
+                      for j, c in enumerate(cols)],
+                    *[F.col(f"y.{c}").alias(f"b{j}")
+                      for j, c in enumerate(cols)])
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")).cast("long"))
+        for j in range(4))
+    return (cand.withColumn("hamming", hamming.cast("bigint"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def synthesize_png_corpus(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", side: int = 16,
+                          batch_size: int = 512) -> DataFrame:
+    """Deterministic REAL-PNG corpus from a text table: pixel (r, c) of
+    a side x side grayscale grid is ``ord(text[(r*side + c) mod
+    len(text)]) mod 256``, encoded as an actual zlib-compressed PNG
+    with the row-cycling filter types. The pixel formula is pure
+    integer character arithmetic, so an oracle can recompute the
+    perceptual hashes straight from the text — any disagreement means
+    the PNG encode/decode round trip broke."""
+    from pyspark.sql.types import BinaryType, StringType
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("media_type", StringType()),
+    ])
+    npix = side * side
+
+    def to_png(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                s = text or "\x00"
+                n = len(s)
+                gray = [ord(s[i % n]) % 256 for i in range(npix)]
+                rows.append((did, encode_png_gray(side, side, gray),
+                             "image/png"))
+            yield pd.DataFrame(rows, columns=["doc_id", "content",
+                                              "media_type"])
+
+    spark = docs.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return docs.select(id_col, text_col).mapInPandas(to_png, out_schema)

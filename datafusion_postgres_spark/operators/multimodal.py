@@ -2,10 +2,13 @@
 
 Decode is REAL for the library-free public formats — netpbm (P3/P5/P6)
 and BMP images via `decode_image`, RIFF/WAVE audio via `decode_audio` —
-parsed straight from their published specs. Codec formats (JPEG/PNG/GIF,
-mp3/ogg) need a library not present in this container and raise an
-honest NotImplementedError (`decode_image(fake=True)` remains as the
-deterministic test double). The Spark-side plumbing is real either way:
+parsed straight from their published specs. PNG PIXELS decode for real
+too (stdlib zlib inflate + the five public defilter predictors —
+operators/imagehash.py, which also provides perceptual aHash/dHash and
+image near-dup dedup). The remaining honest NotImplementedError
+boundary is entropy-coded formats only (JPEG pixels, mp3/ogg samples);
+`decode_image(fake=True)` remains as the deterministic test double.
+The Spark-side plumbing is real either way:
 
   * schema convention: `content BINARY` + `media_type STRING` + a
     `meta STRUCT<...>` column;

@@ -237,8 +237,17 @@ class SparkPgEngine:
             raise FailedTransactionError(
                 "current transaction is aborted, commands ignored until "
                 "end of transaction block")  # error code 25P01
-        stmt = self._maybe_rewrite_pipeline_tvfs(stmt)
+        stmt, pending_tvfs = self._maybe_rewrite_pipeline_tvfs(stmt)
         self._check_permissions(stmt)
+        if pending_tvfs:
+            # Materialize TVF views only now — after BOTH the per-source
+            # check inside the rewrite and the statement-kind permission
+            # check above. Eager builders (trained_quality runs a full
+            # training job) must not execute for a denied statement.
+            from datafusion_postgres_spark.functions.pipeline_tvf import (
+                materialize_pipeline_tvfs,
+            )
+            materialize_pipeline_tvfs(self.spark, pending_tvfs)
         self._maybe_refresh_catalog(stmt)
         analyzed = self._maybe_explain_analyze(stmt)
         if analyzed is not None:
@@ -330,7 +339,8 @@ class SparkPgEngine:
         n = _dml_row_count(res)
         return n if n else len(rows)
 
-    def _maybe_rewrite_pipeline_tvfs(self, stmt: str) -> str:
+    def _maybe_rewrite_pipeline_tvfs(
+            self, stmt: str) -> tuple[str, list]:
         """Expose the pipeline operator tier (dedup/similarity/text)
         through SQL: `SELECT * FROM minhash_near_dups('documents', 0.5)`
         — each registered pipeline-function call materializes as a lazy
@@ -339,7 +349,7 @@ class SparkPgEngine:
         operator output (functions/pipeline_tvf.py)."""
         kind = self.transpiler.statement_kind(stmt)
         if kind not in ("SELECT", "WITH", "CREATE", "EXPLAIN"):
-            return stmt
+            return stmt, []
         from datafusion_postgres_spark.functions.pipeline_tvf import (
             rewrite_pipeline_tvfs,
         )
@@ -351,9 +361,9 @@ class SparkPgEngine:
                 Resource("table",
                          name if "." in name else f"public.{name}"))
 
-        rewritten = rewrite_pipeline_tvfs(self.spark, stmt,
-                                          check_table=check_table)
-        return stmt if rewritten is None else rewritten
+        rewritten, pending = rewrite_pipeline_tvfs(
+            self.spark, stmt, check_table=check_table, defer=True)
+        return (stmt, []) if rewritten is None else (rewritten, pending)
 
     def _check_permissions(self, stmt: str) -> None:
         """Per-statement RBAC (hooks/permissions.rs:44-92): map statement
@@ -382,6 +392,12 @@ class SparkPgEngine:
                         f"resolve target table of {kind.upper()} statement")
             return
         for tbl in tables:
+            # Engine-synthesized pipeline TVF views: already authorized
+            # per SOURCE table via the rewrite's check_table hook; no
+            # user grant can name a one-off __tvf_<sha> view, so checking
+            # it here would deny the feature to every table-granted user.
+            if tbl.split(".")[-1].startswith("__tvf_"):
+                continue
             name = tbl if "." in tbl else f"public.{tbl}"
             self.auth.check_statement(self.user, kind,
                                       Resource("table", name))

@@ -80,6 +80,11 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 16):
                          (F.min(f"__z_{c}").cast("double").alias(f"mn_{c}"),
                           F.max(f"__z_{c}").cast("double").alias(f"mx_{c}"))
                          ]).collect()[0]
+    if any(stats[f"mn_{c}"] is None or stats[f"mx_{c}"] is None
+           for c in cols):
+        raise ValueError(
+            "zorder over empty input (or an all-NULL cluster column): "
+            "no min/max span to scale against — nothing to cluster")
     levels = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):

@@ -130,3 +130,18 @@ class TestGenerationCache:
         got = {(r["event_id"], r["session_id"]) for r in out.collect()}
         want = {(r["event_id"], r["session_id"]) for r in bare.collect()}
         assert got == want
+
+
+def test_warm_hit_invalidates_on_new_files(spark, tmp_path):
+    """Round-7 ADVICE fix: a semantically identical plan must NOT pin a
+    pre-insert snapshot — new backing files invalidate the warm hit."""
+    from datafusion_postgres_spark.operators.cachectl import (
+        cache_generation,
+    )
+    p = str(tmp_path / "stale_t")
+    spark.range(10).write.parquet(p)
+    df1 = cache_generation("stale_test", spark.read.parquet(p))
+    assert df1.count() == 10
+    spark.range(5).write.mode("append").parquet(p)
+    df2 = cache_generation("stale_test", spark.read.parquet(p))
+    assert df2.count() == 15  # the stale snapshot would say 10

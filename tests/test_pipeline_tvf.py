@@ -320,3 +320,92 @@ def test_audio_and_exif_probe_tvfs(eng, spark):
                     "WHERE has_exif ORDER BY doc_id")
     assert [r["doc_id"] for r in ex] == [1, 3, 5, 7, 9]
     assert all(r["orientation"] == 1 + r["doc_id"] % 8 for r in ex)
+
+
+class TestTvfTablePositionAndAuthz:
+    """Round-7 ADVICE fixes: rewrite only in table (FROM) position;
+    table-granted users can run TVFs; eager builders never execute for
+    a statement that is then denied."""
+
+    def test_scalar_position_call_untouched(self, eng, spark):
+        from datafusion_postgres_spark.functions.pipeline_tvf import (
+            rewrite_pipeline_tvfs,
+        )
+        # a coincidentally named user function in SELECT-list / WHERE
+        # position must not be rewritten (and must not raise TvfError)
+        assert rewrite_pipeline_tvfs(
+            spark, "SELECT sessionize(user_id) FROM events") is None
+        assert rewrite_pipeline_tvfs(
+            spark, "SELECT a, exact_dup_groups(x) FROM t") is None
+        assert rewrite_pipeline_tvfs(
+            spark, "SELECT 1 WHERE sessionize(a, b) > 0") is None
+
+    def test_comma_in_from_list_still_rewrites(self, eng):
+        rows = _rows(eng,
+                     "SELECT count(*) AS n FROM documents d, "
+                     "exact_dup_groups('documents') g "
+                     "WHERE d.doc_id = g.representative")
+        assert rows[0]["n"] > 0
+
+    def test_table_granted_user_can_run_tvf(self, eng):
+        from datafusion_postgres_spark.server.auth import (
+            Permission, PermissionDenied, Resource, User,
+        )
+        eng.auth.add_user(User("tvfuser", roles=["tvfr"]))
+        eng.auth.grant("tvfr", Permission.SELECT,
+                       Resource("table", "public.documents"))
+        eng.user = "tvfuser"
+        try:
+            # grant on the SOURCE table is sufficient — the synthesized
+            # __tvf_* view itself is exempt from table grants
+            rows = _rows(eng, "SELECT count(*) AS n "
+                              "FROM exact_dup_groups('documents')")
+            assert rows[0]["n"] > 0
+            # no grant on events -> the per-source hook denies
+            with pytest.raises(PermissionDenied):
+                _rows(eng, "SELECT * FROM sessionize('events', 1800)")
+        finally:
+            eng.user = "postgres"
+
+    def test_denied_statement_never_builds(self, eng, monkeypatch):
+        from datafusion_postgres_spark.functions import pipeline_tvf as ptvf
+        from datafusion_postgres_spark.server.auth import (
+            Permission, PermissionDenied, Resource, User,
+        )
+        calls = []
+        orig = ptvf.TVF_REGISTRY["exact_dup_groups"]
+
+        def spy(spark_, args):
+            calls.append(list(args))
+            return orig[0](spark_, args)
+
+        monkeypatch.setitem(ptvf.TVF_REGISTRY, "exact_dup_groups",
+                            (spy, *orig[1:]))
+        eng.auth.add_user(User("tvfuser2", roles=["tvfr2"]))
+        eng.auth.grant("tvfr2", Permission.SELECT,
+                       Resource("table", "public.documents"))
+        eng.user = "tvfuser2"
+        try:
+            _rows(eng, "SELECT count(*) AS n "
+                       "FROM exact_dup_groups('documents')")
+            assert len(calls) == 1
+            # CTAS needs CREATE permission the user lacks: denied AND
+            # the (potentially expensive) builder never ran a 2nd time
+            with pytest.raises(PermissionDenied):
+                eng.execute("CREATE TABLE tvf_out AS SELECT * "
+                            "FROM exact_dup_groups('documents')")
+            assert len(calls) == 1
+        finally:
+            eng.user = "postgres"
+
+    def test_tvf_proargtypes_match_signatures(self, eng):
+        """pg_proc declares real arg type OIDs (23 integer, 701 double
+        precision), not text-for-everything."""
+        (res,) = eng.execute(
+            "SELECT proname, proargtypes FROM pg_catalog.pg_proc "
+            "WHERE proname IN ('trained_quality', 'domain_reweight', "
+            "'minhash_near_dups') ORDER BY proname")
+        got = {r["proname"]: r["proargtypes"] for r in res.df.collect()}
+        assert got["trained_quality"] == "25 25 23 23"
+        assert got["domain_reweight"] == "25 25 701"
+        assert got["minhash_near_dups"] == "25 701"

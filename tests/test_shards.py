@@ -151,3 +151,14 @@ class TestZorderLayout:
             zorder_value(df, ["s", "x"])
         with _pt.raises(ValueError):
             zorder_value(df, ["id", "x"], bits=32)
+
+
+def test_zorder_empty_input_clear_error(spark):
+    """Round-7 ADVICE fix: empty input raises a clear ValueError, not a
+    bare TypeError from None-None arithmetic."""
+    import pytest
+    from datafusion_postgres_spark.sources.sinks import zorder_value
+    df = spark.range(0).selectExpr("CAST(id AS DOUBLE) AS x",
+                                   "CAST(id AS DOUBLE) AS y")
+    with pytest.raises(ValueError, match="empty input"):
+        zorder_value(df, ["x", "y"])

@@ -2274,6 +2274,56 @@ def multimodal_image_neardups(spark, sf_dir):
                         "id_a", "id_b")
 
 
+@register("text_url_dedup", oracle="""
+WITH canon AS (
+  SELECT doc_id,
+         'https://src' || CAST((doc_id // 4) % 20 AS VARCHAR) ||
+         '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR) ||
+         CASE WHEN (doc_id // 4) % 3 = 0 THEN '?a=1&b=2' ELSE '' END
+           AS canonical_url
+  FROM documents)
+SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS representative,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY canonical_url HAVING COUNT(*) > 1
+ORDER BY canonical_url
+""")
+def text_url_dedup(spark, sf_dir):
+    """URL-level provenance dedup (round-7 verdict item #2): each doc
+    gets a PLANTED messy URL variant (case-shifted scheme/host, default
+    :443 port, trailing slash, www. prefix, duplicate path slashes,
+    shuffled query params, utm_/gclid/fbclid tracking params, fragment
+    — one class per doc_id%4, four docs per canonical URL), and the
+    REAL canonicalizer (operators/urls.py — pure parse_url/regexp/
+    array-sort codegen, no Python in the row path) must collapse every
+    group. The oracle constructs the ground-truth canonical form
+    arithmetically, so any rule the canonicalizer misapplies splits a
+    group and breaks the match. No reference analog: beyond-parity
+    LLM-pipeline tier (CC-style pipelines URL-dedup before content
+    dedup)."""
+    from datafusion_postgres_spark.operators.urls import url_dup_groups
+    docs = t(spark, sf_dir, "documents")
+    g = F.expr("doc_id DIV 4")
+    v = F.col("doc_id") % 4
+    host = F.concat(F.lit("src"), (g % 20).cast("string"),
+                    F.lit(".example.com"))
+    path = F.concat(F.lit("/docs/"), g.cast("string"))
+    q0 = F.when(g % 3 == 0, "?b=2&a=1").otherwise("")
+    q1 = F.when(g % 3 == 0, "?a=1&b=2").otherwise("")
+    q2 = (F.when(g % 3 == 0, "?a=1&utm_source=news&b=2")
+          .otherwise("?utm_source=news"))
+    q3 = (F.when(g % 3 == 0, "?b=2&fbclid=xyz&a=1")
+          .otherwise("?gclid=123"))
+    url = (F.when(v == 0, F.concat(F.lit("https://"), host, path, q0))
+           .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                                  F.lit(":443"), path, F.lit("/"), q1))
+           .when(v == 2, F.concat(F.lit("https://www."), host, path, q2,
+                                  F.lit("#frag")))
+           .otherwise(F.concat(F.lit("https://"), host,
+                               F.lit("//docs//"), g.cast("string"), q3)))
+    messy = docs.select("doc_id", url.alias("url"))
+    return url_dup_groups(messy).orderBy("canonical_url")
+
+
 _TCLF_DIM = 256
 _TCLF_FEATS = f"""list_concat(
            list_transform({_CLF_WS}, w -> {_duck_hash('w')} % {_TCLF_DIM}),

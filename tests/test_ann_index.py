@@ -121,3 +121,63 @@ class TestAnnIndexAppend:
         top = (query_ivf_sq8_index(spark, p, q, k=3, n_probe=4)
                .where(F.col("rnk") == 1).collect())
         assert [r["vec_id"] for r in top] == [1_000_003]
+
+
+class TestIndexHealth:
+    """Round-7 verdict item #3: measured recall (drift alarm) and
+    bounded per-cell file counts after appends."""
+
+    def test_recall_probe_detects_drifted_appends(self, spark, emb,
+                                                  tmp_path):
+        from datafusion_postgres_spark.sources.ann_index import (
+            append_ivf_sq8_index, index_recall_probe, write_ivf_sq8_index,
+        )
+        p = str(tmp_path / "drift_idx")
+        write_ivf_sq8_index(emb, p, n_centroids=16, kmeans_iters=0)
+        base = index_recall_probe(spark, p, emb, k=10, n_probe=4,
+                                  n_queries=16)
+        assert base["n_queries"] == 16
+        assert base["recall_at_k"] > 0.3  # deterministic (untrained)
+        # centroids: modest but healthy baseline for this fixture
+        # drifted batch: far outside the trained SQ8 bounds AND the
+        # centroid geometry — codes saturate, scores distort
+        drifted = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: x * 7.0 + 11.0).alias("embedding"))
+        append_ivf_sq8_index(drifted, p)
+        combined = emb.select("vec_id", "embedding").unionByName(drifted)
+        after = index_recall_probe(spark, p, combined, k=10, n_probe=4,
+                                   n_queries=16)
+        # the probe is the alarm: measured recall degrades after drift
+        assert after["recall_at_k"] < base["recall_at_k"]
+
+    def test_compaction_bounds_files_preserves_answers(self, spark, emb,
+                                                       tmp_path):
+        import glob
+        from datafusion_postgres_spark.sources.ann_index import (
+            append_ivf_sq8_index, compact_ivf_sq8_index,
+            query_ivf_sq8_index, write_ivf_sq8_index,
+        )
+        p = str(tmp_path / "compact_idx")
+        write_ivf_sq8_index(emb, p, n_centroids=16, kmeans_iters=0)
+        for i in range(3):  # small appended batches -> small files
+            batch = emb.where(F.col("vec_id") % 4 == i % 4).select(
+                (F.col("vec_id") + 10000 * (i + 1)).alias("vec_id"),
+                "embedding")
+            append_ivf_sq8_index(batch, p)
+        queries = (emb.where(F.col("vec_id") < 5)
+                   .select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("qvec")))
+        before = {(r["qid"], r["vec_id"], r["rnk"]) for r in
+                  query_ivf_sq8_index(spark, p, queries, k=5).collect()}
+        rep = compact_ivf_sq8_index(spark, p, max_files_per_cell=2)
+        assert rep["compacted_cells"] > 0
+        assert rep["files_after"] < rep["files_before"]
+        per_cell = [len(glob.glob(f"{d}/*.parquet"))
+                    for d in glob.glob(f"{p}/centroid_id=*")]
+        assert max(per_cell) <= 2
+        spark.catalog.clearCache()
+        after = {(r["qid"], r["vec_id"], r["rnk"]) for r in
+                 query_ivf_sq8_index(spark, p, queries, k=5).collect()}
+        assert after == before

@@ -48,6 +48,12 @@ HEADLINE = [
     "text_bpe_merges",
     "sim_cosine_lsh_multiprobe",
     "text_trained_classifier",
+    # round-7 marquee: SCALE-MODE twins of the two exact-mode oracle
+    # rows (additions only — prior rows stay comparable with r01..r06):
+    # histogram-exact percentile gate (no corpus-sized SinglePartition
+    # sort) and the df-capped library-default jaccard
+    "text_trained_gate_scale",
+    "dedup_ngram_jaccard_capped",
 ]
 
 

@@ -647,11 +647,20 @@ def filter_by_quantile(df: DataFrame, score_col: str, q: float = 0.4,
     language").
 
     ``mode='exact'``: percent_rank over a (keys, score) window — fully
-    deterministic and engine-portable (ties share a rank), at the cost of
-    one sort shuffle per group. ``mode='approx'``: percentile_approx
-    computes per-group thresholds in ONE aggregate pass (no sort), the
-    bounded threshold table broadcast-joins back — the 100 TB path, with
-    sketch-accuracy cutoffs (not oracle-able bit-for-bit)."""
+    deterministic and engine-portable (ties share a rank), at the cost
+    of one CORPUS-sized sort per group (a global gate is an Exchange
+    SinglePartition: one task sorts everything — fine for an oracle
+    row, wrong at scale). ``mode='hist'``: the SAME EXACT kept set,
+    computed scale-safely — one count aggregate per DISTINCT (keys,
+    score) value, percent_rank reconstructed from cumulative counts
+    over that bounded histogram, and the one-row-per-group threshold
+    broadcast back. The only sorted exchange carries the score
+    HISTOGRAM (bounded by score cardinality — round scores first, e.g.
+    ROUND(x, 6) caps it at ~1e6 rows forever), never the corpus. This
+    is the 100 TB default when scores are discretized. ``mode=
+    'approx'``: percentile_approx sketch thresholds in one pass —
+    cheapest, but sketch-accuracy cutoffs (not oracle-able
+    bit-for-bit); for un-discretized continuous scores."""
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be above|below, got {keep!r}")
     kcols = [] if keys is None else ([keys] if isinstance(keys, str)
@@ -663,8 +672,35 @@ def filter_by_quantile(df: DataFrame, score_col: str, q: float = 0.4,
         cond = (F.col("__pr") >= q if keep == "above"
                 else F.col("__pr") <= q)
         return (df.withColumn("__pr", pr).where(cond).drop("__pr"))
+    if mode == "hist":
+        hist = (df.groupBy(*kcols, score_col)
+                .agg(F.count("*").alias("__c")))
+        w = (Window.partitionBy(*kcols).orderBy(score_col) if kcols
+             else Window.partitionBy().orderBy(score_col))
+        # percent_rank of a tied group = (#rows strictly below)/(N-1) —
+        # reconstructed exactly: same integer counts, same IEEE double
+        # division as the window function, so the kept set is identical
+        cum = (hist
+               .withColumn("__below", F.sum("__c").over(w) - F.col("__c"))
+               .withColumn("__n", F.sum("__c").over(
+                   Window.partitionBy(*kcols) if kcols
+                   else Window.partitionBy())))
+        pr = F.col("__below") / F.greatest(F.col("__n") - 1, F.lit(1))
+        if keep == "above":
+            thr = (cum.where(pr >= q)
+                   .groupBy(*kcols)
+                   .agg(F.min(score_col).alias("__thr")))
+            cond = F.col(score_col) >= F.col("__thr")
+        else:
+            thr = (cum.where(pr <= q)
+                   .groupBy(*kcols)
+                   .agg(F.max(score_col).alias("__thr")))
+            cond = F.col(score_col) <= F.col("__thr")
+        joined = (df.join(F.broadcast(thr), kcols) if kcols
+                  else df.crossJoin(F.broadcast(thr)))
+        return joined.where(cond).drop("__thr")
     if mode != "approx":
-        raise ValueError(f"mode must be exact|approx, got {mode!r}")
+        raise ValueError(f"mode must be exact|hist|approx, got {mode!r}")
     thr_agg = F.percentile_approx(score_col, q).alias("__thr")
     if kcols:
         thr = df.groupBy(*kcols).agg(thr_agg)

@@ -185,6 +185,28 @@ def dedup_ngram(spark, sf_dir):
                         "id_a", "id_b")
 
 
+@register("dedup_ngram_jaccard_capped", oracle=f"""
+WITH {_JACCARD_CTES}
+SELECT id_a, id_b, inter_n, union_n, jaccard
+FROM jpairs ORDER BY id_a, id_b
+""")
+def dedup_ngram_capped(spark, sf_dir):
+    """The LIBRARY-DEFAULT (df-capped) mode of ngram_jaccard_pairs as
+    its own registered + benched row (round-7 verdict item #4): max_df=
+    1000 drops boilerplate join-key grams BEFORE the self-join, which
+    is what bounds the hottest key at 100 TB. The exact oracle above is
+    still the full ground truth here because the cap provably cannot
+    trip at oracle scale: a gram's prefix document frequency is at most
+    the corpus doc count, and the sf0.001/sf0.01 correctness corpora
+    hold 50/500 docs < 1000 — the capped plan and the exact plan are
+    value-identical below 1000 docs while the BENCH (sf0.1, 5k docs)
+    exercises the real capped shape. AQE is left to choose the verify
+    join (no broadcast hint): the operator's 100 TB default."""
+    docs = t(spark, sf_dir, "documents")
+    return sorted_small(dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+                        "id_a", "id_b")
+
+
 @register("dedup_components", oracle=f"""
 WITH RECURSIVE {_JACCARD_CTES},
 edges AS (
@@ -2463,7 +2485,7 @@ def text_domain_reweight(spark, sf_dir):
     return sorted_small(domain_mixture_reweight(scored), "source")
 
 
-@register("text_trained_gate", oracle=f"""
+_TGATE_ORACLE = f"""
 {_TCLF_TRAIN_SQL},
 final AS (
   SELECT f.doc_id,
@@ -2475,7 +2497,10 @@ ranked AS (
          percent_rank() OVER (ORDER BY clf_score) AS pr
   FROM final)
 SELECT doc_id, clf_score FROM ranked WHERE pr >= 0.4 ORDER BY doc_id
-""")
+"""
+
+
+@register("text_trained_gate", oracle=_TGATE_ORACLE)
 def text_trained_gate(spark, sf_dir):
     """The deploy composition end-to-end: train the classifier (two
     fixed-point iterations on lang='en' labels), score every document,
@@ -2495,6 +2520,31 @@ def text_trained_gate(spark, sf_dir):
     scored = trained_classifier_score(docs, w).select("doc_id", "clf_score")
     kept = filter_by_quantile(scored, "clf_score", q=0.4, keep="above",
                               mode="exact")
+    return sorted_small(kept, "doc_id")
+
+
+@register("text_trained_gate_scale", oracle=_TGATE_ORACLE)
+def text_trained_gate_scale(spark, sf_dir):
+    """The SCALE-MODE twin of text_trained_gate (round-7 verdict item
+    #4): identical train -> score -> gate composition, but the
+    percentile gate runs mode='hist' — the exact kept set reconstructed
+    from a bounded score HISTOGRAM (scores are ROUND(x,6) in [0,1], so
+    the only sorted exchange carries <= 1e6 distinct values however big
+    the corpus is; the corpus itself never passes through a
+    SinglePartition sort — plan-pinned in tests/test_operators.py).
+    Because the kept set is provably identical to exact mode, the SAME
+    full DuckDB oracle applies — the scale default no longer trades
+    oracle-ability for shuffle shape."""
+    from datafusion_postgres_spark.operators.classifier import (
+        train_text_classifier, trained_classifier_score)
+    from datafusion_postgres_spark.operators.text import filter_by_quantile
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
+                              lr_den=2)
+    scored = trained_classifier_score(docs, w).select("doc_id", "clf_score")
+    kept = filter_by_quantile(scored, "clf_score", q=0.4, keep="above",
+                              mode="hist")
     return sorted_small(kept, "doc_id")
 
 

@@ -106,59 +106,59 @@ PRIORITY = [
     # oracled rows so every registered query re-earns a driver-green
     # CORRECTNESS entry every few rounds. A swapped-out row keeps its
     # oracle and stays in the local `tools/check_oracle.py` gate.
-    # Round-6 late swaps: the two new-this-round flagships
-    # (text_trained_classifier — fully-oracled distributed trainer;
-    # multimodal_video_probe — MP4 probe round trip) cycle in for
-    # pg_string_functions / pg_math_functions (both r05-green, stable
-    # dialect rows, still in the local gate).
-    # Round-6 swaps (22 rows absent from the r05 window): five
-    # never-driver-checked rows cycle in (text_bpe_merges,
-    # text_overlap_profile, sim_threshold_profile, sim_cosine_ivf_sq8,
-    # text_source_contamination) plus the new sim_cosine_lsh_multiprobe
-    # and sixteen r04-era rows two rounds out of window (q7, q10,
-    # pg_case_when, ilike_filter, pg_regex_match, pg_array_functions,
+    # Round-7 swaps (19 rows absent from the r06 window, >= the 15 the
+    # rotation policy asks for):
+    #   * nine NEW/never-driver-checked rows cycle in — the round-7
+    #     operators (multimodal_image_neardups, text_url_dedup,
+    #     text_trained_gate_scale, dedup_ngram_jaccard_capped) and the
+    #     round-6 rows that only ever passed the local gate
+    #     (emb_gram_matrix, text_train_eval_split, text_domain_reweight,
+    #     text_trained_gate, q21_suppliers_kept_waiting);
+    #   * ten r05-era rows two windows out cycle back in
+    #     (q2_min_cost_supplier, q8_market_share, pg_ordered_set_aggs,
+    #     pg_recursive_cte, pg_jsonpath, pg_string_functions,
+    #     pg_math_functions, join_scd2_enrich, dedup_components,
+    #     sim_cosine_sq8).
+    # Rotated out to the local gate (ALL driver-green in r06):
+    # q7_nation_pair_volume, q10_returned_items, pg_case_when,
+    # ilike_filter, pg_regex_match, pg_array_functions,
     # pg_json_operators, pg_distinct_on, pg_generate_series_tf,
     # join_cross_comma, join_using, agg_collect_ordered,
-    # window_ntile_first_last, events_hourly_rollup,
-    # text_corpus_profile, dedup_ngram_jaccard). Rotated out to the
-    # local gate: q8/q9/q2, pg_ordered_set_aggs, pg_recursive_cte,
-    # pg_operator_form, agg_approx_sketches, pg_jsonpath,
-    # geo_radius_pairs, date_functions, join_asof_bucketed,
-    # join_scd2_enrich, skew_twophase_agg, agg_stats_having,
-    # pivot_orderstatus, window_range_frame, events_cohort_retention,
-    # events_sessionize_bucketed, dedup_components,
-    # dedup_substring_pairs, dedup_simhash_pairs, sim_cosine_sq8 —
-    # every one driver-green in r05.
+    # window_ntile_first_last, events_hourly_rollup, text_corpus_profile,
+    # dedup_ngram_jaccard (exact twin — its capped sibling takes the
+    # window slot), text_overlap_profile, sim_threshold_profile,
+    # text_source_contamination.
     # TPC-H adaptations (compound shapes: joins + aggs + sorts)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q7_nation_pair_volume", "q10_returned_items",
+    "q2_min_cost_supplier", "q8_market_share", "q21_suppliers_kept_waiting",
     # filters / dialect (§2.2)
-    "filter_predicates", "pg_case_when", "ilike_filter", "pg_regex_match",
-    "pg_any_all_array", "pg_casts", "dedup_embedding_cosine",
-    "pg_array_functions",
-    "pg_json_operators", "pg_distinct_on", "pg_generate_series_tf",
+    "filter_predicates", "pg_any_all_array", "pg_casts",
+    "dedup_embedding_cosine",
+    "pg_string_functions", "pg_math_functions", "pg_jsonpath",
     # joins (§2.3)
-    "join_outer_suite", "join_semi_anti", "join_cross_comma", "join_using",
-    "subquery_correlated_in", "lateral_subquery",
+    "join_outer_suite", "join_semi_anti",
+    "subquery_correlated_in", "lateral_subquery", "join_scd2_enrich",
     # aggregation (§2.4)
-    "agg_distinct_filter", "agg_collect_ordered", "agg_grouping_suite",
-    # windows (§2.5)
-    "window_suite", "window_ntile_first_last",
+    "agg_distinct_filter", "agg_grouping_suite", "pg_ordered_set_aggs",
+    # windows / recursion (§2.5, §2.8)
+    "window_suite", "pg_recursive_cte",
     # sorts / set ops / table functions (§2.6-2.8)
     "sort_wildcard_topk", "set_ops_suite", "tablefunc_unnest_values",
-    # events (batch side) + a REAL streaming execution of the rollup
+    # a REAL streaming execution of the rollup
     # (readStream -> watermarked window agg -> memory sink)
-    "events_hourly_rollup", "streaming_hourly_rollup",
+    "streaming_hourly_rollup",
     # LLM-data-pipeline operators
-    "text_doc_features", "text_gopher_filter", "text_corpus_profile",
-    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "multimodal_metadata_oracle",
+    "text_doc_features", "text_gopher_filter",
+    "dedup_exact_groups", "dedup_minhash_lsh", "dedup_components",
+    "dedup_ngram_jaccard_capped",
+    "multimodal_metadata_oracle", "multimodal_video_probe",
     "text_dsir_weights", "text_lm_perplexity", "dedup_decontaminate_bloom",
-    # never-driver-checked rows earning their first green entry
-    "text_bpe_merges", "text_overlap_profile", "text_source_contamination",
-    "sim_threshold_profile", "sim_cosine_ivf_sq8",
-    "sim_cosine_lsh_multiprobe",
-    "text_trained_classifier", "multimodal_video_probe",
+    "text_bpe_merges", "sim_cosine_ivf_sq8", "sim_cosine_lsh_multiprobe",
+    "sim_cosine_sq8", "text_trained_classifier",
+    # round-7 rows earning their first driver-green entry
+    "multimodal_image_neardups", "text_url_dedup",
+    "text_trained_gate", "text_trained_gate_scale",
+    "emb_gram_matrix", "text_train_eval_split", "text_domain_reweight",
 ]
 
 

@@ -182,6 +182,58 @@ def main() -> None:
                 collect_cols=["g"])
         feats.unpersist()
 
+    # -- BPE ENCODE throughput (round-7 verdict item #6): the per-word
+    #    ranked-merge loop is the one Arrow-batched Python pass left on
+    #    a corpus-sized path. Evidence wanted: tokens/sec at 1x vs 2x
+    #    corpus — zero shuffles and linear wall time (flat tokens/sec)
+    #    means it scales embarrassingly with executors; a codegen
+    #    rewrite would only buy constant factor, not shape.
+    from datafusion_postgres_spark.operators.bpe import bpe_encode, bpe_train
+    merges = bpe_train(docs.where(F.col("doc_id") < 5_000), n_merges=30)
+    for tag, frame in (
+            ("bpe_encode_base", docs),
+            ("bpe_encode_dup2x", docs.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)))):
+        enc = (bpe_encode(frame, merges)
+               .agg(F.sum("n_tokens").alias("total_tokens")))
+        t0 = time.perf_counter()
+        total_tokens = enc.collect()[0]["total_tokens"]
+        sec = time.perf_counter() - t0
+        from datafusion_postgres_spark.plans import inspect as P
+        results[tag] = {
+            "sec": round(sec, 3),
+            "shuffle_rows": P.shuffle_rows_written(enc),
+            "max_node_rows": P.max_node_output_rows(enc),
+            "out_rows": int(total_tokens),
+            "tokens_per_sec": round(total_tokens / sec),
+        }
+        print(f"  {tag}: {results[tag]}", file=sys.stderr)
+
+    # -- two-stage top-k vs single window on a HOT query key (round-7
+    #    verdict item #7): one qid owns 50% of 2M scored candidates. The
+    #    single-window rank serializes that key into one task; the
+    #    two-stage rank (rank within (qid, physical partition) first)
+    #    bounds every task — this row is the receipt for the deliberate
+    #    +~50% sim_cosine_topk bench cost on UNIFORM data.
+    from pyspark.sql import Window as W2
+    from datafusion_postgres_spark.operators.similarity import (
+        _topk_per_query,
+    )
+    scored = spark.range(2_000_000).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise((F.col("id") % 9) + 1).cast("long").alias("qid"),
+        F.col("id").alias("vec_id"),
+        (F.pmod(F.xxhash64("id"), 1_000_000) / 1_000_000.0)
+        .alias("score")).repartition(32)
+    wq = W2.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    single = (scored.withColumn("rnk", F.row_number().over(wq))
+              .where(F.col("rnk") <= 10))
+    measure("topk_single_window_hot_qid", single, results,
+            collect_cols=["qid", "vec_id"])
+    measure("topk_two_stage_hot_qid",
+            _topk_per_query(scored, 10, "score"), results,
+            collect_cols=["qid", "vec_id"])
+
     out = {
         "dataset": {"root": root, "n_docs": n_docs,
                     "n_events": events.count(),

@@ -220,6 +220,25 @@ def _exif_probe(spark, args):
     return extract_image_exif(_tbl(spark, args[0]))
 
 
+def _image_near_dups(spark, args):
+    """image_near_dups(media[, max_hamming]): perceptual-hash (aHash)
+    near-dup image pairs over a table with (doc_id, content binary) —
+    PNG/netpbm/BMP pixels decode for real; undecodable rows skip."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        image_near_dup_pairs,
+    )
+    mh = int(args[1]) if len(args) > 1 else 3
+    return image_near_dup_pairs(_tbl(spark, args[0]), max_hamming=mh)
+
+
+def _url_dup_groups(spark, args):
+    """url_dup_groups(corpus[, url_col]): canonical-URL dup groups over
+    a table with (doc_id, <url_col> string)."""
+    from datafusion_postgres_spark.operators.urls import url_dup_groups
+    url_col = args[1] if len(args) > 1 else "url"
+    return url_dup_groups(_tbl(spark, args[0]), url_col=url_col)
+
+
 # psql-\df metadata (pg_proc rows): name -> (argument text, result text)
 TVF_SIGNATURES = {
     "minhash_near_dups": (
@@ -305,6 +324,13 @@ TVF_SIGNATURES = {
         "media text",
         "TABLE(doc_id bigint, has_exif boolean, orientation integer, "
         "datetime text)"),
+    "image_near_dups": (
+        "media text, max_hamming integer",
+        "TABLE(id_a bigint, id_b bigint, hamming bigint)"),
+    "url_dup_groups": (
+        "corpus text, url_col text",
+        "TABLE(canonical_url text, representative bigint, "
+        "n_docs bigint)"),
 }
 
 # name -> (builder, min_args, max_args, n_table_args)
@@ -330,6 +356,8 @@ TVF_REGISTRY = {
     "domain_reweight": (_domain_reweight, 2, 3, 2),
     "audio_probe": (_audio_probe, 1, 1, 1),
     "exif_probe": (_exif_probe, 1, 1, 1),
+    "image_near_dups": (_image_near_dups, 1, 2, 1),
+    "url_dup_groups": (_url_dup_groups, 1, 2, 1),
 }
 
 class TvfError(ValueError):

@@ -409,3 +409,39 @@ class TestTvfTablePositionAndAuthz:
         assert got["trained_quality"] == "25 25 23 23"
         assert got["domain_reweight"] == "25 25 701"
         assert got["minhash_near_dups"] == "25 701"
+
+
+class TestRound7Tvfs:
+    """image_near_dups / url_dup_groups through the SQL surface."""
+
+    def test_image_near_dups_tvf(self, eng, spark):
+        import random
+        from datafusion_postgres_spark.operators.imagehash import (
+            encode_png_gray,
+        )
+        rng = random.Random(31)
+        base = [rng.randrange(256) for _ in range(256)]
+        dup = list(base)
+        dup[9] = (dup[9] + 2) % 256
+        other = [rng.randrange(256) for _ in range(256)]
+        spark.createDataFrame(
+            [(1, encode_png_gray(16, 16, base)),
+             (2, encode_png_gray(16, 16, dup)),
+             (3, encode_png_gray(16, 16, other))],
+            "doc_id long, content binary").createOrReplaceTempView(
+            "png_media")
+        rows = _rows(eng, "SELECT * FROM image_near_dups('png_media', 3) "
+                          "ORDER BY id_a, id_b")
+        assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+    def test_url_dup_groups_tvf(self, eng, spark):
+        spark.createDataFrame(
+            [(1, "https://example.com/a"),
+             (2, "HTTPS://WWW.EXAMPLE.COM:443/a/?utm_source=x"),
+             (3, "https://other.org/b")],
+            "doc_id long, url string").createOrReplaceTempView(
+            "url_corpus")
+        rows = _rows(eng, "SELECT canonical_url, n_docs "
+                          "FROM url_dup_groups('url_corpus', 'url')")
+        assert [(r["canonical_url"], r["n_docs"]) for r in rows] == \
+            [("https://example.com/a", 2)]

@@ -54,6 +54,7 @@ HEADLINE = [
     # sort) and the df-capped library-default jaccard
     "text_trained_gate_scale",
     "dedup_ngram_jaccard_capped",
+    "dedup_substring_pairs_capped",
 ]
 
 

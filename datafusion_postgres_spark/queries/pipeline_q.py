@@ -2016,6 +2016,41 @@ def dedup_substring_pairs(spark, sf_dir):
                         "id_a", "id_b")
 
 
+@register("dedup_substring_pairs_capped", oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split({_NORM}, ' '),
+                                    w -> w != ''),
+                        w -> {_duck_hash('w')}) AS fp
+  FROM documents),
+el AS (SELECT doc_id, fp, len(fp) AS n FROM toks WHERE len(fp) >= {_SSW}),
+wh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, n - {_SSW - 1}),
+           s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                         fp[s:s+{_SSW - 1}]),
+                            (acc, x) -> (acc * 31 + x) % 1000000007)))) AS wh
+  FROM el)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+FROM wh a JOIN wh b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def dedup_substring_pairs_capped(spark, sf_dir):
+    """The LIBRARY-DEFAULT (df-capped) substring dedup as its own
+    registered + benched row — same reasoning as
+    dedup_ngram_jaccard_capped: max_df=1000 bounds a boilerplate
+    window's join fan-out at scale, and the exact oracle stays the full
+    ground truth below 1000 docs (a window hash's df is at most the
+    corpus doc count, and the sf0.001/sf0.01 correctness corpora hold
+    50/500 docs). The sf0.1 bench exercises the real capped shape; the
+    capped-vs-uncapped quadratic cliff is quantified in BENCH_SCALE."""
+    from datafusion_postgres_spark.operators.dedup import substring_dup_pairs
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    return sorted_small(substring_dup_pairs(docs, window=_SSW),
+                        "id_a", "id_b")
+
+
 _DSIR_FEAT = f"""
   SELECT doc_id,
          list_concat(

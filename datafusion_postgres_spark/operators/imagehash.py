@@ -67,16 +67,17 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
 
     Returns (width, height, grayscale) where grayscale is a row-major
     list of 0..255 luma values (integer BT.601 weights for color).
-    Supports bit depth 8, color types 0/2/4/6, no interlace — raises
-    NotImplementedError for palette/16-bit/Adam7 (honest capability
-    boundary; those need the same spec work, not a codec, but are not
-    exercised by any corpus we synthesize)."""
+    Supports bit depth 8, color types 0/2/3 (palette via PLTE)/4/6, no
+    interlace — raises NotImplementedError for 16-bit/Adam7 (honest
+    capability boundary; those need the same spec work, not a codec,
+    but are not exercised by any corpus we synthesize)."""
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     pos, n = 8, len(content)
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte: bytes | None = None
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4:pos + 8]
@@ -84,6 +85,8 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, interlace = \
                 struct.unpack_from(">IIBBBBB", data, 0)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -91,13 +94,25 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
         pos += 12 + length            # length + type + data + crc
     if width is None:
         raise ValueError("truncated PNG: no IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    if (bit_depth != 8 or (color_type not in _PNG_CHANNELS
+                           and color_type != 3) or interlace != 0):
         raise NotImplementedError(
             f"PNG pixel decode implemented for bit depth 8, color types "
-            f"0/2/4/6, no interlace (got depth={bit_depth}, "
-            f"color={color_type}, interlace={interlace}); palette/16-bit/"
-            "Adam7 need additional spec work")
-    channels = _PNG_CHANNELS[color_type]
+            f"0/2/3/4/6, no interlace (got depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace}); 16-bit/Adam7 "
+            "need additional spec work")
+    if color_type == 3:
+        # indexed-color: one palette index per pixel (bpp=1 for the
+        # defilter), mapped through the REQUIRED PLTE chunk afterwards
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        channels = 1
+        pal_luma = [(299 * plte[i] + 587 * plte[i + 1]
+                     + 114 * plte[i + 2]) // 1000
+                    for i in range(0, len(plte), 3)]
+    else:
+        pal_luma = None
+        channels = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != (stride + 1) * height:
@@ -129,7 +144,12 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
                 recon[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
-        if channels == 1:
+        if pal_luma is not None:                          # indexed color
+            try:
+                gray.extend(pal_luma[i] for i in recon)
+            except IndexError:
+                raise ValueError("palette index out of PLTE range")
+        elif channels == 1:
             gray.extend(recon)
         elif channels == 2:                               # gray + alpha
             gray.extend(recon[0::2])

@@ -2284,8 +2284,10 @@ def multimodal_video_probe(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-@register("multimodal_image_neardups", oracle="""
-WITH px AS (
+# shared CTE block: text-derived 16x16 pixel grid -> integer-exact
+# aHash chunks -> hamming<=3 near-dup pairs; used by the pair query AND
+# the image-components closure below
+_IMG_PAIR_CTES = """px AS (
   SELECT doc_id,
          list_transform(range(256),
            i -> ord(text[1 + (i % greatest(length(text), 1))]) % 256) AS p
@@ -2309,15 +2311,23 @@ chunks AS (
              CASE WHEN bs[1 + j*16 + k] * 64 >= total
                   THEN (1 << k) ELSE 0 END)),
              (a, v) -> a + v)) AS ch
-  FROM blocks)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
-          + bit_count(xor(a.ch[3], b.ch[3])) + bit_count(xor(a.ch[4], b.ch[4]))
-         AS BIGINT) AS hamming
-FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
-    + bit_count(xor(a.ch[3], b.ch[3])) + bit_count(xor(a.ch[4], b.ch[4])) <= 3
-ORDER BY id_a, id_b
+  FROM blocks),
+ipairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.ch[1], b.ch[1]))
+            + bit_count(xor(a.ch[2], b.ch[2]))
+            + bit_count(xor(a.ch[3], b.ch[3]))
+            + bit_count(xor(a.ch[4], b.ch[4])) AS BIGINT) AS hamming
+  FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
+      + bit_count(xor(a.ch[3], b.ch[3]))
+      + bit_count(xor(a.ch[4], b.ch[4])) <= 3
+)"""
+
+
+@register("multimodal_image_neardups", oracle=f"""
+WITH {_IMG_PAIR_CTES}
+SELECT id_a, id_b, hamming FROM ipairs ORDER BY id_a, id_b
 """)
 def multimodal_image_neardups(spark, sf_dir):
     """Perceptual image near-dup dedup — the multimodal tier joined to
@@ -2338,6 +2348,36 @@ def multimodal_image_neardups(spark, sf_dir):
     media = ih.synthesize_png_corpus(docs)
     return sorted_small(ih.image_near_dup_pairs(media, max_hamming=3),
                         "id_a", "id_b")
+
+
+@register("multimodal_image_components", oracle=f"""
+WITH RECURSIVE {_IMG_PAIR_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM ipairs
+  UNION ALL
+  SELECT id_b, id_a FROM ipairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS component_id
+FROM reach GROUP BY a ORDER BY doc_id
+""")
+def multimodal_image_components(spark, sf_dir):
+    """Image duplicate CLUSTERS: the perceptual near-dup pair graph
+    collapsed by the same min-label connected-components operator the
+    text tier uses — one representative image per cluster survives a
+    multimodal dedup pass. Composition pin: imagehash pairing feeds
+    dedup.connected_components unchanged; the oracle walks the same
+    graph with a recursive transitive closure over the
+    pixel-arithmetic-replayed pairs."""
+    from datafusion_postgres_spark.operators import imagehash as ih
+    docs = t(spark, sf_dir, "documents")
+    media = ih.synthesize_png_corpus(docs)
+    pairs = ih.image_near_dup_pairs(media, max_hamming=3)
+    return sorted_small(dedup.connected_components(pairs), "doc_id")
 
 
 @register("text_url_dedup", oracle="""

@@ -66,10 +66,39 @@ class TestPngCodec:
                                // 1000)
             assert (w2, h2, gray) == (w, h, exp)
 
+    def test_palette_png_decodes_via_plte(self):
+        # indexed-color: indices map through the PLTE chunk's luma
+        import zlib as _z
+        w, h = 5, 3
+        pal = bytes([255, 0, 0,   0, 255, 0,   0, 0, 255,   9, 9, 9])
+        raw = bytearray()
+        for r in range(h):
+            raw.append(0)
+            raw.extend((r + c) % 4 for c in range(w))
+        png = (b"\x89PNG\r\n\x1a\n"
+               + _png_chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+               + _png_chunk(b"PLTE", pal)
+               + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+        luma = [(299 * pal[i] + 587 * pal[i + 1] + 114 * pal[i + 2])
+                // 1000 for i in range(0, 12, 3)]
+        w2, h2, gray = decode_png_pixels(png)
+        want = [luma[(r + c) % 4] for r in range(h) for c in range(w)]
+        assert (w2, h2, gray) == (w, h, want)
+
     def test_unsupported_variants_raise_honestly(self):
-        # palette (color type 3) / 16-bit / Adam7 are spec work not yet
-        # done — NotImplementedError, not silent garbage
-        for depth, ctype, inter in ((8, 3, 0), (16, 0, 0), (8, 0, 1)):
+        # 16-bit / Adam7 are spec work not yet done — raise, not
+        # silent garbage; palette WITHOUT a PLTE chunk is malformed
+        import pytest as _pt
+        bad_palette = (b"\x89PNG\r\n\x1a\n"
+                       + _png_chunk(b"IHDR",
+                                    struct.pack(">IIBBBBB", 4, 4, 8, 3,
+                                                0, 0, 0))
+                       + _png_chunk(b"IEND", b""))
+        with _pt.raises(ValueError):
+            decode_png_pixels(bad_palette)
+        for depth, ctype, inter in ((16, 0, 0), (8, 0, 1)):
             png = (b"\x89PNG\r\n\x1a\n"
                    + _png_chunk(b"IHDR",
                                 struct.pack(">IIBBBBB", 4, 4, depth,

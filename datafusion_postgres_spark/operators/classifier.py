@@ -213,3 +213,41 @@ def classifier_term_weights(df: DataFrame, w_fp: list[int], k: int = 20,
     order = ([F.col("weight").asc(), F.col("word").asc()] if ascending
              else [F.col("weight").desc(), F.col("word").asc()])
     return out.orderBy(*order).limit(k)
+
+
+def clf_auc(scored: DataFrame, label_col: str = "y",
+            score_col: str = "clf_score") -> DataFrame:
+    """ROC AUC of a scored corpus, scale-safely and integer-exactly.
+
+    The rank-sum (Mann-Whitney) AUC normally needs a global sort; like
+    filter_by_quantile(mode='hist'), the discretized score (ROUND(x,6))
+    makes it a BOUNDED-histogram computation instead: one count
+    aggregate per distinct score value, a cumulative window over that
+    histogram (score-cardinality rows, never corpus rows), and the
+    tie-corrected pair count
+
+        AUC = sum_s[ pos(s) * (2 * neg_below(s) + neg(s)) ]
+              / (2 * P * N)
+
+    — every term an exact integer; the single final double division is
+    the only float op, so the number replays bit-for-bit in SQL.
+    Returns one row: (n_pos, n_neg, auc)."""
+    from pyspark.sql import Window
+
+    hist = (scored.groupBy(score_col)
+            .agg(F.sum(F.col(label_col).cast("long")).alias("pos"),
+                 F.sum(F.lit(1) - F.col(label_col).cast("long"))
+                 .alias("neg")))
+    w = Window.orderBy(score_col)
+    cum = hist.withColumn(
+        "neg_below", F.sum("neg").over(w) - F.col("neg"))
+    agg = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg")))
+        .cast("long").alias("num"))
+    return agg.select(
+        "n_pos", "n_neg",
+        (F.round(F.col("num") /
+                 (2.0 * F.col("n_pos") * F.col("n_neg")), 6) + 0.0)
+        .alias("auc"))

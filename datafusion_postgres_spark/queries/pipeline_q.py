@@ -2632,6 +2632,47 @@ def text_trained_gate_scale(spark, sf_dir):
     return sorted_small(kept, "doc_id")
 
 
+@register("text_clf_auc", oracle=f"""
+{_TCLF_TRAIN_SQL},
+final AS (
+  SELECT f.doc_id,
+         ROUND(1.0 / (1.0 + exp(-(sc.mnum / (f.nf * 1000000.0)))), 6) + 0.0
+           AS clf_score
+  FROM f JOIN sc USING (doc_id)),
+lab AS (
+  SELECT fi.clf_score AS s,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM final fi JOIN documents d USING (doc_id)),
+hist AS (
+  SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM lab GROUP BY s),
+cum AS (
+  SELECT pos, neg, SUM(neg) OVER (ORDER BY s) - neg AS neg_below
+  FROM hist)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       ROUND(SUM(pos * (2 * neg_below + neg))
+             / (2.0 * SUM(pos) * SUM(neg)), 6) + 0.0 AS auc
+FROM cum
+""")
+def text_clf_auc(spark, sf_dir):
+    """Trained-classifier EVALUATION: ROC AUC on the training corpus,
+    via the bounded-histogram rank-sum (operators/classifier.clf_auc) —
+    the sorted exchange carries distinct ROUND(x,6) scores, never the
+    corpus (same scale shape as filter_by_quantile(mode='hist')). All
+    pair counting is exact integers; the one double division replays
+    bit-for-bit in the oracle, which re-trains the same two fixed-point
+    iterations in SQL and computes the same tie-corrected AUC."""
+    from datafusion_postgres_spark.operators.classifier import (
+        clf_auc, train_text_classifier, trained_classifier_score)
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
+                              lr_den=2)
+    scored = (trained_classifier_score(docs, w)
+              .join(labeled.select("doc_id", "y"), "doc_id"))
+    return clf_auc(scored, "y", "clf_score")
+
+
 @register("text_train_eval_split", oracle=f"""
 WITH b AS (
   SELECT lang,

@@ -231,6 +231,17 @@ def _image_near_dups(spark, args):
     return image_near_dup_pairs(_tbl(spark, args[0]), max_hamming=mh)
 
 
+def _audio_near_dups(spark, args):
+    """audio_near_dups(media[, max_hamming]): energy-envelope near-dup
+    audio pairs over a table with (doc_id, content binary) — WAV PCM
+    decodes for real; compressed rows skip."""
+    from datafusion_postgres_spark.operators.audiohash import (
+        audio_near_dup_pairs,
+    )
+    mh = int(args[1]) if len(args) > 1 else 3
+    return audio_near_dup_pairs(_tbl(spark, args[0]), max_hamming=mh)
+
+
 def _url_dup_groups(spark, args):
     """url_dup_groups(corpus[, url_col]): canonical-URL dup groups over
     a table with (doc_id, <url_col> string)."""
@@ -327,6 +338,9 @@ TVF_SIGNATURES = {
     "image_near_dups": (
         "media text, max_hamming integer",
         "TABLE(id_a bigint, id_b bigint, hamming bigint)"),
+    "audio_near_dups": (
+        "media text, max_hamming integer",
+        "TABLE(id_a bigint, id_b bigint, hamming bigint)"),
     "url_dup_groups": (
         "corpus text, url_col text",
         "TABLE(canonical_url text, representative bigint, "
@@ -357,6 +371,7 @@ TVF_REGISTRY = {
     "audio_probe": (_audio_probe, 1, 1, 1),
     "exif_probe": (_exif_probe, 1, 1, 1),
     "image_near_dups": (_image_near_dups, 1, 2, 1),
+    "audio_near_dups": (_audio_near_dups, 1, 2, 1),
     "url_dup_groups": (_url_dup_groups, 1, 2, 1),
 }
 

@@ -363,18 +363,20 @@ def image_perceptual_hashes(media: DataFrame, id_col: str = "doc_id",
     return media.mapInPandas(hash_batches, HASH_SCHEMA)
 
 
-def image_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
-                         content_col: str = "content",
-                         max_hamming: int = 3,
-                         hash_prefix: str = "ahash") -> DataFrame:
-    """Image near-dup pairs by perceptual-hash hamming distance.
+def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
+                          max_hamming: int = 3,
+                          cache_key: str = "chunked_hamming_pairs"
+                          ) -> DataFrame:
+    """Near-dup pairs over any 4x16-bit chunked signature frame
+    (columns: ``id`` + the four chunk columns in ``cols``).
 
-    Blocking mirrors dedup.simhash_near_pairs: 4 chunks of 16 bits, and
-    pigeonhole guarantees every pair within hamming <= 3 shares at
-    least one identical chunk — the candidate join is an equi-join on
-    (chunk_index, value), NEVER all-pairs, so it scales like any
-    hash-partitioned join. Returns (id_a, id_b, hamming), exact within
-    max_hamming <= 3."""
+    Blocking mirrors dedup.simhash_near_pairs: pigeonhole guarantees
+    every pair within hamming <= 3 shares at least one identical chunk
+    — the candidate join is an equi-join on (chunk_index, value),
+    NEVER all-pairs, so it scales like any hash-partitioned join.
+    Shared by the image (aHash/dHash) and audio (energy envelope)
+    perceptual dedup tiers. Returns (id_a, id_b, hamming), exact
+    within max_hamming <= 3."""
     if max_hamming > 3:
         raise ValueError(
             "4-chunk pigeonhole blocking is exact only for "
@@ -382,12 +384,7 @@ def image_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
     from datafusion_postgres_spark.operators.cachectl import (
         cache_generation,
     )
-    cols = [f"{hash_prefix}_c{j}" for j in range(4)]
-    sig = cache_generation(
-        "image_near_dup_pairs",
-        image_perceptual_hashes(media, id_col, content_col)
-        .where(F.col(cols[0]).isNotNull())
-        .select(F.col("doc_id").alias("id"), *cols))
+    sig = cache_generation(cache_key, sig)
     exploded = sig.select(
         "id", *cols,
         F.posexplode(F.array(*[F.col(c) for c in cols]))
@@ -408,6 +405,22 @@ def image_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
     return (cand.withColumn("hamming", hamming.cast("bigint"))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def image_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
+                         content_col: str = "content",
+                         max_hamming: int = 3,
+                         hash_prefix: str = "ahash") -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance (see
+    chunked_hamming_pairs for the blocking contract). Undecodable rows
+    were already dropped by the NULL filter — a codec-format image
+    never pairs."""
+    cols = [f"{hash_prefix}_c{j}" for j in range(4)]
+    sig = (image_perceptual_hashes(media, id_col, content_col)
+           .where(F.col(cols[0]).isNotNull())
+           .select(F.col("doc_id").alias("id"), *cols))
+    return chunked_hamming_pairs(sig, cols, max_hamming,
+                                 cache_key="image_near_dup_pairs")
 
 
 def synthesize_png_corpus(docs: DataFrame, text_col: str = "text",

@@ -2350,6 +2350,56 @@ def multimodal_image_neardups(spark, sf_dir):
                         "id_a", "id_b")
 
 
+@register("multimodal_audio_neardups", oracle="""
+WITH av AS (
+  SELECT doc_id,
+         list_transform(range(256),
+           i -> abs((ord(text[1 + (i % greatest(length(text), 1))]) % 256
+                     - 128) * 256)) AS a
+  FROM documents),
+s AS (
+  SELECT doc_id, a,
+         list_reduce(list_prepend(0, a), (x, v) -> x + v) AS total
+  FROM av),
+fr AS (
+  SELECT doc_id, total,
+         list_transform(range(64),
+           k -> a[1 + k*4] + a[2 + k*4] + a[3 + k*4] + a[4 + k*4]) AS fs
+  FROM s),
+chunks AS (
+  SELECT doc_id,
+         list_transform(range(4), j ->
+           list_reduce(list_prepend(0, list_transform(range(16), k ->
+             CASE WHEN fs[1 + j*16 + k] * 64 >= total
+                  THEN (1 << k) ELSE 0 END)),
+             (x, v) -> x + v)) AS ch
+  FROM fr)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
+          + bit_count(xor(a.ch[3], b.ch[3])) + bit_count(xor(a.ch[4], b.ch[4]))
+         AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
+    + bit_count(xor(a.ch[3], b.ch[3])) + bit_count(xor(a.ch[4], b.ch[4])) <= 3
+ORDER BY id_a, id_b
+""")
+def multimodal_audio_neardups(spark, sf_dir):
+    """Perceptual AUDIO near-dup dedup — the third modality of the
+    dedup tier (text: minhash/simhash; image: aHash; audio: energy
+    envelope). The Spark path synthesizes REAL RIFF/WAVE PCM16 clips
+    from doc text, decodes the PCM back (operators/audiohash.py chunk
+    walk), computes the integer-exact 64-bit energy-envelope
+    fingerprint, and pairs via the shared pigeonhole chunk blocking.
+    The oracle recomputes the envelope straight from character codes —
+    a match pins the full WAV encode -> decode -> fingerprint ->
+    blocked-join chain. No reference analog: beyond-parity tier."""
+    from datafusion_postgres_spark.operators import audiohash as ah
+    docs = t(spark, sf_dir, "documents")
+    media = ah.synthesize_wav_corpus(docs)
+    return sorted_small(ah.audio_near_dup_pairs(media, max_hamming=3),
+                        "id_a", "id_b")
+
+
 @register("multimodal_image_components", oracle=f"""
 WITH RECURSIVE {_IMG_PAIR_CTES},
 edges AS (

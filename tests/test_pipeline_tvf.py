@@ -445,3 +445,20 @@ class TestRound7Tvfs:
                           "FROM url_dup_groups('url_corpus', 'url')")
         assert [(r["canonical_url"], r["n_docs"]) for r in rows] == \
             [("https://example.com/a", 2)]
+
+    def test_audio_near_dups_tvf(self, eng, spark):
+        from datafusion_postgres_spark.operators.audiohash import (
+            encode_wav_pcm16,
+        )
+        import random
+        rng = random.Random(41)
+        base = [rng.randrange(-20000, 20000) for _ in range(512)]
+        dup = list(base)
+        dup[7] += 21
+        spark.createDataFrame(
+            [(1, encode_wav_pcm16(8000, base)),
+             (2, encode_wav_pcm16(8000, dup))],
+            "doc_id long, content binary").createOrReplaceTempView(
+            "wav_media")
+        rows = _rows(eng, "SELECT * FROM audio_near_dups('wav_media')")
+        assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]

@@ -124,3 +124,60 @@ def streaming_sessionize(spark, sf_dir):
                  F.sum("n_events").cast("bigint").alias("n_events"),
                  F.sum(span).cast("bigint").alias("total_span_us"))
             .orderBy("user_id"))
+
+
+@register("streaming_url_dedup", oracle="""
+WITH canon AS (
+  SELECT DISTINCT
+         'https://src' || CAST((doc_id // 4) % 20 AS VARCHAR) ||
+         '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR) ||
+         CASE WHEN (doc_id // 4) % 3 = 0 THEN '?a=1&b=2' ELSE '' END
+           AS canonical_url
+  FROM documents)
+SELECT canonical_url, CAST(1 AS BIGINT) AS n
+FROM canon ORDER BY canonical_url
+""")
+def streaming_url_dedup(spark, sf_dir):
+    """URL-level dedup as a REAL streaming execution: file source with
+    the planted messy-URL synthesis (same doc_id arithmetic as
+    text_url_dedup) -> canonicalize -> dropDuplicatesWithinWatermark on
+    the canonical key -> memory sink. WHICH duplicate survives depends
+    on micro-batch arrival order, so the deterministic (and oracled)
+    output is the survivor KEY SET: one row per canonical URL, exactly
+    the batch DISTINCT — any canonicalizer drift or state-eviction bug
+    shows up as a key-set mismatch."""
+    from datafusion_postgres_spark.streaming.dedup import (
+        dedup_url_stream, read_documents_stream,
+    )
+    from datafusion_postgres_spark.streaming.ops import run_to_memory
+
+    stream = read_documents_stream(
+        spark, os.path.join(sf_dir, "documents.parquet"))
+    g = F.expr("doc_id DIV 4")
+    v = F.col("doc_id") % 4
+    host = F.concat(F.lit("src"), (g % 20).cast("string"),
+                    F.lit(".example.com"))
+    path = F.concat(F.lit("/docs/"), g.cast("string"))
+    q0 = F.when(g % 3 == 0, "?b=2&a=1").otherwise("")
+    q1 = F.when(g % 3 == 0, "?a=1&b=2").otherwise("")
+    q2 = (F.when(g % 3 == 0, "?a=1&utm_source=news&b=2")
+          .otherwise("?utm_source=news"))
+    q3 = (F.when(g % 3 == 0, "?b=2&fbclid=xyz&a=1")
+          .otherwise("?gclid=123"))
+    url = (F.when(v == 0, F.concat(F.lit("https://"), host, path, q0))
+           .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                                  F.lit(":443"), path, F.lit("/"), q1))
+           .when(v == 2, F.concat(F.lit("https://www."), host, path, q2,
+                                  F.lit("#frag")))
+           .otherwise(F.concat(F.lit("https://"), host,
+                               F.lit("//docs//"), g.cast("string"), q3)))
+    messy = stream.select("doc_id", "ingest_ts", url.alias("url"))
+    survivors = dedup_url_stream(messy, watermark="1 hour")
+    name = f"stream_urldedup_{uuid.uuid4().hex[:12]}"
+    q = run_to_memory(survivors, name, timeout_secs=120.0,
+                      output_mode="append")
+    q.stop()
+    return (spark.table(name)
+            .groupBy("canonical_url")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy("canonical_url"))

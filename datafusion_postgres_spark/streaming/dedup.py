@@ -221,3 +221,24 @@ def simhash_near_dup_stream(docs: DataFrame, text_col: str = "text",
                 timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
                              if state_timeout_ms
                              else GroupStateTimeout.NoTimeout)))
+
+
+def dedup_url_stream(docs: DataFrame, url_col: str = "url",
+                     watermark: str = "1 hour") -> DataFrame:
+    """First-arrival-wins URL-level dedup on an unbounded ingest stream
+    — the streaming twin of operators/urls.dedup_by_url, and the
+    CHEAPEST dedup tier to run first in a crawl pipeline (drops recrawl
+    duplicates before any content fingerprinting spends CPU).
+
+    Key = the canonical URL from the SAME pure-JVM canonicalizer the
+    batch operator uses (case/port/www/slash/tracking-param/fragment
+    normalization), so a messy recrawl variant dedups against the
+    clean first sight. State is watermark-bounded exactly like
+    dedup_exact_stream: recrawls arrive within the horizon, archival
+    URL dedup stays a batch job over the canonical column."""
+    from datafusion_postgres_spark.operators.urls import canonicalize_url
+    keyed = docs.withColumn("canonical_url",
+                            canonicalize_url(F.col(url_col)))
+    return (keyed
+            .withWatermark("ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(["canonical_url"]))

@@ -257,3 +257,49 @@ def test_compaction_bounds_state_files(spark, tmp_path):
         out.collect()
     finally:
         spark.sql("DROP TABLE IF EXISTS fp_compact_state")
+
+
+def test_url_dedup_stream_collapses_messy_variants(spark, tmp_path):
+    """Streaming URL dedup: a messy recrawl variant arriving in a LATER
+    micro-batch dedups against the clean first sight (state carries the
+    canonical key across batches)."""
+    import os
+    from pyspark.sql import functions as F
+    from datafusion_postgres_spark.streaming import dedup as sdedup
+
+    import glob
+    import shutil
+    src = str(tmp_path / "url_stream")
+    os.makedirs(src)
+    for i, rows in enumerate((
+            [(1, "https://example.com/a"), (2, "https://other.org/x")],
+            [(3, "HTTPS://WWW.EXAMPLE.COM:443/a/?utm_source=r"),
+             (4, "https://fresh.net/y")])):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            rows, "doc_id long, url string").coalesce(1) \
+            .write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dst = f"{src}/{i}_batch.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("url", StringType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ingest_ts",
+                          F.timestamp_millis(F.lit(1_704_067_200_000)
+                                             + F.col("doc_id"))))
+    out = sdedup.dedup_url_stream(stream)
+    q = (out.writeStream.format("memory").queryName("url_dedup_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "stream did not finish in time"
+    try:
+        kept = {r["doc_id"] for r in
+                spark.sql("SELECT doc_id FROM url_dedup_mem").collect()}
+        # doc 3 is a messy recrawl of doc 1's canonical URL -> dropped
+        assert 3 not in kept and {1, 2, 4} <= kept
+    finally:
+        q.stop()

@@ -458,3 +458,92 @@ def synthesize_png_corpus(docs: DataFrame, text_col: str = "text",
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                    str(batch_size))
     return docs.select(id_col, text_col).mapInPandas(to_png, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest dedup against persisted hash state (the image twin
+# of dedup.write_fingerprint_table / dedup_incremental_bucketed)
+
+def write_image_hash_table(media: DataFrame, table: str,
+                           n_buckets: int = 32,
+                           id_col: str = "doc_id",
+                           content_col: str = "content") -> None:
+    """Materialize image-dedup ingest state: one (ci, chunk, s0..s3)
+    row per hash chunk per image (4 rows/image, a few ints each),
+    BUCKETED on the chunk value — the join key of the pigeonhole
+    blocking — so per-ingest anti-join reads of the ever-growing state
+    stay co-located while only the small batch shuffles."""
+    sig = (image_perceptual_hashes(media, id_col, content_col)
+           .where(F.col("ahash_c0").isNotNull()))
+    rows = sig.select(
+        F.col("doc_id").alias("state_id"),
+        *[F.col(f"ahash_c{j}").alias(f"s{j}") for j in range(4)],
+        F.posexplode(F.array(*[F.col(f"ahash_c{j}") for j in range(4)]))
+        .alias("ci", "chunk"))
+    (rows.write.mode("overwrite").bucketBy(n_buckets, "chunk")
+     .sortBy("chunk").format("parquet").saveAsTable(table))
+
+
+def image_dedup_incremental(new_media: DataFrame, table: str,
+                            max_hamming: int = 3,
+                            id_col: str = "doc_id",
+                            content_col: str = "content") -> DataFrame:
+    """Per-ingest image near-dup dedup against the persisted state: a
+    new image survives iff no state image within ``max_hamming`` AND no
+    lower-id near-dup inside the batch (the batch representative).
+    Exact within max_hamming <= 3 (pigeonhole blocking on both the
+    state join and the intra-batch pairing). Only survivor rows come
+    back — append their hashes with merge_new_image_hashes to close the
+    ingest loop."""
+    if max_hamming > 3:
+        raise ValueError("4-chunk blocking is exact only for "
+                         f"max_hamming <= 3 (got {max_hamming})")
+    spark = new_media.sparkSession
+    spark.catalog.refreshTable(table)
+    state = spark.table(table)
+    from datafusion_postgres_spark.operators.cachectl import (
+        cache_generation,
+    )
+    sig = cache_generation(
+        "image_dedup_incremental",
+        image_perceptual_hashes(new_media, id_col, content_col)
+        .where(F.col("ahash_c0").isNotNull())
+        .select(F.col("doc_id").alias("id"),
+                *[f"ahash_c{j}" for j in range(4)]))
+    expl = sig.select(
+        "id", *[f"ahash_c{j}" for j in range(4)],
+        F.posexplode(F.array(*[F.col(f"ahash_c{j}") for j in range(4)]))
+        .alias("ci", "chunk"))
+    ham_state = sum(
+        F.bit_count(F.col(f"ahash_c{j}").bitwiseXOR(F.col(f"s{j}"))
+                    .cast("long"))
+        for j in range(4))
+    dup_vs_state = (expl.join(state, ["ci", "chunk"])
+                    .where(ham_state <= max_hamming)
+                    .select("id").distinct())
+    dup_in_batch = (chunked_hamming_pairs(
+        sig, [f"ahash_c{j}" for j in range(4)], max_hamming,
+        cache_key="image_dedup_incremental_pairs")
+        .select(F.col("id_b").alias("id")).distinct())
+    survivors = (sig.select("id")
+                 .join(dup_vs_state, "id", "left_anti")
+                 .join(dup_in_batch, "id", "left_anti"))
+    return new_media.join(
+        survivors.withColumnRenamed("id", id_col), id_col, "left_semi")
+
+
+def merge_new_image_hashes(survivors_media: DataFrame, table: str,
+                           n_buckets: int = 32,
+                           id_col: str = "doc_id",
+                           content_col: str = "content") -> None:
+    """Append the surviving batch's hash-chunk rows into the bucketed
+    state table (``n_buckets`` must match the table's bucket spec)."""
+    sig = (image_perceptual_hashes(survivors_media, id_col, content_col)
+           .where(F.col("ahash_c0").isNotNull()))
+    rows = sig.select(
+        F.col("doc_id").alias("state_id"),
+        *[F.col(f"ahash_c{j}").alias(f"s{j}") for j in range(4)],
+        F.posexplode(F.array(*[F.col(f"ahash_c{j}") for j in range(4)]))
+        .alias("ci", "chunk"))
+    (rows.write.mode("append").bucketBy(n_buckets, "chunk")
+     .sortBy("chunk").format("parquet").saveAsTable(table))

@@ -225,3 +225,50 @@ class TestNearDupPairs:
             "doc_id long, content binary, media_type string")
         with pytest.raises(ValueError):
             image_near_dup_pairs(media, max_hamming=4)
+
+
+class TestImageIncrementalDedup:
+    """Ingest-loop state for the image tier (write -> dedup -> merge),
+    the image twin of dedup_incremental_bucketed."""
+
+    def test_ingest_loop_flow(self, spark, tmp_path):
+        import random
+        from datafusion_postgres_spark.operators.imagehash import (
+            image_dedup_incremental, merge_new_image_hashes,
+            write_image_hash_table,
+        )
+        spark.sql("DROP TABLE IF EXISTS img_state_t")
+        rng = random.Random(77)
+        base = [rng.randrange(256) for _ in range(256)]
+        unique1 = [rng.randrange(256) for _ in range(256)]
+        unique2 = [rng.randrange(256) for _ in range(256)]
+        near_base = list(base)
+        near_base[3] = (near_base[3] + 2) % 256
+        near_u1 = list(unique1)
+        near_u1[50] = (near_u1[50] + 1) % 256
+
+        corpus = spark.createDataFrame(
+            [(1, encode_png_gray(16, 16, base))],
+            "doc_id long, content binary")
+        write_image_hash_table(corpus, "img_state_t")
+
+        # batch 1: near-dup of state (drop), unique (keep), and an
+        # intra-batch near-dup pair (keep lower id only)
+        batch1 = spark.createDataFrame(
+            [(10, encode_png_gray(16, 16, near_base)),
+             (11, encode_png_gray(16, 16, unique1)),
+             (12, encode_png_gray(16, 16, near_u1))],
+            "doc_id long, content binary")
+        kept1 = image_dedup_incremental(batch1, "img_state_t")
+        assert sorted(r["doc_id"] for r in kept1.collect()) == [11]
+        merge_new_image_hashes(kept1, "img_state_t")
+
+        # batch 2: near-dup of the JUST-MERGED unique1 (drop), new
+        # unique (keep) — state grew across the loop
+        batch2 = spark.createDataFrame(
+            [(20, encode_png_gray(16, 16, near_u1)),
+             (21, encode_png_gray(16, 16, unique2))],
+            "doc_id long, content binary")
+        kept2 = image_dedup_incremental(batch2, "img_state_t")
+        assert sorted(r["doc_id"] for r in kept2.collect()) == [21]
+        spark.sql("DROP TABLE img_state_t")

@@ -55,6 +55,9 @@ HEADLINE = [
     "text_trained_gate_scale",
     "dedup_ngram_jaccard_capped",
     "dedup_substring_pairs_capped",
+    # round-7 marquee: perceptual image near-dup (real PNG encode ->
+    # zlib pixel decode -> integer aHash -> pigeonhole-blocked pairs)
+    "multimodal_image_neardups",
 ]
 
 

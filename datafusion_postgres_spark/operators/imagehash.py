@@ -67,10 +67,12 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
 
     Returns (width, height, grayscale) where grayscale is a row-major
     list of 0..255 luma values (integer BT.601 weights for color).
-    Supports bit depth 8, color types 0/2/3 (palette via PLTE)/4/6, no
-    interlace — raises NotImplementedError for 16-bit/Adam7 (honest
-    capability boundary; those need the same spec work, not a codec,
-    but are not exercised by any corpus we synthesize)."""
+    Supports bit depths 8 and 16 (16-bit samples reduce to their high
+    byte after defiltering, per the spec's sanctioned approximation),
+    color types 0/2/3 (palette via PLTE)/4/6, no interlace — raises
+    NotImplementedError for sub-byte depths/Adam7 (honest capability
+    boundary; those need the same spec work, not a codec, but are not
+    exercised by any corpus we synthesize)."""
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     pos, n = 8, len(content)
@@ -94,13 +96,15 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
         pos += 12 + length            # length + type + data + crc
     if width is None:
         raise ValueError("truncated PNG: no IHDR")
-    if (bit_depth != 8 or (color_type not in _PNG_CHANNELS
-                           and color_type != 3) or interlace != 0):
+    if (bit_depth not in (8, 16)
+            or (color_type not in _PNG_CHANNELS and color_type != 3)
+            or (bit_depth == 16 and color_type == 3)
+            or interlace != 0):
         raise NotImplementedError(
-            f"PNG pixel decode implemented for bit depth 8, color types "
-            f"0/2/3/4/6, no interlace (got depth={bit_depth}, "
-            f"color={color_type}, interlace={interlace}); 16-bit/Adam7 "
-            "need additional spec work")
+            f"PNG pixel decode implemented for bit depths 8/16, color "
+            f"types 0/2/3/4/6, no interlace (got depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace}); sub-byte "
+            "depths/Adam7 need additional spec work")
     if color_type == 3:
         # indexed-color: one palette index per pixel (bpp=1 for the
         # defilter), mapped through the REQUIRED PLTE chunk afterwards
@@ -113,8 +117,13 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
     else:
         pal_luma = None
         channels = _PNG_CHANNELS[color_type]
+    # the defilter operates on BYTES with bpp = channels * bytes-per-
+    # sample (public spec); 16-bit samples are big-endian pairs that
+    # reduce to 8-bit by the high byte after reconstruction
+    sample_bytes = bit_depth // 8
+    byte_channels = channels * sample_bytes
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    stride = width * byte_channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG IDAT stream has wrong decompressed length")
     prior = bytearray(stride)
@@ -124,26 +133,33 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
         ftype = raw[off]
         line = bytearray(raw[off + 1:off + 1 + stride])
         recon = bytearray(stride)
+        bpp = byte_channels
         if ftype == 0:                                    # None
             recon[:] = line
         elif ftype == 1:                                  # Sub
             for x in range(stride):
-                left = recon[x - channels] if x >= channels else 0
+                left = recon[x - bpp] if x >= bpp else 0
                 recon[x] = (line[x] + left) & 0xFF
         elif ftype == 2:                                  # Up
             for x in range(stride):
                 recon[x] = (line[x] + prior[x]) & 0xFF
         elif ftype == 3:                                  # Average
             for x in range(stride):
-                left = recon[x - channels] if x >= channels else 0
+                left = recon[x - bpp] if x >= bpp else 0
                 recon[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
         elif ftype == 4:                                  # Paeth
             for x in range(stride):
-                left = recon[x - channels] if x >= channels else 0
-                ul = prior[x - channels] if x >= channels else 0
+                left = recon[x - bpp] if x >= bpp else 0
+                ul = prior[x - bpp] if x >= bpp else 0
                 recon[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
+        prior = recon
+        if sample_bytes == 2:
+            # 16-bit big-endian samples reduce to their HIGH byte (the
+            # spec-sanctioned 16->8 approximation); luma then proceeds
+            # identically to the 8-bit paths
+            recon = recon[0::2]
         if pal_luma is not None:                          # indexed color
             try:
                 gray.extend(pal_luma[i] for i in recon)
@@ -154,10 +170,9 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
         elif channels == 2:                               # gray + alpha
             gray.extend(recon[0::2])
         else:                                             # RGB / RGBA
-            for x in range(0, stride, channels):
+            for x in range(0, len(recon), channels):
                 gray.append((299 * recon[x] + 587 * recon[x + 1]
                              + 114 * recon[x + 2]) // 1000)
-        prior = recon
     return width, height, gray
 
 

@@ -87,9 +87,35 @@ class TestPngCodec:
         want = [luma[(r + c) % 4] for r in range(h) for c in range(w)]
         assert (w2, h2, gray) == (w, h, want)
 
+    def test_16bit_png_reduces_to_high_byte(self):
+        # 16-bit grayscale: defilter on byte pairs (bpp=2), then the
+        # high byte carries the 8-bit luma; Sub filter exercises the
+        # 2-byte bpp offset
+        import zlib as _z
+        w, h = 4, 2
+        vals = [[0x1234, 0xFFEE, 0x0001, 0x8000],
+                [0x4242, 0x0100, 0xABCD, 0x7FFF]]
+        raw = bytearray()
+        for r in range(h):
+            raw.append(1)  # Sub filter
+            prev = (0, 0)
+            for c in range(w):
+                hi, lo = vals[r][c] >> 8, vals[r][c] & 0xFF
+                raw.append((hi - prev[0]) & 0xFF)
+                raw.append((lo - prev[1]) & 0xFF)
+                prev = (hi, lo)
+        png = (b"\x89PNG\r\n\x1a\n"
+               + _png_chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+               + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+        w2, h2, gray = decode_png_pixels(png)
+        assert (w2, h2) == (w, h)
+        assert gray == [v >> 8 for row in vals for v in row]
+
     def test_unsupported_variants_raise_honestly(self):
-        # 16-bit / Adam7 are spec work not yet done — raise, not
-        # silent garbage; palette WITHOUT a PLTE chunk is malformed
+        # sub-byte depths / Adam7 are spec work not yet done — raise,
+        # not silent garbage; palette WITHOUT a PLTE chunk is malformed
         import pytest as _pt
         bad_palette = (b"\x89PNG\r\n\x1a\n"
                        + _png_chunk(b"IHDR",
@@ -98,7 +124,7 @@ class TestPngCodec:
                        + _png_chunk(b"IEND", b""))
         with _pt.raises(ValueError):
             decode_png_pixels(bad_palette)
-        for depth, ctype, inter in ((16, 0, 0), (8, 0, 1)):
+        for depth, ctype, inter in ((4, 0, 0), (8, 0, 1), (16, 3, 0)):
             png = (b"\x89PNG\r\n\x1a\n"
                    + _png_chunk(b"IHDR",
                                 struct.pack(">IIBBBBB", 4, 4, depth,

@@ -216,8 +216,29 @@ COMMENTARY = {
     "text_trained_gate":
         "Train -> score -> exact percentile gate composed as one plan. "
         "The global percent_rank window is the documented oracle-mode "
-        "cost; the scale path is filter_by_quantile(mode='approx') "
-        "(one aggregate pass + broadcast threshold).",
+        "cost; the scale default is text_trained_gate_scale below.",
+    "text_trained_gate_scale":
+        "Round 7: the SCALE default — same kept set, but the gate is "
+        "filter_by_quantile(mode='hist'): the only sorted exchange "
+        "carries the DISTINCT ROUND(x,6) score histogram (<=1e6 rows "
+        "forever), the corpus never crosses a SinglePartition sort "
+        "(measured 63 vs 10,000 shuffle rows in the pytest pin), and "
+        "the threshold broadcast-joins back onto the cached scores.",
+    "dedup_ngram_jaccard_capped":
+        "Round 7: the library-default df-cap (max_df=1000) as benched — "
+        "boilerplate join-key grams drop BEFORE the self-join, bounding "
+        "the hottest key; capped-vs-uncapped cliff quantified in "
+        "BENCH_SCALE jaccard_* rows.",
+    "dedup_substring_pairs_capped":
+        "Round 7: df-capped window fingerprints (the default), same "
+        "bound argument as the jaccard cap; BENCH_SCALE substring_* "
+        "rows hold the cliff evidence.",
+    "multimodal_image_neardups":
+        "Round 7: real PNG encode -> zlib pixel decode -> integer aHash "
+        "in ONE zero-shuffle mapInPandas scan; pairing is the pigeonhole "
+        "chunk equi-join (4 small ints per image cross the shuffle, "
+        "never pixels), then a hamming filter — no all-pairs shape at "
+        "any scale.",
     "text_domain_reweight":
         "DoReMi-flavored mixture reweight: per-domain integer NLL "
         "aggregates (map-side combined), two broadcast joins of "

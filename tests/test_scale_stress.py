@@ -311,3 +311,37 @@ class TestClassifierIteration:
         assert n10 <= 256
         assert sh10 <= 8 * n10 and sh30 <= 8 * n10
         assert sh30 < 1.5 * sh10      # 3x corpus, <1.5x shuffle
+
+
+class TestImageBlockingLinear:
+    """The image near-dup chunk blocking must scale LINEARLY in corpus
+    size when there are no duplicates — the anti-all-pairs proof for
+    the perceptual tier (true duplicates legitimately pair
+    quadratically per copy-group; the blocking itself must not)."""
+
+    def _media(self, spark, n, seed=5):
+        import random
+        from datafusion_postgres_spark.operators.imagehash import (
+            encode_png_gray,
+        )
+        rng = random.Random(seed)
+        rows = [(i, encode_png_gray(
+            16, 16, [rng.randrange(256) for _ in range(256)]))
+            for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, content binary") \
+            .repartition(8)
+
+    def test_widest_node_linear_without_dups(self, spark):
+        from datafusion_postgres_spark.operators.imagehash import (
+            image_near_dup_pairs,
+        )
+        from datafusion_postgres_spark.plans.inspect import (
+            max_node_output_rows,
+        )
+        n = 400
+        pairs = image_near_dup_pairs(self._media(spark, n, seed=6))
+        assert len(pairs.collect()) == 0   # random images: no pairs
+        # widest executed node = the 4n exploded chunk rows (+ a
+        # handful of random 16-bit chunk collisions); an all-pairs
+        # shape would put n*(n-1)/2 ~ 80k rows through a node
+        assert max_node_output_rows(pairs) <= 6 * n

@@ -104,3 +104,25 @@ class TestUrlDedup:
         plan = url_dup_groups(df)._jdf.queryExecution().executedPlan() \
             .toString()
         assert "EvalPython" not in plan
+
+
+def test_jvm_and_python_twin_agree_on_component_grid(spark):
+    """Exhaustive component grid (scheme case x www x port x path shape
+    x query set x fragment = 432 URLs): the JVM column expression and
+    the Python twin canonicalize every combination identically — the
+    cheap insurance that the two implementations never drift."""
+    urls = []
+    for scheme in ("https", "HTTPS", "http"):
+        for www in ("", "www."):
+            for port in ("", ":443", ":8080"):
+                for path in ("/a/b", "/a//b/", ""):
+                    for q in ("", "?b=2&a=1&utm_source=x", "?gclid=1"):
+                        for frag in ("", "#sec"):
+                            urls.append(
+                                f"{scheme}://{www}Example.COM{port}"
+                                f"{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    jvm = [r["c"] for r in
+           df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    py = [canonicalize_url_py(u) for u in urls]
+    assert jvm == py

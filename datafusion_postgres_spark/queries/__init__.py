@@ -106,7 +106,7 @@ PRIORITY = [
     # oracled rows so every registered query re-earns a driver-green
     # CORRECTNESS entry every few rounds. A swapped-out row keeps its
     # oracle and stays in the local `tools/check_oracle.py` gate.
-    # Round-7 swaps (19 rows absent from the r06 window, >= the 15 the
+    # Round-7 swaps (23 rows absent from the r06 window, >= the 15 the
     # rotation policy asks for):
     #   * nine NEW/never-driver-checked rows cycle in — the round-7
     #     operators (multimodal_image_neardups, text_url_dedup,
@@ -119,6 +119,11 @@ PRIORITY = [
     #     pg_recursive_cte, pg_jsonpath, pg_string_functions,
     #     pg_math_functions, join_scd2_enrich, dedup_components,
     #     sim_cosine_sq8).
+    #   * four late-round-7 operators take the slots of four stable
+    #     r06-green suite rows (multimodal_audio_neardups,
+    #     multimodal_image_components, text_clf_auc, streaming_url_dedup
+    #     in; join_outer_suite, set_ops_suite, tablefunc_unnest_values,
+    #     agg_distinct_filter out to the local gate).
     # Rotated out to the local gate (ALL driver-green in r06):
     # q7_nation_pair_volume, q10_returned_items, pg_case_when,
     # ilike_filter, pg_regex_match, pg_array_functions,
@@ -127,7 +132,8 @@ PRIORITY = [
     # window_ntile_first_last, events_hourly_rollup, text_corpus_profile,
     # dedup_ngram_jaccard (exact twin — its capped sibling takes the
     # window slot), text_overlap_profile, sim_threshold_profile,
-    # text_source_contamination.
+    # text_source_contamination, join_outer_suite, set_ops_suite,
+    # tablefunc_unnest_values, agg_distinct_filter.
     # TPC-H adaptations (compound shapes: joins + aggs + sorts)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q2_min_cost_supplier", "q8_market_share", "q21_suppliers_kept_waiting",
@@ -136,14 +142,14 @@ PRIORITY = [
     "dedup_embedding_cosine",
     "pg_string_functions", "pg_math_functions", "pg_jsonpath",
     # joins (§2.3)
-    "join_outer_suite", "join_semi_anti",
+    "join_semi_anti",
     "subquery_correlated_in", "lateral_subquery", "join_scd2_enrich",
     # aggregation (§2.4)
-    "agg_distinct_filter", "agg_grouping_suite", "pg_ordered_set_aggs",
+    "agg_grouping_suite", "pg_ordered_set_aggs",
     # windows / recursion (§2.5, §2.8)
     "window_suite", "pg_recursive_cte",
     # sorts / set ops / table functions (§2.6-2.8)
-    "sort_wildcard_topk", "set_ops_suite", "tablefunc_unnest_values",
+    "sort_wildcard_topk",
     # a REAL streaming execution of the rollup
     # (readStream -> watermarked window agg -> memory sink)
     "streaming_hourly_rollup",
@@ -159,6 +165,8 @@ PRIORITY = [
     "multimodal_image_neardups", "text_url_dedup",
     "text_trained_gate", "text_trained_gate_scale",
     "emb_gram_matrix", "text_train_eval_split", "text_domain_reweight",
+    "multimodal_audio_neardups", "multimodal_image_components",
+    "text_clf_auc", "streaming_url_dedup",
 ]
 
 

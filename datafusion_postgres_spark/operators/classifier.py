@@ -251,3 +251,38 @@ def clf_auc(scored: DataFrame, label_col: str = "y",
         (F.round(F.col("num") /
                  (2.0 * F.col("n_pos") * F.col("n_neg")), 6) + 0.0)
         .alias("auc"))
+
+
+def clf_pr_curve(scored: DataFrame, thresholds: list[float],
+                 label_col: str = "y",
+                 score_col: str = "clf_score") -> DataFrame:
+    """Precision/recall at fixed thresholds — the calibration table a
+    quality-gate operator is tuned from (pick the threshold whose kept
+    volume and precision match the corpus budget).
+
+    One aggregate pass over the corpus computes per-threshold TP and
+    predicted-positive counts as exact integer conditional sums
+    (map-side combined — the shuffle is len(thresholds) running sums
+    per partition); precision/recall are each ONE double division of
+    those integers, so the table replays bit-for-bit in SQL."""
+    aggs = [F.sum(F.col(label_col).cast("long")).alias("n_pos")]
+    for i, t in enumerate(thresholds):
+        pred = (F.col(score_col) >= F.lit(t)).cast("long")
+        aggs.append(F.sum(pred).alias(f"pp_{i}"))
+        aggs.append(F.sum(pred * F.col(label_col).cast("long"))
+                    .alias(f"tp_{i}"))
+    wide = scored.agg(*aggs)
+    rows = None
+    for i, t in enumerate(thresholds):
+        row = wide.select(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"pp_{i}").cast("bigint").alias("n_pred_pos"),
+            F.col(f"tp_{i}").cast("bigint").alias("tp"),
+            (F.round(F.col(f"tp_{i}") /
+                     F.greatest(F.col(f"pp_{i}"), F.lit(1)), 6) + 0.0)
+            .alias("precision"),
+            (F.round(F.col(f"tp_{i}") /
+                     F.greatest(F.col("n_pos"), F.lit(1)), 6) + 0.0)
+            .alias("recall"))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -2723,6 +2723,48 @@ def text_clf_auc(spark, sf_dir):
     return clf_auc(scored, "y", "clf_score")
 
 
+@register("text_clf_pr_curve", oracle=f"""
+{_TCLF_TRAIN_SQL},
+final AS (
+  SELECT f.doc_id,
+         ROUND(1.0 / (1.0 + exp(-(sc.mnum / (f.nf * 1000000.0)))), 6) + 0.0
+           AS clf_score
+  FROM f JOIN sc USING (doc_id)),
+lab AS (
+  SELECT fi.clf_score AS s,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM final fi JOIN documents d USING (doc_id)),
+thr(threshold) AS (VALUES (0.3), (0.5), (0.7))
+SELECT CAST(threshold AS DOUBLE) AS threshold,
+       CAST(SUM(CASE WHEN s >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred_pos,
+       CAST(SUM(CASE WHEN s >= threshold THEN y ELSE 0 END) AS BIGINT)
+         AS tp,
+       ROUND(SUM(CASE WHEN s >= threshold THEN y ELSE 0 END)
+             / greatest(SUM(CASE WHEN s >= threshold THEN 1 ELSE 0 END),
+                        1), 6) + 0.0 AS precision,
+       ROUND(SUM(CASE WHEN s >= threshold THEN y ELSE 0 END)
+             / greatest(SUM(y), 1), 6) + 0.0 AS recall
+FROM lab CROSS JOIN thr
+GROUP BY threshold ORDER BY threshold
+""")
+def text_clf_pr_curve(spark, sf_dir):
+    """Trained-classifier calibration table: precision/recall at fixed
+    thresholds (operators/classifier.clf_pr_curve) — exact integer
+    conditional sums in one aggregate pass, one double division per
+    cell; the oracle re-trains the same fixed-point iterations and
+    replays the table. Completes the eval tier next to text_clf_auc."""
+    from datafusion_postgres_spark.operators.classifier import (
+        clf_pr_curve, train_text_classifier, trained_classifier_score)
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
+                              lr_den=2)
+    scored = (trained_classifier_score(docs, w)
+              .join(labeled.select("doc_id", "y"), "doc_id"))
+    return clf_pr_curve(scored, [0.3, 0.5, 0.7]).orderBy("threshold")
+
+
 @register("text_train_eval_split", oracle=f"""
 WITH b AS (
   SELECT lang,

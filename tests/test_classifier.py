@@ -191,3 +191,25 @@ class TestClfAuc:
         out = clf_auc(df, "y", "s")
         out.collect()
         assert shuffle_rows_written(out) < 1000  # 5 distinct scores
+
+
+def test_clf_pr_curve_matches_naive(spark):
+    """PR table equals the naive per-threshold counting, including the
+    guarded zero-denominator cells."""
+    import random
+    from datafusion_postgres_spark.operators.classifier import clf_pr_curve
+    rng = random.Random(29)
+    rows = [(i, rng.randint(0, 1), round(rng.random(), 6))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, y int, s double")
+    thresholds = [0.25, 0.5, 0.99, 1.5]   # 1.5: nothing predicted
+    got = {r["threshold"]: r for r in
+           clf_pr_curve(df, thresholds, "y", "s").collect()}
+    n_pos = sum(y for _, y, _ in rows)
+    for t in thresholds:
+        pp = sum(1 for _, _, s in rows if s >= t)
+        tp = sum(y for _, y, s in rows if s >= t)
+        r = got[t]
+        assert (r["n_pred_pos"], r["tp"]) == (pp, tp)
+        assert abs(r["precision"] - round(tp / max(pp, 1), 6)) < 1e-9
+        assert abs(r["recall"] - round(tp / max(n_pos, 1), 6)) < 1e-9

@@ -9,10 +9,12 @@ Three layers, each honest about what it can do in a codec-library-free
 container:
 
   1. REAL pixel decode for the losslessly-specified public formats:
-     PNG (stdlib ``zlib`` inflate of the IDAT stream + the five public
-     defilter predictors None/Sub/Up/Average/Paeth — no codec library
-     required), netpbm P5/P6, and uncompressed 8-bit BMP. JPEG pixels
-     stay a NotImplementedError (DCT entropy decode needs a codec).
+     PNG — COMPLETE static-image spec coverage with stdlib ``zlib``
+     only (all five defilter predictors, every legal depth/color
+     combination incl. sub-byte gray/palette and 16-bit, plus Adam7
+     interlace), netpbm P5/P6, and uncompressed 8/24-bit BMP. JPEG
+     pixels stay a NotImplementedError (DCT entropy decode needs a
+     codec).
   2. Integer-exact perceptual hashes over the decoded grayscale grid:
      aHash (block mean vs global mean) and dHash (adjacent block mean
      gradient), each 64 bits emitted as FOUR 16-bit chunk columns —
@@ -67,12 +69,12 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
 
     Returns (width, height, grayscale) where grayscale is a row-major
     list of 0..255 luma values (integer BT.601 weights for color).
-    Supports bit depths 8 and 16 (16-bit samples reduce to their high
-    byte after defiltering, per the spec's sanctioned approximation),
-    color types 0/2/3 (palette via PLTE)/4/6, no interlace — raises
-    NotImplementedError for sub-byte depths/Adam7 (honest capability
-    boundary; those need the same spec work, not a codec, but are not
-    exercised by any corpus we synthesize)."""
+    COMPLETE static-image coverage of the public spec: every legal
+    depth/color combination (1/2/4/8-bit gray and palette via PLTE,
+    8/16-bit gray/RGB/gray+alpha/RGBA — 16-bit samples reduce to their
+    high byte, the spec's sanctioned approximation) and both interlace
+    methods (none + Adam7's seven passes, each defiltered
+    independently). Malformed streams raise ValueError."""
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     pos, n = 8, len(content)
@@ -96,15 +98,16 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
         pos += 12 + length            # length + type + data + crc
     if width is None:
         raise ValueError("truncated PNG: no IHDR")
-    if (bit_depth not in (8, 16)
-            or (color_type not in _PNG_CHANNELS and color_type != 3)
-            or (bit_depth == 16 and color_type == 3)
-            or interlace != 0):
-        raise NotImplementedError(
-            f"PNG pixel decode implemented for bit depths 8/16, color "
-            f"types 0/2/3/4/6, no interlace (got depth={bit_depth}, "
-            f"color={color_type}, interlace={interlace}); sub-byte "
-            "depths/Adam7 need additional spec work")
+    # legal combinations per the public spec: sub-byte depths exist
+    # only for grayscale (0) and palette (3); 16-bit not for palette
+    legal = ((color_type in (0, 3) and bit_depth in (1, 2, 4, 8))
+             or (color_type in (0, 2, 4, 6) and bit_depth in (8, 16)
+                 and not (color_type == 3 and bit_depth == 16)))
+    if not legal or interlace not in (0, 1):
+        raise ValueError(
+            f"illegal PNG depth/color/interlace combination "
+            f"(depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace})")
     if color_type == 3:
         # indexed-color: one palette index per pixel (bpp=1 for the
         # defilter), mapped through the REQUIRED PLTE chunk afterwards
@@ -117,63 +120,103 @@ def decode_png_pixels(content: bytes) -> tuple[int, int, list[int]]:
     else:
         pal_luma = None
         channels = _PNG_CHANNELS[color_type]
-    # the defilter operates on BYTES with bpp = channels * bytes-per-
-    # sample (public spec); 16-bit samples are big-endian pairs that
-    # reduce to 8-bit by the high byte after reconstruction
+    # the defilter operates on BYTES with bpp = max(1, channels *
+    # bytes-per-sample) (public spec); 16-bit samples are big-endian
+    # pairs that reduce to 8-bit by the high byte after reconstruction;
+    # sub-byte depths pack 8/depth samples per byte, MSB first
     sample_bytes = bit_depth // 8
-    byte_channels = channels * sample_bytes
-    raw = zlib.decompress(bytes(idat))
-    stride = width * byte_channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG IDAT stream has wrong decompressed length")
-    prior = bytearray(stride)
-    gray: list[int] = []
-    for r in range(height):
-        off = r * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1:off + 1 + stride])
-        recon = bytearray(stride)
-        bpp = byte_channels
-        if ftype == 0:                                    # None
-            recon[:] = line
-        elif ftype == 1:                                  # Sub
-            for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                recon[x] = (line[x] + left) & 0xFF
-        elif ftype == 2:                                  # Up
-            for x in range(stride):
-                recon[x] = (line[x] + prior[x]) & 0xFF
-        elif ftype == 3:                                  # Average
-            for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                recon[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
-        elif ftype == 4:                                  # Paeth
-            for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                ul = prior[x - bpp] if x >= bpp else 0
-                recon[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        prior = recon
+    byte_channels = max(1, channels * sample_bytes)
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}")
+
+    def row_gray(recon: bytearray, w_row: int) -> list[int]:
+        """One reconstructed scanline -> w_row grayscale values."""
         if sample_bytes == 2:
             # 16-bit big-endian samples reduce to their HIGH byte (the
-            # spec-sanctioned 16->8 approximation); luma then proceeds
-            # identically to the 8-bit paths
+            # spec-sanctioned 16->8 approximation)
             recon = recon[0::2]
+        elif bit_depth < 8:
+            # unpack MSB-first packed samples, trim row padding, and
+            # scale gray to 8-bit (v * 255 / maxval, exact for the
+            # power-of-two-minus-one maxvals); palette indices unscaled
+            per_byte = 8 // bit_depth
+            mask = (1 << bit_depth) - 1
+            vals = []
+            for byte in recon:
+                for k in range(per_byte - 1, -1, -1):
+                    vals.append((byte >> (k * bit_depth)) & mask)
+            vals = vals[:w_row]
+            recon = (vals if pal_luma is not None
+                     else [v * 255 // mask for v in vals])
         if pal_luma is not None:                          # indexed color
             try:
-                gray.extend(pal_luma[i] for i in recon)
+                return [pal_luma[i] for i in recon]
             except IndexError:
                 raise ValueError("palette index out of PLTE range")
-        elif channels == 1:
-            gray.extend(recon)
-        elif channels == 2:                               # gray + alpha
-            gray.extend(recon[0::2])
-        else:                                             # RGB / RGBA
-            for x in range(0, len(recon), channels):
-                gray.append((299 * recon[x] + 587 * recon[x + 1]
-                             + 114 * recon[x + 2]) // 1000)
-    return width, height, gray
+        if channels == 1:
+            return list(recon)
+        if channels == 2:                                 # gray + alpha
+            return list(recon[0::2])
+        return [(299 * recon[x] + 587 * recon[x + 1]                # RGB(A)
+                 + 114 * recon[x + 2]) // 1000
+                for x in range(0, len(recon), channels)]
+
+    # Adam7: seven sub-images with the published origins/steps, each
+    # filtered independently; non-interlaced = one full-frame pass
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    grid = [0] * (width * height)
+    pos = 0
+    for xs, ys, xstep, ystep in passes:
+        w_p = (width - xs + xstep - 1) // xstep
+        h_p = (height - ys + ystep - 1) // ystep
+        if w_p <= 0 or h_p <= 0:
+            continue
+        stride = (w_p * channels * bit_depth + 7) // 8
+        prior = bytearray(stride)
+        bpp = byte_channels
+        for r in range(h_p):
+            if pos + 1 + stride > len(raw):
+                raise ValueError(
+                    "PNG IDAT stream has wrong decompressed length")
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1:pos + 1 + stride])
+            pos += 1 + stride
+            recon = bytearray(stride)
+            if ftype == 0:                                # None
+                recon[:] = line
+            elif ftype == 1:                              # Sub
+                for x in range(stride):
+                    left = recon[x - bpp] if x >= bpp else 0
+                    recon[x] = (line[x] + left) & 0xFF
+            elif ftype == 2:                              # Up
+                for x in range(stride):
+                    recon[x] = (line[x] + prior[x]) & 0xFF
+            elif ftype == 3:                              # Average
+                for x in range(stride):
+                    left = recon[x - bpp] if x >= bpp else 0
+                    recon[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
+            elif ftype == 4:                              # Paeth
+                for x in range(stride):
+                    left = recon[x - bpp] if x >= bpp else 0
+                    ul = prior[x - bpp] if x >= bpp else 0
+                    recon[x] = (line[x]
+                                + _paeth(left, prior[x], ul)) & 0xFF
+            else:
+                raise ValueError(f"invalid PNG filter type {ftype}")
+            prior = recon
+            y = ys + r * ystep
+            vals = row_gray(recon, w_p)
+            for i, v in enumerate(vals):
+                grid[y * width + xs + i * xstep] = v
+    if pos != len(raw):
+        raise ValueError("PNG IDAT stream has wrong decompressed length")
+    return width, height, grid
 
 
 def encode_png_gray(width: int, height: int, gray: list[int],

@@ -113,27 +113,87 @@ class TestPngCodec:
         assert (w2, h2) == (w, h)
         assert gray == [v >> 8 for row in vals for v in row]
 
-    def test_unsupported_variants_raise_honestly(self):
-        # sub-byte depths / Adam7 are spec work not yet done — raise,
-        # not silent garbage; palette WITHOUT a PLTE chunk is malformed
-        import pytest as _pt
+    def test_malformed_variants_raise_clearly(self):
+        # PNG static-image coverage is COMPLETE (all legal depth/color
+        # combos + Adam7): only genuinely ILLEGAL or corrupt streams
+        # raise, and they raise ValueError, never silent garbage
         bad_palette = (b"\x89PNG\r\n\x1a\n"
                        + _png_chunk(b"IHDR",
                                     struct.pack(">IIBBBBB", 4, 4, 8, 3,
                                                 0, 0, 0))
                        + _png_chunk(b"IEND", b""))
-        with _pt.raises(ValueError):
-            decode_png_pixels(bad_palette)
-        for depth, ctype, inter in ((4, 0, 0), (8, 0, 1), (16, 3, 0)):
+        with pytest.raises(ValueError):
+            decode_png_pixels(bad_palette)   # palette without PLTE
+        for depth, ctype, inter in ((16, 3, 0),   # 16-bit palette
+                                    (3, 0, 0),    # depth 3 illegal
+                                    (8, 0, 2),    # interlace 2 illegal
+                                    (4, 2, 0)):   # sub-byte RGB illegal
             png = (b"\x89PNG\r\n\x1a\n"
                    + _png_chunk(b"IHDR",
                                 struct.pack(">IIBBBBB", 4, 4, depth,
                                             ctype, 0, 0, inter))
                    + _png_chunk(b"IEND", b""))
-            with pytest.raises(NotImplementedError):
+            with pytest.raises(ValueError):
                 decode_png_pixels(png)
+        # truncated IDAT
+        with pytest.raises(ValueError):
+            decode_png_pixels(
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR",
+                             struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+                + _png_chunk(b"IDAT", b"\x78\x9c\x01")
+                + _png_chunk(b"IEND", b""))
         with pytest.raises(ValueError):
             decode_png_pixels(b"\xff\xd8\xffnot a png")
+
+    def test_subbyte_and_adam7_decode(self):
+        import zlib as _z
+        # 2-bit palette, 5x1
+        pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220])
+        idx = [0, 3, 2, 1, 0]
+        raw = bytearray([0, (idx[0] << 6) | (idx[1] << 4)
+                         | (idx[2] << 2) | idx[3], idx[4] << 6])
+        png = (b"\x89PNG\r\n\x1a\n"
+               + _png_chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", 5, 1, 2, 3, 0, 0, 0))
+               + _png_chunk(b"PLTE", pal)
+               + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+        luma = [(299 * pal[3 * i] + 587 * pal[3 * i + 1]
+                 + 114 * pal[3 * i + 2]) // 1000 for i in range(4)]
+        assert decode_png_pixels(png) == (5, 1, [luma[i] for i in idx])
+        # 1-bit gray scales to 0/255
+        raw = bytearray([0, 0b10110010])
+        png = (b"\x89PNG\r\n\x1a\n"
+               + _png_chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", 8, 1, 1, 0, 0, 0, 0))
+               + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+        assert decode_png_pixels(png) == (
+            8, 1, [255, 0, 255, 255, 0, 0, 255, 0])
+        # Adam7: scatter the seven passes of a random 13x9 gray image
+        # (filter 0 per pass row) and expect exact reconstruction
+        rng = random.Random(23)
+        w, h = 13, 9
+        gray = [rng.randrange(256) for _ in range(w * h)]
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        raw = bytearray()
+        for xs, ys, xst, yst in passes:
+            w_p = (w - xs + xst - 1) // xst
+            h_p = (h - ys + yst - 1) // yst
+            if w_p <= 0 or h_p <= 0:
+                continue
+            for r in range(h_p):
+                raw.append(0)
+                y = ys + r * yst
+                raw.extend(gray[y * w + xs + i * xst] for i in range(w_p))
+        png = (b"\x89PNG\r\n\x1a\n"
+               + _png_chunk(b"IHDR",
+                            struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+               + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+        assert decode_png_pixels(png) == (w, h, gray)
 
     def test_netpbm_and_bmp_pixels(self):
         gray = list(range(12))

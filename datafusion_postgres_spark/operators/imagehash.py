@@ -12,9 +12,10 @@ container:
      PNG — COMPLETE static-image spec coverage with stdlib ``zlib``
      only (all five defilter predictors, every legal depth/color
      combination incl. sub-byte gray/palette and 16-bit, plus Adam7
-     interlace), netpbm P5/P6, and uncompressed 8/24-bit BMP. JPEG
-     pixels stay a NotImplementedError (DCT entropy decode needs a
-     codec).
+     interlace), GIF87a/89a first frames (the published LZW algorithm
+     in pure Python, both interlace modes), netpbm P5/P6, and
+     uncompressed 8/24-bit BMP. JPEG pixels stay a NotImplementedError
+     (DCT entropy decode needs a codec).
   2. Integer-exact perceptual hashes over the decoded grayscale grid:
      aHash (block mean vs global mean) and dHash (adjacent block mean
      gradient), each 64 bits emitted as FOUR 16-bit chunk columns —
@@ -270,12 +271,14 @@ def decode_image_pixels(content: bytes) -> tuple[int, int, list[int]]:
     formats only."""
     if content.startswith(_PNG_SIG):
         return decode_png_pixels(content)
+    if content[:4] == b"GIF8":
+        return decode_gif_pixels(content)
     if content[:2] in (b"P5", b"P6"):
         return _decode_netpbm_pixels(content)
     if content[:2] == b"BM":
         return _decode_bmp_pixels(content)
     raise NotImplementedError(
-        "pixel decode implemented for PNG/netpbm/BMP; entropy-coded "
+        "pixel decode implemented for PNG/GIF/netpbm/BMP; entropy-coded "
         "formats (JPEG) need a codec library not present here")
 
 
@@ -605,3 +608,164 @@ def merge_new_image_hashes(survivors_media: DataFrame, table: str,
         .alias("ci", "chunk"))
     (rows.write.mode("append").bucketBy(n_buckets, "chunk")
      .sortBy("chunk").format("parquet").saveAsTable(table))
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel decode (LZW is a published algorithm — pure Python, no codec)
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: variable code width from min+1 to 12 bits,
+    little-endian bit packing, clear/end control codes — exactly as
+    published in the GIF89a specification appendix."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total:
+        v = 0
+        for i in range(code_size):
+            v |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if v == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if v == end:
+            break
+        if prev is None:
+            entry = table[v]
+            if entry is None:
+                raise ValueError("corrupt GIF LZW stream")
+        elif v < len(table) and table[v] is not None:
+            entry = table[v]
+        elif v == len(table):
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def decode_gif_pixels(content: bytes) -> tuple[int, int, list[int]]:
+    """First-frame GIF pixel decode (GIF87a/89a): logical screen
+    descriptor, global/local color tables, extension-block skipping,
+    LZW index stream, 4-pass GIF interlace — all from the public spec.
+    Returns the first image's (width, height, luma grid)."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    import struct as _s
+    _, _, flags = _s.unpack_from("<HHB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = content[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x21:                       # extension: label + subblocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b == 0x2C:                     # image descriptor
+            _, _, w, h, iflags = _s.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = content[pos:pos + 3 * n]
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            mcs = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos] != 0:
+                size = content[pos]
+                data += content[pos + 1:pos + 1 + size]
+                pos += 1 + size
+            idx = _gif_lzw_decode(mcs, bytes(data))
+            if len(idx) < w * h:
+                raise ValueError("GIF LZW stream shorter than the image")
+            luma = [(299 * table[3 * i] + 587 * table[3 * i + 1]
+                     + 114 * table[3 * i + 2]) // 1000
+                    for i in range(len(table) // 3)]
+            grid = [0] * (w * h)
+            if iflags & 0x40:               # GIF 4-pass interlace
+                rows = (list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2)))
+            else:
+                rows = list(range(h))
+            k = 0
+            for y in rows:
+                for x in range(w):
+                    grid[y * w + x] = luma[idx[k]]
+                    k += 1
+            return w, h, grid
+        elif b == 0x3B:                     # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF without an image descriptor")
+
+
+def encode_gif_gray(width: int, height: int, gray: list[int],
+                    interlace: bool = False) -> bytes:
+    """Minimal single-frame grayscale GIF89a encoder: a 256-entry gray
+    palette and the classic 'uncompressed' LZW stream (a CLEAR code
+    before every pixel code keeps the table empty and the code width
+    fixed at 9 bits — a perfectly valid stream any decoder accepts).
+    Fixture/synthesis twin of encode_png_gray."""
+    import struct as _s
+    if len(gray) != width * height:
+        raise ValueError("gray must hold width*height values")
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT: 256 cells
+    for v in range(256):
+        out += bytes((v, v, v))
+    out += b"\x2C" + _s.pack("<HHHHB", 0, 0, width, height,
+                             0x40 if interlace else 0)
+    out.append(8)                           # LZW min code size
+    bits = bytearray()
+    acc = n_acc = 0
+
+    def emit(code):
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += 9
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    if interlace:
+        h = height
+        rows = (list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2)))
+    else:
+        rows = list(range(height))
+    emit(256)                               # initial CLEAR
+    for y in rows:
+        for x in range(width):
+            emit(gray[y * width + x] & 0xFF)
+            emit(256)                       # keep the table empty
+    emit(257)                               # END
+    if n_acc:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        block = bits[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"
+    return bytes(out)

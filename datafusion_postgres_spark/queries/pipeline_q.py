@@ -2350,6 +2350,51 @@ def multimodal_image_neardups(spark, sf_dir):
                         "id_a", "id_b")
 
 
+@register("text_url_then_content_dedup", oracle=f"""
+WITH canon AS (
+  SELECT doc_id, text,
+         'https://src' || CAST((doc_id // 4) % 20 AS VARCHAR) ||
+         '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR) ||
+         CASE WHEN (doc_id // 4) % 3 = 0 THEN '?a=1&b=2' ELSE '' END
+           AS canonical_url
+  FROM documents),
+url_survivors AS (
+  SELECT doc_id, text FROM canon
+  WHERE doc_id = (SELECT MIN(c2.doc_id) FROM canon c2
+                  WHERE c2.canonical_url = canon.canonical_url)),
+content_kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM url_survivors GROUP BY {_NORM})
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM content_kept
+ORDER BY doc_id
+""")
+def text_url_then_content_dedup(spark, sf_dir):
+    """The two-tier crawl dedup pipeline as ONE composed plan: cheap
+    URL-level dedup first (dedup_by_url keeps the lowest id per
+    canonical URL), then exact content dedup over the survivors
+    (dedup_exact) — the order every CC-style pipeline runs them in,
+    because URL dedup costs one string groupBy while content dedup
+    costs a text scan. The oracle replays both tiers (min-per-canonical
+    then min-per-normalized-text)."""
+    from datafusion_postgres_spark.operators.urls import dedup_by_url
+    docs = t(spark, sf_dir, "documents")
+    g = F.expr("doc_id DIV 4")
+    v = F.col("doc_id") % 4
+    host = F.concat(F.lit("src"), (g % 20).cast("string"),
+                    F.lit(".example.com"))
+    path = F.concat(F.lit("/docs/"), g.cast("string"))
+    q0 = F.when(g % 3 == 0, "?b=2&a=1").otherwise("")
+    q2 = (F.when(g % 3 == 0, "?a=1&utm_source=news&b=2")
+          .otherwise("?utm_source=news"))
+    url = (F.when(v <= 1, F.concat(F.lit("https://"), host, path, q0))
+           .otherwise(F.concat(F.lit("https://www."), host, path, q2,
+                               F.lit("#frag"))))
+    messy = docs.withColumn("url", url)
+    survivors = dedup_by_url(messy)
+    kept = dedup.dedup_exact(survivors)
+    return sorted_small(kept.select(F.col("doc_id").cast("bigint")
+                                    .alias("doc_id")), "doc_id")
+
+
 @register("multimodal_audio_neardups", oracle="""
 WITH av AS (
   SELECT doc_id,

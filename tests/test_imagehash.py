@@ -358,3 +358,53 @@ class TestImageIncrementalDedup:
         kept2 = image_dedup_incremental(batch2, "img_state_t")
         assert sorted(r["doc_id"] for r in kept2.collect()) == [21]
         spark.sql("DROP TABLE img_state_t")
+
+
+class TestGifCodec:
+    def test_roundtrip_both_interlace_modes(self):
+        from datafusion_postgres_spark.operators.imagehash import (
+            decode_gif_pixels, encode_gif_gray,
+        )
+        rng = random.Random(4)
+        for w, h in [(16, 16), (13, 9), (7, 5), (1, 1)]:
+            for inter in (False, True):
+                gray = [rng.randrange(256) for _ in range(w * h)]
+                assert decode_gif_pixels(
+                    encode_gif_gray(w, h, gray, interlace=inter)) == \
+                    (w, h, gray)
+
+    def test_lzw_table_growth_path(self):
+        """A genuinely COMPRESSED stream (codes referencing grown table
+        entries, including the code==len(table) KwKwK case) — the path
+        the uncompressed fixture encoder never exercises."""
+        from datafusion_postgres_spark.operators.imagehash import (
+            _gif_lzw_decode,
+        )
+        # min_code_size=2: clear=4, end=5; codes [4, 1, 6, 7, 5] decode
+        # to [1] + [1,1] + [1,1,1] (6,7 are the just-created entries)
+        codes, width = [4, 1, 6, 7, 5], 3
+        acc = 0
+        for i, c in enumerate(codes):
+            acc |= c << (i * width)
+        data = acc.to_bytes((len(codes) * width + 7) // 8, "little")
+        assert _gif_lzw_decode(2, data) == [1, 1, 1, 1, 1, 1]
+
+    def test_gif_flows_into_near_dup_pairs(self, spark):
+        from datafusion_postgres_spark.operators.imagehash import (
+            encode_gif_gray, image_near_dup_pairs,
+        )
+        rng = random.Random(51)
+        base = [rng.randrange(256) for _ in range(256)]
+        dup = list(base)
+        dup[10] = (dup[10] + 2) % 256
+        png_twin = encode_png_gray(16, 16, base)
+        media = spark.createDataFrame(
+            [(1, encode_gif_gray(16, 16, base)),
+             (2, encode_gif_gray(16, 16, dup)),
+             (3, png_twin)],
+            "doc_id long, content binary")
+        got = {(r["id_a"], r["id_b"])
+               for r in image_near_dup_pairs(media).collect()}
+        # GIF<->GIF near-dup found AND the GIF pairs with its PNG twin
+        # (identical pixels -> identical hash, format-independent)
+        assert (1, 2) in got and (1, 3) in got

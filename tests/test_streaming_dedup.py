@@ -303,3 +303,67 @@ def test_url_dedup_stream_collapses_messy_variants(spark, tmp_path):
         assert 3 not in kept and {1, 2, 4} <= kept
     finally:
         q.stop()
+
+
+def test_foreachbatch_image_ingest_loop(spark, tmp_path):
+    """The image tier's ingest loop on a STREAM: each micro-batch of
+    binary images dedups against the bucketed hash-chunk state table
+    and survivors' hashes append back — a near-dup of a batch-1 image
+    arriving in batch 2 is dropped by the STATE, not by in-memory
+    bookkeeping (driver-restart-safe, same contract as the text
+    fingerprint loop)."""
+    import glob
+    import os
+    import random
+    import shutil
+    from datafusion_postgres_spark.operators.imagehash import (
+        encode_png_gray, image_dedup_incremental, merge_new_image_hashes,
+        write_image_hash_table,
+    )
+    rng = random.Random(99)
+    base = [rng.randrange(256) for _ in range(256)]
+    other = [rng.randrange(256) for _ in range(256)]
+    near_base = list(base)
+    near_base[8] = (near_base[8] + 2) % 256
+    rows1 = [(1, encode_png_gray(16, 16, base)),
+             (2, encode_png_gray(16, 16, other))]
+    rows2 = [(3, encode_png_gray(16, 16, near_base)),   # ~ batch-1 doc 1
+             (4, encode_png_gray(16, 16,
+                                 [rng.randrange(256) for _ in range(256)]))]
+    d = tmp_path / "img_stream_in"
+    d.mkdir()
+    for i, rows in enumerate((rows1, rows2)):
+        p = str(tmp_path / f"ib{i}.parquet")
+        spark.createDataFrame(rows, "doc_id long, content binary") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        (part,) = glob.glob(p + "/part-*.parquet")
+        dst = str(d / f"{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    spark.sql("DROP TABLE IF EXISTS img_stream_state")
+    empty = spark.createDataFrame([], "doc_id long, content binary")
+    write_image_hash_table(empty, "img_stream_state", n_buckets=8)
+    survived = []
+
+    def ingest(batch_df, batch_id):
+        out = image_dedup_incremental(batch_df, "img_stream_state")
+        kept = out.collect()
+        survived.extend(r["doc_id"] for r in kept)
+        if kept:
+            merge_new_image_hashes(
+                spark.createDataFrame(kept, out.schema),
+                "img_stream_state", n_buckets=8)
+
+    try:
+        stream = (spark.readStream.schema("doc_id long, content binary")
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        q = stream.writeStream.foreachBatch(ingest) \
+            .option("checkpointLocation", str(tmp_path / "img_ckpt")) \
+            .trigger(availableNow=True).start()
+        assert q.awaitTermination(180), "stream did not finish in time"
+        assert sorted(survived) == [1, 2, 4]   # 3 caught by the state
+        # 3 surviving images x 4 chunk rows each
+        assert spark.table("img_stream_state").count() == 12
+    finally:
+        spark.sql("DROP TABLE IF EXISTS img_stream_state")

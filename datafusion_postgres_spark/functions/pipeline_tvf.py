@@ -407,9 +407,12 @@ def _group_to_literal(group) -> str:
 
 # Keywords that end a FROM clause's comma context (the rewriter only
 # treats a comma as "table position" while inside an open FROM list).
+# "on" is NOT an ender: after JOIN ... ON a.x = b.x a comma is still a
+# legal table position (commas inside an ON expression only occur
+# within parens, which the paren stack already scopes out).
 _FROM_ENDERS = frozenset({
     "where", "group", "having", "order", "limit", "offset", "window",
-    "qualify", "union", "intersect", "except", "select", "on", "set",
+    "qualify", "union", "intersect", "except", "select", "set",
     "values", "when", "then", "else", "case",
 })
 
@@ -510,7 +513,11 @@ def rewrite_pipeline_tvfs(spark: SparkSession, stmt: str,
             (out[ctx].kind == IDENT
              and out[ctx].text.lower() in ("from", "join", "lateral"))
             or (out[ctx].kind == PUNCT and out[ctx].text == ","
-                and in_from))
+                and in_from)
+            # parenthesized table ref — FROM (tvf(...)) alias: the "("
+            # opened while the FROM list was active (paren stack top)
+            or (out[ctx].kind == PUNCT and out[ctx].text == "("
+                and bool(from_stack) and from_stack[-1]))
         if not in_table_pos:
             _emit(t)  # scalar/expression position — not ours to rewrite
             i += 1

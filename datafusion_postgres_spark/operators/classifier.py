@@ -234,11 +234,18 @@ def clf_auc(scored: DataFrame, label_col: str = "y",
     Returns one row: (n_pos, n_neg, auc)."""
     from pyspark.sql import Window
 
-    hist = (scored.groupBy(score_col)
+    # enforce the bounded-histogram invariant HERE, not by caller
+    # convention: raw continuous scores would make the histogram
+    # corpus-cardinality and the unpartitioned window a corpus-sized
+    # single-task sort. ROUND(x,6) caps distinct values at ~2e6 for
+    # scores in [-1,1] and is idempotent for already-rounded scores
+    # (every registered query rounds to 6 before this point).
+    s = F.round(F.col(score_col), 6).alias("__s")
+    hist = (scored.groupBy(s)
             .agg(F.sum(F.col(label_col).cast("long")).alias("pos"),
                  F.sum(F.lit(1) - F.col(label_col).cast("long"))
                  .alias("neg")))
-    w = Window.orderBy(score_col)
+    w = Window.orderBy("__s")
     cum = hist.withColumn(
         "neg_below", F.sum("neg").over(w) - F.col("neg"))
     agg = cum.agg(
@@ -246,10 +253,13 @@ def clf_auc(scored: DataFrame, label_col: str = "y",
         F.sum("neg").cast("long").alias("n_neg"),
         F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg")))
         .cast("long").alias("num"))
+    # single-class corpus: AUC is mathematically undefined — emit an
+    # explicit NULL rather than a div-by-zero artifact
     return agg.select(
         "n_pos", "n_neg",
-        (F.round(F.col("num") /
-                 (2.0 * F.col("n_pos") * F.col("n_neg")), 6) + 0.0)
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+               F.round(F.col("num") /
+                       (2.0 * F.col("n_pos") * F.col("n_neg")), 6) + 0.0)
         .alias("auc"))
 
 
@@ -265,6 +275,8 @@ def clf_pr_curve(scored: DataFrame, thresholds: list[float],
     (map-side combined — the shuffle is len(thresholds) running sums
     per partition); precision/recall are each ONE double division of
     those integers, so the table replays bit-for-bit in SQL."""
+    if not thresholds:
+        raise ValueError("clf_pr_curve needs at least one threshold")
     aggs = [F.sum(F.col(label_col).cast("long")).alias("n_pos")]
     for i, t in enumerate(thresholds):
         pred = (F.col(score_col) >= F.lit(t)).cast("long")

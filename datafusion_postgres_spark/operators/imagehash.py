@@ -285,10 +285,11 @@ def decode_image_pixels(content: bytes) -> tuple[int, int, list[int]]:
 def _decode_netpbm_pixels(content: bytes) -> tuple[int, int, list[int]]:
     from datafusion_postgres_spark.operators.multimodal import _decode_netpbm
     w, h = _decode_netpbm(content)
-    # payload starts after the third header field's trailing whitespace
-    i, fields = 2, 0
+    # parse all THREE header fields (width, height, maxval) — a maxval
+    # above 255 means 2-byte big-endian samples per the public spec
+    i, fields = 2, []
     n = len(content)
-    while fields < 3 and i < n:
+    while len(fields) < 3 and i < n:
         c = content[i:i + 1]
         if c == b"#":
             while i < n and content[i:i + 1] not in (b"\n", b"\r"):
@@ -296,18 +297,36 @@ def _decode_netpbm_pixels(content: bytes) -> tuple[int, int, list[int]]:
         elif c.isspace():
             i += 1
         elif c.isdigit():
-            while i < n and content[i:i + 1].isdigit():
-                i += 1
-            fields += 1
+            j = i
+            while j < n and content[j:j + 1].isdigit():
+                j += 1
+            fields.append(int(content[i:j]))
+            i = j
         else:
             raise ValueError("malformed netpbm header")
+    if len(fields) < 3:
+        raise ValueError("truncated netpbm header")
+    maxval = fields[2]
+    if not (0 < maxval < 65536):
+        raise ValueError(f"illegal netpbm maxval {maxval}")
     i += 1  # single whitespace after maxval
-    if content[:2] == b"P5":
-        data = content[i:i + w * h]
-        return w, h, list(data)
-    data = content[i:i + 3 * w * h]
-    gray = [(299 * data[k] + 587 * data[k + 1] + 114 * data[k + 2]) // 1000
-            for k in range(0, len(data), 3)]
+    spp = 2 if maxval > 255 else 1          # bytes per sample
+    channels = 1 if content[:2] == b"P5" else 3
+    need = w * h * channels * spp
+    data = content[i:i + need]
+    if len(data) < need:
+        raise ValueError("truncated netpbm payload")
+    if spp == 2:                            # big-endian 16-bit samples
+        samples = [((data[k] << 8) | data[k + 1]) * 255 // maxval
+                   for k in range(0, need, 2)]
+    else:
+        samples = ([v * 255 // maxval for v in data]
+                   if maxval != 255 else list(data))
+    if channels == 1:
+        return w, h, samples
+    gray = [(299 * samples[k] + 587 * samples[k + 1]
+             + 114 * samples[k + 2]) // 1000
+            for k in range(0, len(samples), 3)]
     return w, h, gray
 
 
@@ -323,12 +342,32 @@ def _decode_bmp_pixels(content: bytes) -> tuple[int, int, list[int]]:
     h = abs(h_signed)
     bottom_up = h_signed > 0
     row_bytes = ((w * bpp // 8) + 3) & ~3        # rows pad to 4 bytes
+    pal_luma = None
+    if bpp == 8:
+        # 8bpp BMP is INDEXED color: the BGRA color table sits between
+        # the info header and the pixel data. Files written without one
+        # (data_off leaves no room) fall back to identity grayscale.
+        (hdr_size,) = struct.unpack_from("<I", content, 14)
+        pal_start = 14 + hdr_size
+        n_entries = max(0, (data_off - pal_start) // 4)
+        if n_entries:
+            pal = content[pal_start:pal_start + 4 * n_entries]
+            pal_luma = [(299 * pal[4 * i + 2] + 587 * pal[4 * i + 1]
+                         + 114 * pal[4 * i]) // 1000     # BGRA order
+                        for i in range(n_entries)]
     gray: list[int] = []
     for rr in range(h):
         r = (h - 1 - rr) if bottom_up else rr
         off = data_off + r * row_bytes
         if bpp == 8:
-            gray.extend(content[off:off + w])
+            row = content[off:off + w]
+            if pal_luma is not None:
+                try:
+                    gray.extend(pal_luma[i] for i in row)
+                except IndexError:
+                    raise ValueError("BMP palette index out of range")
+            else:
+                gray.extend(row)
         else:
             row = content[off:off + 3 * w]
             for k in range(0, 3 * w, 3):          # BGR order
@@ -416,7 +455,8 @@ def image_perceptual_hashes(media: DataFrame, id_col: str = "doc_id",
                     w, h, gray = decode_image_pixels(bytes(content))
                     rows.append((did, w, h, *ahash_chunks(gray, w, h),
                                  *dhash_chunks(gray, w, h)))
-                except (NotImplementedError, ValueError, IndexError):
+                except (NotImplementedError, ValueError, IndexError,
+                        struct.error):
                     rows.append((did, None, None) + (None,) * 8)
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               HASH_SCHEMA.fields])
@@ -525,6 +565,19 @@ def synthesize_png_corpus(docs: DataFrame, text_col: str = "text",
 # incremental ingest dedup against persisted hash state (the image twin
 # of dedup.write_fingerprint_table / dedup_incremental_bucketed)
 
+def _state_chunk_rows(media: DataFrame, id_col: str,
+                      content_col: str) -> DataFrame:
+    """Hash-chunk state rows for a media frame: one (state_id, s0..s3,
+    ci, chunk) row per chunk per decodable image."""
+    sig = (image_perceptual_hashes(media, id_col, content_col)
+           .where(F.col("ahash_c0").isNotNull()))
+    return sig.select(
+        F.col("doc_id").alias("state_id"),
+        *[F.col(f"ahash_c{j}").alias(f"s{j}") for j in range(4)],
+        F.posexplode(F.array(*[F.col(f"ahash_c{j}") for j in range(4)]))
+        .alias("ci", "chunk"))
+
+
 def write_image_hash_table(media: DataFrame, table: str,
                            n_buckets: int = 32,
                            id_col: str = "doc_id",
@@ -534,14 +587,8 @@ def write_image_hash_table(media: DataFrame, table: str,
     BUCKETED on the chunk value — the join key of the pigeonhole
     blocking — so per-ingest anti-join reads of the ever-growing state
     stay co-located while only the small batch shuffles."""
-    sig = (image_perceptual_hashes(media, id_col, content_col)
-           .where(F.col("ahash_c0").isNotNull()))
-    rows = sig.select(
-        F.col("doc_id").alias("state_id"),
-        *[F.col(f"ahash_c{j}").alias(f"s{j}") for j in range(4)],
-        F.posexplode(F.array(*[F.col(f"ahash_c{j}") for j in range(4)]))
-        .alias("ci", "chunk"))
-    (rows.write.mode("overwrite").bucketBy(n_buckets, "chunk")
+    (_state_chunk_rows(media, id_col, content_col)
+     .write.mode("overwrite").bucketBy(n_buckets, "chunk")
      .sortBy("chunk").format("parquet").saveAsTable(table))
 
 
@@ -596,16 +643,24 @@ def image_dedup_incremental(new_media: DataFrame, table: str,
 def merge_new_image_hashes(survivors_media: DataFrame, table: str,
                            n_buckets: int = 32,
                            id_col: str = "doc_id",
-                           content_col: str = "content") -> None:
+                           content_col: str = "content",
+                           sig: DataFrame | None = None) -> None:
     """Append the surviving batch's hash-chunk rows into the bucketed
-    state table (``n_buckets`` must match the table's bucket spec)."""
-    sig = (image_perceptual_hashes(survivors_media, id_col, content_col)
-           .where(F.col("ahash_c0").isNotNull()))
-    rows = sig.select(
-        F.col("doc_id").alias("state_id"),
-        *[F.col(f"ahash_c{j}").alias(f"s{j}") for j in range(4)],
-        F.posexplode(F.array(*[F.col(f"ahash_c{j}") for j in range(4)]))
-        .alias("ci", "chunk"))
+    state table (``n_buckets`` must match the table's bucket spec).
+
+    Pass ``sig`` — a frame with (id, ahash_c0..ahash_c3), e.g. a
+    survivor-filtered slice of image_perceptual_hashes output — to
+    skip re-decoding the survivor images; without it this function
+    pays one pixel-decode pass over the (small) surviving slice."""
+    if sig is not None:
+        rows = sig.select(
+            F.col("id").alias("state_id"),
+            *[F.col(f"ahash_c{j}").alias(f"s{j}") for j in range(4)],
+            F.posexplode(F.array(*[F.col(f"ahash_c{j}")
+                                   for j in range(4)]))
+            .alias("ci", "chunk"))
+    else:
+        rows = _state_chunk_rows(survivors_media, id_col, content_col)
     (rows.write.mode("append").bucketBy(n_buckets, "chunk")
      .sortBy("chunk").format("parquet").saveAsTable(table))
 

@@ -238,7 +238,8 @@ class SparkPgEngine:
                 "current transaction is aborted, commands ignored until "
                 "end of transaction block")  # error code 25P01
         stmt, pending_tvfs = self._maybe_rewrite_pipeline_tvfs(stmt)
-        self._check_permissions(stmt)
+        self._check_permissions(
+            stmt, tvf_views={view for view, _, _ in pending_tvfs})
         if pending_tvfs:
             # Materialize TVF views only now — after BOTH the per-source
             # check inside the rewrite and the statement-kind permission
@@ -365,7 +366,8 @@ class SparkPgEngine:
             self.spark, stmt, check_table=check_table, defer=True)
         return (stmt, []) if rewritten is None else (rewritten, pending)
 
-    def _check_permissions(self, stmt: str) -> None:
+    def _check_permissions(self, stmt: str,
+                           tvf_views: set[str] | None = None) -> None:
         """Per-statement RBAC (hooks/permissions.rs:44-92): map statement
         kind to a required permission and check it against every referenced
         table. Superuser (the default 'postgres' user) bypasses.
@@ -392,11 +394,15 @@ class SparkPgEngine:
                         f"resolve target table of {kind.upper()} statement")
             return
         for tbl in tables:
-            # Engine-synthesized pipeline TVF views: already authorized
-            # per SOURCE table via the rewrite's check_table hook; no
-            # user grant can name a one-off __tvf_<sha> view, so checking
-            # it here would deny the feature to every table-granted user.
-            if tbl.split(".")[-1].startswith("__tvf_"):
+            # Engine-synthesized pipeline TVF views OF THIS STATEMENT:
+            # already authorized per SOURCE table via the rewrite's
+            # check_table hook; no user grant can name a one-off
+            # __tvf_<sha> view, so checking it would deny the feature to
+            # every table-granted user. Exempting by EXACT pending-view
+            # name (never by prefix): a user-created table that merely
+            # starts with __tvf_ stays fully RBAC-checked — a prefix
+            # trust would be a fail-open hole for DDL/DML on such names.
+            if tvf_views and tbl.split(".")[-1] in tvf_views:
                 continue
             name = tbl if "." in tbl else f"public.{tbl}"
             self.auth.check_statement(self.user, kind,

@@ -224,8 +224,29 @@ def compact_ivf_sq8_index(spark: SparkSession, path: str,
     (dedup.compact_fingerprint_table's shape; a transactional format
     would make the swap a metadata commit). Cells under the threshold
     are untouched — compaction cost is proportional to the HOT cells,
-    not the index. Returns per-cell before/after file counts."""
+    not the index. The two-rename swap is NOT crash-atomic (a
+    transactional format would make it a metadata commit); the
+    recovery sweep at entry restores any cell orphaned mid-swap, so the
+    invariant is 'run compaction again after a crash', and queries must
+    not run concurrently with a compaction of the cells they probe.
+    Returns per-cell before/after file counts."""
     import shutil
+
+    # CRASH RECOVERY first: the swap below is two renames, so a crash
+    # between them leaves '.<cell>.old' holding the data while the live
+    # cell dir is absent (dot-dirs are invisible to spark.read.parquet —
+    # silent recall loss). Restore any such orphan before compacting;
+    # an .old WITH a live cell dir is post-swap garbage — drop it.
+    for d in os.listdir(path):
+        if d.startswith(".centroid_id=") and d.endswith(".old"):
+            live = os.path.join(path, d[1:-len(".old")])
+            orphan = os.path.join(path, d)
+            if not os.path.exists(live):
+                os.rename(orphan, live)
+            else:
+                shutil.rmtree(orphan, ignore_errors=True)
+        elif d.startswith(".centroid_id=") and d.endswith(".compact"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
     cells = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
     report: dict = {"compacted_cells": 0, "files_before": 0,

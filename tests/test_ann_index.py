@@ -181,3 +181,35 @@ class TestIndexHealth:
         after = {(r["qid"], r["vec_id"], r["rnk"]) for r in
                  query_ivf_sq8_index(spark, p, queries, k=5).collect()}
         assert after == before
+
+
+def test_compaction_crash_recovery(spark, emb, tmp_path):
+    """A crash between the two swap renames leaves the cell orphaned in
+    a dot-dir Spark cannot see; the next compaction run restores it."""
+    import os
+    import shutil
+    from datafusion_postgres_spark.sources.ann_index import (
+        compact_ivf_sq8_index, query_ivf_sq8_index, write_ivf_sq8_index,
+    )
+    from pyspark.sql import functions as F
+    p = str(tmp_path / "crash_idx")
+    write_ivf_sq8_index(emb, p, n_centroids=16, kmeans_iters=0)
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    before = {(r["qid"], r["vec_id"]) for r in
+              query_ivf_sq8_index(spark, p, queries, k=5).collect()}
+    # simulate the mid-swap crash: live cell renamed to .old, staging
+    # never moved in
+    cell = sorted(d for d in os.listdir(p)
+                  if d.startswith("centroid_id="))[0]
+    os.rename(os.path.join(p, cell), os.path.join(p, "." + cell + ".old"))
+    shutil.rmtree(os.path.join(p, "." + cell + ".compact"),
+                  ignore_errors=True)
+    rep = compact_ivf_sq8_index(spark, p, max_files_per_cell=9999)
+    assert os.path.isdir(os.path.join(p, cell))   # recovered
+    assert rep["compacted_cells"] == 0            # nothing over cap
+    spark.catalog.clearCache()
+    after = {(r["qid"], r["vec_id"]) for r in
+             query_ivf_sq8_index(spark, p, queries, k=5).collect()}
+    assert after == before

@@ -213,3 +213,19 @@ def test_clf_pr_curve_matches_naive(spark):
         assert (r["n_pred_pos"], r["tp"]) == (pp, tp)
         assert abs(r["precision"] - round(tp / max(pp, 1), 6)) < 1e-9
         assert abs(r["recall"] - round(tp / max(n_pos, 1), 6)) < 1e-9
+
+
+def test_clf_auc_guards(spark):
+    from datafusion_postgres_spark.operators.classifier import (
+        clf_auc, clf_pr_curve,
+    )
+    # single-class corpus: explicit NULL, not a div-by-zero artifact
+    one_class = spark.createDataFrame(
+        [(1, 1, 0.9), (2, 1, 0.4)], "doc_id long, y int, s double")
+    r = clf_auc(one_class, "y", "s").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 0, None)
+    # unrounded continuous scores are discretized INSIDE the operator:
+    # the sorted exchange stays bounded by distinct ROUND(x,6) values
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        clf_pr_curve(one_class, [], "y", "s")

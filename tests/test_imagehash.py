@@ -408,3 +408,56 @@ class TestGifCodec:
         # GIF<->GIF near-dup found AND the GIF pairs with its PNG twin
         # (identical pixels -> identical hash, format-independent)
         assert (1, 2) in got and (1, 3) in got
+
+
+class TestRobustnessRound7Review:
+    def test_struct_error_poison_rows_skipped(self, spark):
+        """Truncated headers that raise struct.error must NULL out, not
+        kill the job (the poison-row contract)."""
+        rows = [(1, encode_png_gray(8, 8, list(range(64)))),
+                (2, b"BM\x00\x00"),
+                (3, b"GIF87a"),
+                (4, b"\x89PNG\r\n\x1a\n\x00\x00")]
+        media = spark.createDataFrame(rows, "doc_id long, content binary")
+        got = {r["doc_id"]: r["ahash_c0"]
+               for r in image_perceptual_hashes(media).collect()}
+        assert got[1] is not None
+        assert got[2] is None and got[3] is None and got[4] is None
+
+    def test_bmp_8bit_palette_mapped(self):
+        """8bpp BMP is indexed color: a non-identity palette must map
+        through the color table (a PNG of the same pixels hashes
+        identically)."""
+        import struct as _s
+        w, h = 4, 2
+        idx = [0, 1, 2, 3, 3, 2, 1, 0]
+        pal_rgb = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+        hdr = bytearray(54)
+        hdr[0:2] = b"BM"
+        data_off = 54 + 4 * 4
+        _s.pack_into("<I", hdr, 10, data_off)
+        _s.pack_into("<I", hdr, 14, 40)
+        _s.pack_into("<ii", hdr, 18, w, h)
+        _s.pack_into("<H", hdr, 26, 1)
+        _s.pack_into("<H", hdr, 28, 8)
+        pal = b"".join(bytes((b, g, r, 0)) for r, g, b in pal_rgb)
+        row_bytes = (w + 3) & ~3
+        body = b"".join(bytes(idx[r * w:(r + 1) * w]).ljust(row_bytes,
+                                                            b"\x00")
+                        for r in reversed(range(h)))
+        got = decode_image_pixels(bytes(hdr) + pal + body)
+        luma = [(299 * r + 587 * g + 114 * b) // 1000
+                for r, g, b in pal_rgb]
+        assert got == (w, h, [luma[i] for i in idx])
+
+    def test_netpbm_16bit_maxval_and_truncation(self):
+        import struct as _s
+        vals = [0, 1000, 65535, 32768]
+        p5 = b"P5 4 1 65535\n" + _s.pack(">4H", *vals)
+        assert decode_image_pixels(p5) == (
+            4, 1, [v * 255 // 65535 for v in vals])
+        # non-255 8-bit maxval scales too
+        p5b = b"P5 3 1 100\n" + bytes([0, 50, 100])
+        assert decode_image_pixels(p5b) == (3, 1, [0, 127, 255])
+        with pytest.raises(ValueError):
+            decode_image_pixels(b"P5 4 4 255\n" + bytes(3))  # truncated

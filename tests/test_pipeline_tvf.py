@@ -462,3 +462,33 @@ class TestRound7Tvfs:
             "wav_media")
         rows = _rows(eng, "SELECT * FROM audio_near_dups('wav_media')")
         assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+    def test_comma_after_join_on_still_table_position(self, eng):
+        rows = _rows(eng,
+                     "SELECT count(*) AS n "
+                     "FROM documents d JOIN documents d2 "
+                     "ON d.doc_id = d2.doc_id, "
+                     "exact_dup_groups('documents') g "
+                     "WHERE d.doc_id = g.representative")
+        assert rows[0]["n"] > 0
+
+    def test_parenthesized_tvf_in_from(self, eng):
+        rows = _rows(eng, "SELECT count(*) AS n "
+                          "FROM (exact_dup_groups('documents')) g")
+        assert rows[0]["n"] > 0
+
+    def test_tvf_prefix_name_not_a_permission_hole(self, eng):
+        """A USER table that merely starts with __tvf_ gets full RBAC —
+        only the statement's own synthesized views are exempt."""
+        from datafusion_postgres_spark.server.auth import (
+            PermissionDenied, User,
+        )
+        eng.auth.add_user(User("noperm"))
+        eng.user = "noperm"
+        try:
+            with pytest.raises(PermissionDenied):
+                eng.execute("CREATE TABLE __tvf_mine AS SELECT 1 AS a")
+            with pytest.raises(PermissionDenied):
+                eng.execute("DROP TABLE __tvf_anything")
+        finally:
+            eng.user = "postgres"

@@ -232,12 +232,10 @@ def clf_auc(scored: DataFrame, label_col: str = "y",
     — every term an exact integer; the single final double division is
     the only float op, so the number replays bit-for-bit in SQL.
     Returns one row: (n_pos, n_neg, auc)."""
-    from pyspark.sql import Window
-
     # enforce the bounded-histogram invariant HERE, not by caller
     # convention: raw continuous scores would make the histogram
-    # corpus-cardinality and the unpartitioned window a corpus-sized
-    # single-task sort. ROUND(x,6) caps distinct values at ~2e6 for
+    # corpus-cardinality and the cumulative pass a corpus-sized
+    # sort. ROUND(x,6) caps distinct values at ~2e6 for
     # scores in [-1,1] and is idempotent for already-rounded scores
     # (every registered query rounds to 6 before this point).
     s = F.round(F.col(score_col), 6).alias("__s")
@@ -245,20 +243,56 @@ def clf_auc(scored: DataFrame, label_col: str = "y",
             .agg(F.sum(F.col(label_col).cast("long")).alias("pos"),
                  F.sum(F.lit(1) - F.col(label_col).cast("long"))
                  .alias("neg")))
-    w = Window.orderBy("__s")
-    cum = hist.withColumn(
-        "neg_below", F.sum("neg").over(w) - F.col("neg"))
+    return _auc_from_hist(hist)
+
+
+def _auc_from_hist(hist: DataFrame) -> DataFrame:
+    """Tie-corrected AUC from a (__s, pos, neg) histogram.
+
+    Cumulative neg_below is a BANDED TWO-PASS (the window_ntile
+    bucket-offset shape, queries/relational.py): a coarse bucket
+    floor(__s*1000) is monotone in __s, so per-bucket neg totals give
+    cumulative offsets through an unpartitioned window over the TINY
+    bucket aggregate (~1000 rows per unit of score range), and the
+    histogram itself only ever crosses a PARTITIONED window (partition
+    = bucket, <= 1000 round-6 values each). No task holds more than
+    max(n_buckets, 1000) rows — the single-task ~2e6-row histogram
+    window this replaces was the repo's widest bounded node.
+
+    Pair counts and the 2*P*N denominator accumulate as DECIMAL(38,0):
+    at ~1e10+ docs per class pos*neg products exceed int64 and a BIGINT
+    sum would silently overflow into a wrong AUC. The one double cast
+    happens at the final division (exact below 2^53; beyond that the
+    1e-16 relative error is invisible at ROUND(.,6))."""
+    from pyspark.sql import Window
+
+    hb = hist.withColumn("__b", F.floor(F.col("__s") * 1000))
+    bc = hb.groupBy("__b").agg(F.sum("neg").alias("bn"))
+    w_cum = (Window.orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = bc.select(
+        "__b", F.coalesce(F.sum("bn").over(w_cum), F.lit(0)).alias("off"))
+    w_in = (Window.partitionBy("__b").orderBy("__s")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (hb.join(F.broadcast(offsets), "__b")
+           .withColumn("neg_below",
+                       F.col("off") + F.sum("neg").over(w_in)
+                       - F.col("neg")))
+
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
     agg = cum.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
-        F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg")))
-        .cast("long").alias("num"))
+        F.sum(dec("pos") * (F.lit(2).cast("decimal(38,0)")
+                            * dec("neg_below") + dec("neg"))).alias("num"))
     # single-class corpus: AUC is mathematically undefined — emit an
     # explicit NULL rather than a div-by-zero artifact
     return agg.select(
         "n_pos", "n_neg",
         F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-               F.round(F.col("num") /
+               F.round(F.col("num").cast("double") /
                        (2.0 * F.col("n_pos") * F.col("n_neg")), 6) + 0.0)
         .alias("auc"))
 
@@ -274,7 +308,16 @@ def clf_pr_curve(scored: DataFrame, thresholds: list[float],
     predicted-positive counts as exact integer conditional sums
     (map-side combined — the shuffle is len(thresholds) running sums
     per partition); precision/recall are each ONE double division of
-    those integers, so the table replays bit-for-bit in SQL."""
+    those integers, so the table replays bit-for-bit in SQL.
+
+    The single wide aggregate row is COLLECTED to the driver (it is
+    one row of 2*len(thresholds)+1 integers) and the per-threshold
+    output built from literal rows: fanning out len(thresholds)
+    projections of the same lazy aggregate relied on Spark's
+    exchange-reuse optimization firing — if a plan perturbation or AQE
+    broke the reuse, the corpus would silently re-aggregate once per
+    threshold. The divisions stay Spark expressions so ROUND semantics
+    match the SQL oracle exactly."""
     if not thresholds:
         raise ValueError("clf_pr_curve needs at least one threshold")
     aggs = [F.sum(F.col(label_col).cast("long")).alias("n_pos")]
@@ -283,18 +326,19 @@ def clf_pr_curve(scored: DataFrame, thresholds: list[float],
         aggs.append(F.sum(pred).alias(f"pp_{i}"))
         aggs.append(F.sum(pred * F.col(label_col).cast("long"))
                     .alias(f"tp_{i}"))
-    wide = scored.agg(*aggs)
-    rows = None
-    for i, t in enumerate(thresholds):
-        row = wide.select(
-            F.lit(float(t)).alias("threshold"),
-            F.col(f"pp_{i}").cast("bigint").alias("n_pred_pos"),
-            F.col(f"tp_{i}").cast("bigint").alias("tp"),
-            (F.round(F.col(f"tp_{i}") /
-                     F.greatest(F.col(f"pp_{i}"), F.lit(1)), 6) + 0.0)
-            .alias("precision"),
-            (F.round(F.col(f"tp_{i}") /
-                     F.greatest(F.col("n_pos"), F.lit(1)), 6) + 0.0)
-            .alias("recall"))
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    wide = scored.agg(*aggs).collect()[0]          # ONE corpus pass
+    n_pos = int(wide["n_pos"] or 0)
+    spark = scored.sparkSession
+    cells = spark.createDataFrame(
+        [(float(t), int(wide[f"pp_{i}"] or 0), int(wide[f"tp_{i}"] or 0))
+         for i, t in enumerate(thresholds)],
+        "threshold double, n_pred_pos long, tp long")
+    return cells.select(
+        "threshold",
+        F.col("n_pred_pos").cast("bigint").alias("n_pred_pos"),
+        F.col("tp").cast("bigint").alias("tp"),
+        (F.round(F.col("tp") /
+                 F.greatest(F.col("n_pred_pos"), F.lit(1)), 6) + 0.0)
+        .alias("precision"),
+        (F.round(F.col("tp") / F.greatest(F.lit(n_pos), F.lit(1)), 6)
+         + 0.0).alias("recall"))

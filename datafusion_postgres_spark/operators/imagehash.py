@@ -693,9 +693,14 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
         if v == end:
             break
         if prev is None:
-            entry = table[v]
-            if entry is None:
+            # the first code after a CLEAR must name a root table entry;
+            # a value beyond the table is a corrupt stream, not an
+            # IndexError (direct decode callers rely on the ValueError
+            # contract — the mapInPandas path catches both, but the
+            # documented API is ValueError for malformed bytes)
+            if v >= len(table) or table[v] is None:
                 raise ValueError("corrupt GIF LZW stream")
+            entry = table[v]
         elif v < len(table) and table[v] is not None:
             entry = table[v]
         elif v == len(table):

@@ -192,6 +192,56 @@ class TestClfAuc:
         out.collect()
         assert shuffle_rows_written(out) < 1000  # 5 distinct scores
 
+    def test_no_histogram_sized_unpartitioned_window(self, spark):
+        """Round-8 verdict #7: the cumulative pass is the window_ntile
+        bucket-offset two-pass — the histogram only ever crosses a
+        window PARTITIONED by the coarse bucket; the unpartitioned
+        window sees only the tiny bucket aggregate."""
+        import re
+        from datafusion_postgres_spark.operators.classifier import clf_auc
+        from datafusion_postgres_spark.plans.inspect import executed_nodes
+        # 5000 distinct round-6 scores spanning exactly 5 coarse buckets
+        rows = [(i, i % 2, round(i * 1e-6, 6)) for i in range(5000)]
+        df = spark.createDataFrame(rows, "doc_id long, y int, s double")
+        out = clf_auc(df, "y", "s")
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the histogram-sized window is PARTITIONED by the bucket:
+        # windowspecdefinition(__b, __s ASC ...) — partition col first
+        assert re.search(r"windowspecdefinition\(__b#\d+L?, __s", plan)
+        # the tiny offsets window orders by __b alone (bucket aggregate)
+        assert re.search(r"windowspecdefinition\(__b#\d+L? ASC", plan)
+        # the OLD shape — unpartitioned window straight over the score
+        # histogram — must be gone
+        assert not re.search(r"windowspecdefinition\(__s#\d+ ASC", plan)
+        # the offsets path exists as its own tiny exchanges (5 bucket
+        # rows) and nothing anywhere carries more than the histogram
+        ex = [n["metrics"].get("shuffleRecordsWritten", 0)
+              for n in executed_nodes(out)
+              if n["cls"] == "ShuffleExchangeExec"]
+        assert 5 in ex and max(ex) <= 5000
+
+    def test_overflow_safe_pair_counts(self, spark):
+        """ADVICE r8 #1: pos*neg pair products at ~1e10 docs/class
+        exceed int64; counts accumulate as DECIMAL(38,0) so the AUC
+        stays exact instead of silently overflowing."""
+        from datafusion_postgres_spark.operators.classifier import (
+            _auc_from_hist,
+        )
+        hist = spark.createDataFrame(
+            [(0.1, 0, 3_000_000_000),
+             (0.5, 2_000_000_000, 2_000_000_000),
+             (0.9, 3_000_000_000, 0)],
+            "__s double, pos long, neg long")
+        got = _auc_from_hist(hist).collect()[0]
+        p, n = 5_000_000_000, 5_000_000_000
+        # exact integer num: sum pos(s)*(2*neg_below(s)+neg(s))
+        num = (2_000_000_000 * (2 * 3_000_000_000 + 2_000_000_000)
+               + 3_000_000_000 * (2 * 5_000_000_000))
+        assert num > 2**63 - 1            # int64 WOULD have overflowed
+        assert (got["n_pos"], got["n_neg"]) == (p, n)
+        assert abs(got["auc"] - round(num / (2.0 * p * n), 6)) < 1e-9
+
 
 def test_clf_pr_curve_matches_naive(spark):
     """PR table equals the naive per-threshold counting, including the
@@ -213,6 +263,20 @@ def test_clf_pr_curve_matches_naive(spark):
         assert (r["n_pred_pos"], r["tp"]) == (pp, tp)
         assert abs(r["precision"] - round(tp / max(pp, 1), 6)) < 1e-9
         assert abs(r["recall"] - round(tp / max(n_pos, 1), 6)) < 1e-9
+
+
+def test_clf_pr_curve_single_corpus_pass(spark):
+    """ADVICE r8 #3: the wide aggregate row is collected once and the
+    output built from literal rows — the returned plan must not contain
+    the corpus (no Exchange, no aggregate re-run per threshold)."""
+    from datafusion_postgres_spark.operators.classifier import clf_pr_curve
+    df = spark.createDataFrame(
+        [(i, i % 2, round(i / 100.0, 6)) for i in range(100)],
+        "doc_id long, y int, s double")
+    out = clf_pr_curve(df, [0.2, 0.5, 0.8], "y", "s")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Aggregate" not in plan
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
 
 
 def test_clf_auc_guards(spark):

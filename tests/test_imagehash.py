@@ -389,6 +389,20 @@ class TestGifCodec:
         data = acc.to_bytes((len(codes) * width + 7) // 8, "little")
         assert _gif_lzw_decode(2, data) == [1, 1, 1, 1, 1, 1]
 
+    def test_lzw_first_code_out_of_bounds_is_value_error(self):
+        """ADVICE r8 #2: a first code after CLEAR beyond the table must
+        raise ValueError (the documented malformed-stream contract for
+        direct decode callers), never an IndexError."""
+        import pytest
+        from datafusion_postgres_spark.operators.imagehash import (
+            _gif_lzw_decode,
+        )
+        # min_code_size=2: clear=4, end=5, table length 6. First codes
+        # 6 (== len) and 7 (> len) are both corrupt as the stream opener.
+        for first in (6, 7):
+            with pytest.raises(ValueError, match="corrupt GIF"):
+                _gif_lzw_decode(2, bytes([first]))
+
     def test_gif_flows_into_near_dup_pairs(self, spark):
         from datafusion_postgres_spark.operators.imagehash import (
             encode_gif_gray, image_near_dup_pairs,

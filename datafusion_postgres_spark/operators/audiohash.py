@@ -154,10 +154,13 @@ def audio_envelope_hashes(media: DataFrame, id_col: str = "doc_id",
 
 def audio_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
                          content_col: str = "content",
-                         max_hamming: int = 3) -> DataFrame:
+                         max_hamming: int = 3,
+                         max_df: int | None = 1000) -> DataFrame:
     """Audio near-dup pairs by envelope hamming distance, blocked by
     the shared pigeonhole chunk join (exact within max_hamming <= 3,
-    never all-pairs)."""
+    never all-pairs; identical-clip cliques collapse to one
+    representative before the blocking join and ``max_df`` caps
+    boilerplate chunk values — see imagehash.chunked_hamming_pairs)."""
     from datafusion_postgres_spark.operators.imagehash import (
         chunked_hamming_pairs,
     )
@@ -166,7 +169,8 @@ def audio_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
            .where(F.col(cols[0]).isNotNull())
            .select(F.col("doc_id").alias("id"), *cols))
     return chunked_hamming_pairs(sig, cols, max_hamming,
-                                 cache_key="audio_near_dup_pairs")
+                                 cache_key="audio_near_dup_pairs",
+                                 max_df=max_df)
 
 
 def synthesize_wav_corpus(docs: DataFrame, text_col: str = "text",

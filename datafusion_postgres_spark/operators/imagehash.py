@@ -38,6 +38,7 @@ batches, no shuffle) — partition by size budget first
 
 from __future__ import annotations
 
+import logging
 import struct
 import zlib
 from collections.abc import Iterator
@@ -47,6 +48,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     IntegerType, LongType, StructField, StructType,
 )
+
+_log = logging.getLogger(__name__)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -466,8 +469,9 @@ def image_perceptual_hashes(media: DataFrame, id_col: str = "doc_id",
 
 def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
                           max_hamming: int = 3,
-                          cache_key: str = "chunked_hamming_pairs"
-                          ) -> DataFrame:
+                          cache_key: str = "chunked_hamming_pairs",
+                          max_df: int | None = 1000,
+                          block_cols: tuple[str, ...] = ()) -> DataFrame:
     """Near-dup pairs over any 4x16-bit chunked signature frame
     (columns: ``id`` + the four chunk columns in ``cols``).
 
@@ -475,9 +479,35 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
     every pair within hamming <= 3 shares at least one identical chunk
     — the candidate join is an equi-join on (chunk_index, value),
     NEVER all-pairs, so it scales like any hash-partitioned join.
-    Shared by the image (aHash/dHash) and audio (energy envelope)
-    perceptual dedup tiers. Returns (id_a, id_b, hamming), exact
-    within max_hamming <= 3."""
+    Shared by the image (aHash/dHash), audio (energy envelope) and
+    video (per-frame aHash) perceptual dedup tiers.
+
+    HOT-CHUNK SKEW (round-8 verdict #1) is bounded two ways:
+
+    * **Identical-signature collapse** (always on, EXACT): real image
+      corpora hold huge cliques of byte-identical assets (blank
+      thumbnails, logos) whose members all share every chunk — paired
+      naively they fan out quadratically inside the blocking join.
+      Signatures collapse to one representative (min id) per distinct
+      value BEFORE the chunk join; within-group pairs are emitted
+      directly as hamming-0 rows through an equi-join on the group
+      key (AQE skew-split applies), and representative pairs expand
+      back to member pairs through group-key equi-joins. Output is
+      IDENTICAL to the naive pairing; only the blocking join's input
+      shrinks (one row per distinct signature).
+    * **``max_df`` chunk cap** (default 1000, ``None`` = exact
+      opt-out — the dedup.ngram_jaccard_pairs contract): chunk values
+      shared by more than ``max_df`` DISTINCT signatures are dropped
+      from the candidate join. A pair is lost only if EVERY chunk it
+      shares is that kind of boilerplate (mostly-uniform assets whose
+      block means straddle the global mean identically) — identical
+      images are unaffected, the collapse already handles them.
+
+    ``block_cols`` adds extra equality keys to the blocking (and the
+    group key): the video tier passes the frame position so only
+    same-position frames pair. Output: (id_a, id_b, *block_cols,
+    hamming) with id_a < id_b, exact within max_hamming <= 3 (minus
+    pairs provable only through a capped chunk)."""
     if max_hamming > 3:
         raise ValueError(
             "4-chunk pigeonhole blocking is exact only for "
@@ -485,35 +515,88 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
     from datafusion_postgres_spark.operators.cachectl import (
         cache_generation,
     )
+    bc = list(block_cols)
     sig = cache_generation(cache_key, sig)
-    exploded = sig.select(
-        "id", *cols,
+    group_key = bc + list(cols)
+    reps = sig.groupBy(*group_key).agg(F.min("id").alias("rep"))
+    members = cache_generation(
+        cache_key + "_members",
+        sig.join(reps, group_key).select("id", "rep", *bc, *cols))
+
+    # within-group pairs: identical signatures, hamming 0 by definition
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    wcond = (F.col("m1.rep") == F.col("m2.rep")) & \
+            (F.col("m1.id") < F.col("m2.id"))
+    for c in bc:
+        wcond = wcond & (F.col(f"m1.{c}") == F.col(f"m2.{c}"))
+    within = m1.join(m2, wcond).select(
+        F.col("m1.id").alias("id_a"), F.col("m2.id").alias("id_b"),
+        *[F.col(f"m1.{c}") for c in bc],
+        F.lit(0).cast("bigint").alias("hamming"))
+
+    # blocking join over REPRESENTATIVES only (one row per distinct
+    # signature) — the collapse is what keeps a 20% identical clique
+    # linear through this node
+    rsig = (members.where(F.col("id") == F.col("rep"))
+            .select("id", *bc, *cols))
+    exploded = rsig.select(
+        "id", *bc, *cols,
         F.posexplode(F.array(*[F.col(c) for c in cols]))
         .alias("ci", "chunk"))
+    if max_df is not None:
+        _log.info("chunked_hamming_pairs: df-cap active (max_df=%d) — "
+                  "chunk values in >max_df DISTINCT signatures are "
+                  "excluded from blocking; max_df=None for exact mode",
+                  max_df)
+        hot = (exploded.groupBy(*bc, "ci", "chunk")
+               .agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_df)
+               .select(*bc, "ci", "chunk"))
+        exploded = exploded.join(F.broadcast(hot), bc + ["ci", "chunk"],
+                                 "left_anti")
     a, b = exploded.alias("x"), exploded.alias("y")
-    cand = (a.join(b, (F.col("x.ci") == F.col("y.ci"))
-                   & (F.col("x.chunk") == F.col("y.chunk"))
-                   & (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+    jcond = (F.col("x.ci") == F.col("y.ci")) & \
+            (F.col("x.chunk") == F.col("y.chunk")) & \
+            (F.col("x.id") < F.col("y.id"))
+    for c in bc:
+        jcond = jcond & (F.col(f"x.{c}") == F.col(f"y.{c}"))
+    cand = (a.join(b, jcond)
+            .select(F.col("x.id").alias("ra"), F.col("y.id").alias("rb"),
+                    *[F.col(f"x.{c}") for c in bc],
                     *[F.col(f"x.{c}").alias(f"a{j}")
                       for j, c in enumerate(cols)],
                     *[F.col(f"y.{c}").alias(f"b{j}")
                       for j, c in enumerate(cols)])
-            .dropDuplicates(["id_a", "id_b"]))
+            .dropDuplicates(["ra", "rb", *bc]))
     hamming = sum(
         F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")).cast("long"))
         for j in range(4))
-    return (cand.withColumn("hamming", hamming.cast("bigint"))
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    rp = (cand.withColumn("hamming", hamming.cast("bigint"))
+          .where(F.col("hamming") <= max_hamming)
+          .select("ra", "rb", *bc, "hamming"))
+
+    # expand representative pairs back to member pairs (group-key
+    # equi-joins — output-sized, AQE-splittable)
+    ma = members.select(F.col("rep").alias("ra"), F.col("id").alias("ia"),
+                        *bc)
+    mb = members.select(F.col("rep").alias("rb"), F.col("id").alias("ib"),
+                        *bc)
+    cross = (rp.join(ma, ["ra", *bc]).join(mb, ["rb", *bc])
+             .select(F.least("ia", "ib").alias("id_a"),
+                     F.greatest("ia", "ib").alias("id_b"),
+                     *bc, "hamming"))
+    return within.unionByName(cross).select("id_a", "id_b", *bc,
+                                            "hamming")
 
 
 def image_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
                          content_col: str = "content",
                          max_hamming: int = 3,
-                         hash_prefix: str = "ahash") -> DataFrame:
+                         hash_prefix: str = "ahash",
+                         max_df: int | None = 1000) -> DataFrame:
     """Image near-dup pairs by perceptual-hash hamming distance (see
-    chunked_hamming_pairs for the blocking contract). Undecodable rows
+    chunked_hamming_pairs for the blocking contract, identical-image
+    collapse, and the ``max_df`` hot-chunk cap). Undecodable rows
     were already dropped by the NULL filter — a codec-format image
     never pairs."""
     cols = [f"{hash_prefix}_c{j}" for j in range(4)]
@@ -521,7 +604,8 @@ def image_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
            .where(F.col(cols[0]).isNotNull())
            .select(F.col("doc_id").alias("id"), *cols))
     return chunked_hamming_pairs(sig, cols, max_hamming,
-                                 cache_key="image_near_dup_pairs")
+                                 cache_key="image_near_dup_pairs",
+                                 max_df=max_df)
 
 
 def synthesize_png_corpus(docs: DataFrame, text_col: str = "text",
@@ -565,17 +649,35 @@ def synthesize_png_corpus(docs: DataFrame, text_col: str = "text",
 # incremental ingest dedup against persisted hash state (the image twin
 # of dedup.write_fingerprint_table / dedup_incremental_bucketed)
 
+def _sig_chunk_rows(sig: DataFrame, id_col: str = "id",
+                    chunk_cols: tuple[str, ...] = tuple(
+                        f"ahash_c{j}" for j in range(4))) -> DataFrame:
+    """DISTINCT-signature state rows from a (id, c0..c3) signature
+    frame: one (state_id, s0..s3, ci, chunk) row per chunk per DISTINCT
+    signature, state_id = min member id (the group representative).
+
+    Collapsing identical signatures at WRITE time is the state-side
+    twin of chunked_hamming_pairs' representative collapse: a clique of
+    byte-identical assets contributes ONE state row set, so the
+    per-ingest state join can never pair a hot batch clique against a
+    hot state clique quadratically — the round-8 skew fix applied to
+    image_dedup_incremental's join shape."""
+    groups = (sig.groupBy(*chunk_cols)
+              .agg(F.min(id_col).alias("state_id")))
+    return groups.select(
+        "state_id",
+        *[F.col(c).alias(f"s{j}") for j, c in enumerate(chunk_cols)],
+        F.posexplode(F.array(*[F.col(c) for c in chunk_cols]))
+        .alias("ci", "chunk"))
+
+
 def _state_chunk_rows(media: DataFrame, id_col: str,
                       content_col: str) -> DataFrame:
-    """Hash-chunk state rows for a media frame: one (state_id, s0..s3,
-    ci, chunk) row per chunk per decodable image."""
+    """Hash-chunk state rows for a media frame — one row per chunk per
+    DISTINCT decodable signature (see _sig_chunk_rows)."""
     sig = (image_perceptual_hashes(media, id_col, content_col)
            .where(F.col("ahash_c0").isNotNull()))
-    return sig.select(
-        F.col("doc_id").alias("state_id"),
-        *[F.col(f"ahash_c{j}").alias(f"s{j}") for j in range(4)],
-        F.posexplode(F.array(*[F.col(f"ahash_c{j}") for j in range(4)]))
-        .alias("ci", "chunk"))
+    return _sig_chunk_rows(sig, id_col="doc_id")
 
 
 def write_image_hash_table(media: DataFrame, table: str,
@@ -583,10 +685,12 @@ def write_image_hash_table(media: DataFrame, table: str,
                            id_col: str = "doc_id",
                            content_col: str = "content") -> None:
     """Materialize image-dedup ingest state: one (ci, chunk, s0..s3)
-    row per hash chunk per image (4 rows/image, a few ints each),
-    BUCKETED on the chunk value — the join key of the pigeonhole
-    blocking — so per-ingest anti-join reads of the ever-growing state
-    stay co-located while only the small batch shuffles."""
+    row per hash chunk per DISTINCT signature (4 rows/signature,
+    state_id = the min-id representative — identical-asset cliques
+    collapse to one row set), BUCKETED on the chunk value — the join
+    key of the pigeonhole blocking — so per-ingest anti-join reads of
+    the ever-growing state stay co-located while only the small batch
+    shuffles."""
     (_state_chunk_rows(media, id_col, content_col)
      .write.mode("overwrite").bucketBy(n_buckets, "chunk")
      .sortBy("chunk").format("parquet").saveAsTable(table))
@@ -595,14 +699,23 @@ def write_image_hash_table(media: DataFrame, table: str,
 def image_dedup_incremental(new_media: DataFrame, table: str,
                             max_hamming: int = 3,
                             id_col: str = "doc_id",
-                            content_col: str = "content") -> DataFrame:
+                            content_col: str = "content",
+                            max_df: int | None = 1000) -> DataFrame:
     """Per-ingest image near-dup dedup against the persisted state: a
     new image survives iff no state image within ``max_hamming`` AND no
     lower-id near-dup inside the batch (the batch representative).
     Exact within max_hamming <= 3 (pigeonhole blocking on both the
     state join and the intra-batch pairing). Only survivor rows come
     back — append their hashes with merge_new_image_hashes to close the
-    ingest loop."""
+    ingest loop.
+
+    Skew shape (round-8): the state join runs over DISTINCT batch
+    signatures (a 10k-clone batch clique joins the state once) against
+    the distinct-signature state rows _sig_chunk_rows writes, so
+    neither side of the (ci, chunk) join carries identical-asset
+    cliques. ``max_df`` additionally drops chunk values shared by more
+    than that many distinct STATE signatures (boilerplate chunks, the
+    chunked_hamming_pairs cap) — ``None`` for exact mode."""
     if max_hamming > 3:
         raise ValueError("4-chunk blocking is exact only for "
                          f"max_hamming <= 3 (got {max_hamming})")
@@ -612,26 +725,36 @@ def image_dedup_incremental(new_media: DataFrame, table: str,
     from datafusion_postgres_spark.operators.cachectl import (
         cache_generation,
     )
+    cols = [f"ahash_c{j}" for j in range(4)]
     sig = cache_generation(
         "image_dedup_incremental",
         image_perceptual_hashes(new_media, id_col, content_col)
         .where(F.col("ahash_c0").isNotNull())
-        .select(F.col("doc_id").alias("id"),
-                *[f"ahash_c{j}" for j in range(4)]))
-    expl = sig.select(
-        "id", *[f"ahash_c{j}" for j in range(4)],
-        F.posexplode(F.array(*[F.col(f"ahash_c{j}") for j in range(4)]))
+        .select(F.col("doc_id").alias("id"), *cols))
+    # DISTINCT batch signatures: identical in-batch images cross the
+    # state join once, not once per clone
+    bsig = sig.select(*cols).distinct()
+    expl = bsig.select(
+        *cols,
+        F.posexplode(F.array(*[F.col(c) for c in cols]))
         .alias("ci", "chunk"))
+    if max_df is not None:
+        hot = (state.groupBy("ci", "chunk")
+               .agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_df).select("ci", "chunk"))
+        expl = expl.join(F.broadcast(hot), ["ci", "chunk"], "left_anti")
     ham_state = sum(
         F.bit_count(F.col(f"ahash_c{j}").bitwiseXOR(F.col(f"s{j}"))
                     .cast("long"))
         for j in range(4))
-    dup_vs_state = (expl.join(state, ["ci", "chunk"])
-                    .where(ham_state <= max_hamming)
-                    .select("id").distinct())
+    dup_sigs = (expl.join(state, ["ci", "chunk"])
+                .where(ham_state <= max_hamming)
+                .select(*cols).distinct())
+    dup_vs_state = (sig.join(dup_sigs, cols, "left_semi")
+                    .select("id"))
     dup_in_batch = (chunked_hamming_pairs(
-        sig, [f"ahash_c{j}" for j in range(4)], max_hamming,
-        cache_key="image_dedup_incremental_pairs")
+        sig, cols, max_hamming,
+        cache_key="image_dedup_incremental_pairs", max_df=max_df)
         .select(F.col("id_b").alias("id")).distinct())
     survivors = (sig.select("id")
                  .join(dup_vs_state, "id", "left_anti")
@@ -651,14 +774,14 @@ def merge_new_image_hashes(survivors_media: DataFrame, table: str,
     Pass ``sig`` — a frame with (id, ahash_c0..ahash_c3), e.g. a
     survivor-filtered slice of image_perceptual_hashes output — to
     skip re-decoding the survivor images; without it this function
-    pays one pixel-decode pass over the (small) surviving slice."""
+    pays one pixel-decode pass over the (small) surviving slice.
+
+    Appended rows are DISTINCT per signature (_sig_chunk_rows). Note
+    survivors of image_dedup_incremental can never repeat a signature
+    already in the state (a hamming-0 twin is a dup by definition), so
+    the state stays distinct across batches without a rewrite."""
     if sig is not None:
-        rows = sig.select(
-            F.col("id").alias("state_id"),
-            *[F.col(f"ahash_c{j}").alias(f"s{j}") for j in range(4)],
-            F.posexplode(F.array(*[F.col(f"ahash_c{j}")
-                                   for j in range(4)]))
-            .alias("ci", "chunk"))
+        rows = _sig_chunk_rows(sig, id_col="id")
     else:
         rows = _state_chunk_rows(survivors_media, id_col, content_col)
     (rows.write.mode("append").bucketBy(n_buckets, "chunk")

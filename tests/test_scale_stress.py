@@ -345,3 +345,53 @@ class TestImageBlockingLinear:
         # handful of random 16-bit chunk collisions); an all-pairs
         # shape would put n*(n-1)/2 ~ 80k rows through a node
         assert max_node_output_rows(pairs) <= 6 * n
+
+    def test_identical_clique_stays_linear_through_blocking(self, spark):
+        """Round-8 verdict #1: a 20% byte-identical clique (the blank-
+        thumbnail/logo shape of real image corpora) must NOT fan out
+        quadratically inside the blocking join. Identical signatures
+        collapse to one representative before the (ci, chunk) join;
+        the clique's hamming-0 pairs are emitted directly from the
+        group-key join — so the widest executed node is bounded by the
+        TRUE output plus a linear term, where the pre-r8 shape put
+        4x the clique's pairs through the candidate join."""
+        import random
+        from datafusion_postgres_spark.operators.imagehash import (
+            ahash_chunks, decode_image_pixels, encode_png_gray,
+            image_near_dup_pairs,
+        )
+        from datafusion_postgres_spark.plans.inspect import (
+            max_node_output_rows,
+        )
+        rng = random.Random(17)
+        n, clique = 400, 80
+        base = [rng.randrange(256) for _ in range(256)]
+        blobs = [encode_png_gray(16, 16, base)] * clique + [
+            encode_png_gray(16, 16,
+                            [rng.randrange(256) for _ in range(256)])
+            for _ in range(n - clique)]
+        media = spark.createDataFrame(
+            list(enumerate(blobs)), "doc_id long, content binary") \
+            .repartition(8)
+        pairs = image_near_dup_pairs(media)
+        got = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in pairs.collect()}
+        # brute-force reference over the decoded hashes
+        sigs = []
+        for i, blob in enumerate(blobs):
+            w, h, gray = decode_image_pixels(blob)
+            sigs.append((i, ahash_chunks(gray, w, h)))
+        want = set()
+        for i, ca in sigs:
+            for j, cb in sigs:
+                if i < j:
+                    hm = sum(bin(x ^ y).count("1")
+                             for x, y in zip(ca, cb))
+                    if hm <= 3:
+                        want.add((i, j, hm))
+        assert got == want                       # output UNCHANGED
+        assert len(want) >= clique * (clique - 1) // 2
+        # widest node = true output + linear blocking terms; the
+        # pre-collapse shape put >= 4 * clique-pairs (~12.6k) rows
+        # through the candidate join
+        assert max_node_output_rows(pairs) <= len(want) + 6 * n

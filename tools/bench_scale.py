@@ -234,6 +234,26 @@ def main() -> None:
             _topk_per_query(scored, 10, "score"), results,
             collect_cols=["qid", "vec_id"])
 
+    # -- perceptual image blocking with an identical-asset clique
+    #    (round-8 verdict #1): 200 byte-identical PNGs inside 10k/20k
+    #    corpora. The representative collapse emits the clique's
+    #    ~19.9k hamming-0 pairs straight from the group-key join and
+    #    the blocking join sees ONE clique row — so doubling the
+    #    corpus (same clique) moves the widest node by the linear
+    #    chunk terms only, where the pre-r8 shape put 4x the clique's
+    #    pairs through the candidate join at ANY corpus size.
+    from datafusion_postgres_spark.operators import imagehash as IH
+    for tag, lim in (("image_clique_base_10k", 10_000),
+                     ("image_clique_corpus2x_20k", 20_000)):
+        corp = (docs.where(F.col("doc_id") < lim)
+                .withColumn("text",
+                            F.when(F.col("doc_id") < 200,
+                                   F.lit("CLIQUE-ASSET"))
+                            .otherwise(F.col("text"))))
+        media = IH.synthesize_png_corpus(corp)
+        measure(tag, IH.image_near_dup_pairs(media), results,
+                collect_cols=["id_a"])
+
     out = {
         "dataset": {"root": root, "n_docs": n_docs,
                     "n_events": events.count(),

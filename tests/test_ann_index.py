@@ -183,6 +183,85 @@ class TestIndexHealth:
         assert after == before
 
 
+class TestMaintenancePolicy:
+    """Round-8 verdict item #4: maintain_ivf_sq8_index composes
+    probe -> threshold -> rebuild-or-compact into one call."""
+
+    def test_healthy_index_only_compacts(self, spark, emb, tmp_path):
+        import glob
+        from datafusion_postgres_spark.sources.ann_index import (
+            append_ivf_sq8_index, maintain_ivf_sq8_index,
+            query_ivf_sq8_index, write_ivf_sq8_index,
+        )
+        p = str(tmp_path / "maint_healthy")
+        write_ivf_sq8_index(emb, p, n_centroids=16, kmeans_iters=0)
+        # in-distribution appends: recall unharmed, files accumulate
+        for i in range(3):
+            batch = emb.where(F.col("vec_id") % 4 == i).select(
+                (F.col("vec_id") + 10000 * (i + 1)).alias("vec_id"),
+                "embedding")
+            append_ivf_sq8_index(batch, p)
+        combined = emb.select("vec_id", "embedding").unionByName(
+            emb.where(F.col("vec_id") % 4 <= 2).select(
+                (F.col("vec_id") + 10000 * (F.col("vec_id") % 4 + 1))
+                .alias("vec_id"), "embedding"))
+        queries = (emb.where(F.col("vec_id") < 5)
+                   .select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("qvec")))
+        before = {(r["qid"], r["vec_id"], r["rnk"]) for r in
+                  query_ivf_sq8_index(spark, p, queries, k=5).collect()}
+        rep = maintain_ivf_sq8_index(spark, p, combined,
+                                     min_recall=0.05,
+                                     max_files_per_cell=2, n_queries=8)
+        assert rep["action"] == "compacted"
+        assert rep["compaction"]["compacted_cells"] > 0
+        per_cell = [len(glob.glob(f"{d}/*.parquet"))
+                    for d in glob.glob(f"{p}/centroid_id=*")]
+        assert max(per_cell) <= 2
+        spark.catalog.clearCache()
+        after = {(r["qid"], r["vec_id"], r["rnk"]) for r in
+                 query_ivf_sq8_index(spark, p, queries, k=5).collect()}
+        assert after == before            # answers identical
+
+    def test_drifted_appends_trigger_rebuild(self, spark, emb, tmp_path):
+        from datafusion_postgres_spark.sources.ann_index import (
+            append_ivf_sq8_index, index_recall_probe,
+            maintain_ivf_sq8_index, write_ivf_sq8_index,
+        )
+        p = str(tmp_path / "maint_drift")
+        write_ivf_sq8_index(emb, p, n_centroids=16, kmeans_iters=0)
+        base = index_recall_probe(spark, p, emb, k=10, n_probe=4,
+                                  n_queries=16)
+        drifted = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: x * 7.0 + 11.0).alias("embedding"))
+        append_ivf_sq8_index(drifted, p)
+        combined = emb.select("vec_id", "embedding").unionByName(drifted)
+        import json
+        import os
+        with open(os.path.join(p, "_ann_meta.json")) as f:
+            meta_before = json.load(f)
+        rep = maintain_ivf_sq8_index(
+            spark, p, combined, min_recall=base["recall_at_k"],
+            kmeans_iters=2, n_queries=16)
+        assert rep["action"] == "rebuilt"
+        assert rep["probe"]["recall_at_k"] < base["recall_at_k"]
+        # the rebuild is re-probed for the report and never hurts
+        # (the residual gap on this fixture is near-tie scrambling in
+        # the drifted clique, not recoverable by any quantizer)
+        assert (rep["post_probe"]["recall_at_k"]
+                >= rep["probe"]["recall_at_k"])
+        # physical proof of the rewrite: the coarse quantizer was
+        # RE-TRAINED over the drifted distribution (frozen deterministic
+        # centroids replaced by k-means ones) ...
+        with open(os.path.join(p, "_ann_meta.json")) as f:
+            meta_after = json.load(f)
+        assert meta_after["centroids"] != meta_before["centroids"]
+        # ... and the rebuilt index holds the FULL combined corpus
+        assert spark.read.parquet(p).count() == combined.count()
+
+
 def test_compaction_crash_recovery(spark, emb, tmp_path):
     """A crash between the two swap renames leaves the cell orphaned in
     a dot-dir Spark cannot see; the next compaction run restores it."""

@@ -173,6 +173,78 @@ def audio_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
                                  max_df=max_df)
 
 
+# ---------------------------------------------------------------------------
+# incremental ingest dedup against persisted envelope-hash state — the
+# audio twin of imagehash's write/incremental/merge loop, sharing its
+# generic _sig_chunk_rows / sig_survivor_ids machinery.
+
+_ENV_COLS = tuple(f"env_c{j}" for j in range(4))
+
+
+def _audio_sig(media: DataFrame, id_col: str,
+               content_col: str) -> DataFrame:
+    return (audio_envelope_hashes(media, id_col, content_col)
+            .where(F.col("env_c0").isNotNull())
+            .select(F.col("doc_id").alias("id"), *_ENV_COLS))
+
+
+def write_audio_hash_table(media: DataFrame, table: str,
+                           n_buckets: int = 32,
+                           id_col: str = "doc_id",
+                           content_col: str = "content") -> None:
+    """Materialize audio-dedup ingest state: distinct-signature
+    envelope chunk rows, bucketed on the blocking key (see
+    imagehash.write_image_hash_table — same layout, same skew
+    contract)."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        _sig_chunk_rows,
+    )
+    rows = _sig_chunk_rows(_audio_sig(media, id_col, content_col),
+                           id_col="id", chunk_cols=_ENV_COLS)
+    (rows.write.mode("overwrite").bucketBy(n_buckets, "chunk")
+     .sortBy("chunk").format("parquet").saveAsTable(table))
+
+
+def audio_dedup_incremental(new_media: DataFrame, table: str,
+                            max_hamming: int = 3,
+                            id_col: str = "doc_id",
+                            content_col: str = "content",
+                            max_df: int | None = 1000) -> DataFrame:
+    """Per-ingest audio near-dup dedup against the persisted envelope
+    state: a new clip survives iff no state clip within ``max_hamming``
+    AND no lower-id near-dup inside the batch (see
+    imagehash.sig_survivor_ids for the exactness and skew contract)."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        sig_survivor_ids,
+    )
+    survivors = sig_survivor_ids(
+        _audio_sig(new_media, id_col, content_col), table,
+        list(_ENV_COLS), max_hamming, max_df,
+        cache_key="audio_dedup_incremental")
+    return new_media.join(
+        survivors.withColumnRenamed("id", id_col), id_col, "left_semi")
+
+
+def merge_new_audio_hashes(survivors_media: DataFrame, table: str,
+                           n_buckets: int = 32,
+                           id_col: str = "doc_id",
+                           content_col: str = "content",
+                           sig: DataFrame | None = None) -> None:
+    """Append the surviving batch's envelope chunk rows into the
+    bucketed state table (pass ``sig`` — (id, env_c0..env_c3) — to skip
+    re-decoding survivors). Survivors can never repeat a state
+    signature (a hamming-0 twin is a dup), so the state stays distinct
+    across batches."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        _sig_chunk_rows,
+    )
+    if sig is None:
+        sig = _audio_sig(survivors_media, id_col, content_col)
+    rows = _sig_chunk_rows(sig, id_col="id", chunk_cols=_ENV_COLS)
+    (rows.write.mode("append").bucketBy(n_buckets, "chunk")
+     .sortBy("chunk").format("parquet").saveAsTable(table))
+
+
 def synthesize_wav_corpus(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n_samples: int = 256,
                           rate: int = 8000,

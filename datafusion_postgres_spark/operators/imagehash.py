@@ -716,22 +716,38 @@ def image_dedup_incremental(new_media: DataFrame, table: str,
     cliques. ``max_df`` additionally drops chunk values shared by more
     than that many distinct STATE signatures (boilerplate chunks, the
     chunked_hamming_pairs cap) — ``None`` for exact mode."""
+    cols = [f"ahash_c{j}" for j in range(4)]
+    sig = (image_perceptual_hashes(new_media, id_col, content_col)
+           .where(F.col("ahash_c0").isNotNull())
+           .select(F.col("doc_id").alias("id"), *cols))
+    survivors = sig_survivor_ids(sig, table, cols, max_hamming, max_df,
+                                 cache_key="image_dedup_incremental")
+    return new_media.join(
+        survivors.withColumnRenamed("id", id_col), id_col, "left_semi")
+
+
+def sig_survivor_ids(sig: DataFrame, table: str, cols: list[str],
+                     max_hamming: int = 3,
+                     max_df: int | None = 1000,
+                     cache_key: str = "sig_dedup_incremental"
+                     ) -> DataFrame:
+    """Generic per-ingest survivor computation over a (id, c0..c3)
+    signature frame against a _sig_chunk_rows state table — the shared
+    core of image_dedup_incremental and audiohash's ingest twin. A row
+    survives iff no state signature within ``max_hamming`` AND no
+    lower-id near-dup inside the batch. Returns a one-column (id)
+    frame."""
     if max_hamming > 3:
         raise ValueError("4-chunk blocking is exact only for "
                          f"max_hamming <= 3 (got {max_hamming})")
-    spark = new_media.sparkSession
+    spark = sig.sparkSession
     spark.catalog.refreshTable(table)
     state = spark.table(table)
     from datafusion_postgres_spark.operators.cachectl import (
         cache_generation,
     )
-    cols = [f"ahash_c{j}" for j in range(4)]
-    sig = cache_generation(
-        "image_dedup_incremental",
-        image_perceptual_hashes(new_media, id_col, content_col)
-        .where(F.col("ahash_c0").isNotNull())
-        .select(F.col("doc_id").alias("id"), *cols))
-    # DISTINCT batch signatures: identical in-batch images cross the
+    sig = cache_generation(cache_key, sig)
+    # DISTINCT batch signatures: identical in-batch assets cross the
     # state join once, not once per clone
     bsig = sig.select(*cols).distinct()
     expl = bsig.select(
@@ -744,9 +760,8 @@ def image_dedup_incremental(new_media: DataFrame, table: str,
                .where(F.col("df") > max_df).select("ci", "chunk"))
         expl = expl.join(F.broadcast(hot), ["ci", "chunk"], "left_anti")
     ham_state = sum(
-        F.bit_count(F.col(f"ahash_c{j}").bitwiseXOR(F.col(f"s{j}"))
-                    .cast("long"))
-        for j in range(4))
+        F.bit_count(F.col(c).bitwiseXOR(F.col(f"s{j}")).cast("long"))
+        for j, c in enumerate(cols))
     dup_sigs = (expl.join(state, ["ci", "chunk"])
                 .where(ham_state <= max_hamming)
                 .select(*cols).distinct())
@@ -754,13 +769,11 @@ def image_dedup_incremental(new_media: DataFrame, table: str,
                     .select("id"))
     dup_in_batch = (chunked_hamming_pairs(
         sig, cols, max_hamming,
-        cache_key="image_dedup_incremental_pairs", max_df=max_df)
+        cache_key=cache_key + "_pairs", max_df=max_df)
         .select(F.col("id_b").alias("id")).distinct())
-    survivors = (sig.select("id")
-                 .join(dup_vs_state, "id", "left_anti")
-                 .join(dup_in_batch, "id", "left_anti"))
-    return new_media.join(
-        survivors.withColumnRenamed("id", id_col), id_col, "left_semi")
+    return (sig.select("id")
+            .join(dup_vs_state, "id", "left_anti")
+            .join(dup_in_batch, "id", "left_anti"))
 
 
 def merge_new_image_hashes(survivors_media: DataFrame, table: str,

@@ -250,6 +250,20 @@ def _url_dup_groups(spark, args):
     return url_dup_groups(_tbl(spark, args[0]), url_col=url_col)
 
 
+def _video_near_dups(spark, args):
+    """video_near_dups(media[, max_hamming[, min_match_frames]]):
+    sampled-frame perceptual near-dup video pairs over a table with
+    (doc_id, content binary) — uncompressed-'raw ' MP4 frames decode
+    for real; coded-video rows skip."""
+    from datafusion_postgres_spark.operators.videohash import (
+        video_near_dup_pairs,
+    )
+    mh = int(args[1]) if len(args) > 1 else 3
+    mmf = int(args[2]) if len(args) > 2 else None
+    return video_near_dup_pairs(_tbl(spark, args[0]), max_hamming=mh,
+                                min_match_frames=mmf)
+
+
 # psql-\df metadata (pg_proc rows): name -> (argument text, result text)
 TVF_SIGNATURES = {
     "minhash_near_dups": (
@@ -345,6 +359,10 @@ TVF_SIGNATURES = {
         "corpus text, url_col text",
         "TABLE(canonical_url text, representative bigint, "
         "n_docs bigint)"),
+    "video_near_dups": (
+        "media text, max_hamming integer, min_match_frames integer",
+        "TABLE(id_a bigint, id_b bigint, n_frames bigint, "
+        "total_hamming bigint)"),
 }
 
 # name -> (builder, min_args, max_args, n_table_args)
@@ -373,6 +391,7 @@ TVF_REGISTRY = {
     "image_near_dups": (_image_near_dups, 1, 2, 1),
     "audio_near_dups": (_audio_near_dups, 1, 2, 1),
     "url_dup_groups": (_url_dup_groups, 1, 2, 1),
+    "video_near_dups": (_video_near_dups, 1, 3, 1),
 }
 
 class TvfError(ValueError):

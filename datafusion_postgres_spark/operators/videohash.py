@@ -1,0 +1,328 @@
+"""Perceptual VIDEO near-dup dedup over MP4 columns (round-8 verdict
+item #2) — the fourth modality of the dedup tier (text: minhash/simhash;
+image: aHash; audio: energy envelope; video: THIS).
+
+No reference analog — beyond-parity LLM-pipeline tier. Same honesty
+contract as operators/imagehash.py:
+
+  1. REAL frame extraction for the one layout decodable without a codec
+     library: ISO-BMFF containers whose video track carries UNCOMPRESSED
+     8-bit grayscale samples (QuickTime 'raw ' sample entries). The box
+     walk is the published ISO 14496-12 structure — tkhd dims, stbl
+     sample tables (stsd/stsz/stsc/stco) locating each frame's bytes in
+     mdat. Entropy-coded video (h264/vp9/av1 sample entries) raises
+     NotImplementedError: frame pixels need a codec; their HEADERS
+     already probe via multimodal.decode_video.
+  2. Frame SAMPLING (every_n-th frame) + the integer-exact aHash from
+     imagehash over each sampled frame — bit-reproducible, directly
+     SQL-replayable.
+  3. Near-dup pairing through the SHARED pigeonhole chunk blocking
+     (imagehash.chunked_hamming_pairs) with the frame position as an
+     extra blocking key: only same-position frames pair, then frame
+     pairs aggregate to video pairs (n_frames matched positions,
+     total hamming). Identical-video cliques collapse to one
+     representative per (position, signature) before the blocking join
+     — the round-8 skew contract applies per frame position.
+
+Scale: decode+hash is one zero-shuffle mapInPandas scan emitting
+(video, position, 4 ints) rows — n_sampled_frames rows per video,
+independent of video size; the pair join ships those ints only.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StructField, StructType,
+)
+
+from datafusion_postgres_spark.operators.imagehash import (
+    ahash_chunks, chunked_hamming_pairs,
+)
+from datafusion_postgres_spark.operators.multimodal import _iter_boxes
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mp4_gray_frames(width: int, height: int,
+                           frames: list[list[int]],
+                           fps: int = 10) -> bytes:
+    """Minimal spec-conformant ISO-BMFF container holding uncompressed
+    8-bit grayscale frames as a QuickTime 'raw ' video track: ftyp +
+    mdat (concatenated rasters) + moov with a full sample table
+    (stsd/stts/stsc/stsz/stco) locating every frame. Fixture/synthesis
+    twin of imagehash.encode_png_gray — the decoder never assumes this
+    encoder (it walks the published box structure)."""
+    n = len(frames)
+    if n == 0:
+        raise ValueError("need at least one frame")
+    fsz = width * height
+    payload = bytearray()
+    for fr in frames:
+        if len(fr) != fsz:
+            raise ValueError("every frame must hold width*height values")
+        payload += bytes(v & 0xFF for v in fr)
+
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    mdat = _box(b"mdat", bytes(payload))
+    mdat_payload_off = len(ftyp) + 8
+
+    # VisualSampleEntry 'raw ' (86 bytes): the QuickTime uncompressed
+    # video fourcc; depth 24 field is historic — our samples are 8-bit
+    # gray rasters sized by stsz
+    entry = (struct.pack(">I4s", 86, b"raw ") + bytes(6)
+             + struct.pack(">H", 1) + bytes(16)
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000) + bytes(4)
+             + struct.pack(">H", 1) + bytes(32)
+             + struct.pack(">H", 24) + struct.pack(">h", -1))
+    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stts = _box(b"stts", bytes(4) + struct.pack(">III", 1, n, 1))
+    stsc = _box(b"stsc", bytes(4) + struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, n)
+                + b"".join(struct.pack(">I", fsz) for _ in range(n)))
+    stco = _box(b"stco", bytes(4) + struct.pack(">II", 1,
+                                                mdat_payload_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _box(b"vmhd", b"\x00\x00\x00\x01" + bytes(8))
+    dref = _box(b"dref", bytes(4) + struct.pack(">I", 1)
+                + _box(b"url ", b"\x00\x00\x00\x01"))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdhd = _box(b"mdhd", bytes(4) + bytes(8)
+                + struct.pack(">II", fps, n) + bytes(4))
+    hdlr = _box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", bytes(4) + bytes(20) + bytes(52)
+                + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(b"mvhd", bytes(4)
+                + struct.pack(">IIII", 0, 0, fps, n) + bytes(80))
+    return ftyp + mdat + _box(b"moov", mvhd + trak)
+
+
+def decode_mp4_gray_frames(content: bytes
+                           ) -> tuple[int, int, list[list[int]]]:
+    """(width, height, frames) from an ISO-BMFF container whose video
+    track holds uncompressed 'raw ' grayscale samples. Pure box walk —
+    tkhd dims, then stsd (fourcc gate) / stsz / stsc / stco reconstruct
+    every sample's byte range in mdat. Coded video sample entries
+    (avc1/hev1/vp09/av01...) raise NotImplementedError (a codec
+    boundary, like JPEG-in-imagehash before round 8); malformed
+    containers raise ValueError."""
+    moov = None
+    for btype, p0, p1 in _iter_boxes(content, 0, len(content)):
+        if btype == b"moov":
+            moov = (p0, p1)
+    if moov is None:
+        raise ValueError("ISO-BMFF stream without a moov box")
+
+    width = height = 0
+    stbl_range = None
+    for btype, p0, p1 in _iter_boxes(content, *moov):
+        if btype != b"trak":
+            continue
+        w = h = 0
+        handler = b""
+        cand_stbl = None
+        for t, t0, t1 in _iter_boxes(content, p0, p1):
+            if t == b"tkhd" and t1 - t0 >= 84:
+                version = content[t0]
+                at = t0 + (88 if version == 1 else 76)
+                if at + 8 <= t1:
+                    wfix, hfix = struct.unpack_from(">II", content, at)
+                    w, h = wfix >> 16, hfix >> 16
+            elif t == b"mdia":
+                for m, m0, m1 in _iter_boxes(content, t0, t1):
+                    if m == b"hdlr" and m1 - m0 >= 12:
+                        handler = content[m0 + 8:m0 + 12]
+                    elif m == b"minf":
+                        for s, s0, s1 in _iter_boxes(content, m0, m1):
+                            if s == b"stbl":
+                                cand_stbl = (s0, s1)
+        if handler == b"vide" and cand_stbl is not None:
+            width, height, stbl_range = w, h, cand_stbl
+            break
+    if stbl_range is None:
+        raise ValueError("no video track with a sample table")
+    if width <= 0 or height <= 0:
+        raise ValueError("video track without tkhd dimensions")
+
+    sizes: list[int] = []
+    stco: list[int] = []
+    stsc: list[tuple[int, int]] = []
+    fourcc = b""
+    for btype, p0, p1 in _iter_boxes(content, *stbl_range):
+        if btype == b"stsd" and p1 - p0 >= 16:
+            fourcc = content[p0 + 12:p0 + 16]
+        elif btype == b"stsz":
+            sample_size, count = struct.unpack_from(">II", content, p0 + 4)
+            if sample_size:
+                sizes = [sample_size] * count
+            else:
+                sizes = list(struct.unpack_from(f">{count}I",
+                                                content, p0 + 12))
+        elif btype == b"stco":
+            (count,) = struct.unpack_from(">I", content, p0 + 4)
+            stco = list(struct.unpack_from(f">{count}I", content, p0 + 8))
+        elif btype == b"stsc":
+            (count,) = struct.unpack_from(">I", content, p0 + 4)
+            for i in range(count):
+                first, spc, _ = struct.unpack_from(">III", content,
+                                                   p0 + 8 + 12 * i)
+                stsc.append((first, spc))
+    if fourcc != b"raw ":
+        raise NotImplementedError(
+            f"video sample entry {fourcc!r}: frame pixel decode is "
+            "implemented for uncompressed 'raw ' grayscale samples; "
+            "coded video needs a codec library (headers still probe "
+            "via multimodal.decode_video)")
+    if not sizes or not stco or not stsc:
+        raise ValueError("video sample table missing stsz/stco/stsc")
+
+    # expand stsc runs to per-chunk sample counts
+    per_chunk: list[int] = []
+    for i, (first, spc) in enumerate(stsc):
+        nxt = stsc[i + 1][0] if i + 1 < len(stsc) else len(stco) + 1
+        per_chunk.extend([spc] * (nxt - first))
+    fsz = width * height
+    frames: list[list[int]] = []
+    si = 0
+    for ci, base in enumerate(stco):
+        off = base
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= len(sizes):
+                break
+            size = sizes[si]
+            if size != fsz:
+                raise ValueError(
+                    f"sample size {size} != width*height {fsz}")
+            if off + size > len(content):
+                raise ValueError("sample overruns the container")
+            frames.append(list(content[off:off + size]))
+            off += size
+            si += 1
+    if si != len(sizes):
+        raise ValueError("sample table references missing chunks")
+    return width, height, frames
+
+
+FRAME_HASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_pos", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("ahash_c0", IntegerType()),
+    StructField("ahash_c1", IntegerType()),
+    StructField("ahash_c2", IntegerType()),
+    StructField("ahash_c3", IntegerType()),
+])
+
+
+def video_frame_hashes(media: DataFrame, every_n: int = 2,
+                       id_col: str = "doc_id",
+                       content_col: str = "content",
+                       batch_size: int = 128) -> DataFrame:
+    """Sampled-frame aHashes over Arrow batches — zero shuffle, linear
+    scan; one output row per sampled (video, frame position).
+    Undecodable/coded-video rows emit a single NULL row (a poison
+    container must never kill the corpus job)."""
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w, h, frames = decode_mp4_gray_frames(bytes(content))
+                    for pos in range(0, len(frames), every_n):
+                        rows.append((did, pos, w, h,
+                                     *ahash_chunks(frames[pos], w, h)))
+                except (NotImplementedError, ValueError, IndexError,
+                        struct.error):
+                    rows.append((did, None, None, None) + (None,) * 4)
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              FRAME_HASH_SCHEMA.fields])
+
+    return media.mapInPandas(batches, FRAME_HASH_SCHEMA)
+
+
+def video_near_dup_pairs(media: DataFrame, every_n: int = 2,
+                         max_hamming: int = 3,
+                         min_match_frames: int | None = None,
+                         id_col: str = "doc_id",
+                         content_col: str = "content",
+                         max_df: int | None = 1000) -> DataFrame:
+    """Video near-dup pairs: sampled same-position frames pair through
+    the shared pigeonhole chunk blocking (frame position as an extra
+    blocking key — cross-position frames never meet the join), then
+    frame pairs aggregate per video pair. Output (id_a, id_b,
+    n_frames, total_hamming): the number of sampled positions whose
+    frames are within ``max_hamming``, and their hamming sum.
+    ``min_match_frames`` keeps only pairs matching at least that many
+    positions (pass the sampled-position count to require EVERY
+    sampled frame to match — the dedup-grade criterion)."""
+    sig = (video_frame_hashes(media, every_n, id_col, content_col)
+           .where(F.col("ahash_c0").isNotNull())
+           .select(F.col("doc_id").alias("id"), "frame_pos",
+                   *[f"ahash_c{j}" for j in range(4)]))
+    fpairs = chunked_hamming_pairs(
+        sig, [f"ahash_c{j}" for j in range(4)], max_hamming,
+        cache_key="video_near_dup_pairs", max_df=max_df,
+        block_cols=("frame_pos",))
+    out = (fpairs.groupBy("id_a", "id_b")
+           .agg(F.count("*").cast("bigint").alias("n_frames"),
+                F.sum("hamming").cast("bigint").alias("total_hamming")))
+    if min_match_frames is not None:
+        out = out.where(F.col("n_frames") >= min_match_frames)
+    return out
+
+
+def synthesize_mp4_corpus(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", side: int = 8,
+                          n_frames: int = 6, fps: int = 10,
+                          batch_size: int = 256) -> DataFrame:
+    """Deterministic REAL-MP4 corpus from a text table: frame ``f``'s
+    pixel ``i`` is ``ord(text[(f*side*side + i) mod len(text)]) mod
+    256``, packed as an actual ISO-BMFF container with a full sample
+    table. Pure integer character arithmetic, so an oracle recomputes
+    every sampled frame's aHash straight from the text — a mismatch
+    means the MP4 encode -> box walk -> sample extraction chain broke
+    (the imagehash synthesis contract, on video)."""
+    from pyspark.sql.types import BinaryType, StringType
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("media_type", StringType()),
+    ])
+    npix = side * side
+
+    def to_mp4(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                s = text or "\x00"
+                n = len(s)
+                frames = [[ord(s[(f * npix + i) % n]) % 256
+                           for i in range(npix)]
+                          for f in range(n_frames)]
+                rows.append((did,
+                             encode_mp4_gray_frames(side, side, frames,
+                                                    fps=fps),
+                             "video/mp4"))
+            yield pd.DataFrame(rows, columns=["doc_id", "content",
+                                              "media_type"])
+
+    spark = docs.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+    return docs.select(id_col, text_col).mapInPandas(to_mp4, out_schema)

@@ -463,6 +463,28 @@ class TestRound7Tvfs:
         rows = _rows(eng, "SELECT * FROM audio_near_dups('wav_media')")
         assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
 
+    def test_video_near_dups_tvf(self, eng, spark):
+        import random
+        from datafusion_postgres_spark.operators.videohash import (
+            encode_mp4_gray_frames,
+        )
+        rng = random.Random(47)
+        base = [[rng.randrange(256) for _ in range(64)] for _ in range(6)]
+        near = [list(f) for f in base]
+        near[2][3] = (near[2][3] + 2) % 256
+        other = [[rng.randrange(256) for _ in range(64)]
+                 for _ in range(6)]
+        spark.createDataFrame(
+            [(1, encode_mp4_gray_frames(8, 8, base)),
+             (2, encode_mp4_gray_frames(8, 8, near)),
+             (3, encode_mp4_gray_frames(8, 8, other))],
+            "doc_id long, content binary").createOrReplaceTempView(
+            "mp4_media")
+        rows = _rows(eng, "SELECT * FROM video_near_dups('mp4_media', 3, 3)"
+                          " ORDER BY id_a, id_b")
+        assert [(r["id_a"], r["id_b"], r["n_frames"]) for r in rows] == \
+            [(1, 2, 3)]
+
     def test_comma_after_join_on_still_table_position(self, eng):
         rows = _rows(eng,
                      "SELECT count(*) AS n "

@@ -8,14 +8,16 @@ LLM-pipeline surface, same family as operators/dedup.py).
 Three layers, each honest about what it can do in a codec-library-free
 container:
 
-  1. REAL pixel decode for the losslessly-specified public formats:
-     PNG — COMPLETE static-image spec coverage with stdlib ``zlib``
-     only (all five defilter predictors, every legal depth/color
-     combination incl. sub-byte gray/palette and 16-bit, plus Adam7
-     interlace), GIF87a/89a first frames (the published LZW algorithm
-     in pure Python, both interlace modes), netpbm P5/P6, and
-     uncompressed 8/24-bit BMP. JPEG pixels stay a NotImplementedError
-     (DCT entropy decode needs a codec).
+  1. REAL pixel decode for the public formats: PNG — COMPLETE
+     static-image spec coverage with stdlib ``zlib`` only (all five
+     defilter predictors, every legal depth/color combination incl.
+     sub-byte gray/palette and 16-bit, plus Adam7 interlace),
+     GIF87a/89a first frames (the published LZW algorithm in pure
+     Python, both interlace modes), netpbm P5/P6, uncompressed
+     8/24-bit BMP, and baseline/extended-sequential huffman JPEG
+     (operators/jpeg.py — T.81 entropy decode + IDCT, luma plane,
+     validated on real libjpeg output). Progressive/arithmetic JPEG
+     stays a NotImplementedError.
   2. Integer-exact perceptual hashes over the decoded grayscale grid:
      aHash (block mean vs global mean) and dHash (adjacent block mean
      gradient), each 64 bits emitted as FOUR 16-bit chunk columns —
@@ -268,10 +270,11 @@ def encode_png_gray(width: int, height: int, gray: list[int],
 
 def decode_image_pixels(content: bytes) -> tuple[int, int, list[int]]:
     """Grayscale pixel grid for every decodable public format: PNG
-    (full spec decode above), netpbm P5/P6 (raw bytes after the
-    header), uncompressed 8/24-bit BMP. Codec formats (JPEG) raise
-    NotImplementedError — the honest boundary is now *entropy-coded*
-    formats only."""
+    (full spec decode above), GIF, netpbm P5/P6, uncompressed 8/24-bit
+    BMP, and — since round 8 — baseline/extended-sequential huffman
+    JPEG (operators/jpeg.py: the luma plane, exactly what the
+    perceptual hashes consume). The remaining honest boundary is
+    progressive/arithmetic JPEG and formats needing external codecs."""
     if content.startswith(_PNG_SIG):
         return decode_png_pixels(content)
     if content[:4] == b"GIF8":
@@ -280,9 +283,14 @@ def decode_image_pixels(content: bytes) -> tuple[int, int, list[int]]:
         return _decode_netpbm_pixels(content)
     if content[:2] == b"BM":
         return _decode_bmp_pixels(content)
+    if content[:2] == b"\xFF\xD8":
+        from datafusion_postgres_spark.operators.jpeg import (
+            decode_jpeg_gray,
+        )
+        return decode_jpeg_gray(content)
     raise NotImplementedError(
-        "pixel decode implemented for PNG/GIF/netpbm/BMP; entropy-coded "
-        "formats (JPEG) need a codec library not present here")
+        "pixel decode implemented for PNG/GIF/netpbm/BMP/baseline-JPEG; "
+        "other formats need a codec library not present here")
 
 
 def _decode_netpbm_pixels(content: bytes) -> tuple[int, int, list[int]]:

@@ -1,0 +1,114 @@
+"""Baseline JPEG codec (round-8 verdict item #3): encode/decode round
+trip, real-libjpeg-output validation, the honest progressive boundary,
+and the format-independent hashing pin (a JPEG pairs with its PNG
+pixel-twin through image_near_dup_pairs — the GIF-twin treatment)."""
+
+import os
+import random
+
+import pytest
+
+from datafusion_postgres_spark.operators.jpeg import (
+    decode_jpeg_gray, encode_jpeg_gray,
+)
+
+_REAL_JPEGS = [
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+    "test/test_email/data/python.jpg",
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+    "rust/html/embedded-book/assets/verify.jpeg",
+]
+
+
+class TestJpegCodec:
+    def test_roundtrip_near_lossless_at_flat_quant_1(self):
+        rng = random.Random(3)
+        for w, h in [(16, 16), (8, 8), (13, 9), (24, 17), (1, 1)]:
+            gray = [rng.randrange(256) for _ in range(w * h)]
+            w2, h2, got = decode_jpeg_gray(encode_jpeg_gray(w, h, gray))
+            assert (w2, h2) == (w, h)
+            assert max(abs(a - b) for a, b in zip(gray, got)) <= 1
+
+    def test_restart_interval_path(self):
+        """DRI + RSTn markers: predictor resets and byte realignment —
+        the path real camera output exercises."""
+        rng = random.Random(5)
+        gray = [rng.randrange(256) for _ in range(32 * 24)]
+        blob = encode_jpeg_gray(32, 24, gray, restart_interval=2)
+        assert b"\xFF\xDD" in blob and b"\xFF\xD0" in blob
+        w, h, got = decode_jpeg_gray(blob)
+        assert (w, h) == (32, 24)
+        assert max(abs(a - b) for a, b in zip(gray, got)) <= 1
+
+    def test_coarser_quant_bounded_error(self):
+        rng = random.Random(7)
+        gray = [rng.randrange(256) for _ in range(256)]
+        _, _, got = decode_jpeg_gray(encode_jpeg_gray(16, 16, gray,
+                                                      quant=8))
+        # flat quant q bounds per-coefficient error by q/2; pixel error
+        # stays the same order (orthonormal transform)
+        assert max(abs(a - b) for a, b in zip(gray, got)) <= 32
+
+    def test_progressive_is_honest_boundary(self):
+        blob = bytearray(encode_jpeg_gray(8, 8, [10] * 64))
+        i = blob.find(b"\xFF\xC0")
+        blob[i + 1] = 0xC2                      # SOF0 -> SOF2
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg_gray(bytes(blob))
+
+    def test_malformed_raises_value_error(self):
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(b"\x89PNG not a jpeg")
+        blob = encode_jpeg_gray(16, 16, list(range(256)))
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(blob[:40])          # truncated mid-marker
+
+    @pytest.mark.skipif(not all(os.path.exists(p) for p in _REAL_JPEGS),
+                        reason="no real-world JPEG fixtures on this host")
+    def test_decodes_real_libjpeg_output(self):
+        """Independent-encoder validation: files produced by libjpeg
+        (color, subsampled, its own huffman tables) decode without
+        entropy desync and with the header-declared dimensions."""
+        with open(_REAL_JPEGS[0], "rb") as f:
+            w, h, g = decode_jpeg_gray(f.read())
+        assert (w, h) == (16, 16) and len(g) == 256
+        assert all(0 <= v <= 255 for v in g)
+        with open(_REAL_JPEGS[1], "rb") as f:
+            w, h, g = decode_jpeg_gray(f.read())   # 720x477 color photo
+        assert (w, h) == (720, 477) and len(g) == w * h
+        assert 30 < sum(g) / len(g) < 220           # plausible exposure
+
+
+class TestJpegFlowsIntoPerceptualTier:
+    def test_jpeg_pairs_with_png_pixel_twin(self, spark):
+        """Round-8 verdict #3 done-criterion: a JPEG enters
+        image_near_dup_pairs and pairs with the PNG holding the same
+        pixels (format-independent hashing; JPEG's +/-1 decode noise is
+        exactly what the hamming tolerance absorbs)."""
+        from datafusion_postgres_spark.operators.imagehash import (
+            encode_png_gray, image_near_dup_pairs,
+        )
+        rng = random.Random(51)
+        base = [rng.randrange(256) for _ in range(256)]
+        near = list(base)
+        near[10] = (near[10] + 2) % 256
+        other = [rng.randrange(256) for _ in range(256)]
+        media = spark.createDataFrame(
+            [(1, encode_jpeg_gray(16, 16, base)),
+             (2, encode_png_gray(16, 16, base)),      # pixel twin
+             (3, encode_jpeg_gray(16, 16, near)),     # near-dup
+             (4, encode_png_gray(16, 16, other))],
+            "doc_id long, content binary")
+        got = {(r["id_a"], r["id_b"]) for r in
+               image_near_dup_pairs(media).collect()}
+        assert {(1, 2), (1, 3), (2, 3)} <= got
+        assert not any(4 in p for p in got)
+
+    def test_decode_image_pixels_dispatches_jpeg(self):
+        from datafusion_postgres_spark.operators.imagehash import (
+            decode_image_pixels,
+        )
+        gray = [(i * 7) % 256 for i in range(64)]
+        w, h, got = decode_image_pixels(encode_jpeg_gray(8, 8, gray))
+        assert (w, h) == (8, 8)
+        assert max(abs(a - b) for a, b in zip(gray, got)) <= 1

@@ -58,6 +58,10 @@ HEADLINE = [
     # round-7 marquee: perceptual image near-dup (real PNG encode ->
     # zlib pixel decode -> integer aHash -> pigeonhole-blocked pairs)
     "multimodal_image_neardups",
+    # round-8 marquee: video frame-sample near-dup (real ISO-BMFF
+    # encode -> box-walk frame extraction -> per-position blocked
+    # pairs) — addition only, prior rows stay comparable with r01..r07
+    "multimodal_video_neardups",
 ]
 
 

@@ -106,67 +106,59 @@ PRIORITY = [
     # oracled rows so every registered query re-earns a driver-green
     # CORRECTNESS entry every few rounds. A swapped-out row keeps its
     # oracle and stays in the local `tools/check_oracle.py` gate.
-    # Round-7 swaps (23 rows absent from the r06 window, >= the 15 the
+    # Round-8 swaps (17 rows absent from the r07 window, >= the 15 the
     # rotation policy asks for):
-    #   * nine NEW/never-driver-checked rows cycle in — the round-7
-    #     operators (multimodal_image_neardups, text_url_dedup,
-    #     text_trained_gate_scale, dedup_ngram_jaccard_capped) and the
-    #     round-6 rows that only ever passed the local gate
-    #     (emb_gram_matrix, text_train_eval_split, text_domain_reweight,
-    #     text_trained_gate, q21_suppliers_kept_waiting);
-    #   * ten r05-era rows two windows out cycle back in
-    #     (q2_min_cost_supplier, q8_market_share, pg_ordered_set_aggs,
-    #     pg_recursive_cte, pg_jsonpath, pg_string_functions,
-    #     pg_math_functions, join_scd2_enrich, dedup_components,
-    #     sim_cosine_sq8).
-    #   * four late-round-7 operators take the slots of four stable
-    #     r06-green suite rows (multimodal_audio_neardups,
-    #     multimodal_image_components, text_clf_auc, streaming_url_dedup
-    #     in; join_outer_suite, set_ops_suite, tablefunc_unnest_values,
-    #     agg_distinct_filter out to the local gate).
-    # Rotated out to the local gate (ALL driver-green in r06):
-    # q7_nation_pair_volume, q10_returned_items, pg_case_when,
-    # ilike_filter, pg_regex_match, pg_array_functions,
-    # pg_json_operators, pg_distinct_on, pg_generate_series_tf,
-    # join_cross_comma, join_using, agg_collect_ordered,
-    # window_ntile_first_last, events_hourly_rollup, text_corpus_profile,
-    # dedup_ngram_jaccard (exact twin — its capped sibling takes the
-    # window slot), text_overlap_profile, sim_threshold_profile,
-    # text_source_contamination, join_outer_suite, set_ops_suite,
-    # tablefunc_unnest_values, agg_distinct_filter.
+    #   * the eight rows the round-7 verdict named (never driver-
+    #     checked): text_url_then_content_dedup, text_clf_pr_curve,
+    #     agg_cube, window_lag_lead, set_intersect,
+    #     tablefunc_generate_series, q13_order_distribution,
+    #     q17_small_quantity_revenue;
+    #   * the NEW round-8 operator multimodal_video_neardups;
+    #   * eight more never-driver-checked rows spanning the temporal /
+    #     ANN / text tiers: join_asof_events, events_funnel,
+    #     sim_cosine_pq, text_pack_sequences,
+    #     dedup_substring_pairs_capped, subquery_scalar,
+    #     text_fts_boolean, streaming_sessionize.
+    # Rotated out to the local gate (ALL driver-green in r07):
+    # q2_min_cost_supplier, q8_market_share, pg_string_functions,
+    # pg_math_functions, pg_jsonpath, pg_ordered_set_aggs,
+    # pg_recursive_cte, join_scd2_enrich, dedup_components,
+    # sim_cosine_sq8, text_trained_gate (its _scale twin stays),
+    # emb_gram_matrix, text_train_eval_split, text_domain_reweight,
+    # dedup_embedding_cosine, text_dsir_weights, text_lm_perplexity.
     # TPC-H adaptations (compound shapes: joins + aggs + sorts)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q2_min_cost_supplier", "q8_market_share", "q21_suppliers_kept_waiting",
+    "q13_order_distribution", "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
     # filters / dialect (§2.2)
     "filter_predicates", "pg_any_all_array", "pg_casts",
-    "dedup_embedding_cosine",
-    "pg_string_functions", "pg_math_functions", "pg_jsonpath",
-    # joins (§2.3)
-    "join_semi_anti",
-    "subquery_correlated_in", "lateral_subquery", "join_scd2_enrich",
+    "text_fts_boolean",
+    # joins / subqueries (§2.3)
+    "join_semi_anti", "subquery_correlated_in", "lateral_subquery",
+    "subquery_scalar", "join_asof_events",
     # aggregation (§2.4)
-    "agg_grouping_suite", "pg_ordered_set_aggs",
+    "agg_grouping_suite", "agg_cube",
     # windows / recursion (§2.5, §2.8)
-    "window_suite", "pg_recursive_cte",
+    "window_suite", "window_lag_lead",
     # sorts / set ops / table functions (§2.6-2.8)
-    "sort_wildcard_topk",
-    # a REAL streaming execution of the rollup
-    # (readStream -> watermarked window agg -> memory sink)
-    "streaming_hourly_rollup",
+    "sort_wildcard_topk", "set_intersect", "tablefunc_generate_series",
+    # REAL streaming executions (readStream -> stateful op -> memory sink)
+    "streaming_hourly_rollup", "streaming_sessionize",
     # LLM-data-pipeline operators
     "text_doc_features", "text_gopher_filter",
-    "dedup_exact_groups", "dedup_minhash_lsh", "dedup_components",
-    "dedup_ngram_jaccard_capped",
+    "dedup_exact_groups", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_capped", "dedup_substring_pairs_capped",
     "multimodal_metadata_oracle", "multimodal_video_probe",
-    "text_dsir_weights", "text_lm_perplexity", "dedup_decontaminate_bloom",
+    "dedup_decontaminate_bloom",
     "text_bpe_merges", "sim_cosine_ivf_sq8", "sim_cosine_lsh_multiprobe",
-    "sim_cosine_sq8", "text_trained_classifier",
-    # round-7 rows earning their first driver-green entry
+    "sim_cosine_pq", "text_trained_classifier",
+    "events_funnel", "text_pack_sequences",
+    # round-7/8 marquee rows
     "multimodal_image_neardups", "text_url_dedup",
-    "text_trained_gate", "text_trained_gate_scale",
-    "emb_gram_matrix", "text_train_eval_split", "text_domain_reweight",
+    "text_url_then_content_dedup", "text_trained_gate_scale",
     "multimodal_audio_neardups", "multimodal_image_components",
-    "text_clf_auc", "streaming_url_dedup",
+    "multimodal_video_neardups",
+    "text_clf_auc", "text_clf_pr_curve", "streaming_url_dedup",
 ]
 
 

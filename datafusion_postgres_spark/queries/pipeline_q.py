@@ -2475,6 +2475,51 @@ def multimodal_image_components(spark, sf_dir):
     return sorted_small(dedup.connected_components(pairs), "doc_id")
 
 
+@register("multimodal_mixed_format_neardups", oracle=f"""
+WITH {_IMG_PAIR_CTES}
+SELECT id_a, id_b, hamming FROM ipairs ORDER BY id_a, id_b
+""")
+def multimodal_mixed_format_neardups(spark, sf_dir):
+    """FORMAT-INDEPENDENT perceptual hashing as an oracled row: the
+    same text-derived 16x16 pixel grid is encoded per doc as a real
+    PNG, GIF, or netpbm P5 (doc_id % 3 picks the container), decoded
+    back through three DIFFERENT pure-Python decoders (zlib+defilter,
+    LZW, raw-after-header), and paired. Because the pixels are
+    identical whatever the container, the oracle is EXACTLY
+    multimodal_image_neardups' pixel-arithmetic CTE — a match proves
+    all three codec paths agree bit-for-bit on the decoded grid. (JPEG
+    stays out of oracled rows: it is lossy by design; its pairing is
+    pytest-pinned in test_jpeg.py instead.)"""
+    import pandas as pd
+    from datafusion_postgres_spark.operators import imagehash as ih
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    side = 16
+    npix = side * side
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                s = text or "\x00"
+                n = len(s)
+                gray = [ord(s[i % n]) % 256 for i in range(npix)]
+                f = did % 3
+                if f == 0:
+                    blob = ih.encode_png_gray(side, side, gray)
+                elif f == 1:
+                    blob = ih.encode_gif_gray(side, side, gray)
+                else:
+                    blob = (f"P5 {side} {side} 255\n".encode()
+                            + bytes(gray))
+                rows.append((did, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    media = docs.mapInPandas(gen, "doc_id long, content binary")
+    return sorted_small(ih.image_near_dup_pairs(media, max_hamming=3),
+                        "id_a", "id_b")
+
+
 @register("multimodal_video_neardups", oracle="""
 WITH vpos(f) AS (VALUES (0), (2), (4)),
 vpx AS (

@@ -56,10 +56,32 @@ def _input_fingerprint(df: DataFrame) -> int | None:
     semantically unchanged — this is the staleness signal the semantic
     hash cannot see. None (fingerprint unavailable / non-file source)
     means 'cannot tell'; the warm path then re-caches rather than risk
-    pinning a stale snapshot indefinitely."""
+    pinning a stale snapshot indefinitely.
+
+    Walks the ANALYZED plan's leaf relations instead of
+    ``Dataset.inputFiles()``: in Spark 4.1 the latter returns [] for a
+    plan whose sub-plan is already cached (the round-8 root cause of
+    the r6->r7 bench regression on dedup_ngram_jaccard /
+    dedup_substring_pairs — every invocation fingerprinted as 'cannot
+    tell', re-cached, and recomputed the expensive shingle projection
+    instead of warm-hitting). The analyzed plan still shows the real
+    LogicalRelations before cache substitution, so this fingerprint
+    keeps working — and keeps DETECTING inserts — while the cache is
+    live."""
+    files: list[str] = []
     try:
-        files = df.inputFiles()
-        return hash(tuple(sorted(files))) if files else None
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            try:
+                arr = leaf.relation().location().inputFiles()
+                files.extend(arr[j] for j in range(len(arr)))
+            except Exception:
+                continue            # non-file leaf (local rows, stream)
+        if files:
+            return hash(tuple(sorted(files)))
+        got = df.inputFiles()       # v2 sources etc. — best effort
+        return hash(tuple(sorted(got))) if got else None
     except Exception:
         return None
 

@@ -479,7 +479,8 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
                           max_hamming: int = 3,
                           cache_key: str = "chunked_hamming_pairs",
                           max_df: int | None = 1000,
-                          block_cols: tuple[str, ...] = ()) -> DataFrame:
+                          block_cols: tuple[str, ...] = (),
+                          pre_cached: bool = False) -> DataFrame:
     """Near-dup pairs over any 4x16-bit chunked signature frame
     (columns: ``id`` + the four chunk columns in ``cols``).
 
@@ -524,7 +525,12 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
         cache_generation,
     )
     bc = list(block_cols)
-    sig = cache_generation(cache_key, sig)
+    # pre_cached: the caller already holds sig as its own live
+    # generation (sig_survivor_ids) — caching the identical plan under
+    # a second key would alias the same storage, and rotating EITHER
+    # generation would unpersist data the other still believes live
+    if not pre_cached:
+        sig = cache_generation(cache_key, sig)
     group_key = bc + list(cols)
     reps = sig.groupBy(*group_key).agg(F.min("id").alias("rep"))
     members = cache_generation(
@@ -777,7 +783,7 @@ def sig_survivor_ids(sig: DataFrame, table: str, cols: list[str],
                     .select("id"))
     dup_in_batch = (chunked_hamming_pairs(
         sig, cols, max_hamming,
-        cache_key=cache_key + "_pairs", max_df=max_df)
+        cache_key=cache_key + "_pairs", max_df=max_df, pre_cached=True)
         .select(F.col("id_b").alias("id")).distinct())
     return (sig.select("id")
             .join(dup_vs_state, "id", "left_anti")

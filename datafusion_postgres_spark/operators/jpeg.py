@@ -5,12 +5,19 @@ treatment, one size bigger).
 
 Decoder scope (what the spec calls baseline + extended sequential
 huffman): SOF0/SOF1 frames, 8-bit precision, any component count and
-sampling factors, DRI/RSTn restart intervals, 8/16-bit DQT tables,
-byte-stuffed entropy data. Output is the LUMA plane (component 1 of
-the frame header) — exactly what the perceptual hashes consume; chroma
-blocks are entropy-decoded (the bit stream is interleaved, they cannot
-be skipped) and discarded. Progressive (SOF2) and arithmetic-coded
-(SOF9+) variants stay an honest NotImplementedError.
+sampling factors, fully-interleaved scans AND single-component
+non-interleaved scans (the two layouts libjpeg emits), DRI/RSTn
+restart intervals, 0xFF fill bytes, 8/16-bit DQT tables, byte-stuffed
+entropy data. Output is the LUMA plane (component 1 of the frame
+header) — exactly what the perceptual hashes consume; in an
+interleaved scan chroma blocks are entropy-decoded (the bit stream
+cannot skip them) and discarded, and in multi-scan files the luma
+scan comes first so later chroma scans are never read. Progressive
+(SOF2), arithmetic-coded (SOF9+), luma-later multi-scan, and
+partially-interleaved scan groups stay an honest NotImplementedError;
+implausible frame headers (dimensions the stream size cannot carry)
+raise ValueError before any allocation, keeping the poison-row
+contract.
 
 Encoder scope: single-component (grayscale) baseline with a flat
 quantization table (default 1 — near-lossless, reconstruction within
@@ -321,6 +328,10 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
     while pos + 4 <= n:
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.1: any number of 0xFF fill bytes may precede a
+        # marker — skip the run so legal padded files still decode
+        while pos + 1 < n and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         if marker == 0xD9:
             break
@@ -344,6 +355,18 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
                 raise NotImplementedError(
                     f"{precision}-bit JPEG precision (baseline is 8)")
             h, w = struct.unpack_from(">HH", content, seg0 + 1)
+            if w == 0 or h == 0:
+                raise ValueError("JPEG frame with zero dimension")
+            # poison-row contract guard: the output plane is allocated
+            # from these header fields, so a crafted 200-byte blob
+            # declaring 65535x65535 must raise here (ValueError -> NULL
+            # row), never MemoryError-kill the executor. Real JPEGs
+            # compress far less than 4096 pixels per stream byte, and
+            # the corpus tier never needs >64 MP frames.
+            if w * h > min(1 << 26, len(content) * 4096):
+                raise ValueError(
+                    f"JPEG declares {w}x{h} pixels from a "
+                    f"{len(content)}-byte stream — implausible header")
             ncomp = content[seg0 + 5]
             comps = []
             for i in range(ncomp):
@@ -398,67 +421,102 @@ def _decode_scan(content, pos, frame, scomps, qt, huff, restart):
     vmax = max(c["v"] for c in frame["comps"])
     if hmax == 0 or vmax == 0:
         raise ValueError("JPEG zero sampling factor")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     luma = frame["comps"][0]
-    lw = mcux * luma["h"] * 8
-    plane = [0] * (lw * mcuy * luma["v"] * 8)
     lq = qt.get(luma["tq"])
     if lq is None:
         raise ValueError("JPEG luma quantization table missing")
+    out_w = (w * luma["h"] + hmax - 1) // hmax
+    out_h = (h * luma["v"] + vmax - 1) // vmax
 
     br = _BitReader(content, pos)
     preds = {c["id"]: 0 for c in scomps}
-    rst = 0
-    mcu = 0
-    for by in range(mcuy):
-        for bx in range(mcux):
-            if restart and mcu and mcu % restart == 0:
-                br.align_restart(rst)
-                rst = (rst + 1) & 7
-                preds = {c["id"]: 0 for c in scomps}
-            for c in scomps:
-                dct = huff.get((0, c["dc"]))
-                act = huff.get((1, c["ac"]))
-                if dct is None or act is None:
-                    raise ValueError("JPEG huffman table missing")
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        zz = [0] * 64
-                        s = br.decode_huff(dct)
-                        diff = _extend(br.read_bits(s), s) if s else 0
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode_huff(act)
-                            r, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if r == 15:
-                                    k += 16        # ZRL
-                                    continue
-                                break              # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "JPEG AC run overflows the block")
-                            zz[k] = _extend(br.read_bits(size), size)
-                            k += 1
-                        if c["id"] != luma["id"]:
-                            continue               # chroma: bits only
-                        coef = [0.0] * 64
-                        for i in range(64):
-                            coef[ZIGZAG[i]] = zz[i] * lq[i]
-                        px = _idct(coef)
-                        x0 = (bx * luma["h"] + hh) * 8
-                        y0 = (by * luma["v"] + v) * 8
-                        for yy in range(8):
-                            row = (y0 + yy) * lw + x0
-                            for xx in range(8):
-                                val = int(round(px[yy * 8 + xx])) + 128
-                                plane[row + xx] = min(255, max(0, val))
-            mcu += 1
-    out_w = (w * luma["h"] + hmax - 1) // hmax
-    out_h = (h * luma["v"] + vmax - 1) // vmax
+    state = {"rst": 0}
+
+    def decode_block(c):
+        dct = huff.get((0, c["dc"]))
+        act = huff.get((1, c["ac"]))
+        if dct is None or act is None:
+            raise ValueError("JPEG huffman table missing")
+        zz = [0] * 64
+        s = br.decode_huff(dct)
+        diff = _extend(br.read_bits(s), s) if s else 0
+        preds[c["id"]] += diff
+        zz[0] = preds[c["id"]]
+        k = 1
+        while k < 64:
+            rs = br.decode_huff(act)
+            r, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if r == 15:
+                    k += 16                        # ZRL
+                    continue
+                break                              # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run overflows the block")
+            zz[k] = _extend(br.read_bits(size), size)
+            k += 1
+        return zz
+
+    def restart_boundary(mcu):
+        if restart and mcu and mcu % restart == 0:
+            br.align_restart(state["rst"])
+            state["rst"] = (state["rst"] + 1) & 7
+            for cid in preds:
+                preds[cid] = 0
+
+    def store_luma(zz, plane, lw, x0, y0):
+        coef = [0.0] * 64
+        for i in range(64):
+            coef[ZIGZAG[i]] = zz[i] * lq[i]
+        px = _idct(coef)
+        for yy in range(8):
+            row = (y0 + yy) * lw + x0
+            for xx in range(8):
+                val = int(round(px[yy * 8 + xx])) + 128
+                plane[row + xx] = min(255, max(0, val))
+
+    if len(scomps) == 1:
+        # NON-INTERLEAVED scan (T.81 A.2.2): one data unit per MCU,
+        # traversing the component's OWN block raster with its own
+        # ceil-dims — libjpeg's multi-scan sequential output and every
+        # single-component grayscale file take this path
+        c = scomps[0]
+        if c["id"] != luma["id"]:
+            raise NotImplementedError(
+                "first JPEG scan carries a chroma component only; "
+                "luma-later multi-scan ordering is not decoded")
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        bw_, bh_ = (cw + 7) // 8, (ch + 7) // 8
+        lw = bw_ * 8
+        plane = [0] * (lw * bh_ * 8)
+        for i in range(bw_ * bh_):
+            restart_boundary(i)
+            store_luma(decode_block(c), plane, lw,
+                       (i % bw_) * 8, (i // bw_) * 8)
+    else:
+        if len(scomps) != len(frame["comps"]):
+            raise NotImplementedError(
+                "partially-interleaved JPEG scan groups (neither fully "
+                "interleaved nor single-component) are not decoded")
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        lw = mcux * luma["h"] * 8
+        plane = [0] * (lw * mcuy * luma["v"] * 8)
+        mcu = 0
+        for by in range(mcuy):
+            for bx in range(mcux):
+                restart_boundary(mcu)
+                for c in scomps:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            zz = decode_block(c)
+                            if c["id"] != luma["id"]:
+                                continue           # chroma: bits only
+                            store_luma(zz, plane, lw,
+                                       (bx * luma["h"] + hh) * 8,
+                                       (by * luma["v"] + v) * 8)
+                mcu += 1
     grid = [plane[y * lw + x] for y in range(out_h) for x in range(out_w)]
     return out_w, out_h, grid

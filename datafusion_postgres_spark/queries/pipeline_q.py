@@ -2346,7 +2346,8 @@ def multimodal_image_neardups(spark, sf_dir):
     from datafusion_postgres_spark.operators import imagehash as ih
     docs = t(spark, sf_dir, "documents")
     media = ih.synthesize_png_corpus(docs)
-    return sorted_small(ih.image_near_dup_pairs(media, max_hamming=3),
+    return sorted_small(ih.image_near_dup_pairs(media, max_hamming=3,
+                                         max_df=None),
                         "id_a", "id_b")
 
 
@@ -2441,7 +2442,8 @@ def multimodal_audio_neardups(spark, sf_dir):
     from datafusion_postgres_spark.operators import audiohash as ah
     docs = t(spark, sf_dir, "documents")
     media = ah.synthesize_wav_corpus(docs)
-    return sorted_small(ah.audio_near_dup_pairs(media, max_hamming=3),
+    return sorted_small(ah.audio_near_dup_pairs(media, max_hamming=3,
+                                         max_df=None),
                         "id_a", "id_b")
 
 
@@ -2471,7 +2473,7 @@ def multimodal_image_components(spark, sf_dir):
     from datafusion_postgres_spark.operators import imagehash as ih
     docs = t(spark, sf_dir, "documents")
     media = ih.synthesize_png_corpus(docs)
-    pairs = ih.image_near_dup_pairs(media, max_hamming=3)
+    pairs = ih.image_near_dup_pairs(media, max_hamming=3, max_df=None)
     return sorted_small(dedup.connected_components(pairs), "doc_id")
 
 
@@ -2516,7 +2518,8 @@ def multimodal_mixed_format_neardups(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
     media = docs.mapInPandas(gen, "doc_id long, content binary")
-    return sorted_small(ih.image_near_dup_pairs(media, max_hamming=3),
+    return sorted_small(ih.image_near_dup_pairs(media, max_hamming=3,
+                                         max_df=None),
                         "id_a", "id_b")
 
 
@@ -2573,7 +2576,7 @@ def multimodal_video_neardups(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     media = vh.synthesize_mp4_corpus(docs, side=8, n_frames=6)
     pairs = vh.video_near_dup_pairs(media, every_n=2, max_hamming=3,
-                                    min_match_frames=3)
+                                    min_match_frames=3, max_df=None)
     return sorted_small(pairs, "id_a", "id_b")
 
 

@@ -252,7 +252,13 @@ def maintain_ivf_sq8_index(spark: SparkSession, path: str, emb: DataFrame,
                             or meta["n_centroids"],
                             kmeans_iters=kmeans_iters,
                             vec_col=vec_col, id_col=id_col)
-        spark.catalog.clearCache()     # drop relations over the old files
+        # targeted invalidation: only the index files were replaced. A
+        # session-wide clearCache() here would uncache every LIVE
+        # cache_generation intermediate while cachectl still believed
+        # them cached — silently degrading every other operator to
+        # recompute-per-action (the same failure class as the r6->r7
+        # inputFiles regression).
+        spark.catalog.refreshByPath(path)
         report["action"] = "rebuilt"
         report["post_probe"] = index_recall_probe(
             spark, path, emb, k=k, n_probe=n_probe,

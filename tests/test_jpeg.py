@@ -12,12 +12,14 @@ from datafusion_postgres_spark.operators.jpeg import (
     decode_jpeg_gray, encode_jpeg_gray,
 )
 
-_REAL_JPEGS = [
-    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
-    "test/test_email/data/python.jpg",
-    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
-    "rust/html/embedded-book/assets/verify.jpeg",
-]
+# committed fixtures produced by an INDEPENDENT encoder (libjpeg):
+# real_2x2.jpg from IPython's test suite (BSD), real_16x16.jpg from
+# CPython's test_email data (PSF) — tiny binary test assets
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+# plus a larger color photo present on some hosts (extra coverage only)
+_BIG_REAL_JPEG = ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-"
+                  "gnu/share/doc/rust/html/embedded-book/assets/"
+                  "verify.jpeg")
 
 
 class TestJpegCodec:
@@ -63,20 +65,47 @@ class TestJpegCodec:
         with pytest.raises(ValueError):
             decode_jpeg_gray(blob[:40])          # truncated mid-marker
 
-    @pytest.mark.skipif(not all(os.path.exists(p) for p in _REAL_JPEGS),
-                        reason="no real-world JPEG fixtures on this host")
     def test_decodes_real_libjpeg_output(self):
-        """Independent-encoder validation: files produced by libjpeg
-        (color, subsampled, its own huffman tables) decode without
-        entropy desync and with the header-declared dimensions."""
-        with open(_REAL_JPEGS[0], "rb") as f:
+        """Independent-encoder validation (portable: fixtures are
+        committed): files produced by libjpeg — color, subsampled,
+        its own huffman tables — decode without entropy desync and
+        with the header-declared dimensions."""
+        with open(os.path.join(_DATA, "real_16x16.jpg"), "rb") as f:
             w, h, g = decode_jpeg_gray(f.read())
         assert (w, h) == (16, 16) and len(g) == 256
         assert all(0 <= v <= 255 for v in g)
-        with open(_REAL_JPEGS[1], "rb") as f:
+        assert 60 < sum(g) / len(g) < 160           # logo, mid exposure
+        with open(os.path.join(_DATA, "real_2x2.jpg"), "rb") as f:
+            w, h, g = decode_jpeg_gray(f.read())
+        assert (w, h) == (2, 2) and len(g) == 4
+
+    @pytest.mark.skipif(not os.path.exists(_BIG_REAL_JPEG),
+                        reason="big real-world JPEG absent on this host")
+    def test_decodes_big_real_color_photo(self):
+        with open(_BIG_REAL_JPEG, "rb") as f:
             w, h, g = decode_jpeg_gray(f.read())   # 720x477 color photo
         assert (w, h) == (720, 477) and len(g) == w * h
         assert 30 < sum(g) / len(g) < 220           # plausible exposure
+
+    def test_implausible_header_raises_before_allocation(self):
+        """Poison-row contract: a crafted tiny blob declaring enormous
+        dimensions must raise ValueError (caught -> NULL row), never
+        MemoryError-kill the executor allocating the output plane."""
+        import struct
+        blob = bytearray(encode_jpeg_gray(8, 8, [0] * 64))
+        i = blob.find(b"\xFF\xC0")
+        struct.pack_into(">HH", blob, i + 5, 65535, 65535)
+        with pytest.raises(ValueError, match="implausible"):
+            decode_jpeg_gray(bytes(blob))
+
+    def test_fill_bytes_before_markers_are_legal(self):
+        """T.81 B.1.1.1: 0xFF fill bytes may precede any marker."""
+        blob = encode_jpeg_gray(8, 8, list(range(64)))
+        i = blob.find(b"\xFF\xDB")
+        padded = blob[:i] + b"\xFF\xFF\xFF" + blob[i:]
+        w, h, g = decode_jpeg_gray(padded)
+        assert (w, h) == (8, 8)
+        assert max(abs(a - b) for a, b in zip(range(64), g)) <= 1
 
 
 class TestJpegFlowsIntoPerceptualTier:

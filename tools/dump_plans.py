@@ -234,11 +234,39 @@ COMMENTARY = {
         "bound argument as the jaccard cap; BENCH_SCALE substring_* "
         "rows hold the cliff evidence.",
     "multimodal_image_neardups":
-        "Round 7: real PNG encode -> zlib pixel decode -> integer aHash "
-        "in ONE zero-shuffle mapInPandas scan; pairing is the pigeonhole "
-        "chunk equi-join (4 small ints per image cross the shuffle, "
-        "never pixels), then a hamming filter — no all-pairs shape at "
-        "any scale.",
+        "Round 7 (+ round-8 skew hardening): real PNG encode -> zlib "
+        "pixel decode -> integer aHash in ONE zero-shuffle mapInPandas "
+        "scan; pairing is the pigeonhole chunk equi-join (4 small ints "
+        "per image cross the shuffle, never pixels), then a hamming "
+        "filter. Round 8 collapses identical signatures to one "
+        "representative BEFORE the blocking join (a 20% byte-identical "
+        "clique contributes one row; its hamming-0 pairs come from a "
+        "group-key equi-join, AQE-splittable) and caps chunk values in "
+        ">1000 DISTINCT signatures — the two real-corpus skew killers; "
+        "BENCH_SCALE image_clique_* rows hold the widest-node-flat "
+        "evidence.",
+    "multimodal_video_neardups":
+        "Round 8: real ISO-BMFF encode -> box-walk frame extraction -> "
+        "per-frame aHash in one zero-shuffle mapInPandas scan "
+        "(n_sampled_frames rows of 4 ints per video, independent of "
+        "video bytes); pairing is the SAME blocked equi-join with the "
+        "frame position as an extra blocking key (cross-position frames "
+        "never meet the join), then a per-video-pair rollup. All-frames "
+        "match (n_frames = sampled count) is the dedup criterion.",
+    "multimodal_mixed_format_neardups":
+        "Round 8: the format-independence pin as an oracled row — the "
+        "same pixels flow through three different decoders (PNG zlib+"
+        "defilter, GIF LZW, netpbm raw) inside the one decode scan; the "
+        "plan is identical to multimodal_image_neardups because format "
+        "dispatch is per-row Python inside the same mapInPandas stage.",
+    "text_clf_auc":
+        "Round 8: tie-corrected Mann-Whitney AUC from the bounded "
+        "ROUND(x,6) score histogram; the cumulative pass is the "
+        "window_ntile bucket-offset two-pass — the histogram only "
+        "crosses a window PARTITIONED by the coarse bucket, the "
+        "unpartitioned window sees ~1000 bucket rows per unit of score "
+        "range, and pair counts accumulate as DECIMAL(38,0) (no int64 "
+        "overflow at 1e10+ docs/class).",
     "text_domain_reweight":
         "DoReMi-flavored mixture reweight: per-domain integer NLL "
         "aggregates (map-side combined), two broadcast joins of "

@@ -286,6 +286,144 @@ def video_near_dup_pairs(media: DataFrame, every_n: int = 2,
     return out
 
 
+# ---------------------------------------------------------------------------
+# incremental ingest dedup against persisted per-frame hash state — the
+# video twin of the image/audio/text ingest loops. State rows are one
+# (state_id, frame_pos, s0..s3, ci, chunk) row per chunk per sampled
+# frame per video, bucketed on the blocking key. A new video is a dup
+# iff some state video matches at >= min_match_frames of the new
+# video's sampled positions (default: ALL of them).
+
+_VH_COLS = tuple(f"ahash_c{j}" for j in range(4))
+
+
+def _video_sig(media: DataFrame, every_n: int, id_col: str,
+               content_col: str) -> DataFrame:
+    return (video_frame_hashes(media, every_n, id_col, content_col)
+            .where(F.col("ahash_c0").isNotNull())
+            .select(F.col("doc_id").alias("id"), "frame_pos", *_VH_COLS))
+
+
+def _video_state_rows(sig: DataFrame) -> DataFrame:
+    return sig.select(
+        F.col("id").alias("state_id"), "frame_pos",
+        *[F.col(c).alias(f"s{j}") for j, c in enumerate(_VH_COLS)],
+        F.posexplode(F.array(*[F.col(c) for c in _VH_COLS]))
+        .alias("ci", "chunk"))
+
+
+def write_video_hash_table(media: DataFrame, table: str,
+                           n_buckets: int = 32, every_n: int = 2,
+                           id_col: str = "doc_id",
+                           content_col: str = "content") -> None:
+    """Materialize video-dedup ingest state, bucketed on the chunk
+    blocking key (the imagehash.write_image_hash_table layout with the
+    frame position carried per row). Unlike the image/audio state, rows
+    stay PER VIDEO (not per distinct signature): the dedup criterion is
+    per-counterpart position counting, which a representative collapse
+    would break; the max_df chunk cap in video_dedup_incremental bounds
+    hot chunk values instead."""
+    rows = _video_state_rows(_video_sig(media, every_n, id_col,
+                                        content_col))
+    (rows.write.mode("overwrite").bucketBy(n_buckets, "chunk")
+     .sortBy("chunk").format("parquet").saveAsTable(table))
+
+
+def video_dedup_incremental(new_media: DataFrame, table: str,
+                            every_n: int = 2, max_hamming: int = 3,
+                            min_match_frames: int | None = None,
+                            id_col: str = "doc_id",
+                            content_col: str = "content",
+                            max_df: int | None = 1000) -> DataFrame:
+    """Per-ingest video near-dup dedup against the persisted frame
+    state: a new video survives iff NO state video matches it at >=
+    ``min_match_frames`` sampled positions (default None = all of the
+    new video's sampled positions) AND no lower-id in-batch video does.
+    Only survivor rows come back — append their frame hashes with
+    merge_new_video_hashes to close the loop. ``max_df`` drops chunk
+    values shared by more than that many state rows per (frame_pos,
+    ci, chunk) — the hot-chunk bound of the batch ingest path."""
+    if max_hamming > 3:
+        raise ValueError("4-chunk blocking is exact only for "
+                         f"max_hamming <= 3 (got {max_hamming})")
+    from datafusion_postgres_spark.operators.cachectl import (
+        cache_generation,
+    )
+    spark = new_media.sparkSession
+    spark.catalog.refreshTable(table)
+    state = spark.table(table)
+    sig = cache_generation(
+        "video_dedup_incremental",
+        _video_sig(new_media, every_n, id_col, content_col))
+    npos = sig.groupBy("id").agg(
+        F.countDistinct("frame_pos").alias("np"))
+
+    expl = sig.select(
+        "id", "frame_pos", *_VH_COLS,
+        F.posexplode(F.array(*[F.col(c) for c in _VH_COLS]))
+        .alias("ci", "chunk"))
+    if max_df is not None:
+        hot = (state.groupBy("frame_pos", "ci", "chunk")
+               .agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_df)
+               .select("frame_pos", "ci", "chunk"))
+        expl = expl.join(F.broadcast(hot),
+                         ["frame_pos", "ci", "chunk"], "left_anti")
+    ham = sum(F.bit_count(F.col(c).bitwiseXOR(F.col(f"s{j}"))
+                          .cast("long"))
+              for j, c in enumerate(_VH_COLS))
+    matched = (expl.join(state, ["frame_pos", "ci", "chunk"])
+               .where(ham <= max_hamming)
+               .select("id", "state_id", "frame_pos").distinct())
+    cnt = matched.groupBy("id", "state_id").agg(
+        F.count("*").alias("n_match"))
+    if min_match_frames is not None:
+        dup_vs_state = (cnt.where(F.col("n_match") >= min_match_frames)
+                        .select("id").distinct())
+    else:
+        dup_vs_state = (cnt.join(npos, "id")
+                        .where(F.col("n_match") >= F.col("np"))
+                        .select("id").distinct())
+
+    from datafusion_postgres_spark.operators.imagehash import (
+        chunked_hamming_pairs,
+    )
+    fpairs = chunked_hamming_pairs(
+        sig, list(_VH_COLS), max_hamming,
+        cache_key="video_dedup_incremental_pairs", max_df=max_df,
+        block_cols=("frame_pos",), pre_cached=True)
+    bcnt = fpairs.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_match"))
+    if min_match_frames is not None:
+        dup_in_batch = (bcnt.where(F.col("n_match") >= min_match_frames)
+                        .select(F.col("id_b").alias("id")).distinct())
+    else:
+        dup_in_batch = (bcnt.join(
+            npos.withColumnRenamed("id", "id_b"), "id_b")
+            .where(F.col("n_match") >= F.col("np"))
+            .select(F.col("id_b").alias("id")).distinct())
+    survivors = (sig.select("id").distinct()
+                 .join(dup_vs_state, "id", "left_anti")
+                 .join(dup_in_batch, "id", "left_anti"))
+    return new_media.join(
+        survivors.withColumnRenamed("id", id_col), id_col, "left_semi")
+
+
+def merge_new_video_hashes(survivors_media: DataFrame, table: str,
+                           n_buckets: int = 32, every_n: int = 2,
+                           id_col: str = "doc_id",
+                           content_col: str = "content",
+                           sig: DataFrame | None = None) -> None:
+    """Append the surviving batch's frame-hash chunk rows into the
+    bucketed state table (pass ``sig`` — (id, frame_pos,
+    ahash_c0..ahash_c3) — to skip re-decoding survivors)."""
+    if sig is None:
+        sig = _video_sig(survivors_media, every_n, id_col, content_col)
+    (_video_state_rows(sig)
+     .write.mode("append").bucketBy(n_buckets, "chunk")
+     .sortBy("chunk").format("parquet").saveAsTable(table))
+
+
 def synthesize_mp4_corpus(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", side: int = 8,
                           n_frames: int = 6, fps: int = 10,

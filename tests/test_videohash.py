@@ -159,6 +159,46 @@ class TestVideoNearDups:
                if r["ahash_c0"] is not None}
         assert got == {(1, 0), (1, 2), (1, 4)}   # 2 and 3 skipped
 
+    def test_incremental_state_dedup_two_batches(self, spark):
+        """Batch-2 videos dedup against the persisted frame state: a
+        full near-dup drops, a PARTIAL match (one position of three)
+        survives under the default all-positions criterion."""
+        from datafusion_postgres_spark.operators.videohash import (
+            merge_new_video_hashes, video_dedup_incremental,
+            write_video_hash_table,
+        )
+        rng = random.Random(23)
+
+        def vid():
+            return [[rng.randrange(256) for _ in range(64)]
+                    for _ in range(6)]
+
+        base = vid()
+        near = [list(f) for f in base]
+        near[4][11] = (near[4][11] + 2) % 256
+        partial = [list(f) for f in base]
+        partial[2] = vid()[0]                  # position 2 replaced
+        partial[4] = vid()[1]                  # position 4 replaced
+        batch1 = spark.createDataFrame(
+            [(1, self._mp4(base)), (2, self._mp4(vid()))],
+            "doc_id long, content binary")
+        spark.sql("DROP TABLE IF EXISTS vdi_state_t")
+        try:
+            write_video_hash_table(batch1, "vdi_state_t", n_buckets=8)
+            batch2 = spark.createDataFrame(
+                [(3, self._mp4(near)),        # drops: all 3 positions
+                 (4, self._mp4(partial)),     # survives: only pos 0
+                 (5, self._mp4(vid()))],
+                "doc_id long, content binary")
+            kept = video_dedup_incremental(batch2, "vdi_state_t")
+            ids = sorted(r["doc_id"] for r in kept.collect())
+            assert ids == [4, 5]
+            merge_new_video_hashes(kept, "vdi_state_t", n_buckets=8)
+            # 2 batch-1 + 2 survivors, x 3 positions x 4 chunk rows
+            assert spark.table("vdi_state_t").count() == 48
+        finally:
+            spark.sql("DROP TABLE IF EXISTS vdi_state_t")
+
     def test_synthesis_matches_direct_hashing(self, spark):
         """synthesize_mp4_corpus -> decode -> hash equals hashing the
         text-derived grids directly (the oracle's arithmetic)."""

@@ -517,25 +517,9 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
     same-position frames pair. Output: (id_a, id_b, *block_cols,
     hamming) with id_a < id_b, exact within max_hamming <= 3 (minus
     pairs provable only through a capped chunk)."""
-    if max_hamming > 3:
-        raise ValueError(
-            "4-chunk pigeonhole blocking is exact only for "
-            f"max_hamming <= 3 (got {max_hamming})")
-    from datafusion_postgres_spark.operators.cachectl import (
-        cache_generation,
-    )
+    members, rp = _rep_structures(sig, cols, max_hamming, cache_key,
+                                  max_df, list(block_cols), pre_cached)
     bc = list(block_cols)
-    # pre_cached: the caller already holds sig as its own live
-    # generation (sig_survivor_ids) — caching the identical plan under
-    # a second key would alias the same storage, and rotating EITHER
-    # generation would unpersist data the other still believes live
-    if not pre_cached:
-        sig = cache_generation(cache_key, sig)
-    group_key = bc + list(cols)
-    reps = sig.groupBy(*group_key).agg(F.min("id").alias("rep"))
-    members = cache_generation(
-        cache_key + "_members",
-        sig.join(reps, group_key).select("id", "rep", *bc, *cols))
 
     # within-group pairs: identical signatures, hamming 0 by definition
     m1, m2 = members.alias("m1"), members.alias("m2")
@@ -548,6 +532,48 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
         *[F.col(f"m1.{c}") for c in bc],
         F.lit(0).cast("bigint").alias("hamming"))
 
+    # expand representative pairs back to member pairs (group-key
+    # equi-joins — output-sized, AQE-splittable)
+    ma = members.select(F.col("rep").alias("ra"), F.col("id").alias("ia"),
+                        *bc)
+    mb = members.select(F.col("rep").alias("rb"), F.col("id").alias("ib"),
+                        *bc)
+    cross = (rp.join(ma, ["ra", *bc]).join(mb, ["rb", *bc])
+             .select(F.least("ia", "ib").alias("id_a"),
+                     F.greatest("ia", "ib").alias("id_b"),
+                     *bc, "hamming"))
+    return within.unionByName(cross).select("id_a", "id_b", *bc,
+                                            "hamming")
+
+
+def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
+                    cache_key: str, max_df: int | None, bc: list[str],
+                    pre_cached: bool):
+    """Shared collapse machinery of the perceptual pairing/keep APIs:
+    (members, rep_pairs) where members = (id, rep, *bc, *cols) with
+    rep = min id per distinct (bc, signature) group, and rep_pairs =
+    (ra, rb, *bc, hamming) between DISTINCT signatures within
+    max_hamming via the pigeonhole chunk blocking (optionally df-capped
+    on chunk values in >max_df distinct signatures)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-chunk pigeonhole blocking is exact only for "
+            f"max_hamming <= 3 (got {max_hamming})")
+    from datafusion_postgres_spark.operators.cachectl import (
+        cache_generation,
+    )
+    # pre_cached: the caller already holds sig as its own live
+    # generation (sig_survivor_ids) — caching the identical plan under
+    # a second key would alias the same storage, and rotating EITHER
+    # generation would unpersist data the other still believes live
+    if not pre_cached:
+        sig = cache_generation(cache_key, sig)
+    group_key = bc + list(cols)
+    reps = sig.groupBy(*group_key).agg(F.min("id").alias("rep"))
+    members = cache_generation(
+        cache_key + "_members",
+        sig.join(reps, group_key).select("id", "rep", *bc, *cols))
+
     # blocking join over REPRESENTATIVES only (one row per distinct
     # signature) — the collapse is what keeps a 20% identical clique
     # linear through this node
@@ -558,8 +584,8 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
         F.posexplode(F.array(*[F.col(c) for c in cols]))
         .alias("ci", "chunk"))
     if max_df is not None:
-        _log.info("chunked_hamming_pairs: df-cap active (max_df=%d) — "
-                  "chunk values in >max_df DISTINCT signatures are "
+        _log.info("chunked_hamming blocking: df-cap active (max_df=%d) "
+                  "— chunk values in >max_df DISTINCT signatures are "
                   "excluded from blocking; max_df=None for exact mode",
                   max_df)
         hot = (exploded.groupBy(*bc, "ci", "chunk")
@@ -588,19 +614,59 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
     rp = (cand.withColumn("hamming", hamming.cast("bigint"))
           .where(F.col("hamming") <= max_hamming)
           .select("ra", "rb", *bc, "hamming"))
+    return members, rp
 
-    # expand representative pairs back to member pairs (group-key
-    # equi-joins — output-sized, AQE-splittable)
-    ma = members.select(F.col("rep").alias("ra"), F.col("id").alias("ia"),
-                        *bc)
-    mb = members.select(F.col("rep").alias("rb"), F.col("id").alias("ib"),
-                        *bc)
-    cross = (rp.join(ma, ["ra", *bc]).join(mb, ["rb", *bc])
-             .select(F.least("ia", "ib").alias("id_a"),
-                     F.greatest("ia", "ib").alias("id_b"),
-                     *bc, "hamming"))
-    return within.unionByName(cross).select("id_a", "id_b", *bc,
-                                            "hamming")
+
+def chunked_hamming_keep(sig: DataFrame, cols: list[str],
+                         max_hamming: int = 3,
+                         cache_key: str = "chunked_hamming_keep",
+                         max_df: int | None = 1000) -> DataFrame:
+    """Near-dup dedup SURVIVOR ids — one (the minimum) per duplicate
+    component, singletons included — with output LINEAR in the corpus
+    even on identical-asset mega-cliques.
+
+    The pairs API is inherently quadratic on a clique (a group of g
+    identical images HAS g(g-1)/2 pairs); a dedup pass only needs the
+    keep set, and that never requires materializing them: non-rep
+    group members lose by construction (their rep has a smaller id and
+    hamming 0), and component structure between DISTINCT signatures is
+    decided by min-label propagation over the (small) representative
+    pair graph. Semantics identical to
+    ``connected_components(chunked_hamming_pairs(...))`` + keep-min +
+    singletons — pinned against that composition in tests."""
+    from datafusion_postgres_spark.operators.dedup import (
+        connected_components,
+    )
+    members, rp = _rep_structures(sig, cols, max_hamming, cache_key,
+                                  max_df, [], False)
+    rep_edges = rp.select(F.col("ra").alias("id_a"),
+                          F.col("rb").alias("id_b"))
+    comp = connected_components(rep_edges)
+    losers = (comp.where(F.col("component_id") != F.col("doc_id"))
+              .select(F.col("doc_id").alias("id")))
+    return (members.where(F.col("id") == F.col("rep")).select("id")
+            .join(losers, "id", "left_anti"))
+
+
+def image_dedup_keep(media: DataFrame, id_col: str = "doc_id",
+                     content_col: str = "content",
+                     max_hamming: int = 3,
+                     hash_prefix: str = "ahash",
+                     max_df: int | None = 1000) -> DataFrame:
+    """One surviving image per perceptual near-dup component (min id;
+    undecodable rows are excluded from the keep set like they are from
+    pairing). The linear-output dedup pass — use this, not
+    image_near_dup_pairs ∘ components, when the corpus holds large
+    identical-asset cliques."""
+    cols = [f"{hash_prefix}_c{j}" for j in range(4)]
+    sig = (image_perceptual_hashes(media, id_col, content_col)
+           .where(F.col(cols[0]).isNotNull())
+           .select(F.col("doc_id").alias("id"), *cols))
+    keep = chunked_hamming_keep(sig, cols, max_hamming,
+                                cache_key="image_dedup_keep",
+                                max_df=max_df)
+    return media.join(keep.withColumnRenamed("id", id_col), id_col,
+                      "left_semi")
 
 
 def image_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",

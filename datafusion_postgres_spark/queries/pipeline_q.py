@@ -2477,6 +2477,43 @@ def multimodal_image_components(spark, sf_dir):
     return sorted_small(dedup.connected_components(pairs), "doc_id")
 
 
+@register("multimodal_image_dedup_keep", oracle=f"""
+WITH RECURSIVE {_IMG_PAIR_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM ipairs
+  UNION ALL
+  SELECT id_b, id_a FROM ipairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+losers AS (
+  SELECT a FROM reach GROUP BY a HAVING MIN(b) < a)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT a FROM losers)
+ORDER BY doc_id
+""")
+def multimodal_image_dedup_keep(spark, sf_dir):
+    """The LINEAR-OUTPUT image dedup pass (round-8): one surviving
+    image per perceptual near-dup component, computed WITHOUT
+    materializing within-clique pairs — non-representative members of
+    an identical-signature group lose by construction, and component
+    structure is min-label propagation over the (small) representative
+    pair graph (operators/imagehash.chunked_hamming_keep). The oracle
+    walks the naive pair closure and keeps each component's minimum —
+    a match proves the collapse+components shortcut equals the
+    pair-materializing semantics."""
+    from datafusion_postgres_spark.operators import imagehash as ih
+    docs = t(spark, sf_dir, "documents")
+    media = ih.synthesize_png_corpus(docs)
+    kept = ih.image_dedup_keep(media, max_hamming=3, max_df=None)
+    return sorted_small(
+        kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
+        "doc_id")
+
+
 @register("multimodal_mixed_format_neardups", oracle=f"""
 WITH {_IMG_PAIR_CTES}
 SELECT id_a, id_b, hamming FROM ipairs ORDER BY id_a, id_b

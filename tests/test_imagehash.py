@@ -403,6 +403,39 @@ class TestGifCodec:
             with pytest.raises(ValueError, match="corrupt GIF"):
                 _gif_lzw_decode(2, bytes([first]))
 
+    def test_keep_equals_pairs_components_composition(self, spark):
+        """chunked_hamming_keep's shortcut (rep collapse + components
+        over rep pairs) must equal the pair-materializing composition
+        connected_components(image_near_dup_pairs) + keep-min +
+        singletons, on a corpus with exact dups, near dups, chains,
+        and singletons."""
+        from datafusion_postgres_spark.operators.dedup import (
+            connected_components,
+        )
+        from datafusion_postgres_spark.operators.imagehash import (
+            image_dedup_keep, image_near_dup_pairs,
+        )
+        rng = random.Random(71)
+        base = [rng.randrange(256) for _ in range(256)]
+        near = list(base)
+        near[3] = (near[3] + 2) % 256
+        blobs = [encode_png_gray(16, 16, base)] * 3 \
+            + [encode_png_gray(16, 16, near)] \
+            + [encode_png_gray(16, 16,
+                               [rng.randrange(256) for _ in range(256)])
+               for _ in range(20)]
+        media = spark.createDataFrame(
+            list(enumerate(blobs)), "doc_id long, content binary")
+        kept = sorted(r["doc_id"] for r in
+                      image_dedup_keep(media).collect())
+        pairs = image_near_dup_pairs(media)
+        comp = {r["doc_id"]: r["component_id"] for r in
+                connected_components(pairs).collect()}
+        want = sorted(i for i in range(len(blobs))
+                      if comp.get(i, i) == i)
+        assert kept == want
+        assert 0 in kept and {1, 2, 3}.isdisjoint(set(kept))
+
     def test_gif_flows_into_near_dup_pairs(self, spark):
         from datafusion_postgres_spark.operators.imagehash import (
             encode_gif_gray, image_near_dup_pairs,

@@ -395,3 +395,27 @@ class TestImageBlockingLinear:
         # pre-collapse shape put >= 4 * clique-pairs (~12.6k) rows
         # through the candidate join
         assert max_node_output_rows(pairs) <= len(want) + 6 * n
+
+        # the KEEP API never materializes the clique's pairs at all:
+        # output AND widest node stay linear in the corpus
+        from datafusion_postgres_spark.operators.imagehash import (
+            image_dedup_keep,
+        )
+        kept = image_dedup_keep(media).select("doc_id")
+        kept_ids = sorted(r["doc_id"] for r in kept.collect())
+        # expected: min per component + singletons, from the pair set
+        parent = {i: i for i in range(n)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, j, _ in want:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        want_keep = sorted(i for i in range(n) if find(i) == i)
+        assert kept_ids == want_keep
+        assert max_node_output_rows(kept) <= 6 * n   # LINEAR, no pairs

@@ -225,6 +225,24 @@ def audio_dedup_incremental(new_media: DataFrame, table: str,
         survivors.withColumnRenamed("id", id_col), id_col, "left_semi")
 
 
+def audio_dedup_keep(media: DataFrame, id_col: str = "doc_id",
+                     content_col: str = "content",
+                     max_hamming: int = 3,
+                     max_df: int | None = 1000) -> DataFrame:
+    """One surviving clip per envelope near-dup component (min id) —
+    the LINEAR-OUTPUT dedup pass (imagehash.chunked_hamming_keep):
+    identical-clip cliques never materialize their quadratic pair
+    lists; components run over the representative pair graph only."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        chunked_hamming_keep,
+    )
+    keep = chunked_hamming_keep(
+        _audio_sig(media, id_col, content_col), list(_ENV_COLS),
+        max_hamming, cache_key="audio_dedup_keep", max_df=max_df)
+    return media.join(keep.withColumnRenamed("id", id_col), id_col,
+                      "left_semi")
+
+
 def merge_new_audio_hashes(survivors_media: DataFrame, table: str,
                            n_buckets: int = 32,
                            id_col: str = "doc_id",

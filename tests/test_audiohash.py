@@ -120,3 +120,32 @@ class TestAudioNearDups:
                     lo, hi = sorted((a["doc_id"], b["doc_id"]))
                     want.add((lo, hi, ham))
         assert got == want and len(want) > 0
+
+
+def test_audio_dedup_keep_linear_survivors(spark):
+    """audio_dedup_keep: one survivor per envelope component (min id,
+    singletons included) — equals the pairs+components composition."""
+    import random
+    from datafusion_postgres_spark.operators.audiohash import (
+        audio_dedup_keep, audio_near_dup_pairs, encode_wav_pcm16,
+    )
+    from datafusion_postgres_spark.operators.dedup import (
+        connected_components,
+    )
+    rng = random.Random(61)
+    base = [rng.randrange(-30000, 30000) for _ in range(256)]
+    near = list(base)
+    near[5] += 12
+    blobs = ([encode_wav_pcm16(8000, base)] * 3
+             + [encode_wav_pcm16(8000, near)]
+             + [encode_wav_pcm16(
+                 8000, [rng.randrange(-30000, 30000) for _ in range(256)])
+                for _ in range(12)])
+    media = spark.createDataFrame(list(enumerate(blobs)),
+                                  "doc_id long, content binary")
+    kept = sorted(r["doc_id"] for r in audio_dedup_keep(media).collect())
+    comp = {r["doc_id"]: r["component_id"] for r in
+            connected_components(audio_near_dup_pairs(media)).collect()}
+    want = sorted(i for i in range(len(blobs)) if comp.get(i, i) == i)
+    assert kept == want
+    assert 0 in kept and {1, 2, 3}.isdisjoint(set(kept))

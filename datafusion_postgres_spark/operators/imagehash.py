@@ -14,10 +14,11 @@ container:
      sub-byte gray/palette and 16-bit, plus Adam7 interlace),
      GIF87a/89a first frames (the published LZW algorithm in pure
      Python, both interlace modes), netpbm P5/P6, uncompressed
-     8/24-bit BMP, and baseline/extended-sequential huffman JPEG
-     (operators/jpeg.py — T.81 entropy decode + IDCT, luma plane,
-     validated on real libjpeg output). Progressive/arithmetic JPEG
-     stays a NotImplementedError.
+     8/24-bit BMP, and huffman JPEG — baseline, extended sequential,
+     AND progressive (operators/jpeg.py — T.81 entropy decode + IDCT,
+     luma plane, validated pixel-for-pixel against Java ImageIO on
+     real libjpeg files). Arithmetic/lossless JPEG stays a
+     NotImplementedError.
   2. Integer-exact perceptual hashes over the decoded grayscale grid:
      aHash (block mean vs global mean) and dHash (adjacent block mean
      gradient), each 64 bits emitted as FOUR 16-bit chunk columns —

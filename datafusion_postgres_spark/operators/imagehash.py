@@ -518,8 +518,9 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
     same-position frames pair. Output: (id_a, id_b, *block_cols,
     hamming) with id_a < id_b, exact within max_hamming <= 3 (minus
     pairs provable only through a capped chunk)."""
-    members, rp = _rep_structures(sig, cols, max_hamming, cache_key,
-                                  max_df, list(block_cols), pre_cached)
+    members, _, rp = _rep_structures(sig, cols, max_hamming, cache_key,
+                                     max_df, list(block_cols),
+                                     pre_cached)
     bc = list(block_cols)
 
     # within-group pairs: identical signatures, hamming 0 by definition
@@ -549,13 +550,19 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
 
 def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
                     cache_key: str, max_df: int | None, bc: list[str],
-                    pre_cached: bool):
+                    pre_cached: bool, need_members: bool = True):
     """Shared collapse machinery of the perceptual pairing/keep APIs:
-    (members, rep_pairs) where members = (id, rep, *bc, *cols) with
-    rep = min id per distinct (bc, signature) group, and rep_pairs =
+    (members, rsig, rep_pairs) where members = (id, rep, *bc, *cols)
+    with rep = min id per distinct (bc, signature) group, rsig = one
+    (id=rep, *bc, *cols) row per distinct signature, and rep_pairs =
     (ra, rb, *bc, hamming) between DISTINCT signatures within
     max_hamming via the pigeonhole chunk blocking (optionally df-capped
-    on chunk values in >max_df distinct signatures)."""
+    on chunk values in >max_df distinct signatures).
+
+    ``need_members=False`` (the keep path) skips building AND caching
+    the corpus-sized members frame entirely — rsig derives straight
+    from the distinct-signature groupBy, so nothing corpus-sized is
+    cached for a pass whose answer is signature-sized."""
     if max_hamming > 3:
         raise ValueError(
             "4-chunk pigeonhole blocking is exact only for "
@@ -571,15 +578,18 @@ def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
         sig = cache_generation(cache_key, sig)
     group_key = bc + list(cols)
     reps = sig.groupBy(*group_key).agg(F.min("id").alias("rep"))
-    members = cache_generation(
-        cache_key + "_members",
-        sig.join(reps, group_key).select("id", "rep", *bc, *cols))
-
-    # blocking join over REPRESENTATIVES only (one row per distinct
-    # signature) — the collapse is what keeps a 20% identical clique
-    # linear through this node
-    rsig = (members.where(F.col("id") == F.col("rep"))
-            .select("id", *bc, *cols))
+    if need_members:
+        members = cache_generation(
+            cache_key + "_members",
+            sig.join(reps, group_key).select("id", "rep", *bc, *cols))
+        # blocking join over REPRESENTATIVES only (one row per distinct
+        # signature) — the collapse is what keeps a 20% identical
+        # clique linear through this node
+        rsig = (members.where(F.col("id") == F.col("rep"))
+                .select("id", *bc, *cols))
+    else:
+        members = None
+        rsig = reps.select(F.col("rep").alias("id"), *bc, *cols)
     exploded = rsig.select(
         "id", *bc, *cols,
         F.posexplode(F.array(*[F.col(c) for c in cols]))
@@ -615,7 +625,7 @@ def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
     rp = (cand.withColumn("hamming", hamming.cast("bigint"))
           .where(F.col("hamming") <= max_hamming)
           .select("ra", "rb", *bc, "hamming"))
-    return members, rp
+    return members, rsig, rp
 
 
 def chunked_hamming_keep(sig: DataFrame, cols: list[str],
@@ -638,15 +648,14 @@ def chunked_hamming_keep(sig: DataFrame, cols: list[str],
     from datafusion_postgres_spark.operators.dedup import (
         connected_components,
     )
-    members, rp = _rep_structures(sig, cols, max_hamming, cache_key,
-                                  max_df, [], False)
+    _, rsig, rp = _rep_structures(sig, cols, max_hamming, cache_key,
+                                  max_df, [], False, need_members=False)
     rep_edges = rp.select(F.col("ra").alias("id_a"),
                           F.col("rb").alias("id_b"))
     comp = connected_components(rep_edges)
     losers = (comp.where(F.col("component_id") != F.col("doc_id"))
               .select(F.col("doc_id").alias("id")))
-    return (members.where(F.col("id") == F.col("rep")).select("id")
-            .join(losers, "id", "left_anti"))
+    return rsig.select("id").join(losers, "id", "left_anti")
 
 
 def image_dedup_keep(media: DataFrame, id_col: str = "doc_id",

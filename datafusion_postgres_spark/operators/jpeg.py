@@ -356,7 +356,7 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
                     vals = list(content[p:p + 64])
                     p += 64
                 qt[tq] = vals
-        elif marker in (0xC0, 0xC1):               # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/SOF1/SOF2(progressive)
             precision = content[seg0]
             if precision != 8:
                 raise NotImplementedError(
@@ -382,30 +382,10 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
                 tq = content[seg0 + 8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:                       # SOF2: progressive
-            precision = content[seg0]
-            if precision != 8:
-                raise NotImplementedError(
-                    f"{precision}-bit JPEG precision (baseline is 8)")
-            h, w = struct.unpack_from(">HH", content, seg0 + 1)
-            if w == 0 or h == 0:
-                raise ValueError("JPEG frame with zero dimension")
-            if w * h > min(1 << 26, len(content) * 4096):
-                raise ValueError(
-                    f"JPEG declares {w}x{h} pixels from a "
-                    f"{len(content)}-byte stream — implausible header")
-            ncomp = content[seg0 + 5]
-            comps = []
-            for i in range(ncomp):
-                cid = content[seg0 + 6 + 3 * i]
-                hv = content[seg0 + 7 + 3 * i]
-                tq = content[seg0 + 8 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                              "tq": tq})
             frame = {"w": w, "h": h, "comps": comps,
-                     "progressive": True}
-            prog_blocks = {}                       # (row, col) -> zz[64]
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                prog_blocks = {}                   # (row, col) -> zz[64]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -449,6 +429,36 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
     if frame is not None and frame.get("progressive") and prog_blocks:
         return _prog_reconstruct(frame, qt, prog_blocks)
     raise ValueError("JPEG without a scan")
+
+
+def _store_block(zz, lq, plane, lw, x0, y0):
+    """Dequantize one zigzag coefficient block, IDCT, level-shift,
+    clamp, and write into the luma plane — the ONE implementation both
+    the sequential and progressive reconstruction paths share (a
+    rounding/clamp change must never diverge them: cross-format
+    perceptual-hash parity depends on identical pixels)."""
+    coef = [0.0] * 64
+    for i in range(64):
+        coef[ZIGZAG[i]] = zz[i] * lq[i]
+    px = _idct(coef)
+    for yy in range(8):
+        row = (y0 + yy) * lw + x0
+        for xx in range(8):
+            val = int(round(px[yy * 8 + xx])) + 128
+            plane[row + xx] = min(255, max(0, val))
+
+
+def _luma_geometry(frame):
+    """(luma comp, hmax, vmax, out_w, out_h) — the component-raster
+    ceil arithmetic, shared by every reconstruction path."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if hmax == 0 or vmax == 0:
+        raise ValueError("JPEG zero sampling factor")
+    luma = frame["comps"][0]
+    out_w = (frame["w"] * luma["h"] + hmax - 1) // hmax
+    out_h = (frame["h"] * luma["v"] + vmax - 1) // vmax
+    return luma, hmax, vmax, out_w, out_h
 
 
 def _skip_entropy(content: bytes, pos: int) -> int:
@@ -548,11 +558,7 @@ def _prog_scan(content, pos, frame, scomps, huff, restart, blocks,
     the position of the next marker. Chroma-only scans are skipped
     wholesale (scans are marker-delimited, unlike baseline MCUs)."""
     w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    if hmax == 0 or vmax == 0:
-        raise ValueError("JPEG zero sampling factor")
-    luma = frame["comps"][0]
+    luma, hmax, vmax, _, _ = _luma_geometry(frame)
     if all(c["id"] != luma["id"] for c in scomps):
         return _skip_entropy(content, pos)         # chroma-only scan
 
@@ -648,48 +654,29 @@ def _prog_scan(content, pos, frame, scomps, huff, restart, blocks,
 
 
 def _prog_reconstruct(frame, qt, blocks):
-    """Dequantize + IDCT the accumulated luma coefficients."""
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    luma = frame["comps"][0]
+    """Dequantize + IDCT the accumulated luma coefficients — through
+    the same _store_block the sequential path uses."""
+    luma, hmax, vmax, out_w, out_h = _luma_geometry(frame)
     lq = qt.get(luma["tq"])
     if lq is None:
         raise ValueError("JPEG luma quantization table missing")
-    out_w = (w * luma["h"] + hmax - 1) // hmax
-    out_h = (h * luma["v"] + vmax - 1) // vmax
     bw_, bh_ = (out_w + 7) // 8, (out_h + 7) // 8
     lw = bw_ * 8
     plane = [0] * (lw * bh_ * 8)
     for (r, c), zz in blocks.items():
         if r >= bh_ or c >= bw_:
             continue                   # interleaved-DC padding blocks
-        coef = [0.0] * 64
-        for i in range(64):
-            coef[ZIGZAG[i]] = zz[i] * lq[i]
-        px = _idct(coef)
-        x0, y0 = c * 8, r * 8
-        for yy in range(8):
-            row = (y0 + yy) * lw + x0
-            for xx in range(8):
-                val = int(round(px[yy * 8 + xx])) + 128
-                plane[row + xx] = min(255, max(0, val))
+        _store_block(zz, lq, plane, lw, c * 8, r * 8)
     return out_w, out_h, [plane[y * lw + x]
                           for y in range(out_h) for x in range(out_w)]
 
 
 def _decode_scan(content, pos, frame, scomps, qt, huff, restart):
     w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    if hmax == 0 or vmax == 0:
-        raise ValueError("JPEG zero sampling factor")
-    luma = frame["comps"][0]
+    luma, hmax, vmax, out_w, out_h = _luma_geometry(frame)
     lq = qt.get(luma["tq"])
     if lq is None:
         raise ValueError("JPEG luma quantization table missing")
-    out_w = (w * luma["h"] + hmax - 1) // hmax
-    out_h = (h * luma["v"] + vmax - 1) // vmax
 
     br = _BitReader(content, pos)
     preds = {c["id"]: 0 for c in scomps}
@@ -729,15 +716,7 @@ def _decode_scan(content, pos, frame, scomps, qt, huff, restart):
                 preds[cid] = 0
 
     def store_luma(zz, plane, lw, x0, y0):
-        coef = [0.0] * 64
-        for i in range(64):
-            coef[ZIGZAG[i]] = zz[i] * lq[i]
-        px = _idct(coef)
-        for yy in range(8):
-            row = (y0 + yy) * lw + x0
-            for xx in range(8):
-                val = int(round(px[yy * 8 + xx])) + 128
-                plane[row + xx] = min(255, max(0, val))
+        _store_block(zz, lq, plane, lw, x0, y0)
 
     if len(scomps) == 1:
         # NON-INTERLEAVED scan (T.81 A.2.2): one data unit per MCU,

@@ -270,10 +270,7 @@ def video_near_dup_pairs(media: DataFrame, every_n: int = 2,
     ``min_match_frames`` keeps only pairs matching at least that many
     positions (pass the sampled-position count to require EVERY
     sampled frame to match — the dedup-grade criterion)."""
-    sig = (video_frame_hashes(media, every_n, id_col, content_col)
-           .where(F.col("ahash_c0").isNotNull())
-           .select(F.col("doc_id").alias("id"), "frame_pos",
-                   *[f"ahash_c{j}" for j in range(4)]))
+    sig = _video_sig(media, every_n, id_col, content_col)
     fpairs = chunked_hamming_pairs(
         sig, [f"ahash_c{j}" for j in range(4)], max_hamming,
         cache_key="video_near_dup_pairs", max_df=max_df,

@@ -645,17 +645,51 @@ def chunked_hamming_keep(sig: DataFrame, cols: list[str],
     pair graph. Semantics identical to
     ``connected_components(chunked_hamming_pairs(...))`` + keep-min +
     singletons — pinned against that composition in tests."""
-    from datafusion_postgres_spark.operators.dedup import (
-        connected_components,
-    )
     _, rsig, rp = _rep_structures(sig, cols, max_hamming, cache_key,
                                   max_df, [], False, need_members=False)
     rep_edges = rp.select(F.col("ra").alias("id_a"),
-                          F.col("rb").alias("id_b"))
-    comp = connected_components(rep_edges)
-    losers = (comp.where(F.col("component_id") != F.col("doc_id"))
-              .select(F.col("doc_id").alias("id")))
-    return rsig.select("id").join(losers, "id", "left_anti")
+                          F.col("rb").alias("id_b")).persist()
+    try:
+        n_edges = rep_edges.count()
+        spark = sig.sparkSession
+        if n_edges <= 2_000_000:
+            # the common case: the rep-edge graph is SIGNATURE-level
+            # (distinct-signature near-dup structure, not corpus rows)
+            # — collect and union-find on the driver, the bpe/kmeans
+            # small-side driver-loop convention. One Spark action
+            # total, vs 2 jobs per Pregel round.
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in rep_edges.collect():
+                ra, rb = find(row["id_a"]), find(row["id_b"])
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            loser_ids = [x for x in parent if find(x) != x]
+            losers = spark.createDataFrame(
+                [(int(x),) for x in loser_ids], "id long")
+        else:
+            # distributed fallback: min-label propagation over the
+            # edge graph (a >2M-edge rep graph means the corpus holds
+            # millions of DISTINCT mutually-near signatures)
+            from datafusion_postgres_spark.operators.dedup import (
+                connected_components,
+            )
+            comp = connected_components(rep_edges)
+            losers = (comp.where(F.col("component_id")
+                                 != F.col("doc_id"))
+                      .select(F.col("doc_id").alias("id")))
+        return rsig.select("id").join(losers, "id", "left_anti")
+    finally:
+        rep_edges.unpersist(blocking=False)
 
 
 def image_dedup_keep(media: DataFrame, id_col: str = "doc_id",

@@ -254,6 +254,21 @@ def main() -> None:
         measure(tag, IH.image_near_dup_pairs(media), results,
                 collect_cols=["id_a"])
 
+    # -- the keep API on the same clique corpora: out_rows ~ corpus
+    #    (survivors), widest node linear — the clique's ~19.9k pairs
+    #    are never materialized at all (the pairs API above is
+    #    output-bound quadratic on the clique by contract)
+    for tag, lim in (("image_clique_keep_10k", 10_000),
+                     ("image_clique_keep_corpus2x_20k", 20_000)):
+        corp = (docs.where(F.col("doc_id") < lim)
+                .withColumn("text",
+                            F.when(F.col("doc_id") < 200,
+                                   F.lit("CLIQUE-ASSET"))
+                            .otherwise(F.col("text"))))
+        media = IH.synthesize_png_corpus(corp)
+        measure(tag, IH.image_dedup_keep(media), results,
+                collect_cols=["doc_id"])
+
     out = {
         "dataset": {"root": root, "n_docs": n_docs,
                     "n_events": events.count(),

@@ -259,6 +259,13 @@ COMMENTARY = {
         "defilter, GIF LZW, netpbm raw) inside the one decode scan; the "
         "plan is identical to multimodal_image_neardups because format "
         "dispatch is per-row Python inside the same mapInPandas stage.",
+    "multimodal_image_dedup_keep":
+        "Round 8: the LINEAR-OUTPUT dedup pass — survivors (min per "
+        "near-dup component, singletons included) computed WITHOUT "
+        "materializing within-clique pairs: non-representative members "
+        "lose by construction and min-label components run over the "
+        "small representative pair graph; nothing corpus-sized is "
+        "cached (the keep path skips the members frame entirely).",
     "text_clf_auc":
         "Round 8: tie-corrected Mann-Whitney AUC from the bounded "
         "ROUND(x,6) score histogram; the cumulative pass is the "

@@ -2396,8 +2396,10 @@ def text_url_then_content_dedup(spark, sf_dir):
                                     .alias("doc_id")), "doc_id")
 
 
-@register("multimodal_audio_neardups", oracle="""
-WITH av AS (
+# shared CTE block: text-derived PCM16 samples -> integer-exact energy
+# envelope -> hamming<=3 near-dup pairs; used by the audio pair query
+# AND the audio keep closure below
+_AUD_PAIR_CTES = """av AS (
   SELECT doc_id,
          list_transform(range(256),
            i -> abs((ord(text[1 + (i % greatest(length(text), 1))]) % 256
@@ -2412,22 +2414,30 @@ fr AS (
          list_transform(range(64),
            k -> a[1 + k*4] + a[2 + k*4] + a[3 + k*4] + a[4 + k*4]) AS fs
   FROM s),
-chunks AS (
+achunks AS (
   SELECT doc_id,
          list_transform(range(4), j ->
            list_reduce(list_prepend(0, list_transform(range(16), k ->
              CASE WHEN fs[1 + j*16 + k] * 64 >= total
                   THEN (1 << k) ELSE 0 END)),
              (x, v) -> x + v)) AS ch
-  FROM fr)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
-          + bit_count(xor(a.ch[3], b.ch[3])) + bit_count(xor(a.ch[4], b.ch[4]))
-         AS BIGINT) AS hamming
-FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
-    + bit_count(xor(a.ch[3], b.ch[3])) + bit_count(xor(a.ch[4], b.ch[4])) <= 3
-ORDER BY id_a, id_b
+  FROM fr),
+apairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.ch[1], b.ch[1]))
+            + bit_count(xor(a.ch[2], b.ch[2]))
+            + bit_count(xor(a.ch[3], b.ch[3]))
+            + bit_count(xor(a.ch[4], b.ch[4])) AS BIGINT) AS hamming
+  FROM achunks a JOIN achunks b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
+      + bit_count(xor(a.ch[3], b.ch[3]))
+      + bit_count(xor(a.ch[4], b.ch[4])) <= 3
+)"""
+
+
+@register("multimodal_audio_neardups", oracle=f"""
+WITH {_AUD_PAIR_CTES}
+SELECT id_a, id_b, hamming FROM apairs ORDER BY id_a, id_b
 """)
 def multimodal_audio_neardups(spark, sf_dir):
     """Perceptual AUDIO near-dup dedup — the third modality of the
@@ -2445,6 +2455,40 @@ def multimodal_audio_neardups(spark, sf_dir):
     return sorted_small(ah.audio_near_dup_pairs(media, max_hamming=3,
                                          max_df=None),
                         "id_a", "id_b")
+
+
+@register("multimodal_audio_dedup_keep", oracle=f"""
+WITH RECURSIVE {_AUD_PAIR_CTES},
+aedges AS (
+  SELECT id_a AS a, id_b AS b FROM apairs
+  UNION ALL
+  SELECT id_b, id_a FROM apairs
+),
+areach(a, b) AS (
+  SELECT a, b FROM aedges
+  UNION
+  SELECT r.a, e.b FROM areach r JOIN aedges e ON r.b = e.a
+),
+alosers AS (
+  SELECT a FROM areach GROUP BY a HAVING MIN(b) < a)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT a FROM alosers)
+ORDER BY doc_id
+""")
+def multimodal_audio_dedup_keep(spark, sf_dir):
+    """The LINEAR-OUTPUT audio dedup pass — audio twin of
+    multimodal_image_dedup_keep: one surviving clip per envelope
+    near-dup component (min id, singletons included), survivors
+    computed from the representative graph without materializing
+    within-clique pairs (operators/audiohash.audio_dedup_keep). The
+    oracle replays the naive pair closure + keep-min."""
+    from datafusion_postgres_spark.operators import audiohash as ah
+    docs = t(spark, sf_dir, "documents")
+    media = ah.synthesize_wav_corpus(docs)
+    kept = ah.audio_dedup_keep(media, max_hamming=3, max_df=None)
+    return sorted_small(
+        kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
+        "doc_id")
 
 
 @register("multimodal_image_components", oracle=f"""

@@ -2604,8 +2604,10 @@ def multimodal_mixed_format_neardups(spark, sf_dir):
                         "id_a", "id_b")
 
 
-@register("multimodal_video_neardups", oracle="""
-WITH vpos(f) AS (VALUES (0), (2), (4)),
+# shared CTE block: text-derived per-frame 8x8 grids -> per-position
+# aHash chunks -> video pairs matching at ALL 3 sampled positions;
+# used by the video pair query AND the video keep closure below
+_VID_PAIR_CTES = """vpos(f) AS (VALUES (0), (2), (4)),
 vpx AS (
   SELECT doc_id, f,
          list_transform(range(64),
@@ -2632,10 +2634,17 @@ vfp AS (
   FROM vchunks a JOIN vchunks b ON a.f = b.f AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.ch[1], b.ch[1])) + bit_count(xor(a.ch[2], b.ch[2]))
       + bit_count(xor(a.ch[3], b.ch[3])) + bit_count(xor(a.ch[4], b.ch[4]))
-      <= 3)
-SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frames,
-       CAST(SUM(hm) AS BIGINT) AS total_hamming
-FROM vfp GROUP BY id_a, id_b HAVING COUNT(*) >= 3
+      <= 3),
+vdups AS (
+  SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(hm) AS BIGINT) AS total_hamming
+  FROM vfp GROUP BY id_a, id_b HAVING COUNT(*) >= 3
+)"""
+
+
+@register("multimodal_video_neardups", oracle=f"""
+WITH {_VID_PAIR_CTES}
+SELECT id_a, id_b, n_frames, total_hamming FROM vdups
 ORDER BY id_a, id_b
 """)
 def multimodal_video_neardups(spark, sf_dir):
@@ -2659,6 +2668,51 @@ def multimodal_video_neardups(spark, sf_dir):
     pairs = vh.video_near_dup_pairs(media, every_n=2, max_hamming=3,
                                     min_match_frames=3, max_df=None)
     return sorted_small(pairs, "id_a", "id_b")
+
+
+@register("multimodal_video_dedup_keep", oracle=f"""
+WITH RECURSIVE {_VID_PAIR_CTES},
+vedges AS (
+  SELECT id_a AS a, id_b AS b FROM vdups
+  UNION ALL
+  SELECT id_b, id_a FROM vdups
+),
+vreach(a, b) AS (
+  SELECT a, b FROM vedges
+  UNION
+  SELECT r.a, e.b FROM vreach r JOIN vedges e ON r.b = e.a
+),
+vlosers AS (
+  SELECT a FROM vreach GROUP BY a HAVING MIN(b) < a)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT a FROM vlosers)
+ORDER BY doc_id
+""")
+def multimodal_video_dedup_keep(spark, sf_dir):
+    """Video dedup KEEP set: one surviving video per near-dup
+    component, where near-dup = ALL 3 sampled frame positions within
+    hamming <= 3 (video_near_dup_pairs composed with
+    connected_components + keep-min + singletons — the all-positions
+    aggregation forbids the representative shortcut the image/audio
+    keep APIs use, so this is the pairs-composed form; identical-video
+    cliques are still collapse-bounded inside the per-position
+    blocking). The oracle replays the per-frame hashes, position join,
+    rollup, and transitive closure."""
+    from datafusion_postgres_spark.operators import videohash as vh
+    from datafusion_postgres_spark.operators.dedup import (
+        connected_components,
+    )
+    docs = t(spark, sf_dir, "documents")
+    media = vh.synthesize_mp4_corpus(docs, side=8, n_frames=6)
+    pairs = vh.video_near_dup_pairs(media, every_n=2, max_hamming=3,
+                                    min_match_frames=3, max_df=None)
+    comp = connected_components(pairs)
+    losers = (comp.where(F.col("component_id") != F.col("doc_id"))
+              .select("doc_id"))
+    kept = docs.select("doc_id").join(losers, "doc_id", "left_anti")
+    return sorted_small(
+        kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
+        "doc_id")
 
 
 @register("text_url_dedup", oracle="""

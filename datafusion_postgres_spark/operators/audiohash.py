@@ -230,9 +230,11 @@ def audio_dedup_keep(media: DataFrame, id_col: str = "doc_id",
                      max_hamming: int = 3,
                      max_df: int | None = 1000) -> DataFrame:
     """One surviving clip per envelope near-dup component (min id) —
-    the LINEAR-OUTPUT dedup pass (imagehash.chunked_hamming_keep):
-    identical-clip cliques never materialize their quadratic pair
-    lists; components run over the representative pair graph only."""
+    the LINEAR-OUTPUT dedup pass (imagehash.chunked_hamming_keep,
+    operators/repgraph.py contract): identical-clip cliques never
+    materialize their quadratic pair lists; components run over the
+    representative pair graph only. ``max_df`` defaults to the lossy
+    1000 hot-chunk cap (round-8 behavior change — None for exact)."""
     from datafusion_postgres_spark.operators.imagehash import (
         chunked_hamming_keep,
     )

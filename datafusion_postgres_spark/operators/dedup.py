@@ -441,6 +441,157 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# text-tier LINEAR-OUTPUT dedup keep (round-9 verdict item #1)
+#
+# The pairs APIs above are inherently quadratic on a near-identical
+# boilerplate clique (template/whitespace variants that survive exact
+# dedup). A dedup PASS only needs the keep set, which the shared
+# collapse + rep-graph contract (operators/repgraph.py) computes with
+# output linear in the corpus.
+
+def simhash_dedup_keep(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 48,
+                       max_hamming: int = 3,
+                       max_df: int | None = None) -> DataFrame:
+    """One surviving document per simhash near-dup component (min id,
+    singletons included; empty-text docs are outside the hashing domain
+    and always survive) — the text twin of imagehash.image_dedup_keep.
+
+    The 48-bit simhash splits into FOUR 12-bit chunks and rides the
+    shared imagehash.chunked_hamming_keep machinery: pigeonhole over 4
+    chunks stays exact for hamming <= 3, signature-identical docs (a
+    boilerplate clique's members all hash identically — e.g. k-fold
+    repetitions of the same base text preserve every per-bit majority)
+    collapse to one representative BEFORE the blocking join, and
+    components run over the representative pair graph only
+    (operators/repgraph.py). Semantics identical to
+    ``connected_components(simhash_near_pairs(...))`` + keep-min +
+    singletons — pinned against that composition in tests and against
+    a full recursive-closure DuckDB oracle.
+
+    ``max_df`` defaults to None (EXACT — matching simhash_near_pairs);
+    note a 12-bit chunk space saturates quickly, so a df cap here
+    costs recall faster than on 16-bit image chunks — prefer the
+    collapse (always on) as the skew bound."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        chunked_hamming_keep,
+    )
+    if bits % 4:
+        raise ValueError(f"bits must be divisible by 4 (got {bits})")
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    cols = [f"sh_c{j}" for j in range(4)]
+    sig = simhash(docs, text_col, id_col, bits).select(
+        "id", *[F.shiftright("simhash", j * chunk_bits)
+                .bitwiseAND(mask).alias(c)
+                for j, c in enumerate(cols)])
+    keep = chunked_hamming_keep(sig, cols, max_hamming,
+                                cache_key="simhash_dedup_keep",
+                                max_df=max_df)
+    losers = sig.select("id").join(keep, "id", "left_anti")
+    return docs.join(losers.withColumnRenamed("id", id_col), id_col,
+                     "left_anti")
+
+
+def minhash_dedup_keep(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3, k: int = 32,
+                       bands: int = 8, threshold: float = 0.5,
+                       band_hash: str = "xxhash64",
+                       verify_broadcast: bool = False) -> DataFrame:
+    """One surviving document per VERIFIED minhash/LSH near-dup
+    component (min id, singletons included; empty-text docs always
+    survive) — semantics identical to
+    ``connected_components(minhash_lsh_pairs(...))`` + keep-min +
+    singletons, with output linear in the corpus.
+
+    Collapse signature = the exact sorted-distinct GRAM SET, not the
+    minhash signature: equal minhash signatures do NOT imply the
+    verified predicate (minhash only estimates Jaccard, so a
+    signature-level collapse could mark non-duplicates as losers),
+    whereas gram-set-equal docs are perfect substitutes — Jaccard 1 >=
+    any threshold <= 1 with each other, and identical Jaccard (and
+    identical signatures, hence identical banding) against every third
+    doc. That still collapses the boilerplate cliques that motivate
+    the keep API: template/whitespace variants and k-fold repetitions
+    share the normalized shingle set while surviving exact dedup.
+
+    Plan shape: one groupBy on the gram array (the same payload the
+    verification join already ships) collapses cliques; banding,
+    candidate join, and exact-Jaccard verification then run over
+    REPRESENTATIVES only; component structure lifts through
+    operators/repgraph.py's driver union-find / Pregel fallback.
+    ``verify_broadcast`` as in minhash_lsh_pairs."""
+    from datafusion_postgres_spark.operators.repgraph import loser_ids
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1] — gram-set "
+                         f"collapse needs Jaccard 1 to qualify as a "
+                         f"duplicate (got {threshold})")
+    if band_hash not in ("xxhash64", "poly"):
+        raise ValueError(f"band_hash must be 'xxhash64' or 'poly', "
+                         f"got {band_hash!r}")
+    portable = band_hash == "poly"
+    rows_per_band = k // bands
+    # SAME generation key as minhash_lsh_pairs: the plan is identical
+    # (shingles + signatures), and registering it under a second key
+    # would alias one InMemoryRelation under two generations — rotating
+    # either would unpersist storage the other still believes live
+    per_doc = cache_generation(
+        "minhash_lsh_pairs",
+        shingle_array(docs, text_col, id_col, n)
+        .withColumn("sig", _sig_expr(k)))
+    # one row per DISTINCT gram set; sig/set_size are functions of the
+    # group key, so first() is deterministic here
+    rep_doc = cache_generation(
+        "minhash_dedup_keep_reps",
+        per_doc.groupBy("grams").agg(F.min("id").alias("id"),
+                                     F.first("sig").alias("sig"))
+        .withColumn("set_size", F.size("grams")))
+    banded = rep_doc.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     _band_hash("sig", bi, rows_per_band, portable)
+                     .alias("band_hash"))
+            for bi in range(bands)])).alias("bh"))
+    cand = (banded.alias("x").join(
+                banded.alias("y"),
+                (F.col("x.bh") == F.col("y.bh")) &
+                (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("y.id").alias("id_b"))
+            .distinct())
+    ga = rep_doc.select(F.col("id").alias("id_a"),
+                        F.col("grams").alias("grams_a"))
+    gb = rep_doc.select(F.col("id").alias("id_b"),
+                        F.col("grams").alias("grams_b"))
+    if verify_broadcast:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
+    rep_edges = (cand.join(ga, "id_a").join(gb, "id_b")
+                 .withColumn("inter_n",
+                             F.size(F.array_intersect("grams_a",
+                                                      "grams_b"))
+                             .cast("bigint"))
+                 .withColumn(
+                     "union_n",
+                     (F.size("grams_a") + F.size("grams_b")
+                      - F.col("inter_n")).cast("bigint"))
+                 # division form, NOT cross-multiplied: must take the
+                 # same IEEE path as minhash_lsh_pairs' verify and the
+                 # DuckDB oracle (one double divide on identical
+                 # integer inputs is bit-identical across engines)
+                 .where(F.col("inter_n") / F.col("union_n")
+                        >= threshold)
+                 .select("id_a", "id_b"))
+    rep_losers = loser_ids(rep_edges)
+    member_losers = (per_doc.select("id")
+                     .join(rep_doc.select("id"), "id", "left_anti"))
+    losers = member_losers.unionByName(rep_losers)
+    return docs.join(losers.withColumnRenamed("id", id_col), id_col,
+                     "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 
 def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.38,

@@ -642,54 +642,18 @@ def chunked_hamming_keep(sig: DataFrame, cols: list[str],
     group members lose by construction (their rep has a smaller id and
     hamming 0), and component structure between DISTINCT signatures is
     decided by min-label propagation over the (small) representative
-    pair graph. Semantics identical to
-    ``connected_components(chunked_hamming_pairs(...))`` + keep-min +
-    singletons — pinned against that composition in tests."""
+    pair graph (operators/repgraph.py — the shared keep contract: the
+    rep-edge graph collects as two Arrow long columns up to
+    repgraph.MAX_DRIVER_EDGES, distributed Pregel above). Semantics
+    identical to ``connected_components(chunked_hamming_pairs(...))``
+    + keep-min + singletons — pinned against that composition in
+    tests."""
+    from datafusion_postgres_spark.operators.repgraph import loser_ids
+
     _, rsig, rp = _rep_structures(sig, cols, max_hamming, cache_key,
                                   max_df, [], False, need_members=False)
-    rep_edges = rp.select(F.col("ra").alias("id_a"),
-                          F.col("rb").alias("id_b")).persist()
-    try:
-        n_edges = rep_edges.count()
-        spark = sig.sparkSession
-        if n_edges <= 2_000_000:
-            # the common case: the rep-edge graph is SIGNATURE-level
-            # (distinct-signature near-dup structure, not corpus rows)
-            # — collect and union-find on the driver, the bpe/kmeans
-            # small-side driver-loop convention. One Spark action
-            # total, vs 2 jobs per Pregel round.
-            parent: dict[int, int] = {}
-
-            def find(x: int) -> int:
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
-
-            for row in rep_edges.collect():
-                ra, rb = find(row["id_a"]), find(row["id_b"])
-                if ra != rb:
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            loser_ids = [x for x in parent if find(x) != x]
-            losers = spark.createDataFrame(
-                [(int(x),) for x in loser_ids], "id long")
-        else:
-            # distributed fallback: min-label propagation over the
-            # edge graph (a >2M-edge rep graph means the corpus holds
-            # millions of DISTINCT mutually-near signatures)
-            from datafusion_postgres_spark.operators.dedup import (
-                connected_components,
-            )
-            comp = connected_components(rep_edges)
-            losers = (comp.where(F.col("component_id")
-                                 != F.col("doc_id"))
-                      .select(F.col("doc_id").alias("id")))
-        return rsig.select("id").join(losers, "id", "left_anti")
-    finally:
-        rep_edges.unpersist(blocking=False)
+    losers = loser_ids(rp, col_a="ra", col_b="rb")
+    return rsig.select("id").join(losers, "id", "left_anti")
 
 
 def image_dedup_keep(media: DataFrame, id_col: str = "doc_id",
@@ -701,7 +665,9 @@ def image_dedup_keep(media: DataFrame, id_col: str = "doc_id",
     undecodable rows are excluded from the keep set like they are from
     pairing). The linear-output dedup pass — use this, not
     image_near_dup_pairs ∘ components, when the corpus holds large
-    identical-asset cliques."""
+    identical-asset cliques. ``max_df`` defaults to the lossy 1000 cap
+    (round-8 behavior change — None for exact; see
+    image_near_dup_pairs)."""
     cols = [f"{hash_prefix}_c{j}" for j in range(4)]
     sig = (image_perceptual_hashes(media, id_col, content_col)
            .where(F.col(cols[0]).isNotNull())
@@ -722,7 +688,13 @@ def image_near_dup_pairs(media: DataFrame, id_col: str = "doc_id",
     chunked_hamming_pairs for the blocking contract, identical-image
     collapse, and the ``max_df`` hot-chunk cap). Undecodable rows
     were already dropped by the NULL filter — a codec-format image
-    never pairs."""
+    never pairs.
+
+    BEHAVIOR CHANGE (round 8): ``max_df`` defaults to 1000 — the
+    blocking join drops chunk values shared by more than that many
+    DISTINCT signatures, so a pair whose EVERY shared chunk is that
+    hot is no longer returned. Pass ``max_df=None`` for the exact
+    pre-round-8 behavior (the DuckDB-oracled rows do)."""
     cols = [f"{hash_prefix}_c{j}" for j in range(4)]
     sig = (image_perceptual_hashes(media, id_col, content_col)
            .where(F.col(cols[0]).isNotNull())

@@ -1,0 +1,127 @@
+"""Shared representative-graph machinery for LINEAR-OUTPUT dedup KEEP.
+
+THE COLLAPSE + REP-GRAPH + UNION-FIND CONTRACT (round-9 verdict item
+#8 — every modality's keep API implements exactly this; new modalities
+reuse it rather than re-derive it):
+
+A near-dup *pairs* API is inherently quadratic on a clique — a group of
+g identical items HAS g(g-1)/2 pairs. A dedup *pass* only needs the
+KEEP set (one survivor per duplicate component, minimum id, singletons
+included), and that never requires materializing within-clique pairs:
+
+  1. **Signature collapse.** Pick a per-item SIGNATURE such that
+     signature-equal items are *perfect substitutes* in the pair
+     semantics: (a) signature-equal items are pairwise duplicates by
+     construction, and (b) an item pairs with any third item iff its
+     signature-twin does. Examples meeting both conditions: the full
+     perceptual hash chunk tuple (hamming 0 <= any max_hamming), the
+     48-bit simhash value, the exact shingle-gram SET (Jaccard 1 >=
+     any threshold <= 1, and Jaccard to every outsider is a function
+     of the gram set alone), the full per-position frame-hash tuple of
+     a video (matches at every position by construction). A *lossy*
+     sketch whose equality does NOT imply the verified-duplicate
+     predicate (e.g. a raw minhash signature when pairs are
+     Jaccard-verified) is NOT a valid collapse signature — collapse on
+     the verified content key instead.
+  2. **Representatives.** Group by signature; rep = MIN(id). Non-rep
+     members lose by construction (their rep is a smaller-id duplicate),
+     so they never enter any join. One blocking row per DISTINCT
+     signature survives to the candidate stage.
+  3. **Rep edges.** Run the modality's ordinary blocked + verified
+     pairing over representatives only. The result is the
+     signature-level near-dup graph — output-sized, never clique-sized.
+  4. **Components.** Component structure lifts exactly from reps to
+     members (condition (b) above), and each component's minimum id is
+     the minimum over its reps' group minima = the minimum rep. So the
+     keep set = {surviving reps} + {items outside the pairing domain},
+     and losers = {non-rep members} + {reps losing min-label
+     propagation over the rep edges}.
+
+Step 4's propagation runs on the driver when the rep-edge graph is
+small (the common case: DISTINCT mutually-near signatures, not corpus
+rows) and falls back to the distributed Pregel operator above the
+bound:
+
+  * Driver bound: ``MAX_DRIVER_EDGES`` edges (default 2M), collected as
+    TWO LONG COLUMNS via Arrow ``toPandas`` — ~32 MB of driver heap at
+    the bound, vs hundreds of MB for the same edges as pyspark Row
+    objects (the round-9 ADVICE fix). One Spark action total, vs 2
+    jobs per Pregel round.
+  * Above the bound: ``dedup.connected_components`` min-label
+    propagation — two hash shuffles per round, no driver state.
+
+``max_df`` interplay (see imagehash.chunked_hamming_pairs): the hot-
+chunk document-frequency cap applies to the REP blocking join only and
+can only drop rep edges whose every shared chunk is boilerplate;
+within-group (clique) duplicates are unaffected — the collapse already
+decided those without the join. max_df=None is the exact opt-out used
+by every DuckDB-oracled row.
+
+Implementations on this contract: imagehash.chunked_hamming_keep
+(image aHash / audio envelope / text simhash via 12-bit chunks),
+dedup.minhash_dedup_keep (gram-set collapse), videohash.video_dedup_keep
+(per-position tuple collapse). Each is pytest-pinned EQUAL to its
+pairs-API ∘ connected_components ∘ keep-min composition.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, functions as F
+
+_log = logging.getLogger(__name__)
+
+# Driver-side union-find bound, in rep-graph EDGES. Collected as two
+# long columns through Arrow (16 bytes/edge -> ~32 MB at the bound),
+# never as pyspark Rows (~100x heavier per edge on the driver heap).
+MAX_DRIVER_EDGES = 2_000_000
+
+
+def loser_ids(rep_edges: DataFrame, col_a: str = "id_a",
+              col_b: str = "id_b",
+              max_driver_edges: int = MAX_DRIVER_EDGES) -> DataFrame:
+    """(id) frame of every node in ``rep_edges`` that is NOT its
+    component's minimum — the losing representatives of a keep pass.
+
+    Small graphs (<= max_driver_edges) collect through Arrow and
+    union-find on the driver (one Spark action; the bpe/kmeans
+    small-side driver-loop convention). Larger graphs fall back to the
+    distributed min-label propagation in dedup.connected_components.
+    """
+    spark = rep_edges.sparkSession
+    edges = rep_edges.select(F.col(col_a).cast("long").alias("a"),
+                             F.col(col_b).cast("long").alias("b"))
+    edges = edges.persist()
+    try:
+        n_edges = edges.count()
+        if n_edges <= max_driver_edges:
+            pdf = edges.toPandas()  # two int64 columns via Arrow
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            losers = [x for x in parent if find(x) != x]
+            return spark.createDataFrame([(int(x),) for x in losers],
+                                         "id long")
+        _log.info("repgraph: %d rep edges > %d — distributed min-label "
+                  "fallback", n_edges, max_driver_edges)
+        from datafusion_postgres_spark.operators.dedup import (
+            connected_components,
+        )
+        comp = connected_components(edges, col_a="a", col_b="b")
+        return (comp.where(F.col("component_id") != F.col("doc_id"))
+                .select(F.col("doc_id").alias("id")))
+    finally:
+        edges.unpersist(blocking=False)

@@ -608,6 +608,20 @@ def _lsh_oracle(k: int = 32, bands: int = 8, threshold: float = 0.4) -> str:
     a portable 'poly' fold both sides — this formulation restores the
     ~0.25 s the poly fold cost in the bench while keeping the row fully
     oracled.)"""
+    return f"""
+WITH {_lsh_verified_ctes(k, bands)}
+SELECT id_a, id_b, inter_n, union_n,
+       ROUND(inter_n * 1.0 / union_n, 6) AS jaccard
+FROM verified
+WHERE inter_n * 1.0 / union_n >= {threshold}
+ORDER BY id_a, id_b"""
+
+
+def _lsh_verified_ctes(k: int = 32, bands: int = 8) -> str:
+    """The CTE body (grams → minhashes → band self-join → exact-Jaccard
+    counts) shared by the LSH pairs oracle and the minhash keep-set
+    closure oracle. ``verified`` carries (id_a, id_b, inter_n, union_n)
+    for every banded candidate; callers apply the threshold."""
     from datafusion_postgres_spark.operators.dedup import MH_PRIME, _mh_params
 
     params = _mh_params(k)
@@ -621,8 +635,7 @@ def _lsh_oracle(k: int = 32, bands: int = 8, threshold: float = 0.4) -> str:
             f"SELECT doc_id AS id, {bi} AS band, [{sl}] AS band_key "
             f"FROM grams_t")
     banded = "\n  UNION ALL\n  ".join(band_selects)
-    return f"""
-WITH whs_t AS (
+    return f"""whs_t AS (
   SELECT doc_id, list_transform({_WORDS}, w -> {_duck_hash('w')}) AS whs
   FROM documents WHERE trim(text) <> ''
 ),
@@ -649,12 +662,7 @@ verified AS (
               - len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS union_n
   FROM cand JOIN grams_t ga ON cand.id_a = ga.doc_id
             JOIN grams_t gb ON cand.id_b = gb.doc_id
-)
-SELECT id_a, id_b, inter_n, union_n,
-       ROUND(inter_n * 1.0 / union_n, 6) AS jaccard
-FROM verified
-WHERE inter_n * 1.0 / union_n >= {threshold}
-ORDER BY id_a, id_b"""
+)"""
 
 
 @register("dedup_minhash_lsh", oracle=_lsh_oracle())
@@ -721,6 +729,93 @@ def dedup_simhash(spark, sf_dir):
         dedup.simhash_near_pairs(docs, max_hamming=3)
         .withColumn("hamming", F.col("hamming").cast("bigint")),
         "id_a", "id_b")
+
+
+def _simhash_keep_oracle(max_hamming: int = 3, bits: int = 48) -> str:
+    """Naive-closure keep-set oracle: the full hamming self-join over
+    every signature, transitive closure, keep each component's minimum
+    plus all singletons (docs outside the hashing domain included) —
+    the image/audio/video keep oracles' shape on the text tier."""
+    ctes = _simhash_sig_cte(bits).replace("WITH whs_t",
+                                          "WITH RECURSIVE whs_t", 1)
+    return f"""{ctes},
+spairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}),
+sedges AS (
+  SELECT id_a AS a, id_b AS b FROM spairs
+  UNION ALL
+  SELECT id_b, id_a FROM spairs),
+sreach(a, b) AS (
+  SELECT a, b FROM sedges
+  UNION
+  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a),
+slosers AS (SELECT a FROM sreach GROUP BY a HAVING MIN(b) < a)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT a FROM slosers)
+ORDER BY doc_id"""
+
+
+@register("text_simhash_dedup_keep", oracle=_simhash_keep_oracle())
+def text_simhash_dedup_keep(spark, sf_dir):
+    """The LINEAR-OUTPUT text dedup pass (round-9 verdict item #1):
+    one surviving doc per simhash near-dup component (min id,
+    singletons included), computed WITHOUT materializing within-clique
+    pairs — the 48-bit simhash splits into four 12-bit chunks and
+    rides the shared collapse + rep-graph machinery
+    (operators/repgraph.py; dedup.simhash_dedup_keep). The oracle
+    replays the naive pair closure + keep-min, so a match proves the
+    collapse shortcut equals the pair-materializing semantics on the
+    dominant (text) modality."""
+    docs = t(spark, sf_dir, "documents")
+    kept = dedup.simhash_dedup_keep(docs, max_hamming=3)
+    return sorted_small(
+        kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
+        "doc_id")
+
+
+def _minhash_keep_oracle(k: int = 32, bands: int = 8,
+                         threshold: float = 0.4) -> str:
+    """Naive-closure keep oracle over the VERIFIED banded-LSH pair
+    graph — candidate generation, exact-Jaccard verification, and the
+    component closure all replayed in DuckDB."""
+    return f"""
+WITH RECURSIVE {_lsh_verified_ctes(k, bands)},
+mpairs AS (
+  SELECT id_a, id_b FROM verified
+  WHERE inter_n * 1.0 / union_n >= {threshold}),
+medges AS (
+  SELECT id_a AS a, id_b AS b FROM mpairs
+  UNION ALL
+  SELECT id_b, id_a FROM mpairs),
+mreach(a, b) AS (
+  SELECT a, b FROM medges
+  UNION
+  SELECT r.a, e.b FROM mreach r JOIN medges e ON r.b = e.a),
+mlosers AS (SELECT a FROM mreach GROUP BY a HAVING MIN(b) < a)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT a FROM mlosers)
+ORDER BY doc_id"""
+
+
+@register("text_minhash_dedup_keep", oracle=_minhash_keep_oracle())
+def text_minhash_dedup_keep(spark, sf_dir):
+    """Minhash/LSH keep set with the GRAM-SET collapse
+    (dedup.minhash_dedup_keep): signature-level collapse would be
+    UNSOUND here (equal minhash signatures only estimate Jaccard —
+    they do not imply the verified-duplicate predicate), so the
+    collapse key is the exact shingle set, whose equality makes docs
+    perfect substitutes in the verified pair graph. Banding, candidate
+    join, and Jaccard verification run over representatives only; the
+    oracle replays the NAIVE verified closure over all docs — a match
+    proves the rep-graph shortcut exact."""
+    docs = t(spark, sf_dir, "documents")
+    kept = dedup.minhash_dedup_keep(docs, threshold=0.4,
+                                    verify_broadcast=True)
+    return sorted_small(
+        kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
+        "doc_id")
 
 
 # ---------------------------------------------------------------------------

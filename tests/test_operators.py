@@ -147,6 +147,70 @@ class TestSimhash:
         assert (1, 4) in pairs
 
 
+@pytest.fixture(scope="module")
+def keep_docs(spark):
+    """Boilerplate-clique corpus for the text keep APIs: k-fold
+    repetitions of one base text survive EXACT dedup (different raw
+    bytes) but share the shingle SET (every 3-gram window of X·k
+    appears in X·2) and the simhash (per-bit majorities are scale
+    invariant), so ids 0-3 form the identical-signature clique the
+    collapse must bound; 4 is a near variant, 5-14 distinct, 15 empty
+    (outside the hashing domain — must always survive)."""
+    base = "large language models learn from deduplicated corpora"
+    rows = [(i, " ".join([base] * (2 + i % 3))) for i in range(4)]
+    rows.append((4, base + " mostly"))
+    rows += [(5 + j,
+              f"distinct document number {j} about topic {j * 17}"
+              f" with unrelated content and vocabulary item {j * 31}")
+             for j in range(10)]
+    rows.append((15, "   "))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestTextDedupKeep:
+    """round-9 verdict item #1: text-tier linear-output keep pinned
+    EQUAL to the pairs-API ∘ connected_components ∘ keep-min
+    composition (the repgraph contract)."""
+
+    def test_simhash_keep_equals_composition(self, keep_docs):
+        kept = sorted(r["doc_id"] for r in
+                      dedup.simhash_dedup_keep(keep_docs).collect())
+        pairs = dedup.simhash_near_pairs(keep_docs, max_hamming=3)
+        comp = {r["doc_id"]: r["component_id"] for r in
+                dedup.connected_components(pairs).collect()}
+        ids = [r["doc_id"] for r in keep_docs.collect()]
+        want = sorted(i for i in ids if comp.get(i, i) == i)
+        assert kept == want
+        # the repetition clique collapsed to its minimum; empty doc kept
+        assert 0 in kept and {1, 2, 3}.isdisjoint(set(kept))
+        assert 15 in kept
+
+    def test_minhash_keep_equals_composition(self, keep_docs):
+        kept = sorted(r["doc_id"] for r in
+                      dedup.minhash_dedup_keep(
+                          keep_docs, threshold=0.5).collect())
+        pairs = dedup.minhash_lsh_pairs(keep_docs, threshold=0.5)
+        comp = {r["doc_id"]: r["component_id"] for r in
+                dedup.connected_components(pairs).collect()}
+        ids = [r["doc_id"] for r in keep_docs.collect()]
+        want = sorted(i for i in ids if comp.get(i, i) == i)
+        assert kept == want
+        assert 0 in kept and {1, 2, 3}.isdisjoint(set(kept))
+        assert 15 in kept
+
+    def test_minhash_keep_threshold_validated(self, keep_docs):
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.minhash_dedup_keep(keep_docs, threshold=1.5)
+
+    def test_repetition_variants_share_gram_set(self, keep_docs):
+        """The collapse premise itself: k-fold repetitions produce the
+        same sorted-distinct gram array."""
+        grams = {r["id"]: tuple(r["grams"]) for r in
+                 dedup.shingle_array(keep_docs).collect()}
+        assert grams[0] == grams[1] == grams[2] == grams[3]
+        assert grams[0] != grams[4]
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):

@@ -30,7 +30,7 @@ from __future__ import annotations
 import hashlib
 
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _tbl(spark: SparkSession, name: str) -> DataFrame:
@@ -264,6 +264,96 @@ def _video_near_dups(spark, args):
                                 min_match_frames=mmf)
 
 
+def _simhash_dedup_keep(spark, args):
+    """simhash_dedup_keep(corpus[, max_hamming]): the LINEAR-OUTPUT
+    text dedup KEEP set — one surviving doc_id per simhash near-dup
+    component, min id, singletons included (round-9 verdict item #3:
+    the production dedup ANSWER, not just the pairs, reachable from
+    SQL). Returns ids so the result schema is stable whatever columns
+    the corpus carries; semi-join it back for the kept rows."""
+    from datafusion_postgres_spark.operators.dedup import (
+        simhash_dedup_keep,
+    )
+    mh = int(args[1]) if len(args) > 1 else 3
+    return (simhash_dedup_keep(_tbl(spark, args[0]), max_hamming=mh)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
+def _minhash_dedup_keep(spark, args):
+    """minhash_dedup_keep(corpus[, threshold]): keep set of the
+    VERIFIED minhash/LSH near-dup graph (gram-set collapse; see
+    operators/dedup.minhash_dedup_keep)."""
+    from datafusion_postgres_spark.operators.dedup import (
+        minhash_dedup_keep,
+    )
+    threshold = float(args[1]) if len(args) > 1 else 0.5
+    return (minhash_dedup_keep(_tbl(spark, args[0]), threshold=threshold)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
+def _image_dedup_keep(spark, args):
+    """image_dedup_keep(media[, max_hamming]): keep set of the
+    perceptual image near-dup graph (undecodable rows excluded like
+    they are from pairing)."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        image_dedup_keep,
+    )
+    mh = int(args[1]) if len(args) > 1 else 3
+    return (image_dedup_keep(_tbl(spark, args[0]), max_hamming=mh)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
+def _audio_dedup_keep(spark, args):
+    """audio_dedup_keep(media[, max_hamming]): keep set of the
+    envelope audio near-dup graph."""
+    from datafusion_postgres_spark.operators.audiohash import (
+        audio_dedup_keep,
+    )
+    mh = int(args[1]) if len(args) > 1 else 3
+    return (audio_dedup_keep(_tbl(spark, args[0]), max_hamming=mh)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
+def _video_dedup_keep(spark, args):
+    """video_dedup_keep(media[, max_hamming[, min_match_frames]]):
+    keep set of the sampled-frame video near-dup graph (tuple
+    collapse; undecodable/coded rows always survive)."""
+    from datafusion_postgres_spark.operators.videohash import (
+        video_dedup_keep,
+    )
+    mh = int(args[1]) if len(args) > 1 else 3
+    mmf = int(args[2]) if len(args) > 2 else None
+    return (video_dedup_keep(_tbl(spark, args[0]), max_hamming=mh,
+                             min_match_frames=mmf)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
+def _maintain_ann_index(spark, args):
+    """maintain_ann_index(embeddings, index_path[, min_recall]): the
+    probe -> rebuild-or-compact policy (sources/ann_index.
+    maintain_ivf_sq8_index) as a one-row status table. The path must
+    already hold an index (its _ann_meta.json is read first); the
+    corpus table is RBAC-checked like every TVF table argument, and
+    the maintenance action itself only runs AFTER statement
+    authorization (materialize_pipeline_tvfs ordering)."""
+    from datafusion_postgres_spark.sources.ann_index import (
+        maintain_ivf_sq8_index,
+    )
+    min_recall = float(args[2]) if len(args) > 2 else 0.8
+    rep = maintain_ivf_sq8_index(spark, args[1], _tbl(spark, args[0]),
+                                 min_recall=min_recall)
+    post = rep.get("post_probe", rep["probe"])
+    row = (rep["action"],
+           float(rep["probe"]["recall_at_k"]),
+           float(post["recall_at_k"]),
+           float(rep["min_recall"]),
+           int(rep.get("compaction", {}).get("compacted_cells", 0)))
+    return spark.createDataFrame(
+        [row],
+        "action string, recall double, post_recall double, "
+        "min_recall double, compacted_cells int")
+
+
 # psql-\df metadata (pg_proc rows): name -> (argument text, result text)
 TVF_SIGNATURES = {
     "minhash_near_dups": (
@@ -363,6 +453,27 @@ TVF_SIGNATURES = {
         "media text, max_hamming integer, min_match_frames integer",
         "TABLE(id_a bigint, id_b bigint, n_frames bigint, "
         "total_hamming bigint)"),
+    "simhash_dedup_keep": (
+        "corpus text, max_hamming integer",
+        "TABLE(doc_id bigint)"),
+    "minhash_dedup_keep": (
+        "corpus text, threshold double precision",
+        "TABLE(doc_id bigint)"),
+    "image_dedup_keep": (
+        "media text, max_hamming integer",
+        "TABLE(doc_id bigint)"),
+    "audio_dedup_keep": (
+        "media text, max_hamming integer",
+        "TABLE(doc_id bigint)"),
+    "video_dedup_keep": (
+        "media text, max_hamming integer, min_match_frames integer",
+        "TABLE(doc_id bigint)"),
+    "maintain_ann_index": (
+        "embeddings text, index_path text, "
+        "min_recall double precision",
+        "TABLE(action text, recall double precision, "
+        "post_recall double precision, min_recall double precision, "
+        "compacted_cells integer)"),
 }
 
 # name -> (builder, min_args, max_args, n_table_args)
@@ -392,6 +503,12 @@ TVF_REGISTRY = {
     "audio_near_dups": (_audio_near_dups, 1, 2, 1),
     "url_dup_groups": (_url_dup_groups, 1, 2, 1),
     "video_near_dups": (_video_near_dups, 1, 3, 1),
+    "simhash_dedup_keep": (_simhash_dedup_keep, 1, 2, 1),
+    "minhash_dedup_keep": (_minhash_dedup_keep, 1, 2, 1),
+    "image_dedup_keep": (_image_dedup_keep, 1, 2, 1),
+    "audio_dedup_keep": (_audio_dedup_keep, 1, 2, 1),
+    "video_dedup_keep": (_video_dedup_keep, 1, 3, 1),
+    "maintain_ann_index": (_maintain_ann_index, 2, 3, 1),
 }
 
 class TvfError(ValueError):

@@ -50,6 +50,30 @@ def _semantic_hash(df: DataFrame) -> int | None:
         return None
 
 
+# leaf classes whose content is fixed for the life of the plan — safe
+# to SKIP when fingerprinting (no external file set to go stale).
+# Scala object classes carry a trailing '$'.
+_LOCAL_LEAVES = frozenset({
+    "LocalRelation", "OneRowRelation", "Range", "LogicalRDD",
+    "InMemoryRelation",
+})
+
+
+def _leaf_files(leaf) -> list[str]:
+    """Concrete file list of one analyzed-plan leaf; raises for leaves
+    without a file location (local rows, streams, JDBC, DSv2)."""
+    arr = leaf.relation().location().inputFiles()
+    return [arr[j] for j in range(len(arr))]
+
+
+def _is_local_leaf(leaf) -> bool:
+    try:
+        return (leaf.getClass().getSimpleName().rstrip("$")
+                in _LOCAL_LEAVES)
+    except Exception:
+        return False
+
+
 def _input_fingerprint(df: DataFrame) -> int | None:
     """Hash of the concrete files backing ``df``'s plan. An INSERT into
     a base table changes the file set even though the PLAN is
@@ -67,17 +91,32 @@ def _input_fingerprint(df: DataFrame) -> int | None:
     instead of warm-hitting). The analyzed plan still shows the real
     LogicalRelations before cache substitution, so this fingerprint
     keeps working — and keeps DETECTING inserts — while the cache is
-    live."""
+    live.
+
+    A leaf with NO extractable file location is skipped silently only
+    when it is a known content-fixed local leaf (_LOCAL_LEAVES). Any
+    OTHER unextractable leaf (DSv2, JDBC, streaming) means the file
+    walk alone would be a PARTIAL fingerprint that pins a stale
+    snapshot when the skipped source changes — then the result merges
+    ``Dataset.inputFiles()`` (which covers DSv2 file sources), and if
+    that adds nothing the fingerprint is None so the generation
+    re-caches every time (correct over fast; round-9 ADVICE fix)."""
     files: list[str] = []
+    unknown_skip = False
     try:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
         for i in range(leaves.size()):
             leaf = leaves.apply(i)
             try:
-                arr = leaf.relation().location().inputFiles()
-                files.extend(arr[j] for j in range(len(arr)))
+                files.extend(_leaf_files(leaf))
             except Exception:
-                continue            # non-file leaf (local rows, stream)
+                if not _is_local_leaf(leaf):
+                    unknown_skip = True
+        if unknown_skip:
+            got = df.inputFiles()
+            if not got:
+                return None        # cannot tell — never pin a partial
+            files.extend(got)
         if files:
             return hash(tuple(sorted(files)))
         got = df.inputFiles()       # v2 sources etc. — best effort

@@ -323,7 +323,18 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
     are entropy-decoded where the bit stream is interleaved and
     skipped at the marker level where it is not; arithmetic/lossless
     frames raise NotImplementedError; malformed streams raise
-    ValueError."""
+    ValueError — GUARANTEED: short/truncated segments that would
+    surface as IndexError/struct.error from the parsers are converted
+    here, so direct API callers can rely on the documented contract
+    (round-9 ADVICE fix; the mapInPandas poison-row handlers never
+    depended on it)."""
+    try:
+        return _decode_jpeg_gray(content)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
     if content[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, list[int]] = {}
@@ -394,10 +405,19 @@ def decode_jpeg_gray(content: bytes) -> tuple[int, int, list[int]]:
         elif marker == 0xC4:                       # DHT
             p = seg0
             while p < seg1:
+                if p + 17 > n:
+                    raise ValueError("JPEG DHT segment truncated")
                 cls, tid = content[p] >> 4, content[p] & 0x0F
                 counts = list(content[p + 1:p + 17])
                 nv = sum(counts)
                 values = list(content[p + 17:p + 17 + nv])
+                if len(values) != nv:
+                    # counts claim more values than the stream holds —
+                    # the documented-contract case (round-9 ADVICE):
+                    # ValueError, never an IndexError out of
+                    # _canonical_codes
+                    raise ValueError(
+                        "JPEG DHT counts exceed segment values")
                 huff[(cls, tid)] = _decode_table(counts, values)
                 p += 17 + nv
         elif marker == 0xDD:                       # DRI

@@ -1197,19 +1197,13 @@ def sim_lsh_multiprobe(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # multimodal + session windows
 
-@register("multimodal_metadata", oracle=None)
-def multimodal_metadata(spark, sf_dir):
-    """Binary-column decode plumbing: text bytes stand in for media, the
-    deterministic fake decoder runs through mapInPandas (rows-only: the
-    checksum arithmetic is Python-side by design)."""
-    from datafusion_postgres_spark.operators import multimodal as mm
-    docs = t(spark, sf_dir, "documents")
-    media = mm.attach_binary_content(docs)
-    return (mm.extract_metadata(media, fake_decode=True)
-            .orderBy("doc_id"))
+# multimodal_metadata (rows-only) was RETIRED in round 9 (verdict item
+# #4): it ran the identical computation to multimodal_metadata_oracle
+# below but with no DuckDB oracle, so its "check" proved nothing the
+# oracled twin didn't. Every registry row now has a full value-hash
+# oracle.
 
-
-# same computation, with the oracle replicating the fake decoder's
+# the fake-decoder computation, with the oracle replicating its
 # arithmetic over the (ASCII) text
 # bytes — this checks the mapInPandas plumbing end-to-end against SQL
 _MM_CHK = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -2786,25 +2780,21 @@ ORDER BY doc_id
 def multimodal_video_dedup_keep(spark, sf_dir):
     """Video dedup KEEP set: one surviving video per near-dup
     component, where near-dup = ALL 3 sampled frame positions within
-    hamming <= 3 (video_near_dup_pairs composed with
-    connected_components + keep-min + singletons — the all-positions
-    aggregation forbids the representative shortcut the image/audio
-    keep APIs use, so this is the pairs-composed form; identical-video
-    cliques are still collapse-bounded inside the per-position
-    blocking). The oracle replays the per-frame hashes, position join,
-    rollup, and transitive closure."""
+    hamming <= 3 — computed by videohash.video_dedup_keep WITHOUT
+    materializing within-clique pairs (round-9 verdict item #2: the
+    round-8 claim that the all-positions criterion "forbids" the
+    representative shortcut was wrong — collapsing on the FULL
+    per-position signature tuple is sound, since tuple-identical
+    videos match at every position by construction). The oracle is
+    UNCHANGED from the pairs-composed round-8 form: it replays the
+    per-frame hashes, position join, rollup, and transitive closure —
+    a match proves the tuple-collapse shortcut equals the
+    pair-materializing semantics."""
     from datafusion_postgres_spark.operators import videohash as vh
-    from datafusion_postgres_spark.operators.dedup import (
-        connected_components,
-    )
     docs = t(spark, sf_dir, "documents")
     media = vh.synthesize_mp4_corpus(docs, side=8, n_frames=6)
-    pairs = vh.video_near_dup_pairs(media, every_n=2, max_hamming=3,
-                                    min_match_frames=3, max_df=None)
-    comp = connected_components(pairs)
-    losers = (comp.where(F.col("component_id") != F.col("doc_id"))
-              .select("doc_id"))
-    kept = docs.select("doc_id").join(losers, "doc_id", "left_anti")
+    kept = vh.video_dedup_keep(media, every_n=2, max_hamming=3,
+                               min_match_frames=3, max_df=None)
     return sorted_small(
         kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
         "doc_id")

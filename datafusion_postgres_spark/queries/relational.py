@@ -591,13 +591,20 @@ def set_intersect(spark, sf_dir):
 
 
 @register("set_except", oracle="""
-SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer
-EXCEPT SELECT s_nationkey AS nationkey FROM supplier) x ORDER BY nationkey
+SELECT orderkey FROM (SELECT o_orderkey AS orderkey FROM orders
+EXCEPT SELECT l_orderkey AS orderkey FROM lineitem) x ORDER BY orderkey
 """)
 def set_except(spark, sf_dir):
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s).orderBy("nationkey")  # EXCEPT (distinct semantics)
+    """Orders with no lineitems — NON-EMPTY in this testdata (257 rows
+    at sf0.01, verified), so the oracle match is carried by real rows
+    (round-9 verdict item #4: the prior customer-vs-supplier nationkey
+    form returned 0 rows, and Spark and DuckDB merely 'agreed' on an
+    empty set)."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"))
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"))
+    return o.subtract(li).orderBy("orderkey")  # EXCEPT (distinct)
 
 
 # ---------------------------------------------------------------------------
@@ -606,16 +613,19 @@ def set_except(spark, sf_dir):
 @register("subquery_scalar", oracle="""
 SELECT o_orderkey, o_totalprice AS price
 FROM orders
-WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
 ORDER BY o_orderkey
 """)
 def subquery_scalar(spark, sf_dir):
     # the threshold is an exact-sum average: a float AVG differs by ulps
-    # between engines, which could flip membership of a boundary row
+    # between engines, which could flip membership of a boundary row.
+    # 1.8x (not 2x): the 2x cut returned 0 rows at sf0.01 — the same
+    # trivially-empty-oracle weakness round 9 fixed in set_except;
+    # 1.8x keeps ~1.4k rows in the driver's value-hash
     o = t(spark, sf_dir, "orders")
     return spark.sql("""
         SELECT o_orderkey, o_totalprice AS price
-        FROM {o} WHERE o_totalprice > 2 * (
+        FROM {o} WHERE o_totalprice > 1.8 * (
             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                    / COUNT(*) FROM {o})
         ORDER BY o_orderkey""", o=o)

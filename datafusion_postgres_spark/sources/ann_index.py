@@ -227,11 +227,14 @@ def maintain_ivf_sq8_index(spark: SparkSession, path: str, emb: DataFrame,
     brute-force ground truth over ``emb`` (the CURRENT full float
     corpus — the index itself stores only lossy codes, so both the
     probe's ground truth and a rebuild need the floats). If measured
-    recall is below ``min_recall`` the index is REBUILT in place with
-    ``write_ivf_sq8_index`` (fresh centroids + fresh SQ8 bounds over
-    the drifted distribution; the rebuild also leaves one file set per
-    cell, so no separate compaction is needed) and re-probed for the
-    report. A healthy index is only COMPACTED (cells over
+    recall is below ``min_recall`` the index is REBUILT via
+    ``write_ivf_sq8_index`` into a STAGING sibling and swapped in
+    (fresh centroids + fresh SQ8 bounds over the drifted
+    distribution; the rebuild also leaves one file set per cell, so no
+    separate compaction is needed) and re-probed for the report — a
+    mid-rebuild failure leaves the live index untouched, and the
+    recovery sweep at entry heals a crash inside the two-rename swap
+    window (round-9 ADVICE fix). A healthy index is only COMPACTED (cells over
     ``max_files_per_cell`` rewritten — proportional to hot cells, not
     the index).
 
@@ -240,6 +243,7 @@ def maintain_ivf_sq8_index(spark: SparkSession, path: str, emb: DataFrame,
     drifts, and this is the probe→threshold→rebuild composition the
     loop would otherwise hand-roll. Returns
     {probe, action: 'rebuilt'|'compacted', post_probe?, compaction?}."""
+    _recover_orphaned_rebuild(path)
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
     probe = index_recall_probe(spark, path, emb, k=k, n_probe=n_probe,
@@ -247,11 +251,29 @@ def maintain_ivf_sq8_index(spark: SparkSession, path: str, emb: DataFrame,
                                id_col=id_col)
     report: dict = {"probe": probe, "min_recall": min_recall}
     if probe["recall_at_k"] < min_recall:
-        write_ivf_sq8_index(emb, path,
+        # STAGING-THEN-SWAP (round-9 ADVICE fix): the rebuild writes to
+        # a sibling staging dir first — a failure mid-rebuild leaves
+        # the LIVE index untouched and queryable; only after the
+        # staging index is complete do two renames swap it in. The
+        # two-rename window is the same non-crash-atomic gap as
+        # compact_ivf_sq8_index's cell swap, with the same recovery
+        # invariant: the sweep at entry restores an orphaned '.old'
+        # whose live path is missing, so 'run maintenance again after
+        # a crash' always finds a usable index.
+        import shutil
+
+        staging = path.rstrip("/") + ".rebuild"
+        shutil.rmtree(staging, ignore_errors=True)
+        write_ivf_sq8_index(emb, staging,
                             n_centroids=n_centroids
                             or meta["n_centroids"],
                             kmeans_iters=kmeans_iters,
                             vec_col=vec_col, id_col=id_col)
+        old = path.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
         # targeted invalidation: only the index files were replaced. A
         # session-wide clearCache() here would uncache every LIVE
         # cache_generation intermediate while cachectl still believed
@@ -268,6 +290,24 @@ def maintain_ivf_sq8_index(spark: SparkSession, path: str, emb: DataFrame,
         report["compaction"] = compact_ivf_sq8_index(
             spark, path, max_files_per_cell=max_files_per_cell)
     return report
+
+
+def _recover_orphaned_rebuild(path: str) -> None:
+    """Crash recovery for maintain's whole-index swap: a crash between
+    the two renames leaves '<path>.old' holding the only live index
+    while ``path`` is absent — restore it. A '.old' WITH a live path is
+    post-swap garbage; a '.rebuild' is always an incomplete staging
+    attempt — both are dropped."""
+    import shutil
+
+    base = path.rstrip("/")
+    old, staging = base + ".old", base + ".rebuild"
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def compact_ivf_sq8_index(spark: SparkSession, path: str,

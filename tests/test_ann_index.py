@@ -292,3 +292,60 @@ def test_compaction_crash_recovery(spark, emb, tmp_path):
     after = {(r["qid"], r["vec_id"]) for r in
              query_ivf_sq8_index(spark, p, queries, k=5).collect()}
     assert after == before
+
+
+class TestRebuildCrashSafety:
+    """round-9 ADVICE fix: maintain's rebuild goes through a staging
+    sibling + swap, never mode('overwrite') on the live path — a
+    mid-rebuild failure leaves the index queryable, and the recovery
+    sweep heals a crash inside the swap window."""
+
+    def test_failed_rebuild_leaves_live_index_untouched(
+            self, spark, emb, tmp_path, monkeypatch):
+        from datafusion_postgres_spark.sources import ann_index as AI
+        p = str(tmp_path / "crash_idx")
+        AI.write_ivf_sq8_index(emb, p, n_centroids=8, kmeans_iters=0)
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("qvec")))
+        before = {(r["qid"], r["vec_id"], r["rnk"]) for r in
+                  AI.query_ivf_sq8_index(spark, p, queries,
+                                         k=5).collect()}
+
+        real_write = AI.write_ivf_sq8_index
+
+        def dying_write(e, path, **kw):
+            real_write(e, path, **kw)    # staging half-done is fine too
+            raise RuntimeError("simulated executor loss mid-rebuild")
+
+        monkeypatch.setattr(AI, "write_ivf_sq8_index", dying_write)
+        with pytest.raises(RuntimeError, match="simulated"):
+            AI.maintain_ivf_sq8_index(spark, p, emb, min_recall=1.01,
+                                      n_queries=4)
+        monkeypatch.undo()
+        # the LIVE path was never touched: same answers, no swap ran
+        spark.catalog.clearCache()
+        after = {(r["qid"], r["vec_id"], r["rnk"]) for r in
+                 AI.query_ivf_sq8_index(spark, p, queries, k=5).collect()}
+        assert after == before
+        # next maintenance heals the orphaned staging dir and proceeds
+        rep = AI.maintain_ivf_sq8_index(spark, p, emb, min_recall=0.0,
+                                        n_queries=4)
+        assert rep["action"] == "compacted"
+        import os as _os
+        assert not _os.path.exists(p + ".rebuild")
+
+    def test_crash_between_swap_renames_recovers(self, spark, emb,
+                                                 tmp_path):
+        import os as _os
+        from datafusion_postgres_spark.sources import ann_index as AI
+        p = str(tmp_path / "swap_idx")
+        AI.write_ivf_sq8_index(emb, p, n_centroids=8, kmeans_iters=0)
+        # simulate a crash after rename(path, old) but before
+        # rename(staging, path): only '.old' holds the data
+        _os.rename(p, p + ".old")
+        assert not _os.path.exists(p)
+        rep = AI.maintain_ivf_sq8_index(spark, p, emb, min_recall=0.0,
+                                        n_queries=4)
+        assert rep["action"] == "compacted"       # index usable again
+        assert _os.path.exists(p) and not _os.path.exists(p + ".old")

@@ -171,3 +171,71 @@ def test_warm_hit_survives_execution_of_the_cache(spark, tmp_path):
     # ... so the second invocation WARM-HITS (same live generation)
     df2 = cache_generation("warm_exec_test", plan2)
     assert df2 is df1
+
+
+def test_unfingerprintable_leaf_never_pins_partial_file_list(
+        spark, tmp_path, monkeypatch):
+    """Round-9 ADVICE fix: if the plan mixes an extractable file leaf
+    with a leaf the walk cannot fingerprint (DSv2/JDBC/streaming), the
+    partial file list must NOT become the fingerprint — changes in the
+    skipped source would then never rotate the generation and a stale
+    snapshot could be served. The walk must merge Dataset.inputFiles()
+    or answer None (re-cache every time)."""
+    from datafusion_postgres_spark.operators import cachectl as C
+
+    pa, pb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    spark.range(10).write.parquet(pa)
+    spark.range(10).write.parquet(pb)
+    joined = spark.read.parquet(pa).join(spark.read.parquet(pb), "id")
+
+    # unpatched: both leaves extract -> a real fingerprint
+    full_fp = C._input_fingerprint(joined)
+    assert full_fp is not None
+
+    # simulate one undecodable NON-local leaf (a JDBC/DSv2 stand-in):
+    # the second leaf raises and classifies as unknown
+    calls = {"n": 0}
+    real_leaf_files = C._leaf_files
+
+    def flaky_leaf_files(leaf):
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            raise RuntimeError("no file location (simulated DSv2 leaf)")
+        return real_leaf_files(leaf)
+
+    monkeypatch.setattr(C, "_leaf_files", flaky_leaf_files)
+    monkeypatch.setattr(C, "_is_local_leaf", lambda leaf: False)
+
+    # inputFiles() still sees both tables here -> merged fingerprint,
+    # and it must differ from nothing (non-None)
+    merged_fp = C._input_fingerprint(joined)
+    assert merged_fp is not None
+
+    # when inputFiles() ALSO cannot tell (the cached-subplan quirk),
+    # the only safe answer is None -> the generation re-caches
+    calls["n"] = 0
+    monkeypatch.setattr(type(joined), "inputFiles", lambda self: [])
+    assert C._input_fingerprint(joined) is None
+
+
+def test_streaming_leaf_fingerprint_is_none(spark):
+    """A pure streaming plan has no stable file set — 'cannot tell'."""
+    from datafusion_postgres_spark.operators.cachectl import (
+        _input_fingerprint,
+    )
+    stream = spark.readStream.format("rate").load()
+    assert _input_fingerprint(stream) is None
+
+
+def test_local_relation_leaf_still_fingerprints_files(spark, tmp_path):
+    """A known content-fixed local leaf (createDataFrame rows) skips
+    silently: the file fingerprint of the parquet side must survive,
+    not degrade to None."""
+    from datafusion_postgres_spark.operators.cachectl import (
+        _input_fingerprint,
+    )
+    p = str(tmp_path / "tl")
+    spark.range(10).write.parquet(p)
+    local = spark.createDataFrame([(1,), (2,)], "id long")
+    joined = spark.read.parquet(p).join(local, "id")
+    assert _input_fingerprint(joined) is not None

@@ -73,6 +73,31 @@ class TestJpegCodec:
         with pytest.raises(ValueError):
             decode_jpeg_gray(blob[:40])          # truncated mid-marker
 
+    def test_truncated_dht_raises_value_error(self):
+        """round-9 ADVICE: a DHT whose counts claim more values than
+        the segment holds must honor the documented ValueError contract
+        (previously IndexError out of _canonical_codes)."""
+        blob = bytearray(encode_jpeg_gray(8, 8, [10] * 64))
+        i = blob.find(b"\xFF\xC4")
+        assert i > 0
+        # inflate the count of 2-bit codes far past the stored values
+        blob[i + 6] = 255
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bytes(blob))
+
+    def test_every_truncation_point_honors_the_contract(self):
+        """Sweep: decode_jpeg_gray(prefix) for EVERY prefix of a real
+        stream must raise ValueError or NotImplementedError (or decode,
+        for prefixes that still hold a full scan) — never IndexError or
+        struct.error (round-9 ADVICE: the documented contract for
+        direct API callers, not just the poison-row handlers)."""
+        blob = encode_jpeg_gray(8, 8, list(range(0, 256, 4)))
+        for cut in range(2, len(blob)):
+            try:
+                decode_jpeg_gray(blob[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+
     def test_decodes_real_libjpeg_output(self):
         """Independent-encoder validation (portable: fixtures are
         committed): files produced by libjpeg — color, subsampled,

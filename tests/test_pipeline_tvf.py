@@ -98,6 +98,93 @@ class TestPipelineTvf:
         assert len(after - before) == 1  # deterministic name, reused
 
 
+class TestKeepTvfs:
+    """round-9 verdict item #3: the dedup ANSWER (keep sets) and the
+    ANN maintenance policy reachable from SQL — each pinned equal to
+    its direct-API result."""
+
+    def test_simhash_dedup_keep_sql_equals_direct(self, eng, spark):
+        rows = _rows(eng, "SELECT doc_id FROM "
+                          "simhash_dedup_keep('documents', 3) "
+                          "ORDER BY doc_id")
+        from datafusion_postgres_spark.operators.dedup import (
+            simhash_dedup_keep,
+        )
+        direct = sorted(r["doc_id"] for r in simhash_dedup_keep(
+            spark.table("documents"), max_hamming=3).collect())
+        assert [r["doc_id"] for r in rows] == direct
+        assert 0 < len(rows)
+
+    def test_minhash_dedup_keep_composes_with_join(self, eng, spark):
+        rows = _rows(eng,
+                     "SELECT d.source, count(*) AS n "
+                     "FROM minhash_dedup_keep('documents', 0.5) k "
+                     "JOIN documents d ON d.doc_id = k.doc_id "
+                     "GROUP BY d.source ORDER BY d.source")
+        from datafusion_postgres_spark.operators.dedup import (
+            minhash_dedup_keep,
+        )
+        direct = (minhash_dedup_keep(spark.table("documents"),
+                                     threshold=0.5)
+                  .groupBy("source").count()
+                  .orderBy("source").collect())
+        assert [(r["source"], r["n"]) for r in rows] == \
+            [(r["source"], r["count"]) for r in direct]
+
+    def test_image_dedup_keep_sql_equals_direct(self, eng, spark):
+        from datafusion_postgres_spark.operators.imagehash import (
+            image_dedup_keep, synthesize_png_corpus,
+        )
+        docs = spark.table("documents").where("doc_id < 100")
+        synthesize_png_corpus(docs).createOrReplaceTempView("pngmedia")
+        rows = _rows(eng, "SELECT doc_id FROM "
+                          "image_dedup_keep('pngmedia', 3) "
+                          "ORDER BY doc_id")
+        direct = sorted(r["doc_id"] for r in image_dedup_keep(
+            spark.table("pngmedia")).collect())
+        assert [r["doc_id"] for r in rows] == direct
+
+    def test_video_dedup_keep_sql_equals_direct(self, eng, spark):
+        from datafusion_postgres_spark.operators.videohash import (
+            synthesize_mp4_corpus, video_dedup_keep,
+        )
+        docs = spark.table("documents").where("doc_id < 60")
+        synthesize_mp4_corpus(docs, side=8, n_frames=6) \
+            .createOrReplaceTempView("mp4media")
+        rows = _rows(eng, "SELECT doc_id FROM "
+                          "video_dedup_keep('mp4media', 3, 3) "
+                          "ORDER BY doc_id")
+        direct = sorted(r["doc_id"] for r in video_dedup_keep(
+            spark.table("mp4media"), every_n=2,
+            min_match_frames=3).collect())
+        assert [r["doc_id"] for r in rows] == direct
+
+    def test_audio_dedup_keep_runs(self, eng, spark):
+        from datafusion_postgres_spark.operators.audiohash import (
+            audio_dedup_keep, synthesize_wav_corpus,
+        )
+        docs = spark.table("documents").where("doc_id < 60")
+        synthesize_wav_corpus(docs).createOrReplaceTempView("wavmedia")
+        rows = _rows(eng, "SELECT count(*) AS n FROM "
+                          "audio_dedup_keep('wavmedia', 3)")
+        direct = audio_dedup_keep(spark.table("wavmedia")).count()
+        assert rows[0]["n"] == direct > 0
+
+    def test_maintain_ann_index_tvf(self, eng, spark, tmp_path):
+        from datafusion_postgres_spark.sources.ann_index import (
+            write_ivf_sq8_index,
+        )
+        p = str(tmp_path / "idx")
+        write_ivf_sq8_index(spark.table("embeddings"), p,
+                            n_centroids=8, kmeans_iters=0)
+        rows = _rows(eng, "SELECT action, recall, compacted_cells "
+                          f"FROM maintain_ann_index('embeddings', '{p}', "
+                          "0.05)")
+        assert len(rows) == 1
+        assert rows[0]["action"] in ("rebuilt", "compacted")
+        assert 0.0 <= rows[0]["recall"] <= 1.0
+
+
 class TestOverTheWire:
     """The same TVF statement through the real v3 wire protocol —
     the verdict's done-criterion for the SQL pipeline surface."""
@@ -118,6 +205,12 @@ class TestOverTheWire:
                     "SELECT count(*) AS n "
                     "FROM minhash_near_dups('wiredocs', 0.5) "
                     "WHERE jaccard >= 0.8")
+                assert res["cols"] == ["n"]
+                assert int(res["rows"][0][0]) > 0
+                # the keep surface over the same wire (round-9 #3)
+                res = c.query(
+                    "SELECT count(*) AS n "
+                    "FROM simhash_dedup_keep('wiredocs', 3)")
                 assert res["cols"] == ["n"]
                 assert int(res["rows"][0][0]) > 0
             finally:

@@ -146,6 +146,73 @@ class TestVideoNearDups:
             "doc_id long, content binary")
         assert video_near_dup_pairs(media, every_n=2).collect() == []
 
+    def test_keep_equals_pairs_components_composition(self, spark):
+        """video_dedup_keep's tuple collapse (round-9 item #2) must
+        equal connected_components(video_near_dup_pairs) + keep-min +
+        singletons, on a corpus with an identical-video clique, a near
+        dup, a partial match, an undecodable row, and singletons."""
+        from datafusion_postgres_spark.operators.dedup import (
+            connected_components,
+        )
+        from datafusion_postgres_spark.operators.videohash import (
+            video_dedup_keep,
+        )
+        rng = random.Random(23)
+        base = [[rng.randrange(256) for _ in range(64)]
+                for _ in range(6)]
+        near = [list(f) for f in base]
+        near[0][5] = (near[0][5] + 2) % 256
+        partial = [list(f) for f in base]
+        partial[2] = [rng.randrange(256) for _ in range(64)]
+        partial[4] = [rng.randrange(256) for _ in range(64)]
+        rows = [(0, self._mp4(base)), (1, self._mp4(base)),
+                (2, self._mp4(base)),                  # identical clique
+                (3, self._mp4(near)),                  # all-pos near dup
+                (4, self._mp4(partial)),               # 1 of 3 positions
+                (5, b"not a container")]               # poison: survives
+        rows += [(6 + j, self._mp4(
+            [[rng.randrange(256) for _ in range(64)] for _ in range(6)]))
+            for j in range(6)]
+        media = spark.createDataFrame(rows, "doc_id long, content binary")
+        for mmf in (3, None):
+            kept = sorted(r["doc_id"] for r in video_dedup_keep(
+                media, every_n=2, max_hamming=3,
+                min_match_frames=mmf, max_df=None).collect())
+            pairs = video_near_dup_pairs(media, every_n=2, max_hamming=3,
+                                         min_match_frames=mmf,
+                                         max_df=None)
+            comp = {r["doc_id"]: r["component_id"] for r in
+                    connected_components(pairs).collect()}
+            want = sorted(i for i, _ in rows if comp.get(i, i) == i)
+            assert kept == want, f"min_match_frames={mmf}"
+        # strict criterion: clique + near-dup collapse to 0; the
+        # partial match and the poison row survive
+        kept3 = sorted(r["doc_id"] for r in video_dedup_keep(
+            media, every_n=2, min_match_frames=3, max_df=None).collect())
+        assert 0 in kept3 and {1, 2, 3}.isdisjoint(set(kept3))
+        assert 4 in kept3 and 5 in kept3
+
+    def test_keep_short_videos_below_min_frames_survive(self, spark):
+        """A video with fewer sampled positions than min_match_frames
+        is edge-free by construction — even two IDENTICAL short videos
+        both survive (their in-group 'edge' would only span 1 < 3
+        positions), exactly matching the pairs semantics."""
+        from datafusion_postgres_spark.operators.videohash import (
+            video_dedup_keep,
+        )
+        rng = random.Random(29)
+        short = [[rng.randrange(256) for _ in range(64)]]  # 1 frame
+        media = spark.createDataFrame(
+            [(1, self._mp4(short)), (2, self._mp4(short))],
+            "doc_id long, content binary")
+        kept = sorted(r["doc_id"] for r in video_dedup_keep(
+            media, every_n=2, min_match_frames=3, max_df=None).collect())
+        assert kept == [1, 2]
+        loose = sorted(r["doc_id"] for r in video_dedup_keep(
+            media, every_n=2, min_match_frames=None,
+            max_df=None).collect())
+        assert loose == [1]
+
     def test_poison_rows_null_out(self, spark):
         rng = random.Random(19)
         ok = [[rng.randrange(256) for _ in range(64)] for _ in range(6)]

@@ -269,6 +269,70 @@ def main() -> None:
         measure(tag, IH.image_dedup_keep(media), results,
                 collect_cols=["doc_id"])
 
+    # -- TEXT keep on a boilerplate clique (round-9 verdict #1): 200
+    #    docs carrying k-fold repetitions of one base text — they
+    #    survive EXACT dedup (distinct raw bytes) but share the simhash
+    #    (scale-invariant per-bit majorities) and the shingle SET, the
+    #    clique the pre-r9 pairs∘components path pairs quadratically.
+    #    Keep's widest node must stay FLAT when the corpus doubles
+    #    around the same clique.
+    boiler = ("large language models learn from deduplicated corpora "
+              "and benefit from careful data curation at scale")
+    rep_text = F.concat_ws(
+        " ", F.array_repeat(F.lit(boiler),
+                            (F.col("doc_id") % 3 + 2).cast("int")))
+    for tag, lim in (("text_clique_keep_10k", 10_000),
+                     ("text_clique_keep_corpus2x_20k", 20_000)):
+        corp = (docs.where(F.col("doc_id") < lim)
+                .withColumn("text",
+                            F.when(F.col("doc_id") < 200, rep_text)
+                            .otherwise(F.col("text"))))
+        measure(tag, dedup.simhash_dedup_keep(corp), results,
+                collect_cols=["doc_id"])
+    # the quadratic contrast on the same 10k slice: the pairs API is
+    # output-bound (the 200-clique's ~19.9k pairs exist by contract)
+    corp10 = (docs.where(F.col("doc_id") < 10_000)
+              .withColumn("text",
+                          F.when(F.col("doc_id") < 200, rep_text)
+                          .otherwise(F.col("text"))))
+    measure("text_clique_simhash_pairs_10k",
+            dedup.simhash_near_pairs(corp10), results,
+            collect_cols=["id_a"])
+    measure("text_clique_minhash_keep_10k",
+            dedup.minhash_dedup_keep(corp10), results,
+            collect_cols=["doc_id"])
+
+    # -- VIDEO keep on an identical-video clique (round-9 verdict #2):
+    #    tuple collapse means the clique never reaches the per-position
+    #    blocking join as members, and NO quadratic pair node exists
+    #    anywhere in the keep plan (the r8 composed form shipped
+    #    ~g²/2 pairs × positions through the rollup + component pass).
+    from datafusion_postgres_spark.operators import videohash as VH
+    for tag, lim in (("video_clique_keep_2k", 2_000),
+                     ("video_clique_keep_corpus2x_4k", 4_000)):
+        corp = (docs.where(F.col("doc_id") < lim)
+                .withColumn("text",
+                            F.when(F.col("doc_id") < 200,
+                                   F.lit("CLIQUE-VIDEO-ASSET"))
+                            .otherwise(F.col("text"))))
+        media = VH.synthesize_mp4_corpus(corp, side=8, n_frames=6)
+        measure(tag, VH.video_dedup_keep(media, every_n=2,
+                                         min_match_frames=3), results,
+                collect_cols=["doc_id"])
+    # the r8 composed form's first stage on the 2k slice — the
+    # quadratic contrast: the clique's ~19.9k video pairs (x3 frame
+    # positions upstream) exist by contract before components can run
+    corp2k = (docs.where(F.col("doc_id") < 2_000)
+              .withColumn("text",
+                          F.when(F.col("doc_id") < 200,
+                                 F.lit("CLIQUE-VIDEO-ASSET"))
+                          .otherwise(F.col("text"))))
+    media2k = VH.synthesize_mp4_corpus(corp2k, side=8, n_frames=6)
+    measure("video_clique_pairs_2k",
+            VH.video_near_dup_pairs(media2k, every_n=2,
+                                    min_match_frames=3),
+            results, collect_cols=["id_a"])
+
     out = {
         "dataset": {"root": root, "n_docs": n_docs,
                     "n_events": events.count(),

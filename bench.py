@@ -62,6 +62,12 @@ HEADLINE = [
     # encode -> box-walk frame extraction -> per-position blocked
     # pairs) — addition only, prior rows stay comparable with r01..r07
     "multimodal_video_neardups",
+    # round-9 marquee: the linear-output dedup KEEP path (collapse +
+    # rep-graph union-find, operators/repgraph.py) in the driver bench
+    # so regressions in the union-find path are caught per round —
+    # additions only, prior rows stay comparable with r01..r08
+    "multimodal_image_dedup_keep",
+    "text_simhash_dedup_keep",
 ]
 
 

@@ -106,58 +106,64 @@ PRIORITY = [
     # oracled rows so every registered query re-earns a driver-green
     # CORRECTNESS entry every few rounds. A swapped-out row keeps its
     # oracle and stays in the local `tools/check_oracle.py` gate.
-    # Round-8 swaps (17 rows absent from the r07 window, >= the 15 the
+    # Round-9 swaps (16 rows absent from the r08 window, >= the 15 the
     # rotation policy asks for):
-    #   * the eight rows the round-7 verdict named (never driver-
-    #     checked): text_url_then_content_dedup, text_clf_pr_curve,
-    #     agg_cube, window_lag_lead, set_intersect,
-    #     tablefunc_generate_series, q13_order_distribution,
-    #     q17_small_quantity_revenue;
-    #   * the NEW round-8 operator multimodal_video_neardups;
-    #   * eight more never-driver-checked rows spanning the temporal /
-    #     ANN / text tiers: join_asof_events, events_funnel,
-    #     sim_cosine_pq, text_pack_sequences,
-    #     dedup_substring_pairs_capped, subquery_scalar,
-    #     text_fts_boolean, streaming_sessionize.
-    # Rotated out to the local gate (ALL driver-green in r07):
-    # q2_min_cost_supplier, q8_market_share, pg_string_functions,
-    # pg_math_functions, pg_jsonpath, pg_ordered_set_aggs,
-    # pg_recursive_cte, join_scd2_enrich, dedup_components,
-    # sim_cosine_sq8, text_trained_gate (its _scale twin stays),
-    # emb_gram_matrix, text_train_eval_split, text_domain_reweight,
-    # dedup_embedding_cosine, text_dsir_weights, text_lm_perplexity.
+    #   * the four round-8 rows the round-8 verdict named (never
+    #     driver-checked): multimodal_image_dedup_keep,
+    #     multimodal_audio_dedup_keep, multimodal_video_dedup_keep,
+    #     multimodal_mixed_format_neardups;
+    #   * the NEW round-9 keep rows: text_simhash_dedup_keep,
+    #     text_minhash_dedup_keep;
+    #   * set_except — rewritten NON-EMPTY this round (verdict #4), so
+    #     the driver re-earns it on real rows;
+    #   * nine of the oldest never-driver-checked rows the verdict
+    #     listed: window_rank_topn, text_quality_classifier,
+    #     set_union_all, values_inline, tablefunc_unnest,
+    #     q6_forecast_revenue, q22_dormant_customers,
+    #     dedup_embedding_lsh, events_attribution.
+    # subquery_scalar STAYS pinned: its threshold moved 2x -> 1.8x this
+    # round so the driver hash covers 1449 real rows instead of an
+    # empty set.
+    # Rotated out to the local gate (ALL driver-green in r08):
+    # q13_order_distribution, q17_small_quantity_revenue,
+    # pg_any_all_array, pg_casts, text_fts_boolean,
+    # subquery_correlated_in, lateral_subquery, join_asof_events,
+    # agg_cube, window_lag_lead, set_intersect,
+    # tablefunc_generate_series, dedup_substring_pairs_capped,
+    # sim_cosine_pq, events_funnel, text_pack_sequences.
     # TPC-H adaptations (compound shapes: joins + aggs + sorts)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q13_order_distribution", "q17_small_quantity_revenue",
-    "q21_suppliers_kept_waiting",
-    # filters / dialect (§2.2)
-    "filter_predicates", "pg_any_all_array", "pg_casts",
-    "text_fts_boolean",
+    "q6_forecast_revenue", "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
+    # filters (§2.2)
+    "filter_predicates",
     # joins / subqueries (§2.3)
-    "join_semi_anti", "subquery_correlated_in", "lateral_subquery",
-    "subquery_scalar", "join_asof_events",
+    "join_semi_anti", "subquery_scalar",
     # aggregation (§2.4)
-    "agg_grouping_suite", "agg_cube",
-    # windows / recursion (§2.5, §2.8)
-    "window_suite", "window_lag_lead",
-    # sorts / set ops / table functions (§2.6-2.8)
-    "sort_wildcard_topk", "set_intersect", "tablefunc_generate_series",
+    "agg_grouping_suite",
+    # windows (§2.5)
+    "window_suite", "window_rank_topn",
+    # sorts / set ops / table functions / VALUES (§2.6-2.8)
+    "sort_wildcard_topk", "set_except", "set_union_all",
+    "values_inline", "tablefunc_unnest",
     # REAL streaming executions (readStream -> stateful op -> memory sink)
     "streaming_hourly_rollup", "streaming_sessionize",
     # LLM-data-pipeline operators
-    "text_doc_features", "text_gopher_filter",
+    "text_doc_features", "text_gopher_filter", "text_quality_classifier",
     "dedup_exact_groups", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_capped", "dedup_substring_pairs_capped",
+    "dedup_ngram_jaccard_capped", "dedup_embedding_lsh",
     "multimodal_metadata_oracle", "multimodal_video_probe",
     "dedup_decontaminate_bloom",
     "text_bpe_merges", "sim_cosine_ivf_sq8", "sim_cosine_lsh_multiprobe",
-    "sim_cosine_pq", "text_trained_classifier",
-    "events_funnel", "text_pack_sequences",
-    # round-7/8 marquee rows
+    "text_trained_classifier", "events_attribution",
+    # round-7/8/9 marquee rows
     "multimodal_image_neardups", "text_url_dedup",
     "text_url_then_content_dedup", "text_trained_gate_scale",
     "multimodal_audio_neardups", "multimodal_image_components",
-    "multimodal_video_neardups",
+    "multimodal_video_neardups", "multimodal_mixed_format_neardups",
+    "multimodal_image_dedup_keep", "multimodal_audio_dedup_keep",
+    "multimodal_video_dedup_keep",
+    "text_simhash_dedup_keep", "text_minhash_dedup_keep",
     "text_clf_auc", "text_clf_pr_curve", "streaming_url_dedup",
 ]
 

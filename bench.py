@@ -65,9 +65,12 @@ HEADLINE = [
     # round-9 marquee: the linear-output dedup KEEP path (collapse +
     # rep-graph union-find, operators/repgraph.py) in the driver bench
     # so regressions in the union-find path are caught per round —
-    # additions only, prior rows stay comparable with r01..r08
+    # additions only, prior rows stay comparable with r01..r08. The
+    # text row is the df-CAPPED scale twin (fully oracled, the
+    # jaccard_capped convention): exact mode pays ~6M candidates
+    # through sf0.1's near-constant hot chunk by contract.
     "multimodal_image_dedup_keep",
-    "text_simhash_dedup_keep",
+    "text_simhash_dedup_keep_scale",
 ]
 
 

@@ -449,6 +449,24 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 # collapse + rep-graph contract (operators/repgraph.py) computes with
 # output linear in the corpus.
 
+_SH_COLS = tuple(f"sh_c{j}" for j in range(4))
+
+
+def _simhash_chunk_sig(docs: DataFrame, text_col: str, id_col: str,
+                       bits: int) -> DataFrame:
+    """(id, sh_c0..sh_c3): the simhash split into FOUR equal chunks —
+    the signature frame every chunk-blocked simhash operator (keep,
+    ingest state, incremental) shares. Pigeonhole over 4 chunks is
+    exact for hamming <= 3."""
+    if bits % 4:
+        raise ValueError(f"bits must be divisible by 4 (got {bits})")
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    return simhash(docs, text_col, id_col, bits).select(
+        "id", *[F.shiftright("simhash", j * chunk_bits)
+                .bitwiseAND(mask).alias(c)
+                for j, c in enumerate(_SH_COLS)])
+
 def simhash_dedup_keep(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 48,
                        max_hamming: int = 3,
@@ -476,16 +494,9 @@ def simhash_dedup_keep(docs: DataFrame, text_col: str = "text",
     from datafusion_postgres_spark.operators.imagehash import (
         chunked_hamming_keep,
     )
-    if bits % 4:
-        raise ValueError(f"bits must be divisible by 4 (got {bits})")
-    chunk_bits = bits // 4
-    mask = (1 << chunk_bits) - 1
-    cols = [f"sh_c{j}" for j in range(4)]
-    sig = simhash(docs, text_col, id_col, bits).select(
-        "id", *[F.shiftright("simhash", j * chunk_bits)
-                .bitwiseAND(mask).alias(c)
-                for j, c in enumerate(cols)])
-    keep = chunked_hamming_keep(sig, cols, max_hamming,
+    cols = _SH_COLS
+    sig = _simhash_chunk_sig(docs, text_col, id_col, bits)
+    keep = chunked_hamming_keep(sig, list(cols), max_hamming,
                                 cache_key="simhash_dedup_keep",
                                 max_df=max_df)
     losers = sig.select("id").join(keep, "id", "left_anti")
@@ -589,6 +600,81 @@ def minhash_dedup_keep(docs: DataFrame, text_col: str = "text",
     losers = member_losers.unionByName(rep_losers)
     return docs.join(losers.withColumnRenamed("id", id_col), id_col,
                      "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# text-simhash INGEST loop: bucketed near-dup state + per-batch
+# incremental dedup — completes the four-modality matrix (image /
+# audio / video / TEXT each have batch keep + pairs + streaming state
+# + driver-restart-safe bucketed ingest). The exact-fingerprint ingest
+# loop (write_fingerprint_table below) catches byte dups; this one
+# catches NEAR dups that survive it.
+
+def write_simhash_table(docs: DataFrame, table: str,
+                        n_buckets: int = 32, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bits: int = 48) -> None:
+    """Materialize simhash ingest state, bucketed on the chunk
+    blocking key (the imagehash.write_image_hash_table layout over the
+    12-bit simhash chunks): one row per DISTINCT signature per chunk,
+    so identical boilerplate never bloats the state."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        _sig_chunk_rows,
+    )
+    rows = _sig_chunk_rows(
+        _simhash_chunk_sig(docs, text_col, id_col, bits), id_col="id",
+        chunk_cols=_SH_COLS)
+    (rows.write.mode("overwrite").bucketBy(n_buckets, "chunk")
+     .sortBy("chunk").format("parquet").saveAsTable(table))
+
+
+def simhash_dedup_incremental(new_docs: DataFrame,
+                              table: str | None = None,
+                              corpus_docs: DataFrame | None = None,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", bits: int = 48,
+                              max_hamming: int = 3,
+                              max_df: int | None = 1000) -> DataFrame:
+    """Per-ingest simhash NEAR-dup dedup: a new doc survives iff no
+    state doc within ``max_hamming`` AND no lower-id near-dup inside
+    the batch (imagehash.sig_survivor_ids semantics over the 12-bit
+    chunk blocking). State = a bucketed ``write_simhash_table`` table
+    (the production loop) or ``corpus_docs`` hashed on the fly (the
+    side-effect-free composition the oracled row uses). Empty-text
+    docs are outside the hashing domain and are dropped like
+    undecodable images. ``max_df`` as in simhash_dedup_keep — None for
+    exact."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        _sig_chunk_rows, sig_survivor_ids,
+    )
+    sig = _simhash_chunk_sig(new_docs, text_col, id_col, bits)
+    state_rows = None
+    if corpus_docs is not None:
+        state_rows = _sig_chunk_rows(
+            _simhash_chunk_sig(corpus_docs, text_col, id_col, bits),
+            id_col="id", chunk_cols=_SH_COLS)
+    survivors = sig_survivor_ids(
+        sig, table, list(_SH_COLS), max_hamming, max_df,
+        cache_key="simhash_dedup_incremental", state_rows=state_rows)
+    return new_docs.join(
+        survivors.withColumnRenamed("id", id_col), id_col, "left_semi")
+
+
+def merge_new_simhashes(survivor_docs: DataFrame, table: str,
+                        n_buckets: int = 32, text_col: str = "text",
+                        id_col: str = "doc_id", bits: int = 48) -> None:
+    """Append the surviving batch's simhash chunk rows into the
+    bucketed state table. Survivors can never repeat a state signature
+    (a hamming-0 twin is a dup), so the state stays distinct across
+    batches — the image/audio/video merge contract."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        _sig_chunk_rows,
+    )
+    rows = _sig_chunk_rows(
+        _simhash_chunk_sig(survivor_docs, text_col, id_col, bits),
+        id_col="id", chunk_cols=_SH_COLS)
+    (rows.write.mode("append").bucketBy(n_buckets, "chunk")
+     .sortBy("chunk").format("parquet").saveAsTable(table))
 
 
 # ---------------------------------------------------------------------------

@@ -822,23 +822,33 @@ def image_dedup_incremental(new_media: DataFrame, table: str,
         survivors.withColumnRenamed("id", id_col), id_col, "left_semi")
 
 
-def sig_survivor_ids(sig: DataFrame, table: str, cols: list[str],
+def sig_survivor_ids(sig: DataFrame, table: str | None, cols: list[str],
                      max_hamming: int = 3,
                      max_df: int | None = 1000,
-                     cache_key: str = "sig_dedup_incremental"
-                     ) -> DataFrame:
+                     cache_key: str = "sig_dedup_incremental",
+                     state_rows: DataFrame | None = None) -> DataFrame:
     """Generic per-ingest survivor computation over a (id, c0..c3)
-    signature frame against a _sig_chunk_rows state table — the shared
-    core of image_dedup_incremental and audiohash's ingest twin. A row
-    survives iff no state signature within ``max_hamming`` AND no
-    lower-id near-dup inside the batch. Returns a one-column (id)
-    frame."""
+    signature frame against a _sig_chunk_rows state — the shared core
+    of the image/audio/text-simhash ingest twins. A row survives iff
+    no state signature within ``max_hamming`` AND no lower-id near-dup
+    inside the batch. Returns a one-column (id) frame.
+
+    State source: ``table`` names a bucketed _sig_chunk_rows table
+    (the production ingest loop — refreshed first so appended batches
+    are visible); ``state_rows`` passes the same rows as a frame
+    instead (corpus-vs-batch composition without persisted state, used
+    by the oracled query rows)."""
     if max_hamming > 3:
         raise ValueError("4-chunk blocking is exact only for "
                          f"max_hamming <= 3 (got {max_hamming})")
+    if (table is None) == (state_rows is None):
+        raise ValueError("pass exactly one of table / state_rows")
     spark = sig.sparkSession
-    spark.catalog.refreshTable(table)
-    state = spark.table(table)
+    if table is not None:
+        spark.catalog.refreshTable(table)
+        state = spark.table(table)
+    else:
+        state = state_rows
     from datafusion_postgres_spark.operators.cachectl import (
         cache_generation,
     )

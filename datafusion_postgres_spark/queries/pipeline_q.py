@@ -775,6 +775,123 @@ def text_simhash_dedup_keep(spark, sf_dir):
         "doc_id")
 
 
+def _simhash_keep_scale_oracle(max_hamming: int = 3, bits: int = 48,
+                               max_df: int = 200) -> str:
+    """Keep-set oracle with the max_df CAP REPLAYED (the
+    dedup_ngram_jaccard_capped convention): chunk values present in
+    more than ``max_df`` DISTINCT signatures are dropped from the
+    blocking join, so cross-signature pairs must share a surviving
+    chunk — while identical-signature (hamming-0) edges exist
+    regardless, because the collapse emits them without any join."""
+    ctes = _simhash_sig_cte(bits).replace("WITH whs_t",
+                                          "WITH RECURSIVE whs_t", 1)
+    cb = bits // 4
+    mask = (1 << cb) - 1
+    return f"""{ctes},
+dsig AS (SELECT DISTINCT simhash FROM sig),
+chunks AS (
+  SELECT simhash, ci, (simhash >> (ci * {cb})) & {mask} AS ck
+  FROM dsig CROSS JOIN (VALUES (0), (1), (2), (3)) t(ci)),
+hot AS (
+  SELECT ci, ck FROM chunks GROUP BY ci, ck HAVING COUNT(*) > {max_df}),
+good AS (
+  SELECT c.simhash, c.ci, c.ck FROM chunks c
+  LEFT JOIN hot h ON c.ci = h.ci AND c.ck = h.ck
+  WHERE h.ci IS NULL),
+rsp AS (
+  SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
+  FROM good a JOIN good b
+    ON a.ci = b.ci AND a.ck = b.ck AND a.simhash < b.simhash
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}),
+spairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+  UNION
+  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+  FROM rsp JOIN sig a ON a.simhash = rsp.sa
+           JOIN sig b ON b.simhash = rsp.sb),
+sedges AS (
+  SELECT id_a AS a, id_b AS b FROM spairs
+  UNION ALL
+  SELECT id_b, id_a FROM spairs),
+sreach(a, b) AS (
+  SELECT a, b FROM sedges
+  UNION
+  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a),
+slosers AS (SELECT a FROM sreach GROUP BY a HAVING MIN(b) < a)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT a FROM slosers)
+ORDER BY doc_id"""
+
+
+@register("text_simhash_dedup_keep_scale",
+          oracle=_simhash_keep_scale_oracle())
+def text_simhash_dedup_keep_scale(spark, sf_dir):
+    """SCALE-MODE twin of text_simhash_dedup_keep (the
+    dedup_ngram_jaccard_capped convention): ``max_df=200`` drops
+    12-bit chunk values present in >200 DISTINCT signatures from the
+    blocking join. On template-heavy corpora one chunk position is
+    near-constant — at sf0.1 ONE value appears in all 2,534 distinct
+    signatures, so exact mode pays ~6M candidate pairs while the cap
+    bounds the worst key deterministically (8.6s -> benched band).
+    200 (not the library 1000 default) so the cap BINDS at the
+    driver's 500-doc sf0.01 corpus too — the capped code path is
+    value-verified in the window, not dormant. The oracle replays the
+    cap arithmetic chunk-for-chunk, so the lossy mode is still
+    hash-exact; identical-signature edges survive any cap (the
+    collapse emits them without the blocking join)."""
+    docs = t(spark, sf_dir, "documents")
+    kept = dedup.simhash_dedup_keep(docs, max_hamming=3, max_df=200)
+    return sorted_small(
+        kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
+        "doc_id")
+
+
+def _simhash_incremental_oracle(max_hamming: int = 3,
+                                bits: int = 48) -> str:
+    """Naive replay of the simhash ingest-survivor semantics: a batch
+    doc (doc_id % 5 = 0) survives iff no state doc (doc_id % 5 <> 0)
+    within hamming <= 3 AND no lower-id batch near-dup."""
+    return f"""{_simhash_sig_cte(bits)},
+state AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+batch AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+dup_state AS (
+  SELECT DISTINCT b.doc_id FROM batch b JOIN state s
+    ON bit_count(xor(b.simhash, s.simhash)) <= {max_hamming}),
+dup_batch AS (
+  SELECT DISTINCT b2.doc_id FROM batch b1 JOIN batch b2
+    ON b1.doc_id < b2.doc_id
+   AND bit_count(xor(b1.simhash, b2.simhash)) <= {max_hamming})
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id % 5 = 0 AND trim(text) <> ''
+  AND doc_id NOT IN (SELECT doc_id FROM dup_state)
+  AND doc_id NOT IN (SELECT doc_id FROM dup_batch)
+ORDER BY doc_id"""
+
+
+@register("text_simhash_dedup_incremental",
+          oracle=_simhash_incremental_oracle())
+def text_simhash_dedup_incremental(spark, sf_dir):
+    """Text NEAR-dup ingest (round-9): the batch (every 5th doc)
+    dedups against the corpus state through the 12-bit-chunk blocked
+    join — dedup.simhash_dedup_incremental, the text twin of the
+    image/audio/video ingest loops (state passed as a frame here so
+    the oracled row stays side-effect-free; the bucketed-table loop is
+    pinned in test_streaming_dedup.py). The oracle replays the
+    survivor predicate with naive hamming joins — exact because the
+    chunk blocking is pigeonhole-lossless at max_hamming <= 3 and the
+    oracled row opts out of the df cap."""
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    kept = dedup.simhash_dedup_incremental(
+        docs.where(d % 5 == 0), corpus_docs=docs.where(d % 5 != 0),
+        max_hamming=3, max_df=None)
+    return sorted_small(
+        kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
+        "doc_id")
+
+
 def _minhash_keep_oracle(k: int = 32, bands: int = 8,
                          threshold: float = 0.4) -> str:
     """Naive-closure keep oracle over the VERIFIED banded-LSH pair

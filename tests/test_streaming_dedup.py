@@ -496,3 +496,100 @@ def test_foreachbatch_image_ingest_loop(spark, tmp_path):
         assert spark.table("img_stream_state").count() == 12
     finally:
         spark.sql("DROP TABLE IF EXISTS img_stream_state")
+
+
+def test_two_batch_simhash_incremental_with_bucketed_state(spark):
+    """Text NEAR-dup ingest (round-9): batch-2 docs dedup against the
+    persisted simhash chunk state — a near-identical rewrite of a
+    batch-1 doc (one word changed in a long text, simhash within
+    hamming<=3) drops via the STATE, an in-batch near-twin keeps only
+    the lower id, and a fresh doc survives. Frame-based state gives the
+    identical answer (the oracled-row composition)."""
+    base = ("large language models learn from carefully deduplicated "
+            "corpora and benefit from data curation at scale " * 3)
+    b1 = [(1, base), (2, "completely different subject matter here "
+                         "about distributed query engines " * 3)]
+    near = base.replace("curation", "curating")
+    b2 = [(10, near),                  # near-dup of state doc 1: drop
+          (11, "entirely fresh topic about perceptual hashing of "
+               "video frames " * 3),   # survives
+          (12, "entirely fresh topic about perceptual hashing of "
+               "video frames " * 3)]   # in-batch twin of 11: drop
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    df2 = spark.createDataFrame(b2, "doc_id long, text string")
+    spark.sql("DROP TABLE IF EXISTS sh_state")
+    try:
+        batch_dedup.write_simhash_table(df1, "sh_state", n_buckets=8)
+        kept = batch_dedup.simhash_dedup_incremental(
+            df2, "sh_state", max_df=None)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [11]
+        batch_dedup.merge_new_simhashes(kept, "sh_state", n_buckets=8)
+        # state grew: a later copy of 11 is now caught by the table
+        df3 = spark.createDataFrame(
+            [(20, "entirely fresh topic about perceptual hashing of "
+                  "video frames " * 3)], "doc_id long, text string")
+        again = batch_dedup.simhash_dedup_incremental(
+            df3, "sh_state", max_df=None)
+        assert again.count() == 0
+        # frame-based state = the same answer (oracled-row composition)
+        frame_kept = sorted(r["doc_id"] for r in
+                            batch_dedup.simhash_dedup_incremental(
+                                df2, corpus_docs=df1,
+                                max_df=None).collect())
+        assert frame_kept == ids
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sh_state")
+
+
+def test_foreachbatch_simhash_ingest_loop(spark, tmp_path):
+    """The driver-restart-safe foreachBatch loop on the text NEAR-dup
+    state (the image/audio/video ingest answer, on text): a batch-2
+    near-rewrite of a batch-1 survivor is dropped by the bucketed
+    table, not in-memory bookkeeping."""
+    base = ("the quick brown fox repeatedly jumps over the lazy dog "
+            "in every classic typing exercise ever printed " * 3)
+    rows1 = [(1, base),
+             (2, "unrelated text about columnar storage layouts " * 4)]
+    rows2 = [(3, base.replace("printed", "typeset")),  # near dup of 1
+             (4, "novel content on adaptive query execution " * 4)]
+    d = tmp_path / "sh_stream_in"
+    d.mkdir()
+    import glob
+    import os
+    import shutil
+    for i, rows in enumerate((rows1, rows2)):
+        p = str(tmp_path / f"shb{i}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        (part,) = glob.glob(p + "/part-*.parquet")
+        dst = str(d / f"{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    spark.sql("DROP TABLE IF EXISTS sh_stream_state")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    batch_dedup.write_simhash_table(empty, "sh_stream_state",
+                                    n_buckets=8)
+    survived = []
+
+    def ingest(batch_df, batch_id):
+        out = batch_dedup.simhash_dedup_incremental(
+            batch_df, "sh_stream_state", max_df=None)
+        kept = out.collect()
+        survived.extend(r["doc_id"] for r in kept)
+        if kept:
+            batch_dedup.merge_new_simhashes(
+                spark.createDataFrame(kept, out.schema),
+                "sh_stream_state", n_buckets=8)
+
+    try:
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        q = stream.writeStream.foreachBatch(ingest) \
+            .option("checkpointLocation", str(tmp_path / "sh_ckpt")) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        assert sorted(survived) == [1, 2, 4]   # 3 caught by the state
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sh_stream_state")

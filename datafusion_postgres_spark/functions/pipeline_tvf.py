@@ -332,10 +332,14 @@ def _maintain_ann_index(spark, args):
     """maintain_ann_index(embeddings, index_path[, min_recall]): the
     probe -> rebuild-or-compact policy (sources/ann_index.
     maintain_ivf_sq8_index) as a one-row status table. The path must
-    already hold an index (its _ann_meta.json is read first); the
-    corpus table is RBAC-checked like every TVF table argument, and
-    the maintenance action itself only runs AFTER statement
-    authorization (materialize_pipeline_tvfs ordering)."""
+    already hold an index: the call fails on a missing _ann_meta.json,
+    and the crash-recovery sweep that precedes the read only touches
+    '.old'/'.rebuild' siblings that THEMSELVES contain _ann_meta.json
+    (see _recover_orphaned_rebuild — a typo'd path never mutates
+    unrelated directories). The corpus table is RBAC-checked like
+    every TVF table argument, and the maintenance action itself only
+    runs AFTER statement authorization (materialize_pipeline_tvfs
+    ordering)."""
     from datafusion_postgres_spark.sources.ann_index import (
         maintain_ivf_sq8_index,
     )

@@ -98,9 +98,13 @@ def _input_fingerprint(df: DataFrame) -> int | None:
     OTHER unextractable leaf (DSv2, JDBC, streaming) means the file
     walk alone would be a PARTIAL fingerprint that pins a stale
     snapshot when the skipped source changes — then the result merges
-    ``Dataset.inputFiles()`` (which covers DSv2 file sources), and if
-    that adds nothing the fingerprint is None so the generation
-    re-caches every time (correct over fast; round-9 ADVICE fix)."""
+    ``Dataset.inputFiles()`` (which covers DSv2 file sources), but
+    ONLY if it actually adds files the walk did not already see:
+    inputFiles() that merely repeats the walked file leaves (a JDBC or
+    Kafka leaf contributes nothing to it) proves nothing about the
+    skipped source, so the fingerprint is None and the generation
+    re-caches every time (correct over fast; round-9 ADVICE fix +
+    review hardening)."""
     files: list[str] = []
     unknown_skip = False
     try:
@@ -114,7 +118,7 @@ def _input_fingerprint(df: DataFrame) -> int | None:
                     unknown_skip = True
         if unknown_skip:
             got = df.inputFiles()
-            if not got:
+            if not set(got) - set(files):
                 return None        # cannot tell — never pin a partial
             files.extend(got)
         if files:

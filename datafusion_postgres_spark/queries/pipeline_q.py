@@ -676,14 +676,16 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def _simhash_sig_cte(bits: int = 48) -> str:
-    """The signature CTE shared by the simhash oracles: per word-occurrence
-    hash, bit b contributes +1/-1; bit set iff the sum is positive."""
+    """The signature CTE BODY shared by the simhash oracles (per
+    word-occurrence hash, bit b contributes +1/-1; bit set iff the sum
+    is positive). Returns the body WITHOUT a WITH prefix — callers
+    prepend "WITH " or "WITH RECURSIVE " (the _lsh_verified_ctes
+    convention; review finding r9: no string surgery on the header)."""
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(whs, h -> (h >> {b}) & 1 = 1)) "
         f"> len(whs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(bits))
-    return f"""
-WITH whs_t AS (
+    return f"""whs_t AS (
   SELECT doc_id,
          list_transform(list_filter({_WORDS}, w -> w <> ''),
                         w -> {_duck_hash('w')}) AS whs
@@ -694,7 +696,8 @@ WITH whs_t AS (
 
 
 def _simhash_oracle(bits: int = 48) -> str:
-    return f"""{_simhash_sig_cte(bits)}
+    return f"""
+WITH {_simhash_sig_cte(bits)}
 SELECT doc_id, simhash FROM sig ORDER BY doc_id"""
 
 
@@ -703,7 +706,8 @@ def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 48) -> str:
     CHUNK-BLOCKED Spark plan because the pigeonhole blocking is lossless:
     6 chunks over 48 bits means any pair within hamming<=5 shares at least
     one identical chunk, so blocking at max_hamming=3 drops nothing."""
-    return f"""{_simhash_sig_cte(bits)}
+    return f"""
+WITH {_simhash_sig_cte(bits)}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -736,9 +740,8 @@ def _simhash_keep_oracle(max_hamming: int = 3, bits: int = 48) -> str:
     every signature, transitive closure, keep each component's minimum
     plus all singletons (docs outside the hashing domain included) —
     the image/audio/video keep oracles' shape on the text tier."""
-    ctes = _simhash_sig_cte(bits).replace("WITH whs_t",
-                                          "WITH RECURSIVE whs_t", 1)
-    return f"""{ctes},
+    return f"""
+WITH RECURSIVE {_simhash_sig_cte(bits)},
 spairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -783,11 +786,10 @@ def _simhash_keep_scale_oracle(max_hamming: int = 3, bits: int = 48,
     blocking join, so cross-signature pairs must share a surviving
     chunk — while identical-signature (hamming-0) edges exist
     regardless, because the collapse emits them without any join."""
-    ctes = _simhash_sig_cte(bits).replace("WITH whs_t",
-                                          "WITH RECURSIVE whs_t", 1)
     cb = bits // 4
     mask = (1 << cb) - 1
-    return f"""{ctes},
+    return f"""
+WITH RECURSIVE {_simhash_sig_cte(bits)},
 dsig AS (SELECT DISTINCT simhash FROM sig),
 chunks AS (
   SELECT simhash, ci, (simhash >> (ci * {cb})) & {mask} AS ck
@@ -853,7 +855,8 @@ def _simhash_incremental_oracle(max_hamming: int = 3,
     """Naive replay of the simhash ingest-survivor semantics: a batch
     doc (doc_id % 5 = 0) survives iff no state doc (doc_id % 5 <> 0)
     within hamming <= 3 AND no lower-id batch near-dup."""
-    return f"""{_simhash_sig_cte(bits)},
+    return f"""
+WITH {_simhash_sig_cte(bits)},
 state AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
 batch AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
 dup_state AS (

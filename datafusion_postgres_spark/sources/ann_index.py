@@ -295,19 +295,32 @@ def maintain_ivf_sq8_index(spark: SparkSession, path: str, emb: DataFrame,
 def _recover_orphaned_rebuild(path: str) -> None:
     """Crash recovery for maintain's whole-index swap: a crash between
     the two renames leaves '<path>.old' holding the only live index
-    while ``path`` is absent — restore it. A '.old' WITH a live path is
-    post-swap garbage; a '.rebuild' is always an incomplete staging
-    attempt — both are dropped."""
+    while ``path`` is absent — restore it. A '.old' WITH a live index
+    is post-swap garbage; a '.rebuild' is an incomplete staging
+    attempt — both are dropped.
+
+    SAFETY (review finding): this sweep runs before ``path`` itself is
+    validated and the path is SQL-reachable through the
+    maintain_ann_index TVF, so it must never mutate directories it
+    cannot PROVE are this index's own artifacts — a sibling is only
+    touched if IT contains ``_ann_meta.json`` (everything
+    write_ivf_sq8_index produces does). A typo'd or hostile path whose
+    '.old'/'.rebuild' neighbors are unrelated directories leaves them
+    untouched; maintain then fails on the missing meta read."""
     import shutil
 
     base = path.rstrip("/")
     old, staging = base + ".old", base + ".rebuild"
-    if os.path.exists(old):
-        if not os.path.exists(path):
-            os.rename(old, path)
+    if os.path.exists(os.path.join(old, _META)):
+        if not os.path.exists(os.path.join(path, _META)):
+            if not os.path.exists(path):
+                os.rename(old, path)
+            # path exists but is not an index: do NOT overwrite it —
+            # leave both for the operator; the meta read below fails
         else:
             shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
+    if os.path.exists(os.path.join(staging, _META)):
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def compact_ivf_sq8_index(spark: SparkSession, path: str,

@@ -349,3 +349,26 @@ class TestRebuildCrashSafety:
                                         n_queries=4)
         assert rep["action"] == "compacted"       # index usable again
         assert _os.path.exists(p) and not _os.path.exists(p + ".old")
+
+    def test_sweep_never_touches_non_index_directories(self, spark,
+                                                       tmp_path):
+        """Review finding: the recovery sweep runs before the path is
+        validated and the path is SQL-reachable (maintain_ann_index
+        TVF) — a typo'd path whose .old/.rebuild neighbors are
+        UNRELATED directories must leave them untouched and fail on
+        the missing meta, never rename/delete them."""
+        import os as _os
+        from datafusion_postgres_spark.sources import ann_index as AI
+        p = str(tmp_path / "proj")
+        for d, marker in ((p, "keep.txt"), (p + ".old", "old.txt"),
+                          (p + ".rebuild", "reb.txt")):
+            _os.makedirs(d)
+            with open(_os.path.join(d, marker), "w") as f:
+                f.write("user data, not an index")
+        emb = spark.createDataFrame(
+            [(1, [0.1] * 64)], "vec_id long, embedding array<double>")
+        with pytest.raises(FileNotFoundError):
+            AI.maintain_ivf_sq8_index(spark, p, emb, n_queries=1)
+        assert _os.path.exists(_os.path.join(p, "keep.txt"))
+        assert _os.path.exists(_os.path.join(p + ".old", "old.txt"))
+        assert _os.path.exists(_os.path.join(p + ".rebuild", "reb.txt"))

@@ -217,6 +217,26 @@ def test_unfingerprintable_leaf_never_pins_partial_file_list(
     monkeypatch.setattr(type(joined), "inputFiles", lambda self: [])
     assert C._input_fingerprint(joined) is None
 
+    # HARDER case (review finding): inputFiles() NON-empty but merely
+    # repeating the walked file leaves — a JDBC/Kafka leaf contributes
+    # nothing to it, so a non-empty echo proves nothing about the
+    # skipped source; the answer must still be None, never a partial
+    # fingerprint that pins a stale snapshot of the unseen source
+    calls["n"] = 0
+    import glob
+    pa_files = ["file:" + f for f in glob.glob(pa + "/*.parquet")]
+
+    def echo_leaf_files(leaf):
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:
+            raise RuntimeError("no file location (simulated JDBC leaf)")
+        return list(pa_files)
+
+    monkeypatch.setattr(C, "_leaf_files", echo_leaf_files)
+    monkeypatch.setattr(type(joined), "inputFiles",
+                        lambda self: list(pa_files))
+    assert C._input_fingerprint(joined) is None
+
 
 def test_streaming_leaf_fingerprint_is_none(spark):
     """A pure streaming plan has no stable file set — 'cannot tell'."""

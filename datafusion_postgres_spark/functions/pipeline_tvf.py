@@ -328,6 +328,19 @@ def _video_dedup_keep(spark, args):
             .select(F.col("doc_id").cast("long").alias("doc_id")))
 
 
+def _embedding_dedup_keep(spark, args):
+    """embedding_dedup_keep(embeddings[, threshold]): keep set of the
+    verified LSH cosine near-dup graph (exact-vector collapse; see
+    operators/dedup.embedding_dedup_keep)."""
+    from datafusion_postgres_spark.operators.dedup import (
+        embedding_dedup_keep,
+    )
+    threshold = float(args[1]) if len(args) > 1 else 0.38
+    return (embedding_dedup_keep(_tbl(spark, args[0]),
+                                 threshold=threshold)
+            .select(F.col("vec_id").cast("long").alias("vec_id")))
+
+
 def _maintain_ann_index(spark, args):
     """maintain_ann_index(embeddings, index_path[, min_recall]): the
     probe -> rebuild-or-compact policy (sources/ann_index.
@@ -472,6 +485,9 @@ TVF_SIGNATURES = {
     "video_dedup_keep": (
         "media text, max_hamming integer, min_match_frames integer",
         "TABLE(doc_id bigint)"),
+    "embedding_dedup_keep": (
+        "embeddings text, threshold double precision",
+        "TABLE(vec_id bigint)"),
     "maintain_ann_index": (
         "embeddings text, index_path text, "
         "min_recall double precision",
@@ -512,6 +528,7 @@ TVF_REGISTRY = {
     "image_dedup_keep": (_image_dedup_keep, 1, 2, 1),
     "audio_dedup_keep": (_audio_dedup_keep, 1, 2, 1),
     "video_dedup_keep": (_video_dedup_keep, 1, 3, 1),
+    "embedding_dedup_keep": (_embedding_dedup_keep, 1, 2, 1),
     "maintain_ann_index": (_maintain_ann_index, 2, 3, 1),
 }
 

@@ -602,6 +602,56 @@ def minhash_dedup_keep(docs: DataFrame, text_col: str = "text",
                      "left_anti")
 
 
+def embedding_dedup_keep(emb: DataFrame, threshold: float = 0.38,
+                         n_planes: int = 8, n_tables: int = 4,
+                         dims: int = 64, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """One surviving vector per VERIFIED cosine near-dup component
+    (min id, singletons included) — the embedding modality on the
+    shared keep contract (operators/repgraph.py), completing the
+    matrix: text / image / audio / video / embeddings.
+
+    Collapse signature = the exact vector ARRAY: array-equal vectors
+    have identical cosine against every third vector and identical
+    hyperplane bucket signs, so they are perfect substitutes in the
+    verified LSH pair graph. Zero-norm vectors are excluded from the
+    collapse (cosine against them is NULL, so they never verify as
+    duplicates of anything — always kept), and ``threshold`` must
+    leave room for the IEEE sqrt round trip (cos(v, v) computes as
+    dot/(sqrt(d)*sqrt(d)) which can land 1-2 ulp BELOW 1.0), so the
+    guard rejects thresholds above 0.999999 where 'identical implies
+    duplicate' would stop being certain. Candidates/verification run
+    over representatives only via embedding_cosine_pairs_lsh; recall
+    caveats of the LSH blocking apply identically to the pairs API."""
+    from datafusion_postgres_spark.operators.repgraph import loser_ids
+    from datafusion_postgres_spark.operators.similarity import _norm
+
+    if not 0.0 < threshold <= 0.999999:
+        raise ValueError(
+            "threshold must be in (0, 0.999999] — above that, IEEE "
+            "sqrt rounding can put cos(v, v) below the threshold and "
+            f"the identical-vector collapse loses soundness (got "
+            f"{threshold})")
+    base = cache_generation(
+        "embedding_dedup_keep",
+        emb.select(F.col(id_col).alias("id"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("v"))
+        .where(_norm(F.col("v")) > 0))
+    reps = base.groupBy("v").agg(F.min("id").alias("id"))
+    member_losers = (base.select("id")
+                     .join(reps.select("id"), "id", "left_anti"))
+    rep_emb = reps.select(F.col("id").alias(id_col),
+                          F.col("v").alias(vec_col))
+    rep_pairs = embedding_cosine_pairs_lsh(
+        rep_emb, threshold=threshold, n_planes=n_planes,
+        n_tables=n_tables, dims=dims, vec_col=vec_col, id_col=id_col)
+    rep_losers = loser_ids(rep_pairs.select("id_a", "id_b"))
+    losers = member_losers.unionByName(rep_losers)
+    return emb.join(losers.withColumnRenamed("id", id_col), id_col,
+                    "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # text-simhash INGEST loop: bucketed near-dup state + per-batch
 # incremental dedup — completes the four-modality matrix (image /
@@ -695,16 +745,20 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float = 0.38,
 
     The fold order (left-to-right, 0.0 seed) matches the DuckDB oracle's
     ``list_reduce`` exactly — IEEE ops on identical inputs are
-    bit-identical, so the >= threshold cut agrees across engines."""
+    bit-identical, so the >= threshold cut agrees across engines.
+
+    Zero-norm vectors are dropped before pairing (poison-row
+    contract): cosine against them is undefined — under Spark 4's
+    default ANSI mode the division RAISES and would kill the corpus
+    job — and they can never reach a positive threshold, so the
+    output is unchanged."""
     from datafusion_postgres_spark.operators.similarity import (
-        cosine_similarity,
+        _norm, cosine_similarity,
     )
-    a = emb.select(F.col(id_col).alias("id_a"),
-                   F.transform(F.col(vec_col),
-                               lambda x: x.cast("double")).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"),
-                   F.transform(F.col(vec_col),
-                               lambda x: x.cast("double")).alias("vb"))
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nonzero = emb.where(_norm(vd) > 0)
+    a = nonzero.select(F.col(id_col).alias("id_a"), vd.alias("va"))
+    b = nonzero.select(F.col(id_col).alias("id_b"), vd.alias("vb"))
     return (a.crossJoin(F.broadcast(b))
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cos_sim",
@@ -729,13 +783,18 @@ def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.38,
     ~1.x duplication factor is cheaper than a pre-verify shuffle-distinct
     (same trade as minhash_lsh_pairs). Recall is tunable via
     n_planes (precision) × n_tables (recall); misses are pairs separated
-    in every table — probability (1-(1-θ/π)^planes)^tables."""
+    in every table — probability (1-(1-θ/π)^planes)^tables.
+
+    Zero-norm vectors are dropped before banding (poison-row contract
+    — see embedding_cosine_pairs): ANSI-mode cosine against them
+    raises, and they can never verify at a positive threshold."""
     from datafusion_postgres_spark.operators.similarity import (
-        cosine_similarity, lsh_bucket_expr,
+        _norm, cosine_similarity, lsh_bucket_expr,
     )
-    base = emb.select(F.col(id_col).alias("id"),
-                      F.transform(F.col(vec_col),
-                                  lambda x: x.cast("double")).alias("v"))
+    base = (emb.select(F.col(id_col).alias("id"),
+                       F.transform(F.col(vec_col),
+                                   lambda x: x.cast("double")).alias("v"))
+            .where(_norm(F.col("v")) > 0))
     tables = F.explode(F.array(*[
         F.struct(F.lit(ti).alias("tbl"),
                  lsh_bucket_expr(F.col("v"), n_planes, dims,

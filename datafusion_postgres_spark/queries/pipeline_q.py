@@ -1162,6 +1162,47 @@ def dedup_embedding_lsh(spark, sf_dir):
         "id_a", "id_b")
 
 
+@register("dedup_embedding_keep", oracle=f"""
+WITH RECURSIVE blocked AS (
+  {_emb_lsh_tables_sql()}
+),
+cand AS (
+  SELECT x.vec_id AS id_a, x.embedding AS va,
+         y.vec_id AS id_b, y.embedding AS vb
+  FROM blocked x JOIN blocked y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+epairs AS (
+  SELECT DISTINCT id_a, id_b FROM cand
+  WHERE {_cos_sql('va', 'vb')} >= 0.38),
+eedges AS (
+  SELECT id_a AS a, id_b AS b FROM epairs
+  UNION ALL
+  SELECT id_b, id_a FROM epairs),
+ereach(a, b) AS (
+  SELECT a, b FROM eedges
+  UNION
+  SELECT r.a, e.b FROM ereach r JOIN eedges e ON r.b = e.a),
+elosers AS (SELECT a FROM ereach GROUP BY a HAVING MIN(b) < a)
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT a FROM elosers)
+ORDER BY vec_id
+""")
+def dedup_embedding_keep(spark, sf_dir):
+    """Embedding-tier KEEP set (round-9): one surviving vector per
+    verified LSH cosine near-dup component — the fifth modality on
+    the shared collapse + rep-graph contract (dedup.
+    embedding_dedup_keep; collapse key = the exact vector array). The
+    oracle replays the full four-table banding, exact-cosine verify,
+    and transitive closure — a match proves the identical-vector
+    collapse and the union-find shortcut equal the naive
+    pairs∘components semantics."""
+    emb = t(spark, sf_dir, "embeddings")
+    kept = dedup.embedding_dedup_keep(emb, threshold=0.38)
+    return sorted_small(
+        kept.select(F.col("vec_id").cast("bigint").alias("vec_id")),
+        "vec_id")
+
+
 @register("dedup_semantic", oracle=f"""
 WITH cents AS (
   SELECT vec_id AS centroid_id, embedding AS cvec

@@ -210,6 +210,74 @@ class TestTextDedupKeep:
         assert grams[0] == grams[1] == grams[2] == grams[3]
         assert grams[0] != grams[4]
 
+    def test_repgraph_distributed_fallback_equals_driver_path(
+            self, spark):
+        """loser_ids above MAX_DRIVER_EDGES falls back to the Pregel
+        min-label propagation — force the fallback with a zero bound
+        and pin it equal to the driver union-find on a graph with a
+        chain, a clique, an isolated edge, and label-order traps."""
+        from datafusion_postgres_spark.operators.repgraph import (
+            loser_ids,
+        )
+        edges = [(5, 3), (3, 9), (9, 7),          # chain, min 3
+                 (20, 21), (21, 22), (20, 22),    # clique, min 20
+                 (40, 41)]                        # pair, min 40
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        driver = sorted(r["id"] for r in loser_ids(df).collect())
+        dist = sorted(r["id"] for r in
+                      loser_ids(df, max_driver_edges=0).collect())
+        assert driver == dist == [5, 7, 9, 21, 22, 41]
+
+    def test_embedding_keep_equals_composition(self, spark):
+        """Fifth modality on the keep contract: identical-vector
+        collapse + LSH rep pairs == embedding_cosine_pairs_lsh ∘
+        components ∘ keep-min + singletons, with a planted identical
+        clique, a near vector, a zero vector (never a duplicate of
+        anything — cosine NULL), and unrelated vectors."""
+        import math
+        base = [math.sin(i * 0.7) + 1.5 for i in range(64)]
+        near = list(base)
+        near[0] += 0.01
+        rows = [(0, base), (1, list(base)), (2, list(base)),  # clique
+                (3, near),
+                (4, [0.0] * 64)]                              # zero norm
+        rows += [(5 + j, [math.cos(i * (j + 2) * 1.3) * (1 + j)
+                          for i in range(64)]) for j in range(8)]
+        emb = spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<double>")
+        kept = sorted(r["vec_id"] for r in
+                      dedup.embedding_dedup_keep(
+                          emb, threshold=0.38).collect())
+        pairs = dedup.embedding_cosine_pairs_lsh(emb, threshold=0.38)
+        comp = {r["doc_id"]: r["component_id"] for r in
+                dedup.connected_components(pairs).collect()}
+        want = sorted(i for i, _ in rows if comp.get(i, i) == i)
+        assert kept == want
+        assert 0 in kept and {1, 2}.isdisjoint(set(kept))
+        assert 4 in kept   # zero vector always survives
+
+    def test_embedding_keep_threshold_guard(self, spark):
+        emb = spark.createDataFrame([(1, [1.0] * 64)],
+                                    "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="threshold"):
+            dedup.embedding_dedup_keep(emb, threshold=0.9999999)
+
+    def test_zero_vector_never_kills_pair_apis(self, spark):
+        """Poison-row contract on the embedding pair APIs: a zero-norm
+        vector must be dropped, not raise ANSI DIVIDE_BY_ZERO inside
+        the cosine verify (Spark 4 default ANSI found this — the zero
+        vector banding-collides with all-positive vectors)."""
+        rows = [(0, [1.0] * 64), (1, [1.0] * 64), (2, [0.0] * 64)]
+        emb = spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<double>")
+        lsh = {(r["id_a"], r["id_b"]) for r in
+               dedup.embedding_cosine_pairs_lsh(
+                   emb, threshold=0.38).collect()}
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 dedup.embedding_cosine_pairs(
+                     emb, threshold=0.38).collect()}
+        assert lsh == exact == {(0, 1)}   # zero vector silently out
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")

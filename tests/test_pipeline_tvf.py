@@ -170,6 +170,18 @@ class TestKeepTvfs:
         direct = audio_dedup_keep(spark.table("wavmedia")).count()
         assert rows[0]["n"] == direct > 0
 
+    def test_embedding_dedup_keep_sql_equals_direct(self, eng, spark):
+        rows = _rows(eng, "SELECT vec_id FROM "
+                          "embedding_dedup_keep('embeddings', 0.38) "
+                          "ORDER BY vec_id")
+        from datafusion_postgres_spark.operators.dedup import (
+            embedding_dedup_keep,
+        )
+        direct = sorted(r["vec_id"] for r in embedding_dedup_keep(
+            spark.table("embeddings"), threshold=0.38).collect())
+        assert [r["vec_id"] for r in rows] == direct
+        assert len(rows) > 0
+
     def test_maintain_ann_index_tvf(self, eng, spark, tmp_path):
         from datafusion_postgres_spark.sources.ann_index import (
             write_ivf_sq8_index,

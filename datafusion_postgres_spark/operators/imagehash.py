@@ -792,11 +792,14 @@ def write_image_hash_table(media: DataFrame, table: str,
      .sortBy("chunk").format("parquet").saveAsTable(table))
 
 
-def image_dedup_incremental(new_media: DataFrame, table: str,
+def image_dedup_incremental(new_media: DataFrame,
+                            table: str | None = None,
                             max_hamming: int = 3,
                             id_col: str = "doc_id",
                             content_col: str = "content",
-                            max_df: int | None = 1000) -> DataFrame:
+                            max_df: int | None = 1000,
+                            corpus_media: DataFrame | None = None
+                            ) -> DataFrame:
     """Per-ingest image near-dup dedup against the persisted state: a
     new image survives iff no state image within ``max_hamming`` AND no
     lower-id near-dup inside the batch (the batch representative).
@@ -811,13 +814,25 @@ def image_dedup_incremental(new_media: DataFrame, table: str,
     neither side of the (ci, chunk) join carries identical-asset
     cliques. ``max_df`` additionally drops chunk values shared by more
     than that many distinct STATE signatures (boilerplate chunks, the
-    chunked_hamming_pairs cap) — ``None`` for exact mode."""
+    chunked_hamming_pairs cap) — ``None`` for exact mode.
+
+    State source: ``table`` (the production bucketed loop) or
+    ``corpus_media`` hashed on the fly (the side-effect-free
+    composition the oracled row uses) — exactly one of the two."""
     cols = [f"ahash_c{j}" for j in range(4)]
-    sig = (image_perceptual_hashes(new_media, id_col, content_col)
-           .where(F.col("ahash_c0").isNotNull())
-           .select(F.col("doc_id").alias("id"), *cols))
-    survivors = sig_survivor_ids(sig, table, cols, max_hamming, max_df,
-                                 cache_key="image_dedup_incremental")
+
+    def _sig(media: DataFrame) -> DataFrame:
+        return (image_perceptual_hashes(media, id_col, content_col)
+                .where(F.col("ahash_c0").isNotNull())
+                .select(F.col("doc_id").alias("id"), *cols))
+
+    state_rows = None
+    if corpus_media is not None:
+        state_rows = _sig_chunk_rows(_sig(corpus_media), id_col="id")
+    survivors = sig_survivor_ids(_sig(new_media), table, cols,
+                                 max_hamming, max_df,
+                                 cache_key="image_dedup_incremental",
+                                 state_rows=state_rows)
     return new_media.join(
         survivors.withColumnRenamed("id", id_col), id_col, "left_semi")
 

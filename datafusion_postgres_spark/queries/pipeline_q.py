@@ -2808,6 +2808,50 @@ def multimodal_image_dedup_keep(spark, sf_dir):
         "doc_id")
 
 
+@register("multimodal_image_dedup_incremental", oracle=f"""
+WITH {_IMG_PAIR_CTES},
+istate AS (SELECT * FROM chunks WHERE doc_id % 5 <> 0),
+ibatch AS (SELECT * FROM chunks WHERE doc_id % 5 = 0),
+idup_state AS (
+  SELECT DISTINCT b.doc_id FROM ibatch b JOIN istate s
+    ON bit_count(xor(b.ch[1], s.ch[1])) + bit_count(xor(b.ch[2], s.ch[2]))
+     + bit_count(xor(b.ch[3], s.ch[3])) + bit_count(xor(b.ch[4], s.ch[4]))
+     <= 3),
+idup_batch AS (
+  SELECT DISTINCT b2.doc_id FROM ibatch b1 JOIN ibatch b2
+    ON b1.doc_id < b2.doc_id
+   AND bit_count(xor(b1.ch[1], b2.ch[1])) + bit_count(xor(b1.ch[2], b2.ch[2]))
+     + bit_count(xor(b1.ch[3], b2.ch[3])) + bit_count(xor(b1.ch[4], b2.ch[4]))
+     <= 3)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id % 5 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM idup_state)
+  AND doc_id NOT IN (SELECT doc_id FROM idup_batch)
+ORDER BY doc_id
+""")
+def multimodal_image_dedup_incremental(spark, sf_dir):
+    """IMAGE ingest dedup as a fully-oracled row (round-9): the batch
+    (every 5th doc's PNG) dedups against the rest of the corpus as
+    state — imagehash.image_dedup_incremental with the state hashed on
+    the fly (sig_survivor_ids' frame-based state; the bucketed-table
+    loop with the same semantics is pinned in test_streaming_dedup).
+    The oracle recomputes every aHash from character codes and replays
+    the survivor predicate with naive hamming joins — exact because
+    both the state join and the in-batch pairing are
+    pigeonhole-lossless at max_hamming <= 3 and the row opts out of
+    the df cap."""
+    from datafusion_postgres_spark.operators import imagehash as ih
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    media = ih.synthesize_png_corpus(docs)
+    kept = ih.image_dedup_incremental(
+        media.where(d % 5 == 0), max_hamming=3, max_df=None,
+        corpus_media=media.where(d % 5 != 0))
+    return sorted_small(
+        kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
+        "doc_id")
+
+
 @register("multimodal_mixed_format_neardups", oracle=f"""
 WITH {_IMG_PAIR_CTES}
 SELECT id_a, id_b, hamming FROM ipairs ORDER BY id_a, id_b

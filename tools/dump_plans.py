@@ -266,6 +266,34 @@ COMMENTARY = {
         "lose by construction and min-label components run over the "
         "small representative pair graph; nothing corpus-sized is "
         "cached (the keep path skips the members frame entirely).",
+    "text_simhash_dedup_keep_scale":
+        "Round 9: the text keep on the shared collapse contract "
+        "(operators/repgraph.py) with the df cap BOUND at this corpus "
+        "— one 12-bit chunk value is near-constant across all distinct "
+        "signatures, so exact mode is output-bound ~6M candidates by "
+        "contract; the cap drops those hot (ci, value) keys from the "
+        "blocking join and the oracle replays the cap arithmetic. "
+        "Rep-edge components run in ONE driver union-find action over "
+        "two Arrow long columns.",
+    "text_simhash_dedup_incremental":
+        "Round 9: per-batch NEAR-dup ingest against simhash chunk "
+        "state — batch signatures join state on (ci, chunk) equality "
+        "only (pigeonhole-exact at hamming <= 3), in-batch survivors "
+        "through the same collapse-bounded pairing; at 100 TB the "
+        "state is bucketed on the chunk key so the join is "
+        "co-partitioned with no state-side shuffle.",
+    "multimodal_image_dedup_incremental":
+        "Round 9: the IMAGE ingest answer as an oracled row — batch "
+        "signatures (distinct per signature, the r8 state collapse) "
+        "join the state on (ci, chunk) equality; in-batch survivors "
+        "through the collapse-bounded pairing; zero-shuffle "
+        "mapInPandas decode on both sides.",
+    "dedup_embedding_keep":
+        "Round 9: the embedding modality on the keep contract — "
+        "exact-vector collapse (zero-norm vectors filtered BEFORE any "
+        "cosine division: ANSI mode raises on /0), four-table "
+        "hyperplane banding + exact-cosine verify over representatives "
+        "only, driver union-find over the rep-edge graph.",
     "text_clf_auc":
         "Round 8: tie-corrected Mann-Whitney AUC from the bounded "
         "ROUND(x,6) score histogram; the cumulative pass is the "

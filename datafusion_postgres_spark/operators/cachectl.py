@@ -97,16 +97,18 @@ def _input_fingerprint(df: DataFrame) -> int | None:
     when it is a known content-fixed local leaf (_LOCAL_LEAVES). Any
     OTHER unextractable leaf (DSv2, JDBC, streaming) means the file
     walk alone would be a PARTIAL fingerprint that pins a stale
-    snapshot when the skipped source changes — then the result merges
-    ``Dataset.inputFiles()`` (which covers DSv2 file sources), but
-    ONLY if it actually adds files the walk did not already see:
-    inputFiles() that merely repeats the walked file leaves (a JDBC or
-    Kafka leaf contributes nothing to it) proves nothing about the
-    skipped source, so the fingerprint is None and the generation
+    snapshot when the skipped source changes. With EXACTLY ONE such
+    leaf the result merges ``Dataset.inputFiles()`` — if it adds files
+    the walk did not see, those files can only belong to that one leaf
+    (a DSv2 file source), so the merged fingerprint covers everything;
+    if it adds nothing (a JDBC/Kafka leaf contributes none) the answer
+    is None. With TWO OR MORE unknown leaves no merge can prove full
+    coverage (inputFiles() adding files shows SOME leaf is covered,
+    not all of them), so the answer is always None and the generation
     re-caches every time (correct over fast; round-9 ADVICE fix +
-    review hardening)."""
+    two review hardenings)."""
     files: list[str] = []
-    unknown_skip = False
+    unknown_skips = 0
     try:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
         for i in range(leaves.size()):
@@ -115,8 +117,10 @@ def _input_fingerprint(df: DataFrame) -> int | None:
                 files.extend(_leaf_files(leaf))
             except Exception:
                 if not _is_local_leaf(leaf):
-                    unknown_skip = True
-        if unknown_skip:
+                    unknown_skips += 1
+        if unknown_skips > 1:
+            return None            # coverage unprovable — never pin
+        if unknown_skips == 1:
             got = df.inputFiles()
             if not set(got) - set(files):
                 return None        # cannot tell — never pin a partial

@@ -820,17 +820,13 @@ def image_dedup_incremental(new_media: DataFrame,
     ``corpus_media`` hashed on the fly (the side-effect-free
     composition the oracled row uses) — exactly one of the two."""
     cols = [f"ahash_c{j}" for j in range(4)]
-
-    def _sig(media: DataFrame) -> DataFrame:
-        return (image_perceptual_hashes(media, id_col, content_col)
-                .where(F.col("ahash_c0").isNotNull())
-                .select(F.col("doc_id").alias("id"), *cols))
-
+    sig = (image_perceptual_hashes(new_media, id_col, content_col)
+           .where(F.col("ahash_c0").isNotNull())
+           .select(F.col("doc_id").alias("id"), *cols))
     state_rows = None
     if corpus_media is not None:
-        state_rows = _sig_chunk_rows(_sig(corpus_media), id_col="id")
-    survivors = sig_survivor_ids(_sig(new_media), table, cols,
-                                 max_hamming, max_df,
+        state_rows = _state_chunk_rows(corpus_media, id_col, content_col)
+    survivors = sig_survivor_ids(sig, table, cols, max_hamming, max_df,
                                  cache_key="image_dedup_incremental",
                                  state_rows=state_rows)
     return new_media.join(

@@ -1072,7 +1072,11 @@ WITH scored AS (
              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
            (acc, v) -> acc + v)
          / ({_VSQ.format(v='a.embedding')} * {_VSQ.format(v='b.embedding')}) AS c
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0) a
+  JOIN (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0) b
+    ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(c, 6) AS cos_sim FROM scored
 WHERE c >= 0.38 ORDER BY id_a, id_b
@@ -1128,11 +1132,17 @@ def _lsh_proj_sql(v: str, plane: int, dims: int) -> str:
 
 
 def _emb_lsh_tables_sql(n_planes: int = 8, n_tables: int = 4) -> str:
+    """Zero-norm vectors are filtered out exactly like the Spark pair
+    APIs drop them (round-9 review: DuckDB computes 0/0 = NaN and
+    orders NaN ABOVE all values, so `NaN >= threshold` is TRUE — an
+    unfiltered zero vector would verify as a duplicate of everything
+    it banding-collides with while Spark keeps it a singleton)."""
     sels = []
     for ti in range(n_tables):
         b = _lsh_bucket_sql("embedding", n_planes, 64, ti * n_planes)
         sels.append(f"SELECT vec_id, embedding, {ti} AS tbl, {b} AS bucket "
-                    f"FROM embeddings")
+                    f"FROM embeddings "
+                    f"WHERE len(list_filter(embedding, x -> x <> 0)) > 0")
     return "\n  UNION ALL\n  ".join(sels)
 
 

@@ -302,24 +302,33 @@ def _recover_orphaned_rebuild(path: str) -> None:
     SAFETY (review finding): this sweep runs before ``path`` itself is
     validated and the path is SQL-reachable through the
     maintain_ann_index TVF, so it must never mutate directories it
-    cannot PROVE are this index's own artifacts — a sibling is only
-    touched if IT contains ``_ann_meta.json`` (everything
-    write_ivf_sq8_index produces does). A typo'd or hostile path whose
-    '.old'/'.rebuild' neighbors are unrelated directories leaves them
-    untouched; maintain then fails on the missing meta read."""
+    cannot PROVE belong to this index. Proof of ownership = ANY member
+    of the family (live / '.old' / '.rebuild') contains
+    ``_ann_meta.json``: write_ivf_sq8_index writes the meta LAST, so a
+    crash mid-rebuild leaves a meta-less '.rebuild' — but only next to
+    a live index (which has meta); likewise a crash partway through
+    the post-swap ``rmtree(old)`` leaves a meta-less '.old' next to
+    the already-swapped-in live index. A typo'd or hostile path whose
+    neighbors are unrelated directories has NO meta anywhere in the
+    family, so nothing is touched and maintain fails on the missing
+    meta read."""
     import shutil
 
     base = path.rstrip("/")
     old, staging = base + ".old", base + ".rebuild"
-    if os.path.exists(os.path.join(old, _META)):
-        if not os.path.exists(os.path.join(path, _META)):
-            if not os.path.exists(path):
-                os.rename(old, path)
-            # path exists but is not an index: do NOT overwrite it —
-            # leave both for the operator; the meta read below fails
-        else:
-            shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(os.path.join(staging, _META)):
+    live_is_index = os.path.exists(os.path.join(path, _META))
+    old_is_index = os.path.exists(os.path.join(old, _META))
+    family_owned = live_is_index or old_is_index
+    if old_is_index and not live_is_index:
+        if not os.path.exists(path):
+            os.rename(old, path)
+        # path exists but is not an index: do NOT overwrite it —
+        # leave both for the operator; the meta read below fails
+    elif os.path.exists(old) and family_owned:
+        # post-swap garbage, possibly a partially-deleted meta-less old
+        shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(staging) and (
+            family_owned or os.path.exists(os.path.join(staging, _META))):
         shutil.rmtree(staging, ignore_errors=True)
 
 

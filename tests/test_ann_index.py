@@ -372,3 +372,27 @@ class TestRebuildCrashSafety:
         assert _os.path.exists(_os.path.join(p, "keep.txt"))
         assert _os.path.exists(_os.path.join(p + ".old", "old.txt"))
         assert _os.path.exists(_os.path.join(p + ".rebuild", "reb.txt"))
+
+    def test_sweep_drops_metaless_artifacts_of_a_real_index(
+            self, spark, emb, tmp_path):
+        """Second review pass: write_ivf_sq8_index writes the meta
+        LAST, so a crash mid-rebuild leaves a META-LESS '.rebuild';
+        a crash partway through the post-swap rmtree leaves a
+        META-LESS '.old'. Ownership is proven by the FAMILY (the live
+        index has meta), so both artifacts must be swept — not leaked
+        forever as the meta-only guard would."""
+        import os as _os
+        from datafusion_postgres_spark.sources import ann_index as AI
+        p = str(tmp_path / "fam")
+        AI.write_ivf_sq8_index(emb, p, n_centroids=8, kmeans_iters=0)
+        _os.makedirs(p + ".rebuild")          # crashed before meta
+        with open(p + ".rebuild/part-0.parquet", "w") as f:
+            f.write("partial")
+        _os.makedirs(p + ".old")              # partially-deleted old
+        with open(p + ".old/leftover.parquet", "w") as f:
+            f.write("partial")
+        rep = AI.maintain_ivf_sq8_index(spark, p, emb, min_recall=0.0,
+                                        n_queries=4)
+        assert rep["action"] == "compacted"
+        assert not _os.path.exists(p + ".rebuild")
+        assert not _os.path.exists(p + ".old")

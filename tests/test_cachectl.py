@@ -237,6 +237,17 @@ def test_unfingerprintable_leaf_never_pins_partial_file_list(
                         lambda self: list(pa_files))
     assert C._input_fingerprint(joined) is None
 
+    # TWO unknown leaves (second review pass): inputFiles() adding
+    # files proves SOME skipped leaf is covered, never all of them —
+    # with >1 unknown leaf the only safe answer is None even though
+    # inputFiles() adds files beyond the (empty) walk
+    monkeypatch.setattr(
+        C, "_leaf_files",
+        lambda leaf: (_ for _ in ()).throw(RuntimeError("no files")))
+    monkeypatch.setattr(type(joined), "inputFiles",
+                        lambda self: list(pa_files))
+    assert C._input_fingerprint(joined) is None
+
 
 def test_streaming_leaf_fingerprint_is_none(spark):
     """A pure streaming plan has no stable file set — 'cannot tell'."""

@@ -205,22 +205,33 @@ def write_audio_hash_table(media: DataFrame, table: str,
      .sortBy("chunk").format("parquet").saveAsTable(table))
 
 
-def audio_dedup_incremental(new_media: DataFrame, table: str,
+def audio_dedup_incremental(new_media: DataFrame,
+                            table: str | None = None,
                             max_hamming: int = 3,
                             id_col: str = "doc_id",
                             content_col: str = "content",
-                            max_df: int | None = 1000) -> DataFrame:
+                            max_df: int | None = 1000,
+                            corpus_media: DataFrame | None = None
+                            ) -> DataFrame:
     """Per-ingest audio near-dup dedup against the persisted envelope
     state: a new clip survives iff no state clip within ``max_hamming``
     AND no lower-id near-dup inside the batch (see
-    imagehash.sig_survivor_ids for the exactness and skew contract)."""
+    imagehash.sig_survivor_ids for the exactness and skew contract).
+    State = the bucketed ``table`` (production loop) or
+    ``corpus_media`` hashed on the fly (the oracled-row composition) —
+    exactly one of the two."""
     from datafusion_postgres_spark.operators.imagehash import (
-        sig_survivor_ids,
+        _sig_chunk_rows, sig_survivor_ids,
     )
+    state_rows = None
+    if corpus_media is not None:
+        state_rows = _sig_chunk_rows(
+            _audio_sig(corpus_media, id_col, content_col), id_col="id",
+            chunk_cols=_ENV_COLS)
     survivors = sig_survivor_ids(
         _audio_sig(new_media, id_col, content_col), table,
         list(_ENV_COLS), max_hamming, max_df,
-        cache_key="audio_dedup_incremental")
+        cache_key="audio_dedup_incremental", state_rows=state_rows)
     return new_media.join(
         survivors.withColumnRenamed("id", id_col), id_col, "left_semi")
 

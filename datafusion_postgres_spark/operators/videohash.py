@@ -395,12 +395,15 @@ def write_video_hash_table(media: DataFrame, table: str,
      .sortBy("chunk").format("parquet").saveAsTable(table))
 
 
-def video_dedup_incremental(new_media: DataFrame, table: str,
+def video_dedup_incremental(new_media: DataFrame,
+                            table: str | None = None,
                             every_n: int = 2, max_hamming: int = 3,
                             min_match_frames: int | None = None,
                             id_col: str = "doc_id",
                             content_col: str = "content",
-                            max_df: int | None = 1000) -> DataFrame:
+                            max_df: int | None = 1000,
+                            corpus_media: DataFrame | None = None
+                            ) -> DataFrame:
     """Per-ingest video near-dup dedup against the persisted frame
     state: a new video survives iff NO state video matches it at >=
     ``min_match_frames`` sampled positions (default None = all of the
@@ -408,16 +411,25 @@ def video_dedup_incremental(new_media: DataFrame, table: str,
     Only survivor rows come back — append their frame hashes with
     merge_new_video_hashes to close the loop. ``max_df`` drops chunk
     values shared by more than that many state rows per (frame_pos,
-    ci, chunk) — the hot-chunk bound of the batch ingest path."""
+    ci, chunk) — the hot-chunk bound of the batch ingest path. State =
+    the bucketed ``table`` (production loop) or ``corpus_media``
+    frame-hashed on the fly (the oracled-row composition) — exactly
+    one of the two."""
     if max_hamming > 3:
         raise ValueError("4-chunk blocking is exact only for "
                          f"max_hamming <= 3 (got {max_hamming})")
+    if (table is None) == (corpus_media is None):
+        raise ValueError("pass exactly one of table / corpus_media")
     from datafusion_postgres_spark.operators.cachectl import (
         cache_generation,
     )
     spark = new_media.sparkSession
-    spark.catalog.refreshTable(table)
-    state = spark.table(table)
+    if table is not None:
+        spark.catalog.refreshTable(table)
+        state = spark.table(table)
+    else:
+        state = _video_state_rows(
+            _video_sig(corpus_media, every_n, id_col, content_col))
     sig = cache_generation(
         "video_dedup_incremental",
         _video_sig(new_media, every_n, id_col, content_col))

@@ -2751,6 +2751,46 @@ def multimodal_audio_dedup_keep(spark, sf_dir):
         "doc_id")
 
 
+@register("multimodal_audio_dedup_incremental", oracle=f"""
+WITH {_AUD_PAIR_CTES},
+astate AS (SELECT * FROM achunks WHERE doc_id % 5 <> 0),
+abatch AS (SELECT * FROM achunks WHERE doc_id % 5 = 0),
+adup_state AS (
+  SELECT DISTINCT bt.doc_id FROM abatch bt JOIN astate st
+    ON bit_count(xor(bt.ch[1], st.ch[1])) + bit_count(xor(bt.ch[2], st.ch[2]))
+     + bit_count(xor(bt.ch[3], st.ch[3])) + bit_count(xor(bt.ch[4], st.ch[4]))
+     <= 3),
+adup_batch AS (
+  SELECT DISTINCT b2.doc_id FROM abatch b1 JOIN abatch b2
+    ON b1.doc_id < b2.doc_id
+   AND bit_count(xor(b1.ch[1], b2.ch[1])) + bit_count(xor(b1.ch[2], b2.ch[2]))
+     + bit_count(xor(b1.ch[3], b2.ch[3])) + bit_count(xor(b1.ch[4], b2.ch[4]))
+     <= 3)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id % 5 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM adup_state)
+  AND doc_id NOT IN (SELECT doc_id FROM adup_batch)
+ORDER BY doc_id
+""")
+def multimodal_audio_dedup_incremental(spark, sf_dir):
+    """AUDIO ingest dedup as a fully-oracled row (round-9, the image
+    incremental's audio twin): the batch (every 5th doc's WAV) dedups
+    against the rest of the corpus as envelope-hash state —
+    audiohash.audio_dedup_incremental with frame-based state. The
+    oracle recomputes every envelope hash from character codes and
+    replays the survivor predicate with naive hamming joins."""
+    from datafusion_postgres_spark.operators import audiohash as ah
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    media = ah.synthesize_wav_corpus(docs)
+    kept = ah.audio_dedup_incremental(
+        media.where(d % 5 == 0), max_hamming=3, max_df=None,
+        corpus_media=media.where(d % 5 != 0))
+    return sorted_small(
+        kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
+        "doc_id")
+
+
 @register("multimodal_image_components", oracle=f"""
 WITH RECURSIVE {_IMG_PAIR_CTES},
 edges AS (
@@ -3010,6 +3050,53 @@ def multimodal_video_dedup_keep(spark, sf_dir):
     media = vh.synthesize_mp4_corpus(docs, side=8, n_frames=6)
     kept = vh.video_dedup_keep(media, every_n=2, max_hamming=3,
                                min_match_frames=3, max_df=None)
+    return sorted_small(
+        kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
+        "doc_id")
+
+
+@register("multimodal_video_dedup_incremental", oracle=f"""
+WITH {_VID_PAIR_CTES},
+vstate AS (SELECT * FROM vchunks WHERE doc_id % 5 <> 0),
+vbatch AS (SELECT * FROM vchunks WHERE doc_id % 5 = 0),
+vds AS (
+  SELECT bt.doc_id, st.doc_id AS sid, COUNT(*) AS nm
+  FROM vbatch bt JOIN vstate st ON bt.f = st.f
+  WHERE bit_count(xor(bt.ch[1], st.ch[1])) + bit_count(xor(bt.ch[2], st.ch[2]))
+      + bit_count(xor(bt.ch[3], st.ch[3])) + bit_count(xor(bt.ch[4], st.ch[4]))
+      <= 3
+  GROUP BY bt.doc_id, st.doc_id),
+vdup_state AS (SELECT DISTINCT doc_id FROM vds WHERE nm >= 3),
+vbb AS (
+  SELECT b1.doc_id AS id_a, b2.doc_id AS id_b, COUNT(*) AS nm
+  FROM vbatch b1 JOIN vbatch b2 ON b1.f = b2.f AND b1.doc_id < b2.doc_id
+  WHERE bit_count(xor(b1.ch[1], b2.ch[1])) + bit_count(xor(b1.ch[2], b2.ch[2]))
+      + bit_count(xor(b1.ch[3], b2.ch[3])) + bit_count(xor(b1.ch[4], b2.ch[4]))
+      <= 3
+  GROUP BY b1.doc_id, b2.doc_id),
+vdup_batch AS (SELECT DISTINCT id_b AS doc_id FROM vbb WHERE nm >= 3)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id % 5 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM vdup_state)
+  AND doc_id NOT IN (SELECT doc_id FROM vdup_batch)
+ORDER BY doc_id
+""")
+def multimodal_video_dedup_incremental(spark, sf_dir):
+    """VIDEO ingest dedup as a fully-oracled row (round-9): the batch
+    (every 5th doc's MP4) dedups against the rest of the corpus as
+    per-frame state — videohash.video_dedup_incremental with
+    frame-based state and the all-3-positions criterion. The oracle
+    recomputes every sampled frame hash from character codes and
+    replays BOTH survivor predicates (vs-state position counting and
+    the lower-id in-batch rule)."""
+    from datafusion_postgres_spark.operators import videohash as vh
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    media = vh.synthesize_mp4_corpus(docs, side=8, n_frames=6)
+    kept = vh.video_dedup_incremental(
+        media.where(d % 5 == 0), every_n=2, max_hamming=3,
+        min_match_frames=3, max_df=None,
+        corpus_media=media.where(d % 5 != 0))
     return sorted_small(
         kept.select(F.col("doc_id").cast("bigint").alias("doc_id")),
         "doc_id")

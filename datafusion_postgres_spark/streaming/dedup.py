@@ -16,8 +16,8 @@ Two operators:
     executors by fingerprint, so it shards like any shuffle.
 
   * :func:`simhash_near_dup_stream` — per-batch simhash signatures
-    (the same zero-shuffle projection as batch: operators/dedup.py
-    ``simhash_expr``), pigeonhole-blocked on signature chunks, then an
+    (the same zero-shuffle two-stage projection as batch:
+    operators/dedup.py ``simhash_hashes_expr`` + ``simhash_from_hashes``), pigeonhole-blocked on signature chunks, then an
     ``applyInPandasWithState`` state machine per (chunk_idx, chunk_key)
     bucket that emits a near-dup pair whenever an arriving doc is within
     ``max_hamming`` of any doc already seen in that bucket. Cross-batch
@@ -46,7 +46,9 @@ from pyspark.sql.types import (
     ArrayType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
-from datafusion_postgres_spark.operators.dedup import simhash_expr
+from datafusion_postgres_spark.operators.dedup import (
+    simhash_from_hashes, simhash_hashes_expr,
+)
 from datafusion_postgres_spark.operators.text import fingerprint, norm_text
 
 DOCS_SCHEMA = StructType([
@@ -199,10 +201,16 @@ def simhash_near_dup_stream(docs: DataFrame, text_col: str = "text",
     timers keep the query from ever quiescing (it re-triggers forever on
     timer wakeups). Production continuous streams keep the default."""
     from functools import partial
+    # two-stage simhash (round-10 verdict #1): materialize the
+    # word-hash array once per row, fold the 48 majorities over the
+    # column — 18x less CPU than the single-expression form, and the
+    # extra projection composes into the streaming frame unchanged
     sig = (docs
            .where(F.trim(F.col(text_col)) != "")
            .select(F.col(id_col).alias("id"),
-                   simhash_expr(F.col(text_col), _BITS).alias("sig")))
+                   simhash_hashes_expr(F.col(text_col)).alias("whs"))
+           .select("id",
+                   simhash_from_hashes(F.col("whs"), _BITS).alias("sig")))
     blocked = sig.select(
         "id", "sig",
         F.explode(F.array(*[

@@ -373,6 +373,30 @@ class TestRebuildCrashSafety:
         assert _os.path.exists(_os.path.join(p + ".old", "old.txt"))
         assert _os.path.exists(_os.path.join(p + ".rebuild", "reb.txt"))
 
+    def test_sweep_refuses_orphan_index_named_rebuild(self, spark, emb,
+                                                      tmp_path):
+        """Round-10 ADVICE fix: maintain_ann_index(path='X') where X
+        does not exist but a LEGITIMATE standalone index named
+        'X.rebuild' does — the sweep must NOT destroy that index (the
+        old meta-bearing-staging rule did). It is refused with an
+        explicit error and left byte-for-byte intact."""
+        import os as _os
+        from datafusion_postgres_spark.sources import ann_index as AI
+        real = str(tmp_path / "myidx.rebuild")
+        AI.write_ivf_sq8_index(emb, real, n_centroids=8, kmeans_iters=0)
+        files_before = sorted(
+            _os.path.join(r, f) for r, _, fs in _os.walk(real) for f in fs)
+        with pytest.raises(ValueError, match="complete index"):
+            AI.maintain_ivf_sq8_index(spark, str(tmp_path / "myidx"),
+                                      emb, n_queries=1)
+        files_after = sorted(
+            _os.path.join(r, f) for r, _, fs in _os.walk(real) for f in fs)
+        assert files_after == files_before
+        # ...and the index named 'X.rebuild' is itself maintainable
+        rep = AI.maintain_ivf_sq8_index(spark, real, emb,
+                                        min_recall=0.0, n_queries=4)
+        assert rep["action"] == "compacted"
+
     def test_sweep_drops_metaless_artifacts_of_a_real_index(
             self, spark, emb, tmp_path):
         """Second review pass: write_ivf_sq8_index writes the meta

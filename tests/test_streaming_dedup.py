@@ -593,3 +593,107 @@ def test_foreachbatch_simhash_ingest_loop(spark, tmp_path):
         assert sorted(survived) == [1, 2, 4]   # 3 caught by the state
     finally:
         spark.sql("DROP TABLE IF EXISTS sh_stream_state")
+
+
+def test_two_batch_embedding_incremental_with_bucketed_state(spark):
+    """EMBEDDING near-dup ingest (round-10): batch-2 vectors dedup
+    against the persisted LSH band state — an exact copy and a near
+    vector of a batch-1 state vector drop via the STATE, an in-batch
+    identical twin keeps only the lower id, a fresh vector survives,
+    and a zero-norm vector is outside the cosine domain (dropped like
+    an undecodable image). Frame-based state gives the identical
+    answer (the oracled-row composition)."""
+    import math
+    base = [math.sin(i * 0.7) + 1.5 for i in range(64)]
+    near = list(base)
+    near[0] += 0.01
+    fresh = [math.sin(i * 0.31) - 2 for i in range(64)]
+    b1 = [(1, base), (2, [math.cos(i * 1.3) * 2 for i in range(64)])]
+    b2 = [(10, list(base)),       # exact copy of state 1: drop
+          (11, near),             # near-dup of state 1: drop
+          (12, fresh),            # survives
+          (13, list(fresh)),      # in-batch twin of 12: drop
+          (14, [0.0] * 64)]       # zero norm: outside the domain
+    df1 = spark.createDataFrame(b1, "vec_id long, embedding array<double>")
+    df2 = spark.createDataFrame(b2, "vec_id long, embedding array<double>")
+    spark.sql("DROP TABLE IF EXISTS emb_state")
+    try:
+        batch_dedup.write_embedding_table(df1, "emb_state", n_buckets=8)
+        kept = batch_dedup.embedding_dedup_incremental(df2, "emb_state")
+        ids = sorted(r["vec_id"] for r in kept.collect())
+        assert ids == [12]
+        batch_dedup.merge_new_embeddings(kept, "emb_state", n_buckets=8)
+        # state grew: a later copy of 12 is now caught by the table
+        df3 = spark.createDataFrame(
+            [(20, list(fresh))], "vec_id long, embedding array<double>")
+        again = batch_dedup.embedding_dedup_incremental(df3, "emb_state")
+        assert again.count() == 0
+        # frame-based state = the same answer (oracled-row composition)
+        frame_kept = sorted(r["vec_id"] for r in
+                            batch_dedup.embedding_dedup_incremental(
+                                df2, corpus_emb=df1).collect())
+        assert frame_kept == ids
+        # threshold guard: the collapse soundness bound applies here too
+        with pytest.raises(ValueError, match="threshold"):
+            batch_dedup.embedding_dedup_incremental(
+                df2, corpus_emb=df1, threshold=0.9999999)
+        with pytest.raises(ValueError, match="exactly one"):
+            batch_dedup.embedding_dedup_incremental(df2)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_state")
+
+
+def test_foreachbatch_embedding_ingest_loop(spark, tmp_path):
+    """The driver-restart-safe foreachBatch loop on the embedding
+    near-dup state (the five-modality ingest answer, on vectors): a
+    batch-2 near-copy of a batch-1 survivor is dropped by the bucketed
+    table, not in-memory bookkeeping."""
+    import glob
+    import math
+    import os
+    import shutil
+    base = [math.sin(i * 0.9) + 1.2 for i in range(64)]
+    near = list(base)
+    near[3] += 0.005
+    rows1 = [(1, base),
+             (2, [math.cos(i * 0.45) * 3 for i in range(64)])]
+    rows2 = [(3, near),                                  # near dup of 1
+             (4, [math.sin(i * 0.12) * 2 - 1 for i in range(64)])]
+    d = tmp_path / "emb_stream_in"
+    d.mkdir()
+    for i, rows in enumerate((rows1, rows2)):
+        p = str(tmp_path / f"embb{i}.parquet")
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        (part,) = glob.glob(p + "/part-*.parquet")
+        dst = str(d / f"{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    spark.sql("DROP TABLE IF EXISTS emb_stream_state")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    batch_dedup.write_embedding_table(empty, "emb_stream_state",
+                                      n_buckets=8)
+    survived = []
+
+    def ingest(batch_df, batch_id):
+        out = batch_dedup.embedding_dedup_incremental(
+            batch_df, "emb_stream_state")
+        kept = out.collect()
+        survived.extend(r["vec_id"] for r in kept)
+        if kept:
+            batch_dedup.merge_new_embeddings(
+                spark.createDataFrame(kept, out.schema),
+                "emb_stream_state", n_buckets=8)
+
+    try:
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        q = stream.writeStream.foreachBatch(ingest) \
+            .option("checkpointLocation", str(tmp_path / "emb_ckpt")) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        assert sorted(survived) == [1, 2, 4]   # 3 caught by the state
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_stream_state")

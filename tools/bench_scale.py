@@ -298,9 +298,18 @@ def main() -> None:
     measure("text_clique_simhash_pairs_10k",
             dedup.simhash_near_pairs(corp10), results,
             collect_cols=["id_a"])
-    measure("text_clique_minhash_keep_10k",
-            dedup.minhash_dedup_keep(corp10), results,
-            collect_cols=["doc_id"])
+    # minhash keep gets the SAME corpus-2x receipt as the simhash /
+    # image / video paths (round-10 verdict item #7): the gram-set
+    # collapse must keep the widest node flat when the corpus doubles
+    # around the same boilerplate clique.
+    for tag, lim in (("text_clique_minhash_keep_10k", 10_000),
+                     ("text_clique_minhash_keep_corpus2x_20k", 20_000)):
+        corp = (docs.where(F.col("doc_id") < lim)
+                .withColumn("text",
+                            F.when(F.col("doc_id") < 200, rep_text)
+                            .otherwise(F.col("text"))))
+        measure(tag, dedup.minhash_dedup_keep(corp), results,
+                collect_cols=["doc_id"])
 
     # -- VIDEO keep on an identical-video clique (round-9 verdict #2):
     #    tuple collapse means the clique never reaches the per-position
@@ -332,6 +341,19 @@ def main() -> None:
             VH.video_near_dup_pairs(media2k, every_n=2,
                                     min_match_frames=3),
             results, collect_cols=["id_a"])
+
+    # -- repgraph driver union-find round trip (round-10 verdict #3):
+    #    1M rep edges in, 1M LOSERS back — the collect side has been
+    #    Arrow since r9; this receipt covers the RETURN side (a pandas
+    #    int64 column through Arrow, not 1M py4j-serialized tuples).
+    #    1M two-node components = worst-case loser/edge ratio, half
+    #    the MAX_DRIVER_EDGES bound.
+    from datafusion_postgres_spark.operators.repgraph import loser_ids
+    pair_edges = (spark.range(1_000_000)
+                  .select((F.col("id") * 2).alias("id_a"),
+                          (F.col("id") * 2 + 1).alias("id_b")))
+    measure("repgraph_loser_roundtrip_1m_edges",
+            loser_ids(pair_edges), results, collect_cols=["id"])
 
     out = {
         "dataset": {"root": root, "n_docs": n_docs,

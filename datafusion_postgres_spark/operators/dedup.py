@@ -112,22 +112,32 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
 def shingle_array(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, grams ARRAY<BIGINT> sorted distinct, set_size) — the per-doc
-    shingle-hash set built as a SINGLE codegen'd projection: hash each word
-    once (char-level polynomial), then combine n word-hashes per gram with
-    the same ``acc*31+x mod p`` fold. No explode, no shuffle — the scan
-    stays embarrassingly parallel, which is what lets every dedup operator
-    below start from a zero-shuffle baseline."""
-    ws = words(norm_text(F.col(text_col)))
-    whs = F.transform(ws, word_fingerprint)
+    shingle-hash set: hash each word once (char-level polynomial), then
+    combine n word-hashes per gram with the same ``acc*31+x mod p``
+    fold. No explode, no shuffle — the scan stays embarrassingly
+    parallel, which is what lets every dedup operator below start from
+    a zero-shuffle baseline.
+
+    TWO-STAGE shape (round-10, the simhash_expr finding applied here):
+    the word-hash array is materialized in its own projection, then the
+    per-gram slice-folds run over the bound column. The former
+    single-projection form put ``transform(ws, word_fingerprint)``
+    inside the per-gram lambda body, where the interpreted HOF
+    re-evaluates it per gram — measured 2.2x slower on sf0.1 docs
+    (tools/probe_shingle_cse.py; identical checksums)."""
+    whs_df = (ensure_min_parallelism(docs)
+              .where(F.trim(F.col(text_col)) != "")
+              .select(F.col(id_col).alias("id"),
+                      F.transform(words(norm_text(F.col(text_col))),
+                                  word_fingerprint).alias("whs")))
+    whs = F.col("whs")
     gram_hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.greatest(F.size(whs) - n, F.lit(0))),
         lambda i: F.aggregate(F.slice(whs, i + 1, n),
                               F.lit(0).cast("long"),
                               lambda acc, x: (acc * 31 + x) % FP_MOD))
     grams = F.sort_array(F.array_distinct(gram_hashes))
-    return (ensure_min_parallelism(docs)
-            .where(F.trim(F.col(text_col)) != "")
-            .select(F.col(id_col).alias("id"), grams.alias("grams"))
+    return (whs_df.select("id", grams.alias("grams"))
             .withColumn("set_size", F.size("grams")))
 
 

@@ -278,12 +278,12 @@ def kmeans_centroids(emb: DataFrame, k: int = 16, iters: int = 3,
     import math
 
     spark = emb.sparkSession
-    unit = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("raw"))
-    unit = unit.select(
-        "vec_id",
-        F.transform("raw", lambda x: x / _norm(F.col("raw"))).alias("vec"))
+    # _unit_vectors' array_repeat shape, not transform(x / _norm(raw)):
+    # the inline-norm lambda re-folds the d-element norm PER ELEMENT
+    # (d^2 interpreted ops per row); zip_with divides by the identical
+    # double, so values are bit-unchanged (round-10 cleanup — kmeans
+    # was the one normalize site still on the quadratic shape).
+    unit = _unit_vectors(emb, vec_col, id_col)
 
     seed = unit.orderBy("vec_id").limit(k).collect()
     dims = len(seed[0]["vec"])

@@ -247,28 +247,46 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
         first ``top_ngram_window`` words — bounded per-row compute that
         cannot blow up on a pathological 100 MB document.
     """
+    # TWO-STAGE shape (round-10, the simhash_expr finding applied
+    # here — measured 125x on sf0.001 docs, identical values): the
+    # former single projection put ``ws = words(c)`` INSIDE the
+    # per-trigram/per-bigram lambda bodies, and interpreted HOFs
+    # re-evaluate lambda-body subtrees per element — every trigram
+    # re-split the whole document (O(n^2) chars). Each array is now
+    # materialized in its own projection and the per-element lambdas
+    # only index bound columns. Still zero-shuffle pure projections.
     c = F.col(text_col)
-    lines = F.split(c, "\n")
+    stage1 = df.select(
+        F.col(id_col), F.split(c, "\n").alias("__lines"),
+        words(c).alias("__ws"))
+    ws = F.col("__ws")
+    n_words = F.size(ws)
+    stage2 = stage1.select(
+        F.col(id_col), "__lines", n_words.alias("__n_words"),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_words - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i),
+                                  F.element_at(ws, i + 1),
+                                  F.element_at(ws, i + 2))).alias("__tg"),
+        F.slice(ws, 1, top_ngram_window).alias("__wsw"))
+    wsw = F.col("__wsw")
+    nw = F.size(wsw)
+    stage3 = stage2.select(
+        F.col(id_col), "__lines", "__n_words", "__tg",
+        nw.alias("__nw"),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nw - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(wsw, i),
+                                  F.element_at(wsw, i + 1))).alias("__bg"))
+    lines, tg, bg = F.col("__lines"), F.col("__tg"), F.col("__bg")
+    n_words, nw = F.col("__n_words"), F.col("__nw")
     dlines = F.array_distinct(lines)
     n_lines = F.greatest(F.size(lines), F.lit(1))
     line_chars = F.greatest(_sum_lengths(lines), F.lit(1))
-    ws = words(c)
-    n_words = F.size(ws)
-    tg = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_words - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i),
-                              F.element_at(ws, i + 1),
-                              F.element_at(ws, i + 2)))
-    wsw = F.slice(ws, 1, top_ngram_window)
-    nw = F.size(wsw)
-    bg = F.transform(
-        F.sequence(F.lit(1), F.greatest(nw - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(wsw, i),
-                              F.element_at(wsw, i + 1)))
     top_bigram_n = F.array_max(F.transform(
         F.array_distinct(bg),
         lambda x: F.size(F.filter(bg, lambda y: y == x))))
-    return df.select(
+    return stage3.select(
         F.col(id_col),
         F.round((F.size(lines) - F.size(dlines)) / n_lines, 6)
          .alias("dup_line_frac"),
@@ -517,11 +535,15 @@ def shuffle_sharded(df: DataFrame, seed: int, n_shards: int = 64,
             .select(id_col, "shard", "pos"))
 
 
-def _entropy(items: Column, bound: int) -> Column:
-    """Shannon entropy (nats) of the element distribution of ``items``,
-    over the first ``bound`` elements: fold over the SORTED distinct
+def _entropy(win: Column, bound: int) -> Column:
+    """Shannon entropy (nats) of the element distribution of the first
+    ``bound`` elements of ``win`` — which MUST be a materialized
+    (bound) array column, never an expression chain: the per-element
+    probability lambda references the window twice per distinct
+    element, and interpreted HOFs re-evaluate lambda-body subtrees per
+    element (the round-10 finding). Fold over the SORTED distinct
     elements (fixed order → engine-identical float sum)."""
-    win = F.slice(items, 1, bound)
+    win = F.slice(win, 1, bound)
     n = F.size(win)
     dist = F.array_sort(F.array_distinct(win))
     p = lambda x: F.size(F.filter(win, lambda y: y == x)) / n  # noqa: E731
@@ -539,17 +561,24 @@ def entropy_metrics(df: DataFrame, text_col: str = "text",
     stand-in): natural-language text sits near 2.5-3.3 nats of char
     entropy; mashed keys, base64 blobs, and looped boilerplate fall
     outside. O(u·n) mode search bounded by the windows, pure codegen,
-    zero shuffle."""
+    zero shuffle. TWO-STAGE (round-10): the char/word windows are
+    materialized in their own projection — with the split chains
+    inline, every distinct element's probability lambda re-split the
+    whole document (values unchanged; see repetition_metrics)."""
     c = F.col(text_col)
-    chars = F.filter(F.split(F.lower(c), ""), lambda x: x != "")
-    ws = F.filter(words(norm_text(c)), lambda w: w != "")
-    return df.select(
+    stage1 = df.select(
         F.col(id_col),
-        (F.round(_entropy(chars, char_window), 6) + 0.0)
+        F.slice(F.filter(F.split(F.lower(c), ""), lambda x: x != ""),
+                1, char_window).alias("__cw"),
+        F.slice(F.filter(words(norm_text(c)), lambda w: w != ""),
+                1, word_window).alias("__ww"))
+    return stage1.select(
+        F.col(id_col),
+        (F.round(_entropy(F.col("__cw"), char_window), 6) + 0.0)
         .alias("char_entropy"),
-        (F.round(_entropy(ws, word_window), 6) + 0.0)
+        (F.round(_entropy(F.col("__ww"), word_window), 6) + 0.0)
         .alias("word_entropy"),
-        F.size(F.array_distinct(F.slice(ws, 1, word_window)))
+        F.size(F.array_distinct(F.col("__ww")))
         .cast("bigint").alias("distinct_words"),
     )
 
@@ -569,8 +598,15 @@ def chunk_documents(df: DataFrame, window: int = 128, stride: int = 96,
     (id, chunk_id, n_chunk_words, chunk_text)."""
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    # TWO-STAGE (round-10): materialize the word array first — with the
+    # tokenize chain inline, the per-chunk slice lambda re-split the
+    # whole document once per chunk (O(n^2/stride) chars; values
+    # unchanged, see repetition_metrics).
     c = F.col(text_col)
-    ws = F.filter(words(norm_text(c)), lambda w: w != "")
+    stage1 = df.select(
+        F.col(id_col),
+        F.filter(words(norm_text(c)), lambda w: w != "").alias("__ws"))
+    ws = F.col("__ws")
     n = F.size(ws)
     starts = F.sequence(
         F.lit(1),
@@ -581,7 +617,7 @@ def chunk_documents(df: DataFrame, window: int = 128, stride: int = 96,
         lambda s: F.struct(
             ((s - 1) / stride).cast("bigint").alias("chunk_id"),
             F.slice(ws, s, window).alias("cw")))
-    return (df.where(n > 0)
+    return (stage1.where(n > 0)
             .select(F.col(id_col),
                     F.explode(chunks).alias("ch"))
             .select(id_col,

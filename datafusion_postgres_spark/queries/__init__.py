@@ -101,70 +101,84 @@ def pg_sql(spark: SparkSession, sf_dir: str, sql: str,
 # "suite" queries (queries/suites.py) fold redundant variants so the whole
 # surface fits in the window.
 PRIORITY = [
-    # ROTATION POLICY (round 5+): ~30 flagship rows stay pinned every
-    # round; the remaining ~20 slots cycle through the out-of-window
+    # ROTATION POLICY (round 5+): ~26 flagship rows stay pinned every
+    # round; the remaining slots cycle through the out-of-window
     # oracled rows so every registered query re-earns a driver-green
     # CORRECTNESS entry every few rounds. A swapped-out row keeps its
     # oracle and stays in the local `tools/check_oracle.py` gate.
-    # Round-9 swaps (16 rows absent from the r08 window, >= the 15 the
-    # rotation policy asks for):
-    #   * the four round-8 rows the round-8 verdict named (never
-    #     driver-checked): multimodal_image_dedup_keep,
-    #     multimodal_audio_dedup_keep, multimodal_video_dedup_keep,
-    #     multimodal_mixed_format_neardups;
-    #   * the NEW round-9 keep rows: text_simhash_dedup_keep,
-    #     text_minhash_dedup_keep;
-    #   * set_except — rewritten NON-EMPTY this round (verdict #4), so
-    #     the driver re-earns it on real rows;
-    #   * nine of the oldest never-driver-checked rows the verdict
-    #     listed: window_rank_topn, text_quality_classifier,
-    #     set_union_all, values_inline, tablefunc_unnest,
-    #     q6_forecast_revenue, q22_dormant_customers,
-    #     dedup_embedding_lsh, events_attribution.
-    # subquery_scalar STAYS pinned: its threshold moved 2x -> 1.8x this
-    # round so the driver hash covers 1449 real rows instead of an
-    # empty set.
-    # Rotated out to the local gate (ALL driver-green in r08):
-    # q13_order_distribution, q17_small_quantity_revenue,
-    # pg_any_all_array, pg_casts, text_fts_boolean,
-    # subquery_correlated_in, lateral_subquery, join_asof_events,
-    # agg_cube, window_lag_lead, set_intersect,
-    # tablefunc_generate_series, dedup_substring_pairs_capped,
-    # sim_cosine_pq, events_funnel, text_pack_sequences.
+    # Round-10 swaps (24 rows absent from the r09 window — the verdict
+    # asked for >= 15, prioritizing rows NO driver window has ever
+    # checked):
+    #   * the 17 never-driver-checked rows the round-9 verdict listed:
+    #     agg_stats_numeric, argmax_per_group, agg_rollup (standing in
+    #     for the verdict-listed agg_array_agg_ordered, whose
+    #     array<string> output the driver window hash cannot take —
+    #     check_oracle's UNSAFE OUTPUT TYPES guard; it stays in the
+    #     local gate),
+    #     conditional_functions, dedup_decontaminate,
+    #     distinct_on_first_order, having_filter,
+    #     multimodal_frame_sample, q12_shipmode_buckets (standing in
+    #     for multimodal_byte_histogram, whose array<double> output the
+    #     driver window hash cannot take — same guard as
+    #     agg_array_agg_ordered; it stays in the local gate),
+    #     qualified_wildcard, select_distinct, set_union_distinct,
+    #     sort_multi_ordinal, sort_topk, string_functions_ext,
+    #     text_chunk_documents, text_entropy;
+    #   * the round-9 rows only the builder/judge had locally checked:
+    #     dedup_embedding_keep, text_simhash_dedup_keep_scale,
+    #     multimodal_image_dedup_incremental,
+    #     multimodal_audio_dedup_incremental,
+    #     multimodal_video_dedup_incremental,
+    #     text_simhash_dedup_incremental;
+    #   * the NEW round-10 row: dedup_embedding_incremental (the
+    #     fifth-modality ingest loop).
+    # Rotated out to the local gate (ALL driver-green in r09):
+    # q6_forecast_revenue, q22_dormant_customers, window_rank_topn,
+    # set_except, set_union_all, values_inline, tablefunc_unnest,
+    # text_doc_features, text_gopher_filter, text_quality_classifier,
+    # dedup_embedding_lsh, multimodal_metadata_oracle,
+    # multimodal_video_probe, dedup_decontaminate_bloom,
+    # text_bpe_merges, events_attribution, multimodal_audio_neardups,
+    # multimodal_image_components, multimodal_mixed_format_neardups,
+    # multimodal_audio_dedup_keep, multimodal_video_dedup_keep,
+    # text_minhash_dedup_keep, text_clf_pr_curve, streaming_url_dedup.
     # TPC-H adaptations (compound shapes: joins + aggs + sorts)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q21_suppliers_kept_waiting",
-    "q22_dormant_customers",
-    # filters (§2.2)
-    "filter_predicates",
+    "q21_suppliers_kept_waiting",
+    # filters / projections (§2.2)
+    "filter_predicates", "qualified_wildcard", "select_distinct",
+    "distinct_on_first_order", "conditional_functions",
+    "string_functions_ext",
     # joins / subqueries (§2.3)
     "join_semi_anti", "subquery_scalar",
     # aggregation (§2.4)
-    "agg_grouping_suite",
+    "agg_grouping_suite", "agg_rollup", "agg_stats_numeric",
+    "argmax_per_group", "having_filter",
     # windows (§2.5)
-    "window_suite", "window_rank_topn",
-    # sorts / set ops / table functions / VALUES (§2.6-2.8)
-    "sort_wildcard_topk", "set_except", "set_union_all",
-    "values_inline", "tablefunc_unnest",
+    "window_suite",
+    # sorts / set ops (§2.6-2.8)
+    "sort_wildcard_topk", "sort_multi_ordinal", "sort_topk",
+    "set_union_distinct",
     # REAL streaming executions (readStream -> stateful op -> memory sink)
     "streaming_hourly_rollup", "streaming_sessionize",
     # LLM-data-pipeline operators
-    "text_doc_features", "text_gopher_filter", "text_quality_classifier",
     "dedup_exact_groups", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_capped", "dedup_embedding_lsh",
-    "multimodal_metadata_oracle", "multimodal_video_probe",
-    "dedup_decontaminate_bloom",
-    "text_bpe_merges", "sim_cosine_ivf_sq8", "sim_cosine_lsh_multiprobe",
-    "text_trained_classifier", "events_attribution",
-    # round-7/8/9 marquee rows
+    "dedup_ngram_jaccard_capped", "dedup_decontaminate",
+    "text_chunk_documents", "text_entropy",
+    "multimodal_frame_sample", "q12_shipmode_buckets",
+    "sim_cosine_ivf_sq8", "sim_cosine_lsh_multiprobe",
+    "text_trained_classifier",
+    # round-7..10 marquee rows
     "multimodal_image_neardups", "text_url_dedup",
     "text_url_then_content_dedup", "text_trained_gate_scale",
-    "multimodal_audio_neardups", "multimodal_image_components",
-    "multimodal_video_neardups", "multimodal_mixed_format_neardups",
-    "multimodal_image_dedup_keep", "multimodal_audio_dedup_keep",
-    "multimodal_video_dedup_keep",
-    "text_simhash_dedup_keep", "text_minhash_dedup_keep",
-    "text_clf_auc", "text_clf_pr_curve", "streaming_url_dedup",
+    "multimodal_video_neardups",
+    "multimodal_image_dedup_keep", "text_simhash_dedup_keep",
+    "text_simhash_dedup_keep_scale", "dedup_embedding_keep",
+    "multimodal_image_dedup_incremental",
+    "multimodal_audio_dedup_incremental",
+    "multimodal_video_dedup_incremental",
+    "text_simhash_dedup_incremental", "dedup_embedding_incremental",
+    "text_clf_auc",
 ]
 
 

@@ -341,84 +341,54 @@ def _embedding_dedup_keep(spark, args):
             .select(F.col("vec_id").cast("long").alias("vec_id")))
 
 
-def _simhash_dedup_incremental(spark, args):
-    """simhash_dedup_incremental(new_corpus, state_corpus[,
-    max_hamming]): the text NEAR-dup ingest step from SQL (round-10
-    verdict item #6) — ids of new docs that survive dedup against the
-    state corpus AND the lower-id in-batch rule. State is passed as a
-    TABLE here (the side-effect-free frame composition), so the TVF
-    is pure like every other; the write/merge halves of the ingest
-    loop stay API-only BY DESIGN — they are side-effecting
-    (saveAsTable) and a SELECT must never mutate state."""
-    from datafusion_postgres_spark.operators.dedup import (
-        simhash_dedup_incremental,
-    )
-    mh = int(args[2]) if len(args) > 2 else 3
-    return (simhash_dedup_incremental(
-                _tbl(spark, args[0]), corpus_docs=_tbl(spark, args[1]),
-                max_hamming=mh)
-            .select(F.col("doc_id").cast("long").alias("doc_id")))
+def _incremental_tvf(module: str, fn_name: str, state_kwarg: str,
+                     out_col: str, extra_args):
+    """Factory for the five `*_dedup_incremental(new_table,
+    state_table[, ...])` TVFs (round-10 verdict item #6): ids of new
+    rows that survive dedup against the state table AND the lower-id
+    in-batch rule. State passes as a TABLE (`state_kwarg` — the
+    side-effect-free frame composition), so the TVFs are pure like
+    every other; the write/merge halves of the ingest loops stay
+    API-only BY DESIGN — they are side-effecting (saveAsTable) and a
+    SELECT must never mutate state. ``extra_args``: (kwarg, caster)
+    pairs consumed positionally from args[2:] when present — the one
+    place the five surfaces differ, so the shared shape lives here
+    once."""
+    def build(spark, args):
+        import importlib
+
+        fn = getattr(importlib.import_module(module), fn_name)
+        kwargs = {state_kwarg: _tbl(spark, args[1])}
+        for i, (kw, cast) in enumerate(extra_args, start=2):
+            if len(args) > i:
+                kwargs[kw] = cast(args[i])
+        return (fn(_tbl(spark, args[0]), **kwargs)
+                .select(F.col(out_col).cast("long").alias(out_col)))
+    build.__name__ = "_" + fn_name
+    build.__doc__ = (f"{fn_name}(new_table, state_table"
+                     + "".join(f"[, {kw}" for kw, _ in extra_args)
+                     + "]" * len(extra_args)
+                     + f"): see operators.{fn_name} and "
+                     "_incremental_tvf for the purity contract.")
+    return build
 
 
-def _image_dedup_incremental(spark, args):
-    """image_dedup_incremental(new_media, state_media[, max_hamming]):
-    the image ingest step from SQL — survivors of the perceptual-hash
-    state join + in-batch rule (undecodable rows dropped like the
-    batch path; see _simhash_dedup_incremental for the purity
-    contract)."""
-    from datafusion_postgres_spark.operators.imagehash import (
-        image_dedup_incremental,
-    )
-    mh = int(args[2]) if len(args) > 2 else 3
-    return (image_dedup_incremental(
-                _tbl(spark, args[0]), corpus_media=_tbl(spark, args[1]),
-                max_hamming=mh)
-            .select(F.col("doc_id").cast("long").alias("doc_id")))
-
-
-def _audio_dedup_incremental(spark, args):
-    """audio_dedup_incremental(new_media, state_media[, max_hamming]):
-    the audio-envelope ingest step from SQL."""
-    from datafusion_postgres_spark.operators.audiohash import (
-        audio_dedup_incremental,
-    )
-    mh = int(args[2]) if len(args) > 2 else 3
-    return (audio_dedup_incremental(
-                _tbl(spark, args[0]), corpus_media=_tbl(spark, args[1]),
-                max_hamming=mh)
-            .select(F.col("doc_id").cast("long").alias("doc_id")))
-
-
-def _video_dedup_incremental(spark, args):
-    """video_dedup_incremental(new_media, state_media[, max_hamming[,
-    min_match_frames]]): the sampled-frame video ingest step from SQL
-    (per-counterpart position counting, short/undecodable videos
-    handled as in the batch path)."""
-    from datafusion_postgres_spark.operators.videohash import (
-        video_dedup_incremental,
-    )
-    mh = int(args[2]) if len(args) > 2 else 3
-    mmf = int(args[3]) if len(args) > 3 else None
-    return (video_dedup_incremental(
-                _tbl(spark, args[0]), corpus_media=_tbl(spark, args[1]),
-                max_hamming=mh, min_match_frames=mmf)
-            .select(F.col("doc_id").cast("long").alias("doc_id")))
-
-
-def _embedding_dedup_incremental(spark, args):
-    """embedding_dedup_incremental(new_embeddings, state_embeddings[,
-    threshold]): the embedding ingest step from SQL — survivors of the
-    LSH band-blocked cosine state join + in-batch rule (zero-norm /
-    non-finite vectors outside the cosine domain, as in the batch
-    path)."""
-    from datafusion_postgres_spark.operators.dedup import (
-        embedding_dedup_incremental,
-    )
-    threshold = float(args[2]) if len(args) > 2 else 0.38
-    return (embedding_dedup_incremental(
-                _tbl(spark, args[0]), corpus_emb=_tbl(spark, args[1]),
-                threshold=threshold)
-            .select(F.col("vec_id").cast("long").alias("vec_id")))
+_OPS = "datafusion_postgres_spark.operators"
+_simhash_dedup_incremental = _incremental_tvf(
+    _OPS + ".dedup", "simhash_dedup_incremental", "corpus_docs",
+    "doc_id", [("max_hamming", int)])
+_image_dedup_incremental = _incremental_tvf(
+    _OPS + ".imagehash", "image_dedup_incremental", "corpus_media",
+    "doc_id", [("max_hamming", int)])
+_audio_dedup_incremental = _incremental_tvf(
+    _OPS + ".audiohash", "audio_dedup_incremental", "corpus_media",
+    "doc_id", [("max_hamming", int)])
+_video_dedup_incremental = _incremental_tvf(
+    _OPS + ".videohash", "video_dedup_incremental", "corpus_media",
+    "doc_id", [("max_hamming", int), ("min_match_frames", int)])
+_embedding_dedup_incremental = _incremental_tvf(
+    _OPS + ".dedup", "embedding_dedup_incremental", "corpus_emb",
+    "vec_id", [("threshold", float)])
 
 
 # Spark conf key gating the ONLY destructive-filesystem TVF: SQL

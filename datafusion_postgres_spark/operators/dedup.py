@@ -920,6 +920,40 @@ def _embedding_state_rows(emb: DataFrame, n_planes: int, n_tables: int,
                .select("state_id", "sv", "tb.tbl", "tb.bucket")
 
 
+def _emb_state_props(n_planes: int, n_tables: int, dims: int) -> dict:
+    return {"dps.emb.n_planes": str(n_planes),
+            "dps.emb.n_tables": str(n_tables),
+            "dps.emb.dims": str(dims)}
+
+
+def _check_emb_state_geometry(spark, table: str, n_planes: int,
+                              n_tables: int, dims: int) -> None:
+    """Refuse to join/append against a state table written with
+    DIFFERENT LSH geometry (round-10 review finding): a parameter
+    mismatch changes every bucket value, so the (tbl, bucket) state
+    join silently matches nothing — even a byte-identical re-ingest of
+    a state vector would survive as 'new'. The geometry is recorded in
+    TBLPROPERTIES at write time and validated on every read, turning
+    the silent recall loss into a hard error."""
+    want = _emb_state_props(n_planes, n_tables, dims)
+    got = {r["key"]: r["value"]
+           for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()}
+    missing = [k for k in want if k not in got]
+    if missing:
+        raise ValueError(
+            f"state table {table!r} carries no LSH-geometry properties "
+            f"({missing}) — it was not written by write_embedding_table; "
+            "refusing to guess its banding parameters")
+    bad = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    if bad:
+        raise ValueError(
+            f"LSH geometry mismatch on state table {table!r}: "
+            + ", ".join(f"{k} table={g} caller={w}"
+                        for k, (g, w) in sorted(bad.items()))
+            + " — the bucket join would silently match nothing; use the "
+            "parameters the table was written with, or rebuild it")
+
+
 def write_embedding_table(emb: DataFrame, table: str,
                           n_buckets: int = 32, n_planes: int = 8,
                           n_tables: int = 4, dims: int = 64,
@@ -931,11 +965,17 @@ def write_embedding_table(emb: DataFrame, table: str,
     state stay co-located while only the small batch shuffles (the
     write_image_hash_table layout on the embedding blocking key).
     The LSH geometry (n_planes/n_tables/dims) is frozen into the
-    layout; incremental calls must use the same parameters."""
+    layout AND recorded in TBLPROPERTIES; incremental/merge calls
+    validate it and raise on mismatch instead of silently joining
+    nothing."""
     rows = _embedding_state_rows(emb, n_planes, n_tables, dims,
                                  vec_col, id_col)
     (rows.write.mode("overwrite").bucketBy(n_buckets, "bucket")
      .sortBy("bucket").format("parquet").saveAsTable(table))
+    props = ", ".join(f"'{k}'='{v}'" for k, v in
+                      _emb_state_props(n_planes, n_tables, dims).items())
+    emb.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
 
 
 def embedding_dedup_incremental(new_emb: DataFrame,
@@ -979,6 +1019,8 @@ def embedding_dedup_incremental(new_emb: DataFrame,
         raise ValueError("pass exactly one of table / corpus_emb")
     spark = new_emb.sparkSession
     if table is not None:
+        _check_emb_state_geometry(spark, table, n_planes, n_tables,
+                                  dims)
         spark.catalog.refreshTable(table)
         state = spark.table(table)
     else:
@@ -1030,7 +1072,11 @@ def merge_new_embeddings(survivor_emb: DataFrame, table: str,
     identical vector band-collides everywhere and verifies at
     cos ~ 1 >= threshold, so it is a dup), so the state stays
     distinct-per-vector across batches — the image/audio/video/text
-    merge contract."""
+    merge contract. Geometry is validated against the table's
+    recorded TBLPROPERTIES first (appending rows banded with different
+    parameters would poison the state silently)."""
+    _check_emb_state_geometry(survivor_emb.sparkSession, table,
+                              n_planes, n_tables, dims)
     rows = _embedding_state_rows(survivor_emb, n_planes, n_tables,
                                  dims, vec_col, id_col)
     (rows.write.mode("append").bucketBy(n_buckets, "bucket")

@@ -1073,11 +1073,9 @@ WITH scored AS (
            (acc, v) -> acc + v)
          / ({_VSQ.format(v='a.embedding')} * {_VSQ.format(v='b.embedding')}) AS c
   FROM (SELECT * FROM embeddings
-        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0) a
+        WHERE (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)) > 0 AND isfinite(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))))) a
   JOIN (SELECT * FROM embeddings
-        WHERE len(list_filter(embedding, x -> x <> 0)) > 0
-          AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0) b
+        WHERE (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)) > 0 AND isfinite(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))))) b
     ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(c, 6) AS cos_sim FROM scored
@@ -1142,15 +1140,22 @@ def _emb_lsh_tables_sql(n_planes: int = 8, n_tables: int = 4) -> str:
     Spark keeps it a singleton. Round-10 ADVICE: an Inf element makes
     the norm Inf (passing the old norm>0 check) and the cosine NaN,
     the same phantom-duplicate failure — both engines now exclude
-    non-finite vectors from the pairing domain."""
+    non-finite vectors from the pairing domain. The filter is on the
+    NORM being finite and positive (exactly similarity._usable_norm),
+    not just the elements: all-finite elements whose squared-sum
+    overflows to +Inf (magnitudes ~1e155+) are outside the cosine
+    domain too (round-10 review finding — an element-only filter would
+    keep them here while Spark drops them), and nonzero elements whose
+    squares all underflow to 0 (magnitudes ~1e-162-) give norm 0, also
+    dropped by both engines. `{norm} > 0` in DuckDB is exactly Spark's
+    `n > 0` (NaN norms order above 0 in both, excluded by isfinite)."""
+    norm = _VSQ.format(v="embedding")
+    usable = f"({norm} > 0 AND isfinite({norm}))"
     sels = []
     for ti in range(n_tables):
         b = _lsh_bucket_sql("embedding", n_planes, 64, ti * n_planes)
         sels.append(f"SELECT vec_id, embedding, {ti} AS tbl, {b} AS bucket "
-                    f"FROM embeddings "
-                    f"WHERE len(list_filter(embedding, x -> x <> 0)) > 0 "
-                    f"AND len(list_filter(embedding, "
-                    f"x -> NOT isfinite(x))) = 0")
+                    f"FROM embeddings WHERE {usable}")
     return "\n  UNION ALL\n  ".join(sels)
 
 
@@ -1238,8 +1243,7 @@ edup_batch AS (
    WHERE {_cos_sql('b1.embedding', 'b2.embedding')} >= 0.38)
 SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
 WHERE vec_id % 5 = 0
-  AND len(list_filter(embedding, x -> x <> 0)) > 0
-  AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+  AND (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)) > 0 AND isfinite(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))))
   AND vec_id NOT IN (SELECT vec_id FROM edup_state)
   AND vec_id NOT IN (SELECT vec_id FROM edup_batch)
 ORDER BY vec_id

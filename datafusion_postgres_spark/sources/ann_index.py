@@ -364,11 +364,13 @@ def _recover_orphaned_rebuild(path: str) -> None:
         if family_owned:
             shutil.rmtree(staging, ignore_errors=True)
         elif os.path.exists(os.path.join(staging, _META)):
+            state = ("no directory" if not os.path.exists(path)
+                     else f"a directory without {_META}")
             raise ValueError(
-                f"no index at {path!r}, but {staging!r} is itself a "
+                f"{path!r} is {state}, but {staging!r} is itself a "
                 "complete index — refusing to treat it as an orphaned "
-                "rebuild of a non-existent family; rename it or pass "
-                "its path directly")
+                "rebuild of a family that never completed a write; "
+                "rename it or pass its path directly")
 
 
 def compact_ivf_sq8_index(spark: SparkSession, path: str,

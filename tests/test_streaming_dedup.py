@@ -639,6 +639,23 @@ def test_two_batch_embedding_incremental_with_bucketed_state(spark):
                 df2, corpus_emb=df1, threshold=0.9999999)
         with pytest.raises(ValueError, match="exactly one"):
             batch_dedup.embedding_dedup_incremental(df2)
+        # LSH-geometry mismatch is a HARD error, not silent recall loss
+        # (round-10 review finding): different n_planes changes every
+        # bucket value, so the state join would match nothing
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            batch_dedup.embedding_dedup_incremental(
+                df2, "emb_state", n_planes=16)
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            batch_dedup.merge_new_embeddings(kept, "emb_state",
+                                             n_tables=2)
+        # a table NOT written by write_embedding_table is refused too
+        df1.write.mode("overwrite").saveAsTable("emb_state_foreign")
+        try:
+            with pytest.raises(ValueError, match="no LSH-geometry"):
+                batch_dedup.embedding_dedup_incremental(
+                    df2, "emb_state_foreign")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS emb_state_foreign")
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_state")
 

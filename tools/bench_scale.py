@@ -348,12 +348,24 @@ def main() -> None:
     #    int64 column through Arrow, not 1M py4j-serialized tuples).
     #    1M two-node components = worst-case loser/edge ratio, half
     #    the MAX_DRIVER_EDGES bound.
+    #    loser_ids is EAGER (count + Arrow collect + driver union-find
+    #    + Arrow upload happen inside the call), so measure()'s timer
+    #    would start after the work is done (round-10 review finding):
+    #    time the full call + collect explicitly instead.
     from datafusion_postgres_spark.operators.repgraph import loser_ids
     pair_edges = (spark.range(1_000_000)
                   .select((F.col("id") * 2).alias("id_a"),
                           (F.col("id") * 2 + 1).alias("id_b")))
-    measure("repgraph_loser_roundtrip_1m_edges",
-            loser_ids(pair_edges), results, collect_cols=["id"])
+    t0 = time.perf_counter()
+    loser_rows = loser_ids(pair_edges).collect()
+    results["repgraph_loser_roundtrip_1m_edges"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "shuffle_rows": 0, "max_node_rows": 1_000_000,
+        "out_rows": len(loser_rows),
+    }
+    print(f"  repgraph_loser_roundtrip_1m_edges: "
+          f"{results['repgraph_loser_roundtrip_1m_edges']}",
+          file=sys.stderr)
 
     out = {
         "dataset": {"root": root, "n_docs": n_docs,

@@ -1,14 +1,14 @@
-"""Round-10 follow-up to probe_simhash_cse.py: does shingle_array's
-per-gram lambda re-evaluate the word-hash chain PER GRAM?
+"""Round-10 follow-up to probe_simhash_cse.py: does a tokenize chain
+referenced INSIDE a per-gram lambda body re-evaluate per gram?
 
-``shingle_array`` computes
-``transform(sequence(0, size(ws)-n), i -> aggregate(slice(whs, i+1, n),
-...))`` where ``whs = transform(ws, word_fingerprint)`` appears INSIDE
-the per-gram lambda body. Interpreted HOFs evaluate the lambda body per
-element with no subexpression cache across elements, so the suspicion
-is O(words^2) tokenize+hash work per row. The two-stage shape
-materializes ``whs`` as its own projected column first, then slices
-the bound column per gram — O(words * n).
+Production ``shingle_array`` is the TWO-STAGE shape since round 10;
+this probe keeps the PRE-round-10 single-projection form alive inline
+(the way probe_simhash_cse keeps simhash_expr alive) so the receipt
+stays reproducible: shape A puts ``whs = transform(ws,
+word_fingerprint)`` inside the per-gram ``slice`` lambda, where
+interpreted HOFs re-evaluate it per element; shape B is the production
+two-stage operator. Measured 2.1-2.2x on sf0.1 docs with identical
+checksums.
 
 Run: python tools/probe_shingle_cse.py [sf_dir]
 """
@@ -20,26 +20,29 @@ from pyspark.sql import SparkSession, functions as F
 sys.path.insert(0, ".")
 
 from datafusion_postgres_spark.operators.dedup import (  # noqa: E402
-    FP_MOD, shingle_array,
+    FP_MOD, ensure_min_parallelism, shingle_array,
 )
 from datafusion_postgres_spark.operators.text import (  # noqa: E402
     norm_text, word_fingerprint, words,
 )
 
 
-def _two_stage(docs, text_col="text", id_col="doc_id", n=3):
-    whs_df = (docs.where(F.trim(F.col(text_col)) != "")
-              .select(F.col(id_col).alias("id"),
-                      F.transform(words(norm_text(F.col(text_col))),
-                                  word_fingerprint).alias("whs")))
-    whs = F.col("whs")
+def _single_projection_shape(docs, text_col="text", id_col="doc_id",
+                             n=3):
+    """The PRE-round-10 shingle_array: one projection, the word-hash
+    chain inline inside the per-gram lambda body (kept here as the
+    probe's A side — do NOT reuse in production)."""
+    ws = words(norm_text(F.col(text_col)))
+    whs = F.transform(ws, word_fingerprint)
     gram_hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(whs) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
         lambda i: F.aggregate(F.slice(whs, i + 1, n),
                               F.lit(0).cast("long"),
                               lambda acc, x: (acc * 31 + x) % FP_MOD))
     grams = F.sort_array(F.array_distinct(gram_hashes))
-    return (whs_df.select("id", grams.alias("grams"))
+    return (ensure_min_parallelism(docs)
+            .where(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("id"), grams.alias("grams"))
             .withColumn("set_size", F.size("grams")))
 
 
@@ -65,14 +68,14 @@ def main():
                 F.sum("set_size").alias("z"),
                 F.count("*").alias("n")).collect()[0]
             best = min(best, time.time() - t0)
-        print(f"{tag:<40s} best={best:7.3f}s  checksum={out['s']} "
+        print(f"{tag:<45s} best={best:7.3f}s  checksum={out['s']} "
               f"set_sizes={out['z']} rows={out['n']}")
         return best, (out["s"], out["z"])
 
-    cur = shingle_array(docs)
-    two = _two_stage(docs)
-    t_a, c_a = timed("A current shingle_array", cur)
-    t_b, c_b = timed("B two-stage (whs materialized)", two)
+    t_a, c_a = timed("A pre-r10 single-projection shape",
+                     _single_projection_shape(docs))
+    t_b, c_b = timed("B production two-stage shingle_array",
+                     shingle_array(docs))
     assert c_a == c_b, "shapes disagree — not comparable"
     print(f"\nA/B ratio (two-stage benefit): {t_a / t_b:.2f}x "
           f"on {n_docs} docs at {sf_dir}")

@@ -181,3 +181,64 @@ def streaming_url_dedup(spark, sf_dir):
             .groupBy("canonical_url")
             .agg(F.count("*").cast("bigint").alias("n"))
             .orderBy("canonical_url"))
+
+
+def _emb_stream_oracle() -> str:
+    from datafusion_postgres_spark.queries.pipeline_q import (
+        _cos_sql, _emb_lsh_tables_sql,
+    )
+    return f"""
+WITH blocked AS (
+  {_emb_lsh_tables_sql()}
+),
+cand AS (
+  SELECT x.vec_id AS id_a, x.embedding AS va,
+         y.vec_id AS id_b, y.embedding AS vb
+  FROM blocked x JOIN blocked y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT DISTINCT id_a, id_b,
+       ROUND({_cos_sql('va', 'vb')}, 6) AS cos_sim
+FROM cand
+WHERE {_cos_sql('va', 'vb')} >= 0.38
+ORDER BY id_a, id_b
+"""
+
+
+@register("streaming_embedding_dedup", oracle=_emb_stream_oracle())
+def streaming_embedding_dedup(spark, sf_dir):
+    """Semantic near-dup pairs as a REAL streaming execution
+    (round-10): readStream over the embeddings parquet ->
+    LSH-bucket-keyed applyInPandasWithState
+    (streaming/dedup.embedding_near_dup_stream) -> memory sink. The
+    emitted pair set is deterministic under ANY micro-batching (a pair
+    appears when its second member arrives, owned by the lowest
+    colliding signature table), and the Python state math replicates
+    the Spark fold order bit-for-bit, so the oracle is the SAME
+    four-table banding + exact-cosine verify SQL the batch
+    dedup_embedding_lsh row uses — streaming == batch == DuckDB on
+    identical values, with the rounding done Spark-side (half-up,
+    matching ROUND)."""
+    import pyspark.sql.functions as SF
+
+    from datafusion_postgres_spark.sources.registry import read_table
+    from datafusion_postgres_spark.streaming.dedup import (
+        embedding_near_dup_stream,
+    )
+    from datafusion_postgres_spark.streaming.ops import run_to_memory
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = read_table(spark, sf_dir, "embeddings").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", os.path.basename(path))
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.dirname(path)))
+    pairs = embedding_near_dup_stream(stream, state_timeout_ms=None)
+    name = f"stream_embdedup_{uuid.uuid4().hex[:12]}"
+    q = run_to_memory(pairs, name, timeout_secs=240.0,
+                      output_mode="append")
+    q.stop()
+    return (spark.table(name)
+            .select(SF.col("id_a").cast("bigint").alias("id_a"),
+                    SF.col("id_b").cast("bigint").alias("id_b"),
+                    SF.round("cos_sim", 6).alias("cos_sim"))
+            .orderBy("id_a", "id_b"))

@@ -43,7 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 from datafusion_postgres_spark.operators.dedup import (
@@ -250,3 +251,192 @@ def dedup_url_stream(docs: DataFrame, url_col: str = "url",
     return (keyed
             .withWatermark("ingest_ts", watermark)
             .dropDuplicatesWithinWatermark(["canonical_url"]))
+
+
+# ---------------------------------------------------------------------------
+# streaming EMBEDDING near-dup (round-10): the semantic twin of
+# simhash_near_dup_stream, completing streaming near-dup parity across
+# the modalities that hash to fixed-width signatures (text) AND the
+# one that blocks on LSH band buckets (embeddings).
+
+_EMB_N_PLANES = 8
+_EMB_N_TABLES = 4
+_EMB_DIMS = 64
+
+EMB_PAIR_SCHEMA = StructType([
+    StructField("id_a", LongType()),
+    StructField("id_b", LongType()),
+    StructField("cos_sim", DoubleType()),
+])
+
+_EMB_BUCKET_STATE = StructType([
+    StructField("ids", ArrayType(LongType())),
+    StructField("vecs", ArrayType(ArrayType(DoubleType()))),
+])
+
+_MAX_EMB_BUCKET_DOCS = 4096  # hot-bucket cap: oldest-out beyond this
+
+
+def _emb_plane_weights(n_planes: int = _EMB_N_PLANES,
+                       n_tables: int = _EMB_N_TABLES,
+                       dims: int = _EMB_DIMS) -> list[list[float]]:
+    """The SAME ±1 hyperplane weights similarity.lsh_bucket_expr folds
+    as literals — one definition (similarity._plane_sign_value), zero
+    drift risk between the Spark blocking and the Python state."""
+    from datafusion_postgres_spark.operators.similarity import (
+        _plane_sign_value,
+    )
+    return [[_plane_sign_value(p, d) for d in range(dims)]
+            for p in range(n_planes * n_tables)]
+
+
+def _emb_bucket_py(vec, ti: int, weights,
+                   n_planes: int = _EMB_N_PLANES) -> int:
+    """Python replica of lsh_bucket_expr for table ``ti``: per plane, a
+    left-to-right fold of vec[d]*w[d] (the exact order Spark's
+    zip_with+aggregate uses — IEEE adds on identical doubles are
+    bit-identical, so the >= 0 sign cut agrees)."""
+    bucket = 0
+    for p in range(n_planes):
+        w = weights[ti * n_planes + p]
+        acc = 0.0
+        for d in range(len(vec)):
+            acc = acc + vec[d] * w[d]
+        if acc >= 0:
+            bucket += 1 << p
+    return bucket
+
+
+def _cos_py(a, b) -> float:
+    """Cosine with the engine's exact left-to-right folds."""
+    import math
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    for x in a:
+        na = na + x * x
+    for y in b:
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _emb_owns_pair(va, vb, ti: int, weights) -> bool:
+    """A colliding (a, b) pair is emitted only by the LOWEST table
+    index where their buckets agree — stateless, both sides can
+    compute it, so the pair appears exactly once across all tables
+    (the _owns_pair convention on LSH tables instead of chunks)."""
+    for tj in range(ti):
+        if _emb_bucket_py(va, tj, weights) == _emb_bucket_py(vb, tj,
+                                                             weights):
+            return False
+    return True
+
+
+def _update_emb_bucket(key, pdfs: Iterator[pd.DataFrame],
+                       state: GroupState,
+                       threshold: float = 0.38,
+                       timeout_ms: int | None = 3_600_000
+                       ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        for _ in pdfs:  # drain: the worker protocol requires consumption
+            pass
+        state.remove()
+        return
+    ti = int(key[0])
+    weights = _emb_plane_weights()
+    if state.exists:
+        ids = list(state.get[0])
+        vecs = [list(v) for v in state.get[1]]
+    else:
+        ids, vecs = [], []
+    out: list[tuple[int, int, float]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("id")
+        for new_id, new_vec in zip(pdf["id"], pdf["v"]):
+            new_id, new_vec = int(new_id), [float(x) for x in new_vec]
+            for old_id, old_vec in zip(ids, vecs):
+                if old_id == new_id:
+                    continue
+                cos = _cos_py(old_vec, new_vec)
+                if cos >= threshold and _emb_owns_pair(old_vec, new_vec,
+                                                       ti, weights):
+                    a, b = sorted((old_id, new_id))
+                    # RAW cosine: consumers round Spark-side (F.round,
+                    # half-up like the batch API and the DuckDB oracle)
+                    # — Python's round() is banker's and could diverge
+                    # on an exact half at 1e-6
+                    out.append((a, b, cos))
+            ids.append(new_id)
+            vecs.append(new_vec)
+    if len(ids) > _MAX_EMB_BUCKET_DOCS:  # bound skewed/hot buckets
+        ids = ids[-_MAX_EMB_BUCKET_DOCS:]
+        vecs = vecs[-_MAX_EMB_BUCKET_DOCS:]
+    state.update((ids, vecs))
+    if timeout_ms:
+        state.setTimeoutDuration(timeout_ms)
+    if out:
+        yield pd.DataFrame(out, columns=["id_a", "id_b", "cos_sim"])
+
+
+def embedding_near_dup_stream(emb: DataFrame,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              threshold: float = 0.38,
+                              state_timeout_ms: int | None = 3_600_000
+                              ) -> DataFrame:
+    """Verified cosine near-dup PAIR STREAM: every emitted row means
+    "the arriving vector has cosine >= threshold with a vector seen
+    earlier (any batch) or earlier in this batch that it band-collides
+    with" — the streaming twin of dedup.embedding_cosine_pairs_lsh,
+    with the SAME recall contract (pairs separated in every signature
+    table are missed by both).
+
+    Pipeline: zero-shuffle usable-norm filter + 4-table LSH bucket
+    explode (the batch blocking, incrementalized) → stateful
+    per-(table, bucket) comparison holding (id, vector) pairs.
+    Exactly-once emission via lowest-colliding-table ownership (the
+    simhash stream's _owns_pair convention); the Python cosine/bucket
+    arithmetic replicates the Spark fold order exactly, so the
+    emitted cos_sim (RAW, un-rounded — round it Spark-side) equals
+    the batch API's pre-round value to the last bit. The only
+    shuffle is the groupBy on (tbl, bucket). Zero-norm / non-finite
+    vectors are outside the cosine domain and never enter state.
+
+    ``state_timeout_ms=None`` disables the eviction timer for finite
+    ``trigger(availableNow)`` replays (see simhash_near_dup_stream);
+    production continuous streams keep the default. State payload is
+    the full double vector per (table, entry) — 4 x (8 + 8*dims)
+    bytes/vector across buckets (~2 KB/vector at dims=64); at the 1B
+    horizon shard the stream or lower ``_MAX_EMB_BUCKET_DOCS``."""
+    from functools import partial
+
+    from datafusion_postgres_spark.operators.similarity import (
+        _usable_norm, lsh_bucket_expr,
+    )
+    base = (emb.select(F.col(id_col).alias("id"),
+                       F.transform(F.col(vec_col),
+                                   lambda x: x.cast("double")).alias("v"))
+            .where(_usable_norm(F.col("v"))))
+    blocked = base.select(
+        "id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(ti).alias("tbl"),
+                     lsh_bucket_expr(F.col("v"), _EMB_N_PLANES,
+                                     _EMB_DIMS,
+                                     plane_offset=ti * _EMB_N_PLANES)
+                     .alias("bucket"))
+            for ti in range(_EMB_N_TABLES)])).alias("b")
+    ).select("id", "v", "b.tbl", "b.bucket")
+    return (blocked
+            .groupBy("tbl", "bucket")
+            .applyInPandasWithState(
+                partial(_update_emb_bucket, threshold=threshold,
+                        timeout_ms=state_timeout_ms),
+                outputStructType=EMB_PAIR_SCHEMA,
+                stateStructType=_EMB_BUCKET_STATE,
+                outputMode="append",
+                timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                             if state_timeout_ms
+                             else GroupStateTimeout.NoTimeout)))

@@ -714,3 +714,44 @@ def test_foreachbatch_embedding_ingest_loop(spark, tmp_path):
         assert sorted(survived) == [1, 2, 4]   # 3 caught by the state
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_stream_state")
+
+
+def test_embedding_near_dup_stream_matches_batch(spark, tmp_path):
+    """Streaming semantic near-dup (round-10): the LSH-bucket-state
+    pair stream over a 2-batch embeddings replay equals the batch
+    embedding_cosine_pairs_lsh set EXACTLY (ids and cos_sim to the
+    last bit — the Python state math replicates the Spark folds),
+    including cross-batch pairs and exactly-once emission via
+    lowest-colliding-table ownership."""
+    import glob
+    import os
+    import shutil
+    emb = read_table(spark, SF_DIR, "embeddings").where("vec_id < 200")
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    for i, pred in enumerate(("vec_id % 2 = 0", "vec_id % 2 = 1")):
+        p = str(tmp_path / f"embp{i}.parquet")
+        emb.where(pred).coalesce(1).write.mode("overwrite").parquet(p)
+        (part,) = glob.glob(p + "/part-*.parquet")
+        dst = str(d / f"{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (sdedup.embedding_near_dup_stream(stream, state_timeout_ms=None)
+         .writeStream.format("memory").queryName("emb_near_dup_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(300), "stream did not finish in time"
+    try:
+        got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+               spark.sql("SELECT id_a, id_b, round(cos_sim, 6) AS "
+                         "cos_sim FROM emb_near_dup_s").collect()}
+        expected = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+                    batch_dedup.embedding_cosine_pairs_lsh(
+                        emb, threshold=0.38).collect()}
+        assert got == expected
+        assert expected, "testdata should contain near-dup pairs"
+        cross = [p for p in expected if p[0] % 2 != p[1] % 2]
+        assert cross, "testdata should contain cross-batch pairs"
+    finally:
+        q.stop()

@@ -1064,6 +1064,18 @@ _VSQ = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "(acc, v) -> acc + v))")
 
 
+def _usable_sql(v: str = "embedding") -> str:
+    """DuckDB replica of similarity._usable_norm — THE one place the
+    usable-vector predicate is spelled in SQL (round-10 second review
+    pass: hand-inlined copies of the norm fold drift independently,
+    which is exactly the cross-engine divergence class the predicate
+    exists to prevent). norm > 0 AND isfinite(norm): excludes
+    zero-norm, NaN/Inf elements, squared-sum overflow, and
+    all-subnormal underflow, bit-identically to the Spark fold."""
+    norm = _VSQ.format(v=v)
+    return f"({norm} > 0 AND isfinite({norm}))"
+
+
 @register("dedup_embedding_cosine", oracle=f"""
 WITH scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1073,9 +1085,9 @@ WITH scored AS (
            (acc, v) -> acc + v)
          / ({_VSQ.format(v='a.embedding')} * {_VSQ.format(v='b.embedding')}) AS c
   FROM (SELECT * FROM embeddings
-        WHERE (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)) > 0 AND isfinite(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))))) a
+        WHERE {_usable_sql()}) a
   JOIN (SELECT * FROM embeddings
-        WHERE (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)) > 0 AND isfinite(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))))) b
+        WHERE {_usable_sql()}) b
     ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(c, 6) AS cos_sim FROM scored
@@ -1149,8 +1161,7 @@ def _emb_lsh_tables_sql(n_planes: int = 8, n_tables: int = 4) -> str:
     squares all underflow to 0 (magnitudes ~1e-162-) give norm 0, also
     dropped by both engines. `{norm} > 0` in DuckDB is exactly Spark's
     `n > 0` (NaN norms order above 0 in both, excluded by isfinite)."""
-    norm = _VSQ.format(v="embedding")
-    usable = f"({norm} > 0 AND isfinite({norm}))"
+    usable = _usable_sql()
     sels = []
     for ti in range(n_tables):
         b = _lsh_bucket_sql("embedding", n_planes, 64, ti * n_planes)
@@ -1159,7 +1170,11 @@ def _emb_lsh_tables_sql(n_planes: int = 8, n_tables: int = 4) -> str:
     return "\n  UNION ALL\n  ".join(sels)
 
 
-@register("dedup_embedding_lsh", oracle=f"""
+# ONE definition of the banded-LSH verified-pairs ground truth — shared
+# by the batch row below AND streaming_q's streaming_embedding_dedup
+# (round-10 second review pass: two byte-identical copies of the same
+# contract drift independently).
+EMB_LSH_PAIRS_ORACLE = f"""
 WITH blocked AS (
   {_emb_lsh_tables_sql()}
 ),
@@ -1173,7 +1188,10 @@ SELECT DISTINCT id_a, id_b,
 FROM cand
 WHERE {_cos_sql('va', 'vb')} >= 0.38
 ORDER BY id_a, id_b
-""")
+"""
+
+
+@register("dedup_embedding_lsh", oracle=EMB_LSH_PAIRS_ORACLE)
 def dedup_embedding_lsh(spark, sf_dir):
     """Multi-table hyperplane-LSH near-dup — FULLY oracled (round-4
     session 3, same determinism argument as sim_cosine_lsh): DuckDB
@@ -1243,7 +1261,7 @@ edup_batch AS (
    WHERE {_cos_sql('b1.embedding', 'b2.embedding')} >= 0.38)
 SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
 WHERE vec_id % 5 = 0
-  AND (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v)) > 0 AND isfinite(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))))
+  AND {_usable_sql()}
   AND vec_id NOT IN (SELECT vec_id FROM edup_state)
   AND vec_id NOT IN (SELECT vec_id FROM edup_batch)
 ORDER BY vec_id

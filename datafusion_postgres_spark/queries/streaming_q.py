@@ -184,24 +184,13 @@ def streaming_url_dedup(spark, sf_dir):
 
 
 def _emb_stream_oracle() -> str:
+    """The streaming row asserts the SAME ground truth as the batch
+    dedup_embedding_lsh row — one shared constant, not a copy (round-10
+    second review pass)."""
     from datafusion_postgres_spark.queries.pipeline_q import (
-        _cos_sql, _emb_lsh_tables_sql,
+        EMB_LSH_PAIRS_ORACLE,
     )
-    return f"""
-WITH blocked AS (
-  {_emb_lsh_tables_sql()}
-),
-cand AS (
-  SELECT x.vec_id AS id_a, x.embedding AS va,
-         y.vec_id AS id_b, y.embedding AS vb
-  FROM blocked x JOIN blocked y
-    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
-SELECT DISTINCT id_a, id_b,
-       ROUND({_cos_sql('va', 'vb')}, 6) AS cos_sim
-FROM cand
-WHERE {_cos_sql('va', 'vb')} >= 0.38
-ORDER BY id_a, id_b
-"""
+    return EMB_LSH_PAIRS_ORACLE
 
 
 @register("streaming_embedding_dedup", oracle=_emb_stream_oracle())
@@ -226,16 +215,25 @@ def streaming_embedding_dedup(spark, sf_dir):
     )
     from datafusion_postgres_spark.streaming.ops import run_to_memory
 
+    from datafusion_postgres_spark.streaming.ops import (
+        read_parquet_stream,
+    )
+
     path = os.path.join(sf_dir, "embeddings.parquet")
     schema = read_table(spark, sf_dir, "embeddings").schema
-    stream = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", os.path.basename(path))
-              .option("maxFilesPerTrigger", 1)
-              .parquet(os.path.dirname(path)))
+    stream = read_parquet_stream(spark, path, schema)
     pairs = embedding_near_dup_stream(stream, state_timeout_ms=None)
     name = f"stream_embdedup_{uuid.uuid4().hex[:12]}"
     q = run_to_memory(pairs, name, timeout_secs=240.0,
                       output_mode="append")
+    if q.isActive:
+        # availableNow self-terminates when drained — still active
+        # means run_to_memory's awaitTermination timed out; a silent
+        # stop() here would return a TRUNCATED pair set and surface
+        # as an opaque hash mismatch (second review pass)
+        q.stop()
+        raise RuntimeError(
+            "streaming_embedding_dedup did not drain within 240s")
     q.stop()
     return (spark.table(name)
             .select(SF.col("id_a").cast("bigint").alias("id_a"),

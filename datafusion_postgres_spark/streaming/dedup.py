@@ -37,6 +37,7 @@ evicted by processing-time timeout.
 
 from __future__ import annotations
 
+import functools
 from typing import Iterator
 
 import pandas as pd
@@ -277,17 +278,22 @@ _EMB_BUCKET_STATE = StructType([
 _MAX_EMB_BUCKET_DOCS = 4096  # hot-bucket cap: oldest-out beyond this
 
 
+@functools.lru_cache(maxsize=4)
 def _emb_plane_weights(n_planes: int = _EMB_N_PLANES,
                        n_tables: int = _EMB_N_TABLES,
-                       dims: int = _EMB_DIMS) -> list[list[float]]:
+                       dims: int = _EMB_DIMS) -> tuple:
     """The SAME ±1 hyperplane weights similarity.lsh_bucket_expr folds
     as literals — one definition (similarity._plane_sign_value), zero
-    drift risk between the Spark blocking and the Python state."""
+    drift risk between the Spark blocking and the Python state.
+    lru_cached (round-10 second review pass): this is 2048 SHA-256
+    digests, and _update_emb_bucket runs once per live (tbl, bucket)
+    group per micro-batch — recomputing a constant ~2M times per batch
+    was pure waste in the Python worker hot path."""
     from datafusion_postgres_spark.operators.similarity import (
         _plane_sign_value,
     )
-    return [[_plane_sign_value(p, d) for d in range(dims)]
-            for p in range(n_planes * n_tables)]
+    return tuple(tuple(_plane_sign_value(p, d) for d in range(dims))
+                 for p in range(n_planes * n_tables))
 
 
 def _emb_bucket_py(vec, ti: int, weights,
@@ -295,12 +301,15 @@ def _emb_bucket_py(vec, ti: int, weights,
     """Python replica of lsh_bucket_expr for table ``ti``: per plane, a
     left-to-right fold of vec[d]*w[d] (the exact order Spark's
     zip_with+aggregate uses — IEEE adds on identical doubles are
-    bit-identical, so the >= 0 sign cut agrees)."""
+    bit-identical, so the >= 0 sign cut agrees). Defensive bound on
+    min(len(vec), dims): the stream filters to exactly-dims vectors,
+    so this never truncates in practice — it only keeps a contract
+    violation from raising IndexError inside the worker."""
     bucket = 0
     for p in range(n_planes):
         w = weights[ti * n_planes + p]
         acc = 0.0
-        for d in range(len(vec)):
+        for d in range(min(len(vec), len(w))):
             acc = acc + vec[d] * w[d]
         if acc >= 0:
             bucket += 1 << p
@@ -322,14 +331,26 @@ def _cos_py(a, b) -> float:
     return dot / (math.sqrt(na) * math.sqrt(nb))
 
 
-def _emb_owns_pair(va, vb, ti: int, weights) -> bool:
+def _emb_owns_pair(lower_a, lower_b) -> bool:
     """A colliding (a, b) pair is emitted only by the LOWEST table
     index where their buckets agree — stateless, both sides can
     compute it, so the pair appears exactly once across all tables
-    (the _owns_pair convention on LSH tables instead of chunks)."""
-    for tj in range(ti):
-        if _emb_bucket_py(va, tj, weights) == _emb_bucket_py(vb, tj,
-                                                             weights):
+    (the _owns_pair convention on LSH tables instead of chunks).
+    Takes the PRECOMPUTED lower-table bucket tuples (memoized once per
+    vector per invocation — the second review pass removed the
+    per-pair O(n_planes * dims) recompute).
+
+    CAVEAT shared with the simhash stream's hot-bucket cap: if one
+    member of a pair was evicted (oldest-out) from the lowest
+    colliding table's bucket while both still co-reside in a higher
+    table, the higher table declines ownership and the pair is LOST —
+    the cap trades strict stream==batch recall for bounded state. At
+    the default cap (4096 entries per (table, bucket)) a binding cap
+    means one 256-bucket table holds ~1M+ vectors in a single bucket,
+    i.e. the LSH geometry itself has degenerated; the registered
+    oracle row replays bounded corpora far below it."""
+    for ba, bb in zip(lower_a, lower_b):
+        if ba == bb:
             return False
     return True
 
@@ -351,6 +372,17 @@ def _update_emb_bucket(key, pdfs: Iterator[pd.DataFrame],
         vecs = [list(v) for v in state.get[1]]
     else:
         ids, vecs = [], []
+    # lower-table buckets, memoized once per vector per invocation
+    lower: dict[int, tuple] = {}
+
+    def _lower(vid: int, vec) -> tuple:
+        got = lower.get(vid)
+        if got is None:
+            got = tuple(_emb_bucket_py(vec, tj, weights)
+                        for tj in range(ti))
+            lower[vid] = got
+        return got
+
     out: list[tuple[int, int, float]] = []
     for pdf in pdfs:
         pdf = pdf.sort_values("id")
@@ -360,8 +392,8 @@ def _update_emb_bucket(key, pdfs: Iterator[pd.DataFrame],
                 if old_id == new_id:
                     continue
                 cos = _cos_py(old_vec, new_vec)
-                if cos >= threshold and _emb_owns_pair(old_vec, new_vec,
-                                                       ti, weights):
+                if cos >= threshold and _emb_owns_pair(
+                        _lower(old_id, old_vec), _lower(new_id, new_vec)):
                     a, b = sorted((old_id, new_id))
                     # RAW cosine: consumers round Spark-side (F.round,
                     # half-up like the batch API and the DuckDB oracle)
@@ -409,7 +441,13 @@ def embedding_near_dup_stream(emb: DataFrame,
     production continuous streams keep the default. State payload is
     the full double vector per (table, entry) — 4 x (8 + 8*dims)
     bytes/vector across buckets (~2 KB/vector at dims=64); at the 1B
-    horizon shard the stream or lower ``_MAX_EMB_BUCKET_DOCS``."""
+    horizon shard the stream or lower ``_MAX_EMB_BUCKET_DOCS`` — but
+    note a BINDING cap (or timer eviction) voids strict stream==batch
+    equality: evicted vectors stop pairing, and a pair whose lowest
+    colliding table evicted one member is lost even if both co-reside
+    in a higher table (ownership caveat on _emb_owns_pair). The
+    registered oracle row replays bounded corpora with the timer off
+    and far below the cap, where equality is exact."""
     from functools import partial
 
     from datafusion_postgres_spark.operators.similarity import (
@@ -418,7 +456,13 @@ def embedding_near_dup_stream(emb: DataFrame,
     base = (emb.select(F.col(id_col).alias("id"),
                        F.transform(F.col(vec_col),
                                    lambda x: x.cast("double")).alias("v"))
-            .where(_usable_norm(F.col("v"))))
+            # exactly-dims vectors only (second review pass): the
+            # Python bucket replica and Spark's zip_with disagree on
+            # length-mismatched vectors (Spark null-pads to bucket 0,
+            # Python would compute a real partial bucket), so vectors
+            # outside the LSH geometry are outside the stream's domain
+            .where(_usable_norm(F.col("v")) &
+                   (F.size(F.col("v")) == _EMB_DIMS)))
     blocked = base.select(
         "id", "v",
         F.explode(F.array(*[

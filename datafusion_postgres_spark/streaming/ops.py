@@ -171,3 +171,22 @@ def enrich_stream_scd2(stream: DataFrame, dim: DataFrame,
     from datafusion_postgres_spark.operators.joins import scd2_join
     return scd2_join(stream, dim, on=on, fact_ts=fact_ts,
                      from_col=from_col, to_col=to_col, how="left")
+
+
+def read_parquet_stream(spark: SparkSession, path: str, schema,
+                        max_files_per_trigger: int = 1) -> DataFrame:
+    """Generic file-based streaming source with the file-vs-directory
+    handling read_events_stream / streaming.dedup.read_documents_stream
+    each hand-roll (round-10 second review pass — one definition): the
+    file source wants a DIRECTORY, so a single-file path becomes dir +
+    pathGlobFilter on the basename; a directory path streams its
+    parquet files directly (where a hardcoded glob filter would match
+    nothing and silently stream zero rows)."""
+    import os
+
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)

@@ -66,14 +66,17 @@ def test_simhash_near_dup_stream_matches_batch(spark, docs_stream_dir):
          .outputMode("append").trigger(availableNow=True).start())
     assert q.awaitTermination(300), 'stream did not finish in time'
     try:
-        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
-               spark.sql("SELECT * FROM near_dup_s").collect()}
+        raw = spark.sql("SELECT * FROM near_dup_s").collect()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in raw}
         docs = read_table(spark, SF_DIR, "documents")
         expected = {(r["id_a"], r["id_b"]): r["hamming"] for r in
                     batch_dedup.simhash_near_pairs(docs).collect()}
         # exactly-once pair emission (lowest-chunk ownership) and full
-        # recall vs the batch operator, including cross-batch pairs
+        # recall vs the batch operator, including cross-batch pairs;
+        # the raw-count pin catches duplicate emissions the dict
+        # comprehension would silently collapse
         assert got == expected
+        assert len(raw) == len(expected)
         # the split guarantees cross-batch pairs exist (even id with odd id)
         cross = [p for p in expected if p[0] % 2 != p[1] % 2]
         assert cross, "testdata should contain cross-parity near-dup pairs"
@@ -743,13 +746,16 @@ def test_embedding_near_dup_stream_matches_batch(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     assert q.awaitTermination(300), "stream did not finish in time"
     try:
-        got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
-               spark.sql("SELECT id_a, id_b, round(cos_sim, 6) AS "
-                         "cos_sim FROM emb_near_dup_s").collect()}
+        raw = spark.sql("SELECT id_a, id_b, round(cos_sim, 6) AS "
+                        "cos_sim FROM emb_near_dup_s").collect()
+        got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in raw}
         expected = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
                     batch_dedup.embedding_cosine_pairs_lsh(
                         emb, threshold=0.38).collect()}
         assert got == expected
+        # EXACTLY-once: the dict above would collapse duplicate
+        # emissions (a broken ownership rule), so pin the raw count
+        assert len(raw) == len(expected)
         assert expected, "testdata should contain near-dup pairs"
         cross = [p for p in expected if p[0] % 2 != p[1] % 2]
         assert cross, "testdata should contain cross-batch pairs"

@@ -360,6 +360,11 @@ def main() -> None:
     loser_rows = loser_ids(pair_edges).collect()
     results["repgraph_loser_roundtrip_1m_edges"] = {
         "sec": round(time.perf_counter() - t0, 3),
+        # constants-by-construction, NOT executed-plan measurements:
+        # loser_ids runs its own internal jobs (count + Arrow collect +
+        # driver union-find), so there is no single QueryExecution to
+        # read metrics from; the edge build is a zero-shuffle range
+        # projection and the widest node is the 1M-edge frame itself
         "shuffle_rows": 0, "max_node_rows": 1_000_000,
         "out_rows": len(loser_rows),
     }

@@ -311,6 +311,35 @@ def main() -> None:
         measure(tag, dedup.minhash_dedup_keep(corp), results,
                 collect_cols=["doc_id"])
 
+    # -- EMBEDDING keep on an identical-vector clique (round-10):
+    #    completes the five-modality keep receipt matrix. 200 ids
+    #    carry one identical 64-d vector (they survive nothing — the
+    #    exact-vector collapse folds the clique to ONE rep before the
+    #    LSH banding join), the rest are deterministic spread vectors.
+    #    The widest node must stay FLAT when the corpus doubles.
+    dims_seq = F.sequence(F.lit(1), F.lit(64))
+    clique_vec = F.transform(dims_seq,
+                             lambda d: F.sin(d * 0.7) + F.lit(1.5))
+    # GLSL-hash-style pseudo-random components: the earlier
+    # sin(doc_id*d*0.37) spread aliased (17*0.37 ~ 2*pi, so doc_ids 17
+    # apart were near-identical and the whole corpus chained into one
+    # component); these are effectively orthogonal at threshold 0.9
+    spread_vec = F.transform(
+        dims_seq,
+        lambda d: (F.sin((F.col("doc_id") * 64 + d) * 12.9898)
+                   * 43758.5453) % 1.0)
+    # threshold 0.9: only the planted identical clique verifies, so
+    # out_rows tracks the corpus (lim - 199) and the flat-widest-node
+    # claim is meaningful
+    for tag, lim in (("emb_clique_keep_10k", 10_000),
+                     ("emb_clique_keep_corpus2x_20k", 20_000)):
+        corp = (docs.where(F.col("doc_id") < lim)
+                .select(F.col("doc_id").alias("vec_id"),
+                        F.when(F.col("doc_id") < 200, clique_vec)
+                        .otherwise(spread_vec).alias("embedding")))
+        measure(tag, dedup.embedding_dedup_keep(corp, threshold=0.9),
+                results, collect_cols=["vec_id"])
+
     # -- VIDEO keep on an identical-video clique (round-9 verdict #2):
     #    tuple collapse means the clique never reaches the per-position
     #    blocking join as members, and NO quadratic pair node exists

@@ -429,6 +429,26 @@ def _checked_index_path(spark, raw_path: str) -> str:
     return real
 
 
+def _query_ann_index(spark, args):
+    """query_ann_index(queries, index_path[, k[, n_probe]]): top-k
+    retrieval from a PERSISTED IVF-SQ8 index (sources/ann_index.
+    query_ivf_sq8_index) — the read half of the SQL index surface
+    (round-10: maintain_ann_index could rebuild an index SQL users
+    could not query). ``queries`` is a table/view with (qid, qvec),
+    the ann_topk convention. Read-only, but the path still resolves
+    under the annIndexRoot allowlist: an unconstrained path would let
+    any SQL principal probe arbitrary filesystem locations through
+    the index reader (confused-deputy read primitive)."""
+    from datafusion_postgres_spark.sources.ann_index import (
+        query_ivf_sq8_index,
+    )
+    k = int(args[2]) if len(args) > 2 else 10
+    n_probe = int(args[3]) if len(args) > 3 else 4
+    path = _checked_index_path(spark, args[1])
+    return query_ivf_sq8_index(spark, path, _tbl(spark, args[0]),
+                               k=k, n_probe=n_probe)
+
+
 def _maintain_ann_index(spark, args):
     """maintain_ann_index(embeddings, index_path[, min_recall]): the
     probe -> rebuild-or-compact policy (sources/ann_index.
@@ -604,6 +624,10 @@ TVF_SIGNATURES = {
         "new_embeddings text, state_embeddings text, "
         "threshold double precision",
         "TABLE(vec_id bigint)"),
+    "query_ann_index": (
+        "queries text, index_path text, k integer, n_probe integer",
+        "TABLE(qid bigint, vec_id bigint, score double precision, "
+        "rnk bigint)"),
 }
 
 # name -> (builder, min_args, max_args, n_table_args)
@@ -645,6 +669,7 @@ TVF_REGISTRY = {
     "audio_dedup_incremental": (_audio_dedup_incremental, 2, 3, 2),
     "video_dedup_incremental": (_video_dedup_incremental, 2, 4, 2),
     "embedding_dedup_incremental": (_embedding_dedup_incremental, 2, 3, 2),
+    "query_ann_index": (_query_ann_index, 2, 4, 1),
 }
 
 class TvfError(ValueError):

@@ -261,6 +261,43 @@ class TestKeepTvfs:
         assert rows[0]["action"] in ("rebuilt", "compacted")
         assert 0.0 <= rows[0]["recall"] <= 1.0
 
+    def test_query_ann_index_sql_equals_direct(self, eng, spark,
+                                               tmp_path):
+        """Round-10: the READ half of the SQL index surface — top-k
+        retrieval from a persisted IVF-SQ8 index, path under the same
+        allowlist as maintenance (read-only, but an unconstrained path
+        would be a confused-deputy read primitive)."""
+        from datafusion_postgres_spark.functions.pipeline_tvf import (
+            ANN_INDEX_ROOT_CONF, TvfError,
+        )
+        from datafusion_postgres_spark.sources.ann_index import (
+            query_ivf_sq8_index, write_ivf_sq8_index,
+        )
+        p = str(tmp_path / "qidx")
+        write_ivf_sq8_index(spark.table("embeddings"), p,
+                            n_centroids=8, kmeans_iters=0)
+        spark.table("embeddings").where("vec_id < 5").selectExpr(
+            "vec_id AS qid", "embedding AS qvec"
+        ).createOrReplaceTempView("tvf_ann_queries")
+        spark.conf.set(ANN_INDEX_ROOT_CONF, str(tmp_path))
+        try:
+            rows = _rows(eng, "SELECT qid, vec_id, score, rnk FROM "
+                              f"query_ann_index('tvf_ann_queries', "
+                              f"'{p}', 5, 4) ORDER BY qid, rnk")
+        finally:
+            spark.conf.unset(ANN_INDEX_ROOT_CONF)
+        direct = (query_ivf_sq8_index(
+                      spark, p, spark.table("tvf_ann_queries"),
+                      k=5, n_probe=4)
+                  .orderBy("qid", "rnk").collect())
+        assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
+        assert len(rows) > 0
+        # same allowlist contract as maintenance
+        with pytest.raises(TvfError) as ei:
+            _rows(eng, "SELECT * FROM query_ann_index("
+                       f"'tvf_ann_queries', '{p}')")
+        assert ei.value.sqlstate == "42501"
+
     def test_maintain_ann_index_tvf_disabled_without_root(
             self, eng, spark, tmp_path):
         """Round-10 ADVICE: the one destructive-filesystem TVF is

@@ -367,6 +367,18 @@ class TestOverTheWire:
                     "FROM simhash_dedup_keep('wiredocs', 3)")
                 assert res["cols"] == ["n"]
                 assert int(res["rows"][0][0]) > 0
+                # the INGEST surface over the same wire (round-10 #6)
+                c.query(
+                    "CREATE OR REPLACE TEMPORARY VIEW wirenew AS "
+                    "SELECT * FROM wiredocs WHERE doc_id % 5 = 0")
+                c.query(
+                    "CREATE OR REPLACE TEMPORARY VIEW wirestate AS "
+                    "SELECT * FROM wiredocs WHERE doc_id % 5 <> 0")
+                res = c.query(
+                    "SELECT count(*) AS n FROM "
+                    "simhash_dedup_incremental('wirenew', 'wirestate')")
+                assert res["cols"] == ["n"]
+                assert int(res["rows"][0][0]) > 0
             finally:
                 c.close()
         finally:

@@ -146,6 +146,30 @@ class TestSimhash:
         assert pairs[(1, 2)] == 0
         assert (1, 4) in pairs
 
+    def test_two_stage_equals_single_expression(self, spark):
+        """The round-10 two-stage rewrite must stay VALUE-IDENTICAL to
+        the single-expression form it replaced (18x cheaper, same
+        math) — pinned on adversarial inputs: unicode, punctuation,
+        single word, long repeats, mixed whitespace. Empty/whitespace
+        docs are outside simhash()'s domain (filtered) and excluded."""
+        from pyspark.sql import functions as F
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog " * 40),
+            (2, "單詞 mixed ünïcode tokens with  irregular   spacing"),
+            (3, "one-word"),
+            (4, "a b a b a b a b a b a b a b a b a b a b"),
+            (5, "punctuation, heavy! text; with: lots? of. marks"),
+            (6, "\ttabs\nand\nnewlines\tmixed   with spaces"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        two = {r["id"]: r["simhash"]
+               for r in dedup.simhash(docs).collect()}
+        single = {r["id"]: r["s"] for r in
+                  docs.select(F.col("doc_id").alias("id"),
+                              dedup.simhash_expr(F.col("text"))
+                              .alias("s")).collect()}
+        assert two == single and len(two) == len(rows)
+
 
 @pytest.fixture(scope="module")
 def keep_docs(spark):

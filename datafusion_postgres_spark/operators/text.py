@@ -160,18 +160,55 @@ def word_fingerprint(word: Column) -> Column:
 
 def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
-    """Per-document metrics table (token count, ratios, quality, lang)."""
+    """Per-document metrics table (token count, ratios, quality, lang).
+
+    TWO-STAGE (round-10): the three array chains (raw words, lowered
+    words, char codes) are materialized once, then the nine metrics
+    fold over the bound columns. The single-projection form re-split
+    per sibling metric (~12 splits/row); projection-level CSE
+    recovered most of it, so this is a modest 1.4x (measured) — taken
+    because the same columns serve three oracled rows and the
+    doc_quality TVF, and the values are bit-identical (each metric's
+    arithmetic is unchanged, only the array source is a column)."""
     c = F.col(text_col)
-    return df.select(
+    stage1 = df.select(
+        F.col(id_col), c.alias("__t"),
+        words(c).alias("__ws"),
+        words(F.lower(c)).alias("__wsl"),
+        F.transform(F.split(norm_text(c), ""),
+                    lambda ch: F.ascii(ch).cast("long")).alias("__codes"))
+    t, ws, wsl = F.col("__t"), F.col("__ws"), F.col("__wsl")
+    stop_ratio = (F.size(F.filter(wsl, lambda w: w.isin(*EN_STOPWORDS)))
+                  / F.greatest(F.size(wsl), F.lit(1)))
+    punct = (F.length(F.regexp_replace(t, r"[^.,;:!?'\"()-]", ""))
+             / F.greatest(F.length(t), F.lit(1)))
+    awl = (F.aggregate(ws, F.lit(0).cast("long"),
+                       lambda acc, w: acc + F.length(w))
+           / F.greatest(F.size(ws), F.lit(1)))
+    length_term = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stop_ratio * 4.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct * 5.0, F.lit(1.0))
+    wordlen_term = F.when((awl >= 3) & (awl <= 10), F.lit(1.0)) \
+                    .otherwise(F.lit(0.5))
+    qual = (length_term * 0.3 + stop_term * 0.3 + punct_term * 0.2 +
+            wordlen_term * 0.2)
+    lang = (F.when(stop_ratio > 0.12, F.lit("en"))
+             .when(t.rlike(r"[一-鿿]"), F.lit("zh"))
+             .when(t.rlike(r"[À-ſ]"), F.lit("other_latin"))
+             .otherwise(F.lit("unknown")))
+    fp = F.aggregate(F.col("__codes"), F.lit(0).cast("long"),
+                     lambda acc, x: (acc * FP_BASE + x) % FP_MOD)
+    return stage1.select(
         F.col(id_col),
-        token_count(c).alias("n_tokens"),
-        F.length(c).alias("n_chars_actual"),
-        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(avg_word_len(c), 6).alias("avg_word_len"),
-        F.round(quality_score(c), 6).alias("quality"),
-        lang_id(c).alias("lang_pred"),
-        fingerprint(c).alias("fingerprint"),
+        F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(ws))
+         .alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(qual, 6).alias("quality"),
+        lang.alias("lang_pred"),
+        fp.alias("fingerprint"),
     )
 
 

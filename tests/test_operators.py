@@ -1717,3 +1717,40 @@ class TestEmbeddingPca:
         # that (no dominant directions), which is what routes users to
         # quantization instead of PCA here
         assert sum(sp[:16]) / sum(sp) < 0.6
+
+
+class TestTextStatsTwoStage:
+    def test_text_stats_equals_composed_features(self, spark):
+        """The round-10 two-stage text_stats must stay VALUE-IDENTICAL
+        to composing the public per-feature expressions directly (the
+        former single-projection implementation) — including empty and
+        unicode docs. text_stats has no DuckDB-oracled row of its own
+        (doc_quality's SQL==direct pin compares it to itself), so this
+        composition pin is its value guard."""
+        from pyspark.sql import functions as F
+
+        from datafusion_postgres_spark.operators import text as T
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog " * 10),
+            (2, ""),
+            (3, "   "),
+            (4, "單詞 mixed ünïcode, tokens!! with?? marks..."),
+            (5, "short"),
+            (6, "a, b; c: d! e? f. g' h\" i( j) k- l" * 5),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        c = F.col("text")
+        old = docs.select(
+            F.col("doc_id"),
+            T.token_count(c).alias("n_tokens"),
+            F.length(c).alias("n_chars_actual"),
+            F.round(T.stopword_ratio(c), 6).alias("stopword_ratio"),
+            F.round(T.punct_ratio(c), 6).alias("punct_ratio"),
+            F.round(T.avg_word_len(c), 6).alias("avg_word_len"),
+            F.round(T.quality_score(c), 6).alias("quality"),
+            T.lang_id(c).alias("lang_pred"),
+            T.fingerprint(c).alias("fingerprint"),
+        ).orderBy("doc_id").collect()
+        new = (T.text_stats(docs).orderBy("doc_id").collect())
+        assert [tuple(r) for r in new] == [tuple(r) for r in old]
+        assert len(new) == len(rows)

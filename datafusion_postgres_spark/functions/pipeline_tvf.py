@@ -413,10 +413,10 @@ def _checked_index_path(spark, raw_path: str) -> str:
     root = spark.conf.get(ANN_INDEX_ROOT_CONF, None)
     if not root:
         raise TvfError(
-            "maintain_ann_index is disabled: set "
+            "ANN index table functions taking a filesystem path "
+            "(query_ann_index / maintain_ann_index) are disabled: set "
             f"{ANN_INDEX_ROOT_CONF} to the directory that holds ANN "
-            "indexes to allow SQL-initiated index maintenance",
-            "42501")
+            "indexes to allow SQL access to them", "42501")
     real_root = os.path.realpath(root)
     # realpath the deepest EXISTING ancestor too: the index path
     # itself must exist for maintenance, so realpath resolves fully
@@ -429,24 +429,58 @@ def _checked_index_path(spark, raw_path: str) -> str:
     return real
 
 
+# query_ivf_sq8_index collects the query set driver-side (the
+# retrieval-eval shape); a SQL caller naming a corpus-sized table as
+# 'queries' would OOM the server for every wire client, so the TVF
+# bounds it (trained_quality's 22023 convention for expensive params).
+_MAX_ANN_QUERY_ROWS = 10_000
+
+
+def _tvf_int(fn: str, name: str, raw: str, lo: int, hi: int) -> int:
+    try:
+        v = int(raw)
+    except ValueError:
+        raise TvfError(f"{fn}: {name} must be an integer literal, "
+                       f"got {raw!r}", "22023") from None
+    if not (lo <= v <= hi):
+        raise TvfError(f"{fn}: {name} must be in [{lo}, {hi}], "
+                       f"got {v}", "22023")
+    return v
+
+
 def _query_ann_index(spark, args):
-    """query_ann_index(queries, index_path[, k[, n_probe]]): top-k
-    retrieval from a PERSISTED IVF-SQ8 index (sources/ann_index.
-    query_ivf_sq8_index) — the read half of the SQL index surface
-    (round-10: maintain_ann_index could rebuild an index SQL users
-    could not query). ``queries`` is a table/view with (qid, qvec),
-    the ann_topk convention. Read-only, but the path still resolves
-    under the annIndexRoot allowlist: an unconstrained path would let
-    any SQL principal probe arbitrary filesystem locations through
-    the index reader (confused-deputy read primitive)."""
+    """query_ann_index(queries, index_path[, k[, n_probe[,
+    exclude_self]]]): top-k retrieval from a PERSISTED IVF-SQ8 index
+    (sources/ann_index.query_ivf_sq8_index) — the read half of the SQL
+    index surface (round-10: maintain_ann_index could rebuild an index
+    SQL users could not query). ``queries`` is a table/view with
+    (qid, qvec), the ann_topk convention. ``exclude_self`` (default 1)
+    drops corpus vectors whose vec_id equals the query's qid — pass 0
+    when the query ids live in their OWN id space, or a corpus vector
+    numerically sharing a qid silently vanishes from its top-k.
+    Read-only, but the path still resolves under the annIndexRoot
+    allowlist: an unconstrained path would let any SQL principal probe
+    arbitrary filesystem locations through the index reader
+    (confused-deputy read primitive)."""
     from datafusion_postgres_spark.sources.ann_index import (
         query_ivf_sq8_index,
     )
-    k = int(args[2]) if len(args) > 2 else 10
-    n_probe = int(args[3]) if len(args) > 3 else 4
+    k = _tvf_int("query_ann_index", "k", args[2], 1, 1000)         if len(args) > 2 else 10
+    n_probe = _tvf_int("query_ann_index", "n_probe", args[3], 1, 4096)         if len(args) > 3 else 4
+    exclude_self = bool(_tvf_int("query_ann_index", "exclude_self",
+                                 args[4], 0, 1)) if len(args) > 4         else True
     path = _checked_index_path(spark, args[1])
-    return query_ivf_sq8_index(spark, path, _tbl(spark, args[0]),
-                               k=k, n_probe=n_probe)
+    queries = _tbl(spark, args[0])
+    n_q = queries.count()
+    if n_q > _MAX_ANN_QUERY_ROWS:
+        raise TvfError(
+            f"query_ann_index: queries table has {n_q} rows — the "
+            f"query set is collected driver-side and is capped at "
+            f"{_MAX_ANN_QUERY_ROWS}; for corpus-scale retrieval use "
+            "ann_topk or batch the queries", "22023")
+    return query_ivf_sq8_index(spark, path, queries, k=k,
+                               n_probe=n_probe,
+                               exclude_self=exclude_self)
 
 
 def _maintain_ann_index(spark, args):
@@ -625,7 +659,8 @@ TVF_SIGNATURES = {
         "threshold double precision",
         "TABLE(vec_id bigint)"),
     "query_ann_index": (
-        "queries text, index_path text, k integer, n_probe integer",
+        "queries text, index_path text, k integer, n_probe integer, "
+        "exclude_self integer",
         "TABLE(qid bigint, vec_id bigint, score double precision, "
         "rnk bigint)"),
 }
@@ -669,7 +704,7 @@ TVF_REGISTRY = {
     "audio_dedup_incremental": (_audio_dedup_incremental, 2, 3, 2),
     "video_dedup_incremental": (_video_dedup_incremental, 2, 4, 2),
     "embedding_dedup_incremental": (_embedding_dedup_incremental, 2, 3, 2),
-    "query_ann_index": (_query_ann_index, 2, 4, 1),
+    "query_ann_index": (_query_ann_index, 2, 5, 1),
 }
 
 class TvfError(ValueError):

@@ -95,10 +95,43 @@ def token_count(col: Column) -> Column:
     return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(words(col)))
 
 
+# Array/parts-based metric bodies: each public helper below delegates
+# here, and text_stats folds the same bodies over materialized columns
+# — the constants (stopword list semantics, punctuation class, quality
+# weights, lang thresholds) live in exactly ONE place (round-10 third
+# review pass; the simhash_hashes_expr/simhash_from_hashes pattern).
+
+def _stopword_ratio_from_words(wsl: Column) -> Column:
+    in_list = F.filter(wsl, lambda w: w.isin(*EN_STOPWORDS))
+    return F.size(in_list) / F.greatest(F.size(wsl), F.lit(1))
+
+
+def _avg_word_len_from_words(ws: Column) -> Column:
+    total = F.aggregate(ws, F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w))
+    return total / F.greatest(F.size(ws), F.lit(1))
+
+
+def _quality_from_parts(text_col: Column, stop_ratio: Column,
+                        punct: Column, wordlen: Column) -> Column:
+    length_term = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stop_ratio * 4.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct * 5.0, F.lit(1.0))
+    wordlen_term = F.when((wordlen >= 3) & (wordlen <= 10), F.lit(1.0)) \
+                    .otherwise(F.lit(0.5))
+    return (length_term * 0.3 + stop_term * 0.3 + punct_term * 0.2 +
+            wordlen_term * 0.2)
+
+
+def _lang_from_parts(text_col: Column, stop_ratio: Column) -> Column:
+    return (F.when(stop_ratio > 0.12, F.lit("en"))
+             .when(text_col.rlike(r"[一-鿿]"), F.lit("zh"))
+             .when(text_col.rlike(r"[À-ſ]"), F.lit("other_latin"))
+             .otherwise(F.lit("unknown")))
+
+
 def stopword_ratio(col: Column) -> Column:
-    ws = words(F.lower(col))
-    in_list = F.filter(ws, lambda w: w.isin(*EN_STOPWORDS))
-    return F.size(in_list) / F.greatest(F.size(ws), F.lit(1))
+    return _stopword_ratio_from_words(words(F.lower(col)))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -107,23 +140,14 @@ def punct_ratio(col: Column) -> Column:
 
 
 def avg_word_len(col: Column) -> Column:
-    ws = words(col)
-    total = F.aggregate(ws, F.lit(0).cast("long"),
-                        lambda acc, w: acc + F.length(w))
-    return total / F.greatest(F.size(ws), F.lit(1))
+    return _avg_word_len_from_words(words(col))
 
 
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: long enough, some stopwords,
     moderate punctuation, sane word lengths."""
-    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
-    stop_term = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
-    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
-    wordlen = avg_word_len(col)
-    wordlen_term = F.when((wordlen >= 3) & (wordlen <= 10), F.lit(1.0)) \
-                    .otherwise(F.lit(0.5))
-    return (length_term * 0.3 + stop_term * 0.3 + punct_term * 0.2 +
-            wordlen_term * 0.2)
+    return _quality_from_parts(col, stopword_ratio(col),
+                               punct_ratio(col), avg_word_len(col))
 
 
 def lang_id(col: Column) -> Column:
@@ -133,10 +157,17 @@ def lang_id(col: Column) -> Column:
     here is the UDF-free baseline: English stopword density decides 'en',
     otherwise character-class evidence.  Deterministic and cheap (single
     projection, no shuffle)."""
-    return (F.when(stopword_ratio(col) > 0.12, F.lit("en"))
-             .when(col.rlike(r"[一-鿿]"), F.lit("zh"))
-             .when(col.rlike(r"[À-ſ]"), F.lit("other_latin"))
-             .otherwise(F.lit("unknown")))
+    return _lang_from_parts(col, stopword_ratio(col))
+
+
+def _fingerprint_from_codes(codes: Column) -> Column:
+    return F.aggregate(codes, F.lit(0).cast("long"),
+                       lambda acc, x: (acc * FP_BASE + x) % FP_MOD)
+
+
+def _char_codes(col: Column) -> Column:
+    return F.transform(F.split(col, ""),
+                       lambda c: F.ascii(c).cast("long"))
 
 
 def fingerprint(col: Column) -> Column:
@@ -145,17 +176,12 @@ def fingerprint(col: Column) -> Column:
 
     Engine-portable (pure integer arithmetic, no murmur3), so the DuckDB
     oracle can verify it; distributes as a single codegen'd projection."""
-    codes = F.transform(F.split(norm_text(col), ""),
-                        lambda c: F.ascii(c).cast("long"))
-    return F.aggregate(codes, F.lit(0).cast("long"),
-                       lambda acc, x: (acc * FP_BASE + x) % FP_MOD)
+    return _fingerprint_from_codes(_char_codes(norm_text(col)))
 
 
 def word_fingerprint(word: Column) -> Column:
     """Same rolling hash for a single token (used by minhash shingling)."""
-    codes = F.transform(F.split(word, ""), lambda c: F.ascii(c).cast("long"))
-    return F.aggregate(codes, F.lit(0).cast("long"),
-                       lambda acc, x: (acc * FP_BASE + x) % FP_MOD)
+    return _fingerprint_from_codes(_char_codes(word))
 
 
 def text_stats(df: DataFrame, text_col: str = "text",
@@ -175,29 +201,14 @@ def text_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col), c.alias("__t"),
         words(c).alias("__ws"),
         words(F.lower(c)).alias("__wsl"),
-        F.transform(F.split(norm_text(c), ""),
-                    lambda ch: F.ascii(ch).cast("long")).alias("__codes"))
+        _char_codes(norm_text(c)).alias("__codes"))
     t, ws, wsl = F.col("__t"), F.col("__ws"), F.col("__wsl")
-    stop_ratio = (F.size(F.filter(wsl, lambda w: w.isin(*EN_STOPWORDS)))
-                  / F.greatest(F.size(wsl), F.lit(1)))
-    punct = (F.length(F.regexp_replace(t, r"[^.,;:!?'\"()-]", ""))
-             / F.greatest(F.length(t), F.lit(1)))
-    awl = (F.aggregate(ws, F.lit(0).cast("long"),
-                       lambda acc, w: acc + F.length(w))
-           / F.greatest(F.size(ws), F.lit(1)))
-    length_term = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
-    stop_term = F.least(stop_ratio * 4.0, F.lit(1.0))
-    punct_term = F.lit(1.0) - F.least(punct * 5.0, F.lit(1.0))
-    wordlen_term = F.when((awl >= 3) & (awl <= 10), F.lit(1.0)) \
-                    .otherwise(F.lit(0.5))
-    qual = (length_term * 0.3 + stop_term * 0.3 + punct_term * 0.2 +
-            wordlen_term * 0.2)
-    lang = (F.when(stop_ratio > 0.12, F.lit("en"))
-             .when(t.rlike(r"[一-鿿]"), F.lit("zh"))
-             .when(t.rlike(r"[À-ſ]"), F.lit("other_latin"))
-             .otherwise(F.lit("unknown")))
-    fp = F.aggregate(F.col("__codes"), F.lit(0).cast("long"),
-                     lambda acc, x: (acc * FP_BASE + x) % FP_MOD)
+    stop_ratio = _stopword_ratio_from_words(wsl)
+    punct = punct_ratio(t)
+    awl = _avg_word_len_from_words(ws)
+    qual = _quality_from_parts(t, stop_ratio, punct, awl)
+    lang = _lang_from_parts(t, stop_ratio)
+    fp = _fingerprint_from_codes(F.col("__codes"))
     return stage1.select(
         F.col(id_col),
         F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(ws))

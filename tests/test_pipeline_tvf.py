@@ -292,11 +292,38 @@ class TestKeepTvfs:
                   .orderBy("qid", "rnk").collect())
         assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
         assert len(rows) > 0
-        # same allowlist contract as maintenance
+        # exclude_self=0: external query-id spaces keep the corpus
+        # vector that numerically shares a qid (round-10 third pass)
+        spark.conf.set(ANN_INDEX_ROOT_CONF, str(tmp_path))
+        try:
+            noex = _rows(eng, "SELECT qid, vec_id FROM query_ann_index("
+                              f"'tvf_ann_queries', '{p}', 1, 4, 0) "
+                              "ORDER BY qid")
+            assert [(r["qid"], r["vec_id"]) for r in noex] == \
+                [(q, q) for q in range(5)]   # self is rank 1
+            # parameter validation: 22023, not a raw ValueError
+            for bad in (f"query_ann_index('tvf_ann_queries', '{p}', 0)",
+                        f"query_ann_index('tvf_ann_queries', '{p}', "
+                        "5, 0)"):
+                with pytest.raises(TvfError) as ei:
+                    _rows(eng, "SELECT * FROM " + bad)
+                assert ei.value.sqlstate == "22023"
+        finally:
+            spark.conf.unset(ANN_INDEX_ROOT_CONF)
+        # same allowlist contract as maintenance: disabled without the
+        # root conf, and an outside-root path refused WITH it
         with pytest.raises(TvfError) as ei:
             _rows(eng, "SELECT * FROM query_ann_index("
                        f"'tvf_ann_queries', '{p}')")
         assert ei.value.sqlstate == "42501"
+        spark.conf.set(ANN_INDEX_ROOT_CONF, str(tmp_path / "subroot"))
+        try:
+            with pytest.raises(TvfError) as ei:
+                _rows(eng, "SELECT * FROM query_ann_index("
+                           f"'tvf_ann_queries', '{p}')")
+            assert ei.value.sqlstate == "42501"
+        finally:
+            spark.conf.unset(ANN_INDEX_ROOT_CONF)
 
     def test_maintain_ann_index_tvf_disabled_without_root(
             self, eng, spark, tmp_path):

@@ -83,7 +83,14 @@ def _margin_expr(w_fp: list[int]):
 
     The numerator is an exact integer fold; the denominator multiply
     and the single division are the only float ops — identical in any
-    engine (nf * SCALE is exact in double far beyond real doc sizes)."""
+    engine (nf * SCALE is exact in double far beyond real doc sizes).
+
+    ALL-ZERO weights (every training run's first iteration) fold to a
+    constant 0.0 up front: the feature fold would sum dim zeros per
+    document through an interpreted HOF, and 0/(nf*SCALE) is +0.0
+    exactly — bit-identical to evaluating the fold (round-10 opt)."""
+    if not any(w_fp):
+        return F.lit(0.0)
     w_lit = llit(w_fp)
     num = F.aggregate(
         "feats", F.lit(0).cast("long"),
@@ -119,6 +126,16 @@ def train_text_classifier(df: DataFrame, label_col: str,
     Per iteration: gd = floor((round(sigmoid(m),9) - y)/nf * SCALE + .5)
     per document (integer), summed per bucket (one corpus pass, dim-row
     shuffle), then w_fp[b] -= floor(g/lr_den + 0.5) on the driver."""
+    _check_label_type(df, label_col)
+    feats_df = _feature_frame(df, label_col, text_col, id_col,
+                              dim, bigrams).persist()
+    try:
+        return _train_on_feats(feats_df, dim, iters, lr_den)
+    finally:
+        feats_df.unpersist()
+
+
+def _check_label_type(df: DataFrame, label_col: str) -> None:
     t = df.schema[label_col].dataType.simpleString()
     if not (t in ("boolean",) or t.startswith(("int", "bigint", "smallint",
                                                "tinyint"))):
@@ -126,19 +143,61 @@ def train_text_classifier(df: DataFrame, label_col: str,
             f"label column {label_col!r} has type {t}; expected an "
             "integer/boolean 0-1 label (a string would silently cast to "
             "NULL and poison every gradient)")
-    feats_df = _feature_frame(df, label_col, text_col, id_col,
-                              dim, bigrams).persist()
-    try:
-        w_fp = [0] * dim
-        for _ in range(iters):
-            grads = _bucket_gradients(feats_df, w_fp).collect()  # ≤ dim rows
-            for r in grads:
-                g = int(r["g"])
-                # floor(g/lr_den + 0.5) in exact integer arithmetic
-                w_fp[int(r["h"])] -= (2 * g + lr_den) // (2 * lr_den)
-        return w_fp
-    finally:
-        feats_df.unpersist()
+
+
+def _train_on_feats(feats_df: DataFrame, dim: int, iters: int,
+                    lr_den: int) -> list[int]:
+    w_fp = [0] * dim
+    for _ in range(iters):
+        grads = _bucket_gradients(feats_df, w_fp).collect()  # ≤ dim rows
+        for r in grads:
+            g = int(r["g"])
+            # floor(g/lr_den + 0.5) in exact integer arithmetic
+            w_fp[int(r["h"])] -= (2 * g + lr_den) // (2 * lr_den)
+    return w_fp
+
+
+def _score_cols(w_fp: list[int], id_col: str) -> list:
+    margin = _margin_expr(w_fp)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return [F.col(id_col),
+            F.col("nf").cast("bigint").alias("n_features"),
+            (F.round(margin, 6) + 0.0).alias("margin"),
+            (F.round(score, 6) + 0.0).alias("clf_score")]
+
+
+def train_and_score(df: DataFrame, label_col: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    dim: int = 4096, bigrams: bool = True,
+                    iters: int = 4, lr_den: int = 2,
+                    with_label: bool = False) -> DataFrame:
+    """Train on ``df`` and score the SAME rows through ONE shared
+    feature-extraction pass (round-10 optimization).
+
+    ``train_text_classifier`` + ``trained_classifier_score`` run the
+    hashed-ngram projection (tokenize + fingerprint + bigram hashing —
+    the expensive stage) twice: once into the persisted training frame
+    and once more for scoring. When the scored corpus IS the training
+    corpus, one pass suffices: the feature frame is generation-cached
+    (operators/cachectl.py) so the returned scoring plan reads the same
+    cached rows the gradient iterations did. Values are identical to
+    the two-pass composition — same rows, same buckets, same
+    arithmetic (pinned in tests).
+
+    ``with_label=True`` appends the training label as column ``y``
+    (evaluation flows join it back otherwise)."""
+    from datafusion_postgres_spark.operators.cachectl import (
+        cache_generation,
+    )
+    _check_label_type(df, label_col)
+    feats_df = cache_generation(
+        "classifier_train_and_score",
+        _feature_frame(df, label_col, text_col, id_col, dim, bigrams))
+    w_fp = _train_on_feats(feats_df, dim, iters, lr_den)
+    cols = _score_cols(w_fp, id_col)
+    if with_label:
+        cols.append(F.col("y"))
+    return feats_df.select(*cols)
 
 
 def save_weights(w_fp: list[int], path: str, bigrams: bool = True) -> None:
@@ -178,13 +237,7 @@ def trained_classifier_score(df: DataFrame, w_fp: list[int],
     instead of the LCG expression (its documented swap-in point)."""
     feats_df = _feature_frame(df, None, text_col, id_col,
                               len(w_fp), bigrams)
-    margin = _margin_expr(w_fp)
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-    return feats_df.select(
-        F.col(id_col),
-        F.col("nf").cast("bigint").alias("n_features"),
-        (F.round(margin, 6) + 0.0).alias("margin"),
-        (F.round(score, 6) + 0.0).alias("clf_score"))
+    return feats_df.select(*_score_cols(w_fp, id_col))
 
 
 def classifier_term_weights(df: DataFrame, w_fp: list[int], k: int = 20,

@@ -3291,14 +3291,16 @@ def text_trained_classifier(spark, sf_dir):
     integer gradients (deterministic under any partitioning), so the
     oracle replays BOTH iterations and the scoring pass bit-for-bit —
     a fully-oracled distributed trainer, per-iteration cost one corpus
-    pass + a dim-row shuffle (the kmeans/bpe driver-loop shape)."""
+    pass + a dim-row shuffle (the kmeans/bpe driver-loop shape).
+    Round-10: train_and_score shares ONE cached feature-extraction
+    pass between the gradient iterations and the scoring projection
+    (identical values — pinned in tests/test_classifier.py)."""
     from datafusion_postgres_spark.operators.classifier import (
-        train_text_classifier, trained_classifier_score)
+        train_and_score)
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
-    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
-                              lr_den=2)
-    return sorted_small(trained_classifier_score(docs, w), "doc_id")
+    return sorted_small(train_and_score(labeled, "y", dim=_TCLF_DIM,
+                                        iters=2, lr_den=2), "doc_id")
 
 
 @register("text_domain_reweight", oracle=f"""
@@ -3391,15 +3393,15 @@ def text_trained_gate(spark, sf_dir):
     kept-volume target, gate the corpus' pipeline as ONE plan. Scores
     are rounded to 6 before ranking on both engines, so the percentile
     boundary (tied ranks included) is identical and the kept SET
-    replays bit-for-bit."""
+    replays bit-for-bit. Round-10: train_and_score shares one cached
+    feature pass between training and scoring (identical values)."""
     from datafusion_postgres_spark.operators.classifier import (
-        train_text_classifier, trained_classifier_score)
+        train_and_score)
     from datafusion_postgres_spark.operators.text import filter_by_quantile
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
-    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
-                              lr_den=2)
-    scored = trained_classifier_score(docs, w).select("doc_id", "clf_score")
+    scored = train_and_score(labeled, "y", dim=_TCLF_DIM, iters=2,
+                             lr_den=2).select("doc_id", "clf_score")
     kept = filter_by_quantile(scored, "clf_score", q=0.4, keep="above",
                               mode="exact")
     return sorted_small(kept, "doc_id")
@@ -3416,15 +3418,15 @@ def text_trained_gate_scale(spark, sf_dir):
     SinglePartition sort — plan-pinned in tests/test_operators.py).
     Because the kept set is provably identical to exact mode, the SAME
     full DuckDB oracle applies — the scale default no longer trades
-    oracle-ability for shuffle shape."""
+    oracle-ability for shuffle shape. Round-10: train_and_score shares
+    one cached feature pass between training and scoring."""
     from datafusion_postgres_spark.operators.classifier import (
-        train_text_classifier, trained_classifier_score)
+        train_and_score)
     from datafusion_postgres_spark.operators.text import filter_by_quantile
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
-    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
-                              lr_den=2)
-    scored = trained_classifier_score(docs, w).select("doc_id", "clf_score")
+    scored = train_and_score(labeled, "y", dim=_TCLF_DIM, iters=2,
+                             lr_den=2).select("doc_id", "clf_score")
     kept = filter_by_quantile(scored, "clf_score", q=0.4, keep="above",
                               mode="hist")
     return sorted_small(kept, "doc_id")
@@ -3459,15 +3461,17 @@ def text_clf_auc(spark, sf_dir):
     corpus (same scale shape as filter_by_quantile(mode='hist')). All
     pair counting is exact integers; the one double division replays
     bit-for-bit in the oracle, which re-trains the same two fixed-point
-    iterations in SQL and computes the same tie-corrected AUC."""
+    iterations in SQL and computes the same tie-corrected AUC.
+    Round-10: train_and_score(with_label=True) shares one cached
+    feature pass AND carries y directly — the per-doc label join the
+    two-pass shape needed is gone (same rows: the join was inner on
+    the scored side's keys, and y rides the same feature rows)."""
     from datafusion_postgres_spark.operators.classifier import (
-        clf_auc, train_text_classifier, trained_classifier_score)
+        clf_auc, train_and_score)
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
-    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
-                              lr_den=2)
-    scored = (trained_classifier_score(docs, w)
-              .join(labeled.select("doc_id", "y"), "doc_id"))
+    scored = train_and_score(labeled, "y", dim=_TCLF_DIM, iters=2,
+                             lr_den=2, with_label=True)
     return clf_auc(scored, "y", "clf_score")
 
 
@@ -3501,15 +3505,15 @@ def text_clf_pr_curve(spark, sf_dir):
     thresholds (operators/classifier.clf_pr_curve) — exact integer
     conditional sums in one aggregate pass, one double division per
     cell; the oracle re-trains the same fixed-point iterations and
-    replays the table. Completes the eval tier next to text_clf_auc."""
+    replays the table. Completes the eval tier next to text_clf_auc.
+    Round-10: train_and_score(with_label=True) — one cached feature
+    pass, no label join (see text_clf_auc)."""
     from datafusion_postgres_spark.operators.classifier import (
-        clf_pr_curve, train_text_classifier, trained_classifier_score)
+        clf_pr_curve, train_and_score)
     docs = ensure_min_parallelism(t(spark, sf_dir, "documents"))
     labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
-    w = train_text_classifier(labeled, "y", dim=_TCLF_DIM, iters=2,
-                              lr_den=2)
-    scored = (trained_classifier_score(docs, w)
-              .join(labeled.select("doc_id", "y"), "doc_id"))
+    scored = train_and_score(labeled, "y", dim=_TCLF_DIM, iters=2,
+                             lr_den=2, with_label=True)
     return clf_pr_curve(scored, [0.3, 0.5, 0.7]).orderBy("threshold")
 
 

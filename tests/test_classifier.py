@@ -147,6 +147,46 @@ class TestTrainedClassifier:
         out = trained_classifier_score(df, w)
         assert [r["doc_id"] for r in out.collect()] == [1]
 
+    def test_train_and_score_equals_composition(self, labeled):
+        """The round-10 shared-feature-pass path (train_and_score) must
+        return exactly what train_text_classifier followed by
+        trained_classifier_score returns — same rows, same margins,
+        same scores, and with_label=True rides the label on the same
+        rows the two-pass shape attached via a join."""
+        from datafusion_postgres_spark.operators.classifier import (
+            train_and_score)
+        lab = labeled.withColumn("y", F.col("is_good").cast("int"))
+        w = train_text_classifier(lab, "y", dim=256, iters=3)
+        want = sorted(
+            tuple(r) for r in trained_classifier_score(lab, w)
+            .select("doc_id", "n_features", "margin", "clf_score")
+            .collect())
+        got_df = train_and_score(lab, "y", dim=256, iters=3,
+                                 with_label=True)
+        got = sorted(
+            tuple(r) for r in got_df
+            .select("doc_id", "n_features", "margin", "clf_score")
+            .collect())
+        assert got == want
+        joined = sorted(
+            tuple(r) for r in trained_classifier_score(lab, w)
+            .join(lab.select("doc_id", "y"), "doc_id")
+            .select("doc_id", "y").collect())
+        assert sorted(tuple(r) for r in
+                      got_df.select("doc_id", "y").collect()) == joined
+
+    def test_zero_weight_margin_constant_folds(self, labeled):
+        """All-zero weights (every run's first iteration) score as a
+        constant 0.0 margin — identical to evaluating the feature fold
+        against a zero table."""
+        from datafusion_postgres_spark.operators.classifier import (
+            _margin_expr)
+        # the constant-fold branch fires
+        assert "0.0" in str(_margin_expr([0] * 8))
+        zeros = trained_classifier_score(labeled, [0] * 64)
+        rows = zeros.select("margin", "clf_score").distinct().collect()
+        assert [(r["margin"], r["clf_score"]) for r in rows] == [(0.0, 0.5)]
+
 
 class TestClfAuc:
     """Bounded-histogram rank-sum AUC (round-7 eval companion)."""

@@ -170,12 +170,18 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
     stability."""
     del id_col
     vocab_src = _vocab_df(docs, text_col)
-    vocab = vocab_src.persist()
-    n_vocab = vocab.count()
-    if n_vocab <= local_vocab_limit:
-        rows = [(list(r["syms"]), r["weight"]) for r in vocab.collect()]
-        vocab.unpersist()
+    # ONE action decides local-vs-distributed AND fetches the local
+    # path's rows: limit(n+1) returns the whole vocabulary iff it has
+    # <= n rows (round-10 — the count()-then-collect() shape paid the
+    # vocabulary aggregation twice-scheduled and needed a persist just
+    # to bridge the two actions). The merge loop is order-insensitive
+    # (counts aggregate; ties break on (cnt desc, pair asc)).
+    probe = vocab_src.limit(local_vocab_limit + 1).collect()
+    if len(probe) <= local_vocab_limit:
+        rows = [(list(r["syms"]), r["weight"]) for r in probe]
         return _merge_loop_local(rows, n_merges)
+    del probe
+    vocab = vocab_src.persist()
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(n_merges):

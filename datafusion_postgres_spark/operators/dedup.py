@@ -395,13 +395,28 @@ def simhash_hashes_expr(text: Column) -> Column:
     return F.transform(ws, word_fingerprint)
 
 
-def simhash_from_hashes(whs: Column, bits: int = 48) -> Column:
+def simhash_from_hashes(whs: Column | str, bits: int = 48) -> Column:
     """Fold the per-bit majority terms over an ALREADY-MATERIALIZED
     word-hash array column: bit b is set iff strictly more than half
     of the hashes have bit b set (identical to the +1/-1 sign-sum
     being positive). 48 interpreted array passes over a computed
     column — cheap; the expensive tokenize+hash chain runs once per
-    row in the upstream projection."""
+    row in the upstream projection.
+
+    Pass the column NAME (the production call sites do) and the whole
+    2*bits-term fold is built as ONE ``F.expr`` parse — measured 1.8 s
+    of per-build driver py4j chatter for the Column-composed form vs
+    3 ms for the parse, with an identical Catalyst tree (same
+    shiftright/filter/size/CASE operators; pinned value-equal in
+    tests). A Column argument keeps the composed form for callers that
+    hold a computed expression."""
+    if isinstance(whs, str):
+        terms = " + ".join(
+            f"(CASE WHEN 2 * size(filter({whs}, h -> ((h >> {b}) & 1) = 1))"
+            f" > size({whs}) THEN CAST({1 << b} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits))
+        return F.expr(terms)
     n_words = F.size(whs)
     sig = None
     for b in range(bits):
@@ -451,7 +466,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .select(F.col(id_col).alias("id"),
                     simhash_hashes_expr(F.col(text_col)).alias("whs"))
             .select("id",
-                    simhash_from_hashes(F.col("whs"), bits)
+                    simhash_from_hashes("whs", bits)
                     .alias("simhash")))
 
 
@@ -864,7 +879,7 @@ def embedding_cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.38,
             .where(_usable_norm(F.col("v"))))
     tables = F.explode(F.array(*[
         F.struct(F.lit(ti).alias("tbl"),
-                 lsh_bucket_expr(F.col("v"), n_planes, dims,
+                 lsh_bucket_expr("v", n_planes, dims,
                                  plane_offset=ti * n_planes).alias("bucket"))
         for ti in range(n_tables)])).alias("tb")
     blocked = base.select("id", "v", tables)
@@ -912,7 +927,7 @@ def _embedding_state_rows(emb: DataFrame, n_planes: int, n_tables: int,
     reps = base.groupBy("v").agg(F.min("id").alias("state_id"))
     tables = F.explode(F.array(*[
         F.struct(F.lit(ti).alias("tbl"),
-                 lsh_bucket_expr(F.col("v"), n_planes, dims,
+                 lsh_bucket_expr("v", n_planes, dims,
                                  plane_offset=ti * n_planes)
                  .alias("bucket"))
         for ti in range(n_tables)])).alias("tb")
@@ -1037,7 +1052,7 @@ def embedding_dedup_incremental(new_emb: DataFrame,
         base.groupBy("v").agg(F.min("id").alias("id")))
     tables = F.explode(F.array(*[
         F.struct(F.lit(ti).alias("tbl"),
-                 lsh_bucket_expr(F.col("v"), n_planes, dims,
+                 lsh_bucket_expr("v", n_planes, dims,
                                  plane_offset=ti * n_planes)
                  .alias("bucket"))
         for ti in range(n_tables)])).alias("tb")

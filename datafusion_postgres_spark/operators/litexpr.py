@@ -21,6 +21,18 @@ import math
 from pyspark.sql import Column, functions as F
 
 
+def darr_sql(values) -> str:
+    """SQL text of an array<double> literal (the dlit spelling) — for
+    builders that assemble a whole expression as ONE ``F.expr`` parse
+    instead of per-element py4j composition. Finite values only (the
+    callers inline trained bounds/codebooks, which are finite by
+    construction)."""
+    vs = [float(v) for v in values]
+    if not all(math.isfinite(v) for v in vs):
+        raise ValueError("darr_sql requires finite doubles")
+    return "array(" + ",".join(f"{v!r}D" for v in vs) + ")"
+
+
 def dlit(values) -> Column:
     """array<double> literal."""
     vs = [float(v) for v in values]

@@ -157,11 +157,37 @@ def _plane_sign(p, d):
     return F.lit(_plane_sign_value(p, d))
 
 
+def _proj_sql(vec_sql: str, p: int, dims: int, plane_offset: int = 0) -> str:
+    """SQL text of one plane's signed projection — the same
+    left-to-right zip_with/aggregate fold the Column form builds, as a
+    string so the whole n_planes family costs ONE ``F.expr`` parse
+    instead of ~n_planes*10 py4j round-trips (measured ~4 ms per
+    round-trip on the bench host — construction was dominating the
+    LSH rows). Weight literals use the dlit repr()+``D`` spelling, so
+    they parse to the identical doubles."""
+    ws = ",".join(f"{_plane_sign_value(p + plane_offset, d)!r}D"
+                  for d in range(dims))
+    return (f"aggregate(zip_with({vec_sql}, array({ws}), "
+            "(x, w) -> x * w), CAST(0.0D AS DOUBLE), (acc, v) -> acc + v)")
+
+
 def lsh_bucket_expr(vec, n_planes: int, dims: int, plane_offset: int = 0):
     """Random-hyperplane signature: bit p = sign(sum_d vec[d]*w[p,d]).
 
     ``plane_offset`` selects a disjoint plane family — multi-table LSH
-    (embedding_cosine_pairs_lsh) uses offset ti*n_planes per table."""
+    (embedding_cosine_pairs_lsh) uses offset ti*n_planes per table.
+
+    Pass the column NAME (production call sites do) for the
+    single-``F.expr``-parse build; a Column argument keeps the
+    composed form. Both build the same projection folds / sign bits /
+    bucket sum — value-pinned equal in tests."""
+    if isinstance(vec, str):
+        bits = ",".join(
+            f"CASE WHEN {_proj_sql(vec, p, dims, plane_offset)} >= 0 "
+            f"THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes))
+        return F.expr(f"aggregate(array({bits}), CAST(0 AS BIGINT), "
+                      "(acc, x) -> acc + x)")
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
@@ -391,24 +417,21 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
     corpus = corpus.withColumn("bucket",
-                               lsh_bucket_expr(F.col("vec"), n_planes, dims))
+                               lsh_bucket_expr("vec", n_planes, dims))
     q = queries.select(
         "qid", F.transform(F.col("qvec"),
                            lambda x: x.cast("double")).alias("qvec"))
     if n_probes <= 1:
         q = q.withColumn("bucket",
-                         lsh_bucket_expr(F.col("qvec"), n_planes, dims))
+                         lsh_bucket_expr("qvec", n_planes, dims))
     else:
         # per-plane signed projections (the same sums lsh_bucket_expr
-        # folds into sign bits, kept raw here for the margins)
-        projs = F.array(*[
-            F.aggregate(
-                F.zip_with(F.col("qvec"),
-                           dlit(_plane_sign_value(p, d)
-                                for d in range(dims)),
-                           lambda x, w: x * w),
-                F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-            for p in range(n_planes)])
+        # folds into sign bits, kept raw here for the margins) — built
+        # as ONE F.expr parse (see _proj_sql): the Column-composed form
+        # cost ~2.4 s of driver py4j chatter per build on the bench
+        # host, the parse ~5 ms, identical folds
+        projs = F.expr("array(" + ",".join(
+            _proj_sql("qvec", p, dims) for p in range(n_planes)) + ")")
         # materialize the projections: the query side is tiny by
         # contract (it broadcasts), and without the cut Catalyst
         # inlines the n_planes x dims literal fold into EVERY probe's
@@ -416,29 +439,29 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
         # codegen size at n_probes=8
         q = q.select("qid", "qvec",
                      projs.alias("__projs")).localCheckpoint(eager=False)
-        pj = F.col("__projs")
-        base = F.aggregate(
-            F.array(*[F.when(F.element_at(pj, p + 1) >= 0,
-                             F.lit(1 << p)).otherwise(F.lit(0))
-                      for p in range(n_planes)]),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        base_sql = ("aggregate(array(" + ",".join(
+            f"CASE WHEN element_at(__projs, {p + 1}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END"
+            for p in range(n_planes)) +
+            "), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
         # planes sorted by |projection| ascending = flip-first order
-        margins = F.array_sort(F.array(*[
-            F.struct(F.abs(F.element_at(pj, p + 1)).alias("m"),
-                     F.lit(p).alias("p"))
-            for p in range(n_planes)]))
+        margins_sql = ("array_sort(array(" + ",".join(
+            f"named_struct('m', abs(element_at(__projs, {p + 1})), "
+            f"'p', {p})"
+            for p in range(n_planes)) + "))")
         subsets = [s for s in _PROBE_SUBSETS
                    if all(j < n_planes for j in s)][:n_probes]
         probe_buckets = []
         for subset in subsets:
-            b = base
+            b = base_sql
             for j in subset:
-                fp = F.element_at(margins, j + 1)["p"]
-                b = b.bitwiseXOR(
-                    F.pow(F.lit(2.0), fp.cast("double")).cast("long"))
+                fp = f"element_at({margins_sql}, {j + 1}).p"
+                b = (f"({b} ^ CAST(power(2.0D, CAST({fp} AS DOUBLE)) "
+                     "AS BIGINT))")
             probe_buckets.append(b)
         q = (q.select("qid", "qvec",
-                      F.explode(F.array_distinct(F.array(*probe_buckets)))
+                      F.expr("explode(array_distinct(array(" +
+                             ",".join(probe_buckets) + ")))")
                       .alias("bucket")))
     scored = (corpus.join(F.broadcast(q), "bucket")
               .where(_self_pred(exclude_self))
@@ -647,18 +670,29 @@ def sq8_encode(emb: DataFrame, mins: list[float], maxs: list[float],
     projection; bounds ship as two array Literals. Values are integral
     after ROUND, so a storage layer can cast to tinyint losslessly."""
     unit = _unit_vectors(emb, vec_col, id_col)
-    mn_l = dlit(mins)
-    mx_l = dlit(maxs)
-    codes = F.transform(
-        "vec",
-        lambda x, i: F.when(
-            F.element_at(mx_l, i + 1) == F.element_at(mn_l, i + 1),
-            F.lit(0.0))
-        .otherwise(F.round(
-            (x - F.element_at(mn_l, i + 1)) /
-            (F.element_at(mx_l, i + 1) - F.element_at(mn_l, i + 1)) * 255))
-        .cast("int"))
+    # one F.expr parse (bounds inline as array literals) instead of
+    # ~35 py4j round-trips — same CASE/round/cast tree, values pinned
+    from datafusion_postgres_spark.operators.litexpr import darr_sql
+    mn, mx = darr_sql(mins), darr_sql(maxs)
+    codes = F.expr(
+        "transform(vec, (x, i) -> CAST(CASE WHEN "
+        f"element_at({mx}, i + 1) = element_at({mn}, i + 1) THEN 0.0D "
+        f"ELSE round((x - element_at({mn}, i + 1)) / "
+        f"(element_at({mx}, i + 1) - element_at({mn}, i + 1)) * 255) "
+        "END AS INT))")
     return unit.select("vec_id", codes.alias("codes"))
+
+
+def _dequant_sql(mins, maxs):
+    """SQ8 dequantization transform as ONE F.expr parse (bounds inline
+    as array literals) — same element_at/cast arithmetic as the Column
+    form it replaces, ~25 fewer py4j round-trips per build."""
+    from datafusion_postgres_spark.operators.litexpr import darr_sql
+    mn, mx = darr_sql(mins), darr_sql(maxs)
+    return F.expr(
+        f"transform(codes, (c, i) -> element_at({mn}, i + 1) + "
+        f"CAST(c AS DOUBLE) * (element_at({mx}, i + 1) - "
+        f"element_at({mn}, i + 1)) / 255)")
 
 
 def cosine_topk_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -676,13 +710,7 @@ def cosine_topk_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
     mins, maxs = bounds
     if codes is None:
         codes = sq8_encode(emb, mins, maxs, vec_col=vec_col, id_col=id_col)
-    mn_l = dlit(mins)
-    mx_l = dlit(maxs)
-    dq = F.transform(
-        "codes",
-        lambda c, i: F.element_at(mn_l, i + 1) +
-        c.cast("double") *
-        (F.element_at(mx_l, i + 1) - F.element_at(mn_l, i + 1)) / 255)
+    dq = _dequant_sql(mins, maxs)
     qunit = (_unit_vectors(queries.select(F.col("qid").alias("vec_id"),
                                           F.col("qvec").alias("embedding")),
                            "embedding", "vec_id")
@@ -753,13 +781,7 @@ def cosine_topk_ivf_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
                            "embedding", "vec_id")
              .select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv")))
 
-    mn_l = dlit(mins)
-    mx_l = dlit(maxs)
-    dq = F.transform(
-        "codes",
-        lambda cd, i: F.element_at(mn_l, i + 1) +
-        cd.cast("double") *
-        (F.element_at(mx_l, i + 1) - F.element_at(mn_l, i + 1)) / 255)
+    dq = _dequant_sql(mins, maxs)
     scored = (cell_codes.join(F.broadcast(probes), "centroid_id")
               .where(_self_pred(exclude_self))
               .withColumn("dq", dq)

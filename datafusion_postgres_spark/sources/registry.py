@@ -18,6 +18,7 @@ Spark-first notes:
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -98,17 +99,42 @@ TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
                    "orders", "lineitem", "events", "documents", "embeddings")
 
 
+# (session → {(path, mtime_ns, size) → DataFrame}) plan memo for
+# read_table. A DataFrame is an immutable LAZY plan — no rows are
+# cached — but building one costs a file listing + parquet footer
+# schema read + several py4j round-trips per call, paid by every query
+# construction. The key carries the file's identity (mtime + size), so
+# a regenerated testdata file gets a fresh plan; the weak session key
+# lets stopped sessions drop their plans.
+_TABLE_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing types Spark can't read natively:
     events.ts is timestamp[ns] parquet → read as int64 (nanosAsLong) and
     converted to a microsecond TIMESTAMP_NTZ (matches DuckDB's
-    CAST(ts AS TIMESTAMP) truncation)."""
+    CAST(ts AS TIMESTAMP) truncation). Plans are memoized per
+    (session, file identity) — see _TABLE_MEMO."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = None
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        memo = _TABLE_MEMO.setdefault(spark, {})
+        df = memo.get(key)
+        if df is not None:
+            return df
+    except (OSError, TypeError):
+        memo = None
+
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000"))))
+    if key is not None and memo is not None:
+        memo[key] = df
     return df
 
 

@@ -212,7 +212,7 @@ def simhash_near_dup_stream(docs: DataFrame, text_col: str = "text",
            .select(F.col(id_col).alias("id"),
                    simhash_hashes_expr(F.col(text_col)).alias("whs"))
            .select("id",
-                   simhash_from_hashes(F.col("whs"), _BITS).alias("sig")))
+                   simhash_from_hashes("whs", _BITS).alias("sig")))
     blocked = sig.select(
         "id", "sig",
         F.explode(F.array(*[
@@ -467,7 +467,7 @@ def embedding_near_dup_stream(emb: DataFrame,
         "id", "v",
         F.explode(F.array(*[
             F.struct(F.lit(ti).alias("tbl"),
-                     lsh_bucket_expr(F.col("v"), _EMB_N_PLANES,
+                     lsh_bucket_expr("v", _EMB_N_PLANES,
                                      _EMB_DIMS,
                                      plane_offset=ti * _EMB_N_PLANES)
                      .alias("bucket"))

@@ -360,6 +360,24 @@ class TestSimilarity:
         out = similarity.cosine_topk_lsh(emb, q, k=3, n_planes=4, dims=3).collect()
         assert len(out) > 0  # at minimum, co-bucketed neighbors appear
 
+    def test_lsh_bucket_parsed_equals_composed(self, spark):
+        """The round-10 single-F.expr-parse build of lsh_bucket_expr
+        (column-name argument) must produce the same bucket as the
+        Column-composed form, plane offsets included — same projection
+        folds, same sign bits."""
+        rows = [(i, [((i * 7 + d * 3) % 11 - 5) / 3.0
+                     for d in range(16)]) for i in range(24)]
+        df = spark.createDataFrame(rows, ["vec_id", "v"])
+        for off in (0, 8):
+            a = {r["vec_id"]: r["b"] for r in df.select(
+                "vec_id", similarity.lsh_bucket_expr(
+                    "v", 8, 16, plane_offset=off).alias("b")).collect()}
+            b = {r["vec_id"]: r["b"] for r in df.select(
+                "vec_id", similarity.lsh_bucket_expr(
+                    F.col("v"), 8, 16, plane_offset=off).alias("b"))
+                .collect()}
+            assert a == b and len(a) == 24
+
     def test_exclude_self_false_keeps_id_collisions(self, emb, spark):
         # external query id space: qid=0 coincidentally equals a corpus
         # vec_id; with exclude_self=False that corpus vector must rank

@@ -550,7 +550,8 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
 
 def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
                     cache_key: str, max_df: int | None, bc: list[str],
-                    pre_cached: bool, need_members: bool = True):
+                    pre_cached: bool, need_members: bool = True,
+                    unique_pairs: bool = True):
     """Shared collapse machinery of the perceptual pairing/keep APIs:
     (members, rsig, rep_pairs) where members = (id, rep, *bc, *cols)
     with rep = min id per distinct (bc, signature) group, rsig = one
@@ -617,8 +618,15 @@ def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
                     *[F.col(f"x.{c}").alias(f"a{j}")
                       for j, c in enumerate(cols)],
                     *[F.col(f"y.{c}").alias(f"b{j}")
-                      for j, c in enumerate(cols)])
-            .dropDuplicates(["ra", "rb", *bc]))
+                      for j, c in enumerate(cols)]))
+    if unique_pairs:
+        # pairs API contract: one row per (ra, rb) — a pair colliding on
+        # several chunks would otherwise repeat. The KEEP path opts out
+        # (round-10): union-find is idempotent over duplicate edges, the
+        # hamming verify is a cheap bit_count (re-verifying ≤4 dupes
+        # beats a full shuffle-dedup), and only the ≤2M driver-edge
+        # bound sees the ≤4x inflated count (a conservative direction).
+        cand = cand.dropDuplicates(["ra", "rb", *bc])
     hamming = sum(
         F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")).cast("long"))
         for j in range(4))
@@ -651,7 +659,8 @@ def chunked_hamming_keep(sig: DataFrame, cols: list[str],
     from datafusion_postgres_spark.operators.repgraph import loser_ids
 
     _, rsig, rp = _rep_structures(sig, cols, max_hamming, cache_key,
-                                  max_df, [], False, need_members=False)
+                                  max_df, [], False, need_members=False,
+                                  unique_pairs=False)
     losers = loser_ids(rp, col_a="ra", col_b="rb")
     return rsig.select("id").join(losers, "id", "left_anti")
 

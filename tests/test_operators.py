@@ -134,6 +134,28 @@ class TestMinhash:
                  for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()}
         assert (1, 2) in pairs and (1, 3) in pairs
 
+    def test_banded_expr_equals_per_band_hash(self, docs):
+        """The round-10 single-parse band stream (_banded_expr) must
+        emit exactly the (band, band_hash) rows the per-band Column
+        form (_band_hash) builds — both hash modes."""
+        per_doc = (dedup.shingle_array(docs)
+                   .withColumn("sig", dedup._sig_expr(32)))
+        for portable in (False, True):
+            fast = {(r["id"], r["bh"]["band"], r["bh"]["band_hash"])
+                    for r in per_doc.select(
+                        "id", dedup._banded_expr(8, 4, portable)
+                        .alias("bh")).collect()}
+            slow = {(r["id"], r["bh"]["band"], r["bh"]["band_hash"])
+                    for r in per_doc.select(
+                        "id",
+                        F.explode(F.array(*[
+                            F.struct(
+                                F.lit(bi).alias("band"),
+                                dedup._band_hash("sig", bi, 4, portable)
+                                .alias("band_hash"))
+                            for bi in range(8)])).alias("bh")).collect()}
+            assert fast == slow and fast
+
 
 class TestSimhash:
     def test_identical_same_hash(self, docs):

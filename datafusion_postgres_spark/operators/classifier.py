@@ -53,29 +53,28 @@ def _feature_frame(df: DataFrame, label_col: str | None,
 
     Mirrors hashed_classifier_score's extraction exactly (unigram
     fingerprint % dim; bigram (a*31+b) % FP_MOD % dim) so trained
-    weights score through the same buckets."""
-    ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
+    weights score through the same buckets. The tokenize/hash chains
+    build as single ``F.expr`` parses (text.word_hashes_sql — round-10;
+    identical trees, value-pinned)."""
+    from datafusion_postgres_spark.operators.text import word_hashes_sql
+    whs_sql = word_hashes_sql(f"`{text_col}`")
     cols = [F.col(id_col)]
     if label_col is not None:
         cols.append(F.col(label_col).cast("int").alias("y"))
-    fps = (df.where(F.size(ws) > 0)
-           .select(*cols, F.transform(ws, word_fingerprint).alias("__fp")))
-    fp = F.col("__fp")
-    uni = F.transform(fp, lambda h: h % dim)
-    feats = uni
+    fps = (df.where(F.expr(f"size({whs_sql}) > 0"))
+           .select(*cols, F.expr(whs_sql).alias("__fp")))
+    feats_sql = f"transform(__fp, h -> h % {dim})"
     if bigrams:
-        n = F.size(fp)
-        big = F.zip_with(
-            F.slice(fp, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(fp, 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: (a * 31 + b) % FP_MOD % dim)
-        feats = F.concat(uni, big)
+        g = "greatest(size(__fp) - 1, 0)"
+        feats_sql = (f"concat({feats_sql}, "
+                     f"zip_with(slice(__fp, 1, {g}), slice(__fp, 2, {g}), "
+                     f"(a, b) -> (a * 31 + b) % {FP_MOD} % {dim}))")
     out = [F.col(id_col)]
     if label_col is not None:
         out.append(F.col("y"))
     return fps.select(*out,
-                      F.size(feats).alias("nf"),
-                      feats.alias("feats"))
+                      F.expr(f"size({feats_sql})").alias("nf"),
+                      F.expr(feats_sql).alias("feats"))
 
 
 def _margin_expr(w_fp: list[int]):

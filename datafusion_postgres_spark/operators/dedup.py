@@ -125,18 +125,19 @@ def shingle_array(docs: DataFrame, text_col: str = "text",
     inside the per-gram lambda body, where the interpreted HOF
     re-evaluates it per gram — measured 2.2x slower on sf0.1 docs
     (tools/probe_shingle_cse.py; identical checksums)."""
+    from datafusion_postgres_spark.operators.text import word_hashes_sql
     whs_df = (ensure_min_parallelism(docs)
               .where(F.trim(F.col(text_col)) != "")
               .select(F.col(id_col).alias("id"),
-                      F.transform(words(norm_text(F.col(text_col))),
-                                  word_fingerprint).alias("whs")))
-    whs = F.col("whs")
-    gram_hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(whs) - n, F.lit(0))),
-        lambda i: F.aggregate(F.slice(whs, i + 1, n),
-                              F.lit(0).cast("long"),
-                              lambda acc, x: (acc * 31 + x) % FP_MOD))
-    grams = F.sort_array(F.array_distinct(gram_hashes))
+                      F.expr(word_hashes_sql(f"`{text_col}`"))
+                      .alias("whs")))
+    # the gram fold over the bound whs column, as one parse (round-10;
+    # same sequence/slice/aggregate tree as the Column form — pinned)
+    grams = F.expr(
+        "sort_array(array_distinct(transform("
+        f"sequence(0, greatest(size(whs) - {n}, 0)), "
+        f"i -> aggregate(slice(whs, i + 1, {n}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * 31 + x) % {FP_MOD}))))")
     return (whs_df.select("id", grams.alias("grams"))
             .withColumn("set_size", F.size("grams")))
 
@@ -399,12 +400,18 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # SimHash
 
-def simhash_hashes_expr(text: Column) -> Column:
+def simhash_hashes_expr(text: Column | str) -> Column:
     """The per-row WORD-HASH ARRAY the simhash majorities fold over:
-    normalize -> split -> drop empties -> xxhash64 per word. Project
-    this ONCE into its own column, then fold the per-bit terms with
-    :func:`simhash_from_hashes` over the materialized column — the
-    round-10 two-stage shape."""
+    normalize -> split -> drop empties -> polynomial word fingerprint.
+    Project this ONCE into its own column, then fold the per-bit terms
+    with :func:`simhash_from_hashes` over the materialized column —
+    the round-10 two-stage shape. A column NAME builds the chain as
+    one ``F.expr`` parse (text.word_hashes_sql — value-pinned twin)."""
+    if isinstance(text, str):
+        from datafusion_postgres_spark.operators.text import (
+            word_hashes_sql,
+        )
+        return F.expr(word_hashes_sql(f"`{text}`"))
     ws = F.filter(words(norm_text(text)), lambda w: w != "")
     return F.transform(ws, word_fingerprint)
 
@@ -478,7 +485,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return (ensure_min_parallelism(docs)
             .where(F.trim(F.col(text_col)) != "")
             .select(F.col(id_col).alias("id"),
-                    simhash_hashes_expr(F.col(text_col)).alias("whs"))
+                    simhash_hashes_expr(text_col).alias("whs"))
             .select("id",
                     simhash_from_hashes("whs", bits)
                     .alias("simhash")))
@@ -1301,8 +1308,8 @@ def substring_dup_pairs(docs: DataFrame, window: int = 20,
     exact-mode opt-out (the DuckDB-oracle query uses it).
     Fingerprint collisions (~1e-9 per window pair) are accepted and
     engine-identical."""
-    ws = F.filter(words(norm_text(F.col(text_col))), lambda w: w != "")
-    fp_arr = F.transform(ws, word_fingerprint)
+    from datafusion_postgres_spark.operators.text import word_hashes_sql
+    fp_arr = F.expr(word_hashes_sql(f"`{text_col}`"))
     n = F.size(fp_arr)
     # MATERIALIZE the fingerprint array before the window fold: inlining
     # fp_arr into the per-window lambda re-evaluates the whole
@@ -1313,14 +1320,13 @@ def substring_dup_pairs(docs: DataFrame, window: int = 20,
     # DESCENDS ([1, 0]) and a 0 start would crash slice.
     fps = (docs.where(n >= window)
            .select(F.col(id_col).alias("id"), fp_arr.alias("fp")))
-    fp = F.col("fp")
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(fp) - window + 1, F.lit(1)))
-    whs = F.array_distinct(F.transform(
-        starts,
-        lambda s: F.aggregate(F.slice(fp, s, window),
-                              F.lit(0).cast("long"),
-                              lambda acc, x: (acc * 31 + x) % FP_MOD)))
+    # window fold over the bound fp column as one parse (round-10;
+    # identical sequence/slice/aggregate tree — pinned)
+    whs = F.expr(
+        "array_distinct(transform("
+        f"sequence(1, greatest(size(fp) - {window} + 1, 1)), "
+        f"s -> aggregate(slice(fp, s, {window}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * 31 + x) % {FP_MOD})))")
     # explode_OUTER, deliberately: plain explode triggers
     # InferFiltersFromGenerate, whose inferred size(whs)>0 predicate gets
     # pushed below the parallelism repartition with the WHOLE window-hash

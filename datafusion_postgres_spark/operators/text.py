@@ -184,6 +184,30 @@ def word_fingerprint(word: Column) -> Column:
     return _fingerprint_from_codes(_char_codes(word))
 
 
+# SQL-text twins of the tokenize/fingerprint chains, for builders that
+# assemble a whole projection as ONE ``F.expr`` parse (round-10: each
+# Column op is a py4j round-trip, ~4 ms on the bench host; these chains
+# are ~35-50 ops). Every piece mirrors its Column twin exactly —
+# same split/trim/regexp/ascii/aggregate operators, same literal
+# types — and the twins are value-pinned equal in tests.
+
+def word_fingerprint_sql(word_sql: str) -> str:
+    """SQL text of :func:`word_fingerprint` applied to ``word_sql``."""
+    return (f"aggregate(transform(split({word_sql}, ''), "
+            "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), "
+            f"(acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})")
+
+
+def word_hashes_sql(text_sql: str) -> str:
+    """SQL text of the per-row word-hash array:
+    ``transform(filter(words(norm_text(text)), w != ''),
+    word_fingerprint)`` — the shared first stage of the shingle /
+    substring / simhash / classifier feature chains."""
+    norm = f"regexp_replace(trim(lower({text_sql})), '\\\\s+', ' ')"
+    ws = f"filter(split(trim({norm}), '\\\\s+'), w -> w != '')"
+    return f"transform({ws}, w -> {word_fingerprint_sql('w')})"
+
+
 def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-document metrics table (token count, ratios, quality, lang).

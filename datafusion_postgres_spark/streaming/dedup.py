@@ -210,7 +210,7 @@ def simhash_near_dup_stream(docs: DataFrame, text_col: str = "text",
     sig = (docs
            .where(F.trim(F.col(text_col)) != "")
            .select(F.col(id_col).alias("id"),
-                   simhash_hashes_expr(F.col(text_col)).alias("whs"))
+                   simhash_hashes_expr(text_col).alias("whs"))
            .select("id",
                    simhash_from_hashes("whs", _BITS).alias("sig")))
     blocked = sig.select(

@@ -134,6 +134,30 @@ class TestMinhash:
                  for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()}
         assert (1, 2) in pairs and (1, 3) in pairs
 
+    def test_word_hashes_sql_equals_column_chain(self, spark):
+        """The SQL-text tokenize/fingerprint twin (text.word_hashes_sql
+        — round-10 single-parse builds) must equal the Column chain on
+        adversarial inputs (unicode, empties, whitespace-only, tabs)."""
+        from datafusion_postgres_spark.operators import text as T
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog " * 40),
+            (2, "單詞 mixed ünïcode tokens with  irregular   spacing"),
+            (3, "one-word"), (4, ""), (5, "   "),
+            (6, "\ttabs\nand\nnewlines\tmixed   with spaces"),
+            (7, "punctuation, heavy! text; with: lots? of. marks"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        col_chain = F.transform(
+            F.filter(T.words(T.norm_text(F.col("text"))),
+                     lambda w: w != ""),
+            T.word_fingerprint)
+        a = {r["doc_id"]: r["h"] for r in
+             df.select("doc_id", col_chain.alias("h")).collect()}
+        b = {r["doc_id"]: r["h"] for r in
+             df.select("doc_id", F.expr(T.word_hashes_sql("text"))
+                       .alias("h")).collect()}
+        assert a == b and len(a) == len(rows)
+
     def test_banded_expr_equals_per_band_hash(self, docs):
         """The round-10 single-parse band stream (_banded_expr) must
         emit exactly the (band, band_hash) rows the per-band Column

@@ -84,6 +84,36 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """)
 def q3(spark, sf_dir):
+    # ONE spark.sql parse (round-10 batch 5): the Column-composed build
+    # spends ~0.2s of py4j chatter per bench run on this host; the SQL
+    # text resolves to the same plan (filters pushed below the joins by
+    # the optimizer exactly as the pre-filtered DataFrames were).
+    # No forced broadcast: the filtered customer is SF-proportional (~1/5
+    # of customer) — AQE broadcasts it by measurement when small, shuffles
+    # at scale (round-3 verdict item #2). Value-pinned == _q3_composed.
+    return spark.sql("""
+        SELECT l_orderkey, revenue, orderdate FROM (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue,
+                 CAST(o_orderdate AS DATE) AS orderdate
+          FROM {li} JOIN {o} ON l_orderkey = o_orderkey
+                    JOIN {c} ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < CAST('1995-03-15' AS TIMESTAMP_NTZ)
+            AND l_shipdate > CAST('1995-03-15' AS TIMESTAMP_NTZ)
+          GROUP BY l_orderkey, o_orderdate
+        )
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""",
+        li=t(spark, sf_dir, "lineitem"), o=t(spark, sf_dir, "orders"),
+        c=t(spark, sf_dir, "customer"))
+
+
+def _q3_composed(spark, sf_dir):
+    """Pre-round-10 Column-composed build, kept as the equivalence-pin
+    twin for the single-parse q3 above (tests/test_sql_twin_queries)."""
     cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
@@ -91,9 +121,6 @@ def q3(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz"))
     revenue_expr = (F.col("l_extendedprice").cast("decimal(12,2)") *
                     (1 - F.col("l_discount").cast("decimal(4,2)")))
-    # no forced broadcast: the filtered customer is SF-proportional (~1/5
-    # of customer) — AQE broadcasts it by measurement when small, shuffles
-    # at scale (round-3 verdict item #2)
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(cust, orders.o_custkey == cust.c_custkey)
             .groupBy("l_orderkey", "o_orderdate")
@@ -123,6 +150,34 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """)
 def q5(spark, sf_dir):
+    # ONE spark.sql parse (round-10 batch 5; value-pinned ==
+    # _q5_composed). The bounded-dim broadcast hints ride in ON the
+    # parameter DataFrames (F.broadcast → ResolvedHint in the bound
+    # plan), so the join strategy contract is unchanged: nation/region
+    # forced (SF-invariant), every SF-proportional side AQE-decided.
+    return spark.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS revenue
+        FROM {cust} JOIN {o} ON c_custkey = o_custkey
+             JOIN {li} ON o_orderkey = l_orderkey
+             JOIN {s} ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             JOIN {n} ON s_nationkey = n_nationkey
+             JOIN {r} ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= CAST('1994-01-01' AS TIMESTAMP_NTZ)
+          AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP_NTZ)
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""",
+        cust=t(spark, sf_dir, "customer"), o=t(spark, sf_dir, "orders"),
+        li=t(spark, sf_dir, "lineitem"), s=t(spark, sf_dir, "supplier"),
+        n=F.broadcast(t(spark, sf_dir, "nation")),
+        r=F.broadcast(t(spark, sf_dir, "region")))
+
+
+def _q5_composed(spark, sf_dir):
+    """Pre-round-10 Column-composed build (equivalence-pin twin)."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz")) &
@@ -253,6 +308,21 @@ WHERE o_totalprice > 300000
 ORDER BY orderkey
 """)
 def join_using(spark, sf_dir):
+    # ONE spark.sql parse (round-10 batch 5; value-pinned ==
+    # _join_using_composed): USING-join semantics identical to the
+    # DataFrame string-key join.
+    return spark.sql("""
+        SELECT orderkey, o_totalprice, n_items FROM
+          (SELECT o_orderkey AS orderkey, o_totalprice FROM {o}) o
+          JOIN (SELECT l_orderkey AS orderkey, COUNT(*) AS n_items
+                FROM {li} GROUP BY l_orderkey) l USING (orderkey)
+        WHERE o_totalprice > 300000
+        ORDER BY orderkey""",
+        o=t(spark, sf_dir, "orders"), li=t(spark, sf_dir, "lineitem"))
+
+
+def _join_using_composed(spark, sf_dir):
+    """Pre-round-10 Column-composed build (equivalence-pin twin)."""
     o = (t(spark, sf_dir, "orders")
          .select(F.col("o_orderkey").alias("orderkey"), "o_totalprice"))
     l = (t(spark, sf_dir, "lineitem")
@@ -304,7 +374,22 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """)
 def agg_distinct(spark, sf_dir):
     # min/max of a double involve no arithmetic — emit the raw double
-    # (a Decimal output would hit the driver's trailing-zero hash issue)
+    # (a Decimal output would hit the driver's trailing-zero hash issue).
+    # ONE spark.sql parse (round-10 batch 5; value-pinned ==
+    # _agg_distinct_composed): count_if == the Column form exactly.
+    return spark.sql("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               count_if(o_totalprice > 100000) AS n_big,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM {o} GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        o=t(spark, sf_dir, "orders"))
+
+
+def _agg_distinct_composed(spark, sf_dir):
+    """Pre-round-10 Column-composed build (equivalence-pin twin)."""
     o = t(spark, sf_dir, "orders")
     return (o.groupBy("o_orderstatus")
             .agg(F.count("*").alias("n_orders"),
@@ -408,6 +493,24 @@ SELECT * FROM (
 WHERE rn <= 3 ORDER BY c_nationkey, rn
 """)
 def window_rank(spark, sf_dir):
+    # ONE spark.sql parse (round-10 batch 5; value-pinned ==
+    # _window_rank_composed): shared WINDOW clause == the shared Window
+    # spec — one sort, three ranking functions.
+    return spark.sql("""
+        SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                 CAST(RANK()       OVER w AS BIGINT) AS rnk,
+                 CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+          FROM {c}
+          WINDOW w AS (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey)
+        ) WHERE rn <= 3 ORDER BY c_nationkey, rn""",
+        c=t(spark, sf_dir, "customer"))
+
+
+def _window_rank_composed(spark, sf_dir):
+    """Pre-round-10 Column-composed build (equivalence-pin twin)."""
     c = t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"),
                                                   F.asc("c_custkey"))

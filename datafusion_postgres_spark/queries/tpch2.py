@@ -154,7 +154,38 @@ GROUP BY 1 ORDER BY 1
 def q8(spark, sf_dir):
     """TPC-H Q8 (national market share): nation joined twice under
     different roles (customer side filters the region, supplier side feeds
-    the CASE numerator). Exact decimal sums; ONE double division."""
+    the CASE numerator). Exact decimal sums; ONE double division.
+
+    ONE spark.sql parse (round-10 batch 5; value-pinned ==
+    _q8_composed). Broadcast hints ONLY on bounded tables (nation=25,
+    region=5 rows), riding in on the parameter DataFrames
+    (F.broadcast → ResolvedHint); customer/supplier grow linearly with
+    SF — AQE broadcasts them by MEASUREMENT when small (round-3 verdict
+    item #2)."""
+    n = t(spark, sf_dir, "nation")
+    return spark.sql(f"""
+        SELECT year(o_orderdate) AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV_SQL}
+                        ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) /
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS mkt_share
+        FROM {{li}}
+        JOIN {{o}} ON l_orderkey = o_orderkey
+        JOIN {{c}} ON o_custkey = c_custkey
+        JOIN {{n1}} n1 ON c_nationkey = n1.n_nationkey
+        JOIN {{r}} ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        JOIN {{s}} ON l_suppkey = s_suppkey
+        JOIN {{n2}} n2 ON s_nationkey = n2.n_nationkey
+        WHERE o_orderdate >= CAST('1995-01-01' AS TIMESTAMP_NTZ)
+          AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP_NTZ)
+        GROUP BY year(o_orderdate) ORDER BY o_year""",
+        li=t(spark, sf_dir, "lineitem"), o=t(spark, sf_dir, "orders"),
+        c=t(spark, sf_dir, "customer"), s=t(spark, sf_dir, "supplier"),
+        n1=F.broadcast(n), n2=F.broadcast(n),
+        r=F.broadcast(t(spark, sf_dir, "region")))
+
+
+def _q8_composed(spark, sf_dir):
+    """Pre-round-10 Column-composed build (equivalence-pin twin)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")) &
@@ -168,11 +199,6 @@ def q8(spark, sf_dir):
     n2 = n.alias("n2")
     nation_share = F.when(F.col("n2.n_name") == "NATION_3", _rev()) \
         .otherwise(F.lit(0).cast("decimal(16,4)"))
-    # Broadcast hints ONLY on bounded tables (nation=25, region=5 rows).
-    # customer/supplier grow linearly with SF (~3 GB+ at sf100): a forced
-    # hint there bypasses AQE's size check and OOMs executors at scale —
-    # AQE broadcasts them by MEASUREMENT when they're actually small
-    # (round-3 verdict item #2).
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
@@ -203,7 +229,33 @@ GROUP BY 1, 2 ORDER BY 1, 2 DESC
 def q9(spark, sf_dir):
     """TPC-H Q9 shape (product-type profit by nation×year): supply cost
     proxied by 10% of retail price × quantity (no partsupp table). The
-    LIKE filter prunes part before the fact join."""
+    LIKE filter prunes part before the fact join.
+
+    ONE spark.sql parse (round-10 batch 5; value-pinned ==
+    _q9_composed). nation is the only forced broadcast (25 rows,
+    SF-invariant, hint on the parameter DataFrame); the LIKE-filtered
+    part and supplier are SF-proportional — AQE decides (scale-safe)."""
+    return spark.sql(f"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(SUM({_REV_SQL} -
+                        CAST(p_retailprice AS DECIMAL(12,2)) *
+                        CAST(l_quantity AS DECIMAL(9,2)) *
+                        CAST(0.1 AS DECIMAL(3,1))) AS DOUBLE) AS profit
+        FROM {{li}}
+        JOIN {{p}} ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        JOIN {{s}} ON l_suppkey = s_suppkey
+        JOIN {{n}} ON s_nationkey = n_nationkey
+        JOIN {{o}} ON l_orderkey = o_orderkey
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC""",
+        li=t(spark, sf_dir, "lineitem"), p=t(spark, sf_dir, "part"),
+        s=t(spark, sf_dir, "supplier"),
+        n=F.broadcast(t(spark, sf_dir, "nation")),
+        o=t(spark, sf_dir, "orders"))
+
+
+def _q9_composed(spark, sf_dir):
+    """Pre-round-10 Column-composed build (equivalence-pin twin)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
     s = t(spark, sf_dir, "supplier")
@@ -212,9 +264,6 @@ def q9(spark, sf_dir):
     amount = (_rev() - F.col("p_retailprice").cast("decimal(12,2)") *
               F.col("l_quantity").cast("decimal(9,2)") *
               F.lit(0.1).cast("decimal(3,1)"))
-    # nation is the only forced broadcast (25 rows, SF-invariant); the
-    # LIKE-filtered part and supplier are SF-proportional — AQE broadcasts
-    # them when measured-small, shuffles when not (scale-safe).
     return (li.join(p, li.l_partkey == p.p_partkey)
             .join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -29,7 +29,6 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
     # test-scale parquet is few small files; smaller splits recover scan
     # parallelism (a real cluster deployment would keep the 128m default)
     "spark.sql.files.maxPartitionBytes": "16m",
@@ -49,6 +48,21 @@ DEFAULT_CONF = {
 }
 
 
+def default_shuffle_partitions(cpus: str) -> str:
+    """Shuffle-partition CEILING derived from the advertised core count
+    (round-10, guide §2.2) instead of a constant tuned for local[32].
+    AQE still coalesces small partitions at runtime, so this only sets
+    the upper bound on post-shuffle parallelism. Floor of 32 keeps
+    low-core bench runs (the driver's scaling measurement) on the exact
+    partitioning used since r01; a 128-core deployment gets 128 instead
+    of silently under-parallelizing to 32."""
+    try:
+        n_cores = int(cpus)
+    except ValueError:
+        n_cores = 32
+    return str(max(32, n_cores))
+
+
 def build_spark(app_name: str = "datafusion-postgres-spark",
                 master: str | None = None,
                 extra_conf: dict[str, str] | None = None) -> SparkSession:
@@ -58,6 +72,8 @@ def build_spark(app_name: str = "datafusion-postgres-spark",
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         builder = builder.master(master or f"local[{cpus}]")
         conf = dict(DEFAULT_CONF)
+        conf.setdefault("spark.sql.shuffle.partitions",
+                        default_shuffle_partitions(cpus))
         if extra_conf:
             conf.update(extra_conf)
         for k, v in conf.items():

@@ -391,3 +391,41 @@ class TestExplain:
         res = engine.execute("EXPLAIN (VERBOSE) SELECT * FROM nation")[0]
         lines = [r[0] for r in res.rows()]
         assert not any(line.startswith("Actual Rows") for line in lines)
+
+
+class TestShufflePartitionDerivation:
+    """Round-10: the shuffle-partition ceiling derives from
+    SPARK_GRAFT_CPUS instead of a constant tuned for local[32] —
+    scale-adaptive upward, byte-identical at and below the historical
+    bench points (guide §2.2)."""
+
+    def test_floor_at_32_for_bench_core_counts(self):
+        from datafusion_postgres_spark.session import (
+            default_shuffle_partitions,
+        )
+        # the driver benches at 32 and at lower core counts: both must
+        # keep the exact partitioning every BENCH_r01..r10 ran with
+        assert default_shuffle_partitions("32") == "32"
+        assert default_shuffle_partitions("8") == "32"
+        assert default_shuffle_partitions("1") == "32"
+
+    def test_scales_with_larger_clusters(self):
+        from datafusion_postgres_spark.session import (
+            default_shuffle_partitions,
+        )
+        assert default_shuffle_partitions("128") == "128"
+        assert default_shuffle_partitions("64") == "64"
+
+    def test_garbage_falls_back_to_32(self):
+        from datafusion_postgres_spark.session import (
+            default_shuffle_partitions,
+        )
+        assert default_shuffle_partitions("not-a-number") == "32"
+
+    def test_extra_conf_still_wins(self):
+        # conftest builds the suite session with an explicit override of
+        # 8 through extra_conf; the derived default must not mask it
+        from pyspark.sql import SparkSession
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            assert active.conf.get("spark.sql.shuffle.partitions") == "8"

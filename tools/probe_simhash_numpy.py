@@ -31,6 +31,13 @@ BITS = 48
 # unicode-aware \s.
 _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
+# Java String.trim strips every char <= U+0020 from both ends.
+_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
+
+
+def _java_trim(s: str) -> str:
+    return s.strip(_JAVA_TRIM_CHARS)
+
 
 def _simhash_batch(texts):
     import numpy as np
@@ -40,11 +47,11 @@ def _simhash_batch(texts):
     doc_word_counts: list[int] = []
     for t in texts:
         # norm_text: regexp_replace(trim(lower(text)), '\s+', ' ') with
-        # Java trim (strips chars <= U+0020) and Java \s
+        # Java trim (strips EVERY char <= U+0020) and Java \s
         s = (t or "").lower()
-        s = _JAVA_WS.sub(" ", s.strip("\x00\t\n\x0b\f\r "))
+        s = _JAVA_WS.sub(" ", _java_trim(s))
         # words(): split(trim(norm), '\s+'), then drop empties
-        ws = [w for w in s.strip("\x00\t\n\x0b\f\r ").split(" ") if w]
+        ws = [w for w in _java_trim(s).split(" ") if w]
         all_words.extend(ws)
         doc_word_counts.append(len(ws))
 

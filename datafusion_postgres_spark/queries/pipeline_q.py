@@ -989,7 +989,60 @@ def sim_topk(spark, sf_dir):
     tasks and one corpus-sized window task (receipt: BENCH_SCALE
     topk_single_window_hot_qid vs topk_two_stage_hot_qid — same rows
     out, two-stage bounds the widest task). Output equality with the
-    single-window form is pinned in tests."""
+    single-window form is pinned in tests.
+
+    ONE spark.sql parse (round-10 batch 7): the Column-composed build
+    (~45 py4j round-trips through cosine_topk_bruteforce +
+    _topk_per_query) cost ~0.35s per bench run on this host. Same
+    folds (zip_with dot, left-to-right norm aggregates), same rounded
+    score, same two-stage spark_partition_id local-rank — value-pinned
+    == _sim_cosine_topk_composed and the oracle is unchanged. The
+    5-row query side keeps its forced broadcast: the hint rides in ON
+    the bound parameter DataFrame (F.broadcast → ResolvedHint)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(emb.where(F.col("vec_id") < 5)
+                    .select(F.col("vec_id").alias("qid"),
+                            F.col("embedding").alias("qvec")))
+    df = spark.sql("""
+        WITH scored AS (
+          SELECT qid, vec_id,
+                 round(aggregate(zip_with(vec, qvec, (x, y) -> x * y),
+                                 CAST(0.0D AS DOUBLE), (acc, v) -> acc + v)
+                       / (sqrt(aggregate(vec, CAST(0.0D AS DOUBLE),
+                                         (acc, v) -> acc + v * v))
+                          * sqrt(aggregate(qvec, CAST(0.0D AS DOUBLE),
+                                           (acc, v) -> acc + v * v))),
+                       6) AS cos_sim
+          FROM (SELECT vec_id,
+                       transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+                FROM {emb})
+               CROSS JOIN
+               (SELECT qid, transform(qvec, x -> CAST(x AS DOUBLE)) AS qvec
+                FROM {q})
+          WHERE vec_id != qid
+        ),
+        local_rank AS (
+          SELECT qid, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY qid, _pid
+                                    ORDER BY cos_sim DESC, vec_id ASC)
+                   AS _lrn
+          FROM (SELECT qid, vec_id, cos_sim, spark_partition_id() AS _pid
+                FROM scored)
+        )
+        SELECT qid, vec_id, cos_sim, rnk FROM (
+          SELECT qid, vec_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                                         ORDER BY cos_sim DESC, vec_id ASC)
+                      AS BIGINT) AS rnk
+          FROM local_rank WHERE _lrn <= 10
+        ) WHERE rnk <= 10""", emb=emb, q=q)
+    return cosine_sorted(df)
+
+
+def _sim_cosine_topk_composed(spark, sf_dir):
+    """Pre-round-10 Column-composed build, kept as the equivalence-pin
+    twin for the single-parse sim_cosine_topk above
+    (tests/test_sql_twin_queries)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = (emb.where(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("qid"),

@@ -12,7 +12,7 @@ values independently of that.
 
 import pytest
 
-from datafusion_postgres_spark.queries import relational, tpch2
+from datafusion_postgres_spark.queries import pipeline_q, relational, tpch2
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -24,6 +24,9 @@ PAIRS = [
     (relational.window_rank, relational._window_rank_composed),
     (tpch2.q8, tpch2._q8_composed),
     (tpch2.q9, tpch2._q9_composed),
+    # round-10 batch 7: brute-force cosine top-k (the one bench row
+    # left whose build was dominated by clean py4j chatter)
+    (pipeline_q.sim_topk, pipeline_q._sim_cosine_topk_composed),
 ]
 
 

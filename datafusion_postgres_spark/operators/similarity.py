@@ -483,7 +483,8 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
 
 def pq_train(emb: DataFrame, m: int = 16, ksub: int = 32, iters: int = 3,
              vec_col: str = "embedding",
-             id_col: str = "vec_id") -> list[list[list[float]]]:
+             id_col: str = "vec_id",
+             parsed: bool = True) -> list[list[list[float]]]:
     """Train per-subspace codebooks with the same deterministic Lloyd's
     update as :func:`kmeans_centroids`, ALL SUBSPACES FUSED: one seed
     collect, then exactly ONE corpus pass per iteration — each vector
@@ -515,13 +516,25 @@ def pq_train(emb: DataFrame, m: int = 16, ksub: int = 32, iters: int = 3,
         [list(r["vec"][j * sub:(j + 1) * sub]) for r in seed]
         for j in range(m)]
     for _ in range(iters):
-        structs = F.array(*[
-            F.struct(
-                F.lit(j).alias("j"),
-                _argmin_code(F.slice("vec", j * sub + 1, sub),
-                             _codebook_lit(books[j])).alias("cid"),
-                F.slice("vec", j * sub + 1, sub).alias("sv"))
-            for j in range(m)])
+        if parsed:
+            # the m (subspace, argmin, subvector) structs as ONE
+            # F.expr parse per iteration (round-10 batch 7) — same
+            # folds as _argmin_code, same int literals; parsed=False
+            # keeps the Column-composed form, pinned codebook-equal.
+            structs = F.expr("array(" + ",".join(
+                f"struct({j} AS j, "
+                + _argmin_code_sql(f"slice(vec, {j * sub + 1}, {sub})",
+                                   _codebook_sql(books[j]))
+                + f" AS cid, slice(vec, {j * sub + 1}, {sub}) AS sv)"
+                for j in range(m)) + ")")
+        else:
+            structs = F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _argmin_code(F.slice("vec", j * sub + 1, sub),
+                                 _codebook_lit(books[j])).alias("cid"),
+                    F.slice("vec", j * sub + 1, sub).alias("sv"))
+                for j in range(m)])
         means = (unit.select(F.explode(structs).alias("s"))
                  .select("s.j", "s.cid", "s.sv")
                  .groupBy("j", "cid")
@@ -535,15 +548,21 @@ def pq_train(emb: DataFrame, m: int = 16, ksub: int = 32, iters: int = 3,
     return books
 
 
+def _codebook_sql(codebook_j: list[list[float]]) -> str:
+    """SQL text of one subspace codebook as a constant
+    ARRAY<ARRAY<DOUBLE>> — the single spelling shared by the parsed and
+    Column-composed PQ paths, so literals parse to identical doubles."""
+    return "array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) for x in c) + ")"
+        for c in codebook_j) + ")"
+
+
 def _codebook_lit(codebook_j: list[list[float]]):
     """One subspace codebook as a constant ARRAY<ARRAY<DOUBLE>> literal —
     Catalyst constant-folds the nested array(...) into a single Literal,
     so HOF loops read a constant instead of unrolling ksub x subdim
     arithmetic into >64 KB of generated code."""
-    s = "array(" + ",".join(
-        "array(" + ",".join(repr(float(x)) for x in c) + ")"
-        for c in codebook_j) + ")"
-    return F.expr(s)
+    return F.expr(_codebook_sql(codebook_j))
 
 
 def _argmin_code(sv, cb):
@@ -552,6 +571,19 @@ def _argmin_code(sv, cb):
         F.zip_with(sv, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _argmin_code_sql(sv_sql: str, cb_sql: str) -> str:
+    """SQL text of :func:`_argmin_code` — same transform/zip_with/
+    aggregate folds, same array_position(dists, array_min(dists)) - 1
+    (the dists subtree appears twice in BOTH forms), emitted as text so
+    an m-subspace encode costs ONE ``F.expr`` parse instead of
+    ~m x 8 py4j round-trips (round-10 batch 7; value-pinned equal)."""
+    dists = (f"transform({cb_sql}, c -> aggregate("
+             f"zip_with({sv_sql}, c, (a, b) -> (a - b) * (a - b)), "
+             "0.0D, (acc, x) -> acc + x))")
+    return (f"CAST(array_position({dists}, array_min({dists})) - 1 "
+            "AS INT)")
 
 
 def _unit_vectors(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -574,14 +606,25 @@ def _unit_vectors(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
               vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id", parsed: bool = True) -> DataFrame:
     """(vec_id, codes ARRAY<INT>) — nearest-centroid code per subspace,
     one zero-shuffle codegen projection (the codebooks inline as
-    literals: m*ksub squared-distance expressions)."""
+    literals: m*ksub squared-distance expressions).
+
+    ``parsed=True`` (default) emits the m argmin expressions as ONE
+    ``F.expr`` parse (round-10 batch 7 — the Column-composed build cost
+    ~m x 8 py4j round-trips per call); ``parsed=False`` keeps the
+    composed form, pinned value-equal in tests."""
     m = len(codebooks)
     ksub = len(codebooks[0])
     sub = len(codebooks[0][0])
     unit = _unit_vectors(emb, vec_col, id_col)
+    if parsed:
+        codes_sql = "array(" + ",".join(
+            _argmin_code_sql(f"slice(vec, {j * sub + 1}, {sub})",
+                             _codebook_sql(codebooks[j]))
+            for j in range(m)) + ")"
+        return unit.select("vec_id", F.expr(codes_sql).alias("codes"))
     codes = [
         _argmin_code(F.slice("vec", j * sub + 1, sub),
                      _codebook_lit(codebooks[j]))
@@ -595,7 +638,8 @@ def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
                    codebooks: list[list[list[float]]] | None = None,
                    codes: DataFrame | None = None,
                    train_iters: int = 3,
-                   exclude_self: bool = True) -> DataFrame:
+                   exclude_self: bool = True,
+                   parsed: bool = True) -> DataFrame:
     """Approximate per-query top-k by asymmetric distance: each query
     precomputes its m x ksub dot-product lookup table ON THE BROADCAST
     QUERY SIDE (one projection over a handful of rows), then the scored
@@ -611,26 +655,43 @@ def cosine_topk_pq(emb: DataFrame, queries: DataFrame, k: int = 10,
         codebooks = pq_train(emb, m=m, ksub=ksub, iters=train_iters,
                              vec_col=vec_col, id_col=id_col)
     if codes is None:
-        codes = pq_encode(emb, codebooks, vec_col=vec_col, id_col=id_col)
+        codes = pq_encode(emb, codebooks, vec_col=vec_col, id_col=id_col,
+                          parsed=parsed)
     m = len(codebooks)
     sub = len(codebooks[0][0])
     qunit = (_unit_vectors(queries.select(F.col("qid").alias("vec_id"),
                                           F.col("qvec").alias("embedding")),
                            "embedding", "vec_id")
              .select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv")))
-    def _lut_for(j: int):
-        # NOTE: must stay a ONE-arg lambda — PySpark treats a two-arg
-        # HOF lambda as (element, index), so a default-arg capture of j
-        # would be silently overwritten by the element index
-        qs = F.slice("qv", j * sub + 1, sub)
-        return F.transform(_codebook_lit(codebooks[j]),
-                           lambda c: F.aggregate(
-                               F.zip_with(qs, c, lambda a, b: a * b),
-                               F.lit(0.0), lambda acc, x: acc + x))
+    if parsed:
+        # the m per-subspace LUT transforms and the m-term ADC score as
+        # ONE F.expr parse each (round-10 batch 7): same folds, same
+        # leading integer-0 term in the score sum (0.0 + x normalizes a
+        # would-be -0.0 total exactly like the composed Python sum());
+        # parsed=False keeps the composed form, pinned value-equal.
+        luts_sql = "array(" + ",".join(
+            f"transform({_codebook_sql(codebooks[j])}, c -> aggregate("
+            f"zip_with(slice(qv, {j * sub + 1}, {sub}), c, "
+            "(a, b) -> a * b), 0.0D, (acc, x) -> acc + x))"
+            for j in range(m)) + ")"
+        qlut = qunit.select("qid", F.expr(luts_sql).alias("lut"))
+        score = F.expr("0 + " + " + ".join(
+            f"lut[{j}][codes[{j}]]" for j in range(m)))
+    else:
+        def _lut_for(j: int):
+            # NOTE: must stay a ONE-arg lambda — PySpark treats a
+            # two-arg HOF lambda as (element, index), so a default-arg
+            # capture of j would be silently overwritten by the element
+            # index
+            qs = F.slice("qv", j * sub + 1, sub)
+            return F.transform(_codebook_lit(codebooks[j]),
+                               lambda c: F.aggregate(
+                                   F.zip_with(qs, c, lambda a, b: a * b),
+                                   F.lit(0.0), lambda acc, x: acc + x))
 
-    luts = F.array(*[_lut_for(j) for j in range(m)])
-    qlut = qunit.select("qid", luts.alias("lut"))
-    score = sum(F.col("lut")[j][F.col("codes")[j]] for j in range(m))
+        luts = F.array(*[_lut_for(j) for j in range(m)])
+        qlut = qunit.select("qid", luts.alias("lut"))
+        score = sum(F.col("lut")[j][F.col("codes")[j]] for j in range(m))
     scored = (codes.crossJoin(F.broadcast(qlut))
               .where(_self_pred(exclude_self))
               .select("qid", "vec_id", score.alias("score")))

@@ -873,6 +873,35 @@ class TestProductQuantization:
         assert len(row["codes"]) == 8
         assert all(0 <= c < 8 for c in row["codes"])
 
+    def test_pq_parsed_equals_composed(self, spark, emb):
+        """The round-10 single-F.expr-parse PQ build (pq_encode's codes
+        array, the query LUT transforms and the ADC score sum) must
+        match the Column-composed form exactly — same repr()-spelled
+        codebook literals, same folds, same leading integer-0 term in
+        the score sum."""
+        from datafusion_postgres_spark.operators import similarity as S
+
+        from pyspark.sql import functions as F
+        cb = S.pq_train(emb, m=8, ksub=8, iters=2, parsed=True)
+        assert cb == S.pq_train(emb, m=8, ksub=8, iters=2, parsed=False)
+        enc = {}
+        for parsed in (True, False):
+            enc[parsed] = sorted(
+                (r["vec_id"], tuple(r["codes"]))
+                for r in S.pq_encode(emb, cb, parsed=parsed).collect())
+        assert enc[True] == enc[False]
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("qvec")))
+        top = {}
+        for parsed in (True, False):
+            top[parsed] = sorted(
+                (r["qid"], r["rnk"], r["vec_id"], r["score"])
+                for r in S.cosine_topk_pq(emb, queries, k=5,
+                                          codebooks=cb,
+                                          parsed=parsed).collect())
+        assert top[True] == top[False] and len(top[True]) > 0
+
     def test_pq_train_corpus_smaller_than_ksub(self, spark, emb):
         # must raise a clear error up front, not a KeyError deep in Lloyd
         import pytest

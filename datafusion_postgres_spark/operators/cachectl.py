@@ -133,6 +133,45 @@ def _input_fingerprint(df: DataFrame) -> int | None:
         return None
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block storage behind an eagerly localCheckpointed
+    frame (its analyzed plan is a LogicalRDD wrapping the persisted
+    checkpoint RDD). After this, any further action on the frame FAILS
+    FAST with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — a localCheckpoint has
+    no lineage to recompute from, so this is crash-not-corrupt by
+    construction. Errors are swallowed (JVM may be gone at teardown,
+    or the frame may not actually be checkpoint-rooted)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+# operator key -> the latest eagerly-localCheckpointed result frame.
+# Same single-generation contract as _GENERATIONS, with one difference
+# in the stale-access failure mode: a released CACHE recomputes, a
+# released CHECKPOINT fails fast (see free_local_checkpoint). Used by
+# iterative operators whose result plan must be lineage-truncated
+# (dedup.connected_components — the exponential-plan fix).
+_CHECKPOINTS: dict[str, DataFrame] = {}
+
+
+def checkpoint_generation(key: str, df: DataFrame) -> DataFrame:
+    """Register an eagerly-localCheckpointed ``df`` as operator
+    ``key``'s current generation, releasing the PREVIOUS generation's
+    checkpoint blocks. No warm-reuse lookup: a LogicalRDD plan has a
+    per-invocation identity (and no input-file fingerprint), so every
+    invocation is a new generation — callers of these operators run
+    their computation eagerly anyway, so there is nothing a warm hit
+    could skip. Memory stays bounded at one live checkpoint per key."""
+    with _LOCK:
+        prev = _CHECKPOINTS.get(key)
+        _CHECKPOINTS[key] = df
+    if prev is not None:
+        free_local_checkpoint(prev)
+    return df
+
+
 def cache_generation(key: str, df: DataFrame) -> DataFrame:
     """Cache ``df`` as operator ``key``'s current generation.
 
@@ -170,12 +209,17 @@ def release_operator_caches() -> int:
     with _LOCK:
         entries = list(_GENERATIONS.values())
         _GENERATIONS.clear()
+        ckpts = list(_CHECKPOINTS.values())
+        _CHECKPOINTS.clear()
     for *_, df in entries:
         try:
             df.unpersist(blocking=False)
             n += 1
         except Exception:
             pass
+    for df in ckpts:
+        free_local_checkpoint(df)
+        n += 1
     return n
 
 

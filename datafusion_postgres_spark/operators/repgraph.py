@@ -88,6 +88,15 @@ def loser_ids(rep_edges: DataFrame, col_a: str = "id_a",
     union-find on the driver (one Spark action; the bpe/kmeans
     small-side driver-loop convention). Larger graphs fall back to the
     distributed min-label propagation in dedup.connected_components.
+
+    The bound measures the real graph: keep paths feed this a
+    MULTI-edge stream (each blocking chunk/band a pair collides in
+    emits it once — the round-10 change that dropped the pair-dedup
+    exchange), and union-find is duplicate-tolerant, so duplicates are
+    fine to collect but must not trip the cutover. When the RAW count
+    exceeds the bound, the edges are distinct-ed and re-counted before
+    deciding — only a graph whose DISTINCT edge set exceeds the bound
+    pays the distributed fallback.
     """
     spark = rep_edges.sparkSession
     edges = rep_edges.select(F.col(col_a).cast("long").alias("a"),
@@ -95,6 +104,11 @@ def loser_ids(rep_edges: DataFrame, col_a: str = "id_a",
     edges = edges.persist()
     try:
         n_edges = edges.count()
+        if n_edges > max_driver_edges:
+            deduped = edges.distinct().persist()
+            n_edges = deduped.count()
+            edges.unpersist(blocking=False)
+            edges = deduped
         if n_edges <= max_driver_edges:
             pdf = edges.toPandas()  # two int64 columns via Arrow
             parent: dict[int, int] = {}

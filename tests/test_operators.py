@@ -298,6 +298,31 @@ class TestTextDedupKeep:
                       loser_ids(df, max_driver_edges=0).collect())
         assert driver == dist == [5, 7, 9, 21, 22, 41]
 
+    def test_repgraph_bound_counts_distinct_edges(self, spark,
+                                                  monkeypatch):
+        """Keep paths feed loser_ids a MULTI-edge stream (the pair-dedup
+        exchange was dropped in round 10); the driver/Pregel cutover
+        must fire on the DISTINCT edge count, not the raw duplicated
+        one. 7 distinct edges duplicated 4x (28 raw rows) with a bound
+        of 10 must STAY on the driver union-find — pin by making the
+        distributed fallback unreachable."""
+        from datafusion_postgres_spark.operators import dedup as dd
+        from datafusion_postgres_spark.operators.repgraph import (
+            loser_ids,
+        )
+        edges = [(5, 3), (3, 9), (9, 7),
+                 (20, 21), (21, 22), (20, 22),
+                 (40, 41)] * 4
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+        def _boom(*a, **k):
+            raise AssertionError("distributed fallback must not run")
+
+        monkeypatch.setattr(dd, "connected_components", _boom)
+        got = sorted(r["id"] for r in
+                     loser_ids(df, max_driver_edges=10).collect())
+        assert got == [5, 7, 9, 21, 22, 41]
+
     def test_embedding_keep_equals_composition(self, spark):
         """Fifth modality on the keep contract: identical-vector
         collapse + LSH rep pairs == embedding_cosine_pairs_lsh ∘
@@ -742,6 +767,22 @@ class TestConnectedComponents:
             [(i, i + 1) for i in range(6)], "id_a long, id_b long")
         out = dedup.connected_components(pairs, max_iter=2).collect()
         assert len(out) == 7
+
+    def test_plan_bounded_across_rounds(self, spark):
+        """The round-10 exponential-plan fix: a diameter-8 chain forces
+        ~8 propagation rounds; without per-round lineage truncation the
+        result's logical plan is ~2.3^8 x the base (measured 300k+
+        chars and a driver OOM at bench_scale shape). The checkpointed
+        loop must return a CONSTANT-size plan — a LogicalRDD leaf plus
+        the output projection — regardless of round count."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "id_a long, id_b long")
+        out = dedup.connected_components(pairs)
+        plan_chars = len(
+            out._jdf.queryExecution().logical().treeString())
+        assert plan_chars < 2_000, plan_chars
+        got = {r.doc_id: r.component_id for r in out.collect()}
+        assert got == {i: 0 for i in range(9)}
 
 
 class TestDecontaminate:

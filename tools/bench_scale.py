@@ -401,6 +401,32 @@ def main() -> None:
           f"{results['repgraph_loser_roundtrip_1m_edges']}",
           file=sys.stderr)
 
+    # -- distributed Pregel fallback ABOVE the driver bound (round-10
+    #    optimization batch 8): 3M distinct edges (1M 4-node chains,
+    #    diameter 3) through loser_ids -> distinct recount (3M > 2M)
+    #    -> dedup.connected_components. Before the per-round
+    #    localCheckpoint fix this path grew its logical plan ~2.3x per
+    #    propagation round (8 GB driver OOM on the 20k text-clique keep
+    #    row); now every round's plan is constant-size. Eager like the
+    #    row above: time the full call + collect.
+    chain_edges = (spark.range(4_000_000)
+                   .where(F.col("id") % 4 != 3)
+                   .select(F.col("id").alias("id_a"),
+                           (F.col("id") + 1).alias("id_b")))
+    t0 = time.perf_counter()
+    cc_losers = loser_ids(chain_edges).collect()
+    results["cc_distributed_3m_edges"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        # constants-by-construction (eager internal jobs, see above):
+        # widest frame is the symmetrized 6M-row edge list inside
+        # connected_components; 3 of every 4 chain nodes lose.
+        "shuffle_rows": 0, "max_node_rows": 6_000_000,
+        "out_rows": len(cc_losers),
+    }
+    assert len(cc_losers) == 3_000_000, len(cc_losers)
+    print(f"  cc_distributed_3m_edges: "
+          f"{results['cc_distributed_3m_edges']}", file=sys.stderr)
+
     out = {
         "dataset": {"root": root, "n_docs": n_docs,
                     "n_events": events.count(),

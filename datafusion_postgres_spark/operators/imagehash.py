@@ -522,28 +522,31 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
                                      max_df, list(block_cols),
                                      pre_cached)
     bc = list(block_cols)
+    bcq = [f"`{c}`" for c in bc]
 
+    # Expression-heavy pieces are emitted as single parses (round-10
+    # py4j-chatter convention, OPTIMIZATION_r10.md §2/§7): identical
+    # operator trees, one driver round-trip per projection instead of
+    # one per Column op. Physical plans are unchanged modulo
+    # expression ids (plans/r10/multimodal_*_{before,after}.txt).
     # within-group pairs: identical signatures, hamming 0 by definition
     m1, m2 = members.alias("m1"), members.alias("m2")
-    wcond = (F.col("m1.rep") == F.col("m2.rep")) & \
-            (F.col("m1.id") < F.col("m2.id"))
-    for c in bc:
-        wcond = wcond & (F.col(f"m1.{c}") == F.col(f"m2.{c}"))
-    within = m1.join(m2, wcond).select(
-        F.col("m1.id").alias("id_a"), F.col("m2.id").alias("id_b"),
-        *[F.col(f"m1.{c}") for c in bc],
-        F.lit(0).cast("bigint").alias("hamming"))
+    wcond = F.expr(" AND ".join(
+        ["m1.rep = m2.rep", "m1.id < m2.id"] +
+        [f"m1.{q} = m2.{q}" for q in bcq]))
+    within = m1.join(m2, wcond).selectExpr(
+        "m1.id AS id_a", "m2.id AS id_b",
+        *[f"m1.{q} AS {q}" for q in bcq],
+        "CAST(0 AS BIGINT) AS hamming")
 
     # expand representative pairs back to member pairs (group-key
     # equi-joins — output-sized, AQE-splittable)
-    ma = members.select(F.col("rep").alias("ra"), F.col("id").alias("ia"),
-                        *bc)
-    mb = members.select(F.col("rep").alias("rb"), F.col("id").alias("ib"),
-                        *bc)
+    ma = members.selectExpr("rep AS ra", "id AS ia", *bcq)
+    mb = members.selectExpr("rep AS rb", "id AS ib", *bcq)
     cross = (rp.join(ma, ["ra", *bc]).join(mb, ["rb", *bc])
-             .select(F.least("ia", "ib").alias("id_a"),
-                     F.greatest("ia", "ib").alias("id_b"),
-                     *bc, "hamming"))
+             .selectExpr("least(ia, ib) AS id_a",
+                         "greatest(ia, ib) AS id_b",
+                         *bcq, "hamming"))
     return within.unionByName(cross).select("id_a", "id_b", *bc,
                                             "hamming")
 
@@ -578,6 +581,8 @@ def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
     if not pre_cached:
         sig = cache_generation(cache_key, sig)
     group_key = bc + list(cols)
+    bcq = [f"`{c}`" for c in bc]
+    colsq = [f"`{c}`" for c in cols]
     reps = sig.groupBy(*group_key).agg(F.min("id").alias("rep"))
     if need_members:
         members = cache_generation(
@@ -586,15 +591,16 @@ def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
         # blocking join over REPRESENTATIVES only (one row per distinct
         # signature) — the collapse is what keeps a 20% identical
         # clique linear through this node
-        rsig = (members.where(F.col("id") == F.col("rep"))
-                .select("id", *bc, *cols))
+        rsig = (members.where("id = rep").select("id", *bc, *cols))
     else:
         members = None
-        rsig = reps.select(F.col("rep").alias("id"), *bc, *cols)
-    exploded = rsig.select(
-        "id", *bc, *cols,
-        F.posexplode(F.array(*[F.col(c) for c in cols]))
-        .alias("ci", "chunk"))
+        rsig = reps.selectExpr("rep AS id", *bcq, *colsq)
+    # single-parse projections/conditions from here down (round-10
+    # py4j-chatter convention): same operator trees as the composed
+    # Column forms, ~5x fewer driver round-trips per build
+    exploded = rsig.selectExpr(
+        "id", *bcq, *colsq,
+        f"posexplode(array({', '.join(colsq)})) AS (ci, chunk)")
     if max_df is not None:
         _log.info("chunked_hamming blocking: df-cap active (max_df=%d) "
                   "— chunk values in >max_df DISTINCT signatures are "
@@ -602,23 +608,19 @@ def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
                   max_df)
         hot = (exploded.groupBy(*bc, "ci", "chunk")
                .agg(F.count("*").alias("df"))
-               .where(F.col("df") > max_df)
+               .where(f"df > {int(max_df)}")
                .select(*bc, "ci", "chunk"))
         exploded = exploded.join(F.broadcast(hot), bc + ["ci", "chunk"],
                                  "left_anti")
     a, b = exploded.alias("x"), exploded.alias("y")
-    jcond = (F.col("x.ci") == F.col("y.ci")) & \
-            (F.col("x.chunk") == F.col("y.chunk")) & \
-            (F.col("x.id") < F.col("y.id"))
-    for c in bc:
-        jcond = jcond & (F.col(f"x.{c}") == F.col(f"y.{c}"))
+    jcond = F.expr(" AND ".join(
+        ["x.ci = y.ci", "x.chunk = y.chunk", "x.id < y.id"] +
+        [f"x.{q} = y.{q}" for q in bcq]))
     cand = (a.join(b, jcond)
-            .select(F.col("x.id").alias("ra"), F.col("y.id").alias("rb"),
-                    *[F.col(f"x.{c}") for c in bc],
-                    *[F.col(f"x.{c}").alias(f"a{j}")
-                      for j, c in enumerate(cols)],
-                    *[F.col(f"y.{c}").alias(f"b{j}")
-                      for j, c in enumerate(cols)]))
+            .selectExpr("x.id AS ra", "y.id AS rb",
+                        *[f"x.{q} AS {q}" for q in bcq],
+                        *[f"x.{q} AS a{j}" for j, q in enumerate(colsq)],
+                        *[f"y.{q} AS b{j}" for j, q in enumerate(colsq)]))
     if unique_pairs:
         # pairs API contract: one row per (ra, rb) — a pair colliding on
         # several chunks would otherwise repeat. The KEEP path opts out
@@ -627,11 +629,11 @@ def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
         # beats a full shuffle-dedup), and only the ≤2M driver-edge
         # bound sees the ≤4x inflated count (a conservative direction).
         cand = cand.dropDuplicates(["ra", "rb", *bc])
-    hamming = sum(
-        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")).cast("long"))
-        for j in range(4))
-    rp = (cand.withColumn("hamming", hamming.cast("bigint"))
-          .where(F.col("hamming") <= max_hamming)
+    hamming_sql = " + ".join(
+        f"bit_count(CAST((a{j} ^ b{j}) AS BIGINT))" for j in range(4))
+    rp = (cand.withColumn(
+              "hamming", F.expr(f"CAST((0 + {hamming_sql}) AS BIGINT)"))
+          .where(f"hamming <= {int(max_hamming)}")
           .select("ra", "rb", *bc, "hamming"))
     return members, rsig, rp
 

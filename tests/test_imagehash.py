@@ -312,6 +312,53 @@ class TestNearDupPairs:
         with pytest.raises(ValueError):
             image_near_dup_pairs(media, max_hamming=4)
 
+    def test_block_cols_exact_vs_bruteforce(self, spark):
+        """Round-10 single-parse pin: chunked_hamming_pairs with
+        ``block_cols`` (the video per-position shape) finds EXACTLY
+        the brute-force pairs that match on the block key AND are
+        within max_hamming — exercising the parsed join conditions,
+        the bc-qualified within/cross projections, and the hamming
+        fold on a frame with identical-signature groups per block."""
+        from datafusion_postgres_spark.operators.imagehash import (
+            chunked_hamming_pairs)
+        rng = random.Random(42)
+        rows = []
+        for i in range(40):
+            pos = i % 3
+            if i % 5 == 0 and i >= 3:
+                # identical-signature clique member within its block
+                # (i-3 shares pos: 3 % 3 == 0)
+                sig4 = rows[i - 3][2:]
+            elif i % 7 == 3 and i >= 3:
+                # planted near-dup within its block: flip one low bit
+                prev = rows[i - 3]
+                sig4 = (prev[2] ^ 1, prev[3], prev[4], prev[5])
+            else:
+                sig4 = tuple(rng.randrange(1 << 16) for _ in range(4))
+            rows.append((i, pos, *sig4))
+        sig = spark.createDataFrame(
+            rows, "id long, pos int, c0 long, c1 long, c2 long, c3 long")
+        got = {(r["id_a"], r["id_b"], r["pos"], r["hamming"])
+               for r in chunked_hamming_pairs(
+                   sig, ["c0", "c1", "c2", "c3"], max_hamming=3,
+                   cache_key="test_bc_pin", max_df=None,
+                   block_cols=("pos",)).collect()}
+        want = set()
+        for i, a in enumerate(rows):
+            for b in rows[i + 1:]:
+                if a[1] != b[1]:
+                    continue
+                ham = sum(bin(x ^ y).count("1")
+                          for x, y in zip(a[2:], b[2:]))
+                if ham <= 3:
+                    lo, hi = sorted((a[0], b[0]))
+                    want.add((lo, hi, a[1], ham))
+        assert got == want and len(want) > 0
+        # sanity: the planted structures actually exercised both the
+        # hamming-0 clique path and the cross-rep near-dup path
+        assert any(h == 0 for *_, h in want)
+        assert any(h > 0 for *_, h in want)
+
 
 class TestImageIncrementalDedup:
     """Ingest-loop state for the image tier (write -> dedup -> merge),

@@ -206,58 +206,55 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # generation-cached — the next invocation releases this one
     per_doc = cache_generation("ngram_jaccard_pairs",
                                shingle_array(docs, text_col, id_col, n))
+    # expression-heavy pieces as single parses (round-10 py4j-chatter
+    # convention, OPTIMIZATION_r10.md §2/§7): identical operator trees
+    # — doubles spelled repr()+'D' so literals parse to the same value
+    t = float(threshold)
     if prefix_filter:
-        prefix_len = (F.floor(F.size("grams") * (1.0 - threshold)) + 1) \
-            .cast("int")
-        keys = per_doc.select(
+        keys = per_doc.selectExpr(
             "id", "set_size",
-            F.posexplode(F.slice("grams", 1, prefix_len))
-            .alias("pos", "gram_hash"))
-        sx, sy = F.col("x.set_size"), F.col("y.set_size")
-        alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (sx + sy))
-        ubound = 1 + F.least(sx - F.col("x.pos") - 1,
-                             sy - F.col("y.pos") - 1)
-        extra = ((sx >= F.lit(threshold) * sy) &
-                 (sy >= F.lit(threshold) * sx) &
-                 (ubound >= alpha))
+            f"posexplode(slice(grams, 1, CAST((FLOOR(size(grams) * "
+            f"{1.0 - t!r}D) + 1) AS INT))) AS (pos, gram_hash)")
+        extra = (
+            f" AND (x.set_size >= {t!r}D * y.set_size)"
+            f" AND (y.set_size >= {t!r}D * x.set_size)"
+            f" AND ((1 + least(x.set_size - x.pos - 1, "
+            f"y.set_size - y.pos - 1)) >= "
+            f"CEIL({t / (1.0 + t)!r}D * (x.set_size + y.set_size)))")
     else:
-        keys = per_doc.select(
-            "id", "set_size",
-            F.posexplode("grams").alias("pos", "gram_hash"))
-        extra = F.lit(True)
+        keys = per_doc.selectExpr(
+            "id", "set_size", "posexplode(grams) AS (pos, gram_hash)")
+        extra = ""
     if max_df is not None:
         _log.info("ngram_jaccard_pairs: df-cap active (max_df=%d); "
                   "hot grams are excluded from pairing — max_df=None "
                   "for exact mode", max_df)
         hot = (keys.groupBy("gram_hash")
                .agg(F.count("*").alias("df"))
-               .where(F.col("df") > max_df).select("gram_hash"))
+               .where(f"df > {int(max_df)}").select("gram_hash"))
         # hot set is tiny by definition (grams in >max_df docs); the
         # cached per_doc makes the extra agg branch a cheap re-scan
         keys = keys.join(F.broadcast(hot), "gram_hash", "left_anti")
     cand = (keys.alias("x").join(
                 keys.alias("y"),
-                (F.col("x.gram_hash") == F.col("y.gram_hash")) &
-                (F.col("x.id") < F.col("y.id")) & extra)
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")))
-    ga = per_doc.select(F.col("id").alias("id_a"),
-                        F.col("grams").alias("grams_a"),
-                        F.col("set_size").alias("size_a"))
-    gb = per_doc.select(F.col("id").alias("id_b"),
-                        F.col("grams").alias("grams_b"),
-                        F.col("set_size").alias("size_b"))
+                F.expr("x.gram_hash = y.gram_hash AND x.id < y.id"
+                       + extra))
+            .selectExpr("x.id AS id_a", "y.id AS id_b"))
+    ga = per_doc.selectExpr("id AS id_a", "grams AS grams_a",
+                            "set_size AS size_a")
+    gb = per_doc.selectExpr("id AS id_b", "grams AS grams_b",
+                            "set_size AS size_b")
     if verify_broadcast:
         ga, gb = F.broadcast(ga), F.broadcast(gb)
     out = (cand.join(ga, "id_a").join(gb, "id_b")
-           .withColumn("inter_n", F.size(F.array_intersect(
-               "grams_a", "grams_b")).cast("bigint"))
-           .withColumn("union_n",
-                       (F.col("size_a") + F.col("size_b") -
-                        F.col("inter_n")).cast("bigint"))
-           .withColumn("jaccard", F.col("inter_n") / F.col("union_n"))
-           .where(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", "inter_n", "union_n",
-                   F.round("jaccard", 6).alias("jaccard"))
+           .withColumn("inter_n", F.expr(
+               "CAST(size(array_intersect(grams_a, grams_b)) AS BIGINT)"))
+           .withColumn("union_n", F.expr(
+               "CAST(((size_a + size_b) - inter_n) AS BIGINT)"))
+           .withColumn("jaccard", F.expr("inter_n / union_n"))
+           .where(f"jaccard >= {t!r}D")
+           .selectExpr("id_a", "id_b", "inter_n", "union_n",
+                       "round(jaccard, 6) AS jaccard")
            .distinct())  # tiny: only verified pairs, one row per duplicate
     return out
 

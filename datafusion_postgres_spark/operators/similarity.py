@@ -49,6 +49,26 @@ def _norm(a):
                               lambda acc, v: acc + v * v))
 
 
+def _norm_sql(a: str) -> str:
+    """SQL text of ``_norm`` over a column/expression NAME — same fold
+    tree as the Column form, one parse instead of ~15 py4j round-trips
+    (round-10 batch-11 convention; the trivial double→double cast on
+    the seed folds away identically in both forms)."""
+    return (f"SQRT(aggregate({a}, CAST(0.0D AS DOUBLE), "
+            "(acc, v) -> acc + v * v))")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of ``_dot`` — same zip_with/aggregate tree."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0.0D AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL text of ``cosine_similarity`` — same Divide/Multiply tree."""
+    return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
+
+
 def _usable_norm(a):
     """True iff the vector is inside the cosine domain: norm finite
     AND positive. Zero-norm vectors make the cosine divide raise under
@@ -100,15 +120,17 @@ def _topk_per_query(scored: DataFrame, k: int, score_col: str,
     global top-k row is necessarily in its partition's local top-k and
     (score desc, id asc) is a total order per query, so the output is
     IDENTICAL to the one-window form (equality-pinned in tests)."""
-    wl = Window.partitionBy("qid", "_pid").orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc())
-    wg = Window.partitionBy("qid").orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc())
-    return (scored.withColumn("_pid", F.spark_partition_id())
-            .withColumn("_lrn", F.row_number().over(wl))
-            .where(F.col("_lrn") <= k).drop("_pid", "_lrn")
-            .withColumn("rnk", F.row_number().over(wg).cast("bigint"))
-            .where(F.col("rnk") <= k))
+    # window stages as single parses (round-10 batch 11): identical
+    # Window specs, ~20 fewer py4j round-trips per build
+    order = f"ORDER BY `{score_col}` DESC, `{id_col}` ASC"
+    return (scored
+            .selectExpr("*", "spark_partition_id() AS _pid")
+            .selectExpr("*", "row_number() OVER (PARTITION BY qid, _pid "
+                             f"{order}) AS _lrn")
+            .where(f"_lrn <= {int(k)}").drop("_pid", "_lrn")
+            .selectExpr("*", "CAST(row_number() OVER (PARTITION BY qid "
+                             f"{order}) AS BIGINT) AS rnk")
+            .where(f"rnk <= {int(k)}"))
 
 
 def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 10,
@@ -413,14 +435,13 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
     scan + local top-k; here it is an equi-join on the signature. Only
     the tiny broadcast QUERY side fans out (n_probes rows per query) —
     the corpus is never recomputed or duplicated."""
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"))
+    corpus = emb.selectExpr(
+        f"`{id_col}` AS vec_id",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS vec")
     corpus = corpus.withColumn("bucket",
                                lsh_bucket_expr("vec", n_planes, dims))
-    q = queries.select(
-        "qid", F.transform(F.col("qvec"),
-                           lambda x: x.cast("double")).alias("qvec"))
+    q = queries.selectExpr(
+        "qid", "transform(qvec, x -> CAST(x AS DOUBLE)) AS qvec")
     if n_probes <= 1:
         q = q.withColumn("bucket",
                          lsh_bucket_expr("qvec", n_planes, dims))
@@ -465,9 +486,9 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
                       .alias("bucket")))
     scored = (corpus.join(F.broadcast(q), "bucket")
               .where(_self_pred(exclude_self))
-              .select("qid", "vec_id",
-                      F.round(cosine_similarity(F.col("vec"), F.col("qvec")),
-                              6).alias("cos_sim"))
+              .selectExpr("qid", "vec_id",
+                          f"round({_cosine_sql('vec', 'qvec')}, 6) "
+                          "AS cos_sim")
               .dropDuplicates(["qid", "vec_id"]))
     return (_topk_per_query(scored, k, "cos_sim")
             .select("qid", "vec_id", "cos_sim", "rnk"))
@@ -593,15 +614,15 @@ def _unit_vectors(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     # loop-invariant hoisting) — d x d interpreted ops per row instead
     # of d. zip_with divides by the identical double, so values are
     # bit-unchanged (every unit-vector oracle stays green).
-    unit = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("raw"))
-    return unit.select(
+    # single-parse twin of the Column form (round-10 batch 11): same
+    # cast/zip_with/array_repeat trees, one round-trip per projection
+    unit = emb.selectExpr(
+        f"`{id_col}` AS vec_id",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS raw")
+    return unit.selectExpr(
         "vec_id",
-        F.zip_with("raw",
-                   F.array_repeat(_norm(F.col("raw")),
-                                  F.size(F.col("raw"))),
-                   lambda x, n: x / n).alias("vec"))
+        f"zip_with(raw, array_repeat({_norm_sql('raw')}, size(raw)), "
+        "(x, n) -> x / n) AS vec")
 
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
@@ -779,11 +800,9 @@ def cosine_topk_sq8(emb: DataFrame, queries: DataFrame, k: int = 10,
     scored = (codes.withColumn("dq", dq)
               .crossJoin(F.broadcast(qunit))
               .where(_self_pred(exclude_self))
-              .select("qid", "vec_id",
-                      F.aggregate(
-                          F.zip_with("dq", "qv", lambda a, b: a * b),
-                          F.lit(0.0), lambda acc, x: acc + x)
-                      .alias("score")))
+              .selectExpr("qid", "vec_id",
+                          "aggregate(zip_with(dq, qv, (x, y) -> x * y), "
+                          "0.0D, (acc, v) -> acc + v) AS score"))
     return (_topk_per_query(scored, k, "score")
             .select("qid", "vec_id", F.round("score", 6).alias("score"),
                     "rnk"))

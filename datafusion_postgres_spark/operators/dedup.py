@@ -20,6 +20,7 @@ Scale design notes (100 TB / 1000 executors):
 from __future__ import annotations
 
 import logging
+import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -27,7 +28,8 @@ _log = logging.getLogger(__name__)
 
 from datafusion_postgres_spark.operators.litexpr import llit
 from datafusion_postgres_spark.operators.cachectl import (
-    cache_generation, checkpoint_generation, free_local_checkpoint,
+    bounded_checkpoint, cache_generation, checkpoint_generation,
+    free_local_checkpoint,
 )
 from datafusion_postgres_spark.operators.text import (
     FP_MOD, ensure_min_parallelism, fingerprint, norm_text,
@@ -201,6 +203,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
     Output: (id_a, id_b, inter_n, union_n, jaccard) with id_a < id_b.
     """
+    # threshold is formatted into SQL text below (repr()+'D'); a
+    # non-finite or out-of-domain value would otherwise surface as a
+    # deep ParseException ('nanD') instead of a clear error, and the
+    # PPJoin prefix/size/positional bounds assume 0 < t <= 1
+    # (round-11 ADVICE fix)
+    t = float(threshold)
+    if not (math.isfinite(t) and 0.0 < t <= 1.0):
+        raise ValueError(
+            f"threshold must be a finite value in (0, 1], got {threshold}")
     # cache: the shingle hashing is the expensive projection and per_doc
     # feeds three branches (join keys + both verification sides);
     # generation-cached — the next invocation releases this one
@@ -209,7 +220,6 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # expression-heavy pieces as single parses (round-10 py4j-chatter
     # convention, OPTIMIZATION_r10.md §2/§7): identical operator trees
     # — doubles spelled repr()+'D' so literals parse to the same value
-    t = float(threshold)
     if prefix_filter:
         keys = per_doc.selectExpr(
             "id", "set_size",
@@ -1127,7 +1137,10 @@ def connected_components(pairs: DataFrame, col_a: str = "id_a",
     converges in 2-3 rounds; ``max_iter`` bounds pathological chain
     graphs (diameter-long paths).
 
-    Each round's label table is eagerly ``localCheckpoint``-ed, NOT
+    Each round's label table is eagerly checkpoint-ed (reliable
+    ``checkpoint()`` when ``spark.sparkContext.setCheckpointDir`` was
+    called — the cluster deployment mode that survives executor loss —
+    ``localCheckpoint`` otherwise; see cachectl.bounded_checkpoint), NOT
     merely persisted: persist bounds *recomputation* but the LOGICAL
     plan of round k still embeds round k-1's full plan ~2-3x (labels
     appears in the union AND the message join), so with persist alone
@@ -1153,15 +1166,15 @@ def connected_components(pairs: DataFrame, col_a: str = "id_a",
              .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
              .distinct()
              .persist())
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id"))
-              .localCheckpoint(eager=True))
+    labels = bounded_checkpoint(
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id")))
     for _ in range(max_iter):
         msgs = (edges.join(labels, edges["dst"] == labels["id"])
                 .select(F.col("src").alias("id"), F.col("label")))
-        new_labels = (labels.unionByName(msgs)
-                      .groupBy("id").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=True))
+        new_labels = bounded_checkpoint(
+            labels.unionByName(msgs)
+            .groupBy("id").agg(F.min("label").alias("label")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.label") < F.col("o.label"))

@@ -476,6 +476,14 @@ def image_perceptual_hashes(media: DataFrame, id_col: str = "doc_id",
     return media.mapInPandas(hash_batches, HASH_SCHEMA)
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for the single-parse SQL fragments,
+    escaping embedded backticks (round-11 ADVICE fix: a block column
+    named with a backtick would otherwise generate mis-parsed SQL where
+    F.col previously handled it)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
                           max_hamming: int = 3,
                           cache_key: str = "chunked_hamming_pairs",
@@ -522,7 +530,7 @@ def chunked_hamming_pairs(sig: DataFrame, cols: list[str],
                                      max_df, list(block_cols),
                                      pre_cached)
     bc = list(block_cols)
-    bcq = [f"`{c}`" for c in bc]
+    bcq = [_bq(c) for c in bc]
 
     # Expression-heavy pieces are emitted as single parses (round-10
     # py4j-chatter convention, OPTIMIZATION_r10.md §2/§7): identical
@@ -581,8 +589,8 @@ def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
     if not pre_cached:
         sig = cache_generation(cache_key, sig)
     group_key = bc + list(cols)
-    bcq = [f"`{c}`" for c in bc]
-    colsq = [f"`{c}`" for c in cols]
+    bcq = [_bq(c) for c in bc]
+    colsq = [_bq(c) for c in cols]
     reps = sig.groupBy(*group_key).agg(F.min("id").alias("rep"))
     if need_members:
         members = cache_generation(

@@ -120,6 +120,15 @@ def _topk_per_query(scored: DataFrame, k: int, score_col: str,
     global top-k row is necessarily in its partition's local top-k and
     (score desc, id asc) is a total order per query, so the output is
     IDENTICAL to the one-window form (equality-pinned in tests)."""
+    # _pid/_lrn are internal stage columns and rnk is the output rank:
+    # the selectExpr('*', ...) stages would DUPLICATE (not replace) a
+    # caller column of the same name and fail later with an ambiguous
+    # reference — reject up front (round-11 ADVICE fix)
+    clash = {"_pid", "_lrn", "rnk"}.intersection(scored.columns)
+    if clash:
+        raise ValueError(
+            f"_topk_per_query: input columns {sorted(clash)} clash with "
+            "reserved stage/output names (_pid, _lrn, rnk)")
     # window stages as single parses (round-10 batch 11): identical
     # Window specs, ~20 fewer py4j round-trips per build
     order = f"ORDER BY `{score_col}` DESC, `{id_col}` ASC"

@@ -29,9 +29,6 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # test-scale parquet is few small files; smaller splits recover scan
-    # parallelism (a real cluster deployment would keep the 128m default)
-    "spark.sql.files.maxPartitionBytes": "16m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
@@ -63,6 +60,25 @@ def default_shuffle_partitions(cpus: str) -> str:
     return str(max(32, n_cores))
 
 
+def default_max_partition_bytes(cpus: str) -> str:
+    """Scan-split size derived from the advertised core count (round-11,
+    guide §6) instead of a constant tuned for the local bench. At the
+    local bench profile (<= 32 cores) the test-scale parquet is a few
+    small files and 16m splits recover scan parallelism — the exact
+    value every BENCH_r01..r11 ran with, so the derivation is
+    value-identical at every historical bench point by construction.
+    Above 32 cores the deployment is a real cluster: 16m splits over a
+    100 TB table schedule ~6M scan tasks (a driver/scheduler killer —
+    guide §6 recommends 128m-1g for large sequential scans), so the
+    Spark default 128m applies instead. extra_conf overrides win as
+    always."""
+    try:
+        n_cores = int(cpus)
+    except ValueError:
+        n_cores = 32
+    return "16m" if n_cores <= 32 else "128m"
+
+
 def build_spark(app_name: str = "datafusion-postgres-spark",
                 master: str | None = None,
                 extra_conf: dict[str, str] | None = None) -> SparkSession:
@@ -74,6 +90,8 @@ def build_spark(app_name: str = "datafusion-postgres-spark",
         conf = dict(DEFAULT_CONF)
         conf.setdefault("spark.sql.shuffle.partitions",
                         default_shuffle_partitions(cpus))
+        conf.setdefault("spark.sql.files.maxPartitionBytes",
+                        default_max_partition_bytes(cpus))
         if extra_conf:
             conf.update(extra_conf)
         for k, v in conf.items():

@@ -555,3 +555,18 @@ class TestRobustnessRound7Review:
         assert decode_image_pixels(p5b) == (3, 1, [0, 127, 255])
         with pytest.raises(ValueError):
             decode_image_pixels(b"P5 4 4 255\n" + bytes(3))  # truncated
+
+
+class TestIdentifierQuoting:
+    def test_bq_escapes_embedded_backticks(self, spark):
+        """Round-11 ADVICE fix: block-column names are backtick-quoted
+        into single-parse SQL; an embedded backtick must be escaped
+        (doubled), and the quoted form must round-trip through a real
+        selectExpr rather than mis-parse."""
+        from datafusion_postgres_spark.operators.imagehash import _bq
+        assert _bq("frame_pos") == "`frame_pos`"
+        assert _bq("we`ird") == "`we``ird`"
+        df = spark.createDataFrame([(1,)], ["x"]).withColumnRenamed(
+            "x", "we`ird")
+        out = df.selectExpr(f"{_bq('we`ird')} AS ok").collect()
+        assert out[0]["ok"] == 1

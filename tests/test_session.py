@@ -429,3 +429,42 @@ class TestShufflePartitionDerivation:
         active = SparkSession.getActiveSession()
         if active is not None:
             assert active.conf.get("spark.sql.shuffle.partitions") == "8"
+
+
+class TestMaxPartitionBytesDerivation:
+    """Round-11: the scan-split size derives from SPARK_GRAFT_CPUS like
+    the shuffle-partition ceiling (guide §6) — 16m only at the local
+    bench profile (<= 32 cores, the exact value every historical bench
+    ran with), the 128m Spark default on larger deployments, where 16m
+    splits over a 100 TB table would schedule millions of scan tasks."""
+
+    def test_16m_at_bench_core_counts(self):
+        from datafusion_postgres_spark.session import (
+            default_max_partition_bytes,
+        )
+        assert default_max_partition_bytes("32") == "16m"
+        assert default_max_partition_bytes("8") == "16m"
+        assert default_max_partition_bytes("1") == "16m"
+
+    def test_128m_on_larger_clusters(self):
+        from datafusion_postgres_spark.session import (
+            default_max_partition_bytes,
+        )
+        assert default_max_partition_bytes("64") == "128m"
+        assert default_max_partition_bytes("128") == "128m"
+
+    def test_garbage_falls_back_to_local_profile(self):
+        from datafusion_postgres_spark.session import (
+            default_max_partition_bytes,
+        )
+        assert default_max_partition_bytes("not-a-number") == "16m"
+
+    def test_session_carries_derived_value(self):
+        # the suite session is built at <= 32 advertised cores, so the
+        # derived default must be the historical 16m (unless a test
+        # override won — then this asserts the override path instead)
+        from pyspark.sql import SparkSession
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            v = active.conf.get("spark.sql.files.maxPartitionBytes")
+            assert v in ("16m", str(16 * 1024 * 1024))

@@ -517,19 +517,26 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                      F.shiftright("simhash", ci * chunk_bits)
                       .bitwiseAND(mask).alias("ck"))
             for ci in range(chunks)])).alias("b"))
+    # VERIFY BEFORE THE DEDUP EXCHANGE (round-11, guide §2.4): the
+    # hamming bit_count is a cheap projection off the blocking join's
+    # output, while .distinct() is a shuffle — filtering first shrinks
+    # the distinct exchange from candidate-count rows carrying two
+    # 8-byte signatures to match-count rows of (id_a, id_b, hamming).
+    # distinct∘filter == filter∘distinct, and distinct on
+    # (id_a, id_b, hamming) == distinct on the pair alone because
+    # hamming is a function of the pair — output identical (oracled).
     cand = (blocked.alias("x").join(
                 blocked.alias("y"),
                 (F.col("x.b") == F.col("y.b")) &
                 (F.col("x.id") < F.col("y.id")))
             .select(F.col("x.id").alias("id_a"),
-                    F.col("x.simhash").alias("sim_a"),
                     F.col("y.id").alias("id_b"),
-                    F.col("y.simhash").alias("sim_b"))
-            .distinct())
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (cand.withColumn("hamming", hamming)
+                    F.bit_count(F.col("x.simhash")
+                                .bitwiseXOR(F.col("y.simhash")))
+                    .alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+            .distinct())
+    return cand.select("id_a", "id_b", "hamming")
 
 
 # ---------------------------------------------------------------------------

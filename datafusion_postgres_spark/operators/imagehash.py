@@ -605,9 +605,27 @@ def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
         rsig = reps.selectExpr("rep AS id", *bcq, *colsq)
     # single-parse projections/conditions from here down (round-10
     # py4j-chatter convention): same operator trees as the composed
-    # Column forms, ~5x fewer driver round-trips per build
+    # Column forms, ~5x fewer driver round-trips per build.
+    #
+    # PACKED CARRY (round-11, guide §2.3 "shuffle fewer bytes"): every
+    # chunk producer on this machinery emits four NON-NEGATIVE <=16-bit
+    # values (image aHash/dHash and video frame-aHash: 16-bit block-mean
+    # bits; audio envelope: 16-bit chunks; simhash: 12-bit slices), so
+    # the four chunks pack into ONE 64-bit key with disjoint bit fields.
+    # The blocking join then carries (id, sig64, ci, chunk) instead of
+    # (id, c0..c3, ci, chunk) — ~45% fewer exploded-stream bytes for
+    # long chunks — and the hamming verify is ONE bit_count over the
+    # packed XOR (XOR acts per disjoint field, so it equals the
+    # four-term per-chunk bit_count sum by construction; pinned against
+    # brute force). NULL semantics are unchanged: any NULL chunk makes
+    # sig64 NULL exactly as it made the old four-term sum NULL — either
+    # way hamming <= k is false and the pair is dropped — and the
+    # GROUPING key above stays the raw (bc, cols) tuple, so distinct
+    # null-partial signatures keep their separate groups.
+    packed = " + ".join(f"shiftleft(CAST({q} AS BIGINT), {16 * j})"
+                        for j, q in enumerate(colsq))
     exploded = rsig.selectExpr(
-        "id", *bcq, *colsq,
+        "id", *bcq, f"({packed}) AS sig64",
         f"posexplode(array({', '.join(colsq)})) AS (ci, chunk)")
     if max_df is not None:
         _log.info("chunked_hamming blocking: df-cap active (max_df=%d) "
@@ -627,22 +645,25 @@ def _rep_structures(sig: DataFrame, cols: list[str], max_hamming: int,
     cand = (a.join(b, jcond)
             .selectExpr("x.id AS ra", "y.id AS rb",
                         *[f"x.{q} AS {q}" for q in bcq],
-                        *[f"x.{q} AS a{j}" for j, q in enumerate(colsq)],
-                        *[f"y.{q} AS b{j}" for j, q in enumerate(colsq)]))
+                        "x.sig64 AS sa", "y.sig64 AS sb"))
+    # VERIFY FIRST, DEDUP AFTER (round-11, guide §2.4): hamming is a
+    # cheap bit op evaluated straight off the join output, while
+    # dropDuplicates is an exchange — filtering before it shrinks the
+    # pairs-path dedup shuffle from candidate-count rows to MATCH-count
+    # rows. filter∘distinct == distinct∘filter (hamming is a function
+    # of the pair), so the output is identical.
+    rp = (cand.withColumn(
+              "hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+          .where(f"hamming <= {int(max_hamming)}")
+          .select("ra", "rb", *bc, "hamming"))
     if unique_pairs:
         # pairs API contract: one row per (ra, rb) — a pair colliding on
         # several chunks would otherwise repeat. The KEEP path opts out
-        # (round-10): union-find is idempotent over duplicate edges, the
-        # hamming verify is a cheap bit_count (re-verifying ≤4 dupes
-        # beats a full shuffle-dedup), and only the ≤2M driver-edge
-        # bound sees the ≤4x inflated count (a conservative direction).
-        cand = cand.dropDuplicates(["ra", "rb", *bc])
-    hamming_sql = " + ".join(
-        f"bit_count(CAST((a{j} ^ b{j}) AS BIGINT))" for j in range(4))
-    rp = (cand.withColumn(
-              "hamming", F.expr(f"CAST((0 + {hamming_sql}) AS BIGINT)"))
-          .where(f"hamming <= {int(max_hamming)}")
-          .select("ra", "rb", *bc, "hamming"))
+        # (round-10): union-find is idempotent over duplicate edges and
+        # only the ≤2M driver-edge bound sees the ≤4x inflated count (a
+        # conservative direction). hamming is deterministic per key, so
+        # dropDuplicates' arbitrary row pick cannot change values.
+        rp = rp.dropDuplicates(["ra", "rb", *bc])
     return members, rsig, rp
 
 
